@@ -1,0 +1,763 @@
+"""Relational query surface (SURVEY.md §2.3 E6) + the flagship query.
+
+The reference ships no relational operators — filtering/projection exist
+only as user code inside ``map`` [R:MapReduceClient.h], joins only as the
+hand-rolled reduce-side-join pattern, aggregation only as the sort-based
+group-by-key + user ``reduce`` [R:MapReduceFramework.cpp]. This module is
+the declarative replacement: every operator family expressed through the
+DataFrame/SQL API so Catalyst owns pushdown, pruning, join selection and
+AQE owns runtime re-planning.
+
+Each query is registered with a DuckDB oracle. Determinism rules are in
+``catalog.py`` — in short: exact decimal sums cast to double, no raw
+timestamps in output, total tiebreaks on any top-k.
+
+Scale notes (100 TB): dimension joins (region/nation/customer/supplier/
+part) are explicitly broadcast — the fact tables grow with SF, the dims
+do not. Fact⋈fact joins (lineitem⋈orders) shuffle on the join key and
+rely on AQE skew-split; aggregations are partial (map-side combine) by
+construction since every ``agg`` here uses algebraic functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .catalog import register
+
+# --- determinism helpers -------------------------------------------------
+
+#: decimal(18,4) is wide enough for every fixture money/qty column and
+#: narrow enough that sums stay inside decimal(38,*) without overflow.
+_DEC = "decimal(18,4)"
+
+
+def dec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(_DEC)
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Exact (order-independent) sum of a float column, as double."""
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str) -> Column:
+    """Deterministic average: exact decimal sum, then one IEEE divide."""
+    return (F.sum(dec(col)).cast("double") / F.count("*")).alias(alias)
+
+
+# SQL-side twins (DuckDB)
+def SQL_DSUM(c: str) -> str:
+    return f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def SQL_DAVG(c: str) -> str:
+    return f"(CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))"
+
+
+# Exact decimal revenue term: extendedprice * (1 - discount).
+# A function, not a module constant: Column construction needs a live
+# SparkContext, which doesn't exist at import time.
+def _rev() -> Column:
+    return dec("l_extendedprice") * (F.lit(1).cast(_DEC) - dec("l_discount"))
+
+
+_SQL_REV = (
+    "(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+)
+
+
+# --- flagship: the reference's canonical client query (R14) --------------
+
+
+@register(
+    "q_wordcount",
+    oracle="""
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> ''
+        GROUP BY w
+        ORDER BY cnt DESC, w
+        LIMIT 10
+    """,
+    doc="Flagship: word frequency count — the reference's sample client "
+    "[R:SampleClient.cpp] (map: emit2(token,1); reduce: sum). "
+    "scan → flatMap → shuffle → agg, every phase of the reference pipeline.",
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(10)
+    )
+
+
+# --- filter / project ----------------------------------------------------
+
+
+@register(
+    "q_filter_project",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity > 45 AND l_discount < 0.03
+    """,
+    doc="Predicate + projection; both reach the parquet scan "
+    "(PushedFilters + pruned ReadSchema).",
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.03)).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+# --- aggregation ---------------------------------------------------------
+
+
+@register(
+    "q_agg_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {SQL_DSUM('l_quantity')} AS sum_qty,
+               {SQL_DSUM('l_extendedprice')} AS sum_base_price,
+               CAST(SUM({_SQL_REV}) AS DOUBLE) AS sum_disc_price,
+               {SQL_DAVG('l_quantity')} AS avg_qty,
+               {SQL_DAVG('l_extendedprice')} AS avg_price,
+               {SQL_DAVG('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary; map-side partial agg + exchange "
+    "on the group keys. Reference analog: R4+R6+R7 sort/shuffle/reduce.",
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(_rev()).cast("double").alias("sum_disc_price"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Distinct aggregation (expand + two-phase agg in Spark).",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle=f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               {SQL_DSUM('l_quantity')} AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical subtotals (rollup). Absent from the reference.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "q_cube",
+    oracle=f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+               COUNT(*) AS n_orders,
+               {SQL_DSUM('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Full cube over two order dimensions.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               {SQL_DSUM('l_extendedprice')} AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="Explicit grouping sets via the SQL API (same Catalyst plan as "
+    "the DataFrame rollup/cube path).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               {SQL_DSUM('l_extendedprice')} AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "q_having",
+    oracle="""
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part
+        GROUP BY p_brand
+        HAVING COUNT(*) > 3
+    """,
+    doc="Post-aggregation predicate (HAVING).",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .where(F.col("n_parts") > 3)
+    )
+
+
+@register(
+    "q_pivot",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Pivot (oracle expressed with FILTERed aggregates).",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# --- joins ---------------------------------------------------------------
+
+
+@register(
+    "q_join_broadcast",
+    oracle=f"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               {SQL_DSUM('o_totalprice')} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="Equi-join with an explicit broadcast of the smaller side — no "
+    "shuffle of the fact table for the join at any scale where the dim "
+    "fits in memory.",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@register(
+    "q_join_sortmerge",
+    oracle=f"""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    doc="Fact-to-fact equi-join; MERGE hint pins sort-merge (both sides "
+    "shuffle-partition on the key — at 100 TB this is the skew-sensitive "
+    "path AQE skew-split handles).",
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").hint("merge")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+    doc="Left-semi join (EXISTS): customers with at least one big order.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 100000
+    )
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no large order. "
+    "(Predicate on the build side keeps the result non-empty at every "
+    "fixture SF — all customers have at least one order.)",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000
+    )
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "q_join_multiway",
+    oracle=f"""
+        SELECT r_name, COUNT(*) AS n_orders, {SQL_DSUM('o_totalprice')} AS sum_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    doc="Star join: fact ⋈ three dims, all dims broadcast — a single "
+    "scan-side stage with no fact shuffle before the final agg.",
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@register(
+    "q_join_outer",
+    oracle="""
+        SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+        FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+        GROUP BY n_name
+    """,
+    doc="Left-outer join preserving unmatched dim rows (COUNT(col) "
+    "skips the null-extended side).",
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supplier, nation.n_nationkey == supplier.s_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+# --- window functions ----------------------------------------------------
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) t
+        WHERE rn <= 3
+    """,
+    doc="Top-N per group via row_number; total order inside the window "
+    "(price desc, key) makes the selection deterministic.",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS prev_price,
+               (o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)) AS price_delta
+        FROM orders
+    """,
+    doc="LAG with a deterministic window order; delta is one IEEE "
+    "subtract so raw doubles stay exact.",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        (F.col("o_totalprice") - prev).alias("price_delta"),
+    )
+
+
+@register(
+    "q_window_running_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_total
+        FROM orders
+    """,
+    doc="Running total per customer; decimal accumulator because double "
+    "window-sum association differs across engines.",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+# --- sort / limit / top-k ------------------------------------------------
+
+
+@register(
+    "q_topk",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject (per-partition "
+    "heap + driver merge — no global sort even at 100 TB).",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+# --- set operations ------------------------------------------------------
+
+
+def _rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+def _active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+
+
+_SQL_RICH = "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000"
+_SQL_ACTIVE = (
+    "SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'"
+)
+
+
+@register(
+    "q_union",
+    oracle=f"{_SQL_RICH} UNION {_SQL_ACTIVE}",
+    doc="UNION (distinct) of two key sets.",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _rich_customers(spark, sf_dir).union(_active_customers(spark, sf_dir)).distinct()
+    )
+
+
+@register(
+    "q_intersect",
+    oracle=f"{_SQL_RICH} INTERSECT {_SQL_ACTIVE}",
+    doc="INTERSECT of two key sets.",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rich_customers(spark, sf_dir).intersect(_active_customers(spark, sf_dir))
+
+
+@register(
+    "q_except",
+    oracle=f"{_SQL_RICH} EXCEPT {_SQL_ACTIVE}",
+    doc="EXCEPT of two key sets.",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # subtract == EXCEPT DISTINCT (exceptAll would keep surplus dups).
+    return _rich_customers(spark, sf_dir).subtract(_active_customers(spark, sf_dir))
+
+
+# --- scalar functions: JSON / date / string / math / array / case --------
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+        SELECT event_type,
+               CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k_val,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type, k_val
+    """,
+    doc="JSON scalar extraction from events.props (a JSON string per "
+    "FIXTURES.md) — Spark side uses get_json_object (Jackson, JVM-side); "
+    "oracle uses a regexp to avoid DuckDB JSON-extension dependence.",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        )
+        .groupBy("event_type", "k_val")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_date_trunc",
+    oracle=f"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               COUNT(*) AS n_orders,
+               {SQL_DSUM('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY order_month
+    """,
+    doc="Date bucketing on a timestamp_ntz column, rendered as a string "
+    "(never a raw timestamp — see catalog.py rule 1).",
+)
+def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@register(
+    "q_events_hourly",
+    oracle=f"""
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               COUNT(*) AS n,
+               {SQL_DSUM('value')} AS sum_value
+        FROM events
+        GROUP BY event_type, hour
+    """,
+    doc="Per-hour event rollup; ts arrives as int64 nanos in Spark "
+    "(FIXTURES.md gotcha) and natively as timestamp_ns in DuckDB — both "
+    "rendered to the same wall-clock string under UTC.",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type",
+            F.date_format("ts_utc", "yyyy-MM-dd HH:00").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    )
+
+
+@register(
+    "q_string_fns",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               substr(p_type, 1, 5) AS type_prefix,
+               concat_ws('-', p_brand, p_type) AS brand_type
+        FROM part
+    """,
+    doc="String scalar functions (upper/length/substr/concat_ws).",
+)
+def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "q_math_fns",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               sqrt(l_quantity) AS qty_sqrt,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               abs(l_extendedprice - l_quantity) AS absdiff,
+               l_orderkey % 7 AS key_mod
+        FROM lineitem
+        WHERE l_orderkey % 97 = 0
+    """,
+    doc="Math scalar functions restricted to IEEE-exact ops (sqrt is "
+    "correctly-rounded per IEEE-754; exp/log/pow are libm-dependent and "
+    "deliberately excluded from oracle-checked output).",
+)
+def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") % 97 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity")).alias("absdiff"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "q_array_fns",
+    oracle="""
+        SELECT vec_id, label,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_component
+        FROM embeddings
+    """,
+    doc="Array scalar functions over the embedding column (float32 → "
+    "double widening is exact).",
+)
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+    )
+
+
+@register(
+    "q_case_when",
+    oracle=f"""
+        SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS balance_bucket,
+               COUNT(*) AS n_customers,
+               {SQL_DSUM('c_acctbal')} AS sum_bal
+        FROM customer
+        GROUP BY balance_bucket
+    """,
+    doc="CASE/WHEN bucketing + aggregation.",
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_bucket")
+    )
+    return customer.groupBy(bucket).agg(
+        F.count("*").alias("n_customers"), dsum("c_acctbal", "sum_bal")
+    )

@@ -1,0 +1,85 @@
+"""SparkSession factory and session-level configuration.
+
+Reference parity: the reference's ``multiThreadLevel`` argument
+[R:MapReduceFramework.h, SURVEY.md R13] is the only parallelism knob it
+has; here it maps onto ``local[N]`` worker threads plus
+``spark.sql.shuffle.partitions``. Everything else (AQE, Arrow, UTC
+session time zone, nanos-as-long parquet reads) is engine configuration
+the reference never needed because it had no storage formats at all.
+
+Scale notes (100 TB): AQE is enabled so skewed shuffle partitions are
+split and tiny ones coalesced at runtime; ``shuffle.partitions`` is a
+*default* only — AQE re-plans the actual post-shuffle parallelism from
+observed sizes, so the same code runs on local[32] and on a
+1000-executor cluster without retuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: Session-level (runtime-settable) confs. Applied defensively by every
+#: query entry point because the driver may hand us a SparkSession it
+#: built itself — see ``ensure_session_confs``.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp rendering regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 refuses it
+    # unless read as raw int64 nanos (FIXTURES.md gotcha #1).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime partition coalescing + skew-join split.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session.
+
+    Idempotent and safe to call per-query: all keys in RUNTIME_CONFS are
+    session confs (not static SparkConf), so they take effect on a live
+    session. Never raises — a locked-down conf is skipped.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "os_ex_3_map_reduce_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32). On a real
+    cluster, pass None and submit through spark-submit — every operator
+    here is partitioning-agnostic.
+    """
+    if master is None:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_session_confs(spark)
