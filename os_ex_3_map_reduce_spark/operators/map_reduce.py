@@ -1,0 +1,141 @@
+"""Generic map→shuffle→reduce operator: the reference's whole surface.
+
+Reference parity (SURVEY.md §2.1 R1–R8):
+
+- ``map(k1, v1, ctx)`` emitting 0..N pairs via ``emit2``
+  [R:MapReduceClient.h] → here the *rows returned* by a user map
+  function (a flatMap): no emit callback survives, which is the one
+  purely-syntactic shape change (SURVEY.md §3.2).
+- per-thread sort + single-threaded merge-shuffle
+  [R:MapReduceFramework.cpp] → Spark's sort-based shuffle (parallel,
+  spilling, hash-partitioned) behind ``groupBy(key)``.
+- ``reduce(group, ctx)`` emitting 0..N pairs via ``emit3`` — full
+  UDTF-over-group power, NOT just scalar aggregation → ``applyInPandas``
+  (each distinct key's rows arrive as one pandas DataFrame; the rows
+  returned are the output).
+
+Two API levels:
+
+- :func:`map_reduce` — batch-level (fast path): user functions see Arrow
+  batches (pandas DataFrames), vectorizable.
+- :class:`MapReduceClient` + :func:`run_map_reduce` — row-level
+  (reference-shaped): ``map(row) -> iterable of tuples``,
+  ``reduce(key, group_df) -> iterable of tuples``. Convenience wrapper
+  over the same plan; per-row Python is the slow path by design.
+
+Scale notes (100 TB): the mapped relation is hash-partitioned on the
+key — same contract as the reference's shuffle, minus its single-thread
+merge bottleneck. One group must fit in one executor's memory
+(``applyInPandas`` materializes the group), which is exactly the
+reference's own constraint (a group = one in-RAM vector). For known-hot
+keys, pre-aggregate in ``map_fn`` (combiner) or salt the key before
+calling; AQE skew handling covers the join paths but not grouped-map,
+so the combiner pattern is the documented mitigation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def map_reduce(
+    df: DataFrame,
+    map_fn: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]],
+    key_cols: list[str] | str,
+    reduce_fn: Callable[[tuple, pd.DataFrame], pd.DataFrame],
+    intermediate_schema: str,
+    output_schema: str,
+    num_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Batch-level generic MapReduce over a DataFrame.
+
+    ``map_fn``: ``mapInPandas`` body — iterator of input batches →
+    iterator of intermediate batches matching ``intermediate_schema``
+    (0..N rows per input row: the emit2 surface).
+    ``reduce_fn``: called once per distinct key with all its rows;
+    returns a pandas DataFrame matching ``output_schema`` (0..N rows:
+    the emit3 surface).
+    ``num_shuffle_partitions``: reference's ``multiThreadLevel``
+    analog — pins reduce-side parallelism; default leaves it to the
+    session/AQE.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    mapped = df.mapInPandas(map_fn, schema=intermediate_schema)
+    if num_shuffle_partitions is not None:
+        mapped = mapped.repartition(num_shuffle_partitions, *key_cols)
+    return mapped.groupBy(*key_cols).applyInPandas(reduce_fn, schema=output_schema)
+
+
+class MapReduceClient:
+    """Row-level client, the reference's ``MapReduceClient`` re-shaped
+    [R:MapReduceClient.h].
+
+    Subclass and define:
+
+    - ``intermediate_schema``: DDL string for emitted (K2, V2...) rows;
+      the FIRST ``n_key_cols`` fields are the shuffle key.
+    - ``output_schema``: DDL string for emitted (K3, V3...) rows.
+    - ``map(self, row) -> iterable[tuple]`` — row is a named tuple of
+      the input row (K1/V1); yield 0..N intermediate tuples (emit2).
+    - ``reduce(self, key, group) -> iterable[tuple]`` — ``key`` is a
+      tuple of key values, ``group`` a pandas DataFrame of every
+      intermediate row with that key (the post-shuffle
+      IntermediateVec); yield 0..N output tuples (emit3).
+
+    The client must be picklable (it ships to executors).
+    """
+
+    intermediate_schema: str
+    output_schema: str
+    n_key_cols: int = 1
+
+    def map(self, row: Any) -> Iterable[tuple]:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def reduce(self, key: tuple, group: pd.DataFrame) -> Iterable[tuple]:  # pragma: no cover
+        raise NotImplementedError
+
+
+def _ddl_field_names(ddl: str) -> list[str]:
+    return [part.strip().split()[0] for part in ddl.split(",")]
+
+
+def run_map_reduce(
+    df: DataFrame,
+    client: MapReduceClient,
+    num_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Run a row-level :class:`MapReduceClient` over ``df``.
+
+    Equivalent of ``startMapReduceJob(client, inputVec, outputVec, n)``
+    minus the async control plane (see :mod:`.job` for that parity).
+    """
+    inter_cols = _ddl_field_names(client.intermediate_schema)
+    out_cols = _ddl_field_names(client.output_schema)
+    key_cols = inter_cols[: client.n_key_cols]
+
+    def map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            emitted: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                emitted.extend(client.map(row))
+            yield pd.DataFrame(emitted, columns=inter_cols)
+
+    def reduce_group(key: tuple, group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(list(client.reduce(key, group)), columns=out_cols)
+
+    return map_reduce(
+        df,
+        map_batches,
+        key_cols,
+        reduce_group,
+        client.intermediate_schema,
+        client.output_schema,
+        num_shuffle_partitions,
+    )

@@ -54,7 +54,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def _load_all() -> None:
     # Import for registration side effects; late import avoids cycles.
-    from . import relational  # noqa: F401
+    from . import mapreduce_queries, relational  # noqa: F401
 
     try:
         from . import llm  # noqa: F401

@@ -1,0 +1,98 @@
+"""Catalog queries exercising the generic map_reduce operator.
+
+These prove R1–R8 parity end-to-end: the same answers the declarative
+catalog produces, computed through the reference-shaped user-code
+surface (row-level map emitting 0..N pairs, reduce-over-group emitting
+0..N pairs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.map_reduce import MapReduceClient, run_map_reduce
+from ..sources.tables import load_table
+from .catalog import register
+
+
+class WordCountClient(MapReduceClient):
+    """The reference's canonical sample client [R:SampleClient.cpp]:
+    map: emit2(token, 1) per token; reduce: emit3(token, sum)."""
+
+    intermediate_schema = "w string, one long"
+    output_schema = "w string, cnt long"
+
+    def map(self, row):
+        return [(w, 1) for w in row.text.split(" ") if w]
+
+    def reduce(self, key, group: pd.DataFrame):
+        return [(key[0], int(group["one"].sum()))]
+
+
+@register(
+    "q_mapreduce_wordcount",
+    oracle="""
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> ''
+        GROUP BY w
+    """,
+    doc="Flagship word count through the generic map_reduce operator "
+    "(row-level client API) instead of the declarative plan — the "
+    "self-check from SURVEY.md §7.1 step 3.",
+)
+def q_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return run_map_reduce(docs, WordCountClient())
+
+
+class ReduceSideJoinClient(MapReduceClient):
+    """The reference's documented join idiom (SURVEY.md §2.2): tag rows
+    from both inputs with their origin, shuffle on the join key, and
+    join inside reduce. Emits 0 rows for keys with no customer row —
+    exercising the 0-output emit3 path."""
+
+    intermediate_schema = "custkey bigint, tag string, segment string, price double"
+    output_schema = "custkey bigint, segment string, n_orders long, max_price double"
+
+    def map(self, row):
+        return [(row.custkey, row.tag, row.segment, row.price)]
+
+    def reduce(self, key, group: pd.DataFrame):
+        cust = group[group["tag"] == "C"]
+        if cust.empty:
+            return []  # dangling orders: emit nothing
+        orders = group[group["tag"] == "O"]
+        max_price = float(orders["price"].max()) if len(orders) else None
+        return [(key[0], cust["segment"].iloc[0], len(orders), max_price)]
+
+
+@register(
+    "q_mapreduce_join",
+    oracle="""
+        SELECT c_custkey AS custkey, c_mktsegment AS segment,
+               COUNT(o_orderkey) AS n_orders, MAX(o_totalprice) AS max_price
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY custkey, segment
+    """,
+    doc="Reduce-side join via map_reduce: union of tagged inputs "
+    "(reference: concatenated InputVecs), join performed in reduce. "
+    "Matches a LEFT JOIN + aggregate oracle.",
+)
+def q_mapreduce_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("C").alias("tag"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.lit("O").alias("tag"),
+        F.lit(None).cast("string").alias("segment"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return run_map_reduce(customer.unionByName(orders), ReduceSideJoinClient())

@@ -17,6 +17,9 @@ observed sizes, so the same code runs on local[32] and on a
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -40,6 +43,30 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Classes sent to executors (MapReduceClient subclasses, pandas UDF
+    closures) are pickled *by reference* — the worker re-imports them,
+    so the package must be on the worker's path. On a real cluster this
+    is ``spark-submit --py-files``; for a session we don't own (the
+    driver builds its own), ship a zip via ``addPyFile`` once.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_osx3_pkg_shipped", False):
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.mkdtemp(prefix="osx3_pkg_")) / "os_ex_3_map_reduce_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
+    try:
+        sc.addPyFile(str(zip_path))
+    except Exception:
+        pass  # already added (e.g. two sessions over one context)
+    sc._osx3_pkg_shipped = True
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-created session.
 
@@ -52,6 +79,7 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -1,0 +1,129 @@
+"""Generic map_reduce operator + job control parity tests.
+
+Mirrors the reference's test practice (SURVEY.md §5.1): golden output
+via the sample client, determinism across the multiThreadLevel analog,
+and progress monotonicity from a polling loop.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from os_ex_3_map_reduce_spark.operators.job import (
+    JobState,
+    Stage,
+    start_map_reduce_job,
+)
+from os_ex_3_map_reduce_spark.operators.map_reduce import (
+    MapReduceClient,
+    run_map_reduce,
+)
+from os_ex_3_map_reduce_spark.plans.mapreduce_queries import WordCountClient
+from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _wordcount_via_dataframe(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def test_wordcount_client_matches_dataframe_plan(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("text")
+    got = sorted(
+        (r.w, r.cnt) for r in run_map_reduce(docs, WordCountClient()).collect()
+    )
+    want = sorted((r.w, r.cnt) for r in _wordcount_via_dataframe(spark).collect())
+    assert got == want
+    assert len(got) > 0
+
+
+@pytest.mark.parametrize("parallelism", [1, 2, 8])
+def test_determinism_across_parallelism(spark, parallelism):
+    """multiThreadLevel sweep analog (SURVEY.md §5.1): identical sorted
+    output at every reduce-side parallelism."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("text")
+    got = sorted(
+        tuple(r)
+        for r in run_map_reduce(
+            docs, WordCountClient(), num_shuffle_partitions=parallelism
+        ).collect()
+    )
+    want = sorted((r.w, r.cnt) for r in _wordcount_via_dataframe(spark).collect())
+    assert got == want
+
+
+class ExplodingClient(MapReduceClient):
+    """map emits 0..N (only tokens len>3, twice); reduce emits 0..N
+    (nothing for odd counts, two rows for even) — exercises the full
+    flatMap/UDTF freedom of emit2/emit3."""
+
+    intermediate_schema = "w string, one long"
+    output_schema = "w string, kind string, cnt long"
+
+    def map(self, row):
+        out = []
+        for w in row.text.split(" "):
+            if len(w) > 3:
+                out.append((w, 1))
+                out.append((w, 1))
+        return out
+
+    def reduce(self, key, group: pd.DataFrame):
+        n = int(group["one"].sum())
+        if n % 2 == 1:
+            return []
+        return [(key[0], "total", n), (key[0], "half", n // 2)]
+
+
+def test_zero_to_n_emission(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("text")
+    rows = run_map_reduce(docs, ExplodingClient()).collect()
+    assert rows, "expected some even-count tokens"
+    by_word: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_word.setdefault(r.w, {})[r.kind] = r.cnt
+    for w, kinds in by_word.items():
+        assert set(kinds) == {"total", "half"}
+        assert kinds["total"] == 2 * kinds["half"]
+        assert kinds["total"] % 2 == 0
+        assert len(w) > 3
+
+
+def test_job_control_lifecycle(spark):
+    """R9–R12: async start, state polling, idempotent wait, close."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("text")
+    handle = start_map_reduce_job(spark, WordCountClient(), docs)
+
+    states: list[JobState] = []
+    deadline = time.time() + 120
+    while handle._thread.is_alive() and time.time() < deadline:
+        states.append(handle.state())
+        time.sleep(0.05)
+    handle.wait()
+    handle.wait()  # idempotent (reference guards double-join)
+
+    rows = handle.result()
+    want = sorted((r.w, r.cnt) for r in _wordcount_via_dataframe(spark).collect())
+    assert sorted(tuple(r) for r in rows) == want
+
+    final = handle.state()
+    assert final.stage is Stage.REDUCE and final.percentage == 100.0
+    # stage only ever advances UNDEFINED → MAP → SHUFFLE → REDUCE
+    order = [Stage.UNDEFINED, Stage.MAP, Stage.SHUFFLE, Stage.REDUCE]
+    seen = [order.index(s.stage) for s in states]
+    assert seen == sorted(seen), f"stage regressed: {[s.stage for s in states]}"
+
+    handle.close()
+    assert handle.state().stage is Stage.UNDEFINED
