@@ -1,0 +1,101 @@
+"""Text-analysis column builders (all JVM-side built-ins — no Python in
+the hot path).
+
+These are the building blocks for the training-data-pipeline operators
+(dedup, fingerprinting, quality scoring): tokenization, n-gram
+shingling, stopword/marker scoring. Everything returns Column
+expressions that stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Stopword markers per language for the n-gram/marker lang-id heuristic
+#: and for quality scoring. Deliberately tiny + deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "los", "y", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+}
+
+STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"]
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Whitespace tokenization (the fixture's texts are single-space
+    separated; split on runs of whitespace to be robust)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, r"\s+")
+
+
+def bpe_ish_tokens(text_col: str | Column = "text") -> Column:
+    """BPE-ish subword-boundary token count basis: split on transitions
+    (non-alnum boundaries), the regex analog of a byte-pair pre-tokenizer.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(c, r"[^0-9A-Za-z]+"), lambda t: t != F.lit("")
+    )
+
+
+def shingles(tokens_col: Column, n: int) -> Column:
+    """Word n-gram shingles as an array<string>.
+
+    Pure higher-order-function expression (transform over sequence +
+    slice + array_join): stays JVM-side. Guards the short-document case
+    because ``sequence(1, 0)`` would generate a DESCENDING sequence in
+    Spark rather than an empty one.
+    """
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+        lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
+    )
+    return F.when(F.size(tokens_col) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def marker_hits(tokens_col: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that appear in ``markers`` (with multiplicity —
+    array_intersect would dedupe, so filter+size instead)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens_col, lambda t: F.array_contains(arr, t)))
+
+
+def predicted_lang(tokens_col: Column) -> Column:
+    """Marker-scoring language-ID heuristic.
+
+    Deterministic argmax with a fixed preference order on ties
+    (en > es > de > fr), 'und' when no marker hits at all — the tie
+    policy IS part of the operator contract so the DuckDB oracle can
+    reproduce it exactly.
+    """
+    scores = {lang: marker_hits(tokens_col, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier langs win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def sql_predicted_lang(tokens_sql: str) -> str:
+    """DuckDB twin of :func:`predicted_lang` over a list-typed SQL
+    expression ``tokens_sql``."""
+
+    def hits(markers: tuple[str, ...]) -> str:
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        return f"len(list_filter({tokens_sql}, t -> t IN ({inlist})))"
+
+    s = {lang: hits(m) for lang, m in LANG_MARKERS.items()}
+    best = f"greatest({s['en']}, {s['es']}, {s['de']}, {s['fr']})"
+    return f"""
+        CASE WHEN {best} = 0 THEN 'und'
+             WHEN {s['en']} = {best} THEN 'en'
+             WHEN {s['es']} = {best} THEN 'es'
+             WHEN {s['de']} = {best} THEN 'de'
+             ELSE 'fr' END
+    """

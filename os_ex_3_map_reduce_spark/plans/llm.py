@@ -1,0 +1,402 @@
+"""Training-data-pipeline query surface (SURVEY.md §2.3 E1–E5):
+dedup, near-dup, similarity search, text analysis, multimodal plumbing.
+
+Threshold/parameter choices are data-informed (measured at sf0.01):
+the fixture plants 25 near-dup pairs at shingle-Jaccard ≥ 0.97 with the
+next-highest pair at 0.025 — so a 0.5 threshold has a huge margin on
+both sides, and MinHash-LSH recall at that gap is 1 - ~4e-20 (b=8, r=2),
+which is why the LSH query can carry an *exact* SQL oracle. Embedding
+cosines top out at 0.51, so similarity queries are top-k (never
+threshold) to stay non-vacuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    STOPWORDS,
+    predicted_lang,
+    shingles,
+    sql_predicted_lang,
+    tokens,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_neardup_pairs,
+)
+from ..operators.multimodal import attach_payload, fake_image_features, metadata_stats
+from ..operators.similarity import lsh_bucketed_topk, topk_pairs, topk_to_query
+from ..sources.tables import load_table
+from .catalog import register
+
+# --- exact dedup (E1) ----------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, concat_ws(' ', t[1], t[2], t[3]) AS prefix_key
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+        SELECT prefix_key, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        FROM keyed GROUP BY prefix_key
+    """,
+    doc="Exact dedup on a normalized content key (3-token prefix): keep "
+    "the deterministic min-id representative per key. One hash shuffle; "
+    "at 100 TB the key would be a full-content hash (see q_dedup_stats).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    keyed = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at(toks, 1),
+            F.element_at(toks, 2),
+            F.element_at(toks, 3),
+        ).alias("prefix_key"),
+    )
+    reps = exact_dedup(keyed, ["prefix_key"], "doc_id")
+    counts = keyed.groupBy("prefix_key").agg(F.count("*").alias("n_dups"))
+    return reps.join(counts, "prefix_key").select("prefix_key", "doc_id", "n_dups")
+
+
+@register(
+    "q_dedup_stats",
+    oracle="""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT text) AS n_distinct_texts,
+               COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
+        FROM documents
+    """,
+    doc="Corpus-level exact-dup accounting (full-content key).",
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        (F.count("*") - F.countDistinct("text")).alias("n_exact_dups"),
+    )
+
+
+# --- near-dup dedup (E2) -------------------------------------------------
+
+_SHINGLE_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "q_minhash_neardup",
+    oracle=_SHINGLE_SQL
+    + """
+        SELECT doc_a, doc_b, inter,
+               (sa.n + sb.n - inter) AS union_,
+               (inter * 1.0 / (sa.n + sb.n - inter)) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+    doc="MinHash+LSH near-dup pairs, exact-verified. The oracle is the "
+    "exact all-pairs Jaccard — valid because measured LSH miss "
+    "probability at the fixture's similarity gap is ~4e-20 (see module "
+    "docstring); any candidate below threshold is filtered exactly.",
+)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@register(
+    "q_simhash_neardup",
+    oracle=None,  # not SQL-expressible (md5 bit arithmetic); rows-only
+    doc="SimHash near-dup pairs (Hamming ≤ 7) via 8-chunk pigeonhole "
+    "banding; deterministic fingerprints (md5-derived).",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=7)
+
+
+# --- similarity search (E3) ----------------------------------------------
+
+
+@register(
+    "q_similarity_topk",
+    oracle="""
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 4) AS cosine
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY cosine DESC, e.vec_id
+        LIMIT 10
+    """,
+    doc="Brute-force query-vector top-k cosine, fully JVM-side "
+    "(sequential fold, TakeOrdered — no shuffle, no Python).",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return topk_to_query(emb, [float(x) for x in query], k=10)
+
+
+@register(
+    "q_embedding_topk_pairs",
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ORDER BY cosine DESC, vec_a, vec_b
+        LIMIT 20
+    """,
+    doc="Global top-20 most-similar embedding pairs; Arrow-batched "
+    "numpy matmul against a broadcast matrix, per-partition local "
+    "top-k then driver merge (embedding-cosine near-dup, E1 list).",
+)
+def q_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_pairs(emb, k=20)
+
+
+@register(
+    "q_ann_lsh_topk",
+    oracle=None,  # approximate by construction; recall measured in tests
+    doc="Approximate top-k pairs via random-hyperplane LSH buckets — "
+    "the 100 TB scale path (equi-join on bucket, no cross join).",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, k=20)
+
+
+# --- text analysis (E4) --------------------------------------------------
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ({", ".join(f"'{w}'" for w in STOPWORDS)})))
+                        AS BIGINT) AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, stop_hits,
+               (stop_hits * 1.0 / n_tokens) AS stop_ratio,
+               ((least(n_tokens, 64) / 64.0) + (stop_hits * 1.0 / n_tokens)) / 2.0
+                   AS quality_score
+        FROM base
+    """,
+    doc="Per-document quality scoring (length + stopword-ratio mix); "
+    "identical expression trees on both engines → exact doubles.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    stop_ratio = F.col("stop_hits") * 1.0 / F.col("n_tokens")
+    len_score = F.least(F.col("n_tokens"), F.lit(64)) / 64.0
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "stop_hits",
+        stop_ratio.alias("stop_ratio"),
+        ((len_score + stop_ratio) / 2.0).alias("quality_score"),
+    )
+
+
+@register(
+    "q_token_stats",
+    oracle="""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+        SELECT COUNT(*) AS total_tokens,
+               COUNT(DISTINCT w) AS distinct_tokens,
+               (COUNT(*) / COUNT(DISTINCT doc_id)) AS avg_tokens_per_doc,
+               CAST(MAX(length(w)) AS BIGINT) AS max_token_len
+        FROM w
+    """,
+    doc="Corpus token accounting (whitespace tokenizer).",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    return w.agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("w").alias("distinct_tokens"),
+        (F.count("*") / F.countDistinct("doc_id")).alias("avg_tokens_per_doc"),
+        F.max(F.length("w")).cast("long").alias("max_token_len"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+        SELECT lang,
+               {sql_predicted_lang("string_split(text, ' ')")} AS predicted,
+               COUNT(*) AS n
+        FROM documents
+        GROUP BY lang, predicted
+    """,
+    doc="Marker-scoring language-ID heuristic vs the labeled lang "
+    "column; deterministic argmax with fixed tie order (contract "
+    "reproduced in the oracle).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predicted_lang(tokens("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_tf_df",
+    oracle="""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents)
+        SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total
+        FROM w GROUP BY term
+        ORDER BY df DESC, term
+        LIMIT 20
+    """,
+    doc="Term/document frequency table (tf-idf building block).",
+)
+def q_tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    return (
+        w.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("tf_total"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   ((tf.tf * n.n_docs) / df.df) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY ((tf.tf * n.n_docs) / df.df) DESC,
+                                               tf.term) AS rn
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, score FROM scored WHERE rn = 1
+    """,
+    doc="Most-characteristic term per document by tf·(N/df) — tf-idf "
+    "with the rational idf (no log: libm log is not bit-portable "
+    "across engines; the ranking is order-equivalent for fixed N).",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    w = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    score = (F.col("tf") * F.lit(n_docs)) / F.col("df")
+    scored = (
+        tf.join(df, "term")
+        .withColumn("score", score)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+            ),
+        )
+    )
+    return scored.where(F.col("rn") == 1).select("doc_id", "term", "tf", "df", "score")
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_aggregate(list_transform(
+                   list_transform(generate_series(1, len(t) - 2),
+                                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])),
+                   s -> md5(s)), 'min') AS fingerprint
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    """,
+    doc="Winnowing-style document fingerprint: min over shingle md5s "
+    "(lexicographic min of hex — engine-portable, unlike numeric "
+    "rolling hashes).",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(tokens("text"), 3)
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
+    )
+
+
+# --- multimodal plumbing (E5) --------------------------------------------
+
+
+@register(
+    "q_multimodal_metadata",
+    oracle="""
+        SELECT doc_id, 'text/plain' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               sha256(text) AS sha256_hex
+        FROM documents
+    """,
+    doc="Binary-column metadata extraction through Arrow batches "
+    "(mapInPandas): byte length + sha256 of the payload. The decode "
+    "step for real media is stubbed (operators/multimodal.py) but "
+    "this plumbing is the real schema/batch shape.",
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    return metadata_stats(docs).withColumnRenamed("sha256", "sha256_hex")
+
+
+@register(
+    "q_multimodal_fake_image",
+    oracle=None,  # sha-derived fake pixels are not SQL-expressible
+    doc="Deterministic fake image decode → feature extraction, "
+    "exercising the full multimodal batch pipeline shape.",
+)
+def q_multimodal_fake_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    return fake_image_features(docs)
