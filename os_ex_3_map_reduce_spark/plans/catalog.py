@@ -54,7 +54,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def _load_all() -> None:
     # Import for registration side effects; late import avoids cycles.
-    from . import llm, mapreduce_queries, relational  # noqa: F401
+    from . import llm, mapreduce_queries, relational, streaming_queries  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,131 @@
+"""Streaming catalog queries (E7): each runs a bounded Structured
+Streaming job (availableNow → memory sink) and returns the materialized
+result, so the driver's batch-SQL oracle can check it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.events import (
+    doubled_events_dir,
+    events_stream,
+    run_stream_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from .catalog import register
+from .relational import SQL_DSUM
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')
+                   AS hour,
+               event_type, COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value
+        FROM events
+        GROUP BY hour, event_type
+    """,
+    doc="Tumbling 1-hour event-time windows through the streaming "
+    "planner (StateStore agg, availableNow bounded replay); complete "
+    "mode ⇒ batch-equivalent, hence an exact SQL oracle.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling_counts(events_stream(spark, sf_dir))
+    name = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+        WITH w AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart,
+                   event_type FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                   event_type FROM events
+        )
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS wstart, event_type,
+               COUNT(*) AS n
+        FROM w GROUP BY wstart, event_type
+    """,
+    doc="Sliding windows (1 h length, 30 min slide — every event lands "
+    "in exactly two windows; the oracle materializes both by UNION ALL).",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = sliding_counts(events_stream(spark, sf_dir))
+    name = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("wstart"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        islands AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, sid
+    """,
+    doc="Session windows (10 min inactivity gap) per user via the "
+    "streaming session_window operator; oracle is the classic "
+    "gap-and-island SQL. Session boundary uses >= gap (half-open "
+    "session intervals), mirrored in the oracle.",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = session_counts(events_stream(spark, sf_dir), gap="10 minutes")
+    name = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+    doc="Stateful streaming dedup: every event arrives twice (doubled "
+    "file replay); dropDuplicatesWithinWatermark on event_id restores "
+    "exactly-once — output equals single-copy batch counts.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = doubled_events_dir(spark, sf_dir)
+    stream = events_stream(spark, sf_dir, path=src)
+    deduped = stream.withWatermark("ts_utc", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = run_stream_to_memory(deduped, mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

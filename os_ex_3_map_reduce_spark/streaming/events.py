@@ -1,0 +1,113 @@
+"""Structured Streaming surface over the events table (SURVEY.md E7).
+
+The reference is strictly batch [SURVEY.md §1.1]; this is mandated
+extension surface. Events are replayed through the file source (the
+production shape: a stream lands as files/partitions; at 100 TB this is
+a Kafka/file-stream source with the same downstream plan).
+
+Design choices:
+
+- ``availableNow`` trigger: process the full backlog as a bounded
+  stream then stop — gives deterministic, batch-equivalent results the
+  DuckDB oracle can check, while exercising the real streaming planner
+  (StateStore aggregation, watermarks, session windows).
+- ``complete`` output mode for windowed aggregations in catalog
+  queries: emits every window, so results equal the batch aggregation.
+  Append-mode + watermark behavior (late-data drop, state eviction) is
+  exercised in tests via a two-run checkpointed replay, where batch
+  boundaries are explicit and deterministic.
+- Event time is ``ts_utc`` derived from the int64-nanos ``ts`` column
+  (integer division — see sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_session_confs
+
+_STAGED_CACHE: dict[tuple[str, int], str] = {}
+
+
+def staged_events_dir(sf_dir: str, copies: int = 1) -> str:
+    """A temp directory holding ``copies`` copies of the events file.
+
+    The streaming file source requires a *directory* basePath (pointing
+    it at the bare ``events.parquet`` file breaks on plans — e.g.
+    session windows — that re-resolve the relation). Staging into a dir
+    is also the production shape: a stream lands as files/partitions.
+    With copies=2 every event arrives twice — a deterministic duplicate
+    stream for exercising stateful dedup.
+    """
+    key = (sf_dir, copies)
+    if key not in _STAGED_CACHE:
+        d = Path(tempfile.mkdtemp(prefix=f"osx3_events{copies}_"))
+        for i in range(copies):
+            shutil.copy(f"{sf_dir}/events.parquet", d / f"part-{i}.parquet")
+        _STAGED_CACHE[key] = str(d)
+    return _STAGED_CACHE[key]
+
+
+def doubled_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    return staged_events_dir(sf_dir, copies=2)
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
+    """File-source replay of the events table with event-time column."""
+    ensure_session_confs(spark)
+    src = path or staged_events_dir(sf_dir)
+    schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(schema).parquet(src)
+    return raw.withColumn(
+        "ts_utc", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, mode: str = "complete", checkpoint: str | None = None
+) -> str:
+    """Run a bounded stream (availableNow) into an in-memory sink and
+    return the sink table name (query has terminated on return)."""
+    name = "s" + uuid.uuid4().hex[:10]
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return name
+
+
+# --- windowed aggregation builders (shared by catalog + tests) -----------
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    from ..plans.relational import dsum
+
+    return stream.groupBy(
+        F.window("ts_utc", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+
+
+def sliding_counts(stream: DataFrame) -> DataFrame:
+    return stream.groupBy(
+        F.window("ts_utc", "1 hour", "30 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+
+
+def session_counts(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    return stream.groupBy(
+        F.session_window("ts_utc", gap).alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
