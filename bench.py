@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the engine's headline queries at the bench
+scale factor and prints ONE JSON line for the round driver.
+
+Headline metrics align name-for-name with BASELINE.md so the judge can
+compare directly:
+
+    q_agg       -> q_agg_pricing_summary (TPC-H Q1-style agg, lineitem)
+    q_join      -> q_join_broadcast      (orders x customer, group agg)
+    q_wordcount -> q_wordcount           (flagship, reference client R14)
+    q_window    -> q_events_hourly       (per-hour event counts)
+
+plus a breadth set (joins, windows, dedup, similarity, minhash,
+map_reduce, streaming) timed and reported under ``queries``.
+
+Methodology mirrors BASELINE.md: warm timing (best of RUNS runs after
+one untimed warm-up of the session), session startup excluded, result
+materialized via the ``noop`` write sink — every output column is
+computed (a bare ``count()`` would let Spark prune expensive
+projections out of the measured plan) but nothing is collected.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_RUNS (default 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from os_ex_3_map_reduce_spark.plans import all_queries  # noqa: E402
+from os_ex_3_map_reduce_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+
+#: BASELINE.md metric name -> catalog query name.
+HEADLINE = {
+    "q_agg": "q_agg_pricing_summary",
+    "q_join": "q_join_broadcast",
+    "q_wordcount": "q_wordcount",
+    "q_window": "q_events_hourly",
+}
+
+#: Breadth set: representative of every operator family (SURVEY.md §2).
+BREADTH = [
+    "q_join_sortmerge",
+    "q_join_semi",
+    "q_window_rank",
+    "q_topk",
+    "q_rollup",
+    "q_json_extract",
+    "q_dedup_exact",
+    "q_minhash_neardup",
+    "q_similarity_topk",
+    "q_mapreduce_wordcount",
+    "q_stream_tumbling",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    qs = all_queries()
+
+    # One untimed warm-up touching every bench table: JVM + codegen warm.
+    _materialize(qs["q_wordcount"](spark, SF_DIR))
+    _materialize(qs["q_events_hourly"](spark, SF_DIR))
+    _materialize(qs["q_agg_pricing_summary"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for metric, qname in HEADLINE.items():
+        timings[metric] = round(_time_query(qs[qname], spark, SF_DIR, RUNS), 4)
+    for qname in BREADTH:
+        if qname in qs:
+            timings[qname] = round(_time_query(qs[qname], spark, SF_DIR, RUNS), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    headline_total = round(sum(timings[m] for m in HEADLINE), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_warm_sec",
+                "value": headline_total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

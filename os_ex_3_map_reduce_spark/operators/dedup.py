@@ -6,11 +6,19 @@ primitives:
 - :func:`exact_dedup` — hash group-by on a (possibly normalized)
   content key; one shuffle, map-side partial agg.
 - :func:`minhash_lsh_pairs` — MinHash + banded LSH near-dup join:
-  shingle → k minhashes (JVM xxhash64, no Python) → band buckets →
-  bucket-equi-join for candidates → exact Jaccard verification.
-  At 100 TB this is THE scalable path: the only join is on band
-  hashes (equi-join, shuffle on a well-distributed key), never the
-  O(n²) cross join. Hot buckets (boilerplate docs) are capped.
+  shingle → k minhashes (Arrow-batched numpy kernel: one blake2b per
+  shingle, k affine permutations vectorized over uint64) → band
+  buckets → per-bucket pair generation → exact Jaccard verification.
+  At 100 TB this is THE scalable path: the only shuffles are on band
+  hashes and id pairs (well-distributed keys), never the O(n²) cross
+  join. Hot buckets (boilerplate docs) are capped.
+
+  Why a pandas UDF and not pure JVM expressions: a k-hash minhash as
+  nested higher-order functions (transform+array_min over an inlined
+  shingle expression) runs on Spark's *interpreted* expression path —
+  measured ~30 s for 5 000 short docs on 32 cores, vs ~0.5 s for the
+  numpy kernel. This is the documented "UDFs are the slow path —
+  unless the built-in form can't codegen" exception.
 - :func:`simhash` / :func:`simhash_neardup_pairs` — 64-bit SimHash
   fingerprints (Arrow-batched Python for the bit arithmetic), near-dup
   candidates via 16-bit chunk banding (a Hamming-ball pigeonhole:
@@ -24,11 +32,10 @@ import hashlib
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import shingles, tokens
 
 
 def exact_dedup(
@@ -45,20 +52,66 @@ def exact_dedup(
     )
 
 
-def _minhash_signature(sh_col: Column, num_hashes: int) -> Column:
-    """k independent minhashes of a shingle array, all JVM-side:
-    hash_i(s) = xxhash64('<i>#' || s); minhash_i = min over shingles."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    sh_col,
-                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}#"), s)),
+def _affine_params(num_hashes: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Deterministic (a_i, b_i) for k affine uint64 permutations
+    h_i(x) = a_i*x + b_i mod 2^64 (a_i odd ⇒ bijective). Seeded from
+    blake2b of the index — no RNG state, reproducible across runs."""
+    import numpy as np
+
+    a = np.empty(num_hashes, dtype=np.uint64)
+    b = np.empty(num_hashes, dtype=np.uint64)
+    for i in range(num_hashes):
+        da = hashlib.blake2b(f"minhash-a-{i}".encode(), digest_size=8).digest()
+        db = hashlib.blake2b(f"minhash-b-{i}".encode(), digest_size=8).digest()
+        a[i] = np.uint64(int.from_bytes(da, "big") | 1)
+        b[i] = np.uint64(int.from_bytes(db, "big"))
+    return a, b
+
+
+def _shingle_sig_udf(num_hashes: int, shingle_n: int):
+    """Arrow-batched kernel: text → (distinct shingle set, k-minhash sig).
+
+    One blake2b-64 per distinct shingle, then all k minhashes as a
+    vectorized (k × m) affine transform + min over m. Built lazily —
+    pandas_udf needs a live SparkContext to parse its return type.
+    """
+    import numpy as np
+
+    @F.pandas_udf("struct<shingle_set: array<string>, sig: array<long>>")
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        A, B = _affine_params(num_hashes)
+        out_sh: list[list[str]] = []
+        out_sig: list[list[int] | None] = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                toks = t.split(" ") if t else []
+                if len(toks) < shingle_n:
+                    out_sh.append([])
+                    out_sig.append([])
+                    continue
+                shs = sorted(
+                    {
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    }
                 )
-            )
-            for i in range(num_hashes)
-        ]
-    )
+                h = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                            "big",
+                        )
+                        for s in shs
+                    ),
+                    dtype=np.uint64,
+                    count=len(shs),
+                )
+                sig = (A[:, None] * h[None, :] + B[:, None]).min(axis=1)
+                out_sig.append(sig.view(np.int64).tolist())
+                out_sh.append(shs)
+        return pd.DataFrame({"shingle_set": out_sh, "sig": out_sig})
+
+    return kernel
 
 
 def minhash_signatures(
@@ -68,13 +121,18 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, shingle-set, minhash signature) per document."""
-    sh = F.array_distinct(shingles(tokens(text_col), shingle_n))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        sh.alias("shingle_set"),
-        _minhash_signature(sh, num_hashes).alias("sig"),
-    ).where(F.size("shingle_set") > 0)
+    """(id, shingle-set, minhash signature) per document.
+
+    Shingle semantics mirror the DuckDB oracle exactly: split on a
+    single space, word ``shingle_n``-grams, distinct, docs with fewer
+    than ``shingle_n`` tokens contribute nothing.
+    """
+    kernel = _shingle_sig_udf(num_hashes, shingle_n)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), kernel(F.col(text_col)).alias("ss"))
+        .select("doc_id", "ss.shingle_set", "ss.sig")
+        .where(F.size("shingle_set") > 0)
+    )
 
 
 def minhash_lsh_pairs(
@@ -94,55 +152,82 @@ def minhash_lsh_pairs(
     divide — deterministic). ``max_bucket`` caps pathological buckets
     (boilerplate at web scale) — capped buckets are dropped, trading
     recall for survival, the standard production compromise.
+
+    Plan shape (scale-driven):
+
+    1. Repartition the input before shingling — per-row CPU work must
+       not serialize on however few partitions the scan produced (a
+       small parquet file reads as ONE split; at 100 TB the same logic
+       spreads hot small tables).
+    2. Persist the (id, shingle_set, sig) relation: it is consumed by
+       the banding branch and by both verification joins; without
+       persist Spark re-runs the shingle pipeline per consumer (the
+       production analog is materializing the signature table to
+       storage once).
+    3. Banding is SLIM: only (band_bucket, doc_id) is shuffled — one
+       groupBy gathers each bucket's ids, the cap is a size filter on
+       the gathered array, and candidate pairs are generated
+       JVM-side from the array (positional i<j, so no self-join and
+       no duplicate unordered pairs within a bucket).
+    4. Cross-band dedup and Jaccard verification shuffle only id
+       pairs; shingle sets are joined back in last, touching only
+       surviving candidates.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    spark = df.sparkSession
+    sigs = minhash_signatures(
+        df.repartition(spark.sparkContext.defaultParallelism),
+        id_col,
+        text_col,
+        num_hashes,
+        shingle_n,
+    ).persist()
 
     band_hashes = F.array(
         *[
             F.xxhash64(
+                F.lit(b),
                 *[
                     F.element_at("sig", b * rows_per_band + r + 1)
                     for r in range(rows_per_band)
-                ]
+                ],
             )
             for b in range(bands)
         ]
     )
     buckets = sigs.select(
-        "doc_id",
-        "shingle_set",
-        F.posexplode(band_hashes).alias("band", "bucket"),
+        "doc_id", F.explode(band_hashes).alias("bucket")
     )
-    # cap hot buckets: count per (band, bucket), drop oversized
-    bucket_sizes = buckets.groupBy("band", "bucket").agg(
-        F.count("*").alias("bsize")
+    # One shuffle: gather each bucket, cap it, emit its i<j pairs.
+    grouped = (
+        buckets.groupBy("bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    buckets = buckets.join(
-        bucket_sizes.where(F.col("bsize") <= max_bucket), ["band", "bucket"]
-    )
-
-    a = buckets.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingle_set").alias("sh_a"),
-    )
-    b = buckets.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingle_set").alias("sh_b"),
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size("ids")),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                    ),
+                ),
+            )
+        )
     )
     cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        grouped.select(pair.alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingle_set").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingle_set").alias("sh_b"))
+    withsets = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    verified = cand.select(
+    verified = withsets.select(
         "doc_a",
         "doc_b",
         inter.cast("long").alias("inter"),
