@@ -12,6 +12,7 @@ from ..streaming.events import (
     doubled_events_dir,
     events_stream,
     run_stream_to_memory,
+    running_user_totals,
     session_counts,
     sliding_counts,
     tumbling_counts,
@@ -105,6 +106,27 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events",
+    )
+
+
+@register(
+    "q_stream_stateful",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful operator (applyInPandasWithState): per-user "
+    "running totals carried in GroupState across micro-batches; each "
+    "batch emits the cumulative count, so max-per-user equals the "
+    "batch COUNT(*) no matter how the replay was batched.",
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    updates = running_user_totals(stream)
+    name = run_stream_to_memory(updates, mode="update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
     )
 
 

@@ -27,6 +27,8 @@ import tempfile
 import uuid
 from pathlib import Path
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -111,3 +113,44 @@ def session_counts(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
     return stream.groupBy(
         F.session_window("ts_utc", gap).alias("w"), "user_id"
     ).agg(F.count("*").alias("n_events"))
+
+
+# --- custom stateful operator (applyInPandasWithState) --------------------
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count
+    and value sum, carried in a GroupState across micro-batches.
+
+    This is the engine's arbitrary-stateful surface — the streaming
+    analog of the reference's reduce-with-context (user code + mutable
+    per-key state), for logic windowed aggregation can't express.
+    Emission is one row per (user, batch) with the *cumulative* totals,
+    so the final state of a bounded replay is ``max(n_events)`` per
+    user regardless of how the source files were split into batches —
+    which is what makes an exact batch-SQL oracle possible.
+
+    State is per-key and partitioned by the group key: on a 1000-node
+    cluster each executor holds only its keys' state (RocksDB-backed
+    StateStore in production), so state size scales out with the
+    cluster, never with a single node.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    return stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,120 @@
+"""Streaming semantics the oracle-parity sweep can't see: watermark
+late-data drop (append mode), checkpointed cross-run state, and the
+custom applyInPandasWithState operator's cross-batch state carry.
+
+Technique: two-run checkpointed replay. Run 1 streams file A and
+terminates (availableNow); the watermark/operator state persists in the
+checkpoint. New files land; run 2 resumes from the checkpoint and the
+late rows in file B face the watermark run 1 established. Batch
+boundaries are explicit, so assertions are exact, not probabilistic.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from datetime import datetime, timedelta, timezone
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from os_ex_3_map_reduce_spark.streaming.events import running_user_totals
+
+
+def _run_collect(df, chk: str, mode: str) -> list:
+    """Run a bounded stream through foreachBatch (the sink that supports
+    checkpoint recovery) and collect every emitted row."""
+    rows: list = []
+    q = (
+        df.writeStream.foreachBatch(lambda bdf, _id: rows.extend(bdf.collect()))
+        .outputMode(mode)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def _ts(minute: int) -> datetime:
+    return datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc) + timedelta(
+        minutes=minute
+    )
+
+
+@pytest.fixture()
+def stream_dirs(spark):
+    root = Path(tempfile.mkdtemp(prefix="osx3_stream_test_"))
+    src = root / "src"
+    src.mkdir()
+    chk = root / "chk"
+    yield spark, src, str(chk)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _write_batch(spark, src: Path, rows):
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    df.coalesce(1).write.parquet(str(src / uuid.uuid4().hex))
+
+
+def _windowed_counts(spark, src: Path):
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(str(src / "*"))
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("wstart"), "n")
+    )
+
+
+def test_watermark_drops_late_rows_across_runs(stream_dirs):
+    """Append mode emits a window only once its watermark passes; rows
+    arriving after that are dropped, not double-counted."""
+    spark, src, chk = stream_dirs
+
+    # Run 1: two rows in [12:00,12:10), plus a 12:40 row that advances
+    # the watermark to 12:30 — far past the first window.
+    _write_batch(
+        spark,
+        src,
+        [(1, 1, _ts(1), 1.0), (2, 1, _ts(2), 1.0), (3, 1, _ts(40), 1.0)],
+    )
+    rows1 = _run_collect(_windowed_counts(spark, src), chk, "append")
+    got1 = {r["wstart"]: r["n"] for r in rows1}
+    assert got1 == {"12:00": 2}, got1  # 12:40 window not final yet
+
+    # Run 2: a LATE row for 12:05 (before the 12:30 watermark — must be
+    # dropped) and a 13:00 row that finalizes the 12:40 window.
+    _write_batch(spark, src, [(4, 1, _ts(5), 1.0), (5, 1, _ts(60), 1.0)])
+    rows2 = _run_collect(_windowed_counts(spark, src), chk, "append")
+    got2 = {r["wstart"]: r["n"] for r in rows2}
+    # 12:40 window emits with exactly 1 row; the late 12:05 row is gone.
+    assert got2 == {"12:40": 1}, got2
+
+
+def test_stateful_operator_carries_state_across_runs(stream_dirs):
+    """applyInPandasWithState: run 2's emission continues run 1's
+    totals from the checkpointed GroupState."""
+    spark, src, chk = stream_dirs
+
+    _write_batch(spark, src, [(1, 7, _ts(1), 2.0), (2, 7, _ts(2), 3.0)])
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def totals_stream():
+        raw = spark.readStream.schema(schema).parquet(str(src / "*"))
+        return running_user_totals(raw)
+
+    rows1 = _run_collect(totals_stream(), chk, "update")
+    assert [(r["user_id"], r["n_events"], r["sum_value"]) for r in rows1] == [(7, 2, 5.0)]
+
+    _write_batch(spark, src, [(3, 7, _ts(3), 10.0), (4, 8, _ts(4), 1.0)])
+    rows2 = _run_collect(totals_stream(), chk, "update")
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in rows2}
+    # user 7 resumed at (2, 5.0) and added one event; user 8 is fresh.
+    assert got == {7: (3, 15.0), 8: (1, 1.0)}, got
