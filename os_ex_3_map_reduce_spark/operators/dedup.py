@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .candidates import candidate_pairs
+
 
 
 def exact_dedup(
@@ -198,29 +200,8 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "doc_id", F.explode(band_hashes).alias("bucket")
     )
-    # One shuffle: gather each bucket, cap it, emit its i<j pairs.
-    grouped = (
-        buckets.groupBy("bucket")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size("ids")),
-                    lambda y: F.struct(
-                        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
-                    ),
-                ),
-            )
-        )
-    )
-    cand = (
-        grouped.select(pair.alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = candidate_pairs(
+        buckets, ["bucket"], "doc_id", max_bucket, "doc_a", "doc_b"
     )
     sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingle_set").alias("sh_a"))
     sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingle_set").alias("sh_b"))
@@ -241,7 +222,12 @@ def minhash_lsh_pairs(
 
 
 def _simhash64(words: list[str]) -> int:
-    """Deterministic 64-bit SimHash from md5-derived token hashes."""
+    """Deterministic 64-bit SimHash from md5-derived token hashes.
+
+    Reference implementation (kept for tests / documentation of the
+    exact bit semantics); the vectorized kernel below must agree
+    bit-for-bit.
+    """
     acc = [0] * 64
     for w in words:
         h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
@@ -258,9 +244,37 @@ def _simhash64(words: list[str]) -> int:
 def _simhash_udf():
     # built lazily: pandas_udf parses its DDL type against the live
     # SparkContext, which doesn't exist at module import time.
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = np.uint64(1) << shifts
+
     @F.pandas_udf("long")
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _simhash64([w for w in t.split(" ") if w]))
+        # token→hash memo: corpora repeat tokens heavily, md5 is the
+        # per-token cost worth amortizing.
+        memo: dict[str, int] = {}
+
+        def token_hash(w: str) -> int:
+            h = memo.get(w)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                memo[w] = h
+            return h
+
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = [w for w in t.split(" ") if w]
+            if not words:
+                out[i] = 0
+                continue
+            hs = np.fromiter(
+                (token_hash(w) for w in words), dtype=np.uint64, count=len(words)
+            )
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            out[i] = powers[acc > 0].sum().astype(np.uint64).view(np.int64)
+        return pd.Series(out)
 
     return simhash_udf
 
@@ -277,22 +291,27 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 7,
+    max_bucket: int = 10000,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split the 64-bit fingerprint into
     ``max_hamming + 1`` chunks; distance ≤ d guarantees ≥ 1 identical
-    chunk, so an equi-join per chunk finds every qualifying pair
-    without a cross join. Verification is JVM-side bit_count(xor).
+    chunk, so bucketing per chunk finds every qualifying pair without
+    a cross join. Verification is JVM-side bit_count(xor). Fingerprints
+    are persisted (three consumers) and the input repartitioned so the
+    Python fingerprint kernel parallelizes.
     """
     n_chunks = max_hamming + 1
     base, extra = divmod(64, n_chunks)
     widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
-    fp = simhash(df, id_col, text_col)
+    spark = df.sparkSession
+    fp = simhash(
+        df.repartition(spark.sparkContext.defaultParallelism), id_col, text_col
+    ).persist()
     chunks = fp.select(
         "doc_id",
-        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -304,25 +323,15 @@ def simhash_neardup_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    a = chunks.select(
-        "chunk_idx",
-        "chunk_val",
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sh_a"),
+    cand = candidate_pairs(
+        chunks, ["chunk_idx", "chunk_val"], "doc_id", max_bucket, "doc_a", "doc_b"
     )
-    b = chunks.select(
-        "chunk_idx",
-        "chunk_val",
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sh_b"),
-    )
-    cand = (
-        a.join(b, ["chunk_idx", "chunk_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_to_query
+from .candidates import candidate_pairs
 
 
 def topk_to_query(
@@ -107,6 +108,35 @@ def topk_pairs(
     ).limit(k)
 
 
+def _bucket_udf(planes: "np.ndarray", planes_per_table: int):
+    """Arrow-batched sign-hash bucketing: one matmul per batch gives
+    every table's bucket id for every row."""
+    num_tables = planes.shape[0] // planes_per_table
+    weights = 1 << np.arange(planes_per_table, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def kernel(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        bits = (mat @ planes.T) > 0  # n × (tables·planes)
+        ids = bits.reshape(len(mat), num_tables, planes_per_table) @ weights
+        return pd.Series(list(ids))
+
+    return kernel
+
+
+def _pair_cosine_udf():
+    @F.pandas_udf("double")
+    def kernel(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        a = np.stack(ea.to_numpy()).astype(np.float64)
+        b = np.stack(eb.to_numpy()).astype(np.float64)
+        sims = (a * b).sum(axis=1) / (
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        )
+        return pd.Series(np.round(sims, 4))
+
+    return kernel
+
+
 def lsh_bucketed_topk(
     emb_df: DataFrame,
     k: int = 20,
@@ -116,6 +146,7 @@ def lsh_bucketed_topk(
     planes_per_table: int = 4,
     seed: int = 42,
     dim: int = 64,
+    max_bucket: int = 10000,
 ) -> DataFrame:
     """Approximate top-k pairs: multi-table random-hyperplane LSH.
 
@@ -123,59 +154,40 @@ def lsh_bucketed_topk(
     (collision prob per pair ≈ 1 − (1 − (1 − θ/π)^p)^T): at the
     fixture's top cosine ~0.5 (θ≈60°) a single table of 8 planes has
     ~4% recall — multiple small tables are the correct construction.
-    Pairs are scored only within buckets (JVM fold — no Python in the
-    join). Recall vs :func:`topk_pairs` is measured in tests, not
-    assumed.
+    Recall vs :func:`topk_pairs` is measured in tests, not assumed.
+
+    Same plan shape as MinHash-LSH (operators/candidates.py): bucket
+    ids from one Arrow-batched matmul; only (table, bucket, id) is
+    shuffled; pairs generated per bucket; embeddings join back against
+    survivors only and are scored by a vectorized cosine kernel.
     """
     rng = np.random.RandomState(seed)
     planes = rng.randn(num_tables * planes_per_table, dim)
+    spark = emb_df.sparkSession
 
-    emb_d = F.col(emb_col).cast("array<double>")
-
-    def bit(p: int) -> Column:
-        proj = F.aggregate(
-            F.zip_with(
-                emb_d,
-                F.array(*[F.lit(float(x)) for x in planes[p]]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
-
-    # one bucket id per table; explode to (table, bucket) rows
-    table_buckets = F.array(
-        *[
-            sum(
-                bit(t * planes_per_table + i) * (2**i)
-                for i in range(planes_per_table)
-            )
-            for t in range(num_tables)
-        ]
+    emb = (
+        emb_df.select(id_col, F.col(emb_col).cast("array<double>").alias("e"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
     )
-    bucketed = emb_df.select(
+    bucketed = emb.select(
         F.col(id_col),
-        emb_d.alias("e"),
-        F.posexplode(table_buckets).alias("table", "bucket"),
+        F.posexplode(_bucket_udf(planes, planes_per_table)(F.col("e"))).alias(
+            "table", "bucket"
+        ),
     )
-    a = bucketed.select(
-        "table", "bucket", F.col(id_col).alias("vec_a"), F.col("e").alias("ea")
+    cand = candidate_pairs(
+        bucketed, ["table", "bucket"], id_col, max_bucket, "vec_a", "vec_b"
     )
-    b = bucketed.select(
-        "table", "bucket", F.col(id_col).alias("vec_b"), F.col("e").alias("eb")
-    )
-    cand = (
-        a.join(b, ["table", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    na = F.sqrt(F.aggregate("ea", F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate("eb", F.lit(0.0), lambda acc, v: acc + v * v))
-    pairs = cand.select(
-        "vec_a", "vec_b", F.round(dot / (na * nb), 4).alias("cosine")
+    ea = emb.select(F.col(id_col).alias("vec_a"), F.col("e").alias("ea"))
+    eb = emb.select(F.col(id_col).alias("vec_b"), F.col("e").alias("eb"))
+    pairs = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            _pair_cosine_udf()(F.col("ea"), F.col("eb")).alias("cosine"),
+        )
     )
     return pairs.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")).limit(k)
