@@ -70,12 +70,14 @@ def _affine_params(num_hashes: int) -> tuple["np.ndarray", "np.ndarray"]:
     return a, b
 
 
-def _shingle_sig_udf(num_hashes: int, shingle_n: int):
+def _shingle_sig_udf(num_hashes: int, shingle_n: int, mode: str = "word"):
     """Arrow-batched kernel: text → (distinct shingle set, k-minhash sig).
 
     One blake2b-64 per distinct shingle, then all k minhashes as a
     vectorized (k × m) affine transform + min over m. Built lazily —
     pandas_udf needs a live SparkContext to parse its return type.
+    ``mode``: "word" = word n-grams over single-space tokens; "char" =
+    character n-grams over the raw string.
     """
     import numpy as np
 
@@ -86,17 +88,28 @@ def _shingle_sig_udf(num_hashes: int, shingle_n: int):
         out_sig: list[list[int] | None] = []
         with np.errstate(over="ignore"):
             for t in texts:
-                toks = t.split(" ") if t else []
-                if len(toks) < shingle_n:
+                if mode == "char":
+                    units: list[str] = list(t) if t else []
+                else:
+                    units = t.split(" ") if t else []
+                if len(units) < shingle_n:
                     out_sh.append([])
                     out_sig.append([])
                     continue
-                shs = sorted(
-                    {
-                        " ".join(toks[i : i + shingle_n])
-                        for i in range(len(toks) - shingle_n + 1)
-                    }
-                )
+                if mode == "char":
+                    shs = sorted(
+                        {
+                            t[i : i + shingle_n]
+                            for i in range(len(t) - shingle_n + 1)
+                        }
+                    )
+                else:
+                    shs = sorted(
+                        {
+                            " ".join(units[i : i + shingle_n])
+                            for i in range(len(units) - shingle_n + 1)
+                        }
+                    )
                 h = np.fromiter(
                     (
                         int.from_bytes(
@@ -122,6 +135,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """(id, shingle-set, minhash signature) per document.
 
@@ -129,7 +143,7 @@ def minhash_signatures(
     single space, word ``shingle_n``-grams, distinct, docs with fewer
     than ``shingle_n`` tokens contribute nothing.
     """
-    kernel = _shingle_sig_udf(num_hashes, shingle_n)
+    kernel = _shingle_sig_udf(num_hashes, shingle_n, shingle_mode)
     return (
         df.select(F.col(id_col).alias("doc_id"), kernel(F.col(text_col)).alias("ss"))
         .select("doc_id", "ss.shingle_set", "ss.sig")
@@ -146,6 +160,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b) with exact-verified shingle
     Jaccard ≥ threshold; candidates found via banded MinHash-LSH.
@@ -183,6 +198,7 @@ def minhash_lsh_pairs(
         text_col,
         num_hashes,
         shingle_n,
+        shingle_mode,
     ).persist()
 
     band_hashes = F.array(

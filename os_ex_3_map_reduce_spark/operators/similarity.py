@@ -137,6 +137,83 @@ def _pair_cosine_udf():
     return kernel
 
 
+def ivf_index(
+    emb_df: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, "np.ndarray"]:
+    """IVF (inverted-file) index build: k-means coarse quantizer +
+    per-vector list assignment.
+
+    Returns ``(assigned, centroids)`` where ``assigned`` adds a
+    ``list_id`` column. Vectors are L2-normalized before clustering so
+    euclidean k-means orders like cosine. Training uses spark.ml
+    KMeans (distributed, seeded); at 100 TB you train on a sample and
+    assign the full corpus with the broadcast centroids — assignment
+    here is exactly that: one Arrow-batched argmin matmul per batch,
+    centroids broadcast, no shuffle.
+
+    The production payoff is that ``assigned`` is written out
+    partitioned by ``list_id``: a query probing nprobe lists prunes
+    (nlist − nprobe)/nlist of the data at the *scan* (partition
+    pruning), which is what makes ANN sublinear at scale.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = (
+        emb_df.select(F.col(emb_col).cast("array<double>").alias("e"))
+        .withColumn(
+            "n", F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, v: acc + v * v))
+        )
+        .select(F.transform("e", lambda x: x / F.col("n")).alias("e"))
+    )
+    train = norm.select(array_to_vector("e").alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+    centroids = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+
+    b_cent = emb_df.sparkSession.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        cents = b_cent.value
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        # argmin ||x-c||² = argmax x·c − ||c||²/2
+        scores = mat @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    assigned = emb_df.select(
+        id_col, F.col(emb_col).cast("array<double>").alias("e")
+    ).withColumn("list_id", assign(F.col("e")))
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: "np.ndarray",
+    query: Iterable[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``nprobe`` lists whose centroids are closest to the
+    query; exact cosine + top-k within the probed subset only."""
+    q = np.asarray(list(query), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    scores = centroids @ qn - 0.5 * (centroids * centroids).sum(axis=1)
+    probe = [int(i) for i in np.argsort(-scores)[:nprobe]]
+    pruned = assigned.where(F.col("list_id").isin(probe))
+    scored = pruned.select(
+        F.col(id_col),
+        F.round(cosine_to_query("e", [float(x) for x in q]), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def lsh_bucketed_topk(
     emb_df: DataFrame,
     k: int = 20,

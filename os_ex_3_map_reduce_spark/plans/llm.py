@@ -29,6 +29,7 @@ from ..operators.dedup import (
     simhash_neardup_pairs,
 )
 from ..operators.multimodal import attach_payload, fake_image_features, metadata_stats
+from ..operators.similarity import ivf_index, ivf_search
 from ..operators.similarity import lsh_bucketed_topk, topk_pairs, topk_to_query
 from ..sources.tables import load_table
 from .catalog import register
@@ -128,6 +129,41 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_chargram_jaccard",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, length(text) - 4),
+                i -> substr(text, i, 5)))) AS s
+            FROM documents WHERE length(text) >= 5
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter,
+               (sa.n + sb.n - inter) AS union_,
+               (inter * 1.0 / (sa.n + sb.n - inter)) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+    doc="Character-5-gram Jaccard near-dup pairs (the n-gram-Jaccard "
+    "dedup variant: robust to token-boundary edits). Same MinHash-LSH "
+    "candidate machinery with char shingles; exact-verified, so the "
+    "exact all-pairs oracle applies on the fixture's similarity gap.",
+)
+def q_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, threshold=0.5, shingle_n=5, shingle_mode="char", max_bucket=2000
+    )
+
+
+@register(
     "q_simhash_neardup",
     oracle=None,  # not SQL-expressible (md5 bit arithmetic); rows-only
     doc="SimHash near-dup pairs (Hamming ≤ 7) via 8-chunk pigeonhole "
@@ -189,6 +225,23 @@ def q_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(emb, k=20)
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=None,  # approximate (probes 4/16 lists); recall measured in tests
+    doc="IVF query-vector ANN: k-means coarse quantizer (spark.ml, "
+    "seeded), per-list assignment via broadcast-centroid argmin, query "
+    "probes the 4 nearest of 16 lists. At scale the assignment is "
+    "written partitioned by list_id so probing prunes at the scan.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    assigned, centroids = ivf_index(emb, nlist=16)
+    return ivf_search(
+        assigned, centroids, [float(x) for x in query], k=10, nprobe=4
+    )
 
 
 # --- text analysis (E4) --------------------------------------------------

@@ -19,8 +19,11 @@ from os_ex_3_map_reduce_spark.operators.multimodal import (
     fake_image_features,
 )
 from os_ex_3_map_reduce_spark.operators.similarity import (
+    ivf_index,
+    ivf_search,
     lsh_bucketed_topk,
     topk_pairs,
+    topk_to_query,
 )
 from os_ex_3_map_reduce_spark.sources.tables import load_table
 
@@ -80,6 +83,48 @@ def test_lsh_topk_recall_measured(spark):
     # This asserts a measured floor, not perfection — the operator's
     # contract is "approximate, recall reported".
     assert recall >= 0.5, f"LSH top-k recall {recall:.2f} below floor"
+
+
+def test_ivf_recall_and_pruning(spark):
+    """IVF probes 4/16 lists yet must keep high recall on the fixture;
+    and the probe really prunes (scans a strict subset of rows)."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = ivf_index(emb, nlist=16)
+    assigned = assigned.persist()
+    try:
+        total = assigned.count()
+        assert assigned.select("list_id").distinct().count() > 1
+        got = {r.vec_id for r in ivf_search(assigned, centroids, query, k=10, nprobe=4).collect()}
+        exact = {r.vec_id for r in topk_to_query(emb, query, k=10).collect()}
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.8, f"IVF recall@10 {recall:.2f} below floor"
+        import numpy as np
+
+        q = np.asarray(query) / np.linalg.norm(query)
+        scores = centroids @ q - 0.5 * (centroids * centroids).sum(axis=1)
+        probe = [int(i) for i in np.argsort(-scores)[:4]]
+        scanned = assigned.where(F.col("list_id").isin(probe)).count()
+        assert 0 < scanned < total, (scanned, total)
+    finally:
+        assigned.unpersist()
+
+
+def test_chargram_minhash_finds_planted_neardups(spark, duck):
+    """Char-5-gram LSH must find the same planted near-dup pairs the
+    word-shingle path finds (the fixture's dups are near-verbatim)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    word = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    char = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, shingle_n=5, shingle_mode="char", max_bucket=2000
+        ).collect()
+    }
+    assert word and word == char, (len(word), len(char))
 
 
 def test_exact_dedup_keeps_min_representative(spark):
