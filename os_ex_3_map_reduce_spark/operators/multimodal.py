@@ -77,6 +77,79 @@ def metadata_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy — the real resampling logic;
+    only the decode that produced ``img`` is faked in this container)."""
+    in_h, in_w = img.shape[:2]
+    rows = (np.arange(out_h) * in_h) // out_h
+    cols = (np.arange(out_w) * in_w) // out_w
+    return img[rows][:, cols]
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int = 2,
+    out_w: int = 2,
+    src_h: int = 4,
+    src_w: int = 4,
+) -> DataFrame:
+    """Decode(fake) → nearest-neighbor resize → flattened pixels.
+
+    Batch shape mirrors a production image-resize stage: binary in,
+    fixed-size pixel tensor out (flattened to array<long> so the
+    schema is Arrow-friendly; a real pipeline would emit binary or
+    array<float> the same way)."""
+
+    def batch_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = fake_decode_image(bytes(payload), src_h, src_w)
+                out = resize_nearest(img, out_h, out_w)
+                rows.append(
+                    (int(doc_id), out_h, out_w, [int(x) for x in out.ravel()])
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "height", "width", "pixels"])
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batch_resize,
+        schema="doc_id long, height long, width long, pixels array<long>",
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    num_frames: int = 3,
+    total_frames: int = 16,
+    height: int = 4,
+    width: int = 4,
+) -> DataFrame:
+    """Video frame sampling: evenly-spaced frame indices, one output
+    row per (doc, frame) — the explode-shaped schema a real video
+    pipeline produces. Frame decode is the deterministic fake (seeded
+    by payload + frame index); the index arithmetic and batch fan-out
+    are the real logic.
+    """
+    idx = [(i * total_frames) // num_frames for i in range(num_frames)]
+
+    def batch_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fi in idx:
+                    frame = fake_decode_image(
+                        bytes(payload) + fi.to_bytes(4, "big"), height, width
+                    )
+                    rows.append(
+                        (int(doc_id), fi, float(int(frame.sum()) / frame.size))
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "mean_pixel"])
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batch_sample, schema="doc_id long, frame_idx long, mean_pixel double"
+    )
+
+
 def fake_image_features(df: DataFrame, height: int = 4, width: int = 4) -> DataFrame:
     """Decode(fake) → per-image features, batch-shaped exactly like a
     real image pipeline: mean pixel (exact int sum / one divide),

@@ -28,7 +28,12 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash_neardup_pairs,
 )
-from ..operators.multimodal import attach_payload, fake_image_features, metadata_stats
+from ..operators.multimodal import (
+    attach_payload,
+    fake_image_features,
+    metadata_stats,
+    sample_frames,
+)
 from ..operators.similarity import ivf_index, ivf_search
 from ..operators.similarity import lsh_bucketed_topk, topk_pairs, topk_to_query
 from ..sources.tables import load_table
@@ -453,3 +458,15 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_fake_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_payload(load_table(spark, sf_dir, "documents"))
     return fake_image_features(docs)
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=None,  # fake frame pixels are not SQL-expressible; rows-only
+    doc="Video frame-sampling pipeline shape: evenly-spaced frame "
+    "indices, one row per (doc, frame) out of mapInPandas — 3 frames "
+    "per document, deterministic fake decode.",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(docs, num_frames=3)

@@ -156,3 +156,34 @@ def test_fake_decode_deterministic_and_shaped(spark):
         assert (r.height, r.width, r.channels) == (4, 4, 3)
         assert 0.0 <= r.mean_pixel <= 255.0
         assert len(r.channel_max) == 3
+
+
+def test_resize_nearest_exact():
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators.multimodal import resize_nearest
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = resize_nearest(img, 2, 2)
+    # nearest-neighbor with floor mapping picks rows/cols 0 and 2
+    assert out.shape == (2, 2, 3)
+    assert (out == img[[0, 2]][:, [0, 2]]).all()
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert (up[::2, ::2] == img).all()
+
+
+def test_frame_sampling_shape_and_determinism(spark):
+    from os_ex_3_map_reduce_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+
+    docs = attach_payload(load_table(spark, SF_CORRECT, "documents")).limit(50)
+    a = sample_frames(docs, num_frames=3).collect()
+    b = sample_frames(docs, num_frames=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_doc = {}
+    for r in a:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 5, 10] for v in per_doc.values())
