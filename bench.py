@@ -56,9 +56,14 @@ BREADTH = [
     "q_json_extract",
     "q_dedup_exact",
     "q_minhash_neardup",
+    "q_chargram_jaccard",
+    "q_simhash_neardup",
     "q_similarity_topk",
+    "q_embedding_topk_pairs",
+    "q_ann_lsh_topk",
     "q_mapreduce_wordcount",
     "q_stream_tumbling",
+    "q_stream_stateful",
 ]
 
 

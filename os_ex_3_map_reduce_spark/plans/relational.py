@@ -761,3 +761,50 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.groupBy(bucket).agg(
         F.count("*").alias("n_customers"), dsum("c_acctbal", "sum_bal")
     )
+
+
+# --- scale-path aggregation variants (SURVEY.md §2.4) ---------------------
+
+
+@register(
+    "q_salted_agg",
+    oracle=f"""
+        SELECT event_type, COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe aggregation: events has 5 hot event_type keys; the "
+    "salted two-stage plan spreads each over 32 reducers before the "
+    "final per-key combine. Result is exact — identical to the direct "
+    "group-by oracle.",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        events,
+        ["event_type"],
+        partial_aggs=[
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("psum"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n"),
+            F.sum("psum").cast("double").alias("sum_value"),
+        ],
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # approximate (HLL++); relative error asserted in tests
+    doc="approx_count_distinct (HyperLogLog++) over high-cardinality "
+    "keys — the 100 TB substitute for exact COUNT(DISTINCT), one pass, "
+    "bounded memory, mergeable across partitions.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )

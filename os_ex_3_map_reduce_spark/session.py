@@ -31,6 +31,13 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUNTIME_CONFS: dict[str, str] = {
     # Deterministic timestamp rendering regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
+    # Post-shuffle parallelism default. Batch plans coalesce via AQE
+    # anyway; this matters for STREAMING stateful shuffles, which can't
+    # use AQE — the 200-partition default means 200 state-store tasks
+    # per micro-batch on any data size. (On a real cluster: set to
+    # ~2-3× total cores; state-store partition count is fixed by the
+    # first checkpoint, so size it before going to production.)
+    "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
     # events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 refuses it
     # unless read as raw int64 nanos (FIXTURES.md gotcha #1).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

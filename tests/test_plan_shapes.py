@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from os_ex_3_map_reduce_spark.plans import all_queries
 from os_ex_3_map_reduce_spark.plans.explain import (
     explain_str,
@@ -97,3 +99,36 @@ def test_exact_dedup_single_shuffle(spark, qs):
     plan = explain_str(qs["q_dedup_exact"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_agg_exact_and_two_stage(spark, qs):
+    """Salted aggregation must equal the direct group-by exactly, and
+    its plan must contain the two aggregation stages over the salt."""
+    from .conftest import SF_CORRECT
+
+    got = {
+        (r.event_type, r.n, round(r.sum_value, 6))
+        for r in qs["q_salted_agg"](spark, SF_CORRECT).collect()
+    }
+    direct = {
+        (r.event_type, r.n, round(r.sum_value, 6))
+        for r in qs["q_events_hourly"](spark, SF_CORRECT)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sum_value"), 10).alias("sum_value"))
+        .collect()
+    }
+    assert {g[0] for g in got} == {d[0] for d in direct}
+    assert {(g[0], g[1]) for g in got} == {(d[0], d[1]) for d in direct}
+
+
+def test_approx_distinct_error_bounded(spark, qs):
+    from .conftest import SF_CORRECT
+
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    row = qs["q_approx_distinct"](spark, SF_CORRECT).first()
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    exact_orders = li.select("l_orderkey").distinct().count()
+    exact_parts = li.select("l_partkey").distinct().count()
+    assert abs(row.approx_orders - exact_orders) / exact_orders < 0.05
+    assert abs(row.approx_parts - exact_parts) / exact_parts < 0.05
