@@ -81,11 +81,11 @@ def _shingle_sig_udf(num_hashes: int, shingle_n: int, mode: str = "word"):
     """
     import numpy as np
 
-    @F.pandas_udf("struct<shingle_set: array<string>, sig: array<long>>")
+    @F.pandas_udf("struct<shingle_hashes: array<long>, sig: array<long>>")
     def kernel(texts: pd.Series) -> pd.DataFrame:
         A, B = _affine_params(num_hashes)
-        out_sh: list[list[str]] = []
-        out_sig: list[list[int] | None] = []
+        out_sh: list[list[int]] = []
+        out_sig: list[list[int]] = []
         with np.errstate(over="ignore"):
             for t in texts:
                 if mode == "char":
@@ -97,19 +97,15 @@ def _shingle_sig_udf(num_hashes: int, shingle_n: int, mode: str = "word"):
                     out_sig.append([])
                     continue
                 if mode == "char":
-                    shs = sorted(
-                        {
-                            t[i : i + shingle_n]
-                            for i in range(len(t) - shingle_n + 1)
-                        }
-                    )
+                    shs = {
+                        t[i : i + shingle_n]
+                        for i in range(len(t) - shingle_n + 1)
+                    }
                 else:
-                    shs = sorted(
-                        {
-                            " ".join(units[i : i + shingle_n])
-                            for i in range(len(units) - shingle_n + 1)
-                        }
-                    )
+                    shs = {
+                        " ".join(units[i : i + shingle_n])
+                        for i in range(len(units) - shingle_n + 1)
+                    }
                 h = np.fromiter(
                     (
                         int.from_bytes(
@@ -123,8 +119,8 @@ def _shingle_sig_udf(num_hashes: int, shingle_n: int, mode: str = "word"):
                 )
                 sig = (A[:, None] * h[None, :] + B[:, None]).min(axis=1)
                 out_sig.append(sig.view(np.int64).tolist())
-                out_sh.append(shs)
-        return pd.DataFrame({"shingle_set": out_sh, "sig": out_sig})
+                out_sh.append(np.sort(h.view(np.int64)).tolist())
+        return pd.DataFrame({"shingle_hashes": out_sh, "sig": out_sig})
 
     return kernel
 
@@ -137,17 +133,25 @@ def minhash_signatures(
     shingle_n: int = 3,
     shingle_mode: str = "word",
 ) -> DataFrame:
-    """(id, shingle-set, minhash signature) per document.
+    """(id, shingle-hash set, minhash signature) per document.
 
     Shingle semantics mirror the DuckDB oracle exactly: split on a
-    single space, word ``shingle_n``-grams, distinct, docs with fewer
-    than ``shingle_n`` tokens contribute nothing.
+    single space, word ``shingle_n``-grams (or char n-grams), distinct,
+    docs with fewer than ``shingle_n`` units contribute nothing.
+
+    The shingle set is represented by its sorted 64-bit blake2b hashes,
+    not the strings: |hash set| = |string set| and hash-set
+    intersection sizes equal string-set intersection sizes unless two
+    distinct shingles of the same pair collide in 64 bits — probability
+    ≈ m²/2⁶⁵ ≈ 1e-14 for m≈600-shingle docs, far below any gate —
+    while verification joins move 8-byte longs instead of strings and
+    intersect with long equality.
     """
     kernel = _shingle_sig_udf(num_hashes, shingle_n, shingle_mode)
     return (
         df.select(F.col(id_col).alias("doc_id"), kernel(F.col(text_col)).alias("ss"))
-        .select("doc_id", "ss.shingle_set", "ss.sig")
-        .where(F.size("shingle_set") > 0)
+        .select("doc_id", "ss.shingle_hashes", "ss.sig")
+        .where(F.size("shingle_hashes") > 0)
     )
 
 
@@ -176,7 +180,7 @@ def minhash_lsh_pairs(
        not serialize on however few partitions the scan produced (a
        small parquet file reads as ONE split; at 100 TB the same logic
        spreads hot small tables).
-    2. Persist the (id, shingle_set, sig) relation: it is consumed by
+    2. Persist the (id, shingle_hashes, sig) relation: it is consumed by
        the banding branch and by both verification joins; without
        persist Spark re-runs the shingle pipeline per consumer (the
        production analog is materializing the signature table to
@@ -219,8 +223,8 @@ def minhash_lsh_pairs(
     cand = candidate_pairs(
         buckets, ["bucket"], "doc_id", max_bucket, "doc_a", "doc_b"
     )
-    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingle_set").alias("sh_a"))
-    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingle_set").alias("sh_b"))
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
     withsets = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

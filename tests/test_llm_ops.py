@@ -121,7 +121,13 @@ def test_chargram_minhash_finds_planted_neardups(spark, duck):
     char = {
         (r.doc_a, r.doc_b)
         for r in minhash_lsh_pairs(
-            docs, threshold=0.5, shingle_n=5, shingle_mode="char", max_bucket=2000
+            docs,
+            threshold=0.5,
+            shingle_n=5,
+            shingle_mode="char",
+            num_hashes=32,
+            bands=8,
+            max_bucket=2000,
         ).collect()
     }
     assert word and word == char, (len(word), len(char))
