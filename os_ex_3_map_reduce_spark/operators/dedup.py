@@ -329,9 +329,9 @@ def simhash_neardup_pairs(
     spark = df.sparkSession
     fp = simhash(
         df.repartition(spark.sparkContext.defaultParallelism), id_col, text_col
-    ).persist()
+    )
     chunks = fp.select(
-        "doc_id",
+        F.struct("doc_id", "simhash").alias("m"),
         F.posexplode(
             F.array(
                 *[
@@ -343,15 +343,57 @@ def simhash_neardup_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    cand = candidate_pairs(
-        chunks, ["chunk_idx", "chunk_val"], "doc_id", max_bucket, "doc_a", "doc_b"
+    # Deliberately NOT candidates.candidate_pairs: the payload here is 8
+    # bytes (the fingerprint itself), so carrying it into the buckets
+    # and filtering hamming ≤ d during pair generation — BEFORE any
+    # dedup shuffle — beats the slim-bucket + join-back shape:
+    # correlated corpora generate O(n·bucket) raw pairs (4M+ at sf0.1)
+    # and this plan materializes only the ~18k survivors. Pair
+    # generation is a vectorized numpy kernel (triu indices + xor +
+    # byte-table popcount) because the equivalent nested-HOF explode
+    # runs interpreted at ~µs/pair.
+    import numpy as np
+
+    grouped = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.collect_list("m").alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+
+    def pair_batches(batches):
+        pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            outs = []
+            for ms in pdf["ms"]:
+                ids = np.fromiter((m["doc_id"] for m in ms), dtype=np.int64, count=len(ms))
+                hs = np.fromiter(
+                    (m["simhash"] for m in ms), dtype=np.int64, count=len(ms)
+                ).view(np.uint64)
+                iu, ju = np.triu_indices(len(ids), k=1)
+                x = np.ascontiguousarray(hs[iu] ^ hs[ju])
+                hd = pop[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+                keep = hd <= max_hamming
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": np.minimum(ids[iu[keep]], ids[ju[keep]]),
+                                "doc_b": np.maximum(ids[iu[keep]], ids[ju[keep]]),
+                                "hamming": hd[keep].astype(np.int64),
+                            }
+                        )
+                    )
+            yield pd.concat(outs) if outs else empty
+
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
+        grouped.select("ms")
+        .mapInPandas(pair_batches, schema="doc_a long, doc_b long, hamming long")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
