@@ -808,3 +808,86 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
+
+
+# --- deeper analytic shapes ------------------------------------------------
+
+
+@register(
+    "q_shipping_priority",
+    oracle=f"""
+        SELECT l_orderkey,
+               CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): selective dim filter → "
+    "3-way join → group agg → top-k. The segment filter pushes to the "
+    "customer scan, both date filters push to their scans, and the "
+    "final top-10 is TakeOrdered, never a global sort.",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "1998-06-01"
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_above_nation_avg",
+    oracle="""
+        WITH nat AS (
+            SELECT c_nationkey,
+                   COUNT(*) AS cnt,
+                   SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS total
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer JOIN nat USING (c_nationkey)
+        WHERE CAST(c_acctbal AS DECIMAL(30,10)) * cnt > total
+    """,
+    doc="Correlated scalar-subquery shape (customers above their "
+    "nation's average balance), decorrelated into a per-nation "
+    "aggregate + join. Division-free comparison (balance·count > sum "
+    "in exact decimal) so both engines pick the identical row set — "
+    "no float-average boundary risk.",
+)
+def q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,10)")).alias("total"),
+    )
+    return (
+        cust.join(nat, "c_nationkey")
+        .where(F.col("c_acctbal").cast("decimal(30,10)") * F.col("cnt") > F.col("total"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
