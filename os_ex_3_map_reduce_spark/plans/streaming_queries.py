@@ -15,6 +15,7 @@ from ..streaming.events import (
     running_user_totals,
     session_counts,
     sliding_counts,
+    stream_stream_followup_join,
     tumbling_counts,
 )
 from .catalog import register
@@ -106,6 +107,33 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events",
+    )
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+        SELECT a.user_id, COUNT(*) AS n_followups
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        GROUP BY a.user_id
+    """,
+    doc="Stream-stream inner join (follow-up events of the same user "
+    "within 5 minutes), watermarked on both sides with a two-sided "
+    "time-bound so join state is evictable; bounded replay emits "
+    "exactly the batch self-join.",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = events_stream(spark, sf_dir)
+    right = events_stream(spark, sf_dir)
+    joined = stream_stream_followup_join(left, right, within="5 minutes")
+    name = run_stream_to_memory(joined, mode="append")
+    return (
+        spark.table(name)
+        .groupBy(F.col("a_user").alias("user_id"))
+        .agg(F.count("*").alias("n_followups"))
     )
 
 

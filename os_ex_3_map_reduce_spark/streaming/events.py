@@ -115,6 +115,38 @@ def session_counts(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
     ).agg(F.count("*").alias("n_events"))
 
 
+def stream_stream_followup_join(
+    left: DataFrame, right: DataFrame, within: str = "5 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: for each event, the *later* events of
+    the same user within ``within`` (follow-up actions).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides — the two requirements that let the streaming
+    planner size its join state and evict rows; without them state
+    grows forever. Under a full bounded replay the emitted matches
+    equal the batch self-join, which is what the SQL oracle checks.
+    """
+    a = left.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts_utc").alias("a_ts"),
+    ).withWatermark("a_ts", "1 hour")
+    b = right.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("event_type").alias("b_type"),
+        F.col("ts_utc").alias("b_ts"),
+    ).withWatermark("b_ts", "1 hour")
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
+
+
 # --- custom stateful operator (applyInPandasWithState) --------------------
 
 

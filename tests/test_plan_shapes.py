@@ -132,3 +132,14 @@ def test_approx_distinct_error_bounded(spark, qs):
     exact_parts = li.select("l_partkey").distinct().count()
     assert abs(row.approx_orders - exact_orders) / exact_orders < 0.05
     assert abs(row.approx_parts - exact_parts) / exact_parts < 0.05
+
+
+def test_shipping_priority_shape(spark, qs):
+    """TPC-H Q3 shape: filtered dim broadcasts; date predicates reach
+    the scans; the limit plans as TakeOrdered."""
+    df = qs["q_shipping_priority"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    pf = pushed_filters(df)
+    assert "o_orderdate" in pf and "l_shipdate" in pf and "c_mktsegment" in pf
