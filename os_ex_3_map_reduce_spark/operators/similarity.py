@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_to_query
-from .candidates import candidate_pairs
 
 
 def topk_to_query(
@@ -120,19 +119,6 @@ def _bucket_udf(planes: "np.ndarray", planes_per_table: int):
         bits = (mat @ planes.T) > 0  # n × (tables·planes)
         ids = bits.reshape(len(mat), num_tables, planes_per_table) @ weights
         return pd.Series(list(ids))
-
-    return kernel
-
-
-def _pair_cosine_udf():
-    @F.pandas_udf("double")
-    def kernel(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        a = np.stack(ea.to_numpy()).astype(np.float64)
-        b = np.stack(eb.to_numpy()).astype(np.float64)
-        sims = (a * b).sum(axis=1) / (
-            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-        )
-        return pd.Series(np.round(sims, 4))
 
     return kernel
 
@@ -242,29 +228,60 @@ def lsh_bucketed_topk(
     planes = rng.randn(num_tables * planes_per_table, dim)
     spark = emb_df.sparkSession
 
-    emb = (
-        emb_df.select(id_col, F.col(emb_col).cast("array<double>").alias("e"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
-    )
+    emb = emb_df.select(
+        id_col, F.col(emb_col).cast("array<double>").alias("e")
+    ).repartition(spark.sparkContext.defaultParallelism)
     bucketed = emb.select(
-        F.col(id_col),
+        F.struct(F.col(id_col).alias("vid"), "e").alias("m"),
         F.posexplode(_bucket_udf(planes, planes_per_table)(F.col("e"))).alias(
             "table", "bucket"
         ),
     )
-    cand = candidate_pairs(
-        bucketed, ["table", "bucket"], id_col, max_bucket, "vec_a", "vec_b"
+    # Per-bucket local top-k instead of materialized candidate pairs:
+    # at moderate similarity (θ≈60°) hyperplane buckets are coarse —
+    # emitting every co-bucketed pair re-creates near-quadratic work
+    # (40% of all pairs on the fixture), and joining embeddings back
+    # shuffles payload per pair. Gathering each bucket and scoring it
+    # with one numpy matmul emits ≤ k rows per bucket; the global
+    # top-k is exactly the top of the per-bucket top-k's since every
+    # candidate pair shares at least one bucket.
+    grouped = (
+        bucketed.groupBy("table", "bucket")
+        .agg(F.collect_list("m").alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
-    ea = emb.select(F.col(id_col).alias("vec_a"), F.col("e").alias("ea"))
-    eb = emb.select(F.col(id_col).alias("vec_b"), F.col("e").alias("eb"))
-    pairs = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            _pair_cosine_udf()(F.col("ea"), F.col("eb")).alias("cosine"),
+
+    def bucket_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
         )
+        for pdf in batches:
+            outs = []
+            for ms in pdf["ms"]:
+                ids = np.fromiter((m["vid"] for m in ms), dtype=np.int64, count=len(ms))
+                mat = np.stack([np.asarray(m["e"], dtype=np.float64) for m in ms])
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                sims = np.round(mat @ mat.T, 4)
+                iu, ju = np.triu_indices(len(ids), k=1)
+                s = sims[iu, ju]
+                a = np.minimum(ids[iu], ids[ju])
+                b = np.maximum(ids[iu], ids[ju])
+                if len(s) > k:
+                    # local order == global order (score desc, ids asc)
+                    top = np.lexsort((b, a, -s))[:k]
+                    a, b, s = a[top], b[top], s[top]
+                outs.append(pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": s}))
+            yield pd.concat(outs) if outs else empty
+
+    local = grouped.select("ms").mapInPandas(
+        bucket_topk, schema="vec_a long, vec_b long, cosine double"
     )
-    return pairs.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")).limit(k)
+    return (
+        local.dropDuplicates(["vec_a", "vec_b"])
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(k)
+    )
