@@ -238,6 +238,59 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Connected components by min-label propagation (the Pregel-style
+    iterative pattern on DataFrames).
+
+    Returns (id, label) for every vertex appearing in ``edges``, where
+    ``label`` is the smallest vertex id in its component — the standard
+    representative choice for near-dup cluster dedup (each cluster
+    keeps doc ``label``; the rest are dropped).
+
+    Each round: every vertex takes the min of its own and its
+    neighbors' labels; converges in O(component diameter) rounds —
+    near-dup clusters are shallow (pairs/triples), so 2–3 rounds in
+    practice. ``localCheckpoint`` truncates lineage each round
+    (iterative plans otherwise grow exponentially), and the convergence
+    check is one aggregate, not a collect of the labels.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = und.join(labels, und.b == labels.id).select(
+            und.a.alias("id"), "label"
+        )
+        new_labels = (
+            neigh.union(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
 # --- SimHash --------------------------------------------------------------
 
 

@@ -24,6 +24,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     simhash_neardup_pairs,
@@ -175,6 +176,42 @@ def q_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # candidate set ~20x.
         max_bucket=2000,
     )
+
+
+@register(
+    "q_neardup_components",
+    oracle=_SHINGLE_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+        , pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT a AS id, a AS r FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        )
+        SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id
+    """,
+    doc="Near-dup cluster dedup: connected components over verified "
+    "MinHash pairs via iterative min-label propagation (the "
+    "Pregel-style pattern; the brief's 'iterative algorithm' class). "
+    "Each doc maps to its cluster representative (min doc_id); the "
+    "oracle is a recursive-CTE transitive closure. DuckDB requires "
+    "WITH RECURSIVE, so the oracle marks the whole CTE chain "
+    "recursive — 'reach' is the only self-referencing term.",
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("id").alias("doc_id"), F.col("label").alias("rep"))
 
 
 @register(

@@ -193,3 +193,15 @@ def test_frame_sampling_shape_and_determinism(spark):
     for r in a:
         per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     assert all(sorted(v) == [0, 5, 10] for v in per_doc.values())
+
+
+def test_connected_components_known_graph(spark):
+    from os_ex_3_map_reduce_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (a path, diameter 3 — needs >1 round),
+    # {10,11}, and 20-20 self-loop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "src long, dst long"
+    )
+    got = {(r.id, r.label) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)}
