@@ -516,3 +516,33 @@ def q_multimodal_fake_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_payload(load_table(spark, sf_dir, "documents"))
     return sample_frames(docs, num_frames=3)
+
+
+@register(
+    "q_token_stats_bpe",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(text, '[^0-9A-Za-z]+'), t -> t <> '')) AS w
+            FROM documents
+        )
+        SELECT COUNT(*) AS total_tokens,
+               COUNT(DISTINCT w) AS distinct_tokens,
+               CAST(MAX(length(w)) AS BIGINT) AS max_token_len
+        FROM w
+    """,
+    doc="Token accounting under the BPE-ish subword pre-tokenizer "
+    "(split at non-alphanumeric boundaries) — the second tokenizer the "
+    "training-pipeline brief calls for, complementing q_token_stats's "
+    "whitespace tokenizer.",
+)
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(bpe_ish_tokens("text")).alias("w"))
+    return w.agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("w").alias("distinct_tokens"),
+        F.max(F.length("w")).cast("long").alias("max_token_len"),
+    )
