@@ -99,3 +99,54 @@ def sql_predicted_lang(tokens_sql: str) -> str:
              WHEN {s['de']} = {best} THEN 'de'
              ELSE 'fr' END
     """
+
+
+# --- rolling-hash fingerprinting (Rabin-Karp + winnowing) -----------------
+
+RK_BASE = 1_000_003
+RK_MOD = (1 << 61) - 1
+
+
+def rolling_hashes(token_list: list[str], n: int = 3) -> list[int]:
+    """Rabin-Karp rolling hashes of every token n-gram.
+
+    Each token contributes its blake2b-64 value; the window hash rolls
+    in O(1) per step: h' = (h - t_out·B^(n-1))·B + t_in (mod M).
+    Pure-python reference used by the Spark kernel and by tests.
+    """
+    import hashlib
+
+    if len(token_list) < n:
+        return []
+    vals = [
+        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        % RK_MOD
+        for t in token_list
+    ]
+    top = pow(RK_BASE, n - 1, RK_MOD)
+    h = 0
+    for v in vals[:n]:
+        h = (h * RK_BASE + v) % RK_MOD
+    out = [h]
+    for i in range(n, len(vals)):
+        # python % is non-negative, so the subtraction can't go sour
+        h = ((h - vals[i - n] * top) * RK_BASE + vals[i]) % RK_MOD
+        out.append(h)
+    return out
+
+
+def winnow(hashes: list[int], window: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al.): keep the min hash of every
+    consecutive window; dedupe consecutive repeats. Guarantees at least
+    one fingerprint per window of the document — the standard
+    plagiarism/near-dup fingerprint selection."""
+    if not hashes:
+        return []
+    if len(hashes) <= window:
+        return [min(hashes)]
+    out: list[int] = []
+    for i in range(len(hashes) - window + 1):
+        m = min(hashes[i : i + window])
+        if not out or out[-1] != m:
+            out.append(m)
+    return out

@@ -12,6 +12,8 @@ threshold) to stay non-vacuous.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -545,4 +547,33 @@ def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_tokens"),
         F.countDistinct("w").alias("distinct_tokens"),
         F.max(F.length("w")).cast("long").alias("max_token_len"),
+    )
+
+
+@register(
+    "q_fingerprint_rolling",
+    oracle=None,  # blake2b-based Rabin-Karp is not DuckDB-expressible;
+    # exactness is pinned against the pure-python reference in tests
+    doc="Rolling-hash document fingerprints: Rabin-Karp over token "
+    "3-grams (O(1) per step) + winnowing window-4 selection (Schleimer "
+    "et al.) — the brief's literal rolling-hash fingerprint, "
+    "complementing q_fingerprint's min-md5 variant. Arrow-batched; "
+    "deterministic.",
+)
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import rolling_hashes, winnow
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("array<long>")
+    def fp(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [
+                h - (1 << 63) if h >= (1 << 63) else h
+                for h in winnow(rolling_hashes(t.split(" ")))
+            ]
+        )
+
+    return docs.select("doc_id", fp(F.col("text")).alias("fingerprints")).where(
+        F.size("fingerprints") > 0
     )

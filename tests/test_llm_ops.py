@@ -205,3 +205,26 @@ def test_connected_components_known_graph(spark):
     )
     got = {(r.id, r.label) for r in connected_components(edges).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)}
+
+
+def test_rolling_fingerprint_matches_python_reference(spark):
+    from os_ex_3_map_reduce_spark.functions.text import rolling_hashes, winnow
+    from os_ex_3_map_reduce_spark.plans import all_queries
+
+    got = {
+        r.doc_id: list(r.fingerprints)
+        for r in all_queries()["q_fingerprint_rolling"](spark, SF_CORRECT)
+        .limit(9999)
+        .collect()
+    }
+    docs = load_table(spark, SF_CORRECT, "documents").collect()
+    checked = 0
+    for row in docs[:100]:
+        want = [
+            h - (1 << 63) if h >= (1 << 63) else h
+            for h in winnow(rolling_hashes(row.text.split(" ")))
+        ]
+        if want:
+            assert got[row.doc_id] == want
+            checked += 1
+    assert checked > 50
