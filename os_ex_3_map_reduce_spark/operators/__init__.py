@@ -1,1 +1,29 @@
+from .candidates import candidate_pairs  # noqa: F401
+from .dedup import (  # noqa: F401
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_neardup_pairs,
+)
+from .job import JobHandle, JobState, Stage, start_job, start_map_reduce_job  # noqa: F401
 from .map_reduce import MapReduceClient, map_reduce, run_map_reduce  # noqa: F401
+from .multimodal import (  # noqa: F401
+    attach_payload,
+    decode_image,
+    fake_decode_image,
+    fake_image_features,
+    metadata_stats,
+    resize_images,
+    resize_nearest,
+    sample_frames,
+)
+from .similarity import (  # noqa: F401
+    ivf_index,
+    ivf_search,
+    lsh_bucketed_topk,
+    topk_pairs,
+    topk_to_query,
+)
+from .skew import salted_agg  # noqa: F401

@@ -1,1 +1,10 @@
-from .events import events_stream, run_stream_to_memory  # noqa: F401
+from .events import (  # noqa: F401
+    events_stream,
+    run_stream_to_memory,
+    running_user_totals,
+    session_counts,
+    sliding_counts,
+    staged_events_dir,
+    stream_stream_followup_join,
+    tumbling_counts,
+)
