@@ -577,3 +577,61 @@ def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp(F.col("text")).alias("fingerprints")).where(
         F.size("fingerprints") > 0
     )
+
+
+@register(
+    "q_pipeline_clean_corpus",
+    oracle=_SHINGLE_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+        , pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT a AS id, a AS r FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        ),
+        reps AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+        exact AS (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text),
+        kept AS (
+            SELECT d.doc_id, d.lang,
+                   len(string_split(d.text, ' ')) AS n_tokens
+            FROM documents d
+            JOIN exact ON d.doc_id = exact.keep_id
+            LEFT JOIN reps ON d.doc_id = reps.doc_id
+            WHERE (reps.rep IS NULL OR reps.rep = d.doc_id)
+              AND len(string_split(d.text, ' ')) >= 20
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM kept GROUP BY lang
+    """,
+    doc="End-to-end corpus-cleaning pipeline — the composed workload a "
+    "training-data user actually runs: exact dedup (keep min-id per "
+    "text) → near-dup cluster removal (keep each MinHash component's "
+    "representative) → length-based quality gate → per-language "
+    "accounting. One exact oracle over the whole composition.",
+)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = exact_dedup(docs, ["text"], "doc_id")
+    reps = connected_components(
+        minhash_lsh_pairs(docs, threshold=0.5), "doc_a", "doc_b"
+    ).withColumnRenamed("id", "doc_id")
+    kept = (
+        exact.join(reps, "doc_id", "left")
+        .where(F.col("label").isNull() | (F.col("label") == F.col("doc_id")))
+        .withColumn("n_tokens", F.size(tokens("text")))
+        .where(F.col("n_tokens") >= 20)
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

@@ -118,3 +118,39 @@ def test_stateful_operator_carries_state_across_runs(stream_dirs):
     got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in rows2}
     # user 7 resumed at (2, 5.0) and added one event; user 8 is fresh.
     assert got == {7: (3, 15.0), 8: (1, 1.0)}, got
+
+
+def test_stream_parquet_file_sink_roundtrip(stream_dirs):
+    """Streaming parquet sink: append-mode rows land as parquet files
+    that read back exactly; the checkpoint makes resumed runs
+    exactly-once (no duplicates after a second availableNow run)."""
+    spark, src, chk = stream_dirs
+    out = str(Path(chk).parent / "out")
+    _write_batch(spark, src, [(1, 1, _ts(1), 1.0), (2, 2, _ts(2), 2.0)])
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got1 = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert {r[0] for r in got1} == {1, 2}
+
+    # no new files: a resumed run must not re-emit old rows
+    run()
+    got2 = sorted(spark.read.parquet(out).collect())
+    assert len(got2) == 2
+
+    _write_batch(spark, src, [(3, 1, _ts(3), 3.0)])
+    run()
+    got3 = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert got3 == {1, 2, 3}
