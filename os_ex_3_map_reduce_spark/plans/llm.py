@@ -635,3 +635,40 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "q_neardup_editdist",
+    oracle=_SHINGLE_SQL
+    + """
+        , pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        )
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        FROM pairs
+        JOIN documents da ON doc_a = da.doc_id
+        JOIN documents db ON doc_b = db.doc_id
+    """,
+    doc="Third near-dup verification metric: exact Levenshtein edit "
+    "distance between the texts of every verified MinHash pair — "
+    "composes the LSH pipeline with the built-in string-distance "
+    "function (25 pairs on the fixture, so the O(len²) DP is cheap).",
+)
+def q_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias("edit_dist"),
+        )
+    )

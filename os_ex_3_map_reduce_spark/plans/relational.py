@@ -891,3 +891,105 @@ def q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_acctbal").cast("decimal(30,10)") * F.col("cnt") > F.col("total"))
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+@register(
+    "q_window_misc",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               first_value(o_orderkey) OVER w AS first_key,
+               nth_value(o_orderkey, 2) OVER
+                   (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Window-function breadth: ntile bucketing, percent_rank "
+    "(rounded — it divides by n-1 in both engines), first/nth value "
+    "with an explicit frame. Total ordering via the (price, key) "
+    "tiebreak keeps every engine's assignment identical.",
+)
+def q_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
+
+
+@register(
+    "q_date_parts",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY y, q, m, dow
+    """,
+    doc="Datetime part extraction on timestamp_ntz order dates "
+    "(DuckDB dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday — "
+    "normalized by subtracting 1 Spark-side).",
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.quarter("o_orderdate").cast("long").alias("q"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_agg_filtered",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Conditional aggregation (FILTER clause) — one scan, three "
+    "differently-filtered counts; map-side partial for all of them.",
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+        SELECT median(o_totalprice) AS med,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.90) AS p90
+        FROM orders
+    """,
+    doc="Exact interpolated percentiles (Spark percentile == DuckDB "
+    "quantile_cont: both sort and linearly interpolate in float64 — "
+    "identical IEEE arithmetic on identical inputs).",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.90)").alias("p90"),
+    )
