@@ -96,3 +96,57 @@ def q_mapreduce_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("price"),
     )
     return run_map_reduce(customer.unionByName(orders), ReduceSideJoinClient())
+
+
+@register(
+    "q_udaf_sumsq",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS sum_sq
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Literal UDAF surface: a grouped-agg pandas UDF (numpy kernel "
+    "per group) alongside the grouped-map applyInPandas path. Quantities "
+    "are small exact integers in double, so the sum is order-independent "
+    "and the oracle exact.",
+)
+def q_udaf_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def sum_sq(v: pd.Series) -> float:
+        x = v.to_numpy()
+        return float((x * x).sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(sum_sq("l_quantity").alias("sum_sq"))
+
+
+@register(
+    "q_udtf_bigrams",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                      i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+        FROM t WHERE len(toks) >= 2
+    """,
+    doc="Literal Python UDTF surface (Spark 4 @udtf, lateral join): one "
+    "input row fans out to 0..N output rows in Python — the reference's "
+    "map/emit2 shape exposed through Spark's own table-function API.",
+)
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, bigram string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield doc_id, f"{toks[i]} {toks[i + 1]}"
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    return spark.sql(
+        "SELECT t.doc_id, t.bigram FROM __docs_udtf, "
+        "LATERAL bigrams_udtf(doc_id, text) t"
+    )
