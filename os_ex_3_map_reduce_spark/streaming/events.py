@@ -74,21 +74,41 @@ def events_stream(
 
 
 def run_stream_to_memory(
-    df: DataFrame, mode: str = "complete", checkpoint: str | None = None
+    df: DataFrame,
+    mode: str = "complete",
+    checkpoint: str | None = None,
+    shuffle_partitions: int | None = 8,
 ) -> str:
     """Run a bounded stream (availableNow) into an in-memory sink and
-    return the sink table name (query has terminated on return)."""
+    return the sink table name (query has terminated on return).
+
+    ``shuffle_partitions`` bounds the STATE partition count for this
+    query (streaming can't AQE-coalesce, and every state store pays
+    fixed setup/commit cost per partition per batch — measured ~2× on
+    windowed aggs and stream-stream joins at test scale). It is set
+    for the query's planning only and restored afterwards. On a real
+    cluster size it to ~2-3× total cores BEFORE the first checkpoint —
+    the count is frozen into checkpoint state forever.
+    """
     name = "s" + uuid.uuid4().hex[:10]
-    writer = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-    )
-    if checkpoint is not None:
-        writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
+    spark = df.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        new = min(int(before), shuffle_partitions)
+        spark.conf.set("spark.sql.shuffle.partitions", str(new))
+    try:
+        writer = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+        )
+        if checkpoint is not None:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     return name
 
 
