@@ -993,3 +993,164 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
         F.expr("percentile(o_totalprice, 0.90)").alias("p90"),
     )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+        WITH sign AS (
+            SELECT user_id, epoch_us(ts) AS t, MAX(event_id) AS signup_id
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id, epoch_us(ts)
+        ),
+        purch AS (
+            SELECT event_id, user_id, epoch_us(ts) AS t
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT a.event_id, a.user_id,
+               a.t AS purchase_us,
+               b.t AS signup_us,
+               a.t - b.t AS wait_us
+        FROM purch a ASOF LEFT JOIN sign b
+          ON a.user_id = b.user_id AND b.t <= a.t
+    """,
+    doc="As-of join (each purchase matched to the user's most recent "
+    "signup at-or-before it) — an operator the reference lacks and Spark "
+    "has no native keyword for [SURVEY.md §2.2 joins row]. Implemented "
+    "shuffle-once with NO join at all: union both sides tagged, one "
+    "window per user ordered by (time, tag) carries the last signup "
+    "forward (last_value IGNORE NULLS). Linear in rows, one hash "
+    "partition by user — at 100 TB this beats any range-join strategy "
+    "because state per key is O(1), and skew only ever concentrates one "
+    "user's timeline. Time compared as exact epoch-microsecond integers "
+    "(both engines truncate nanos identically). Right side is deduped "
+    "per (user, instant) so as-of tie-breaks are well-defined.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts div 1000").cast("long")
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", us.alias("t"))
+        .agg(F.max("event_id").alias("signup_id"))
+        .select(
+            "user_id",
+            "t",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("t"), F.lit(1).alias("tag"), "event_id"
+    )
+    merged = sign.unionByName(purch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_t = F.last(F.when(F.col("tag") == 0, F.col("t")), ignorenulls=True).over(w)
+    return (
+        merged.withColumn("signup_us", signup_t)
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("purchase_us"),
+            "signup_us",
+            (F.col("t") - F.col("signup_us")).alias("wait_us"),
+        )
+    )
+
+
+#: value bands for the theta-join demo — half-open [lo, hi), covering the
+#: full fixture range (events.value ∈ [0.01, 490.02] at every SF).
+_VALUE_BANDS = [
+    ("p0_micro", 0.0, 1.0),
+    ("p1_small", 1.0, 10.0),
+    ("p2_mid", 10.0, 50.0),
+    ("p3_large", 50.0, 100.0),
+    ("p4_huge", 100.0, 1000.0),
+]
+
+_SQL_BANDS = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _VALUE_BANDS)
+
+
+@register(
+    "q_join_range",
+    oracle=f"""
+        SELECT band, COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value
+        FROM events
+        JOIN (VALUES {_SQL_BANDS}) bands(band, lo, hi)
+          ON value >= lo AND value < hi
+        GROUP BY band
+    """,
+    doc="Range (theta) join: bucket a fact column into a tiny banded "
+    "dimension on a pure inequality predicate — no equi-key, so Spark "
+    "plans BroadcastNestedLoopJoin (asserted in tests). That is the "
+    "correct 100 TB physical plan whenever one side is tiny: the fact "
+    "table never shuffles, each task scans its partition against the "
+    "broadcast bands. (With many bands one would instead precompute a "
+    "width_bucket-style equi-key; the NLJ here exercises the operator "
+    "family the reference's checklist lists as absent.)",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(
+        _VALUE_BANDS, "band string, lo double, hi double"
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    )
+
+
+@register(
+    "q_time_gapfill",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value
+            FROM events WHERE value >= 200
+            GROUP BY h
+        ),
+        span AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
+        hours AS (
+            SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+            FROM span
+        )
+        SELECT strftime(hours.h, '%Y-%m-%d %H:00') AS hour,
+               COALESCE(n, 0) AS n,
+               COALESCE(sum_value, 0.0) AS sum_value
+        FROM hours LEFT JOIN hourly ON hours.h = hourly.h
+    """,
+    doc="Time-series gap-fill (hypertable-style dense rollup): hourly "
+    "aggregate of a sparse slice (value >= 200), densified over its own "
+    "[min, max] hour span with zero rows for empty buckets. The dense "
+    "hour spine is built distributively — a 2-row agg broadcast back, "
+    "sequence() + explode — never a driver-side loop, so the same plan "
+    "holds when the span is years and the fact table is 100 TB (the "
+    "spine stays tiny; the join is spine⋈agg, both far smaller than the "
+    "scan).",
+)
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("value") >= 200)
+        .groupBy(F.date_trunc("hour", "ts_utc").alias("h"))
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    )
+    span = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = span.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    return spine.join(hourly, "h", "left").select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

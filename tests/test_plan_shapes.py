@@ -143,3 +143,31 @@ def test_shipping_priority_shape(spark, qs):
     assert "TakeOrderedAndProject" in plan
     pf = pushed_filters(df)
     assert "o_orderdate" in pf and "l_shipdate" in pf and "c_mktsegment" in pf
+
+
+def test_range_join_is_broadcast_nlj(spark, qs):
+    """Pure inequality join against a tiny bands table: the fact side
+    must not shuffle — BroadcastNestedLoopJoin, never a cartesian or a
+    sort-merge on a fabricated key."""
+    plan = explain_str(qs["q_join_range"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_has_no_join_operator(spark, qs):
+    """The as-of join is implemented join-free (union + window carry-
+    forward): one hash partition by user, linear in rows. Any *Join node
+    in the plan means the scalable strategy regressed."""
+    plan = explain_str(qs["q_join_asof"](spark, SF))
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+
+
+def test_gapfill_filter_pushed(spark, qs):
+    """The sparse-slice predicate must reach the parquet scan; the dense
+    spine is built from a 2-row agg, not a driver loop."""
+    df = qs["q_time_gapfill"](spark, SF)
+    assert "value" in pushed_filters(df)
