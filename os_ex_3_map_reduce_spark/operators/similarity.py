@@ -107,6 +107,58 @@ def topk_pairs(
     ).limit(k)
 
 
+def threshold_pairs(
+    emb_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (a < b) with
+    ``round(cosine, 4) >= threshold`` (E2's embedding modality).
+
+    Same broadcast-matmul shape as :func:`topk_pairs` — each partition
+    scores its rows against the broadcast matrix and emits only the
+    qualifying pairs, so the shuffled volume is the (tiny) match set,
+    never n². The threshold compare happens on the ROUNDED score, the
+    same value the oracle compares, so boundary pairs cannot flip
+    between engines. Beyond broadcastable scale, swap the candidate
+    generator for :func:`lsh_bucketed_topk`'s buckets and verify
+    survivors with this same exact kernel.
+    """
+    spark = emb_df.sparkSession
+    pdf = emb_df.select(id_col, emb_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+        for pdf_part in batches:
+            if pdf_part.empty:
+                continue
+            part_ids = pdf_part[id_col].to_numpy()
+            part_mat = np.stack(pdf_part[emb_col].to_numpy()).astype(np.float64)
+            part_norms = np.linalg.norm(part_mat, axis=1)
+            sims = np.round(
+                (part_mat @ all_mat.T) / np.outer(part_norms, all_norms), 4
+            )
+            rows = []
+            for r in range(len(part_ids)):
+                hit = np.where((all_ids > part_ids[r]) & (sims[r] >= threshold))[0]
+                for c in hit:
+                    rows.append(
+                        (int(part_ids[r]), int(all_ids[c]), float(sims[r, c]))
+                    )
+            yield pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+
+    return emb_df.select(id_col, emb_col).mapInPandas(
+        score_partition, schema="vec_a long, vec_b long, cosine double"
+    )
+
+
 def _bucket_udf(planes: "np.ndarray", planes_per_table: int):
     """Arrow-batched sign-hash bucketing: one matmul per batch gives
     every table's bucket id for every row."""

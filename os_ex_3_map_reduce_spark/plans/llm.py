@@ -38,7 +38,12 @@ from ..operators.multimodal import (
     sample_frames,
 )
 from ..operators.similarity import ivf_index, ivf_search
-from ..operators.similarity import lsh_bucketed_topk, topk_pairs, topk_to_query
+from ..operators.similarity import (
+    lsh_bucketed_topk,
+    threshold_pairs,
+    topk_pairs,
+    topk_to_query,
+)
 from ..sources.tables import load_table
 from .catalog import register
 
@@ -267,6 +272,29 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_pairs(emb, k=20)
+
+
+@register(
+    "q_embedding_neardup",
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 4) >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate detection (the E2 embedding "
+    "modality): ALL pairs whose rounded cosine clears the threshold, "
+    "not just a top-k — the decision set an embedding-dedup pass "
+    "actually consumes. 0.4 sits at the fixture's top-0.05% similarity "
+    "tail (max pairwise cosine is 0.51), so the match set is small and "
+    "non-empty at every SF. Threshold compares the ROUNDED score on "
+    "both engines, so boundary pairs cannot flip.",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return threshold_pairs(emb, threshold=0.4)
 
 
 @register(
