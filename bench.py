@@ -50,6 +50,11 @@ HEADLINE = {
 BREADTH = [
     "q_join_sortmerge",
     "q_join_semi",
+    "q_join_asof",
+    "q_join_range",
+    "q_time_gapfill",
+    "q_rollup_time",
+    "q_embedding_neardup",
     "q_window_rank",
     "q_topk",
     "q_rollup",

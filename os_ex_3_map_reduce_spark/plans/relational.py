@@ -1154,3 +1154,46 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+@register(
+    "q_rollup_time",
+    oracle=f"""
+        WITH b AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   strftime(ts, '%Y-%m-%d %H:00') AS hour,
+                   value
+            FROM events
+        )
+        SELECT COALESCE(day, 'ALL') AS day,
+               COALESCE(hour, 'ALL') AS hour,
+               COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value
+        FROM b
+        GROUP BY ROLLUP (day, hour)
+    """,
+    doc="Hypertable-style multi-resolution time rollup: hour, day and "
+    "grand-total aggregates of the event stream in ONE pass via "
+    "ROLLUP over derived time buckets (the batch shape of a "
+    "continuous-aggregate / materialized rollup). Spark expands the "
+    "grouping sets before the shuffle and still combines map-side, so "
+    "the pass over 100 TB stays single-scan; at that scale the output "
+    "would be written partitioned by granularity so dashboard reads "
+    "prune to one resolution.",
+)
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_format("ts_utc", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts_utc", "yyyy-MM-dd HH:00").alias("hour"),
+        "value",
+    )
+    return (
+        b.rollup("day", "hour")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("hour", F.lit("ALL")).alias("hour"),
+            "n",
+            "sum_value",
+        )
+    )
