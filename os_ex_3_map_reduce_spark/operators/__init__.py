@@ -23,7 +23,9 @@ from .similarity import (  # noqa: F401
     ivf_index,
     ivf_search,
     lsh_bucketed_topk,
+    threshold_pairs,
     topk_pairs,
     topk_to_query,
 )
 from .skew import salted_agg  # noqa: F401
+from .sketch import cms_build, cms_estimate, cms_merge  # noqa: F401

@@ -1197,3 +1197,26 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q_sketch_heavyhitters",
+    oracle=None,  # approximate (Count-Min sketch); bounds asserted in tests
+    doc="Heavy hitters via a Count-Min sketch built as a pure DataFrame "
+    "aggregation (operators/sketch.py): depth x width counts relation "
+    "with map-side-combined state capped at depth*width cells per task, "
+    "estimation by broadcast-joining candidates against the tiny sketch "
+    "and taking min over rows. Deterministic (xxhash64 is pure), "
+    "overestimates only; tests assert the CMS error bound and that the "
+    "top set matches exact counts on the fixture. At 100 TB the "
+    "candidate set comes from a sample or a prior batch, and per-day "
+    "sketches roll up via cms_merge without rescanning raw data.",
+)
+def q_sketch_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=5, width=1024)
+    cands = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, cands, "user_id", depth=5, width=1024)
+    return est.orderBy(F.desc("est"), F.asc("user_id")).limit(10)

@@ -228,3 +228,74 @@ def test_rolling_fingerprint_matches_python_reference(spark):
             assert got[row.doc_id] == want
             checked += 1
     assert checked > 50
+
+
+class TestCountMinSketch:
+    """CMS guarantees: never underestimates; overestimate bounded by
+    (e/width)*N; merge of split sketches == sketch of the union."""
+
+    def test_estimates_bounded(self, spark):
+        from os_ex_3_map_reduce_spark.operators.sketch import (
+            cms_build,
+            cms_estimate,
+        )
+        from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.01", "events")
+        n_total = ev.count()
+        depth, width = 5, 1024
+        sketch = cms_build(ev, "user_id", depth=depth, width=width)
+        est = cms_estimate(
+            sketch, ev.select("user_id").distinct(), "user_id", depth, width
+        )
+        exact = ev.groupBy("user_id").count()
+        joined = {
+            r["user_id"]: (r["est"], r["count"])
+            for r in est.join(exact, "user_id").collect()
+        }
+        assert joined, "no estimates produced"
+        import math
+
+        bound = math.e / width * n_total
+        for uid, (e_, x) in joined.items():
+            assert e_ >= x, f"CMS underestimated user {uid}: {e_} < {x}"
+            assert e_ - x <= bound, f"user {uid} overestimate {e_ - x} > {bound}"
+
+    def test_top_set_matches_exact(self, spark):
+        from os_ex_3_map_reduce_spark.plans import all_queries
+
+        ev_top = all_queries()["q_sketch_heavyhitters"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        from os_ex_3_map_reduce_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        exact = (
+            load_table(spark, "/root/testdata/sf0.01", "events")
+            .groupBy("user_id")
+            .count()
+            .orderBy(F.desc("count"), F.asc("user_id"))
+            .limit(10)
+            .collect()
+        )
+        assert {r["user_id"] for r in ev_top} == {r["user_id"] for r in exact}
+
+    def test_merge_equals_union(self, spark):
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.operators.sketch import (
+            cms_build,
+            cms_merge,
+        )
+        from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        lo = ev.filter(F.col("value") < 100)
+        hi = ev.filter(F.col("value") >= 100)
+        merged = cms_merge(
+            cms_build(lo, "user_id", 3, 256), cms_build(hi, "user_id", 3, 256)
+        )
+        direct = cms_build(ev, "user_id", 3, 256)
+        m = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+        d = {(r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+        assert m == d
