@@ -1270,3 +1270,68 @@ def q_sketch_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = ev.select("user_id").distinct()
     est = cms_estimate(sketch, cands, "user_id", depth=5, width=1024)
     return est.orderBy(F.desc("est"), F.asc("user_id")).limit(10)
+
+
+@register(
+    "q_regexp_fns",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS BIGINT)
+                   AS n_ta,
+               NULLIF(regexp_extract(text, 's[a-z]+'), '') AS first_s,
+               CAST(length(regexp_replace(text, 'table', 'tbl', 'g'))
+                   AS BIGINT) AS replaced_len,
+               CAST(regexp_matches(text, 'spark') AS BIGINT) AS has_spark
+        FROM documents
+    """,
+    doc="Regular-expression scalar functions (extract / extract_all / "
+    "replace-all / match) — patterns kept inside the RE2 ∩ Java-regex "
+    "common dialect so both engines compile them identically; "
+    "no-match normalized to NULL on both sides (Spark returns '' from "
+    "regexp_extract, DuckDB's flavor differs).",
+)
+def q_regexp_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("ta[a-z]+"), 0))
+        .cast("long")
+        .alias("n_ta"),
+        F.nullif(F.regexp_extract("text", "s[a-z]+", 0), F.lit("")).alias("first_s"),
+        F.length(F.regexp_replace("text", "table", "tbl")).cast("long").alias(
+            "replaced_len"
+        ),
+        F.col("text").rlike("spark").cast("long").alias("has_spark"),
+    )
+
+
+@register(
+    "q_map_fns",
+    oracle="""
+        WITH kv AS (
+            SELECT p_partkey, 'brand' AS k, p_brand AS v FROM part
+            UNION ALL
+            SELECT p_partkey, 'type' AS k, p_type AS v FROM part
+        )
+        SELECT kv.p_partkey, k, v, p.p_brand AS brand_lookup
+        FROM kv JOIN part p ON kv.p_partkey = p.p_partkey
+    """,
+    doc="MapType surface: build map<string,string> per row (create_map), "
+    "point-lookup with element_at, then explode map entries back to "
+    "rows. The oracle reproduces the row set relationally — the map "
+    "semantics under test (insertion order irrelevant, key lookup, "
+    "entry explosion) live on the Spark side.",
+)
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return (
+        part.select(
+            "p_partkey",
+            m.alias("m"),
+            F.element_at(m, "brand").alias("brand_lookup"),
+        )
+        .select("p_partkey", F.explode("m").alias("k", "v"), "brand_lookup")
+    )
