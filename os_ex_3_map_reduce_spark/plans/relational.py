@@ -227,21 +227,32 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rollup",
-    oracle=f"""
+    oracle="""
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
-               {SQL_DSUM('l_quantity')} AS sum_qty,
+               CAST(SUM(CAST(round(l_quantity*10000) AS BIGINT)) AS DOUBLE)/10000
+                   AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    doc="Hierarchical subtotals (rollup). Absent from the reference.",
+    doc="Hierarchical subtotals (rollup). Absent from the reference. "
+    "Quantity sums take the integer-cents fast path DIRECTLY (no "
+    "two-stage): l_quantity <= 50, so even a 100 TB grand total stays "
+    "~3e17 scaled units — inside int64. Bounded-magnitude columns get "
+    "the cheapest exact sum; unbounded money columns need the two-stage "
+    "shape (see q_agg_pricing_summary).",
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows"))
+        .agg(
+            (F.sum(_cents("l_quantity")).cast("double") / F.lit(_CENT_SCALE)).alias(
+                "sum_qty"
+            ),
+            F.count("*").alias("n_rows"),
+        )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),

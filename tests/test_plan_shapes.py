@@ -171,3 +171,18 @@ def test_gapfill_filter_pushed(spark, qs):
     spine is built from a 2-row agg, not a driver loop."""
     df = qs["q_time_gapfill"](spark, SF)
     assert "value" in pushed_filters(df)
+
+
+def test_cents_agg_invariant_to_partitioning(spark, qs):
+    """The integer-cents fast path must be bit-identical under any
+    shuffle/input partitioning (int sums are associative; the decimal
+    final merge is exact) — the property the decimal rule used to buy."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(repr, qs["q_agg_pricing_summary"](spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        b = sorted(map(repr, qs["q_agg_pricing_summary"](spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b
