@@ -19,7 +19,7 @@ from ..streaming.events import (
     tumbling_counts,
 )
 from .catalog import register
-from .relational import SQL_DSUM
+from .relational import SQL_DSUM, dsum
 
 
 @register(
@@ -135,6 +135,37 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_user").alias("user_id"))
         .agg(F.count("*").alias("n_followups"))
     )
+
+
+@register(
+    "q_stream_static_join",
+    oracle=f"""
+        SELECT c_mktsegment, COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="Stream-static join: the event stream enriched against a static "
+    "dimension (customer) — the standard dim-enrichment shape. The "
+    "static side is broadcast per micro-batch, so the stream never "
+    "shuffles for the join (only for the windowless aggregation); at "
+    "100 TB/day of events the dim refreshes by restarting the query or "
+    "via Delta-style table versioning, never by re-shuffling history.",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    stream = events_stream(spark, sf_dir)
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = stream.join(
+        customer, stream.user_id == customer.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), dsum("value", "sum_value")
+    )
+    name = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name)
 
 
 @register(
