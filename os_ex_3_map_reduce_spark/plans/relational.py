@@ -1346,3 +1346,27 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", F.explode("m").alias("k", "v"), "brand_lookup")
     )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+        SELECT r_name, n_name,
+               CAST(r_regionkey = n_regionkey AS BIGINT) AS is_home
+        FROM region CROSS JOIN nation
+    """,
+    doc="Explicit cartesian product of the two tiny dimensions (5 x 25) "
+    "— completes the join-type matrix (inner/outer/semi/anti/NLJ/cross). "
+    "Safe ONLY because both sides are broadcast-tiny; the planner emits "
+    "BroadcastNestedLoopJoin. Any cross join with a big side is a "
+    "design bug at scale — the catalog's pair-generating operators "
+    "(LSH, minhash) exist precisely to avoid this shape.",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).cast("long").alias("is_home"),
+    )
