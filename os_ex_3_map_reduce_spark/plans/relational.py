@@ -1370,3 +1370,41 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         (F.col("r_regionkey") == F.col("n_regionkey")).cast("long").alias("is_home"),
     )
+
+
+@register(
+    "q_set_ops_all",
+    oracle="""
+        WITH r AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+             f AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+        SELECT 'except_all' AS op, l_orderkey, COUNT(*) AS n
+        FROM (SELECT * FROM r EXCEPT ALL SELECT * FROM f)
+        GROUP BY l_orderkey
+        UNION ALL
+        SELECT 'intersect_all' AS op, l_orderkey, COUNT(*) AS n
+        FROM (SELECT * FROM r INTERSECT ALL SELECT * FROM f)
+        GROUP BY l_orderkey
+    """,
+    doc="Multiset set operations (EXCEPT ALL / INTERSECT ALL) — bag "
+    "semantics keep surplus duplicates, unlike q_except/q_intersect's "
+    "set semantics. Aggregated per key so the oracle compare is "
+    "order-free. Spark plans both as a single shuffle on the key with "
+    "per-side counts — no row-by-row anti join.",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    f = li.where(F.col("l_linestatus") == "F").select("l_orderkey")
+    ex = (
+        r.exceptAll(f)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_orderkey", "n")
+    )
+    it = (
+        r.intersectAll(f)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_orderkey", "n")
+    )
+    return ex.unionByName(it)
