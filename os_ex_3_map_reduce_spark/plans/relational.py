@@ -1408,3 +1408,38 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "l_orderkey", "n")
     )
     return ex.unionByName(it)
+
+
+@register(
+    "q_hof_fns",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+                   AS n_pos,
+               list_sum(list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))) AS sum_micro,
+               CAST(list_max(embedding) AS DOUBLE) AS max_comp
+        FROM embeddings
+    """,
+    doc="Higher-order functions (lambda transform / filter / aggregate) "
+    "over the embedding arrays. The fold integer-izes each component "
+    "(round(x*1e6) as long) so the sum is exact and order-free on both "
+    "engines — a float fold would hash-diverge. Scale note: HOF "
+    "expressions are interpreted (never whole-stage-codegen'd); fine "
+    "for occasional array munging, but hot-path kernels belong in "
+    "Arrow-batched numpy (measured 30-60x — see operators/similarity).",
+)
+def q_hof_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_micro"),
+        F.array_max("embedding").cast("double").alias("max_comp"),
+    )
