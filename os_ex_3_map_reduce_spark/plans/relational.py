@@ -1443,3 +1443,39 @@ def q_hof_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_micro"),
         F.array_max("embedding").cast("double").alias("max_comp"),
     )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_key
+            FROM orders
+        )
+        SELECT d.status_label, COUNT(o.o_orderkey) AS n
+        FROM o JOIN (VALUES ('F', 'finished'),
+                            ('P', 'pending'),
+                            (NULL, 'open')) d(status_key, status_label)
+          ON o.status_key IS NOT DISTINCT FROM d.status_key
+        GROUP BY d.status_label
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "keys match NULL dim rows instead of dropping out, the semantics "
+    "needed when NULL is a legitimate category. Spark rewrites the "
+    "null-safe equi-key into a hashable coalesce form, so the tiny dim "
+    "still broadcasts — no nested-loop penalty.",
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("status_key")
+    )
+    dim = orders.sparkSession.createDataFrame(
+        [("F", "finished"), ("P", "pending"), (None, "open")],
+        "status_key string, status_label string",
+    )
+    return (
+        o.join(F.broadcast(dim), o.status_key.eqNullSafe(dim.status_key), "inner")
+        .groupBy("status_label")
+        .agg(F.count("o_orderkey").alias("n"))
+    )
