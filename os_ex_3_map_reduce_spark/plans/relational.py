@@ -1479,3 +1479,33 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status_label")
         .agg(F.count("o_orderkey").alias("n"))
     )
+
+
+@register(
+    "q_lateral",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment, t.max_price, t.n_orders
+        FROM customer c,
+        LATERAL (SELECT MAX(o_totalprice) AS max_price,
+                        COUNT(*) AS n_orders
+                 FROM orders o WHERE o.o_custkey = c.c_custkey) t
+    """,
+    doc="Correlated LATERAL subquery (per-customer aggregate computed "
+    "in-line): Catalyst decorrelates it into a left outer aggregate "
+    "join — same plan a hand-written join would give, so the SQL-level "
+    "convenience costs nothing at scale. Runs through the engine's SQL "
+    "front-end (register_views + spark.sql).",
+)
+def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.max_price, t.n_orders
+        FROM customer c,
+        LATERAL (SELECT MAX(o_totalprice) AS max_price,
+                        COUNT(*) AS n_orders
+                 FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        """
+    )
