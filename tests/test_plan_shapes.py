@@ -186,3 +186,13 @@ def test_cents_agg_invariant_to_partitioning(spark, qs):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b
+
+
+def test_lateral_decorrelates(spark, qs):
+    """The correlated LATERAL aggregate must decorrelate to a plain
+    aggregate + join — never a per-row re-execution (no nested-loop,
+    no cartesian)."""
+    plan = explain_str(qs["q_lateral"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
