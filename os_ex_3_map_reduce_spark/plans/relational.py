@@ -1509,3 +1509,65 @@ def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM orders o WHERE o.o_custkey = c.c_custkey) t
         """
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+        FROM part
+    """,
+    doc="Unpivot/melt (wide -> long), the inverse of q_pivot: per-row "
+    "metric columns become (metric, value) rows via the native unpivot "
+    "operator — an Expand node, one scan, no shuffle and no join. The "
+    "oracle states the same reshape as UNION ALL.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+        SELECT o_orderkey,
+               COUNT(*) OVER w AS n_in_band,
+               CAST(SUM(CAST(round(o_totalprice*10000) AS BIGINT)) OVER w
+                    AS DOUBLE)/10000 AS band_sum
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                     RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Value-RANGE window frame (vs the ROWS frames elsewhere): per "
+    "order, how many same-priority orders fall within the trailing "
+    "10k-price band. RANGE frames include all peers of the current "
+    "value, so the frame is a pure function of the data (no tiebreak "
+    "needed); the in-frame sum takes the integer-cents path so "
+    "accumulation order can't perturb the hash.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.count("*").over(w).alias("n_in_band"),
+        (F.sum(_cents("o_totalprice")).over(w).cast("double") / F.lit(_CENT_SCALE)).alias(
+            "band_sum"
+        ),
+    )
