@@ -1571,3 +1571,22 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_sum"
         ),
     )
+
+
+@register(
+    "q_approx_percentiles",
+    oracle=None,  # approximate (GK sketch); rank-error asserted in tests
+    doc="Quantile sketch (percentile_approx / Greenwald-Khanna): the "
+    "one-pass, mergeable, bounded-memory substitute for exact "
+    "percentiles at 100 TB — exact interpolation (q_percentiles) needs "
+    "a full sort, the sketch needs O(1/eps) space per group and "
+    "merges across partitions. accuracy=10000 bounds rank error at "
+    "1e-4; tests pin the estimates against exact percentiles.",
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+        F.count("*").alias("n"),
+    )

@@ -196,3 +196,24 @@ def test_lateral_decorrelates(spark, qs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_approx_percentiles_rank_error(spark, qs):
+    """GK-sketch estimates must be actual data values within the
+    accuracy-implied rank neighborhood of the exact percentile."""
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    got = {r.o_orderpriority: r for r in
+           qs["q_approx_percentiles"](spark, SF).collect()}
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    for prio, grp in orders.groupby("o_orderpriority"):
+        vals = sorted(grp["o_totalprice"])
+        n = len(vals)
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            est = got[prio][col]
+            # rank window: accuracy=1e4 → eps=1e-4; allow ±(eps*n + 1)
+            lo = max(0, int(q * n) - int(1e-4 * n) - 2)
+            hi = min(n - 1, int(q * n) + int(1e-4 * n) + 2)
+            assert vals[lo] <= est <= vals[hi], (prio, col, est)
