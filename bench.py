@@ -67,8 +67,13 @@ BREADTH = [
     "q_embedding_topk_pairs",
     "q_ann_lsh_topk",
     "q_mapreduce_wordcount",
+    "q_sketch_heavyhitters",
+    "q_hof_fns",
+    "q_lateral",
+    "q_window_range_frame",
     "q_stream_tumbling",
     "q_stream_stateful",
+    "q_stream_static_join",
 ]
 
 
