@@ -137,8 +137,12 @@ def sample_frames(
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 for fi in idx:
+                    # ASCII frame-seed suffix (not raw int bytes): equally
+                    # deterministic, and expressible in the DuckDB oracle
+                    # (sha256 there is VARCHAR-only — NUL bytes would be
+                    # unrepresentable).
                     frame = fake_decode_image(
-                        bytes(payload) + fi.to_bytes(4, "big"), height, width
+                        bytes(payload) + f":frame:{fi}".encode(), height, width
                     )
                     rows.append(
                         (int(doc_id), fi, float(int(frame.sum()) / frame.size))
@@ -153,13 +157,19 @@ def sample_frames(
 def fake_image_features(df: DataFrame, height: int = 4, width: int = 4) -> DataFrame:
     """Decode(fake) → per-image features, batch-shaped exactly like a
     real image pipeline: mean pixel (exact int sum / one divide),
-    per-channel maxima, flattened dims."""
+    per-channel maxima, flattened dims.
+
+    Channel maxima are three scalar columns (max_c0/1/2), not an
+    array<long>: scalar cells survive any downstream canonicalizer
+    (pandas sort_values chokes on ndarray cells) and compare 1:1
+    against a SQL oracle."""
 
     def batch_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 img = fake_decode_image(bytes(payload), height, width)
+                cmax = img.max(axis=(0, 1))
                 rows.append(
                     (
                         int(doc_id),
@@ -167,16 +177,27 @@ def fake_image_features(df: DataFrame, height: int = 4, width: int = 4) -> DataF
                         int(img.shape[1]),
                         int(img.shape[2]),
                         float(int(img.sum()) / img.size),
-                        [int(x) for x in img.max(axis=(0, 1))],
+                        int(cmax[0]),
+                        int(cmax[1]),
+                        int(cmax[2]),
                     )
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "height", "width", "channels", "mean_pixel", "channel_max"],
+                columns=[
+                    "doc_id",
+                    "height",
+                    "width",
+                    "channels",
+                    "mean_pixel",
+                    "max_c0",
+                    "max_c1",
+                    "max_c2",
+                ],
             )
 
     return df.select("doc_id", "payload").mapInPandas(
         batch_features,
         schema="doc_id long, height long, width long, channels long, "
-        "mean_pixel double, channel_max array<long>",
+        "mean_pixel double, max_c0 long, max_c1 long, max_c2 long",
     )

@@ -223,9 +223,53 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_simhash_neardup",
-    oracle=None,  # not SQL-expressible (md5 bit arithmetic); rows-only
+    # Exact oracle: rebuild every 64-bit SimHash in SQL. Per (doc, bit):
+    # count tokens (with multiplicity) whose md5-derived bit is set; the
+    # fingerprint bit is 1 iff 2*ones > n (== acc>0 in the reference
+    # kernel, operators/dedup.py:_simhash64). Bit b (LSB=0) of the
+    # big-endian first-8-bytes value lives in hex nibble 16 - b//4 at
+    # in-nibble position b%4. Fingerprints held as two 32-bit halves so
+    # BIGINT never overflows; hamming = bit_count(xor) per half. The
+    # oracle verifies ALL pairs (no banding) — banding recall is exactly
+    # 1 by the pigeonhole construction, so the sets must agree.
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              w -> w <> '')) AS w
+            FROM documents
+        ),
+        th AS (SELECT doc_id, md5(w) AS hx FROM toks),
+        bits AS (
+            SELECT doc_id, b,
+                   SUM(((strpos('0123456789abcdef',
+                                substr(hx, 16 - b // 4, 1)) - 1)
+                        >> (b % 4)) & 1) AS ones,
+                   COUNT(*) AS n
+            FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+            GROUP BY doc_id, b
+        ),
+        fpc AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN b < 32 AND 2 * ones > n
+                            THEN (1::BIGINT << b) ELSE 0 END) AS lo,
+                   SUM(CASE WHEN b >= 32 AND 2 * ones > n
+                            THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS hi
+            FROM bits GROUP BY doc_id
+        ),
+        fp AS (
+            SELECT d.doc_id, coalesce(f.lo, 0) AS lo, coalesce(f.hi, 0) AS hi
+            FROM documents d LEFT JOIN fpc f USING (doc_id)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
+    """,
     doc="SimHash near-dup pairs (Hamming ≤ 7) via 8-chunk pigeonhole "
-    "banding; deterministic fingerprints (md5-derived).",
+    "banding; deterministic fingerprints (md5-derived). Exact-oracled: "
+    "the DuckDB twin reconstructs the identical fingerprints from "
+    "md5 hex-nibble bit arithmetic and verifies all pairs.",
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -527,9 +571,35 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_fake_image",
-    oracle=None,  # sha-derived fake pixels are not SQL-expressible
+    # Exact oracle: the fake decoder's pixels ARE sha256 bytes (digest
+    # tiled 32→48), so every feature is SQL-arithmetic over the hex
+    # digest: byte i = 16*hexval(2i+1) + hexval(2i+2); mean over the 48
+    # tiled bytes = (sum(all 32) + sum(first 16)) / 48; channel c of the
+    # 4×4×3 image sees tiled bytes at positions ≡ c (mod 3).
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 31),
+                       i -> strpos('0123456789abcdef',
+                                   substr(sha256(text), 2*i + 1, 1)) * 16
+                          + strpos('0123456789abcdef',
+                                   substr(sha256(text), 2*i + 2, 1)) - 17) AS d
+            FROM documents
+        )
+        SELECT doc_id,
+               4::BIGINT AS height, 4::BIGINT AS width, 3::BIGINT AS channels,
+               (list_sum(d) + list_sum(d[1:16])) / 48.0 AS mean_pixel,
+               CAST(list_max(list_transform(generate_series(0, 15),
+                    k -> d[((3*k + 0) % 32) + 1])) AS BIGINT) AS max_c0,
+               CAST(list_max(list_transform(generate_series(0, 15),
+                    k -> d[((3*k + 1) % 32) + 1])) AS BIGINT) AS max_c1,
+               CAST(list_max(list_transform(generate_series(0, 15),
+                    k -> d[((3*k + 2) % 32) + 1])) AS BIGINT) AS max_c2
+        FROM b
+    """,
     doc="Deterministic fake image decode → feature extraction, "
-    "exercising the full multimodal batch pipeline shape.",
+    "exercising the full multimodal batch pipeline shape. Exact-oracled "
+    "against SQL sha256-byte arithmetic.",
 )
 def q_multimodal_fake_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_payload(load_table(spark, sf_dir, "documents"))
@@ -538,10 +608,30 @@ def q_multimodal_fake_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_frames",
-    oracle=None,  # fake frame pixels are not SQL-expressible; rows-only
+    # Exact oracle: frame seed is payload || ':frame:' || idx (ASCII on
+    # purpose — DuckDB sha256 is VARCHAR-only), then the same tiled
+    # sha256-byte mean as q_multimodal_fake_image. Frame indices for
+    # (num_frames=3, total=16) are floor(i*16/3) = 0, 5, 10.
+    oracle="""
+        WITH f AS (SELECT unnest([0, 5, 10]) AS frame_idx),
+        b AS (
+            SELECT doc_id, frame_idx,
+                   list_transform(generate_series(0, 31),
+                       i -> strpos('0123456789abcdef',
+                                   substr(sha256(text || ':frame:' || frame_idx),
+                                          2*i + 1, 1)) * 16
+                          + strpos('0123456789abcdef',
+                                   substr(sha256(text || ':frame:' || frame_idx),
+                                          2*i + 2, 1)) - 17) AS d
+            FROM documents CROSS JOIN f
+        )
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               (list_sum(d) + list_sum(d[1:16])) / 48.0 AS mean_pixel
+        FROM b
+    """,
     doc="Video frame-sampling pipeline shape: evenly-spaced frame "
     "indices, one row per (doc, frame) out of mapInPandas — 3 frames "
-    "per document, deterministic fake decode.",
+    "per document, deterministic fake decode. Exact-oracled.",
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_payload(load_table(spark, sf_dir, "documents"))
@@ -586,24 +676,26 @@ def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "3-grams (O(1) per step) + winnowing window-4 selection (Schleimer "
     "et al.) — the brief's literal rolling-hash fingerprint, "
     "complementing q_fingerprint's min-md5 variant. Arrow-batched; "
-    "deterministic.",
+    "deterministic. Output is the pipe-joined fingerprint string (one "
+    "scalar cell per doc): array cells crash downstream pandas "
+    "canonicalizers, and the string is order-preserving and lossless.",
 )
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import rolling_hashes, winnow
 
     docs = load_table(spark, sf_dir, "documents")
 
-    @F.pandas_udf("array<long>")
+    @F.pandas_udf("string")
     def fp(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda t: [
-                h - (1 << 63) if h >= (1 << 63) else h
+            lambda t: "|".join(
+                str(h - (1 << 63) if h >= (1 << 63) else h)
                 for h in winnow(rolling_hashes(t.split(" ")))
-            ]
+            )
         )
 
     return docs.select("doc_id", fp(F.col("text")).alias("fingerprints")).where(
-        F.size("fingerprints") > 0
+        F.length("fingerprints") > 0
     )
 
 
