@@ -204,6 +204,13 @@ def minhash_lsh_pairs(
         shingle_n,
         shingle_mode,
     ).persist()
+    # NOTE on the persist lifecycle: ``sigs`` has three lazy consumers
+    # (banding + both verification joins), so it must stay cached until
+    # the returned pairs are materialized. Callers that materialize
+    # eagerly should use :func:`minhash_lsh_pairs_eager`, which counts
+    # the pairs and unpersists the signature relation immediately —
+    # otherwise each invocation leaves cached blocks behind until LRU
+    # eviction.
 
     band_hashes = F.array(
         *[
@@ -235,7 +242,25 @@ def minhash_lsh_pairs(
         union.cast("long").alias("union_"),
         (inter.cast("double") / union.cast("double")).alias("jaccard"),
     )
-    return verified.where(F.col("jaccard") >= threshold)
+    pairs = verified.where(F.col("jaccard") >= threshold)
+    # expose the internal cache handle for eager callers (not part of
+    # the public result schema)
+    pairs._osx3_sigs = sigs  # type: ignore[attr-defined]
+    return pairs
+
+
+def minhash_lsh_pairs_eager(df: DataFrame, **kwargs) -> DataFrame:
+    """:func:`minhash_lsh_pairs`, materialized: persists the (small)
+    verified-pairs relation, forces it with one count, and unpersists
+    the signature relation so repeated invocations don't accumulate
+    cached blocks. The returned DataFrame serves any number of
+    downstream consumers from cache."""
+    pairs = minhash_lsh_pairs(df, **kwargs)
+    sigs = pairs._osx3_sigs  # type: ignore[attr-defined]
+    out = pairs.persist()
+    out.count()
+    sigs.unpersist()
+    return out
 
 
 def connected_components(

@@ -103,7 +103,15 @@ class MapReduceClient:
 
 
 def _ddl_field_names(ddl: str) -> list[str]:
-    return [part.strip().split()[0] for part in ddl.split(",")]
+    """Top-level field names of a DDL schema string.
+
+    Parsed with Spark's own DDL parser — a naive ``split(',')`` yields
+    wrong names (and therefore wrong shuffle keys) the moment a client
+    schema nests a comma-bearing type like ``k struct<a:int,b:int>``.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    return list(_parse_datatype_string(ddl).fieldNames())
 
 
 def run_map_reduce(

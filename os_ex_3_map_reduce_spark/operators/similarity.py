@@ -2,11 +2,13 @@
 
 - :func:`topk_to_query` — brute-force query-vector top-k, JVM-side
   sequential fold (zero Python); the correctness baseline.
-- :func:`topk_pairs` — brute-force all-pairs top-k via Arrow-batched
-  numpy matmul against a broadcast matrix: each partition scores its
-  rows against the full (small-side) matrix and keeps a local top-k;
-  a final global top-k merges. This is a broadcast-NLJ shaped plan —
-  fine when one side fits in memory.
+- :func:`topk_pairs` / :func:`threshold_pairs` — EXACT all-pairs
+  scoring as a distributed block outer product: pack vectors into B
+  blocks, self-join the B-row packed relation on blk_a <= blk_b, score
+  each block pair with one Arrow-batched float64 matmul. O(B·n) data
+  movement, n²/2 compute spread over B(B+1)/2 tasks, nothing collected
+  on the driver — the exact path scales with cluster memory, not
+  driver memory.
 - :func:`lsh_bucketed_topk` — the scale path: random-hyperplane
   (SimHash-for-vectors) bucketing; only same-bucket pairs are scored.
   Approximate by construction → registered rows-only (the judge sees
@@ -48,63 +50,125 @@ def topk_to_query(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def _blocked_pair_scores(
+    emb_df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    num_blocks: int,
+):
+    """Shared plan for EXACT all-pairs cosine without any driver-side
+    collect: a block outer product.
+
+    1. Assign each vector to one of B blocks (``id % B`` — deterministic,
+       uniform for dense ids).
+    2. Pack each block into one row (blk, list<struct(vid, e)>) — one
+       shuffle of the data, B rows out.
+    3. Join the packed relation to itself on ``blk_a <= blk_b`` —
+       B(B+1)/2 block-pair rows; every unordered vector pair occurs in
+       exactly ONE of them (within-block pairs when blk_a == blk_b).
+    4. Score each block pair with one float64 matmul in an Arrow batch.
+
+    Scale accounting: total data movement is O(B·n) (each block feeds B
+    block-pair tasks), compute is the unavoidable n²/2 dot products,
+    parallel over B(B+1)/2 independent tasks, and per-task memory is
+    2·(n/B)·d + (n/B)² doubles — pick B ≈ n·d·8 / 256 MB so blocks fit
+    comfortably. No driver materialization anywhere: the exact-pair
+    path survives any n the cluster's aggregate memory can hold, which
+    is what the previous broadcast-from-driver version could not do.
+
+    Returns (joined_block_pairs, kernel_input_schema) for the callers'
+    mapInPandas kernels.
+    """
+    packed = (
+        emb_df.select(
+            F.col(id_col).alias("vid"), F.col(emb_col).cast("array<double>").alias("e")
+        )
+        .withColumn("blk", F.pmod(F.col("vid"), F.lit(num_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vid", "e")).alias("ms"))
+    )
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("ms").alias("ms_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("ms").alias("ms_b"))
+    joined = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        num_blocks * (num_blocks + 1) // 2
+    )
+    return joined
+
+
+def _unpack_block(ms) -> tuple["np.ndarray", "np.ndarray"]:
+    ids = np.fromiter((m["vid"] for m in ms), dtype=np.int64, count=len(ms))
+    mat = np.stack([np.asarray(m["e"], dtype=np.float64) for m in ms])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def _block_pair_sims(
+    same_block: bool,
+    ids_a: "np.ndarray",
+    mat_a: "np.ndarray",
+    ids_b: "np.ndarray",
+    mat_b: "np.ndarray",
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Rounded cosines for every unordered pair of a block pair, with
+    (min-id, max-id) orientation. Within a block: upper triangle only."""
+    sims = np.round(mat_a @ mat_b.T, 4)
+    if same_block:
+        iu, ju = np.triu_indices(len(ids_a), k=1)
+    else:
+        iu, ju = np.indices((len(ids_a), len(ids_b)))
+        iu, ju = iu.ravel(), ju.ravel()
+    s = sims[iu, ju]
+    a = np.minimum(ids_a[iu], ids_b[ju])
+    b = np.maximum(ids_a[iu], ids_b[ju])
+    return a, b, s
+
+
 def topk_pairs(
     emb_df: DataFrame,
     k: int = 20,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Exact global top-k most-similar pairs (a < b) by cosine.
+    """Exact global top-k most-similar pairs (a < b) by rounded cosine.
 
-    The full matrix is broadcast (sc.broadcast) and each partition
-    scores its own rows against it with one float64 matmul, emitting
-    only its local top-k — the driver-side merge sees partitions × k
-    rows, not n². Use only when the matrix side fits in executor
-    memory; beyond that, switch to :func:`lsh_bucketed_topk`.
+    Distributed block outer product (see :func:`_blocked_pair_scores`):
+    each block-pair task scores its pairs with one matmul and emits only
+    its local top-k under the GLOBAL ordering (rounded score desc, ids
+    asc) — the global top-k is a subset of the union of local top-ks,
+    so the final TakeOrdered(k) is exact. Nothing is collected on the
+    driver at any point.
     """
-    spark = emb_df.sparkSession
-    pdf = emb_df.select(id_col, emb_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
 
-    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        order = np.argsort(all_ids)
-        for pdf_part in batches:
-            if pdf_part.empty:
-                continue
-            part_ids = pdf_part[id_col].to_numpy()
-            part_mat = np.stack(pdf_part[emb_col].to_numpy()).astype(np.float64)
-            part_norms = np.linalg.norm(part_mat, axis=1)
-            sims = (part_mat @ all_mat.T) / np.outer(part_norms, all_norms)
-            rows = []
-            for r in range(len(part_ids)):
-                # only pairs (a < b) to avoid double-count; local top-k
-                mask = all_ids > part_ids[r]
-                cand = np.where(mask)[0]
-                if cand.size == 0:
-                    continue
-                # local ordering must equal the global one — (rounded
-                # score desc, id asc) — or a boundary pair could be
-                # dropped locally yet belong in the global top-k.
-                rs = np.round(sims[r, cand], 4)
-                top = cand[np.lexsort((all_ids[cand], -rs))[:k]]
-                for c in top:
-                    rows.append(
-                        (int(part_ids[r]), int(all_ids[c]), round(float(sims[r, c]), 4))
-                    )
-            yield pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                ids_a, mat_a = _unpack_block(row.ms_a)
+                ids_b, mat_b = _unpack_block(row.ms_b)
+                a, b, s = _block_pair_sims(
+                    row.blk_a == row.blk_b, ids_a, mat_a, ids_b, mat_b
+                )
+                if len(s) > k:
+                    # local ordering must equal the global one — (rounded
+                    # score desc, id asc) — or a boundary pair could be
+                    # dropped locally yet belong in the global top-k.
+                    top = np.lexsort((b, a, -s))[:k]
+                    a, b, s = a[top], b[top], s[top]
+                outs.append(pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": s}))
+            yield pd.concat(outs) if outs else empty
 
-    local = emb_df.select(id_col, emb_col).mapInPandas(
-        score_partition, schema="vec_a long, vec_b long, cosine double"
+    local = _blocked_pair_scores(emb_df, id_col, emb_col, num_blocks).mapInPandas(
+        score, schema="vec_a long, vec_b long, cosine double"
     )
-    return local.orderBy(
-        F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")
-    ).limit(k)
+    return local.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")).limit(k)
 
 
 def threshold_pairs(
@@ -112,50 +176,45 @@ def threshold_pairs(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: every (a < b) with
     ``round(cosine, 4) >= threshold`` (E2's embedding modality).
 
-    Same broadcast-matmul shape as :func:`topk_pairs` — each partition
-    scores its rows against the broadcast matrix and emits only the
-    qualifying pairs, so the shuffled volume is the (tiny) match set,
-    never n². The threshold compare happens on the ROUNDED score, the
-    same value the oracle compares, so boundary pairs cannot flip
-    between engines. Beyond broadcastable scale, swap the candidate
-    generator for :func:`lsh_bucketed_topk`'s buckets and verify
-    survivors with this same exact kernel.
+    Same distributed block outer product as :func:`topk_pairs`; each
+    block-pair task emits only qualifying pairs, so the shuffled output
+    is the (tiny) match set, never n². The threshold compares the
+    ROUNDED score — the same value the oracle compares — so boundary
+    pairs cannot flip between engines.
     """
-    spark = emb_df.sparkSession
-    pdf = emb_df.select(id_col, emb_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
 
-    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf_part in batches:
-            if pdf_part.empty:
-                continue
-            part_ids = pdf_part[id_col].to_numpy()
-            part_mat = np.stack(pdf_part[emb_col].to_numpy()).astype(np.float64)
-            part_norms = np.linalg.norm(part_mat, axis=1)
-            sims = np.round(
-                (part_mat @ all_mat.T) / np.outer(part_norms, all_norms), 4
-            )
-            rows = []
-            for r in range(len(part_ids)):
-                hit = np.where((all_ids > part_ids[r]) & (sims[r] >= threshold))[0]
-                for c in hit:
-                    rows.append(
-                        (int(part_ids[r]), int(all_ids[c]), float(sims[r, c]))
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                ids_a, mat_a = _unpack_block(row.ms_a)
+                ids_b, mat_b = _unpack_block(row.ms_b)
+                a, b, s = _block_pair_sims(
+                    row.blk_a == row.blk_b, ids_a, mat_a, ids_b, mat_b
+                )
+                keep = s >= threshold
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {"vec_a": a[keep], "vec_b": b[keep], "cosine": s[keep]}
+                        )
                     )
-            yield pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+            yield pd.concat(outs) if outs else empty
 
-    return emb_df.select(id_col, emb_col).mapInPandas(
-        score_partition, schema="vec_a long, vec_b long, cosine double"
+    return _blocked_pair_scores(emb_df, id_col, emb_col, num_blocks).mapInPandas(
+        score, schema="vec_a long, vec_b long, cosine double"
     )
 
 

@@ -299,3 +299,46 @@ class TestCountMinSketch:
         m = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
         d = {(r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
         assert m == d
+
+
+def test_neardup_pairs_cache_reuses_and_releases_sigs(spark):
+    """The near-dup family shares one materialized pair relation per
+    (context, sf_dir, mode); the signature relation must be unpersisted
+    once pairs are materialized (no cache-block accumulation)."""
+    from os_ex_3_map_reduce_spark.plans.llm import _PAIRS_CACHE, _neardup_pairs
+
+    # start from a clean cache state: other tests use the lazy
+    # minhash_lsh_pairs API directly and leave its persisted signature
+    # relation behind by design
+    _PAIRS_CACHE.clear()
+    spark.catalog.clearCache()
+    a = _neardup_pairs(spark, SF_CORRECT, "word")
+    b = _neardup_pairs(spark, SF_CORRECT, "word")
+    assert a is b, "second consumer must reuse the cached pair relation"
+    assert a.storageLevel.useMemory, "pair relation should be persisted"
+    # only the pair relations remain cached — signatures were released
+    jsc = spark.sparkContext._jsc.sc()
+    cached = [
+        jsc.getRDDStorageInfo()[i].name()
+        for i in range(len(jsc.getRDDStorageInfo()))
+    ]
+    assert not any("shingle" in (n or "") for n in cached)
+    # and the cached relation is the same rows as a fresh computation
+    from os_ex_3_map_reduce_spark.operators.dedup import minhash_lsh_pairs
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    fresh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            load_table(spark, SF_CORRECT, "documents"), threshold=0.5
+        ).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in a.collect()} == fresh
+
+
+def test_ddl_field_names_handles_nested_types():
+    from os_ex_3_map_reduce_spark.operators.map_reduce import _ddl_field_names
+
+    assert _ddl_field_names("w string, cnt long") == ["w", "cnt"]
+    assert _ddl_field_names("k struct<a:int,b:int>, v long") == ["k", "v"]
+    assert _ddl_field_names("m map<string,array<int>>, n int") == ["m", "n"]

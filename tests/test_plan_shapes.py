@@ -217,3 +217,30 @@ def test_approx_percentiles_rank_error(spark, qs):
             lo = max(0, int(q * n) - int(1e-4 * n) - 2)
             hi = min(n - 1, int(q * n) + int(1e-4 * n) + 2)
             assert vals[lo] <= est <= vals[hi], (prio, col, est)
+
+
+def test_exact_pair_similarity_builds_without_driver_jobs(spark):
+    """topk_pairs/threshold_pairs must be fully lazy plans: no
+    toPandas/collect of the embedding relation during plan construction
+    (the round-1 implementation materialized the whole table on the
+    driver to build a broadcast matrix — a driver OOM at scale)."""
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        threshold_pairs,
+        topk_pairs,
+    )
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    sc = spark.sparkContext
+    sc.setJobGroup("similarity-construct", "plan construction must be lazy")
+    try:
+        df1 = topk_pairs(emb, k=20)
+        df2 = threshold_pairs(emb, threshold=0.4)
+        jobs = sc.statusTracker().getJobIdsForGroup("similarity-construct")
+        assert jobs == [], f"plan construction ran driver-side jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
+    # and the plans still execute correctly (non-empty, no exchange of
+    # raw pairs beyond the packed-block join)
+    assert df1.count() == 20
+    assert df2.count() > 0
