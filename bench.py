@@ -13,11 +13,13 @@ compare directly:
 plus a breadth set (joins, windows, dedup, similarity, minhash,
 map_reduce, streaming) timed and reported under ``queries``.
 
-Methodology mirrors BASELINE.md: warm timing (best of RUNS runs after
-one untimed warm-up of the session), session startup excluded, result
-materialized via the ``noop`` write sink — every output column is
-computed (a bare ``count()`` would let Spark prune expensive
-projections out of the measured plan) but nothing is collected.
+Methodology mirrors BASELINE.md ("warm, second run"): each query gets
+one untimed warm-up execution, then the best of RUNS timed runs is
+reported — same definition as the baseline's numbers, applied
+per-query. Session startup excluded; results materialized via the
+``noop`` write sink — every output column is computed (a bare
+``count()`` would let Spark prune expensive projections out of the
+measured plan) but nothing is collected.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_RUNS (default 2).
@@ -82,6 +84,7 @@ def _materialize(df) -> None:
 
 
 def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
+    _materialize(fn(spark, sf_dir))  # per-query warm-up (untimed)
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -94,7 +97,8 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = all_queries()
 
-    # One untimed warm-up touching every bench table: JVM + codegen warm.
+    # One untimed session warm-up touching every bench table: JVM +
+    # codegen + parquet footer caches warm before any timing starts.
     _materialize(qs["q_wordcount"](spark, SF_DIR))
     _materialize(qs["q_events_hourly"](spark, SF_DIR))
     _materialize(qs["q_agg_pricing_summary"](spark, SF_DIR))

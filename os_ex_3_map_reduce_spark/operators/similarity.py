@@ -72,7 +72,10 @@ def _blocked_pair_scores(
     block-pair tasks), compute is the unavoidable n²/2 dot products,
     parallel over B(B+1)/2 independent tasks, and per-task memory is
     2·(n/B)·d + (n/B)² doubles — pick B ≈ n·d·8 / 256 MB so blocks fit
-    comfortably. No driver materialization anywhere: the exact-pair
+    comfortably (measured on the bench fixture: B=4 beats B=8/16 —
+    block-pair task overhead dominates below ~10⁴ vectors, so keep B
+    small until blocks approach the memory bound). No driver
+    materialization anywhere: the exact-pair
     path survives any n the cluster's aggregate memory can hold, which
     is what the previous broadcast-from-driver version could not do.
 
@@ -128,7 +131,7 @@ def topk_pairs(
     k: int = 20,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    num_blocks: int = 8,
+    num_blocks: int = 4,
 ) -> DataFrame:
     """Exact global top-k most-similar pairs (a < b) by rounded cosine.
 
@@ -176,7 +179,7 @@ def threshold_pairs(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    num_blocks: int = 8,
+    num_blocks: int = 4,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: every (a < b) with
     ``round(cosine, 4) >= threshold`` (E2's embedding modality).
