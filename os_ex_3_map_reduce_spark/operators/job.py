@@ -14,8 +14,13 @@ Maps the reference API [R:MapReduceFramework.h] onto Spark's scheduler:
   consistent snapshot source. Stage mapping: for a 2-stage shuffle job,
   the map-side stage (shuffle write, which also sorts — R4) reports
   MAP; the window between map-stage completion and first reduce task
-  finishing reports SHUFFLE (Spark's fetch phase); the reduce-side
-  stage reports REDUCE.
+  finishing reports SHUFFLE (Spark's fetch phase) with a pairs-moved
+  percentage — reduce-side ``shuffleReadRecords`` over map-side
+  ``shuffleWriteRecords``, the same accounting as the reference's
+  shuffled-pairs counter; the reduce-side stage reports REDUCE.
+  ``(stage, percentage)`` is monotone non-decreasing across polls
+  (stage order UNDEFINED < MAP < SHUFFLE < REDUCE; cumulative task and
+  record counters within each stage).
 - ``closeJobHandle(handle)`` → :meth:`JobHandle.close` (waits first if
   needed, like the canonical implementation, then drops references).
 
@@ -72,6 +77,38 @@ class JobHandle:
         return self._result
 
     # -- getJobState parity ------------------------------------------------
+    def _stage_store(self):
+        # JVM AppStatusStore: the only place per-stage shuffle metrics
+        # live (the Python StatusTracker exposes task counts only).
+        return self._spark.sparkContext._jsc.sc().statusStore()
+
+    def _is_skipped(self, sid: int) -> bool:
+        """A stage whose exchange output was reused is SKIPPED: it will
+        never complete tasks, so it must not anchor phase accounting."""
+        try:
+            return (
+                self._stage_store().lastStageAttempt(sid).status().toString()
+                == "SKIPPED"
+            )
+        except Exception:
+            return False  # not in the store yet → pending, not skipped
+
+    def _shuffle_percentage(self, map_sid: int, red_sid: int) -> float:
+        """Pairs-moved shuffle accounting, mirroring the reference's
+        contract (shuffled pairs / total intermediate pairs): records
+        the reduce-side stage has fetched over records the map-side
+        stage wrote. Both counters are cumulative, so the percentage is
+        monotone non-decreasing across polls."""
+        try:
+            store = self._stage_store()
+            wrote = store.lastStageAttempt(map_sid).shuffleWriteRecords()
+            read = store.lastStageAttempt(red_sid).shuffleReadRecords()
+        except Exception:
+            return 0.0  # stage data not published yet
+        if wrote <= 0:
+            return 100.0  # empty shuffle — nothing to move
+        return min(100.0, 100.0 * read / wrote)
+
     def state(self) -> JobState:
         if self._closed:
             return JobState(Stage.UNDEFINED, 0.0)
@@ -88,7 +125,11 @@ class JobHandle:
                 continue
             for sid in jinfo.stageIds:
                 sinfo = tracker.getStageInfo(sid)
-                if sinfo is not None and sinfo.numTasks > 0:
+                if (
+                    sinfo is not None
+                    and sinfo.numTasks > 0
+                    and not self._is_skipped(sid)
+                ):
                     stages.append((sid, sinfo.numCompletedTasks, sinfo.numTasks))
         if not stages:
             return JobState(Stage.UNDEFINED, 0.0)
@@ -98,9 +139,9 @@ class JobHandle:
             return JobState(Stage.MAP, 100.0 * map_done / map_total)
         if len(stages) == 1:
             return JobState(Stage.SHUFFLE, 0.0)
-        _, red_done, red_total = stages[-1]
+        red_sid, red_done, red_total = stages[-1]
         if red_done == 0:
-            return JobState(Stage.SHUFFLE, 100.0)
+            return JobState(Stage.SHUFFLE, self._shuffle_percentage(map_sid, red_sid))
         return JobState(Stage.REDUCE, 100.0 * red_done / red_total)
 
     # -- closeJobHandle parity ---------------------------------------------

@@ -120,10 +120,50 @@ def test_job_control_lifecycle(spark):
 
     final = handle.state()
     assert final.stage is Stage.REDUCE and final.percentage == 100.0
-    # stage only ever advances UNDEFINED → MAP → SHUFFLE → REDUCE
+    # (stage, percentage) advances monotonically: stage only ever moves
+    # UNDEFINED → MAP → SHUFFLE → REDUCE, and within a stage the
+    # percentage never decreases (the canonical course test's contract).
     order = [Stage.UNDEFINED, Stage.MAP, Stage.SHUFFLE, Stage.REDUCE]
-    seen = [order.index(s.stage) for s in states]
-    assert seen == sorted(seen), f"stage regressed: {[s.stage for s in states]}"
+    seen = [(order.index(s.stage), s.percentage) for s in states]
+    assert seen == sorted(seen), f"progress regressed: {seen}"
+    assert all(0.0 <= p <= 100.0 for _, p in seen)
 
     handle.close()
     assert handle.state().stage is Stage.UNDEFINED
+
+
+def test_shuffle_percentage_is_pairs_moved(spark):
+    """SHUFFLE progress = reduce-side records fetched / map-side records
+    written (the reference's shuffled-pairs accounting), not a 0/100
+    quantization: on a finished shuffle both counters are equal, so the
+    helper must report exactly 100 from the real metrics."""
+    from os_ex_3_map_reduce_spark.operators.job import start_job
+
+    df = (
+        spark.range(0, 200_000, 1, 8)
+        .selectExpr("id % 97 as k", "id as v")
+        .groupBy("k")
+        .count()
+    )
+    handle = start_job(spark, df, description="shuffle accounting probe")
+    handle.wait()
+    tracker = spark.sparkContext.statusTracker()
+    sids = sorted(
+        sid
+        for jid in tracker.getJobIdsForGroup(handle._group)
+        for sid in tracker.getJobInfo(jid).stageIds
+        if not handle._is_skipped(sid)
+        and tracker.getStageInfo(sid) is not None
+        and tracker.getStageInfo(sid).numTasks > 0
+    )
+    assert len(sids) >= 2, f"expected a 2-stage shuffle job, got {sids}"
+    pct = handle._shuffle_percentage(sids[0], sids[-1])
+    assert pct == 100.0, pct
+    # and the underlying counters really are record counts, not a flag:
+    # map-side partial agg emits one partial per (partition, key), all
+    # of which the single reduce stage fetches.
+    store = handle._stage_store()
+    wrote = store.lastStageAttempt(sids[0]).shuffleWriteRecords()
+    read = store.lastStageAttempt(sids[-1]).shuffleReadRecords()
+    assert wrote == read >= 97
+    handle.close()
