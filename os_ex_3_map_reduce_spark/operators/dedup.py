@@ -23,7 +23,11 @@ primitives:
   fingerprints (Arrow-batched Python for the bit arithmetic), near-dup
   candidates via 16-bit chunk banding (a Hamming-ball pigeonhole:
   distance ≤ 3 ⇒ at least one of 4 chunks equal), verified with
-  JVM-side ``bit_count(xor)``.
+  JVM-side ``bit_count(xor)``. The all-JVM alternative (explode
+  tokens → F.md5 → conv() halves → 64 codegen'd bit-sum aggregates)
+  was measured at 3.6 s vs the Arrow kernel's 0.48 s on sf0.1 — the
+  per-token string md5 + 64 agg expressions over the exploded relation
+  cost far more than one Arrow hop, so the kernel stays.
 """
 
 from __future__ import annotations

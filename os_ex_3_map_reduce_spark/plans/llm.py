@@ -538,14 +538,16 @@ def q_tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # N as a 1-row aggregate broadcast-cross-joined in (mirrors the
+    # oracle's CROSS JOIN n) — no eager driver-side count() in the plan.
+    n = docs.agg(F.count("*").alias("n_docs"))
     w = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    score = (F.col("tf") * F.lit(n_docs)) / F.col("df")
     scored = (
         tf.join(df, "term")
-        .withColumn("score", score)
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", (F.col("tf") * F.col("n_docs")) / F.col("df"))
         .withColumn(
             "rn",
             F.row_number().over(
