@@ -64,7 +64,9 @@ def _load_all() -> None:
 #: verified, or whose implementation changed since their last verification,
 #: come first; long-stable verified queries rotate to the back. Rotation
 #: plan: once a round's CORRECTNESS file confirms this set green, swap the
-#: next unverified batch in.
+#: next unverified batch in — as of round 2 that batch is q_sample_hash,
+#: q_contamination, q_repetition, q_normalize_text (registered behind the
+#: window; green in the local driver-sim).
 DRIVER_WINDOW = 50
 
 #: Round-2 priority prefix (exactly DRIVER_WINDOW names):

@@ -825,3 +825,191 @@ def q_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("text_a", "text_b").cast("long").alias("edit_dist"),
         )
     )
+
+
+# --- training-pipeline extras: sampling, decontamination, quality ---------
+#
+# Four more operations a 100 TB training-data pipeline runs constantly,
+# each exact-oracled. Registered after the driver-priority window in
+# round 2 (catalog.DRIVER_PRIORITY); rotate them into the window next
+# round.
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+        SELECT doc_id, lang, substr(md5(text), 1, 8) AS bucket_hex
+        FROM documents
+        WHERE substr(md5(text), 1, 8) < '1999999a'
+    """,
+    doc="Deterministic ~10% corpus sample by content-hash threshold "
+    "(keep docs whose md5 prefix < 0.1*2^32, compared as lowercase hex "
+    "strings — lexicographic == numeric for fixed-width hex). The "
+    "reproducible-sampling primitive for ablations and held-out "
+    "splits: no RNG state, identical sample on any engine, any "
+    "partitioning, any run; the filter is a scan-level predicate (no "
+    "shuffle at all).",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5("text"), 1, 8)
+    return docs.select(
+        "doc_id", "lang", bucket.alias("bucket_hex")
+    ).where(bucket < "1999999a")
+
+
+@register(
+    "q_contamination",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, len(t) - 2),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            WHERE len(t) >= 3
+        ),
+        ev AS (SELECT * FROM sh WHERE doc_id % 100 = 0),
+        tr AS (SELECT * FROM sh WHERE doc_id % 100 <> 0),
+        ev_sizes AS (SELECT doc_id, COUNT(*) AS n_eval FROM ev GROUP BY 1),
+        inter AS (
+            SELECT ev.doc_id AS eval_doc, tr.doc_id AS train_doc,
+                   COUNT(*) AS n_shared
+            FROM ev JOIN tr ON ev.s = tr.s
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT eval_doc, train_doc, n_shared, n_eval,
+                   (n_shared * 1.0 / n_eval) AS containment,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY eval_doc
+                       ORDER BY (n_shared * 1.0 / n_eval) DESC, train_doc
+                   ) AS rn
+            FROM inter JOIN ev_sizes ON eval_doc = ev_sizes.doc_id
+        )
+        SELECT eval_doc, train_doc, n_shared, n_eval, containment
+        FROM scored WHERE rn = 1
+    """,
+    doc="Train/eval contamination screen — the decontamination pass "
+    "every LLM data pipeline runs before training: for each held-out "
+    "document (doc_id %% 100 == 0 stands in for the eval set), find "
+    "the training document with the highest 3-gram-shingle containment "
+    "|sh(eval) ∩ sh(train)| / |sh(eval)|. Shuffles only (shingle, id) "
+    "pairs — the same slim-join discipline as the LSH family; at "
+    "100 TB the train side would be pre-bucketed by shingle hash. "
+    "Containment (asymmetric) rather than Jaccard because a short eval "
+    "doc fully quoted inside a long training doc must score 1.0.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("s"),
+    )
+    ev = sh.where(F.col("doc_id") % 100 == 0)
+    tr = sh.where(F.col("doc_id") % 100 != 0)
+    ev_sizes = ev.groupBy("doc_id").agg(F.count("*").alias("n_eval"))
+    inter = (
+        ev.select(F.col("doc_id").alias("eval_doc"), "s")
+        .join(tr.select(F.col("doc_id").alias("train_doc"), "s"), "s")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    scored = (
+        inter.join(ev_sizes.withColumnRenamed("doc_id", "eval_doc"), "eval_doc")
+        .withColumn("containment", F.col("n_shared") * 1.0 / F.col("n_eval"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("eval_doc").orderBy(
+                    F.desc("containment"), F.asc("train_doc")
+                )
+            ),
+        )
+    )
+    return scored.where(F.col("rn") == 1).select(
+        "eval_doc", "train_doc", "n_shared", "n_eval", "containment"
+    )
+
+
+@register(
+    "q_repetition",
+    oracle="""
+        WITH bg AS (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(t) - 1),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS b
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            WHERE len(t) >= 2
+        ),
+        cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        top AS (
+            SELECT doc_id, b AS top_bigram, c AS top_cnt,
+                   SUM(c) OVER (PARTITION BY doc_id) AS total_bigrams,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, b) AS rn
+            FROM cnt
+        )
+        SELECT doc_id, top_bigram, top_cnt,
+               CAST(total_bigrams AS BIGINT) AS total_bigrams,
+               (top_cnt * 1.0 / total_bigrams) AS rep_ratio
+        FROM top WHERE rn = 1
+    """,
+    doc="Repetition-based quality scoring (the Gopher-style 'most "
+    "frequent n-gram fraction' rule): per document, the most frequent "
+    "bigram (with multiplicity) and the fraction of all bigram slots "
+    "it occupies — high ratios flag boilerplate/degenerate text for "
+    "removal before training. Two hash aggregations + one window, all "
+    "JVM-side.",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 2)).alias("b")
+    )
+    cnt = bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    w_tot = Window.partitionBy("doc_id")
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("b"))
+    top = (
+        cnt.withColumn("total_bigrams", F.sum("c").over(w_tot))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+    )
+    return top.select(
+        "doc_id",
+        F.col("b").alias("top_bigram"),
+        F.col("c").alias("top_cnt"),
+        F.col("total_bigrams").cast("long").alias("total_bigrams"),
+        (F.col("c") * 1.0 / F.col("total_bigrams")).alias("rep_ratio"),
+    )
+
+
+@register(
+    "q_normalize_text",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               array_to_string(list_filter(toks,
+                   w -> w NOT IN ({", ".join(f"'{w}'" for w in STOPWORDS)})),
+                   ' ') AS clean_text,
+               CAST(len(toks) - len(list_filter(toks,
+                   w -> w NOT IN ({", ".join(f"'{w}'" for w in STOPWORDS)})))
+                   AS BIGINT) AS n_removed
+        FROM t
+    """,
+    doc="Text-normalization stage (the scrub/cleanup shape: the same "
+    "plan handles PII masking or markup stripping by swapping the "
+    "predicate): remove stopwords, emit cleaned text + removal count "
+    "per document. Pure higher-order-function expressions — stays in "
+    "whole-stage codegen, no shuffle.",
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    toks = tokens("text")
+    kept = F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )

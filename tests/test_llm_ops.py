@@ -342,3 +342,31 @@ def test_ddl_field_names_handles_nested_types():
     assert _ddl_field_names("w string, cnt long") == ["w", "cnt"]
     assert _ddl_field_names("k struct<a:int,b:int>, v long") == ["k", "v"]
     assert _ddl_field_names("m map<string,array<int>>, n int") == ["m", "n"]
+
+
+def test_training_pipeline_extras_nonvacuous(spark):
+    """The four pipeline-extra queries must do real work on the fixture
+    (a sampling op that samples nothing, or a contamination screen that
+    finds nothing, would be a vacuous pass)."""
+    from os_ex_3_map_reduce_spark.plans import all_queries
+
+    qs = all_queries()
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+
+    sample = qs["q_sample_hash"](spark, SF_CORRECT).count()
+    assert 0.04 * n_docs < sample < 0.2 * n_docs, sample  # ~10% ± slack
+
+    cont = {r.eval_doc: r for r in qs["q_contamination"](spark, SF_CORRECT).collect()}
+    assert cont, "contamination screen found no overlapping docs"
+    assert all(0.0 < r.containment <= 1.0 for r in cont.values())
+    assert all(r.n_shared <= r.n_eval for r in cont.values())
+    # exactness itself is covered by the DuckDB parity test
+
+    rep = qs["q_repetition"](spark, SF_CORRECT).collect()
+    assert len(rep) == n_docs
+    assert all(0.0 < r.rep_ratio <= 1.0 for r in rep)
+    assert any(r.top_cnt > 1 for r in rep), "tiny vocab must repeat bigrams"
+
+    norm = qs["q_normalize_text"](spark, SF_CORRECT).collect()
+    assert sum(r.n_removed for r in norm) > 0
+    assert all(" the " not in f" {r.clean_text} " for r in norm)
