@@ -64,8 +64,14 @@ _PAIRS_CACHE_MAX = 16
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir, mode)
+    sc = spark.sparkContext
+    key = (id(sc), sc.applicationId, sf_dir, mode)
     pairs = _PAIRS_CACHE.get(key)
+    # a stopped-and-recreated context can reuse the same id(); the
+    # applicationId in the key plus this liveness probe guard against
+    # serving a DataFrame bound to a dead session
+    if pairs is not None and pairs.sparkSession.sparkContext is not sc:
+        pairs = None
     if pairs is None:
         docs = load_table(spark, sf_dir, "documents")
         if mode == "word":
@@ -85,7 +91,10 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
             )
         if len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
             for old in _PAIRS_CACHE.values():
-                old.unpersist()
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass  # cached entry's session already stopped
             _PAIRS_CACHE.clear()
         _PAIRS_CACHE[key] = pairs
     return pairs
