@@ -1554,22 +1554,74 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order, how many same-priority orders fall within the trailing "
     "10k-price band. RANGE frames include all peers of the current "
     "value, so the frame is a pure function of the data (no tiebreak "
-    "needed); the in-frame sum takes the integer-cents path so "
-    "accumulation order can't perturb the hash.",
+    "needed); sums take the integer-cents path so accumulation order "
+    "can't perturb the hash. NOT executed as a native sliding RANGE "
+    "frame: Spark aggregates can't retract, so a sliding value frame "
+    "replays the whole frame per row — O(n × avg frame), measured "
+    "1.44 s at sf0.1 (avg frame ≈ 3 000 rows). Reformulated as two "
+    "O(n) growing-frame prefix scans plus an as-of boundary lookup "
+    "(tagged union, probes sort before refs at equal key so the "
+    "trailing band stays inclusive): band agg = prefix(p) − "
+    "prefix(last value < p−10000). Exact same integer arithmetic, "
+    "measured 0.77 s, and survives arbitrarily wide frames at 100 TB. "
+    "Equality with the native RANGE frame operator is asserted in "
+    "tests/test_plan_shapes.py.",
 )
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    w = (
+    wcum = (
         Window.partitionBy("o_orderpriority")
         .orderBy("o_totalprice")
-        .rangeBetween(-10000, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return orders.select(
+    base = orders.select(
         "o_orderkey",
-        F.count("*").over(w).alias("n_in_band"),
-        (F.sum(_cents("o_totalprice")).over(w).cast("double") / F.lit(_CENT_SCALE)).alias(
-            "band_sum"
-        ),
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum(_cents("o_totalprice")).over(wcum).alias("cum_c"),
+        F.count("*").over(wcum).alias("cum_n"),
+    )
+    nul = F.lit(None).cast("long")
+    probes = base.select(
+        "o_orderpriority",
+        (F.col("o_totalprice") - 10000).alias("key"),
+        F.lit(0).alias("tag"),
+        "o_orderkey",
+        "cum_c",
+        "cum_n",
+        nul.alias("ref_c"),
+        nul.alias("ref_n"),
+    )
+    refs = base.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("key"),
+        F.lit(1).alias("tag"),
+        nul.alias("o_orderkey"),
+        nul.alias("cum_c"),
+        nul.alias("cum_n"),
+        F.col("cum_c").alias("ref_c"),
+        F.col("cum_n").alias("ref_n"),
+    )
+    wseq = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("key", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = probes.unionByName(refs).select(
+        "o_orderkey",
+        "tag",
+        "cum_c",
+        "cum_n",
+        F.last("ref_c", ignorenulls=True).over(wseq).alias("carry_c"),
+        F.last("ref_n", ignorenulls=True).over(wseq).alias("carry_n"),
+    )
+    return seq.where(F.col("tag") == 0).select(
+        "o_orderkey",
+        (F.col("cum_n") - F.coalesce("carry_n", F.lit(0))).alias("n_in_band"),
+        (
+            (F.col("cum_c") - F.coalesce("carry_c", F.lit(0))).cast("double")
+            / F.lit(_CENT_SCALE)
+        ).alias("band_sum"),
     )
 
 

@@ -244,3 +244,30 @@ def test_exact_pair_similarity_builds_without_driver_jobs(spark):
     # raw pairs beyond the packed-block join)
     assert df1.count() == 20
     assert df2.count() > 0
+
+
+def test_range_frame_rewrite_equals_native_frame(spark, qs):
+    """q_window_range_frame is executed as prefix scans + as-of boundary
+    lookup (O(n log n)) instead of Spark's native sliding RANGE frame
+    (O(n x avg-frame): aggregates can't retract, the frame replays per
+    row). The rewrite must be row-for-row identical to the native
+    operator — including value-peer handling at both band edges."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 10000).cast("long")
+    native = orders.select(
+        "o_orderkey",
+        F.count("*").over(w).alias("n_in_band"),
+        (F.sum(cents).over(w).cast("double") / 10000).alias("band_sum"),
+    )
+    got = sorted(map(tuple, qs["q_window_range_frame"](spark, SF).collect()))
+    want = sorted(map(tuple, native.collect()))
+    assert got == want
