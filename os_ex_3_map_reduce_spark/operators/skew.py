@@ -40,3 +40,47 @@ def salted_agg(
     )
     partial = salted.groupBy(*key_cols, "__salt").agg(*partial_aggs)
     return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[tuple[str, str]],
+    distribute_by: list[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Manual skew-join: replicate the small side per salt bucket and
+    spread each hot big-side key over ``salt_buckets`` reducers.
+
+    ``on`` is a list of (big_col, small_col) equi-key pairs;
+    ``distribute_by`` names big-side columns whose hash assigns the salt
+    (they must vary WITHIN a join key — salting on the key itself would
+    put every row of the hot key back in one bucket). The small side is
+    exploded ``salt_buckets``× so every (key, salt) combination exists.
+
+    Join semantics are preserved for ``inner`` and ``left`` (each big
+    row matches exactly its own salt's copy); right/full would duplicate
+    unmatched small rows per salt, so they are rejected.
+
+    AQE's skew-join split covers this automatically for plain shuffle
+    joins; the manual primitive remains necessary where AQE can't reach:
+    pre-partitioned/bucketed layouts that must stay co-located, stateful
+    streaming joins (no AQE in streaming), or when the skew is known
+    ahead of time and re-planning mid-query is too late.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in distribute_by]), F.lit(salt_buckets)
+    ).cast("int")
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    cond = big_s["__salt"] == small_s["__salt"]
+    for bk, sk in on:
+        cond = cond & (big_s[bk] == small_s[sk])
+    return big_s.join(small_s, cond, how).drop(big_s["__salt"]).drop(
+        small_s["__salt"]
+    )

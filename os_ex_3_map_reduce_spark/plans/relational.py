@@ -1642,3 +1642,38 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_salted_join",
+    oracle=f"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               {SQL_DSUM('o_totalprice')} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="Skew-safe manual salted join (operators/skew.py:salted_join): "
+    "the small side is replicated per salt bucket and each hot "
+    "fact-side key spreads over 8 reducers (salt = hash of the fact "
+    "primary key — a column that varies within the join key). Same "
+    "exact result as the plain join (one oracle covers both); the "
+    "manual primitive matters where AQE skew-split can't reach — "
+    "bucketed co-located layouts, streaming joins, known-ahead skew. "
+    "MERGE hint pins the shuffle join so the salt is actually "
+    "load-bearing in the measured plan.",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").hint("merge")
+    joined = salted_join(
+        orders,
+        customer,
+        on=[("o_custkey", "c_custkey")],
+        distribute_by=["o_orderkey"],
+        salt_buckets=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price")
+    )

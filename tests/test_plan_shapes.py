@@ -271,3 +271,48 @@ def test_range_frame_rewrite_equals_native_frame(spark, qs):
     got = sorted(map(tuple, qs["q_window_range_frame"](spark, SF).collect()))
     want = sorted(map(tuple, native.collect()))
     assert got == want
+
+
+def test_salted_join_spreads_keys_and_preserves_semantics(spark):
+    """salted_join must (a) join on (key, salt) — visible in the plan —
+    and (b) return exactly the plain join's rows, including left-join
+    unmatched rows exactly once despite the small side's replication."""
+    from pyspark.sql import functions as F
+    from os_ex_3_map_reduce_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(300)] + [(1000, 99, "orphan")],
+        "pk long, k long, payload string",
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "sk long, name string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(
+                tuple,
+                salted_join(
+                    big, small, on=[("k", "sk")], distribute_by=["pk"], how=how
+                )
+                .select("pk", "k", "payload", "name")
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                big.join(small, big.k == small.sk, how)
+                .select("pk", "k", "payload", "name")
+                .collect(),
+            )
+        )
+        assert got == want, how
+    # salt participates in the join keys (spreads each hot key)
+    plan = explain_str(
+        salted_join(big, small, on=[("k", "sk")], distribute_by=["pk"])
+    )
+    assert "__salt" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(big, small, on=[("k", "sk")], distribute_by=["pk"], how="full")
