@@ -35,3 +35,23 @@ def test_sql_frontend_matches_dataframe_plans(spark):
     )
     df = all_queries()["q_join_broadcast"](spark, SF_CORRECT)
     assert sorted(map(tuple, sql.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_sql_frontend_supports_recursive_cte(spark):
+    """Spark 4.1's WITH RECURSIVE works through the engine's SQL
+    front-end (acyclic recursion, UNION ALL). Deliberately NOT a
+    catalog query: row-per-level recursion executes as a driver-paced
+    loop (cteRecursionLevelLimit default 100), so dense spines are
+    generated distributively via sequence()+explode instead
+    (q_time_gapfill); this test records the capability and its limits."""
+    out = spark.sql(
+        """
+        WITH RECURSIVE fib(n, a, b) AS (
+            SELECT 1, 0L, 1L
+            UNION ALL
+            SELECT n + 1, b, a + b FROM fib WHERE n < 20
+        )
+        SELECT MAX(b) AS f20 FROM fib
+        """
+    ).first()
+    assert out.f20 == 6765
