@@ -73,6 +73,10 @@ BREADTH = [
     "q_hof_fns",
     "q_lateral",
     "q_window_range_frame",
+    "q_salted_join",
+    "q_contamination",
+    "q_repetition",
+    "q_sample_hash",
     "q_stream_tumbling",
     "q_stream_stateful",
     "q_stream_static_join",
