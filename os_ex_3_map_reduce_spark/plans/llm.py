@@ -909,7 +909,13 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc fully quoted inside a long training doc must score 1.0.",
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before shingling: the fixture table reads as one
+    # split, and the per-row shingle explode must not serialize on it
+    # (same guard as the minhash path; at 100 TB this spreads hot small
+    # tables, measured 3.0 s -> 0.5 s at sf0.1 on local[32])
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("s"),
@@ -971,7 +977,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JVM-side.",
 )
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition before the bigram explode — single-split scan guard,
+    # see q_contamination
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     bg = docs.select(
         "doc_id", F.explode(shingles(tokens("text"), 2)).alias("b")
     )
