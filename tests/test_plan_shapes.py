@@ -316,3 +316,35 @@ def test_salted_join_spreads_keys_and_preserves_semantics(spark):
 
     with _pytest.raises(ValueError):
         salted_join(big, small, on=[("k", "sk")], distribute_by=["pk"], how="full")
+
+
+def test_block_pair_results_invariant_to_blocking(spark):
+    """Exact-pair results must not depend on the physical blocking: any
+    num_blocks and any shuffle-partition setting produce identical rows
+    (the local-top-k ordering matches the global ordering, so block
+    boundaries can't swallow a boundary pair)."""
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        threshold_pairs,
+        topk_pairs,
+    )
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    ref_top = sorted(map(tuple, topk_pairs(emb, k=20, num_blocks=4).collect()))
+    ref_thr = sorted(map(tuple, threshold_pairs(emb, 0.4, num_blocks=4).collect()))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for blocks, parts in ((1, "3"), (7, "5"), (16, "64")):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            assert (
+                sorted(map(tuple, topk_pairs(emb, k=20, num_blocks=blocks).collect()))
+                == ref_top
+            ), (blocks, parts)
+            assert (
+                sorted(
+                    map(tuple, threshold_pairs(emb, 0.4, num_blocks=blocks).collect())
+                )
+                == ref_thr
+            ), (blocks, parts)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
