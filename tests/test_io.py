@@ -101,3 +101,23 @@ def test_bucketed_table_joins_without_shuffle(spark, tmpdir):
     finally:
         for t in ("cust_b", "orders_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Compaction must rewrite many small files into the size-targeted
+    count without changing a single row, and never leave staging debris."""
+    from os_ex_3_map_reduce_spark.sources.io import compact_table, read_table
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20000).selectExpr("id", "id % 7 AS k")
+    df.repartition(40).write.parquet(path)  # simulate append debris
+    n_before = len(list((tmp_path / "t").glob("*.parquet")))
+    assert n_before >= 40
+
+    total = sum(f.stat().st_size for f in (tmp_path / "t").rglob("*") if f.is_file())
+    n = compact_table(spark, path, target_file_bytes=max(1, total // 3))
+    n_after = len(list((tmp_path / "t").glob("*.parquet")))
+    assert n_after == n <= 4
+    got = read_table(spark, path).selectExpr("sum(id)", "count(*)").first()
+    assert tuple(got) == (19999 * 20000 // 2, 20000)
+    assert not list(tmp_path.glob("t.compact-*")), "staging debris left behind"
