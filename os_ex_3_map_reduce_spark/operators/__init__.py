@@ -3,6 +3,7 @@ from .dedup import (  # noqa: F401
     connected_components,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_eager,
     minhash_signatures,
     simhash,
     simhash_neardup_pairs,
@@ -27,5 +28,5 @@ from .similarity import (  # noqa: F401
     topk_pairs,
     topk_to_query,
 )
-from .skew import salted_agg  # noqa: F401
+from .skew import salted_agg, salted_join  # noqa: F401
 from .sketch import cms_build, cms_estimate, cms_merge  # noqa: F401

@@ -1,2 +1,2 @@
-from .io import read_table, write_table  # noqa: F401
+from .io import compact_table, read_table, write_table  # noqa: F401
 from .tables import BROADCAST_TABLES, TABLES, load_table, register_views  # noqa: F401
