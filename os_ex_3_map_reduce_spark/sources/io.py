@@ -106,6 +106,7 @@ def compact_table(
     fmt: str = "parquet",
     target_file_bytes: int = 128 * 1024 * 1024,
     schema: str | StructType | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Small-files compaction — the table-maintenance pass every
     long-running ingestion pipeline needs: streaming/batch appends leave
@@ -120,6 +121,13 @@ def compact_table(
     rename/commit). Sizing reads the filesystem listing only — never
     the data — and the single data pass is a coalesce-shaped
     repartition write.
+
+    For a hive-partitioned table pass ``partition_by`` (the same
+    columns it was written with) — the rewrite then repartitions on
+    those columns and keeps the directory layout, targeting the file
+    count per partition via ``maxRecordsPerFile`` semantics of the
+    repartition; omitting it would silently flatten the layout and
+    lose partition pruning for every future read.
     """
     import math
     import shutil
@@ -130,7 +138,13 @@ def compact_table(
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = read_table(spark, path, fmt, schema=schema)
     staged = p.with_name(p.name + ".compact-staging")
-    write_table(df.repartition(n_files), str(staged), fmt)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        reparted = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        write_table(reparted, str(staged), fmt, partition_by=partition_by)
+    else:
+        write_table(df.repartition(n_files), str(staged), fmt)
     backup = p.with_name(p.name + ".compact-old")
     p.rename(backup)
     staged.rename(p)

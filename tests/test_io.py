@@ -121,3 +121,22 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     got = read_table(spark, path).selectExpr("sum(id)", "count(*)").first()
     assert tuple(got) == (19999 * 20000 // 2, 20000)
     assert not list(tmp_path.glob("t.compact-*")), "staging debris left behind"
+
+
+def test_compact_table_preserves_partitioned_layout(spark, tmp_path):
+    from os_ex_3_map_reduce_spark.sources.io import compact_table, read_table
+
+    path = str(tmp_path / "pt")
+    df = spark.range(0, 9000).selectExpr("id", "id % 3 AS k")
+    df.repartition(30).write.partitionBy("k").parquet(path)
+    assert len(list((tmp_path / "pt").glob("k=*"))) == 3
+
+    compact_table(spark, path, partition_by=["k"])
+    # layout kept: still hive dirs, prunable
+    assert len(list((tmp_path / "pt").glob("k=*"))) == 3
+    got = read_table(spark, path)
+    assert got.where("k = 1").count() == 3000
+    assert got.count() == 9000
+    # fewer files than the 30-way debris
+    n_files = len(list((tmp_path / "pt").rglob("*.parquet")))
+    assert n_files <= 6, n_files
