@@ -1416,8 +1416,9 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
                    AS n_pos,
-               list_sum(list_transform(embedding,
-                   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))) AS sum_micro,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)))
+                   AS BIGINT) AS sum_micro,
                CAST(list_max(embedding) AS DOUBLE) AS max_comp
         FROM embeddings
     """,
