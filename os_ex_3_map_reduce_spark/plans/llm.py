@@ -47,57 +47,79 @@ from ..operators.similarity import (
 from ..sources.tables import load_table
 from .catalog import register
 
-# --- shared near-dup pair cache ------------------------------------------
+# --- shared cached-relation registry --------------------------------------
 #
-# Five catalog queries consume MinHash-verified near-dup pairs (the pair
-# relation itself, components over it, the cleaning pipeline, the
-# edit-distance verifier, and the char-gram variant). Recomputing
-# shingles+signatures per query is the single biggest repeated cost in the
-# family (~1-2.5 s each at sf0.1), so the materialized pair relations are
-# memoized per (SparkContext, sf_dir, mode): the first consumer pays, the
-# rest read the (tiny, persisted) pair relation from cache. The eager
-# helper also unpersists the signature relation as soon as the pairs
-# materialize, so the cache holds only pair rows, never signatures.
+# Several catalog queries share expensive persisted intermediates: five
+# near-dup queries consume the same MinHash-verified pair relation
+# (recomputing shingles+signatures per query was ~1-2.5 s each at sf0.1),
+# and the contamination screen reads its slim shingle relation from three
+# subtrees of one plan. The registry memoizes persisted DataFrames per
+# (SparkContext, key): the first consumer pays, the rest read the cache.
+#
+# Eviction is liveness-aware (round-2 advice): entries bound to a stopped
+# SparkContext are dropped first; a live entry is only evicted (true LRU,
+# oldest single entry) when the cap is still exceeded — never a bulk
+# clear, which silently de-cached relations previously returned to live
+# callers and forced full recomputes.
 
-_PAIRS_CACHE: dict[tuple, DataFrame] = {}
-_PAIRS_CACHE_MAX = 16
+_DF_CACHE: dict[tuple, DataFrame] = {}
+_DF_CACHE_MAX = 16
 
 
-def _neardup_pairs(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+def _context_alive(df: DataFrame) -> bool:
+    try:
+        sc = df.sparkSession.sparkContext
+        return not sc._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
+def _cached_df(spark: SparkSession, suffix: tuple, build) -> DataFrame:
     sc = spark.sparkContext
-    key = (id(sc), sc.applicationId, sf_dir, mode)
-    pairs = _PAIRS_CACHE.get(key)
     # a stopped-and-recreated context can reuse the same id(); the
-    # applicationId in the key plus this liveness probe guard against
-    # serving a DataFrame bound to a dead session
-    if pairs is not None and pairs.sparkSession.sparkContext is not sc:
-        pairs = None
-    if pairs is None:
-        docs = load_table(spark, sf_dir, "documents")
-        if mode == "word":
-            pairs = minhash_lsh_pairs_eager(docs, threshold=0.5)
-        else:  # char-5-gram variant (q_chargram_jaccard)
-            pairs = minhash_lsh_pairs_eager(
-                docs,
-                threshold=0.5,
-                shingle_n=5,
-                shingle_mode="char",
-                num_hashes=32,
-                bands=8,  # r=4 rows/band: char-grams are weakly
-                # discriminative; r=2 admits ~1.3M false candidates at
-                # sf0.1 while r=4 keeps recall at the fixture's J>=0.97
-                # dups >(1 - 4e-8) and cuts the candidate set ~20x.
-                max_bucket=2000,
-            )
-        if len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
-            for old in _PAIRS_CACHE.values():
+    # applicationId in the key plus the liveness probe below guard
+    # against serving a DataFrame bound to a dead session
+    key = (id(sc), sc.applicationId, *suffix)
+    df = _DF_CACHE.pop(key, None)  # pop+reinsert = LRU touch
+    if df is not None and df.sparkSession.sparkContext is not sc:
+        df = None
+    if df is None:
+        df = build()
+        if len(_DF_CACHE) >= _DF_CACHE_MAX:
+            dead = [k for k, v in _DF_CACHE.items() if not _context_alive(v)]
+            for k in dead:
+                _DF_CACHE.pop(k, None)  # dead context: nothing to unpersist
+            while len(_DF_CACHE) >= _DF_CACHE_MAX:
+                oldest, old = next(iter(_DF_CACHE.items()))
                 try:
                     old.unpersist()
                 except Exception:
-                    pass  # cached entry's session already stopped
-            _PAIRS_CACHE.clear()
-        _PAIRS_CACHE[key] = pairs
-    return pairs
+                    pass
+                del _DF_CACHE[oldest]
+    _DF_CACHE[key] = df
+    return df
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        if mode == "word":
+            return minhash_lsh_pairs_eager(docs, threshold=0.5)
+        # char-5-gram variant (q_chargram_jaccard)
+        return minhash_lsh_pairs_eager(
+            docs,
+            threshold=0.5,
+            shingle_n=5,
+            shingle_mode="char",
+            num_hashes=32,
+            bands=8,  # r=4 rows/band: char-grams are weakly
+            # discriminative; r=2 admits ~1.3M false candidates at
+            # sf0.1 while r=4 keeps recall at the fixture's J>=0.97
+            # dups >(1 - 4e-8) and cuts the candidate set ~20x.
+            max_bucket=2000,
+        )
+
+    return _cached_df(spark, ("neardup_pairs", sf_dir, mode), build)
 
 
 # --- exact dedup (E1) ----------------------------------------------------
@@ -874,7 +896,10 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, unnest(list_distinct(list_transform(
                 generate_series(1, len(t) - 2),
                 i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
-            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                             AS t
+                  FROM documents)
             WHERE len(t) >= 3
         ),
         ev AS (SELECT * FROM sh WHERE doc_id % 100 = 0),
@@ -902,24 +927,46 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every LLM data pipeline runs before training: for each held-out "
     "document (doc_id %% 100 == 0 stands in for the eval set), find "
     "the training document with the highest 3-gram-shingle containment "
-    "|sh(eval) ∩ sh(train)| / |sh(eval)|. Shuffles only (shingle, id) "
-    "pairs — the same slim-join discipline as the LSH family; at "
-    "100 TB the train side would be pre-bucketed by shingle hash. "
-    "Containment (asymmetric) rather than Jaccard because a short eval "
-    "doc fully quoted inside a long training doc must score 1.0.",
+    "|sh(eval) ∩ sh(train)| / |sh(eval)|. The join key is the shingle's "
+    "xxhash64, not the string: 8 bytes shuffled per row instead of "
+    "tens (the minhash family's discipline, operators/dedup.py), and "
+    "the oracle stays on strings — counts agree unless two distinct "
+    "shingles collide in 64 bits (odds ≈ m²/2⁶⁵, the same accepted "
+    "argument as minhash_signatures; the driver's sf0.01 hash compare "
+    "verifies collision-freeness on the fixture). At 100 TB the train "
+    "side would be pre-bucketed by this same hash. Containment "
+    "(asymmetric) rather than Jaccard because a short eval doc fully "
+    "quoted inside a long training doc must score 1.0.",
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition before shingling: the fixture table reads as one
-    # split, and the per-row shingle explode must not serialize on it
-    # (same guard as the minhash path; at 100 TB this spreads hot small
-    # tables, measured 3.0 s -> 0.5 s at sf0.1 on local[32])
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("s"),
-    )
+    def build_shingles() -> DataFrame:
+        # repartition before shingling: the fixture table reads as one
+        # split, and the per-row shingle explode must not serialize on
+        # it (same guard as the minhash path; at 100 TB this spreads
+        # hot small tables, measured 3.0 s -> 0.5 s at sf0.1)
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+        rel = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles(toks, 3), lambda s: F.xxhash64(s))
+                )
+            ).alias("s"),
+        ).persist()
+        rel.count()  # materialize: three subtrees below read this relation
+        return rel
+
+    # The plan consumes the shingle relation three times (eval sizes,
+    # eval join side, train join side); without the persist the
+    # interpreted-HOF shingle explode — the most expensive subtree,
+    # 0.83 s of 2.0 s at sf0.1 — recomputes per consumer. The persisted
+    # rows are slim (id, 8-byte hash), ~16 B/shingle: MEMORY_AND_DISK
+    # spills rather than OOMs at 100 TB, where recompute-vs-spill is
+    # the same trade the minhash signature cache already takes.
+    sh = _cached_df(spark, ("contamination_sh", sf_dir), build_shingles)
     ev = sh.where(F.col("doc_id") % 100 == 0)
     tr = sh.where(F.col("doc_id") % 100 != 0)
     ev_sizes = ev.groupBy("doc_id").agg(F.count("*").alias("n_eval"))
@@ -953,7 +1000,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, unnest(list_transform(
                 generate_series(1, len(t) - 1),
                 i -> concat_ws(' ', t[i], t[i+1]))) AS b
-            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), w -> w <> '')
+                             AS t
+                  FROM documents)
             WHERE len(t) >= 2
         ),
         cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
@@ -982,9 +1032,8 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    bg = docs.select(
-        "doc_id", F.explode(shingles(tokens("text"), 2)).alias("b")
-    )
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    bg = docs.select("doc_id", F.explode(shingles(toks, 2)).alias("b"))
     cnt = bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     w_tot = Window.partitionBy("doc_id")
     w_rank = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("b"))
@@ -1005,7 +1054,9 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_normalize_text",
     oracle=f"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      w -> w <> '') AS toks
                    FROM documents)
         SELECT doc_id,
                array_to_string(list_filter(toks,
@@ -1025,7 +1076,9 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    toks = tokens("text")
+    # filter empty tokens so exactness doesn't depend on the fixture
+    # being single-space separated (mirrors the oracle's list_filter)
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
     kept = F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
     return docs.select(
         "doc_id",

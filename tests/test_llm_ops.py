@@ -305,12 +305,12 @@ def test_neardup_pairs_cache_reuses_and_releases_sigs(spark):
     """The near-dup family shares one materialized pair relation per
     (context, sf_dir, mode); the signature relation must be unpersisted
     once pairs are materialized (no cache-block accumulation)."""
-    from os_ex_3_map_reduce_spark.plans.llm import _PAIRS_CACHE, _neardup_pairs
+    from os_ex_3_map_reduce_spark.plans.llm import _DF_CACHE, _neardup_pairs
 
     # start from a clean cache state: other tests use the lazy
     # minhash_lsh_pairs API directly and leave its persisted signature
     # relation behind by design
-    _PAIRS_CACHE.clear()
+    _DF_CACHE.clear()
     spark.catalog.clearCache()
     a = _neardup_pairs(spark, SF_CORRECT, "word")
     b = _neardup_pairs(spark, SF_CORRECT, "word")
@@ -334,6 +334,42 @@ def test_neardup_pairs_cache_reuses_and_releases_sigs(spark):
         ).collect()
     }
     assert {(r.doc_a, r.doc_b) for r in a.collect()} == fresh
+
+
+def test_df_cache_evicts_lru_not_bulk(spark):
+    """Cache overflow must evict only the single oldest live entry, not
+    bulk-clear (round-2 advice: bulk clear unpersisted relations that
+    live callers were still holding)."""
+    import os_ex_3_map_reduce_spark.plans.llm as llm
+
+    saved, saved_max = dict(llm._DF_CACHE), llm._DF_CACHE_MAX
+    llm._DF_CACHE.clear()
+    llm._DF_CACHE_MAX = 2
+    try:
+        mk = lambda i: llm._cached_df(
+            spark, ("t_evict", i), lambda: spark.range(i + 1).persist()
+        )
+        a, b = mk(0), mk(1)
+        assert len(llm._DF_CACHE) == 2
+        c = mk(2)  # overflow: evicts ONLY the oldest (a)
+        assert len(llm._DF_CACHE) == 2
+        assert not a.storageLevel.useMemory, "oldest entry unpersisted"
+        assert b.storageLevel.useMemory, "newer live entry must survive"
+        assert c.storageLevel.useMemory
+        # LRU touch: re-reading b makes it newest; next insert evicts c
+        assert llm._cached_df(spark, ("t_evict", 1), lambda: None) is b
+        mk(3)
+        assert b.storageLevel.useMemory
+        assert not c.storageLevel.useMemory
+    finally:
+        for df in llm._DF_CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        llm._DF_CACHE.clear()
+        llm._DF_CACHE.update(saved)
+        llm._DF_CACHE_MAX = saved_max
 
 
 def test_ddl_field_names_handles_nested_types():
