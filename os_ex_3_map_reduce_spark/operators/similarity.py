@@ -57,45 +57,65 @@ def _blocked_pair_scores(
     num_blocks: int,
 ):
     """Shared plan for EXACT all-pairs cosine without any driver-side
-    collect: a block outer product.
+    collect: a block outer product, built replicate-and-gather.
 
-    1. Assign each vector to one of B blocks (``id % B`` — deterministic,
-       uniform for dense ids).
-    2. Pack each block into one row (blk, list<struct(vid, e)>) — one
-       shuffle of the data, B rows out.
-    3. Join the packed relation to itself on ``blk_a <= blk_b`` —
-       B(B+1)/2 block-pair rows; every unordered vector pair occurs in
-       exactly ONE of them (within-block pairs when blk_a == blk_b).
+    1. Assign each vector to one of B blocks on
+       ``pmod(xxhash64(id), B)`` — uniform regardless of id density or
+       stride patterns (plain ``id % B`` concentrates e.g. all-even ids
+       into half the blocks), and indifferent to the id's type. The
+       kernel OUTPUT schema is still ``vec_a long`` — ids must be
+       integral; non-integer ids need a caller-side dense-rank first.
+    2. Explode each vector row to the B block pairs it participates in
+       (pair ``(min(blk, j), max(blk, j))`` for every j in 0..B-1).
+    3. ``groupBy(blk_a, blk_b)`` gathers both sides of every block pair
+       in ONE shuffle — B(B+1)/2 rows out, each holding list<struct(vid,
+       e)> for side a and side b; every unordered vector pair occurs in
+       exactly one of them (within-block pairs when blk_a == blk_b).
     4. Score each block pair with one float64 matmul in an Arrow batch.
 
-    Scale accounting: total data movement is O(B·n) (each block feeds B
-    block-pair tasks), compute is the unavoidable n²/2 dot products,
-    parallel over B(B+1)/2 independent tasks, and per-task memory is
-    2·(n/B)·d + (n/B)² doubles — pick B ≈ n·d·8 / 256 MB so blocks fit
-    comfortably (measured on the bench fixture: B=4 beats B=8/16 —
-    block-pair task overhead dominates below ~10⁴ vectors, so keep B
-    small until blocks approach the memory bound). No driver
-    materialization anywhere: the exact-pair
-    path survives any n the cluster's aggregate memory can hold, which
-    is what the previous broadcast-from-driver version could not do.
-
-    Returns (joined_block_pairs, kernel_input_schema) for the callers'
-    mapInPandas kernels.
+    Scale accounting: total data movement is the one replicate shuffle,
+    O(B·n·d) — the floor for a block outer product (each block must
+    meet B peers); compute is the unavoidable n²/2 dot products over
+    B(B+1)/2 independent tasks; per-task memory is 2·(n/B)·d + (n/B)²
+    doubles — pick B ≈ n·d·8 / 256 MB so blocks fit comfortably
+    (measured on the bench fixture: B=4 beats B=2/8 — task overhead
+    dominates below ~10⁴ vectors, so keep B small until blocks approach
+    the memory bound). Nothing is materialized on the driver and
+    nothing is broadcast: the round-2 shape (theta-join on
+    ``blk_a <= blk_b``) planned as a BroadcastNestedLoopJoin whose
+    broadcast side was the ENTIRE packed dataset — the driver-OOM
+    problem moved to the executors — plus a second full exchange from
+    its explicit repartition; this shape has neither (measured 0.78 →
+    0.62 s on the sf0.1 threshold query).
     """
-    packed = (
-        emb_df.select(
-            F.col(id_col).alias("vid"), F.col(emb_col).cast("array<double>").alias("e")
-        )
-        .withColumn("blk", F.pmod(F.col("vid"), F.lit(num_blocks)))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("vid", "e")).alias("ms"))
+    base = emb_df.select(
+        F.col(id_col).alias("vid"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
     )
-    a = packed.select(F.col("blk").alias("blk_a"), F.col("ms").alias("ms_a"))
-    b = packed.select(F.col("blk").alias("blk_b"), F.col("ms").alias("ms_b"))
-    joined = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
-        num_blocks * (num_blocks + 1) // 2
+    rep = base.select(
+        "vid",
+        "e",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1))).alias("other"),
+    ).select(
+        F.least("blk", "other").alias("blk_a"),
+        F.greatest("blk", "other").alias("blk_b"),
+        "blk",
+        "vid",
+        "e",
     )
-    return joined
+    # collect_list drops the nulls the unmatched WHEN branches produce;
+    # on the diagonal (blk_a == blk_b) both branches hit and the block
+    # lands on both sides, which is what the kernel's triu path expects.
+    return rep.groupBy("blk_a", "blk_b").agg(
+        F.collect_list(
+            F.when(F.col("blk") == F.col("blk_a"), F.struct("vid", "e"))
+        ).alias("ms_a"),
+        F.collect_list(
+            F.when(F.col("blk") == F.col("blk_b"), F.struct("vid", "e"))
+        ).alias("ms_b"),
+    )
 
 
 def _unpack_block(ms) -> tuple["np.ndarray", "np.ndarray"]:
