@@ -110,17 +110,24 @@ RK_MOD = (1 << 61) - 1
 def rolling_hashes(token_list: list[str], n: int = 3) -> list[int]:
     """Rabin-Karp rolling hashes of every token n-gram.
 
-    Each token contributes its blake2b-64 value; the window hash rolls
-    in O(1) per step: h' = (h - t_out·B^(n-1))·B + t_in (mod M).
+    Each token contributes the first 64 bits of its md5 (mod M); the
+    window hash rolls in O(1) per step:
+    h' = (h - t_out·B^(n-1))·B + t_in (mod M).
     Pure-python reference used by the Spark kernel and by tests.
+
+    md5 rather than blake2b as the per-token value so the DuckDB oracle
+    can reproduce fingerprints exactly (md5 + hex-nibble arithmetic is
+    DuckDB-expressible; blake2b is not) — the same move that made the
+    SimHash oracle exact. The oracle needs no recurrence: the window
+    hash equals the direct polynomial (v_i·B² + v_{i+1}·B + v_{i+2})
+    mod M, computable per window in 128-bit arithmetic.
     """
     import hashlib
 
     if len(token_list) < n:
         return []
     vals = [
-        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        % RK_MOD
+        int(hashlib.md5(t.encode()).hexdigest()[:16], 16) % RK_MOD
         for t in token_list
     ]
     top = pow(RK_BASE, n - 1, RK_MOD)

@@ -734,14 +734,57 @@ def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fingerprint_rolling",
-    oracle=None,  # blake2b-based Rabin-Karp is not DuckDB-expressible;
-    # exactness is pinned against the pure-python reference in tests
+    # The window hash is a pure function of its n token values —
+    # h_i = (v_i·B² + v_{i+1}·B + v_{i+2}) mod M — so the oracle skips
+    # the rolling recurrence and evaluates the polynomial per window in
+    # HUGEINT (v < 2⁶¹, B² ≈ 2⁴⁰ → terms < 2¹⁰², well inside 128-bit).
+    # Token value = first 16 md5 hex nibbles decoded via strpos
+    # arithmetic (the SimHash-oracle technique), mod M = 2⁶¹−1.
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        v AS (
+            SELECT doc_id, list_transform(toks, w ->
+                CAST(list_reduce(
+                    list_transform(generate_series(1, 16), i ->
+                        CAST(strpos('0123456789abcdef',
+                                    substr(md5(w), i, 1)) - 1 AS HUGEINT)),
+                    (a, b) -> a * 16 + b)
+                 % 2305843009213693951 AS HUGEINT)) AS vals
+            FROM t WHERE len(toks) >= 3
+        ),
+        h AS (
+            SELECT doc_id, list_transform(
+                generate_series(1, len(vals) - 2), i ->
+                    (vals[i] * 1000006000009 + vals[i+1] * 1000003
+                     + vals[i+2]) % 2305843009213693951) AS hs
+            FROM v
+        ),
+        w AS (
+            SELECT doc_id, CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                ELSE list_transform(generate_series(1, len(hs) - 3),
+                                    i -> list_min(hs[i:i+3]))
+                END AS wins
+            FROM h
+        )
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(
+                       list_filter(wins,
+                           (x, i) -> i = 1 OR x <> wins[i - 1]),
+                       x -> CAST(x AS BIGINT)),
+                   '|') AS fingerprints
+        FROM w
+    """,
     doc="Rolling-hash document fingerprints: Rabin-Karp over token "
     "3-grams (O(1) per step) + winnowing window-4 selection (Schleimer "
     "et al.) — the brief's literal rolling-hash fingerprint, "
     "complementing q_fingerprint's min-md5 variant. Arrow-batched; "
-    "deterministic. Output is the pipe-joined fingerprint string (one "
-    "scalar cell per doc): array cells crash downstream pandas "
+    "deterministic; exact-oracled since the md5 token-value rebase "
+    "(the oracle evaluates each window's polynomial directly — no "
+    "recurrence needed). Output is the pipe-joined fingerprint string "
+    "(one scalar cell per doc): array cells crash downstream pandas "
     "canonicalizers, and the string is order-preserving and lossless.",
 )
 def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,10 +794,11 @@ def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("string")
     def fp(texts: pd.Series) -> pd.Series:
+        # values are < M = 2^61-1, so they print as plain non-negative
+        # int64 — no signed-wraparound formatting needed
         return texts.map(
             lambda t: "|".join(
-                str(h - (1 << 63) if h >= (1 << 63) else h)
-                for h in winnow(rolling_hashes(t.split(" ")))
+                str(h) for h in winnow(rolling_hashes(t.split(" ")))
             )
         )
 
