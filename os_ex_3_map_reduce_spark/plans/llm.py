@@ -415,19 +415,84 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_lsh_recall",
+    # The LSH pipeline is FULLY deterministic (fixed hyperplanes, total
+    # tiebreaks, deterministic bucket caps), so its recall on a fixed
+    # fixture is a constant — pinned here from a measured sf0.01 run.
+    # The oracle is that pinned expectation: n_escaped_top100 = 0 is
+    # the subset assertion (every LSH pair ranks within the exact top
+    # 100; measured worst rank 23), and recall_at_20 = 0.85 (17/20) is
+    # the seeded-deterministic recall. The Spark side COMPUTES all of
+    # these by joining LSH output against the exact block outer
+    # product — the driver's hash compare fails if recall regresses.
+    oracle="""
+        SELECT CAST(20 AS BIGINT) AS k,
+               CAST(20 AS BIGINT) AS n_pairs,
+               CAST(17 AS BIGINT) AS n_hit_top20,
+               CAST(0 AS BIGINT) AS n_escaped_top100,
+               0.85 AS recall_at_20
+    """,
+    doc="Driver-visible ANN evidence (round-2 verdict #6): joins the "
+    "approximate LSH top-20 against the EXACT top-100 (block outer "
+    "product) and emits measured recall@20 plus the count of LSH pairs "
+    "escaping the exact top-100 (expected 0). Companion to "
+    "q_ann_lsh_topk, whose rows-only driver check carries no evidence "
+    "by itself. The unpartitioned rank window touches exactly 100 "
+    "rows — not a scale concern.",
+)
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = lsh_bucketed_topk(emb, k=20).select("vec_a", "vec_b")
+    exact = topk_pairs(emb, k=100).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        ),
+    ).select("vec_a", "vec_b", "rnk")
+    hit = F.when(F.col("rnk") <= 20, 1).otherwise(0)
+    return (
+        approx.join(exact, ["vec_a", "vec_b"], "left")
+        .agg(
+            F.lit(20).cast("long").alias("k"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(hit).cast("long").alias("n_hit_top20"),
+            F.sum(F.when(F.col("rnk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_escaped_top100"),
+            (F.sum(hit) / 20.0).alias("recall_at_20"),
+        )
+    )
+
+
+@register(
     "q_ann_ivf_topk",
-    oracle=None,  # approximate (probes 4/16 lists); recall measured in tests
+    oracle=None,  # approximate AND partitioning-dependent (k-means||
+    # init samples per-partition, so cluster boundaries shift with the
+    # input layout) — no exact oracle is possible; instead every output
+    # row carries its own evidence columns (below), and recall floors
+    # are asserted in tests
     doc="IVF query-vector ANN: k-means coarse quantizer (spark.ml, "
     "seeded), per-list assignment via broadcast-centroid argmin, query "
     "probes the 4 nearest of 16 lists. At scale the assignment is "
-    "written partitioned by list_id so probing prunes at the scan.",
+    "written partitioned by list_id so probing prunes at the scan. "
+    "Each row carries exact_rank (the id's rank under EXACT scoring, "
+    "null if outside the exact top-10) and recall_at_10 — the driver's "
+    "rows-only check thus records rows that encode their own measured "
+    "recall (round-2 verdict #6).",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qv = [float(x) for x in query]
     assigned, centroids = ivf_index(emb, nlist=16)
-    return ivf_search(
-        assigned, centroids, [float(x) for x in query], k=10, nprobe=4
+    res = ivf_search(assigned, centroids, qv, k=10, nprobe=4)
+    exact = topk_to_query(emb, qv, k=10).withColumn(
+        "exact_rank",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id"))),
+    ).select("vec_id", "exact_rank")
+    return res.join(exact, "vec_id", "left").withColumn(
+        "recall_at_10",
+        F.count("exact_rank").over(Window.partitionBy()) / 10.0,
     )
 
 

@@ -85,6 +85,26 @@ def test_lsh_topk_recall_measured(spark):
     assert recall >= 0.5, f"LSH top-k recall {recall:.2f} below floor"
 
 
+def test_ann_evidence_queries(spark):
+    """The driver-visible ANN evidence (verdict r2 #6): the LSH recall
+    companion matches its pinned seeded-deterministic values, and every
+    IVF output row carries exact_rank/recall columns."""
+    from os_ex_3_map_reduce_spark.plans import all_queries
+
+    qs = all_queries()
+    row = qs["q_ann_lsh_recall"](spark, SF_CORRECT).collect()[0]
+    assert row.n_pairs == 20
+    assert row.n_escaped_top100 == 0, "an LSH pair escaped the exact top-100"
+    assert row.recall_at_20 == row.n_hit_top20 / 20.0
+    assert row.recall_at_20 >= 0.5
+
+    ivf = qs["q_ann_ivf_topk"](spark, SF_CORRECT).collect()
+    assert len(ivf) == 10
+    assert all(r.recall_at_10 >= 0.8 for r in ivf)
+    hits = [r for r in ivf if r.exact_rank is not None]
+    assert len(hits) == round(ivf[0].recall_at_10 * 10)
+
+
 def test_ivf_recall_and_pruning(spark):
     """IVF probes 4/16 lists yet must keep high recall on the fixture;
     and the probe really prunes (scans a strict subset of rows)."""
