@@ -80,6 +80,15 @@ class JobHandle:
     def _stage_store(self):
         # JVM AppStatusStore: the only place per-stage shuffle metrics
         # live (the Python StatusTracker exposes task counts only).
+        # PRIVATE API — ``sc.statusStore()`` and the AppStatusStore
+        # methods used here (lastStageAttempt / shuffleWriteRecords /
+        # shuffleReadRecords / status) are not public Python surface;
+        # verified against Spark 4.1.2. Every caller wraps access in
+        # try/except: if a future Spark renames them, SHUFFLE progress
+        # degrades to the quantized 0-until-reduce-starts report and
+        # skipped-stage detection to "not skipped" — progress stays
+        # monotone and state() never raises (tested:
+        # test_progress_degrades_without_status_store).
         return self._spark.sparkContext._jsc.sc().statusStore()
 
     def _is_skipped(self, sid: int) -> bool:

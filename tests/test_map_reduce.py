@@ -132,6 +132,33 @@ def test_job_control_lifecycle(spark):
     assert handle.state().stage is Stage.UNDEFINED
 
 
+def test_progress_degrades_without_status_store(spark):
+    """statusStore() is a private JVM API (pinned to Spark 4.1.2 in the
+    source): if it drifts, SHUFFLE%% must degrade to the quantized 0
+    report and skipped-detection to 'not skipped' — never an error
+    (round-2 verdict #8)."""
+    from os_ex_3_map_reduce_spark.operators.job import start_job
+
+    df = (
+        spark.range(0, 10_000, 1, 4)
+        .selectExpr("id % 13 as k")
+        .groupBy("k")
+        .count()
+    )
+    handle = start_job(spark, df, description="status-store drift probe")
+    handle.wait()
+
+    def broken_store():
+        raise AttributeError("'JavaSparkContext' object has no attribute 'sc'")
+
+    handle._stage_store = broken_store
+    assert handle._shuffle_percentage(0, 1) == 0.0
+    assert handle._is_skipped(0) is False
+    final = handle.state()  # finished job: served from the result path
+    assert final.percentage == 100.0
+    handle.close()
+
+
 def test_shuffle_percentage_is_pairs_moved(spark):
     """SHUFFLE progress = reduce-side records fetched / map-side records
     written (the reference's shuffled-pairs accounting), not a 0/100
