@@ -1678,3 +1678,51 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price")
     )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+            FROM months WHERE m < DATE '2001-12-01'
+        )
+        SELECT strftime(m, '%Y-%m') AS month,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN orders
+          ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+        GROUP BY 1
+    """,
+    doc="Recursive CTE (Spark 4.1 WITH RECURSIVE): an 84-month date "
+    "spine generated by recursion, left-joined against per-month order "
+    "counts so empty months surface as zero rows — the gap-surfacing "
+    "calendar shape reporting pipelines need. Spark's recursion "
+    "supports UNION ALL only (UNION-distinct raises "
+    "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, so cyclic transitive "
+    "closures still need the iterative operator — see "
+    "operators/dedup.py:connected_components; recorded in tests). "
+    "Scale shape: orders aggregate to per-month counts BEFORE joining "
+    "the tiny spine — the join touches ~84 rows a side instead of "
+    "left-joining the spine onto the raw fact table.",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.sql("""
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT add_months(m, 1) FROM months WHERE m < DATE '2001-12-01'
+        )
+        SELECT m FROM months
+    """)
+    orders = load_table(spark, sf_dir, "orders")
+    per_month = orders.groupBy(
+        F.date_trunc("MONTH", "o_orderdate").alias("om")
+    ).agg(F.count("*").alias("n"))
+    return spine.join(
+        per_month, F.col("om") == F.col("m").cast("timestamp"), "left"
+    ).select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+    )

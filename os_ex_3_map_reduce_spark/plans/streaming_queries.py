@@ -11,8 +11,10 @@ from pyspark.sql import functions as F
 from ..streaming.events import (
     doubled_events_dir,
     events_stream,
+    run_stream_foreach_batch_parquet,
     run_stream_to_memory,
     running_user_totals,
+    sentinel_events_dir,
     session_counts,
     sliding_counts,
     stream_stream_followup_join,
@@ -186,6 +188,81 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name)
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+@register(
+    "q_stream_outer_join",
+    oracle="""
+        SELECT a.user_id,
+               CAST(COUNT(b.event_id) AS BIGINT) AS n_followups,
+               CAST(SUM(CASE WHEN b.event_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lonely
+        FROM events a LEFT JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        GROUP BY a.user_id
+    """,
+    doc="Stream-stream LEFT OUTER join: events with no follow-up within "
+    "5 minutes emit null-extended rows. Outer rows only emit as the "
+    "watermark passes their eviction bound, so the bounded replay is "
+    "staged as two micro-batches (maxFilesPerTrigger=1): all real "
+    "events, then a far-future sentinel whose watermark advance flushes "
+    "every unmatched row in the final no-data micro-batch — making "
+    "APPEND-mode outer-join output complete and deterministic, equal to "
+    "the batch left join (the determinism risk that kept this query "
+    "out of round 2, resolved by the sentinel staging).",
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sentinel_events_dir(spark, sf_dir)
+    left = events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
+    right = events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
+    joined = stream_stream_followup_join(
+        left, right, within="5 minutes", how="left_outer"
+    )
+    name = run_stream_to_memory(joined, mode="append")
+    return (
+        spark.table(name)
+        .where(F.col("a_user") >= 0)  # drop the sentinel's own row
+        .groupBy(F.col("a_user").alias("user_id"))
+        .agg(
+            F.count("b_id").alias("n_followups"),
+            F.sum(F.when(F.col("b_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lonely"),
+        )
+    )
+
+
+@register(
+    "q_stream_foreach_sink",
+    oracle=f"""
+        SELECT event_type, COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    doc="foreachBatch exactly-once parquet sink: each micro-batch "
+    "overwrites its own batch_id=N directory and the checkpoint marks "
+    "completion after the write, so failure-replayed batches rewrite "
+    "rather than duplicate (exactly-once by idempotence — the standard "
+    "pattern for sinks without transactional commit). The query reads "
+    "the sink back and aggregates; equality with the batch oracle "
+    "proves no row was lost or doubled. Replay idempotence itself is "
+    "exercised in tests (same checkpoint re-run + manual batch replay).",
+)
+def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="osx3_fsink_")
+    stream = events_stream(spark, sf_dir, max_files_per_trigger=1).select(
+        "event_id", "event_type", "value"
+    )
+    run_stream_foreach_batch_parquet(
+        stream, f"{base}/out", checkpoint=f"{base}/ckpt"
+    )
+    back = spark.read.parquet(f"{base}/out")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), dsum("value", "sum_value")
     )
 
 

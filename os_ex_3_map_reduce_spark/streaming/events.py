@@ -60,14 +60,69 @@ def doubled_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return staged_events_dir(sf_dir, copies=2)
 
 
+def sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events staging dir plus one far-future sentinel event in its own,
+    later-modified file.
+
+    Replayed with ``max_files_per_trigger=1`` the sentinel lands in a
+    second micro-batch, advancing the watermark past every real event —
+    which is what lets APPEND-mode outer joins and final windows flush
+    their state deterministically under a bounded availableNow replay
+    (the final no-data micro-batch evicts-and-emits; without a
+    watermark-advancing batch, unmatched outer rows would stay unemitted
+    at query stop). The sentinel carries ``user_id = -1`` / ``event_id
+    = -1`` so downstream plans can filter it; ts is max(real ts) + 10 h.
+    This is the streaming analog of a punctuation/flush marker.
+    """
+    import os
+
+    key = (sf_dir, -1)
+    if key not in _STAGED_CACHE:
+        ensure_session_confs(spark)
+        d = Path(tempfile.mkdtemp(prefix="osx3_events_sentinel_"))
+        shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+        ev = spark.read.parquet(str(d / "part-0.parquet"))
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        sent = ev.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(max_ts + 10 * 3600 * 10**9).cast("long").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).select(*ev.columns)
+        stage = d / "_sentinel_stage"
+        sent.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), d / "part-1-sentinel.parquet")
+        shutil.rmtree(stage)
+        # the file source orders batches by modification time: pin the
+        # sentinel strictly after the main file
+        now = os.stat(d / "part-0.parquet").st_mtime
+        os.utime(d / "part-1-sentinel.parquet", (now + 10, now + 10))
+        _STAGED_CACHE[key] = str(d)
+    return _STAGED_CACHE[key]
+
+
 def events_stream(
-    spark: SparkSession, sf_dir: str, path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source replay of the events table with event-time column."""
+    """File-source replay of the events table with event-time column.
+
+    ``max_files_per_trigger`` splits the bounded replay into one
+    micro-batch per file (availableNow honors it) — used with
+    :func:`sentinel_events_dir` to stage watermark-advancing batches.
+    """
     ensure_session_confs(spark)
     src = path or staged_events_dir(sf_dir)
     schema = spark.read.parquet(src).schema
-    raw = spark.readStream.schema(schema).parquet(src)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(src)
     return raw.withColumn(
         "ts_utc", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
     )
@@ -136,9 +191,12 @@ def session_counts(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
 
 
 def stream_stream_followup_join(
-    left: DataFrame, right: DataFrame, within: str = "5 minutes"
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: for each event, the *later* events of
+    """Stream-stream join: for each event, the *later* events of
     the same user within ``within`` (follow-up actions).
 
     Both sides carry watermarks and the join condition bounds event
@@ -146,6 +204,12 @@ def stream_stream_followup_join(
     planner size its join state and evict rows; without them state
     grows forever. Under a full bounded replay the emitted matches
     equal the batch self-join, which is what the SQL oracle checks.
+
+    ``how='left_outer'`` additionally emits null-extended rows for
+    events with no follow-up — but ONLY as the watermark passes their
+    state-eviction bound, so a bounded replay needs a final
+    watermark-advancing batch (see :func:`sentinel_events_dir`) for the
+    output to be complete and deterministic.
     """
     a = left.select(
         F.col("event_id").alias("a_id"),
@@ -163,8 +227,49 @@ def stream_stream_followup_join(
         (F.col("a_user") == F.col("b_user"))
         & (F.col("b_ts") > F.col("a_ts"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {within}")),
-        "inner",
+        how,
     )
+
+
+def run_stream_foreach_batch_parquet(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    shuffle_partitions: int | None = 8,
+) -> None:
+    """Bounded availableNow run into an idempotent parquet foreachBatch
+    sink — the exactly-once file-sink pattern for sinks without their
+    own transactional commit.
+
+    Exactly-once by IDEMPOTENCE, the standard foreachBatch contract:
+    each micro-batch overwrites its own ``batch_id=N`` directory, and
+    the checkpoint records batch completion AFTER the write — so a
+    batch replayed on failure/restart rewrites the same directory with
+    the same deterministic content instead of appending duplicates, and
+    a completed batch is never re-run. Readers see the union of
+    batch_id partitions. (With a transactional table format the
+    batch_id would instead be committed into the table's log — same
+    idempotence argument, atomic visibility too.)
+    """
+    spark = df.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        new = min(int(before), shuffle_partitions)
+        spark.conf.set("spark.sql.shuffle.partitions", str(new))
+    try:
+
+        def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            bdf.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+        q = (
+            df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 # --- custom stateful operator (applyInPandasWithState) --------------------

@@ -154,3 +154,93 @@ def test_stream_parquet_file_sink_roundtrip(stream_dirs):
     run()
     got3 = {r["event_id"] for r in spark.read.parquet(out).collect()}
     assert got3 == {1, 2, 3}
+
+
+def test_foreach_batch_sink_is_exactly_once(spark, tmp_path):
+    """The idempotent foreachBatch parquet sink: re-running from the
+    same checkpoint must not duplicate (completed batches never re-run),
+    and a manually replayed batch overwrites rather than appends —
+    together, exactly-once for any failure point."""
+    from os_ex_3_map_reduce_spark.streaming.events import (
+        events_stream,
+        run_stream_foreach_batch_parquet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    stream = events_stream(spark, sf, max_files_per_trigger=1).select(
+        "event_id", "event_type", "value"
+    )
+    run_stream_foreach_batch_parquet(stream, out, chk)
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 == spark.read.parquet(f"{sf}/events.parquet").count()
+
+    # restart from the same checkpoint: nothing new → nothing re-emitted
+    stream2 = events_stream(spark, sf, max_files_per_trigger=1).select(
+        "event_id", "event_type", "value"
+    )
+    run_stream_foreach_batch_parquet(stream2, out, chk)
+    assert spark.read.parquet(out).count() == n1
+
+    # simulate a failure-replayed batch: rewriting batch 0's directory
+    # with its own content must be a no-op for readers (overwrite, not
+    # append)
+    b0 = spark.read.parquet(f"{out}/batch_id=0")
+    rows_before = b0.count()
+    b0_copy = spark.createDataFrame(b0.collect(), b0.schema)
+    b0_copy.write.mode("overwrite").parquet(f"{out}/batch_id=0")
+    assert spark.read.parquet(f"{out}/batch_id=0").count() == rows_before
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_outer_join_equals_batch_left_join(spark):
+    """The sentinel-staged outer join must emit EXACTLY the batch left
+    join — every unmatched row flushed, no duplicates (the determinism
+    risk that kept outer joins out of round 2)."""
+    from os_ex_3_map_reduce_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.user_id, r.n_followups, r.n_lonely)
+        for r in all_queries()["q_stream_outer_join"](spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    a = ev.select(F.col("event_id").alias("a_id"), F.col("user_id").alias("u"), F.col("ts").alias("a_ts"))
+    b = ev.select(F.col("event_id").alias("b_id"), F.col("user_id").alias("bu"), F.col("ts").alias("b_ts"))
+    j = a.join(
+        b,
+        (F.col("u") == F.col("bu"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + 5 * 60 * 10**9),
+        "left",
+    )
+    want = {
+        (r.u, r.nf, r.nl)
+        for r in j.groupBy("u")
+        .agg(
+            F.count("b_id").alias("nf"),
+            F.sum(F.when(F.col("b_id").isNull(), 1).otherwise(0)).cast("long").alias("nl"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_recursive_cte_union_all_only(spark):
+    """Record the Spark 4.1 recursion limits the q_recursive_cte doc
+    claims: UNION ALL recursion works; UNION-distinct (cyclic-closure
+    safe form) raises — transitive closure stays on the iterative
+    operator."""
+    from pyspark.sql.utils import AnalysisException
+
+    got = spark.sql(
+        "WITH RECURSIVE m(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM m WHERE n < 4) "
+        "SELECT * FROM m"
+    ).collect()
+    assert sorted(r.n for r in got) == [1, 2, 3, 4]
+    with pytest.raises(AnalysisException, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            "WITH RECURSIVE m(n) AS (SELECT 1 UNION SELECT n+1 FROM m WHERE n < 4) "
+            "SELECT * FROM m"
+        ).collect()
