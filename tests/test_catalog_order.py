@@ -11,30 +11,26 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
     all_queries,
 )
 
-# Families that had no external verdict in round 1 and MUST be inside the
-# verification window this round.
+# Queries with no external verdict yet, or changed this round — MUST be
+# inside the verification window (round 3).
 MUST_BE_IN_WINDOW = {
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_join",
-    "q_stream_static_join",
-    "q_stream_stateful",
-    "q_stream_dedup",
-    "q_join_asof",
-    "q_join_range",
-    "q_lateral",
-    "q_time_gapfill",
-    "q_unpivot",
-    "q_window_range_frame",
-    "q_sketch_heavyhitters",
+    # never driver-verified
+    "q_salted_join",
+    "q_sample_hash",
+    "q_contamination",
+    "q_repetition",
+    "q_normalize_text",
+    "q_ann_lsh_recall",
+    "q_recursive_cte",
+    "q_stream_outer_join",
+    "q_stream_foreach_sink",
     # changed this round
+    "q_hof_fns",
     "q_fingerprint_rolling",
-    "q_multimodal_fake_image",
-    "q_multimodal_frames",
-    "q_simhash_neardup",
     "q_embedding_topk_pairs",
     "q_embedding_neardup",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
 }
 
 
