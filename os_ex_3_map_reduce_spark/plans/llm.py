@@ -1194,3 +1194,94 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(kept, " ").alias("clean_text"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+@register(
+    "q_pack_chunks",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS cum_before
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
+               CAST(cum_before % 2048 AS BIGINT) AS chunk_offset,
+               CAST((cum_before + n_tokens - 1) // 2048 AS BIGINT)
+                   AS last_chunk_id
+        FROM c WHERE n_tokens > 0
+    """,
+    doc="Sequence packing (concat-and-chunk, the standard LLM "
+    "pretraining batch layout): per language, documents concatenate in "
+    "deterministic doc_id order into one token stream cut every 2048 "
+    "tokens; each document reports the chunk and offset where it "
+    "starts and the chunk where it ends (straddling = appears in "
+    "multiple training sequences). One window (running token sum per "
+    "lang) + pure arithmetic — no shuffle beyond the window's "
+    "partition-by-lang exchange. At 100 TB the per-lang window order "
+    "would be (shard_key, doc_id) so streams pack per shard "
+    "independently — same plan, narrower partitions.",
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cap = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    t = docs.select(
+        "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return c.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("cum_before") / cap).cast("long").alias("chunk_id"),
+        (F.col("cum_before") % cap).cast("long").alias("chunk_offset"),
+        ((F.col("cum_before") + F.col("n_tokens") - 1) / cap)
+        .cast("long")
+        .alias("last_chunk_id"),
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+        SELECT doc_id, lang, substr(md5(text), 1, 8) AS bucket_hex
+        FROM documents
+        WHERE substr(md5(text), 1, 8) <
+              CASE WHEN lang = 'en' THEN '0ccccccd' ELSE '33333333' END
+    """,
+    doc="Stratified deterministic sampling — the dataset-mixture "
+    "primitive (downsample the dominant language, keep more of the "
+    "rest): per-stratum keep-rates (en 5%%, others 20%%) applied via "
+    "the same content-hash threshold as q_sample_hash (thresholds are "
+    "rate*2^32 in fixed-width hex, compared lexicographically). No "
+    "RNG, no shuffle — a scan-level predicate that yields the "
+    "identical sample on any engine, partitioning, or run; rerunning "
+    "with a changed rate only adds/removes the marginal hash band "
+    "(nested samples), which is what makes mixture ablations "
+    "reproducible.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5("text"), 1, 8)
+    thresh = F.when(F.col("lang") == "en", F.lit("0ccccccd")).otherwise(
+        F.lit("33333333")
+    )
+    return docs.select(
+        "doc_id", "lang", bucket.alias("bucket_hex")
+    ).where(bucket < thresh)

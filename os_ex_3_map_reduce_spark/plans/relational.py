@@ -1492,10 +1492,15 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM orders o WHERE o.o_custkey = c.c_custkey) t
     """,
     doc="Correlated LATERAL subquery (per-customer aggregate computed "
-    "in-line): Catalyst decorrelates it into a left outer aggregate "
-    "join — same plan a hand-written join would give, so the SQL-level "
-    "convenience costs nothing at scale. Runs through the engine's SQL "
-    "front-end (register_views + spark.sql).",
+    "in-line): Catalyst decorrelates it into joins — no per-row "
+    "re-execution, which is what makes LATERAL usable at scale. The "
+    "decorrelated plan is NOT quite the hand-written join, though: the "
+    "generic COUNT-bug-safe rewrite scans customer twice (outer + "
+    "distinct correlation domain), left-joins the aggregate onto the "
+    "domain, then null-safe-joins back — one distinct aggregation and "
+    "one broadcast more than writing the left join directly. Fine "
+    "here; on a hot path, write the join. Runs through the engine's "
+    "SQL front-end (register_views + spark.sql).",
 )
 def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
