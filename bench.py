@@ -77,9 +77,15 @@ BREADTH = [
     "q_contamination",
     "q_repetition",
     "q_sample_hash",
+    "q_sample_stratified",
+    "q_pack_chunks",
+    "q_recursive_cte",
+    "q_ann_lsh_recall",
     "q_stream_tumbling",
     "q_stream_stateful",
     "q_stream_static_join",
+    "q_stream_outer_join",
+    "q_stream_foreach_sink",
 ]
 
 

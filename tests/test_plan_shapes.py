@@ -246,6 +246,22 @@ def test_exact_pair_similarity_builds_without_driver_jobs(spark):
     assert df2.count() > 0
 
 
+def test_block_outer_product_single_shuffle_no_broadcast(spark):
+    """The replicate-and-gather block product must plan as ONE exchange
+    (the groupBy gather) with no broadcast and no nested-loop join: the
+    round-2 theta-join shape broadcast the ENTIRE packed dataset
+    (BroadcastNestedLoopJoin) and re-exchanged it via an explicit
+    repartition — both scale hazards this rewrite removed."""
+    from os_ex_3_map_reduce_spark.operators.similarity import threshold_pairs
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = threshold_pairs(emb, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange") <= 1, plan
+
+
 def test_range_frame_rewrite_equals_native_frame(spark, qs):
     """q_window_range_frame is executed as prefix scans + as-of boundary
     lookup (O(n log n)) instead of Spark's native sliding RANGE frame
