@@ -51,6 +51,7 @@ HEADLINE = {
 #: Breadth set: representative of every operator family (SURVEY.md §2).
 BREADTH = [
     "q_join_sortmerge",
+    "q_join_bucketed",
     "q_join_semi",
     "q_join_asof",
     "q_join_range",

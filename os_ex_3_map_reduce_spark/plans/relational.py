@@ -1731,3 +1731,61 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("m", "yyyy-MM").alias("month"),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle=f"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               {SQL_DSUM('o_totalprice')} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="Co-located join on pre-bucketed tables — the storage-layout "
+    "lever for repeated 100 TB fact joins: both sides are written "
+    "bucketed+sorted on the join key (8 buckets, saveAsTable), so the "
+    "sort-merge join reads matching buckets directly with NO exchange "
+    "and no sort on either side; the only shuffle in the plan is the "
+    "final tiny aggregation. Setup (the bucketed write) happens once "
+    "per session/sf and is memoized — exactly how a warehouse would "
+    "maintain bucketed fact/dim tables; the measured query is the "
+    "recurring join. Same result as the plain join (one oracle covers "
+    "both, like q_salted_join); the no-exchange plan is asserted in "
+    "tests.",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+
+    from ..sources.io import write_table
+    from .llm import _cached_df
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    cust_t, ord_t = f"osx3_cust_b_{tag}", f"osx3_orders_b_{tag}"
+
+    def build() -> DataFrame:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+        )
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        write_table(
+            cust, f"{wh}/{cust_t}", bucket_by=(8, ["c_custkey"]),
+            table_name=cust_t,
+        )
+        write_table(
+            orders, f"{wh}/{ord_t}", bucket_by=(8, ["c_custkey"]),
+            table_name=ord_t,
+        )
+        return (
+            spark.table(ord_t)
+            .hint("merge")  # pin SMJ: the bucket layout, not a broadcast,
+            # must carry the join so the asserted plan is the 100 TB one
+            .join(spark.table(cust_t), "c_custkey")
+        )
+
+    joined = _cached_df(spark, ("bucketed_join", sf_dir), build)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price")
+    )

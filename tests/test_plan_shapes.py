@@ -262,6 +262,20 @@ def test_block_outer_product_single_shuffle_no_broadcast(spark):
     assert plan.count("Exchange") <= 1, plan
 
 
+def test_bucketed_join_has_no_exchange_on_key(spark, qs):
+    """q_join_bucketed: both sides pre-bucketed+sorted on the key, so
+    the pinned sort-merge join must carry NO exchange and no sort on
+    the join inputs — the bucket layout does the co-location."""
+    plan = (
+        qs["q_join_bucketed"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan, plan
+
+
 def test_range_frame_rewrite_equals_native_frame(spark, qs):
     """q_window_range_frame is executed as prefix scans + as-of boundary
     lookup (O(n log n)) instead of Spark's native sliding RANGE frame
