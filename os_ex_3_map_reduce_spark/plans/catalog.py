@@ -64,9 +64,10 @@ def _load_all() -> None:
 #: implementation changed since their last verification, come first;
 #: long-stable verified queries rotate to the back. Rotation plan: once a
 #: round's CORRECTNESS file confirms this set green, swap the next
-#: longest-unverified batch in — after round 3 that is q_pack_chunks and
-#: q_sample_stratified (registered behind the window late in round 3,
-#: green in the local driver-sim), the 7 remaining round-1-verified names
+#: longest-unverified batch in — after round 3 that is q_pack_chunks,
+#: q_sample_stratified, and q_join_bucketed (registered behind the window
+#: late in round 3, green in the local driver-sim), the 7 remaining
+#: round-1-verified names
 #: (q_window_rank, q_window_lag, q_window_running_sum, q_topk, q_union,
 #: q_intersect, q_except), plus the oldest round-2-verified queries.
 DRIVER_WINDOW = 50
