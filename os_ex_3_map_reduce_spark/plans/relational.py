@@ -1789,3 +1789,72 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price")
     )
+
+
+@register(
+    "q_python_datasource",
+    oracle="""
+        SELECT CAST((i * 2654435761) % 4294967296 % 16 AS INT) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM((i * 2654435761) % 4294967296 % 1000) AS BIGINT)
+                   AS sum_value
+        FROM generate_series(0, 99999) t(i)
+        GROUP BY 1
+    """,
+    doc="Custom Python DataSource (Spark 4 pyspark.sql.datasource) — "
+    "the modern analog of the reference's bring-your-own-source R1 "
+    "surface: the engine plans one InputPartition per split and "
+    "executors read them in parallel (8 partitions here), each "
+    "yielding Arrow RecordBatches (vectorized, never per-row Python). "
+    "The source is a deterministic Knuth-hash generator, so the DuckDB "
+    "oracle replays the identical arithmetic over generate_series — "
+    "an exact hash-checked verdict on a fully custom connector path.",
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.custom import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("osx3_synth")
+        .option("n", 100_000)
+        .option("parts", 8)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+    )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+        SELECT event_type,
+               'OBJECT<k: BIGINT>' AS vschema,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                             AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="VARIANT type surface (Spark 4): parse_json(props) into a "
+    "variant, typed extraction with variant_get, and "
+    "schema_of_variant over the fixture's uniform {\"k\": int} shape. "
+    "VARIANT is the semi-structured scale path — the binary encoding "
+    "is parsed once at ingest and field access is O(field) without "
+    "re-parsing the JSON string per expression (get_json_object "
+    "re-parses per call). Oracle re-derives k by regexp (no DuckDB "
+    "JSON-extension dependence) and pins the variant schema string.",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = events.select("event_type", F.parse_json("props").alias("v"))
+    return (
+        v.select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+            F.expr("schema_of_variant(v)").alias("vschema"),
+        )
+        .groupBy("event_type", "vschema")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .select("event_type", "vschema", "n", "sum_k")
+    )

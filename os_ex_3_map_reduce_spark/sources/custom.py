@@ -1,0 +1,86 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``).
+
+The reference's only source is an in-memory vector handed to the job
+[SURVEY.md R1]; the modern Spark analog of "bring your own source" is
+the Python DataSource API: the engine plans one InputPartition per
+split and executors read partitions in parallel — the same dynamic-
+split contract the reference implemented with an atomic counter, now
+expressed declaratively.
+
+``SyntheticEventsDataSource`` is a deterministic generator (a Knuth
+multiplicative hash over a row range), so catalog queries over it are
+exactly reproducible on any engine — the DuckDB oracle replays the
+identical arithmetic over ``generate_series``. Batches are yielded as
+pyarrow RecordBatches (the API's vectorized path), never per-row
+Python tuples.
+
+At 100 TB this is the shape of a custom feed connector (an internal
+record service, a proprietary format): partition planning controls
+parallelism, and each partition reads independently with no driver
+involvement beyond planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: Knuth's multiplicative hash constant (public domain, TAOCP vol. 3).
+_MULT = 2654435761
+_MOD = 2**32
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("osx3_synth").option("n", N).option("parts", P)``.
+
+    Columns: ``id`` (0..n-1), ``bucket`` (hash % 16), ``value``
+    (hash % 1000) where ``hash = (id * 2654435761) % 2^32``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "osx3_synth"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, value bigint"
+
+    def reader(self, schema) -> "_SyntheticReader":
+        return _SyntheticReader(self.options)
+
+
+class _SyntheticReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 100_000))
+        self.parts = int(options.get("parts", 8))
+
+    def partitions(self):
+        import math
+
+        per = max(1, math.ceil(self.n / self.parts))
+        return [
+            InputPartition((lo, min(self.n, lo + per)))
+            for lo in range(0, self.n, per)
+        ]
+
+    def read(self, partition):
+        import numpy as np
+        import pyarrow as pa
+
+        lo, hi = partition.value
+        ids = np.arange(lo, hi, dtype=np.int64)
+        h = (ids * _MULT) % _MOD
+        yield pa.record_batch(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array((h % 16).astype(np.int32), type=pa.int32()),
+                pa.array((h % 1000).astype(np.int64), type=pa.int64()),
+            ],
+            names=["id", "bucket", "value"],
+        )
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotently register the source with this session."""
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered in this session

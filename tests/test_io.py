@@ -196,3 +196,34 @@ def test_compact_table_self_heals_crashed_run(spark, tmp_path):
     compact_table(spark, path)
     assert read_table(spark, path).count() == 1000
     assert not (tmp_path / "c.compact-old").exists()
+
+
+def test_python_datasource_parallel_and_deterministic(spark):
+    """The custom Python DataSource must read its InputPartitions in
+    parallel (one task per partition) and produce the same rows for any
+    partition count (the generator is a pure function of the row id)."""
+    from os_ex_3_map_reduce_spark.sources.custom import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+
+    def rows(parts):
+        return sorted(
+            tuple(r)
+            for r in spark.read.format("osx3_synth")
+            .option("n", 5000)
+            .option("parts", parts)
+            .load()
+            .collect()
+        )
+
+    a, b = rows(8), rows(3)
+    assert a == b
+    assert len(a) == 5000
+    got = spark.read.format("osx3_synth").option("n", 5000).option("parts", 4).load()
+    assert got.rdd.getNumPartitions() == 4
+    r0 = a[0]
+    assert r0 == (0, 0, 0)  # hash(0) = 0
+    h = (1 * 2654435761) % 2**32
+    assert a[1] == (1, h % 16, h % 1000)
