@@ -73,14 +73,15 @@ def _load_all() -> None:
 DRIVER_WINDOW = 50
 
 #: Round-3 priority prefix (exactly DRIVER_WINDOW names):
-#: - 9 queries with no driver verdict yet: the round-2 overflow batch
+#: - 10 queries with no driver verdict yet: the round-2 overflow batch
 #:   (salted join, sampling, contamination, repetition, normalization)
 #:   plus this round's new surface (LSH-recall companion, recursive CTE,
-#:   stream outer join, foreachBatch sink);
+#:   stream outer join, foreachBatch sink, async job-control lifecycle);
 #: - 11 whose implementation or oracle changed this round (hof-fns oracle
 #:   dtype fix, fingerprint md5 rebase, block-outer-product rewrite, IVF
 #:   evidence columns, minhash-family cache refactor);
-#: - 28 whose last verification was round 1 (oldest first-stale);
+#: - 27 whose last verification was round 1 (oldest first-stale;
+#:   q_join_outer moved to the round-4 batch);
 #: - 2 long-green canaries (flagship + pricing agg) as regression
 #:   sentinels.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -94,6 +95,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_recursive_cte",
     "q_stream_outer_join",
     "q_stream_foreach_sink",
+    "q_job_control",
     # changed this round → re-verify
     "q_hof_fns",
     "q_fingerprint_rolling",
@@ -134,7 +136,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_semi",
     "q_join_anti",
     "q_join_multiway",
-    "q_join_outer",
     # canaries
     "q_wordcount",
     "q_agg_pricing_summary",

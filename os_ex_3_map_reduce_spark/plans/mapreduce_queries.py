@@ -150,3 +150,38 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.bigram FROM __docs_udtf, "
         "LATERAL bigrams_udtf(doc_id, text) t"
     )
+
+
+@register(
+    "q_job_control",
+    oracle="""
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> ''
+        GROUP BY w
+    """,
+    doc="Job-control lifecycle (R9-R12) under a driver verdict: the "
+    "flagship word count submitted through the ASYNC entry point "
+    "(start_map_reduce_job), state polled while running (getJobState "
+    "parity - stage must be legal and percentage in [0,100]), waited "
+    "idempotently (waitForJob), and the OutputVec analog collected via "
+    "handle.result() before closeJobHandle. The collected rows return "
+    "as a DataFrame so the oracle hash-checks the full lifecycle "
+    "end-to-end. The driver-side result materialization IS the "
+    "reference contract here (outputVec lives in the caller); the "
+    "distributed path for large results is the plain run_map_reduce "
+    "DataFrame (q_mapreduce_wordcount).",
+)
+def q_job_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.job import start_map_reduce_job
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    handle = start_map_reduce_job(spark, WordCountClient(), docs)
+    st = handle.state()  # poll while (possibly) running: legal snapshot
+    assert 0.0 <= st.percentage <= 100.0
+    handle.wait()
+    handle.wait()  # idempotent double-join (reference guards this)
+    rows = handle.result()
+    out = spark.createDataFrame(rows, schema=WordCountClient.output_schema)
+    handle.close()
+    return out
