@@ -287,3 +287,61 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "q_stream_python_source",
+    oracle="""
+        SELECT CAST(i % 7 AS BIGINT) AS g,
+               COUNT(*) AS n,
+               CAST(SUM((i * 2654435761) % 4294967296 % 1000) AS BIGINT)
+                   AS sum_value
+        FROM generate_series(0, 99999) t(i)
+        GROUP BY 1
+    """,
+    doc="Custom Python STREAMING data source (Spark 4 "
+    "SimpleDataSourceStreamReader): the synthetic connector replayed "
+    "as a bounded stream — position offsets, 25k-row micro-batches "
+    "(4 batches), empty-batch caught-up signal so "
+    "processAllAvailable() terminates deterministically; "
+    "readBetweenOffsets replays committed ranges byte-identically "
+    "(recovery/exactly-once). Complete-mode aggregation equals the "
+    "batch arithmetic, hash-checked by the generate_series oracle. "
+    "The simple API reads on the driver (the low-throughput feed "
+    "shape); a high-volume connector implements the partition-planned "
+    "stream reader — noted in sources/custom.py.",
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ..sources.custom import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("osx3_synth")
+        .option("n", 100_000)
+        .option("step", 25_000)
+        .load()
+    )
+    agg = stream.groupBy((F.col("id") % 7).alias("g")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+    )
+    name = "s" + _uuid.uuid4().hex[:10]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(before), 8))
+    )
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(name)

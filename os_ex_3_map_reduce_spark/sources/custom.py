@@ -22,7 +22,12 @@ involvement beyond planning.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Knuth's multiplicative hash constant (public domain, TAOCP vol. 3).
 _MULT = 2654435761
@@ -45,6 +50,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> "_SyntheticReader":
         return _SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "_SyntheticStreamReader":
+        return _SyntheticStreamReader(self.options)
 
 
 class _SyntheticReader(DataSourceReader):
@@ -76,6 +84,50 @@ class _SyntheticReader(DataSourceReader):
             ],
             names=["id", "bucket", "value"],
         )
+
+
+def _gen_rows(lo: int, hi: int):
+    # a LIST iterator, not a generator: the streaming prefetch cache
+    # copy.copy()s the iterator it hands to the planner, and generators
+    # are not copyable (TypeError: cannot pickle 'generator' object)
+    return iter(
+        [
+            (i, int(h % 16), int(h % 1000))
+            for i in range(lo, hi)
+            for h in ((i * _MULT) % _MOD,)
+        ]
+    )
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source: offsets are row positions;
+    each micro-batch serves ``step`` rows until ``n`` are exhausted,
+    after which empty batches signal caught-up (so
+    ``processAllAvailable()`` terminates deterministically).
+
+    The *simple* stream API reads on the DRIVER (prefetch) — right for
+    low-throughput control/feed streams; a high-volume connector would
+    implement the partition-planned ``DataSourceStreamReader`` instead
+    so executors fetch offset ranges in parallel, exactly like the
+    batch reader above. ``readBetweenOffsets`` replays any committed
+    range for recovery — the generator is pure, so replayed batches
+    are byte-identical (exactly-once friendly).
+    """
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 100_000))
+        self.step = int(options.get("step", 25_000))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        lo = start["pos"]
+        hi = min(self.n, lo + self.step)
+        return (_gen_rows(lo, hi), {"pos": hi})
+
+    def readBetweenOffsets(self, start, end):
+        return _gen_rows(start["pos"], end["pos"])
 
 
 def register_synthetic_source(spark) -> None:

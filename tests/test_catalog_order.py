@@ -24,6 +24,7 @@ MUST_BE_IN_WINDOW = {
     "q_recursive_cte",
     "q_stream_outer_join",
     "q_stream_foreach_sink",
+    "q_stream_python_source",
     "q_job_control",
     # changed this round
     "q_hof_fns",
