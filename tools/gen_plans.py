@@ -49,9 +49,17 @@ SHOWCASE: dict[str, str] = {
         "cross join anywhere in the tree."
     ),
     "q_embedding_topk_pairs": (
-        "Exact block outer product: pack by blk, self-join blk_a <= blk_b, "
-        "MapInPandas matmul per block pair, TakeOrderedAndProject(k). No "
-        "driver-side collect/broadcast of the embedding relation."
+        "Exact block outer product, replicate-and-gather: explode each "
+        "vector to its B block pairs, ONE groupBy(blk_a, blk_b) exchange "
+        "gathers both sides, MapInPandas matmul per block pair, "
+        "TakeOrderedAndProject(k). No broadcast, no second exchange, no "
+        "driver-side collect of the embedding relation."
+    ),
+    "q_join_bucketed": (
+        "Both sides pre-bucketed+sorted on c_custkey: SortMergeJoin with "
+        "NO Exchange and no Sort on either join input — the bucket "
+        "layout carries the co-location; the only exchange is the final "
+        "small aggregation."
     ),
     "q_salted_join": (
         "Join keys include __salt: each hot customer key spreads over 8 "
