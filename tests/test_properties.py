@@ -95,3 +95,83 @@ def test_map_reduce_parallelism_invariance(spark, rows):
         for r in run_map_reduce(df, SumEvensDropOdds(), num_shuffle_partitions=7).collect()
     }
     assert a == b == _reference(rows)
+
+
+TOKENS = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=3), min_size=0, max_size=40
+)
+
+
+@given(toks=TOKENS)
+@settings(max_examples=200, deadline=None)
+def test_rolling_hash_polynomial_identity(toks):
+    """The O(1)-per-step Rabin-Karp recurrence must equal the direct
+    per-window polynomial — the identity the DuckDB oracle relies on
+    (it evaluates windows directly, no recurrence)."""
+    import hashlib
+
+    from os_ex_3_map_reduce_spark.functions.text import (
+        RK_BASE,
+        RK_MOD,
+        rolling_hashes,
+    )
+
+    got = rolling_hashes(toks, n=3)
+    vals = [
+        int(hashlib.md5(t.encode()).hexdigest()[:16], 16) % RK_MOD
+        for t in toks
+    ]
+    want = [
+        (vals[i] * RK_BASE * RK_BASE + vals[i + 1] * RK_BASE + vals[i + 2])
+        % RK_MOD
+        for i in range(len(vals) - 2)
+    ]
+    assert got == want
+
+
+@given(hashes=st.lists(st.integers(min_value=0, max_value=2**61 - 2), max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_winnow_guarantees(hashes):
+    """Winnowing invariants (Schleimer et al.): every fingerprint is a
+    window minimum present in the input; consecutive fingerprints never
+    repeat; non-empty input always yields at least one fingerprint."""
+    from os_ex_3_map_reduce_spark.functions.text import winnow
+
+    fp = winnow(hashes, window=4)
+    if not hashes:
+        assert fp == []
+        return
+    assert fp, "non-empty input must fingerprint"
+    assert all(f in hashes for f in fp)
+    assert all(a != b for a, b in zip(fp, fp[1:]))
+    if len(hashes) <= 4:
+        assert fp == [min(hashes)]
+    else:
+        mins = [min(hashes[i : i + 4]) for i in range(len(hashes) - 3)]
+        dedup = [m for j, m in enumerate(mins) if j == 0 or mins[j - 1] != m]
+        assert fp == dedup
+
+
+@given(
+    n_tokens=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=50),
+    cap=st.integers(min_value=1, max_value=4096),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_chunks_arithmetic(n_tokens, cap):
+    """Concat-and-chunk accounting invariants: offsets stay inside the
+    chunk capacity, chunk ids are non-decreasing in stream order, and a
+    doc's span covers exactly its token interval."""
+    cum = 0
+    prev_chunk = 0
+    for nt in n_tokens:
+        if nt == 0:
+            continue
+        chunk_id, off = cum // cap, cum % cap
+        last = (cum + nt - 1) // cap
+        assert 0 <= off < cap
+        assert chunk_id >= prev_chunk
+        assert last >= chunk_id
+        # tokens spanned by [chunk_id..last] must cover [cum, cum+nt)
+        assert chunk_id * cap <= cum and cum + nt <= (last + 1) * cap
+        prev_chunk = chunk_id
+        cum += nt
