@@ -68,22 +68,24 @@ def _load_all() -> None:
 #: q_sample_stratified, q_join_bucketed, q_python_datasource, and
 #: q_variant_json (registered behind the window late in round 3, green
 #: in the local driver-sim), the 9 remaining round-1-verified names
-#: (q_join_outer, q_join_multiway, q_window_rank, q_window_lag,
+#: (q_join_outer, q_join_multiway, q_join_anti, q_window_rank, q_window_lag,
 #: q_window_running_sum, q_topk, q_union, q_intersect, q_except), plus
 #: the oldest round-2-verified queries.
 DRIVER_WINDOW = 50
 
 #: Round-3 priority prefix (exactly DRIVER_WINDOW names):
-#: - 11 queries with no driver verdict yet: the round-2 overflow batch
+#: - 12 queries with no driver verdict yet: the round-2 overflow batch
 #:   (salted join, sampling, contamination, repetition, normalization)
 #:   plus this round's new surface (LSH-recall companion, recursive CTE,
 #:   stream outer join, foreachBatch sink, custom Python streaming
-#:   source, async job-control lifecycle);
+#:   sources (driver-prefetch AND executor-partitioned), async
+#:   job-control lifecycle);
 #: - 11 whose implementation or oracle changed this round (hof-fns oracle
 #:   dtype fix, fingerprint md5 rebase, block-outer-product rewrite, IVF
 #:   evidence columns, minhash-family cache refactor);
-#: - 26 whose last verification was round 1 (oldest first-stale;
-#:   q_join_outer and q_join_multiway moved to the round-4 batch);
+#: - 25 whose last verification was round 1 (oldest first-stale;
+#:   q_join_outer, q_join_multiway, q_join_anti moved to the round-4
+#:   batch);
 #: - 2 long-green canaries (flagship + pricing agg) as regression
 #:   sentinels.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -98,6 +100,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_outer_join",
     "q_stream_foreach_sink",
     "q_stream_python_source",
+    "q_stream_partitioned_source",
     "q_job_control",
     # changed this round → re-verify
     "q_hof_fns",
@@ -137,7 +140,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_broadcast",
     "q_join_sortmerge",
     "q_join_semi",
-    "q_join_anti",
     # canaries
     "q_wordcount",
     "q_agg_pricing_summary",

@@ -350,3 +350,39 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     return spark.table(name)
+
+
+@register(
+    "q_stream_partitioned_source",
+    oracle="""
+        SELECT CAST(i % 13 AS BIGINT) AS g,
+               COUNT(*) AS n,
+               CAST(SUM((i * 2654435761) % 4294967296 % 1000) AS BIGINT)
+                   AS sum_value
+        FROM generate_series(0, 99999) t(i)
+        GROUP BY 1
+    """,
+    doc="Custom Python streaming source, EXECUTOR-side variant "
+    "(DataSourceStreamReader): the driver plans offset ranges "
+    "(latestOffset bounds the batch, partitions() splits it) and "
+    "executors read the 8 partitions in parallel, yielding Arrow "
+    "batches — the high-volume connector shape, complementing "
+    "q_stream_python_source's driver-prefetch simple reader. Bounded "
+    "offsets make availableNow a deterministic single replay; the "
+    "complete-mode aggregation equals the generate_series oracle.",
+)
+def q_stream_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.custom import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("osx3_synth_part")
+        .option("n", 100_000)
+        .option("parts", 8)
+        .load()
+    )
+    agg = stream.groupBy((F.col("id") % 13).alias("g")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+    )
+    name = run_stream_to_memory(agg, mode="complete")
+    return spark.table(name)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -130,9 +131,80 @@ class _SyntheticStreamReader(SimpleDataSourceStreamReader):
         return _gen_rows(start["pos"], end["pos"])
 
 
+class SyntheticPartitionedStreamSource(DataSource):
+    """``spark.readStream.format("osx3_synth_part")`` — the HIGH-VOLUME
+    streaming face: a full ``DataSourceStreamReader`` where the driver
+    only plans offset ranges and EXECUTORS read the partitions in
+    parallel (vs the simple reader, which prefetches on the driver).
+    This is the shape a real feed connector (message bus, record
+    service) takes at scale: ``latestOffset`` bounds each micro-batch,
+    ``partitions(start, end)`` splits the range, and ``read`` runs
+    distributed, yielding Arrow batches. Bounded here (``n`` rows
+    total) so availableNow replays deterministically.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "osx3_synth_part"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, value bigint"
+
+    def streamReader(self, schema) -> "_SyntheticPartitionedStreamReader":
+        return _SyntheticPartitionedStreamReader(self.options)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int) -> None:
+        self.lo, self.hi = lo, hi
+
+
+class _SyntheticPartitionedStreamReader(DataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 100_000))
+        self.parts = int(options.get("parts", 8))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        return {"pos": self.n}
+
+    def partitions(self, start, end):
+        import math
+
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        per = max(1, math.ceil((hi - lo) / self.parts))
+        return [
+            _RangePartition(a, min(hi, a + per)) for a in range(lo, hi, per)
+        ]
+
+    def read(self, partition):
+        # runs on EXECUTORS — same vectorized kernel as the batch reader
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.arange(partition.lo, partition.hi, dtype=np.int64)
+        h = (ids * _MULT) % _MOD
+        yield pa.record_batch(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array((h % 16).astype(np.int32), type=pa.int32()),
+                pa.array((h % 1000).astype(np.int64), type=pa.int64()),
+            ],
+            names=["id", "bucket", "value"],
+        )
+
+    def commit(self, end) -> None:
+        pass  # nothing external to acknowledge
+
+
 def register_synthetic_source(spark) -> None:
-    """Idempotently register the source with this session."""
-    try:
-        spark.dataSource.register(SyntheticEventsDataSource)
-    except Exception:
-        pass  # already registered in this session
+    """Idempotently register both synthetic sources with this session."""
+    for src in (SyntheticEventsDataSource, SyntheticPartitionedStreamSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass  # already registered in this session

@@ -25,6 +25,7 @@ MUST_BE_IN_WINDOW = {
     "q_stream_outer_join",
     "q_stream_foreach_sink",
     "q_stream_python_source",
+    "q_stream_partitioned_source",
     "q_job_control",
     # changed this round
     "q_hof_fns",
