@@ -227,3 +227,25 @@ def test_python_datasource_parallel_and_deterministic(spark):
     assert r0 == (0, 0, 0)  # hash(0) = 0
     h = (1 * 2654435761) % 2**32
     assert a[1] == (1, h % 16, h % 1000)
+
+
+def test_compact_table_multilevel_partitions(spark, tmp_path):
+    """Per-partition sizing must handle NESTED hive layouts (col1=v/
+    col2=v): leaf-dir byte accounting, layout preservation, correct
+    rows after the swap."""
+    from os_ex_3_map_reduce_spark.sources.io import compact_table, read_table
+
+    path = str(tmp_path / "ml")
+    df = spark.range(0, 12000).selectExpr(
+        "id", "id % 2 AS a", "id % 3 AS b"
+    )
+    df.repartition(24).write.partitionBy("a", "b").parquet(path)
+    assert len(list((tmp_path / "ml").glob("a=*/b=*"))) == 6
+
+    compact_table(spark, path, partition_by=["a", "b"])
+    assert len(list((tmp_path / "ml").glob("a=*/b=*"))) == 6
+    got = read_table(spark, path)
+    assert got.count() == 12000
+    assert got.where("a = 1 AND b = 2").count() == 2000
+    n_files = len(list((tmp_path / "ml").rglob("*.parquet")))
+    assert n_files <= 12, n_files  # fewer than the 24-way debris per leaf
