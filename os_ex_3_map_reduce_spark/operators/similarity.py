@@ -3,12 +3,13 @@
 - :func:`topk_to_query` — brute-force query-vector top-k, JVM-side
   sequential fold (zero Python); the correctness baseline.
 - :func:`topk_pairs` / :func:`threshold_pairs` — EXACT all-pairs
-  scoring as a distributed block outer product: pack vectors into B
-  blocks, self-join the B-row packed relation on blk_a <= blk_b, score
-  each block pair with one Arrow-batched float64 matmul. O(B·n) data
-  movement, n²/2 compute spread over B(B+1)/2 tasks, nothing collected
-  on the driver — the exact path scales with cluster memory, not
-  driver memory.
+  scoring as a distributed block outer product, replicate-and-gather:
+  explode each vector to its B block pairs, gather both sides of every
+  pair with ONE groupBy shuffle, score each block pair with one
+  Arrow-batched float64 matmul. O(B·n·d) movement in a single
+  exchange, n²/2 compute spread over B(B+1)/2 tasks, nothing broadcast
+  and nothing collected on the driver — the exact path scales with
+  cluster memory, not driver memory.
 - :func:`lsh_bucketed_topk` — the scale path: random-hyperplane
   (SimHash-for-vectors) bucketing; only same-bucket pairs are scored.
   Approximate by construction → registered rows-only (the judge sees

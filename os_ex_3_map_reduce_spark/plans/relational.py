@@ -1858,3 +1858,43 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
         .select("event_type", "vschema", "n", "sum_k")
     )
+
+
+@register(
+    "q_observe_metrics",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END)
+                    AS BIGINT) AS n_big,
+               {SQL_DSUM('o_totalprice')} AS sum_price
+        FROM orders
+    """,
+    doc="Pipeline observability (df.observe + Observation): named "
+    "aggregate metrics accumulated ON THE SIDE of a pass over orders — "
+    "the production pattern for data-quality counters (row counts, "
+    "violation counts, control totals) collected during a write "
+    "without a second scan. The metrics ride the existing action as "
+    "accumulator-style partial aggregates (no extra job, no extra "
+    "shuffle); the query returns them as a one-row DataFrame so the "
+    "driver hash-checks the observed values against the direct SQL "
+    "aggregation.",
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
+        dsum("o_totalprice", "sum_price"),
+    )
+    # one pass to drive the observation (the noop sink: full compute,
+    # nothing collected); in production this is the table write itself
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    return spark.createDataFrame(
+        [(got["n_rows"], got["n_big"], float(got["sum_price"]))],
+        "n_rows long, n_big long, sum_price double",
+    )
