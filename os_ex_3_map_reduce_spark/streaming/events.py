@@ -133,6 +133,7 @@ def run_stream_to_memory(
     mode: str = "complete",
     checkpoint: str | None = None,
     shuffle_partitions: int | None = 8,
+    progress_out: list | None = None,
 ) -> str:
     """Run a bounded stream (availableNow) into an in-memory sink and
     return the sink table name (query has terminated on return).
@@ -162,6 +163,11 @@ def run_stream_to_memory(
             writer = writer.option("checkpointLocation", checkpoint)
         q = writer.start()
         q.awaitTermination()
+        if progress_out is not None:
+            # per-micro-batch progress snapshots (numInputRows, state
+            # rows, durations) — the streaming analog of the batch
+            # JobHandle.state() introspection (reference R11)
+            progress_out.extend(q.recentProgress)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     return name

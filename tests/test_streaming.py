@@ -244,3 +244,24 @@ def test_recursive_cte_union_all_only(spark):
             "WITH RECURSIVE m(n) AS (SELECT 1 UNION SELECT n+1 FROM m WHERE n < 4) "
             "SELECT * FROM m"
         ).collect()
+
+
+def test_stream_progress_metrics_account_for_all_rows(spark):
+    """Streaming progress introspection (the R11 analog for streams):
+    the per-batch progress snapshots must account for every input row
+    and report the stateful operator's state size."""
+    from os_ex_3_map_reduce_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+        tumbling_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    progress = []
+    agg = tumbling_counts(events_stream(spark, sf))
+    run_stream_to_memory(agg, mode="complete", progress_out=progress)
+    assert progress, "no progress snapshots captured"
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert sum(p["numInputRows"] for p in progress) == n_events
+    state = [op for p in progress for op in p["stateOperators"]]
+    assert any(op["numRowsTotal"] > 0 for op in state), "no state reported"
