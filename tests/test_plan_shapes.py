@@ -262,6 +262,35 @@ def test_block_outer_product_single_shuffle_no_broadcast(spark):
     assert plan.count("Exchange") <= 1, plan
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """SURVEY 2.4 claims AQE handles skewed joins at runtime — prove it:
+    a 90%-hot-key sort-merge join must re-plan with the hot partition
+    SPLIT (SortMergeJoin(skew=true) in the final adaptive plan), the
+    runtime complement to the explicit salted_join primitive."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 97 END AS k", "id AS v"
+        )
+        right = spark.range(0, 97).selectExpr("id AS k", "id * 2 AS w")
+        j = left.hint("merge").join(right, "k")
+        assert len(j.collect()) == 300_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_join_has_no_exchange_on_key(spark, qs):
     """q_join_bucketed: both sides pre-bucketed+sorted on the key, so
     the pinned sort-merge join must carry NO exchange and no sort on
