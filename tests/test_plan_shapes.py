@@ -291,6 +291,18 @@ def test_aqe_splits_skewed_join_partition(spark):
             spark.conf.set(k, v)
 
 
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """The other AQE runtime lever (SURVEY 2.4): a tiny aggregate shuffled
+    into 32 partitions must read back coalesced (AQEShuffleRead
+    'coalesced' in the final plan) — small-partition overhead is folded
+    at runtime instead of hand-tuning shuffle.partitions per query."""
+    df = spark.range(0, 10_000).selectExpr("id % 5 AS k").groupBy("k").count()
+    assert df.count() == 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
 def test_bucketed_join_has_no_exchange_on_key(spark, qs):
     """q_join_bucketed: both sides pre-bucketed+sorted on the key, so
     the pinned sort-merge join must carry NO exchange and no sort on
