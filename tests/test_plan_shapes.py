@@ -297,7 +297,9 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     'coalesced' in the final plan) — small-partition overhead is folded
     at runtime instead of hand-tuning shuffle.partitions per query."""
     df = spark.range(0, 10_000).selectExpr("id % 5 AS k").groupBy("k").count()
-    assert df.count() == 5
+    # collect() (not .count()) so the inspected queryExecution is the one
+    # that actually ran and finalized adaptively
+    assert len(df.collect()) == 5
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
