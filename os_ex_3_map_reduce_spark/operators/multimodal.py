@@ -3,14 +3,20 @@
 Media payloads are opaque ``binary`` columns with typed metadata; all
 decode/feature steps run as Arrow-batched Python over ``mapInPandas``
 (the batch shape, schema, and partitioning are the real, tested part).
-Actual image/audio decoding is STUBBED — the decode libraries are not
-in this container — behind:
 
-- :func:`decode_image` — raises NotImplementedError with instructions.
-- :func:`fake_decode_image` — deterministic fake decoder (pixels derived
-  from sha256 of the payload) so the downstream plumbing (resize,
-  feature extraction, batching) is exercised end-to-end and
-  reproducibly.
+Decode comes in two tiers:
+
+- **REAL decode for uncompressed formats** — 24-bit BMP and 16-bit PCM
+  WAV, parsed byte-for-byte from the public specs in pure numpy
+  (:mod:`..functions.codecs`; golden-byte tested). The roundtrip
+  feature ops below (:func:`bmp_image_features`,
+  :func:`wav_audio_features`) exercise real encode → binary column →
+  real header/payload parse → features, exact-oracled.
+- **Compressed formats stay STUBBED** — JPEG/PNG/MP4 decoders are not
+  in this container: :func:`decode_image` raises NotImplementedError
+  with instructions, and :func:`fake_decode_image` (pixels derived
+  from sha256 of the payload) keeps the downstream plumbing (resize,
+  frame sampling, feature extraction) exercised deterministically.
 """
 
 from __future__ import annotations
@@ -200,4 +206,90 @@ def fake_image_features(df: DataFrame, height: int = 4, width: int = 4) -> DataF
         batch_features,
         schema="doc_id long, height long, width long, channels long, "
         "mean_pixel double, max_c0 long, max_c1 long, max_c2 long",
+    )
+
+
+def bmp_image_features(
+    df: DataFrame, height: int = 8, width: int = 6
+) -> DataFrame:
+    """REAL image decode path: synthesize a deterministic RGB image per
+    doc (pixel = (doc_id*7 + x*3 + y*5 + c*11) mod 256), encode it as
+    an actual 24-bit BMP (bottom-up, BGR, padded rows — width 6 makes
+    the 4-byte row padding load-bearing), then DECODE the bytes with
+    the real parser and emit features from the decoded tensor.
+
+    The features (decoded dims + exact pixel sum) are reproducible by
+    pure arithmetic, so the oracle verifies the whole encode→parse
+    roundtrip: any header/stride/channel-order bug desynchronizes the
+    sum. Arrow-batched; at scale the binary column arrives from
+    storage and only the decode half runs.
+    """
+    from ..functions.codecs import decode_bmp, encode_bmp
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        x = np.arange(height)[:, None, None]
+        y = np.arange(width)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                img = ((int(doc_id) * 7 + x * 3 + y * 5 + c * 11) % 256).astype(
+                    np.uint8
+                )
+                decoded = decode_bmp(encode_bmp(img))
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(decoded.shape[0]),
+                        int(decoded.shape[1]),
+                        int(decoded.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "height", "width", "sum_pixels"]
+            )
+
+    return df.select("doc_id").mapInPandas(
+        batch, schema="doc_id long, height long, width long, sum_pixels long"
+    )
+
+
+def wav_audio_features(
+    df: DataFrame, n_samples: int = 256, sample_rate: int = 16000
+) -> DataFrame:
+    """REAL audio decode path: synthesize deterministic int16 PCM per
+    doc (sample_i = ((doc_id*31 + i*17) mod 4096) - 2048), encode as an
+    actual RIFF/WAVE stream, DECODE it with the real chunk-walking
+    parser, and emit (n_samples, rate, exact sum of squares) from the
+    decoded samples — the audio-energy accounting a speech pipeline
+    runs, verifiable by pure arithmetic in the oracle.
+    """
+    from ..functions.codecs import decode_wav_pcm16, encode_wav_pcm16
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                samples = (((int(doc_id) * 31 + i * 17) % 4096) - 2048).astype(
+                    np.int16
+                )
+                decoded, rate = decode_wav_pcm16(
+                    encode_wav_pcm16(samples, sample_rate)
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(decoded.size),
+                        int(rate),
+                        int((decoded.astype(np.int64) ** 2).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sample_rate", "sum_sq"]
+            )
+
+    return df.select("doc_id").mapInPandas(
+        batch,
+        schema="doc_id long, n_samples long, sample_rate long, sum_sq long",
     )

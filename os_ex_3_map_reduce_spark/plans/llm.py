@@ -1285,3 +1285,64 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", bucket.alias("bucket_hex")
     ).where(bucket < thresh)
+
+
+@register(
+    "q_multimodal_bmp",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id,
+                   (d.doc_id * 7 + x.x * 3 + y.y * 5 + c.c * 11) % 256 AS v
+            FROM documents d,
+                 generate_series(0, 7) x(x),
+                 generate_series(0, 5) y(y),
+                 generate_series(0, 2) c(c)
+        )
+        SELECT doc_id, CAST(8 AS BIGINT) AS height, CAST(6 AS BIGINT) AS width,
+               CAST(SUM(v) AS BIGINT) AS sum_pixels
+        FROM px GROUP BY doc_id
+    """,
+    doc="REAL image decode (E5 upgrade): per doc, a deterministic RGB "
+    "image is encoded as an actual 24-bit BMP — bottom-up rows, BGR "
+    "order, 4-byte row padding (width 6 makes the padding "
+    "load-bearing) — then parsed back by the real pure-numpy decoder "
+    "(functions/codecs.py, golden-byte tested against the public "
+    "spec), and features come from the DECODED tensor. The oracle "
+    "recomputes dims + exact pixel sum by arithmetic, so any header/"
+    "stride/channel-order parsing bug hash-fails. Compressed formats "
+    "(JPEG/PNG) remain the documented stub — no imaging libs in the "
+    "container.",
+)
+def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import bmp_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bmp_image_features(docs)
+
+
+@register(
+    "q_multimodal_wav",
+    oracle="""
+        WITH s AS (
+            SELECT d.doc_id,
+                   ((d.doc_id * 31 + i.i * 17) % 4096) - 2048 AS v
+            FROM documents d, generate_series(0, 255) i(i)
+        )
+        SELECT doc_id, CAST(256 AS BIGINT) AS n_samples,
+               CAST(16000 AS BIGINT) AS sample_rate,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq
+        FROM s GROUP BY doc_id
+    """,
+    doc="REAL audio decode (E5 upgrade): per doc, deterministic int16 "
+    "PCM samples are encoded as an actual RIFF/WAVE stream and parsed "
+    "back by the real chunk-walking decoder (functions/codecs.py); "
+    "output is the decoded sample count, rate, and exact energy (sum "
+    "of squares — int64, no float drift). The oracle recomputes the "
+    "same by arithmetic, hash-verifying the full encode→parse "
+    "roundtrip.",
+)
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import wav_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_audio_features(docs)

@@ -426,3 +426,65 @@ def test_training_pipeline_extras_nonvacuous(spark):
     norm = qs["q_normalize_text"](spark, SF_CORRECT).collect()
     assert sum(r.n_removed for r in norm) > 0
     assert all(" the " not in f" {r.clean_text} " for r in norm)
+
+
+def test_bmp_codec_golden_bytes():
+    """Pin the BMP codec to the PUBLIC format spec with handcrafted
+    bytes — encode→decode self-consistency alone would let a symmetric
+    bug cancel out."""
+    import struct
+
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.functions.codecs import decode_bmp, encode_bmp
+
+    img = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)  # 1x2 RGB
+    got = encode_bmp(img)
+    # handcrafted per spec: 54-byte header, one row BGR + 2 pad bytes
+    want = (
+        struct.pack("<2sIHHI", b"BM", 62, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 2835, 2835, 0, 0)
+        + bytes([3, 2, 1, 6, 5, 4, 0, 0])
+    )
+    assert got == want
+    assert np.array_equal(decode_bmp(want), img)
+    # top-down variant (negative height) must also parse
+    td = bytearray(want)
+    td[22:26] = struct.pack("<i", -1)
+    assert np.array_equal(decode_bmp(bytes(td)), img)
+    # padding round-trip at a width that needs it (6*3=18 -> pad 2)
+    img2 = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(img2)), img2)
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + want[2:])
+
+
+def test_wav_codec_golden_bytes():
+    import struct
+
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.functions.codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = np.array([0, 1000, -1000, 32767], dtype=np.int16)
+    got = encode_wav_pcm16(samples, 8000)
+    want = (
+        struct.pack("<4sI4s", b"RIFF", 36 + 8, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + struct.pack("<4sI", b"data", 8)
+        + samples.astype("<i2").tobytes()
+    )
+    assert got == want
+    back, rate = decode_wav_pcm16(want)
+    assert rate == 8000 and np.array_equal(back, samples)
+    # an extra chunk before data must be skipped, not fatal
+    extra = want[:12] + struct.pack("<4sI", b"LIST", 4) + b"INFO" + want[12:]
+    fixed = bytearray(extra)
+    fixed[4:8] = struct.pack("<I", len(extra) - 8)
+    back2, _ = decode_wav_pcm16(bytes(fixed))
+    assert np.array_equal(back2, samples)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav_pcm16(b"JUNK" + want[4:])
