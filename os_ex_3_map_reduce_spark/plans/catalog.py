@@ -66,28 +66,28 @@ def _load_all() -> None:
 #: round's CORRECTNESS file confirms this set green, swap the next
 #: longest-unverified batch in — after round 3 that is q_pack_chunks,
 #: q_sample_stratified, q_join_bucketed, q_python_datasource,
-#: q_variant_json, q_observe_metrics, and the REAL-decode pair
-#: q_multimodal_bmp / q_multimodal_wav (registered behind the window
+#: q_variant_json, and q_observe_metrics (registered behind the window
 #: late in round 3, green
 #: in the local driver-sim), the 9 remaining round-1-verified names
-#: (q_join_outer, q_join_multiway, q_join_anti, q_window_rank, q_window_lag,
+#: (q_join_outer, q_join_multiway, q_join_anti, q_tf_df,
+#: q_token_stats_bpe, q_window_rank, q_window_lag,
 #: q_window_running_sum, q_topk, q_union, q_intersect, q_except), plus
 #: the oldest round-2-verified queries.
 DRIVER_WINDOW = 50
 
 #: Round-3 priority prefix (exactly DRIVER_WINDOW names):
-#: - 12 queries with no driver verdict yet: the round-2 overflow batch
+#: - 14 queries with no driver verdict yet: the round-2 overflow batch
 #:   (salted join, sampling, contamination, repetition, normalization)
 #:   plus this round's new surface (LSH-recall companion, recursive CTE,
 #:   stream outer join, foreachBatch sink, custom Python streaming
 #:   sources (driver-prefetch AND executor-partitioned), async
-#:   job-control lifecycle);
+#:   job-control lifecycle, REAL-decode BMP/WAV roundtrips);
 #: - 11 whose implementation or oracle changed this round (hof-fns oracle
 #:   dtype fix, fingerprint md5 rebase, block-outer-product rewrite, IVF
 #:   evidence columns, minhash-family cache refactor);
-#: - 25 whose last verification was round 1 (oldest first-stale;
-#:   q_join_outer, q_join_multiway, q_join_anti moved to the round-4
-#:   batch);
+#: - 23 whose last verification was round 1 (oldest first-stale; the
+#:   round-4 batch takes q_join_outer, q_join_multiway, q_join_anti,
+#:   and the family-duplicate refreshes q_tf_df, q_token_stats_bpe);
 #: - 2 long-green canaries (flagship + pricing agg) as regression
 #:   sentinels.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -104,6 +104,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_python_source",
     "q_stream_partitioned_source",
     "q_job_control",
+    "q_multimodal_bmp",
+    "q_multimodal_wav",
     # changed this round → re-verify
     "q_hof_fns",
     "q_fingerprint_rolling",
@@ -127,11 +129,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_quality",
     "q_token_stats",
     "q_lang_id",
-    "q_tf_df",
     "q_tfidf_top_terms",
     "q_fingerprint",
     "q_multimodal_metadata",
-    "q_token_stats_bpe",
     "q_filter_project",
     "q_agg_distinct",
     "q_rollup",

@@ -27,6 +27,8 @@ MUST_BE_IN_WINDOW = {
     "q_stream_python_source",
     "q_stream_partitioned_source",
     "q_job_control",
+    "q_multimodal_bmp",
+    "q_multimodal_wav",
     # changed this round
     "q_hof_fns",
     "q_fingerprint_rolling",
