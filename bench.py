@@ -79,6 +79,8 @@ BREADTH = [
     "q_repetition",
     "q_sample_hash",
     "q_sample_stratified",
+    "q_multimodal_bmp",
+    "q_multimodal_wav",
     "q_pack_chunks",
     "q_recursive_cte",
     "q_ann_lsh_recall",

@@ -175,3 +175,42 @@ def test_pack_chunks_arithmetic(n_tokens, cap):
         assert chunk_id * cap <= cum and cum + nt <= (last + 1) * cap
         prev_chunk = chunk_id
         cum += nt
+
+
+@given(
+    h=st.integers(min_value=1, max_value=16),
+    w=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    """Every (H, W, 3) uint8 image must survive encode→decode exactly —
+    including widths whose rows need 1-3 pad bytes."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.functions.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=2000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_roundtrip_any_samples(n, rate, seed):
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.functions.codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-32768, 32768, size=n).astype(np.int16)
+    back, got_rate = decode_wav_pcm16(encode_wav_pcm16(samples, rate))
+    assert got_rate == rate
+    assert np.array_equal(back, samples)
