@@ -9,6 +9,7 @@ from .dedup import (  # noqa: F401
     simhash_neardup_pairs,
 )
 from .job import JobHandle, JobState, Stage, start_job, start_map_reduce_job  # noqa: F401
+from .merge import latest_wins, merge_upsert  # noqa: F401
 from .map_reduce import MapReduceClient, map_reduce, run_map_reduce  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_payload,

@@ -1898,3 +1898,66 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(got["n_rows"], got["n_big"], float(got["sum_price"]))],
         "n_rows long, n_big long, sum_price double",
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle=f"""
+        WITH merged AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 10 NOT IN (0, 1)
+            UNION ALL
+            SELECT o_orderkey, 'MERGED', o_totalprice + 1.5
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'INSERTED', 100.0
+            FROM orders WHERE o_orderkey % 10 = 2
+        )
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+               {SQL_DSUM('o_totalprice')} AS sum_price
+        FROM merged GROUP BY o_orderpriority
+    """,
+    doc="Batch merge/upsert (CDC apply, operators/merge.py): a change "
+    "batch — updates (keys %% 10 == 0 repriced + repriorized), deletes "
+    "(%% 10 == 1), inserts (new keys) — applied to the orders snapshot "
+    "in ONE full-outer-join shuffle with JVM-only per-key arbitration; "
+    "the next snapshot is aggregated per priority for the compare. "
+    "The mutation surface the reference entirely lacks and every "
+    "ingestion pipeline needs; at 100 TB the base is bucketed by key "
+    "and the write becomes a dynamic partition overwrite (same join "
+    "plan, narrower write) — a table format adds a transactional "
+    "commit, not a different shape.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd = base.where(k % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit("MERGED").alias("o_orderpriority"),
+        (F.col("o_totalprice") + 1.5).alias("o_totalprice"),
+    )
+    dels = base.where(k % 10 == 1).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    ins = base.where(k % 10 == 2).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        F.lit("U").alias("op"),
+        F.lit("INSERTED").alias("o_orderpriority"),
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    updates = upd.unionByName(dels).unionByName(ins)
+    merged = merge_upsert(base, updates, key="o_orderkey")
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        dsum("o_totalprice", "sum_price"),
+    )

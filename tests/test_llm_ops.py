@@ -488,3 +488,33 @@ def test_wav_codec_golden_bytes():
     assert np.array_equal(back2, samples)
     with pytest.raises(ValueError, match="not a RIFF"):
         decode_wav_pcm16(b"JUNK" + want[4:])
+
+
+def test_merge_upsert_semantics(spark):
+    """CDC-apply arbitration: matched update replaces, matched delete
+    removes, unmatched update inserts, unmatched delete is a no-op, and
+    untouched base rows carry over; latest_wins collapses multi-row
+    batches by version before the merge."""
+    from os_ex_3_map_reduce_spark.operators.merge import latest_wins, merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "U", "b2", 21.0),   # matched update
+            (3, "D", None, None),   # matched delete
+            (4, "U", "d", 40.0),    # unmatched update = insert
+            (5, "D", None, None),   # unmatched delete = no-op
+        ],
+        "k long, op string, s string, v double",
+    )
+    got = {tuple(r) for r in merge_upsert(base, updates, key="k").collect()}
+    assert got == {(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0)}
+
+    multi = spark.createDataFrame(
+        [(2, "U", "old", 1, 0.0), (2, "U", "new", 2, 0.0), (2, "D", None, 0, 0.0)],
+        "k long, op string, s string, ver long, v double",
+    )
+    kept = latest_wins(multi, key="k", version_col="ver").collect()
+    assert len(kept) == 1 and kept[0].s == "new" and kept[0].ver == 2
