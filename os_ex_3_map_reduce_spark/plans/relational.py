@@ -1961,3 +1961,50 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("sum_keys"),
         dsum("o_totalprice", "sum_price"),
     )
+
+
+@register(
+    "q_null_handling",
+    oracle="""
+        WITH w AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                        ELSE o_orderpriority END AS pri,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_totalprice END AS price
+            FROM orders
+        )
+        SELECT COALESCE(pri, 'UNKNOWN') AS pri,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(price) AS BIGINT) AS n_priced,
+               CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_price,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        FROM w GROUP BY 1
+    """,
+    doc="Null-semantics breadth (E6): nullif-style NULL injection, "
+    "COALESCE defaulting, COUNT(col) vs COUNT(*) null-skipping, and "
+    "null-conditional counting — the exact SQL null semantics both "
+    "engines must agree on (aggregates skip NULLs; grouping treats "
+    "NULL via the coalesced key). All JVM expressions; one partial+"
+    "final aggregation.",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT", F.lit(None)
+        ).otherwise(F.col("o_orderpriority")).alias("pri"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return w.groupBy(F.coalesce("pri", F.lit("UNKNOWN")).alias("pri")).agg(
+        F.count("*").alias("n_rows"),
+        F.count("price").alias("n_priced"),
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_price"),
+        F.min("o_orderkey").alias("min_key"),
+    )
