@@ -66,8 +66,8 @@ def _load_all() -> None:
 #: round's CORRECTNESS file confirms this set green, swap the next
 #: longest-unverified batch in — after round 3 that is q_pack_chunks,
 #: q_sample_stratified, q_join_bucketed, q_python_datasource,
-#: q_variant_json, q_observe_metrics, q_merge_upsert, and
-#: q_null_handling (registered
+#: q_variant_json, q_observe_metrics, q_merge_upsert, q_null_handling,
+#: q_percentiles_grouped, and q_histogram (registered
 #: behind the window
 #: late in round 3, green
 #: in the local driver-sim), the 9 remaining round-1-verified names

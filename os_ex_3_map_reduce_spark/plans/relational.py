@@ -2008,3 +2008,57 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_price"),
         F.min("o_orderkey").alias("min_key"),
     )
+
+
+@register(
+    "q_percentiles_grouped",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles PER GROUP (the SLA/latency "
+    "reporting shape): Spark percentile == DuckDB quantile_cont — "
+    "both sort within the group and linearly interpolate in float64, "
+    "identical IEEE arithmetic on identical inputs; rounded to 4dp "
+    "for hash stability. Scale note: exact grouped percentiles "
+    "shuffle each group's values once (sort-based agg); at 100 TB "
+    "switch to the mergeable sketch (q_approx_percentiles) unless "
+    "exactness is contractual.",
+)
+def q_percentiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(q)), 4).alias(name)
+            for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+        ]
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+        SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS BIGINT)
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        FROM orders GROUP BY 1
+    """,
+    doc="Fixed-width histogram (the distribution-profiling primitive): "
+    "bucket = floor(value / width) with a top clamp — pure integer "
+    "arithmetic, so the bucketing is engine-exact (no float bin "
+    "boundaries). One partial+final aggregation; at any scale this is "
+    "a map-side-combined count per bucket, the cheapest possible "
+    "profile of a column.",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast(
+        "long"
+    )
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), F.min("o_orderkey").alias("min_key")
+    )
