@@ -67,7 +67,10 @@ def _load_all() -> None:
 #: longest-unverified batch in — after round 3 that is q_pack_chunks,
 #: q_sample_stratified, q_join_bucketed, q_python_datasource,
 #: q_variant_json, q_observe_metrics, q_merge_upsert, q_null_handling,
-#: q_percentiles_grouped, and q_histogram (registered
+#: q_percentiles_grouped, q_histogram, and the three sketch queries
+#: whose outputs grew self-evidence columns late in round 3
+#: (q_approx_distinct, q_approx_percentiles, q_sketch_heavyhitters)
+#: (registered
 #: behind the window
 #: late in round 3, green
 #: in the local driver-sim), the 9 remaining round-1-verified names

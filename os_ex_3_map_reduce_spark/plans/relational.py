@@ -861,13 +861,31 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate (HLL++); relative error asserted in tests
     doc="approx_count_distinct (HyperLogLog++) over high-cardinality "
     "keys — the 100 TB substitute for exact COUNT(DISTINCT), one pass, "
-    "bounded memory, mergeable across partitions.",
+    "bounded memory, mergeable across partitions. Output rows carry "
+    "their own evidence (estimate, exact, measured relative error), so "
+    "the rows-only driver check records accuracy, not just a count.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    # self-evidencing rows (the accepted ANN-evidence pattern): each
+    # estimate travels with its exact counterpart and measured relative
+    # error, so the rows-only driver check records the accuracy itself
+    agg = li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    rel = lambda a, e: F.round(  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e), 6
+    ).alias(f"rel_err_{a.split('_')[1]}")
+    return agg.select(
+        "approx_orders",
+        "exact_orders",
+        rel("approx_orders", "exact_orders"),
+        "approx_parts",
+        "exact_parts",
+        rel("approx_parts", "exact_parts"),
     )
 
 
@@ -1269,7 +1287,9 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     "estimation by broadcast-joining candidates against the tiny sketch "
     "and taking min over rows. Deterministic (xxhash64 is pure), "
     "overestimates only; tests assert the CMS error bound and that the "
-    "top set matches exact counts on the fixture. At 100 TB the "
+    "top set matches exact counts on the fixture, and every output row "
+    "carries the true count + overcount (>= 0 by construction) next to "
+    "the estimate. At 100 TB the "
     "candidate set comes from a sample or a prior batch, and per-day "
     "sketches roll up via cms_merge without rescanning raw data.",
 )
@@ -1280,7 +1300,20 @@ def q_sketch_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(ev, "user_id", depth=5, width=1024)
     cands = ev.select("user_id").distinct()
     est = cms_estimate(sketch, cands, "user_id", depth=5, width=1024)
-    return est.orderBy(F.desc("est"), F.asc("user_id")).limit(10)
+    # each estimate travels with the true count and its overcount (CMS
+    # never underestimates, so overcount >= 0 is part of the evidence)
+    true = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    return (
+        est.join(true, "user_id")
+        .select(
+            "user_id",
+            "est",
+            "true_cnt",
+            (F.col("est") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("est"), F.asc("user_id"))
+        .limit(10)
+    )
 
 
 @register(
@@ -1639,14 +1672,29 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentiles at 100 TB — exact interpolation (q_percentiles) needs "
     "a full sort, the sketch needs O(1/eps) space per group and "
     "merges across partitions. accuracy=10000 bounds rank error at "
-    "1e-4; tests pin the estimates against exact percentiles.",
+    "1e-4; tests pin the estimates against exact percentiles, and each "
+    "output row carries the exact interpolated percentile + measured "
+    "gap alongside the estimate (self-evidencing rows-only output).",
 )
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # estimates travel with the exact interpolated percentiles and the
+    # measured absolute gap — self-evidencing rows-only output
     return orders.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_exact"),
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_exact"),
         F.count("*").alias("n"),
+    ).select(
+        "o_orderpriority",
+        "p50",
+        "p50_exact",
+        F.round(F.abs(F.col("p50") - F.col("p50_exact")), 4).alias("p50_gap"),
+        "p90",
+        "p90_exact",
+        F.round(F.abs(F.col("p90") - F.col("p90_exact")), 4).alias("p90_gap"),
+        "n",
     )
 
 
