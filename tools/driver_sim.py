@@ -1,0 +1,83 @@
+"""Driver-faithful verification harness: the local twin of the round
+driver's correctness gate.
+
+Runs exactly what CORRECTNESS_r{N} runs: a PLAIN SparkSession (none of
+the engine's session confs — so conf-dependent bugs surface here, not
+externally), ``entry()`` as the smoke check, then every oracle-backed
+``queries()`` entry side-by-side against DuckDB at sf0.01 with the
+driver's own canonicalizer semantics — pandas ``sort_values`` over all
+columns (which CRASHES on array/map cells, exactly like the external
+harness) and the repr-based cell canonicalization its hash compare
+implies. Run from the repo root:
+
+    python tools/driver_sim.py
+
+Exit 0 = every oracle query hash-matches (the state every round should
+end in); any FAIL line names the query to fix.
+"""
+import sys, math, hashlib
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+# Deliberately plain session: no nanosAsLong, TZ left at system default.
+spark = (SparkSession.builder.master("local[8]")
+         .appName("driver-sim").config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+# t1 smoke
+rows = e.entry(spark).collect()
+print(f"t1 entry(): {len(rows)} rows; first: {rows[0]}")
+assert len(rows) > 0
+
+# t2: run EVERY oracle-checked query at sf0.01 vs duckdb
+sf = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+def canon(v):
+    import numpy as np
+    if v is None: return "NULL"
+    if isinstance(v, float) and math.isnan(v): return "NULL"
+    if isinstance(v, np.floating):
+        f = float(v)
+        return "NULL" if math.isnan(f) else repr(f)
+    if isinstance(v, float): return repr(v)
+    if isinstance(v, (np.integer, int)): return str(int(v))
+    return str(v)
+
+qs, os_ = e.queries(), e.oracle_sql()
+fails = []
+def driver_canon(pdf):
+    # Mirror the REAL driver: pandas sort_values over all columns.
+    # This CRASHES on ndarray/dict cells (TypeError: unhashable type)
+    # exactly like CORRECTNESS_r01's two ERR rows — keeping that
+    # behavior here means array-typed outputs fail loudly in the sim
+    # instead of passing locally and erroring externally.
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return [tuple(canon(r[c]) for c in cols) for _, r in pdf.iterrows()]
+for name in sorted(os_):
+    spdf = qs[name](spark, sf).toPandas()
+    opdf = con.execute(os_[name]).df()
+    cols = sorted(spdf.columns)
+    ok_cols = cols == sorted(opdf.columns)
+    try:
+        s_rows = driver_canon(spdf)
+        o_rows = driver_canon(opdf) if ok_cols else []
+    except TypeError as ex:
+        print(f"FAIL {name}: driver canonicalizer crash: {ex}")
+        fails.append(name)
+        continue
+    h = lambda rs: hashlib.sha256(repr(rs).encode()).hexdigest()[:12]
+    match = ok_cols and s_rows == o_rows
+    print(f"{'OK ' if match else 'FAIL'} {name}: spark={len(spdf)} oracle={len(opdf)} hash {h(s_rows)} vs {h(o_rows)}")
+    if not match: fails.append(name)
+
+print("RESULT:", "ALL MATCH" if not fails else f"FAILURES: {fails}")
+sys.exit(1 if fails else 0)
