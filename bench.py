@@ -13,16 +13,23 @@ compare directly:
 plus a breadth set (joins, windows, dedup, similarity, minhash,
 map_reduce, streaming) timed and reported under ``queries``.
 
-Methodology mirrors BASELINE.md ("warm, second run"): each query gets
-one untimed warm-up execution, then the best of RUNS timed runs is
-reported — same definition as the baseline's numbers, applied
-per-query. Session startup excluded; results materialized via the
+Methodology: each query gets one untimed warm-up execution first.
+HEADLINE queries (the four BASELINE.md metrics) are then timed
+HEADLINE_RUNS (default 5) times and the MEDIAN is reported, plus a
+``noise`` estimate (max relative half-spread across the headline
+queries) — this box swings ±15% run-to-run, and median-of-5 keeps one
+slow draw from reading as a code regression (round-3's 1.96 s
+``q_embedding_topk_pairs`` reading was exactly that; the same commit
+A/B'd at 0.67 s). Breadth queries are timed best-of-RUNS (default 2,
+the BASELINE.md "warm, second run" definition) to keep total bench
+time bounded. Session startup excluded; results materialized via the
 ``noop`` write sink — every output column is computed (a bare
 ``count()`` would let Spark prune expensive projections out of the
 measured plan) but nothing is collected.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_RUNS (default 2).
+SPARK_GRAFT_CPUS (default 32), BENCH_RUNS (default 2),
+BENCH_HEADLINE_RUNS (default 5).
 """
 
 from __future__ import annotations
@@ -39,6 +46,7 @@ from os_ex_3_map_reduce_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+HEADLINE_RUNS = int(os.environ.get("BENCH_HEADLINE_RUNS", "5"))
 
 #: BASELINE.md metric name -> catalog query name.
 HEADLINE = {
@@ -106,6 +114,22 @@ def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
     return best
 
 
+def _time_query_median(fn, spark, sf_dir: str, runs: int) -> tuple[float, float]:
+    """Median of ``runs`` timed executions (after one untimed warm-up)
+    plus the run's relative half-spread ((max-min)/2/median) — the
+    ambient-noise estimate for this query."""
+    _materialize(fn(spark, sf_dir))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    spread = (times[-1] - times[0]) / 2 / med if med else 0.0
+    return med, spread
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     qs = all_queries()
@@ -117,8 +141,11 @@ def main() -> None:
     _materialize(qs["q_agg_pricing_summary"](spark, SF_DIR))
 
     timings: dict[str, float] = {}
+    spreads: list[float] = []
     for metric, qname in HEADLINE.items():
-        timings[metric] = round(_time_query(qs[qname], spark, SF_DIR, RUNS), 4)
+        med, spread = _time_query_median(qs[qname], spark, SF_DIR, HEADLINE_RUNS)
+        timings[metric] = round(med, 4)
+        spreads.append(spread)
     for qname in BREADTH:
         if qname in qs:
             timings[qname] = round(_time_query(qs[qname], spark, SF_DIR, RUNS), 4)
@@ -137,6 +164,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "methodology": f"headline median-of-{HEADLINE_RUNS}, "
+                f"breadth best-of-{RUNS}, warm",
+                "noise_rel_halfspread": round(max(spreads), 4) if spreads else 0.0,
             }
         )
     )

@@ -142,6 +142,8 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
         cid, csize = struct.unpack("<4sI", data[pos : pos + 8])
         body = data[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -151,6 +153,8 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
                     f"ch={channels}, bits={bits})"
                 )
         elif cid == b"data":
+            if len(body) != csize:
+                raise ValueError("truncated data chunk")
             samples = np.frombuffer(body, dtype="<i2")
         pos += 8 + csize + (csize % 2)  # chunks are word-aligned
     if rate is None or samples is None:

@@ -31,12 +31,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def latest_wins(updates: DataFrame, key: str, version_col: str) -> DataFrame:
-    """Collapse an updates batch to one row per key: highest version
-    wins, ties broken deterministically on ``op`` then arbitrary-but-
-    stable remaining columns are NOT consulted (document your version
-    column as unique per key per batch for full determinism)."""
-    w = Window.partitionBy(key).orderBy(F.desc(version_col), F.asc("op"))
+def latest_wins(
+    updates: DataFrame, key: str, version_col: str, op_col: str = "op"
+) -> DataFrame:
+    """Collapse an updates batch to one row per key.
+
+    Ordering: highest ``version_col`` wins; a version tie is broken
+    ascending on ``op_col`` (so 'D' sorts before 'U' — a same-version
+    delete beats an update, the conservative choice for CDC replay).
+    Remaining columns are NOT consulted: if two rows tie on
+    (version, op) the survivor is nondeterministic, so keep the version
+    column unique per key within a batch."""
+    w = Window.partitionBy(key).orderBy(F.desc(version_col), F.asc(op_col))
     return (
         updates.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

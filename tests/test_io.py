@@ -249,3 +249,22 @@ def test_compact_table_multilevel_partitions(spark, tmp_path):
     assert got.where("a = 1 AND b = 2").count() == 2000
     n_files = len(list((tmp_path / "ml").rglob("*.parquet")))
     assert n_files <= 12, n_files  # fewer than the 24-way debris per leaf
+
+
+def test_compact_table_all_columns_partitioned(spark, tmp_path):
+    """Every column a partition column → zero non-partition columns.
+    Spark cannot even write such a layout (ALL_PARTITION_COLUMNS_NOT_
+    ALLOWED), so compact_table must fail EARLY with a clear ValueError
+    instead of a zero-arg xxhash64 analysis error (ADVICE r3) — and
+    must leave the live table untouched."""
+    import pytest
+
+    from os_ex_3_map_reduce_spark.sources.io import compact_table, read_table
+
+    path = str(tmp_path / "allpart")
+    spark.range(0, 100).selectExpr("id", "id % 4 AS k").write.partitionBy(
+        "k"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="partitioned by all"):
+        compact_table(spark, path, partition_by=["k", "id"])
+    assert read_table(spark, path).count() == 100  # live table untouched

@@ -85,6 +85,22 @@ def test_lsh_topk_recall_measured(spark):
     assert recall >= 0.5, f"LSH top-k recall {recall:.2f} below floor"
 
 
+def test_block_pairs_survive_empty_blocks(spark):
+    """n < num_blocks guarantees empty blocks under pmod(xxhash64(id), B);
+    empty-sided block-pair groups must be filtered out, not crash the
+    Arrow kernel (ADVICE r3: np.stack([]) ValueError in _unpack_block)."""
+    from os_ex_3_map_reduce_spark.operators.similarity import threshold_pairs
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = topk_pairs(emb, k=5, num_blocks=8).collect()
+    assert {(r.vec_a, r.vec_b) for r in got} == {(1, 2), (1, 3), (2, 3)}
+    top = got[0]
+    assert (top.vec_a, top.vec_b, top.cosine) == (1, 2, 1.0)
+    thr = threshold_pairs(emb, threshold=0.9, num_blocks=8).collect()
+    assert {(r.vec_a, r.vec_b) for r in thr} == {(1, 2)}
+
+
 def test_ann_evidence_queries(spark):
     """The driver-visible ANN evidence (verdict r2 #6): the LSH recall
     companion matches its pinned seeded-deterministic values, and every
@@ -488,6 +504,18 @@ def test_wav_codec_golden_bytes():
     assert np.array_equal(back2, samples)
     with pytest.raises(ValueError, match="not a RIFF"):
         decode_wav_pcm16(b"JUNK" + want[4:])
+    # truncated data chunk (declared csize > remaining bytes) must raise,
+    # not silently return fewer samples (ADVICE r3)
+    with pytest.raises(ValueError, match="truncated data chunk"):
+        decode_wav_pcm16(want[:-2])
+    # short fmt chunk raises the API's ValueError, not struct.error
+    short_fmt = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + 8, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 8) + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+        + struct.pack("<4sI", b"data", 0)
+    )
+    with pytest.raises(ValueError, match="truncated fmt chunk"):
+        decode_wav_pcm16(short_fmt)
 
 
 def test_merge_upsert_semantics(spark):
@@ -518,3 +546,12 @@ def test_merge_upsert_semantics(spark):
     )
     kept = latest_wins(multi, key="k", version_col="ver").collect()
     assert len(kept) == 1 and kept[0].s == "new" and kept[0].ver == 2
+
+    # op_col is a parameter, not a hard-coded name (ADVICE r3); a
+    # same-version delete beats the update (asc op: 'D' < 'U')
+    renamed = spark.createDataFrame(
+        [(2, "U", "upd", 2, 0.0), (2, "D", None, 2, 0.0)],
+        "k long, change string, s string, ver long, v double",
+    )
+    kept2 = latest_wins(renamed, key="k", version_col="ver", op_col="change").collect()
+    assert len(kept2) == 1 and kept2[0].change == "D"
