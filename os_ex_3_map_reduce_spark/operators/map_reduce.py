@@ -40,7 +40,41 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_key(
+    key: Column | str,
+    *,
+    trim: bool = False,
+    fold_case: bool = False,
+    prefix_len: int | None = None,
+) -> Column:
+    """Canonical representative of a comparator-defined key class.
+
+    The reference shuffles with the user's ``K2::operator<`` and groups
+    keys that compare EQUIVALENT under it — ``!(a<b) && !(b<a)`` — so a
+    comparator that only inspects part of the key merges bytewise-
+    distinct K2 values into one reduce group [SURVEY.md §7.4]. Spark's
+    ``groupBy`` is exact-equality, so the engine expresses the same
+    semantics by grouping on a *normalization*: a function constant on
+    each equivalence class. This helper builds the common string-key
+    normalizations, applied in the order trim → fold_case → prefix
+    (each corresponds to a comparator that ignores padding, case, or
+    everything past a prefix). For anything fancier pass your own
+    ``Column -> Column`` to ``map_reduce(key_normalizer=...)`` — any
+    deterministic JVM expression works, and the grouping stays a single
+    hash shuffle on the normalized value.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    if trim:
+        c = F.trim(c)
+    if fold_case:
+        c = F.lower(c)
+    if prefix_len is not None:
+        c = F.substring(c, 1, prefix_len)
+    return c
 
 
 def map_reduce(
@@ -51,6 +85,7 @@ def map_reduce(
     intermediate_schema: str,
     output_schema: str,
     num_shuffle_partitions: int | None = None,
+    key_normalizer: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Batch-level generic MapReduce over a DataFrame.
 
@@ -63,13 +98,32 @@ def map_reduce(
     ``num_shuffle_partitions``: reference's ``multiThreadLevel``
     analog — pins reduce-side parallelism; default leaves it to the
     session/AQE.
+    ``key_normalizer``: optional comparator-equivalence hook (see
+    :func:`normalized_key`) applied to each key column for grouping.
+    When set, ``reduce_fn``'s key argument carries the NORMALIZED
+    values while the group DataFrame keeps the original intermediate
+    columns — i.e. reduce sees every raw K2 of the equivalence class,
+    exactly the reference's contract.
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     mapped = df.mapInPandas(map_fn, schema=intermediate_schema)
+    if key_normalizer is not None:
+        group_cols = [f"__nk_{c}" for c in key_cols]
+        mapped = mapped.select(
+            "*",
+            *[key_normalizer(F.col(c)).alias(n) for c, n in zip(key_cols, group_cols)],
+        )
+        inner_reduce = reduce_fn
+
+        def reduce_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return inner_reduce(key, pdf.drop(columns=group_cols))
+
+    else:
+        group_cols = key_cols
     if num_shuffle_partitions is not None:
-        mapped = mapped.repartition(num_shuffle_partitions, *key_cols)
-    return mapped.groupBy(*key_cols).applyInPandas(reduce_fn, schema=output_schema)
+        mapped = mapped.repartition(num_shuffle_partitions, *group_cols)
+    return mapped.groupBy(*group_cols).applyInPandas(reduce_fn, schema=output_schema)
 
 
 class MapReduceClient:

@@ -278,6 +278,72 @@ def run_stream_foreach_batch_parquet(
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def run_stream_cdc_apply(
+    changes: DataFrame,
+    base: DataFrame,
+    key: str,
+    version_col: str,
+    op_col: str = "op",
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Apply a bounded CDC change stream to a snapshot and return the
+    final snapshot — the standard change-capture-to-table pipeline,
+    composed from two already-proven pieces: ``merge_upsert`` (one
+    full-outer-join shuffle per batch) inside a ``foreachBatch`` sink.
+
+    Snapshot versions are immutable directories ``v0..vN``: batch *b*
+    reads ``v{b}``, collapses its rows per key with :func:`latest_wins`
+    (highest ``version_col`` wins — late-arriving lower versions inside
+    one batch lose), merges, and writes ``v{b+1}``. Exactly-once by
+    idempotence, same argument as the parquet foreachBatch sink: a
+    failure-replayed batch re-reads the SAME input version and
+    overwrites the SAME output version with deterministic content, and
+    the checkpoint marks completion only after the write. Micro-batches
+    are sequenced by the engine, so the version chain never forks.
+
+    At 100 TB the snapshot is bucketed by the key and each merge
+    rewrites only affected partitions (dynamic partition overwrite);
+    a table format (Delta/Iceberg) replaces the version-directory chain
+    with a transactional log — the same per-batch join plan either way.
+    """
+    import os
+    import re
+
+    from ..operators.merge import latest_wins, merge_upsert
+
+    spark = changes.sparkSession
+    root = tempfile.mkdtemp(prefix="osx3_cdc_")
+    snap = f"{root}/snap"
+    base.write.parquet(f"{snap}/v0")
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        cur = bdf.sparkSession.read.parquet(f"{snap}/v{batch_id}")
+        one = latest_wins(bdf, key=key, version_col=version_col, op_col=op_col)
+        nxt = merge_upsert(cur, one, key=key, op_col=op_col)
+        nxt.write.mode("overwrite").parquet(f"{snap}/v{batch_id + 1}")
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        new = min(int(before), shuffle_partitions)
+        spark.conf.set("spark.sql.shuffle.partitions", str(new))
+    try:
+        q = (
+            changes.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    latest = max(
+        int(m.group(1))
+        for p in os.listdir(snap)
+        if (m := re.fullmatch(r"v(\d+)", p))
+    )
+    return spark.read.parquet(f"{snap}/v{latest}")
+
+
 # --- custom stateful operator (applyInPandasWithState) --------------------
 
 
