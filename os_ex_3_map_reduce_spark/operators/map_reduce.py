@@ -148,6 +148,12 @@ class MapReduceClient:
     intermediate_schema: str
     output_schema: str
     n_key_cols: int = 1
+    #: Optional comparator-equivalence hook (reference: ``K2::operator<``
+    #: may ignore parts of the key, merging bytewise-distinct K2 values
+    #: into one reduce group — see :func:`normalized_key`). A staticmethod
+    #: ``Column -> Column``; evaluated driver-side when building the
+    #: plan, so it never ships to executors and stays JVM-expression fast.
+    key_normalizer: Callable[[Column], Column] | None = None
 
     def map(self, row: Any) -> Iterable[tuple]:  # pragma: no cover - abstract
         raise NotImplementedError
@@ -200,4 +206,5 @@ def run_map_reduce(
         client.intermediate_schema,
         client.output_schema,
         num_shuffle_partitions,
+        key_normalizer=client.key_normalizer,
     )
