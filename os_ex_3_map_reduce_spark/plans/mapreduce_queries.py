@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.map_reduce import MapReduceClient, run_map_reduce
+from ..operators.map_reduce import MapReduceClient, normalized_key, run_map_reduce
 from ..sources.tables import load_table
 from .catalog import register
 
@@ -96,6 +96,51 @@ def q_mapreduce_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("price"),
     )
     return run_map_reduce(customer.unionByName(orders), ReduceSideJoinClient())
+
+
+class KeyEquivCountClient(MapReduceClient):
+    """Comparator-defined key equivalence (SURVEY.md §7.4): the
+    reference groups K2 values that compare EQUIVALENT under the user's
+    ``K2::operator<`` — a comparator inspecting only
+    ``lower(key)[:4]`` merges bytewise-distinct tokens into ONE reduce
+    group. Expressed Spark-side as a driver-built key normalization
+    (single hash shuffle on the normalized JVM expression); reduce
+    receives the normalized key plus every RAW K2 row of the class, so
+    it can count the distinct raw spellings — the observable proof the
+    equivalence-class contract holds."""
+
+    intermediate_schema = "w string, one long"
+    output_schema = "k string, cnt long, n_raw_keys long"
+    key_normalizer = staticmethod(
+        lambda c: normalized_key(c, fold_case=True, prefix_len=4)
+    )
+
+    def map(self, row):
+        return [(w, 1) for w in row.text.split(" ") if w]
+
+    def reduce(self, key, group: pd.DataFrame):
+        return [(key[0], int(group["one"].sum()), int(group["w"].nunique()))]
+
+
+@register(
+    "q_mapreduce_key_equiv",
+    oracle="""
+        SELECT substring(lower(w), 1, 4) AS k,
+               COUNT(*) AS cnt,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_raw_keys
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> ''
+        GROUP BY k
+    """,
+    doc="Word count grouped by a comparator-defined equivalence class "
+    "(case-folded 4-char prefix) through map_reduce's key_normalizer "
+    "hook — the reference's K2::operator< partial-comparator semantic "
+    "(SURVEY.md §7.4). n_raw_keys counts the distinct raw K2 spellings "
+    "each reduce group received, proving reduce sees the whole class.",
+)
+def q_mapreduce_key_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return run_map_reduce(docs, KeyEquivCountClient())
 
 
 @register(

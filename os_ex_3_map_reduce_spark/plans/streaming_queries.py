@@ -9,8 +9,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.events import (
+    CDC_CHANGES_SCHEMA,
+    cdc_changes_dir,
     doubled_events_dir,
     events_stream,
+    run_stream_cdc_apply,
     run_stream_foreach_batch_parquet,
     run_stream_to_memory,
     running_user_totals,
@@ -291,6 +294,60 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name)
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_stream_cdc_apply",
+    oracle=f"""
+        WITH final AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN 'REPRICED-2'
+                        ELSE o_orderpriority END AS pri,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 2.0
+                        ELSE o_totalprice END AS price
+            FROM orders WHERE o_orderkey % 10 <> 1
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'INSERTED', 50.0
+            FROM orders WHERE o_orderkey % 10 = 2 AND o_orderkey % 20 <> 2
+        )
+        SELECT pri, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+               {SQL_DSUM('price')} AS sum_price
+        FROM final GROUP BY pri
+    """,
+    doc="Streaming CDC apply — the change-capture-to-snapshot pipeline: "
+    "a bounded change stream (3 mtime-sequenced micro-batches: "
+    "double-update in one batch, delete + insert, then a later-batch "
+    "override and a delete-after-insert) applied to the orders snapshot "
+    "via merge_upsert inside foreachBatch, each batch one "
+    "full-outer-join shuffle writing the next immutable snapshot "
+    "version (exactly-once by idempotence: a replayed batch re-reads "
+    "and rewrites the SAME versions). Composes two independently-green "
+    "pieces (q_merge_upsert, q_stream_foreach_sink) into the shape a "
+    "real ingestion pipeline runs; the oracle is the batch result of "
+    "the same change set, which the final snapshot must equal "
+    "regardless of batching because versions are total per key.",
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    src = cdc_changes_dir(spark, sf_dir)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    changes = (
+        spark.readStream.schema(CDC_CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    snap = run_stream_cdc_apply(
+        changes, base, key="o_orderkey", version_col="version", op_col="op"
+    )
+    return snap.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        dsum("o_totalprice", "sum_price"),
     )
 
 

@@ -278,6 +278,94 @@ def run_stream_foreach_batch_parquet(
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+#: Parquet schema of the staged CDC change files (base snapshot columns
+#: plus the CDC envelope: op + monotone version).
+CDC_CHANGES_SCHEMA = (
+    "o_orderkey long, op string, version long, "
+    "o_orderpriority string, o_totalprice double"
+)
+
+
+def cdc_changes_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Three CDC change files against the orders snapshot, mtimes pinned
+    so ``maxFilesPerTrigger=1`` replays them as three sequenced
+    micro-batches (the file source orders batches by modification time,
+    same mechanism as :func:`sentinel_events_dir`):
+
+    - batch 0: keys ``%10==0`` updated TWICE at versions 0 and 1
+      (same batch — exercises ``latest_wins`` in-batch arbitration);
+    - batch 1: keys ``%10==1`` deleted (v2); keys ``%10==2`` inserted
+      as ``key+10M`` (v2);
+    - batch 2: keys ``%10==0`` re-updated (v3 — a later batch
+      overriding batch 0's update proves cross-batch sequencing), and
+      the even half of the inserts (orig key ``%20==2``) deleted (v3 —
+      delete-after-insert across batches).
+
+    Versions are totally ordered per key, so the final snapshot is also
+    invariant to how the files get grouped into micro-batches — the
+    mtime pinning makes the replay deterministic, the version design
+    makes the answer robust even if it weren't.
+    """
+    import os
+
+    key = (sf_dir, -2)
+    if key not in _STAGED_CACHE:
+        ensure_session_confs(spark)
+        d = Path(tempfile.mkdtemp(prefix="osx3_cdc_changes_"))
+        base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+
+        def emit(df: DataFrame, fname: str, mtime_off: int) -> None:
+            stage = d / "_stage"
+            df.coalesce(1).write.parquet(str(stage))
+            part = next(stage.glob("part-*.parquet"))
+            shutil.move(str(part), d / fname)
+            shutil.rmtree(stage)
+            now = os.stat(d / fname).st_mtime
+            os.utime(d / fname, (now + mtime_off, now + mtime_off))
+
+        def upd(version: int, pri: str, price_add: float) -> DataFrame:
+            return base.where(k % 10 == 0).select(
+                "o_orderkey",
+                F.lit("U").alias("op"),
+                F.lit(version).cast("long").alias("version"),
+                F.lit(pri).alias("o_orderpriority"),
+                (F.col("o_totalprice") + price_add).alias("o_totalprice"),
+            )
+
+        c0 = upd(0, "STALE", 99.0).unionByName(upd(1, "REPRICED-1", 1.0))
+        dels = base.where(k % 10 == 1).select(
+            "o_orderkey",
+            F.lit("D").alias("op"),
+            F.lit(2).cast("long").alias("version"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        ins = base.where(k % 10 == 2).select(
+            (k + 10_000_000).alias("o_orderkey"),
+            F.lit("U").alias("op"),
+            F.lit(2).cast("long").alias("version"),
+            F.lit("INSERTED").alias("o_orderpriority"),
+            F.lit(50.0).alias("o_totalprice"),
+        )
+        c1 = dels.unionByName(ins)
+        undel = base.where((k % 10 == 2) & (k % 20 == 2)).select(
+            (k + 10_000_000).alias("o_orderkey"),
+            F.lit("D").alias("op"),
+            F.lit(3).cast("long").alias("version"),
+            F.lit("INSERTED").alias("o_orderpriority"),
+            F.lit(50.0).alias("o_totalprice"),
+        )
+        c2 = upd(3, "REPRICED-2", 2.0).unionByName(undel)
+        emit(c0, "changes-0.parquet", 0)
+        emit(c1, "changes-1.parquet", 10)
+        emit(c2, "changes-2.parquet", 20)
+        _STAGED_CACHE[key] = str(d)
+    return _STAGED_CACHE[key]
+
+
 def run_stream_cdc_apply(
     changes: DataFrame,
     base: DataFrame,
