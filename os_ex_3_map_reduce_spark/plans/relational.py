@@ -710,9 +710,10 @@ def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY event_type, hour
     """,
-    doc="Per-hour event rollup; ts arrives as int64 nanos in Spark "
-    "(FIXTURES.md gotcha) and natively as timestamp_ns in DuckDB — both "
-    "rendered to the same wall-clock string under UTC.",
+    doc="Per-hour event rollup over the dtype-adaptive ts_utc "
+    "(FIXTURES.md gotcha: the fixture has served both int64-nanos and "
+    "timestamp[us]); DuckDB reads ts natively — both engines render "
+    "the same wall-clock string under UTC.",
 )
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -1107,7 +1108,8 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    us = F.expr("ts div 1000").cast("long")
+    # epoch-µs from the dtype-adaptive ts_utc (matches oracle epoch_us)
+    us = F.unix_micros("ts_utc")
     sign = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id", us.alias("t"))

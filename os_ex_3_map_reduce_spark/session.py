@@ -38,8 +38,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # ~2-3× total cores; state-store partition count is fixed by the
     # first checkpoint, so size it before going to production.)
     "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
-    # events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 refuses it
-    # unless read as raw int64 nanos (FIXTURES.md gotcha #1).
+    # Harmless on the current timestamp[us] events fixture; kept so a
+    # regenerated TIMESTAMP(NANOS) fixture (the original format) reads
+    # as int64 nanos instead of throwing [PARQUET_TYPE_ILLEGAL].
+    # event_time_expr (sources/tables.py) adapts to either dtype.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Adaptive execution: runtime partition coalescing + skew-join split.
     "spark.sql.adaptive.enabled": "true",

@@ -8,16 +8,20 @@ filters/projections into the scan, and the same code addresses one
 file or a 100 TB partitioned lake.
 
 Fixture gotchas handled here (FIXTURES.md):
-- ``events.ts`` is parquet TIMESTAMP(NANOS) → read as int64 nanos
-  (``nanosAsLong``) and normalized via integer division (NOT ``/``,
-  which promotes to double and loses precision above 2^53 — epoch
-  nanos in 2024 are ~1.7e18).
+- ``events.ts`` has DRIFTED across fixture generations: parquet
+  TIMESTAMP(NANOS) (arriving as int64 nanos under ``nanosAsLong``) in
+  early rounds, plain ``timestamp[us]`` (arriving as TIMESTAMP_NTZ)
+  since round 4. :func:`event_time_expr` adapts to whatever dtype the
+  file serves, so every downstream plan reads the derived ``ts_utc``
+  and never touches raw ``ts``. (For the nanos case: integer division,
+  NOT ``/`` — float promotion loses precision above 2^53, and epoch
+  nanos in 2024 are ~1.7e18.)
 - ``events.props`` is a JSON string, parsed on demand by queries.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import ensure_session_confs
@@ -40,16 +44,37 @@ TABLES: tuple[str, ...] = (
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
 
+def event_time_expr(df: DataFrame) -> Column:
+    """TIMESTAMP event-time from whatever dtype ``ts`` arrives in.
+
+    The fixture has mutated once already (int64-nanos → timestamp[us],
+    the round-4/5 regression that broke 19 queries); this helper is the
+    single place that absorbs the next mutation. Handles:
+
+    - ``bigint``: epoch nanos via ``nanosAsLong`` → integer-divide to
+      µs (never ``/``: double promotion corrupts >2^53 nanos).
+    - ``timestamp`` / ``timestamp_ntz``: cast to session-TZ timestamp —
+      a wall-clock no-op because the session TZ is pinned UTC.
+    - ``string``: ISO parse.
+
+    Works on batch and streaming DataFrames alike (``df.dtypes`` is
+    analysis-time metadata, no job is run).
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt in ("bigint", "long"):
+        return F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+    if dt == "string":
+        return F.to_timestamp("ts")
+    return F.col("ts").cast("timestamp")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan)."""
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # Normalized event-time column alongside the raw nanos.
-        df = df.withColumn(
-            "ts_utc",
-            F.timestamp_micros(F.expr("ts div 1000").cast("long")),
-        )
+        # Normalized event-time column alongside the raw ts.
+        df = df.withColumn("ts_utc", event_time_expr(df))
     return df
 
 

@@ -16,8 +16,9 @@ Design choices:
   Append-mode + watermark behavior (late-data drop, state eviction) is
   exercised in tests via a two-run checkpointed replay, where batch
   boundaries are explicit and deterministic.
-- Event time is ``ts_utc`` derived from the int64-nanos ``ts`` column
-  (integer division — see sources/tables.py).
+- Event time is ``ts_utc`` derived from the raw ``ts`` column by the
+  dtype-adaptive ``event_time_expr`` (sources/tables.py) — the fixture
+  has served both int64-nanos and timestamp[us] over its lifetime.
 """
 
 from __future__ import annotations
@@ -83,9 +84,19 @@ def sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
         shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
         ev = spark.read.parquet(str(d / "part-0.parquet"))
         max_ts = ev.agg(F.max("ts")).first()[0]
+        # dtype-adaptive sentinel time: raw ts may be int64 nanos or a
+        # (NTZ) timestamp depending on fixture generation — add 10 h in
+        # the matching unit, then cast back to the file's exact ts type
+        # so the sentinel file unions cleanly with the real one.
+        if isinstance(max_ts, int):
+            sent_ts = max_ts + 10 * 3600 * 10**9
+        else:
+            import datetime as _dt
+
+            sent_ts = max_ts + _dt.timedelta(hours=10)
         sent = ev.limit(1).select(
             F.lit(-1).cast("long").alias("event_id"),
-            F.lit(max_ts + 10 * 3600 * 10**9).cast("long").alias("ts"),
+            F.lit(sent_ts).cast(ev.schema["ts"].dataType).alias("ts"),
             F.lit(-1).cast("long").alias("user_id"),
             F.lit("sentinel").alias("event_type"),
             F.lit(0.0).alias("value"),
@@ -123,9 +134,9 @@ def events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(src)
-    return raw.withColumn(
-        "ts_utc", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-    )
+    from ..sources.tables import event_time_expr
+
+    return raw.withColumn("ts_utc", event_time_expr(raw))
 
 
 def run_stream_to_memory(

@@ -205,14 +205,16 @@ def test_stream_outer_join_equals_batch_left_join(spark):
         (r.user_id, r.n_followups, r.n_lonely)
         for r in all_queries()["q_stream_outer_join"](spark, sf).collect()
     }
-    ev = spark.read.parquet(f"{sf}/events.parquet")
-    a = ev.select(F.col("event_id").alias("a_id"), F.col("user_id").alias("u"), F.col("ts").alias("a_ts"))
-    b = ev.select(F.col("event_id").alias("b_id"), F.col("user_id").alias("bu"), F.col("ts").alias("b_ts"))
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    a = ev.select(F.col("event_id").alias("a_id"), F.col("user_id").alias("u"), F.col("ts_utc").alias("a_ts"))
+    b = ev.select(F.col("event_id").alias("b_id"), F.col("user_id").alias("bu"), F.col("ts_utc").alias("b_ts"))
     j = a.join(
         b,
         (F.col("u") == F.col("bu"))
         & (F.col("b_ts") > F.col("a_ts"))
-        & (F.col("b_ts") <= F.col("a_ts") + 5 * 60 * 10**9),
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
         "left",
     )
     want = {
