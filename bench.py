@@ -134,42 +134,58 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = all_queries()
 
+    errors: dict[str, str] = {}
+
     # One untimed session warm-up touching every bench table: JVM +
     # codegen + parquet footer caches warm before any timing starts.
-    _materialize(qs["q_wordcount"](spark, SF_DIR))
-    _materialize(qs["q_events_hourly"](spark, SF_DIR))
-    _materialize(qs["q_agg_pricing_summary"](spark, SF_DIR))
+    # Each warm-up is individually shielded — a broken query must never
+    # cost the whole round's perf evidence (it did, twice: BENCH_r04/r05
+    # were rc=1 with zero timings because one bare warm-up materialize
+    # hit the events-dtype regression).
+    for warm in ("q_wordcount", "q_events_hourly", "q_agg_pricing_summary"):
+        try:
+            _materialize(qs[warm](spark, SF_DIR))
+        except Exception as ex:  # noqa: BLE001 — record, keep benching
+            errors[f"warmup:{warm}"] = f"{type(ex).__name__}: {ex}"[:300]
 
     timings: dict[str, float] = {}
     spreads: list[float] = []
     for metric, qname in HEADLINE.items():
-        med, spread = _time_query_median(qs[qname], spark, SF_DIR, HEADLINE_RUNS)
-        timings[metric] = round(med, 4)
-        spreads.append(spread)
+        try:
+            med, spread = _time_query_median(qs[qname], spark, SF_DIR, HEADLINE_RUNS)
+            timings[metric] = round(med, 4)
+            spreads.append(spread)
+        except Exception as ex:  # noqa: BLE001
+            errors[metric] = f"{type(ex).__name__}: {ex}"[:300]
     for qname in BREADTH:
-        if qname in qs:
+        if qname not in qs:
+            continue
+        try:
             timings[qname] = round(_time_query(qs[qname], spark, SF_DIR, RUNS), 4)
+        except Exception as ex:  # noqa: BLE001
+            errors[qname] = f"{type(ex).__name__}: {ex}"[:300]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    headline_total = round(sum(timings[m] for m in HEADLINE), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_warm_sec",
-                "value": headline_total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "methodology": f"headline median-of-{HEADLINE_RUNS}, "
-                f"breadth best-of-{RUNS}, warm",
-                "noise_rel_halfspread": round(max(spreads), 4) if spreads else 0.0,
-            }
-        )
+    headline_total = round(
+        sum(timings[m] for m in HEADLINE if m in timings), 4
     )
+    out = {
+        "metric": "headline_total_warm_sec",
+        "value": headline_total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "methodology": f"headline median-of-{HEADLINE_RUNS}, "
+        f"breadth best-of-{RUNS}, warm",
+        "noise_rel_halfspread": round(max(spreads), 4) if spreads else 0.0,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -80,76 +80,80 @@ def _load_all() -> None:
 #: the oldest round-2-verified queries.
 DRIVER_WINDOW = 50
 
-#: Round-3 priority prefix (exactly DRIVER_WINDOW names):
-#: - 14 queries with no driver verdict yet: the round-2 overflow batch
-#:   (salted join, sampling, contamination, repetition, normalization)
-#:   plus this round's new surface (LSH-recall companion, recursive CTE,
-#:   stream outer join, foreachBatch sink, custom Python streaming
-#:   sources (driver-prefetch AND executor-partitioned), async
-#:   job-control lifecycle, REAL-decode BMP/WAV roundtrips);
-#: - 11 whose implementation or oracle changed this round (hof-fns oracle
-#:   dtype fix, fingerprint md5 rebase, block-outer-product rewrite, IVF
-#:   evidence columns, minhash-family cache refactor);
-#: - 23 whose last verification was round 1 (oldest first-stale; the
-#:   round-4 batch takes q_join_outer, q_join_multiway, q_join_anti,
-#:   and the family-duplicate refreshes q_tf_df, q_token_stats_bpe);
-#: - 2 long-green canaries (flagship + pricing agg) as regression
-#:   sentinels.
+#: Round-6 priority prefix (exactly DRIVER_WINDOW names). History as of
+#: CORRECTNESS_r05: 113 registered, 12 never inside any window, 12 whose
+#: last green verdict is round 1, 39 whose last green is round 2 — and
+#: the events fixture changed dtype after round 3, so every
+#: event-touching r2-green verdict is stale against the CURRENT fixture.
+#: Composition:
+#: - 12 never-verified (q_mapreduce_key_equiv — the §7.4 comparator
+#:   semantics — and q_stream_cdc_apply — the mutation surface — first,
+#:   per ADVICE.md's two-round-old medium finding);
+#: - 2 round-5 ERRs fixed this round (stream outer join / foreach sink);
+#: - 15 event-touching queries un-broken by the round-6 dtype-adaptive
+#:   ts fix, whose last green predates the fixture change;
+#: - 12 last green in round 1 (oldest stale verdicts);
+#: - 9 last green in round 2: the three sketch queries whose outputs
+#:   grew evidence columns late in round 3, simhash (perf-flagged, needs
+#:   a fresh verdict), both multimodal stubs, and three relational.
+#: Next rotation: the remaining 30 r2-greens, oldest families first.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # no driver verdict yet
-    "q_salted_join",
-    "q_sample_hash",
-    "q_contamination",
-    "q_repetition",
-    "q_normalize_text",
-    "q_ann_lsh_recall",
-    "q_recursive_cte",
+    # never externally verified
+    "q_mapreduce_key_equiv",
+    "q_stream_cdc_apply",
+    "q_pack_chunks",
+    "q_sample_stratified",
+    "q_join_bucketed",
+    "q_python_datasource",
+    "q_variant_json",
+    "q_observe_metrics",
+    "q_merge_upsert",
+    "q_null_handling",
+    "q_percentiles_grouped",
+    "q_histogram",
+    # round-5 ERRs, fixed by the dtype-adaptive event time
     "q_stream_outer_join",
     "q_stream_foreach_sink",
-    "q_stream_python_source",
-    "q_stream_partitioned_source",
-    "q_job_control",
-    "q_multimodal_bmp",
-    "q_multimodal_wav",
-    # changed this round → re-verify
-    "q_hof_fns",
-    "q_fingerprint_rolling",
-    "q_embedding_topk_pairs",
-    "q_embedding_neardup",
-    "q_ann_lsh_topk",
-    "q_ann_ivf_topk",
-    "q_minhash_neardup",
-    "q_chargram_jaccard",
-    "q_neardup_components",
-    "q_neardup_editdist",
-    "q_pipeline_clean_corpus",
-    # verified in round 1 only → refresh the stale verdicts
-    "q_mapreduce_wordcount",
-    "q_mapreduce_join",
-    "q_udaf_sumsq",
-    "q_udtf_bigrams",
-    "q_dedup_exact",
-    "q_dedup_stats",
-    "q_similarity_topk",
-    "q_text_quality",
-    "q_token_stats",
-    "q_lang_id",
-    "q_tfidf_top_terms",
-    "q_fingerprint",
-    "q_multimodal_metadata",
-    "q_filter_project",
-    "q_agg_distinct",
-    "q_rollup",
-    "q_cube",
-    "q_grouping_sets",
-    "q_having",
-    "q_pivot",
-    "q_join_broadcast",
-    "q_join_sortmerge",
-    "q_join_semi",
-    # canaries
-    "q_wordcount",
-    "q_agg_pricing_summary",
+    # event-touching, crashed on the current fixture until this round;
+    # last green verdicts predate the fixture's dtype change
+    "q_events_hourly",
+    "q_json_extract",
+    "q_join_asof",
+    "q_join_range",
+    "q_lateral",
+    "q_rollup_time",
+    "q_salted_agg",
+    "q_time_gapfill",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_join",
+    "q_stream_dedup",
+    "q_stream_stateful",
+    "q_stream_static_join",
+    # last green in round 1
+    "q_except",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_join_outer",
+    "q_tf_df",
+    "q_token_stats_bpe",
+    "q_topk",
+    "q_union",
+    "q_window_lag",
+    "q_window_rank",
+    "q_window_running_sum",
+    # last green in round 2 (oldest remaining stale)
+    "q_approx_distinct",
+    "q_approx_percentiles",
+    "q_sketch_heavyhitters",
+    "q_simhash_neardup",
+    "q_multimodal_fake_image",
+    "q_multimodal_frames",
+    "q_above_nation_avg",
+    "q_agg_filtered",
+    "q_array_fns",
 )
 
 

@@ -1960,7 +1960,8 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_orderkey, 'MERGED', o_totalprice + 1.5
             FROM orders WHERE o_orderkey % 10 = 0
             UNION ALL
-            SELECT o_orderkey + 10000000, 'INSERTED', 100.0
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+                   'INSERTED', 100.0
             FROM orders WHERE o_orderkey % 10 = 2
         )
         SELECT o_orderpriority, COUNT(*) AS n,
@@ -1998,8 +1999,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_totalprice",
     )
+    # insert-key offset from the snapshot's max key — collision-proof at
+    # any scale factor (see cdc_changes_dir); oracle derives the same.
+    insert_off = base.agg(F.max("o_orderkey")).first()[0] + 1
     ins = base.where(k % 10 == 2).select(
-        (k + 10_000_000).alias("o_orderkey"),
+        (k + insert_off).alias("o_orderkey"),
         F.lit("U").alias("op"),
         F.lit("INSERTED").alias("o_orderpriority"),
         F.lit(100.0).alias("o_totalprice"),

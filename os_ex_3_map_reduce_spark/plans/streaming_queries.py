@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..streaming.events import (
     CDC_CHANGES_SCHEMA,
+    _cleanup_at_exit,
     cdc_changes_dir,
     doubled_events_dir,
     events_stream,
@@ -262,6 +263,7 @@ def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     base = tempfile.mkdtemp(prefix="osx3_fsink_")
+    _cleanup_at_exit(base)
     stream = events_stream(spark, sf_dir, max_files_per_trigger=1).select(
         "event_id", "event_type", "value"
     )
@@ -308,7 +310,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE o_totalprice END AS price
             FROM orders WHERE o_orderkey % 10 <> 1
             UNION ALL
-            SELECT o_orderkey + 10000000, 'INSERTED', 50.0
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+                   'INSERTED', 50.0
             FROM orders WHERE o_orderkey % 10 = 2 AND o_orderkey % 20 <> 2
         )
         SELECT pri, COUNT(*) AS n,

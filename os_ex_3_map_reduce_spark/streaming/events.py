@@ -23,6 +23,7 @@ Design choices:
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 import uuid
@@ -38,6 +39,19 @@ from ..session import ensure_session_confs
 _STAGED_CACHE: dict[tuple[str, int], str] = {}
 
 
+def _cleanup_at_exit(path: str) -> None:
+    """Remove a staged temp dir when the process exits.
+
+    Deletion is deferred (not eager) because returned DataFrames are
+    lazy scans over these directories — the caller may materialize them
+    any time during the session. Process exit is the earliest safe
+    point; repeated runs in one process reuse ``_STAGED_CACHE`` instead
+    of re-staging, so the high-water disk usage is one copy per
+    (sf_dir, variant) plus one snapshot chain per CDC run.
+    """
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
 def staged_events_dir(sf_dir: str, copies: int = 1) -> str:
     """A temp directory holding ``copies`` copies of the events file.
 
@@ -51,6 +65,7 @@ def staged_events_dir(sf_dir: str, copies: int = 1) -> str:
     key = (sf_dir, copies)
     if key not in _STAGED_CACHE:
         d = Path(tempfile.mkdtemp(prefix=f"osx3_events{copies}_"))
+        _cleanup_at_exit(str(d))
         for i in range(copies):
             shutil.copy(f"{sf_dir}/events.parquet", d / f"part-{i}.parquet")
         _STAGED_CACHE[key] = str(d)
@@ -81,6 +96,7 @@ def sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
     if key not in _STAGED_CACHE:
         ensure_session_confs(spark)
         d = Path(tempfile.mkdtemp(prefix="osx3_events_sentinel_"))
+        _cleanup_at_exit(str(d))
         shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
         ev = spark.read.parquet(str(d / "part-0.parquet"))
         max_ts = ev.agg(F.max("ts")).first()[0]
@@ -323,10 +339,17 @@ def cdc_changes_dir(spark: SparkSession, sf_dir: str) -> str:
     if key not in _STAGED_CACHE:
         ensure_session_confs(spark)
         d = Path(tempfile.mkdtemp(prefix="osx3_cdc_changes_"))
+        _cleanup_at_exit(str(d))
         base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
             "o_orderkey", "o_orderpriority", "o_totalprice"
         )
         k = F.col("o_orderkey")
+        # insert-key offset derived from the snapshot's max key, so
+        # synthetic inserts can never collide with real keys at any
+        # scale factor (a fixed 10M constant would collide once the
+        # fixture outgrows it); oracle SQL derives the same offset via
+        # (SELECT MAX(o_orderkey) + 1 FROM orders).
+        insert_off = base.agg(F.max("o_orderkey")).first()[0] + 1
 
         def emit(df: DataFrame, fname: str, mtime_off: int) -> None:
             stage = d / "_stage"
@@ -355,7 +378,7 @@ def cdc_changes_dir(spark: SparkSession, sf_dir: str) -> str:
             "o_totalprice",
         )
         ins = base.where(k % 10 == 2).select(
-            (k + 10_000_000).alias("o_orderkey"),
+            (k + insert_off).alias("o_orderkey"),
             F.lit("U").alias("op"),
             F.lit(2).cast("long").alias("version"),
             F.lit("INSERTED").alias("o_orderpriority"),
@@ -363,7 +386,7 @@ def cdc_changes_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         c1 = dels.unionByName(ins)
         undel = base.where((k % 10 == 2) & (k % 20 == 2)).select(
-            (k + 10_000_000).alias("o_orderkey"),
+            (k + insert_off).alias("o_orderkey"),
             F.lit("D").alias("op"),
             F.lit(3).cast("long").alias("version"),
             F.lit("INSERTED").alias("o_orderpriority"),
@@ -412,6 +435,7 @@ def run_stream_cdc_apply(
 
     spark = changes.sparkSession
     root = tempfile.mkdtemp(prefix="osx3_cdc_")
+    _cleanup_at_exit(root)
     snap = f"{root}/snap"
     base.write.parquet(f"{snap}/v0")
 
