@@ -97,7 +97,9 @@ def _blocked_pair_scores(
     The 1.96 s reading does not reproduce; it was ambient machine drift
     (this box documents ±15% same-day swings, and the r3 bench run drew
     a slow window), not a plan-shape cost. This shape is faster AND
-    scale-safe.
+    scale-safe. Round-6 full-bench confirmation: 0.99 s best-of-2 at
+    sf0.1 inside a 43-query run — the clean bench row that closes the
+    r3 drift question.
     """
     base = emb_df.select(
         F.col(id_col).alias("vid"),

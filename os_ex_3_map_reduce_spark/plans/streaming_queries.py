@@ -216,17 +216,21 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every unmatched row in the final no-data micro-batch — making "
     "APPEND-mode outer-join output complete and deterministic, equal to "
     "the batch left join (the determinism risk that kept this query "
-    "out of round 2, resolved by the sentinel staging). Bench note: "
-    "the ~5 s at sf0.1 is outer-join StateStore machinery (both sides "
-    "keyed into state, per-batch commits, final eviction scan) over "
-    "2x100k rows across 3 micro-batches — measured invariant to state "
-    "partition count (8 vs 4) and nearly so to batching (single-batch "
-    "saves ~10%); the honest cost of the operator, not a plan defect.",
+    "out of round 2, resolved by the sentinel staging). Bench note "
+    "(r6 A/B at sf0.1, 2x100k state rows): single-batch replay (all "
+    "files in one micro-batch, sentinel's watermark advance applied by "
+    "availableNow's final empty batch) runs 3.0-3.2 s vs 4.4-4.7 s for "
+    "the old 3-micro-batch staging (per-batch StateStore commit "
+    "overhead, ~30%); state partitions 8 beat 4 (4.4-5.1 s) and 2 "
+    "(6.0 s). Output is batch-identical either way (row-count and "
+    "equality test), so the query ships the single-batch plan; the "
+    "remaining ~3 s is the symmetric-hash join's honest cost of "
+    "state-keying both sides and the final eviction scan.",
 )
 def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = sentinel_events_dir(spark, sf_dir)
-    left = events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
-    right = events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
+    left = events_stream(spark, sf_dir, path=src)
+    right = events_stream(spark, sf_dir, path=src)
     joined = stream_stream_followup_join(
         left, right, within="5 minutes", how="left_outer"
     )

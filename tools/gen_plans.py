@@ -38,9 +38,10 @@ SHOWCASE: dict[str, str] = {
         "full aggregate."
     ),
     "q_events_hourly": (
-        "date_trunc in the scan projection, partial+final aggregate; the "
-        "nanos ts column is read as long and converted (no timestamp scan "
-        "failure)."
+        "date_trunc in the scan projection, partial+final aggregate; "
+        "ts_utc is derived dtype-adaptively from whatever the fixture "
+        "serves (long-nanos or timestamp[us]) — no timestamp scan "
+        "failure."
     ),
     "q_minhash_neardup": (
         "Arrow-batched signature kernel feeds a slim (bucket, id) "
