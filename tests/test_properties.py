@@ -16,6 +16,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from os_ex_3_map_reduce_spark.operators.map_reduce import (
     MapReduceClient,
     run_map_reduce,
@@ -214,3 +216,100 @@ def test_wav_roundtrip_any_samples(n, rate, seed):
     back, got_rate = decode_wav_pcm16(encode_wav_pcm16(samples, rate))
     assert got_rate == rate
     assert np.array_equal(back, samples)
+
+
+# --- CDC merge semantics ---------------------------------------------------
+
+CDC_KEYS = st.integers(min_value=0, max_value=9)
+CDC_BASE = st.dictionaries(CDC_KEYS, st.integers(-100, 100), max_size=8)
+CDC_CHANGES = st.lists(
+    st.tuples(
+        CDC_KEYS,
+        st.sampled_from(["U", "D"]),
+        st.integers(0, 5),  # version (may collide across keys, not within)
+        st.integers(-100, 100),
+    ),
+    max_size=12,
+)
+
+
+@given(base=CDC_BASE, changes=CDC_CHANGES)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_latest_wins_plus_merge_matches_dict_reference(spark, base, changes):
+    """latest_wins + merge_upsert must equal the obvious dict-apply for
+    ANY change batch: per key take the (version, op)-max change ('D'
+    beats 'U' on a version tie), delete or upsert accordingly, carry
+    everything else over. This is the semantics q_merge_upsert and the
+    streaming CDC pipeline both build on."""
+    from os_ex_3_map_reduce_spark.operators.merge import latest_wins, merge_upsert
+
+    # de-duplicate (key, version) pairs so the documented "keep version
+    # unique per key" precondition holds (ties on (version, op) are
+    # documented nondeterministic)
+    seen: set[tuple[int, int]] = set()
+    uniq = []
+    for k, op, v, val in changes:
+        if (k, v) not in seen:
+            seen.add((k, v))
+            uniq.append((k, op, v, val))
+
+    # dict reference: versions are unique per key (enforced above), so
+    # the winner is simply the max-version change for the key
+    winner: dict[int, tuple[int, str, int]] = {}
+    for k, op, v, val in uniq:
+        cur = winner.get(k)
+        if cur is None or v > cur[0]:
+            winner[k] = (v, op, val)
+    want = dict(base)
+    for k, (v, op, val) in winner.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = val
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)], "k long, val long"
+    ).where(F.col("k").isNotNull())
+    ch_df = spark.createDataFrame(
+        [(k, op, v, val) for k, op, v, val in uniq] or [(None, None, None, None)],
+        "k long, op string, version long, val long",
+    ).where(F.col("k").isNotNull())
+    one = latest_wins(ch_df, key="k", version_col="version")
+    got = {
+        r.k: r.val for r in merge_upsert(base_df, one, key="k").collect()
+    }
+    assert got == want
+
+
+# --- simhash banding pigeonhole -------------------------------------------
+
+
+@given(
+    fp=st.integers(min_value=0, max_value=2**64 - 1),
+    flip_bits=st.lists(
+        st.integers(min_value=0, max_value=63), max_size=7, unique=True
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_simhash_banding_pigeonhole(fp, flip_bits):
+    """The 8-chunk split used by simhash_neardup_pairs must guarantee
+    that any pair with Hamming distance <= 7 shares at least one chunk
+    (recall exactly 1) — pure arithmetic on the width/offset layout,
+    no Spark. Flipping at most 7 bits of any fingerprint must leave
+    some chunk untouched."""
+    max_hamming = 7
+    n_chunks = max_hamming + 1
+    base_w, extra = divmod(64, n_chunks)
+    widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    assert sum(widths) == 64
+
+    other = fp
+    for b in flip_bits:
+        other ^= 1 << b
+
+    def chunk(x, c):
+        return (x >> offsets[c]) & ((1 << widths[c]) - 1)
+
+    shared = any(chunk(fp, c) == chunk(other, c) for c in range(n_chunks))
+    assert shared
