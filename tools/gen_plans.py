@@ -76,6 +76,15 @@ SHOWCASE: dict[str, str] = {
         "single-split scan), then slim (shingle, id) equi-join; payloads "
         "never join the shingle relation."
     ),
+    "q_join_asof": (
+        "As-of join with NO join operator: both sides tagged and "
+        "unioned, ONE hash exchange on user_id, one window pass carrying "
+        "the last signup forward (last_value IGNORE NULLS). Both event "
+        "scans show the event_type filter pushed down and only the "
+        "referenced columns read; state per key is O(1), so skew only "
+        "concentrates one user's timeline — at 100 TB this beats every "
+        "range-join strategy."
+    ),
 }
 
 
