@@ -194,3 +194,40 @@ def test_shuffle_percentage_is_pairs_moved(spark):
     read = store.lastStageAttempt(sids[-1]).shuffleReadRecords()
     assert wrote == read >= 97
     handle.close()
+
+
+def test_key_normalizer_reduce_sees_whole_equivalence_class(spark):
+    """SURVEY.md §7.4 contract, asserted directly: with a key_normalizer
+    (the K2::operator< partial-comparator analog), reduce must be called
+    ONCE per equivalence class, with the NORMALIZED key and a group
+    containing every RAW K2 spelling of that class."""
+    from os_ex_3_map_reduce_spark.operators.map_reduce import normalized_key
+
+    class ClassAuditClient(MapReduceClient):
+        intermediate_schema = "w string, one long"
+        output_schema = "k string, n_rows long, raw_keys string"
+        key_normalizer = staticmethod(
+            lambda c: normalized_key(c, trim=True, fold_case=True, prefix_len=3)
+        )
+
+        def map(self, row):
+            return [(row.w, 1)]
+
+        def reduce(self, key, group: pd.DataFrame):
+            # key must already be normalized; group keeps raw spellings
+            # and must NOT contain the internal normalized-key column
+            assert list(group.columns) == ["w", "one"]
+            raws = sorted(set(group["w"]))
+            return [(key[0], int(group["one"].sum()), "|".join(raws))]
+
+    rows = [("Foobar",), ("FOOBAZ ",), (" fooqux",), ("barone",), ("BARTWO",)]
+    df = spark.createDataFrame(rows, "w string")
+    got = {
+        r.k: (r.n_rows, r.raw_keys)
+        for r in run_map_reduce(df, ClassAuditClient()).collect()
+    }
+    assert got == {
+        # trim → lower → first 3 chars: one class per prefix
+        "foo": (3, "|".join(sorted({"Foobar", "FOOBAZ ", " fooqux"}))),
+        "bar": (2, "BARTWO|barone"),
+    }
