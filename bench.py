@@ -97,6 +97,10 @@ BREADTH = [
     "q_stream_static_join",
     "q_stream_outer_join",
     "q_stream_foreach_sink",
+    # mutation surface (snapshot merge + streaming CDC apply): timings
+    # include the snapshot parquet writes — the honest pipeline cost
+    "q_merge_upsert",
+    "q_stream_cdc_apply",
 ]
 
 

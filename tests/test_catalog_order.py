@@ -11,31 +11,44 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
     all_queries,
 )
 
-# Queries with no external verdict yet, or changed this round — MUST be
-# inside the verification window (round 3).
+# Queries with no external verdict yet, or whose behavior changed this
+# round — MUST be inside the verification window (round 6: the 12
+# never-verified names, the two round-5 ERRs fixed by the dtype-adaptive
+# event time, and the event-touching queries whose last green verdict
+# predates the fixture's dtype change).
 MUST_BE_IN_WINDOW = {
-    # never driver-verified
-    "q_salted_join",
-    "q_sample_hash",
-    "q_contamination",
-    "q_repetition",
-    "q_normalize_text",
-    "q_ann_lsh_recall",
-    "q_recursive_cte",
+    # never driver-verified (as of CORRECTNESS_r05)
+    "q_mapreduce_key_equiv",
+    "q_stream_cdc_apply",
+    "q_pack_chunks",
+    "q_sample_stratified",
+    "q_join_bucketed",
+    "q_python_datasource",
+    "q_variant_json",
+    "q_observe_metrics",
+    "q_merge_upsert",
+    "q_null_handling",
+    "q_percentiles_grouped",
+    "q_histogram",
+    # round-5 ERRs fixed this round
     "q_stream_outer_join",
     "q_stream_foreach_sink",
-    "q_stream_python_source",
-    "q_stream_partitioned_source",
-    "q_job_control",
-    "q_multimodal_bmp",
-    "q_multimodal_wav",
-    # changed this round
-    "q_hof_fns",
-    "q_fingerprint_rolling",
-    "q_embedding_topk_pairs",
-    "q_embedding_neardup",
-    "q_ann_lsh_topk",
-    "q_ann_ivf_topk",
+    # event-touching queries un-broken by the round-6 ts fix
+    "q_events_hourly",
+    "q_json_extract",
+    "q_join_asof",
+    "q_join_range",
+    "q_lateral",
+    "q_rollup_time",
+    "q_salted_agg",
+    "q_time_gapfill",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_join",
+    "q_stream_dedup",
+    "q_stream_stateful",
+    "q_stream_static_join",
 }
 
 
