@@ -79,5 +79,18 @@ for name in sorted(os_):
     print(f"{'OK ' if match else 'FAIL'} {name}: spark={len(spdf)} oracle={len(opdf)} hash {h(s_rows)} vs {h(o_rows)}")
     if not match: fails.append(name)
 
+# rows-only queries (no oracle): the driver still runs them and records
+# a row count — mirror that so an analysis-time crash in one of them
+# surfaces locally, not in CORRECTNESS_r{N}.
+for name in sorted(set(qs) - set(os_)):
+    try:
+        n = qs[name](spark, sf).count()
+        print(f"OK  {name}: rows-only, spark={n}")
+        if n <= 0:
+            fails.append(name)
+    except Exception as ex:
+        print(f"FAIL {name}: rows-only crash: {type(ex).__name__}: {str(ex)[:160]}")
+        fails.append(name)
+
 print("RESULT:", "ALL MATCH" if not fails else f"FAILURES: {fails}")
 sys.exit(1 if fails else 0)
