@@ -42,7 +42,14 @@ class WordCountClient(MapReduceClient):
     """,
     doc="Flagship word count through the generic map_reduce operator "
     "(row-level client API) instead of the declarative plan — the "
-    "self-check from SURVEY.md §7.1 step 3.",
+    "self-check from SURVEY.md §7.1 step 3. Perf note (r6, sf0.1): "
+    "0.90 s vs q_wordcount's 0.23 s — the client path faithfully "
+    "shuffles EVERY (word, 1) pair through two Python hops, exactly "
+    "like the reference's sort/shuffle of all emitted pairs; no "
+    "map-side combine is possible because reduce() is an arbitrary "
+    "0..N user function. Users wanting throughput write the "
+    "declarative plan (q_wordcount: JVM partial agg, no Python); the "
+    "client API exists for parity with arbitrary reference clients.",
 )
 def q_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
