@@ -153,7 +153,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multimodal_frames",
     "q_above_nation_avg",
     "q_agg_filtered",
-    "q_array_fns",
+    # new this round (round 6) → verify immediately
+    "q_multimodal_resize",
 )
 
 

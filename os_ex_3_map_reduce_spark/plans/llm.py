@@ -35,6 +35,7 @@ from ..operators.multimodal import (
     attach_payload,
     fake_image_features,
     metadata_stats,
+    resize_images,
     sample_frames,
 )
 from ..operators.similarity import ivf_index, ivf_search
@@ -733,6 +734,47 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_fake_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_payload(load_table(spark, sf_dir, "documents"))
     return fake_image_features(docs)
+
+
+@register(
+    "q_multimodal_resize",
+    # Exact oracle, pixel by pixel: the fake 4x4x3 decode's bytes are
+    # the tiled sha256 digest (operators/multimodal.py:
+    # fake_decode_image), and nearest-neighbor 4x4 -> 2x2 keeps source
+    # rows/cols {0, 2}. Output pixel k (ravel order r, c, ch:
+    # k = 6r + 3c + ch) therefore reads source byte
+    # 24r + 6c + ch == 24*(k//6) + 6*((k%6)//3) + k%3, wrapped mod 32
+    # for the digest tiling (byte 32 -> digest[0]).
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 31),
+                       i -> strpos('0123456789abcdef',
+                                   substr(sha256(text), 2*i + 1, 1)) * 16
+                          + strpos('0123456789abcdef',
+                                   substr(sha256(text), 2*i + 2, 1)) - 17) AS d
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS pix_idx,
+               CAST(d[((24*(k // 6) + 6*((k % 6) // 3) + (k % 3)) % 32) + 1]
+                    AS BIGINT) AS value
+        FROM b CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS k)
+    """,
+    doc="Image-resize pipeline stage (E5): fake decode (sha256-byte "
+    "pixels — no media libs in this container) -> REAL nearest-neighbor "
+    "numpy resample 4x4 -> 2x2 -> one row per output pixel. The resize "
+    "arithmetic is the production kernel; only the decode is simulated. "
+    "Arrow-batched mapInPandas over the payload column, the same "
+    "binary-in / tensor-out batch shape a Pillow/opencv decoder drops "
+    "into. Exact-oracled per pixel against SQL sha256-byte arithmetic.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    resized = resize_images(docs, out_h=2, out_w=2, src_h=4, src_w=4)
+    return resized.select(
+        "doc_id", F.posexplode("pixels").alias("pix_idx", "value")
+    ).select("doc_id", F.col("pix_idx").cast("long").alias("pix_idx"), "value")
 
 
 @register(

@@ -49,6 +49,8 @@ MUST_BE_IN_WINDOW = {
     "q_stream_dedup",
     "q_stream_stateful",
     "q_stream_static_join",
+    # new in round 6
+    "q_multimodal_resize",
 }
 
 

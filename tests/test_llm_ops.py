@@ -215,6 +215,29 @@ def test_resize_nearest_exact():
     assert (up[::2, ::2] == img).all()
 
 
+def test_resize_images_stage_matches_local_kernel(spark):
+    """The Spark resize stage (mapInPandas over payload bytes) must emit
+    exactly fake_decode -> resize_nearest computed locally per doc."""
+    from os_ex_3_map_reduce_spark.operators.multimodal import (
+        attach_payload,
+        fake_decode_image,
+        resize_images,
+        resize_nearest,
+    )
+
+    rows = [(1, "alpha beta"), (2, "gamma"), (3, "")]
+    df = attach_payload(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = {
+        r.doc_id: (r.height, r.width, list(r.pixels))
+        for r in resize_images(df, out_h=2, out_w=2).collect()
+    }
+    for doc_id, text in rows:
+        want = resize_nearest(
+            fake_decode_image(text.encode(), 4, 4), 2, 2
+        ).ravel()
+        assert got[doc_id] == (2, 2, [int(x) for x in want])
+
+
 def test_frame_sampling_shape_and_determinism(spark):
     from os_ex_3_map_reduce_spark.operators.multimodal import (
         attach_payload,
