@@ -89,6 +89,7 @@ BREADTH = [
     "q_sample_stratified",
     "q_multimodal_bmp",
     "q_multimodal_wav",
+    "q_multimodal_resize",
     "q_pack_chunks",
     "q_recursive_cte",
     "q_ann_lsh_recall",
