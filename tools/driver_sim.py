@@ -34,8 +34,10 @@ rows = e.entry(spark).collect()
 print(f"t1 entry(): {len(rows)} rows; first: {rows[0]}")
 assert len(rows) > 0
 
-# t2: run EVERY oracle-checked query at sf0.01 vs duckdb
-sf = "/root/testdata/sf0.01"
+# t2: run EVERY oracle-checked query vs duckdb (driver runs sf0.01;
+# override DRIVER_SIM_SF_DIR to sweep at another scale, e.g. sf0.1 for
+# 10x scale-up evidence)
+sf = __import__("os").environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
