@@ -293,3 +293,88 @@ def wav_audio_features(
         batch,
         schema="doc_id long, n_samples long, sample_rate long, sum_sq long",
     )
+
+
+# --- binaryFile-source ingestion (the production media-lake path) --------
+
+_BMP_STAGE_CACHE: dict[str, str] = {}
+
+
+def staged_bmp_dir(spark, sf_dir: str, height: int = 4, width: int = 4) -> str:
+    """Stage one REAL ``.bmp`` file per document into a temp directory.
+
+    Pixels are the deterministic fake decode of the doc's text payload
+    (sha256-derived — same bytes the SQL oracle can rebuild), written
+    with the real BMP encoder; the filename carries the doc_id. This is
+    fixture STAGING, driver-side by design (exactly like
+    streaming.events.staged_events_dir copies the events file): the
+    measured/verified query is the binaryFile scan + real decode, not
+    this one-time setup. At 100 TB the directory already exists — it IS
+    the media lake.
+    """
+    import atexit
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    if sf_dir not in _BMP_STAGE_CACHE:
+        d = Path(tempfile.mkdtemp(prefix="osx3_bmp_lake_"))
+        atexit.register(shutil.rmtree, str(d), ignore_errors=True)
+        from ..functions.codecs import encode_bmp
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .toPandas()
+        )
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            img = fake_decode_image(str(text).encode(), height, width)
+            (d / f"{int(doc_id)}.bmp").write_bytes(encode_bmp(img))
+        _BMP_STAGE_CACHE[sf_dir] = str(d)
+    return _BMP_STAGE_CACHE[sf_dir]
+
+
+def binaryfile_image_stats(spark, path: str) -> DataFrame:
+    """Ingest a directory of BMPs via Spark's ``binaryFile`` source and
+    decode each with the real parser: (doc_id from filename, file
+    length from source metadata, decoded dims, mean pixel).
+
+    This is the production multimodal ingestion shape: the binaryFile
+    source lists and splits files across executors (add
+    ``recursiveFileLookup`` for a partitioned lake), ships (path,
+    length, content) rows, and the decode runs Arrow-batched next to
+    the data — no driver involvement per file.
+    """
+    from ..functions.codecs import decode_bmp
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(path)
+        .select("path", "length", "content")
+    )
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, ln, content in zip(pdf["path"], pdf["length"], pdf["content"]):
+                img = decode_bmp(bytes(content))
+                rows.append(
+                    (
+                        int(p.rsplit("/", 1)[-1].removesuffix(".bmp")),
+                        int(ln),
+                        int(img.shape[0]),
+                        int(img.shape[1]),
+                        float(img.astype(np.int64).sum()) / img.size,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "byte_len", "height", "width", "mean_pixel"],
+            )
+
+    return raw.mapInPandas(
+        batch,
+        schema="doc_id long, byte_len long, height long, width long, "
+        "mean_pixel double",
+    )

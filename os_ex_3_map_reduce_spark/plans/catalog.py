@@ -152,9 +152,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multimodal_fake_image",
     "q_multimodal_frames",
     "q_above_nation_avg",
-    "q_agg_filtered",
     # new this round (round 6) → verify immediately
     "q_multimodal_resize",
+    "q_binaryfile_ingest",
 )
 
 

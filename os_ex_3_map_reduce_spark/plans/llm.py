@@ -737,6 +737,46 @@ def q_multimodal_fake_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_binaryfile_ingest",
+    # Exact oracle: each staged .bmp holds the sha256-derived fake
+    # pixels of the doc's text, so the mean pixel is the same tiled-
+    # digest arithmetic as q_multimodal_fake_image, and the 4x4 24-bit
+    # BI_RGB file size is fixed: 54-byte headers + 4 rows x 12 bytes
+    # (no padding) = 102.
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 31),
+                       i -> strpos('0123456789abcdef',
+                                   substr(sha256(text), 2*i + 1, 1)) * 16
+                          + strpos('0123456789abcdef',
+                                   substr(sha256(text), 2*i + 2, 1)) - 17) AS d
+            FROM documents
+        )
+        SELECT doc_id,
+               102::BIGINT AS byte_len,
+               4::BIGINT AS height, 4::BIGINT AS width,
+               (list_sum(d) + list_sum(d[1:16])) / 48.0 AS mean_pixel
+        FROM b
+    """,
+    doc="Media-lake ingestion via Spark's binaryFile source (E5 / the "
+    "missing source format): a directory of REAL .bmp files (staged "
+    "once per fixture, filename = doc_id) scanned as (path, length, "
+    "content) rows, decoded executor-side with the real BMP parser in "
+    "an Arrow-batched mapInPandas, emitting per-file stats. The "
+    "binaryFile source lists and splits files across executors — the "
+    "production shape for a 100 TB image/audio lake (recursive lookup "
+    "over partitioned dirs; no driver involvement per file). "
+    "Exact-oracled: file length is the deterministic BMP size and the "
+    "mean pixel is sha256 tiled-byte arithmetic.",
+)
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import binaryfile_image_stats, staged_bmp_dir
+
+    return binaryfile_image_stats(spark, staged_bmp_dir(spark, sf_dir))
+
+
+@register(
     "q_multimodal_resize",
     # Exact oracle, pixel by pixel: the fake 4x4x3 decode's bytes are
     # the tiled sha256 digest (operators/multimodal.py:

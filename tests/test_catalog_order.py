@@ -51,6 +51,7 @@ MUST_BE_IN_WINDOW = {
     "q_stream_static_join",
     # new in round 6
     "q_multimodal_resize",
+    "q_binaryfile_ingest",
 }
 
 

@@ -421,3 +421,51 @@ def test_block_pair_results_invariant_to_blocking(spark):
             ), (blocks, parts)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout must show up as PartitionFilters in
+    the scan (directory pruning — at 100 TB the difference between
+    reading one partition and reading the lake). Also asserts the
+    pruned read returns exactly the partition's rows."""
+    from os_ex_3_map_reduce_spark.sources.io import write_table
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_by_priority")
+    write_table(orders, out, partition_by=["o_orderpriority"])
+
+    pri = orders.select("o_orderpriority").first()[0]
+    back = spark.read.parquet(out).where(F.col("o_orderpriority") == pri)
+    plan = explain_str(back)
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must appear as a partition filter (pruned
+    # at planning), not only as a post-scan data filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderpriority" in pf
+    want = orders.where(F.col("o_orderpriority") == pri).count()
+    assert back.count() == want
+
+
+def test_binaryfile_ingest_matches_local_decode(spark):
+    """The binaryFile-source ingestion must equal the local
+    encode→decode per doc (real codec both ways)."""
+    from os_ex_3_map_reduce_spark.operators.multimodal import (
+        binaryfile_image_stats,
+        fake_decode_image,
+        staged_bmp_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.byte_len, r.height, r.width, r.mean_pixel)
+        for r in binaryfile_image_stats(spark, staged_bmp_dir(spark, sf)).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    rows = [(r.doc_id, r.text) for r in docs.limit(5).collect()]
+    assert len(got) == docs.count()
+    for doc_id, text in rows:
+        img = fake_decode_image(text.encode(), 4, 4)
+        assert got[doc_id] == (102, 4, 4, float(img.astype("int64").sum()) / 48)
