@@ -151,10 +151,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_simhash_neardup",
     "q_multimodal_fake_image",
     "q_multimodal_frames",
-    "q_above_nation_avg",
     # new this round (round 6) → verify immediately
     "q_multimodal_resize",
     "q_binaryfile_ingest",
+    "q_dedup_keep_best",
 )
 
 

@@ -284,6 +284,80 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_keep_best",
+    oracle=_SHINGLE_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+        , pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT a AS id, a AS r FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        ),
+        lab AS (
+            SELECT d.doc_id,
+                   COALESCE(r.rep, d.doc_id) AS label,
+                   CAST(length(d.text) AS BIGINT) AS len
+            FROM documents d
+            LEFT JOIN (SELECT id, MIN(r) AS rep FROM reach GROUP BY id) r
+              ON d.doc_id = r.id
+        )
+        SELECT doc_id AS kept_doc, label AS cluster_rep,
+               CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM (
+            SELECT doc_id, label, len,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                                      ORDER BY len DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY label) AS cluster_size
+            FROM lab
+        ) WHERE rn = 1
+    """,
+    doc="The operator every dedup pipeline ends with: collapse each "
+    "near-dup cluster (connected components over verified MinHash "
+    "pairs; docs in no pair are their own singleton cluster) to ONE "
+    "kept representative — the longest text, doc_id tiebreak — with "
+    "the cluster size as evidence. One extra shuffle beyond the "
+    "component labels (window by label); at 100 TB label partitioning "
+    "spreads clusters across executors and the quality rank is a "
+    "per-cluster window, never a global sort. Exact-oracled via the "
+    "recursive-CTE closure + the same window in SQL.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pairs = _neardup_pairs(spark, sf_dir, "word")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("len")
+    )
+    lab = docs.join(cc, docs.doc_id == cc.id, "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label"), "len"
+    )
+    w = Window.partitionBy("label")
+    ranked = lab.select(
+        "doc_id",
+        "label",
+        F.row_number()
+        .over(w.orderBy(F.desc("len"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        F.col("doc_id").alias("kept_doc"),
+        F.col("label").alias("cluster_rep"),
+        "cluster_size",
+    )
+
+
+@register(
     "q_simhash_neardup",
     # Exact oracle: rebuild every 64-bit SimHash in SQL. Per (doc, bit):
     # count tokens (with multiplicity) whose md5-derived bit is set; the

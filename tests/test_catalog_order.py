@@ -52,6 +52,7 @@ MUST_BE_IN_WINDOW = {
     # new in round 6
     "q_multimodal_resize",
     "q_binaryfile_ingest",
+    "q_dedup_keep_best",
 }
 
 
