@@ -12,47 +12,36 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
 )
 
 # Queries with no external verdict yet, or whose behavior changed this
-# round — MUST be inside the verification window (round 6: the 12
-# never-verified names, the two round-5 ERRs fixed by the dtype-adaptive
-# event time, and the event-touching queries whose last green verdict
-# predates the fixture's dtype change).
+# round — MUST be inside the verification window (round 7: the 18
+# round-2-stale names from VERDICT r6 "What's missing" #1, the three
+# sketch queries whose oracles were upgraded from rows-only to pinned
+# expectations this round, and the reworked simhash).
 MUST_BE_IN_WINDOW = {
-    # never driver-verified (as of CORRECTNESS_r05)
-    "q_mapreduce_key_equiv",
-    "q_stream_cdc_apply",
-    "q_pack_chunks",
-    "q_sample_stratified",
-    "q_join_bucketed",
-    "q_python_datasource",
-    "q_variant_json",
-    "q_observe_metrics",
-    "q_merge_upsert",
-    "q_null_handling",
-    "q_percentiles_grouped",
-    "q_histogram",
-    # round-5 ERRs fixed this round
-    "q_stream_outer_join",
-    "q_stream_foreach_sink",
-    # event-touching queries un-broken by the round-6 ts fix
-    "q_events_hourly",
-    "q_json_extract",
-    "q_join_asof",
-    "q_join_range",
-    "q_lateral",
-    "q_rollup_time",
-    "q_salted_agg",
-    "q_time_gapfill",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_join",
-    "q_stream_dedup",
-    "q_stream_stateful",
-    "q_stream_static_join",
-    # new in round 6
-    "q_multimodal_resize",
-    "q_binaryfile_ingest",
-    "q_dedup_keep_best",
+    # last green in round 2 — four rounds stale
+    "q_above_nation_avg",
+    "q_agg_filtered",
+    "q_array_fns",
+    "q_case_when",
+    "q_date_parts",
+    "q_date_trunc",
+    "q_join_cross",
+    "q_join_nullsafe",
+    "q_map_fns",
+    "q_math_fns",
+    "q_percentiles",
+    "q_regexp_fns",
+    "q_set_ops_all",
+    "q_shipping_priority",
+    "q_string_fns",
+    "q_unpivot",
+    "q_window_misc",
+    "q_window_range_frame",
+    # oracle upgraded this round (rows-only -> pinned expectation)
+    "q_approx_distinct",
+    "q_approx_percentiles",
+    "q_sketch_heavyhitters",
+    # implementation reworked this round
+    "q_simhash_neardup",
 }
 
 
