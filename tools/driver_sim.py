@@ -10,7 +10,8 @@ columns (which CRASHES on array/map cells, exactly like the external
 harness) and the repr-based cell canonicalization its hash compare
 implies. Run from the repo root:
 
-    python tools/driver_sim.py
+    python tools/driver_sim.py            # full sweep
+    python tools/driver_sim.py q_a q_b    # just the named queries
 
 Exit 0 = every oracle query hash-matches (the state every round should
 end in); any FAIL line names the query to fix.
@@ -54,6 +55,12 @@ def canon(v):
     return str(v)
 
 qs, os_ = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:  # subset mode: only the named queries
+    want = set(sys.argv[1:])
+    unknown = want - set(qs)
+    assert not unknown, f"unknown query names: {sorted(unknown)}"
+    qs = {n: f for n, f in qs.items() if n in want}
+    os_ = {n: s for n, s in os_.items() if n in want}
 fails = []
 def driver_canon(pdf):
     # Mirror the REAL driver: pandas sort_values over all columns.
@@ -83,7 +90,10 @@ for name in sorted(os_):
 
 # rows-only queries (no oracle): the driver still runs them and records
 # a row count — mirror that so an analysis-time crash in one of them
-# surfaces locally, not in CORRECTNESS_r{N}.
+# surfaces locally, not in CORRECTNESS_r{N}. Catalog policy: every
+# rows-only query MUST return >= 1 row on every SF (each carries
+# self-evidence columns, and an empty evidence set proves nothing), so
+# zero rows is treated as a failure here by design.
 for name in sorted(set(qs) - set(os_)):
     try:
         n = qs[name](spark, sf).count()
