@@ -84,3 +84,43 @@ def test_events_time_range_sane(spark):
     assert lo.year >= 2023, lo
     assert hi.year <= 2030, hi
     assert lo <= hi
+
+
+def test_order_and_ship_dates_dtype_and_range(spark):
+    """l_shipdate / o_orderdate are the same silent-mutation risk class
+    as events.ts (parquet TIMESTAMP served as timestamp_ntz today, and
+    ~40 oracles compare them against TIMESTAMP literals / strftime
+    them). Pin the dtype EXACTLY — any drift (date, string, nanos-long)
+    must fail this canary loudly, not surface as 40 hash mismatches in
+    the round's CORRECTNESS file — plus the value-level contract the
+    plans rely on: string-literal comparison and date_trunc."""
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    assert dict(li.dtypes)["l_shipdate"] == "timestamp_ntz", li.dtypes
+    assert dict(orders.dtypes)["o_orderdate"] == "timestamp_ntz", orders.dtypes
+    # value contract: sane TPC-H-ish range, literal comparison works
+    lo, hi = orders.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    assert 1992 <= lo.year <= hi.year <= 2005, (lo, hi)
+    n_before = orders.where(F.col("o_orderdate") < "1998-06-01").count()
+    assert 0 < n_before < orders.count()
+    # date_trunc must stay timestamp-typed (rollup/gapfill rely on it)
+    trunc_type = dict(
+        orders.select(
+            F.date_trunc("month", "o_orderdate").alias("m")
+        ).dtypes
+    )["m"]
+    assert trunc_type in ("timestamp", "timestamp_ntz"), trunc_type
+
+
+def test_events_props_stays_json_string(spark):
+    """events.props is a STRING column holding a JSON object (the
+    variant/json-extraction queries parse it with get_json_object /
+    from_json). If the fixture ever serves it pre-parsed (struct/map)
+    or reshapes the payload, fail here first."""
+    ev = load_table(spark, SF, "events")
+    assert dict(ev.dtypes)["props"] == "string", ev.dtypes
+    parsed = ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+    n_null = parsed.where(F.col("k").isNull()).count()
+    assert n_null == 0, f"{n_null} rows failed JSON key extraction"
