@@ -102,6 +102,13 @@ BREADTH = [
     # include the snapshot parquet writes — the honest pipeline cost
     "q_merge_upsert",
     "q_stream_cdc_apply",
+    # round-7 additions (VERDICT r6 #6): green correctness, first bench
+    "q_dedup_keep_best",
+    "q_binaryfile_ingest",
+    "q_neardup_components",
+    "q_variant_json",
+    "q_percentiles_grouped",
+    "q_histogram",
 ]
 
 

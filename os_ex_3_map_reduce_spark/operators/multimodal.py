@@ -297,7 +297,7 @@ def wav_audio_features(
 
 # --- binaryFile-source ingestion (the production media-lake path) --------
 
-_BMP_STAGE_CACHE: dict[str, str] = {}
+_BMP_STAGE_CACHE: dict[tuple[str, int, int], str] = {}
 
 
 def staged_bmp_dir(spark, sf_dir: str, height: int = 4, width: int = 4) -> str:
@@ -317,7 +317,8 @@ def staged_bmp_dir(spark, sf_dir: str, height: int = 4, width: int = 4) -> str:
     import tempfile
     from pathlib import Path
 
-    if sf_dir not in _BMP_STAGE_CACHE:
+    key = (sf_dir, height, width)  # dims are part of the staged content
+    if key not in _BMP_STAGE_CACHE:
         d = Path(tempfile.mkdtemp(prefix="osx3_bmp_lake_"))
         atexit.register(shutil.rmtree, str(d), ignore_errors=True)
         from ..functions.codecs import encode_bmp
@@ -330,8 +331,8 @@ def staged_bmp_dir(spark, sf_dir: str, height: int = 4, width: int = 4) -> str:
         for doc_id, text in zip(docs["doc_id"], docs["text"]):
             img = fake_decode_image(str(text).encode(), height, width)
             (d / f"{int(doc_id)}.bmp").write_bytes(encode_bmp(img))
-        _BMP_STAGE_CACHE[sf_dir] = str(d)
-    return _BMP_STAGE_CACHE[sf_dir]
+        _BMP_STAGE_CACHE[key] = str(d)
+    return _BMP_STAGE_CACHE[key]
 
 
 def binaryfile_image_stats(spark, path: str) -> DataFrame:
