@@ -109,6 +109,8 @@ BREADTH = [
     "q_variant_json",
     "q_percentiles_grouped",
     "q_histogram",
+    "q_bloom_semijoin",
+    "q_sessionize",
 ]
 
 

@@ -98,3 +98,79 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# --- Bloom filter (membership sketch) --------------------------------------
+#
+# PySpark 4.1 exposes neither DataFrame.stat.bloomFilter (dropped from
+# the Python client) nor bloom_filter_agg/might_contain as public SQL
+# functions, so the membership sketch is built the same way as the CMS
+# above: a pure DataFrame aggregation over xxhash64 coordinates. The
+# filter is ONE row holding a sparse map<word_idx int, word long> of
+# 64-bit bitmap words — broadcastable at any sensible size (2^20 bits
+# = at most 16k map entries), probed with JVM-only bit arithmetic
+# (element_at + AND), no Python, no shuffle on the probe side.
+#
+# This is the explicit form of what Spark's own runtime row-level
+# filtering (InjectRuntimeFilter) does inside the optimizer; surfacing
+# it as an operator covers the cases the optimizer can't reach —
+# pre-shuffle pruning for bucketed layouts, stream-static joins, or a
+# filter shipped between jobs. Guarantees: no false negatives ever;
+# false-positive rate ~ (1 - e^(-kn/m))^k for k hashes, n keys, m bits
+# — the survivors still need the exact join, which is why
+# bloom_might_contain is a PRE-filter, not a join replacement.
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, num_bits: int = 1 << 16, num_hashes: int = 5
+) -> DataFrame:
+    """Build the filter: one row ``(bloom map<int,bigint>)``.
+
+    Each key sets ``num_hashes`` bits (xxhash64 seeded by the hash
+    index, pmod into the bit space); bits pack into 64-bit words via
+    ``bit_or`` so the build is one explode + one map-side-combined
+    aggregation — per-task state is capped at ``num_bits/64`` cells,
+    and two filters over the same (num_bits, num_hashes) merge by
+    unioning their word relations and re-OR-ing.
+    """
+    bit = lambda i: F.pmod(  # noqa: E731
+        F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)
+    )
+    bits = df.select(
+        F.explode(F.array(*[bit(i) for i in range(num_hashes)])).alias("bit")
+    )
+    # shiftleft's count argument must be a literal in the Python API —
+    # the variable-shift forms go through F.expr
+    words = bits.select(
+        F.expr("cast(shiftrightunsigned(bit, 6) as int)").alias("w"),
+        F.expr("shiftleft(cast(1 as bigint), cast(bit & 63 as int))").alias("m"),
+    )
+    packed = words.groupBy("w").agg(F.bit_or("m").alias("word"))
+    return packed.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("w", "word")))
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Rows of ``df`` whose key might be in the filter (same schema as
+    ``df``). The one-row filter broadcasts; each probe is
+    ``num_hashes`` map lookups + AND masks, fully inside whole-stage
+    codegen — a missing word means those bits are all zero.
+    """
+    # explicit crossJoin: one broadcast row against every probe row
+    probed = df.crossJoin(F.broadcast(bloom))
+    cond = F.lit(True)
+    for i in range(num_hashes):
+        b = f"pmod(xxhash64({key_col}, {i}), {num_bits})"
+        word = f"coalesce(element_at(bloom, cast(shiftrightunsigned({b}, 6) as int)), cast(0 as bigint))"
+        mask = f"shiftleft(cast(1 as bigint), cast({b} & 63 as int))"
+        cond = cond & (F.expr(f"({word} & {mask})") != 0)
+    return probed.where(cond).drop("bloom")

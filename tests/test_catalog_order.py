@@ -42,6 +42,9 @@ MUST_BE_IN_WINDOW = {
     "q_sketch_heavyhitters",
     # implementation reworked this round
     "q_simhash_neardup",
+    # new in round 7
+    "q_bloom_semijoin",
+    "q_sessionize",
 }
 
 

@@ -469,3 +469,36 @@ def test_binaryfile_ingest_matches_local_decode(spark):
     for doc_id, text in rows:
         img = fake_decode_image(text.encode(), 4, 4)
         assert got[doc_id] == (102, 4, 4, float(img.astype("int64").sum()) / 48)
+
+
+def test_bloom_probe_is_jvm_side_broadcast(spark, qs):
+    """The bloom pre-filter must stay whole-stage-codegen JVM work: a
+    one-row broadcast (nested-loop on a single row), no Python eval,
+    and the dim side broadcast for the exact semi join — the probe
+    side must never shuffle before it is pruned."""
+    plan = explain_str(qs["q_bloom_semijoin"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bloom attach
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan  # semi join stays broadcast
+
+
+def test_sessionize_single_partitioning_reused(spark, qs):
+    """Both window passes and the final session aggregate run on ONE
+    hash partitioning by user_id: exactly one exchange node in the
+    plan (formatted explain prints each node twice — tree line plus
+    detail header — so count the numbered detail headers)."""
+    import re
+
+    plan = explain_str(qs["q_sessionize"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_simhash_fused_pairgen_has_two_exchanges(spark, qs):
+    """Round-7 exchange fusion: pair emission is globally unique (each
+    pair surfaces only at its first matching chunk), so the plan has
+    exactly the UDF repartition + the bucket group-by — a third
+    exchange node reappearing means dropDuplicates crept back in."""
+    import re
+
+    plan = explain_str(qs["q_simhash_neardup"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan

@@ -313,3 +313,86 @@ def test_simhash_banding_pigeonhole(fp, flip_bits):
 
     shared = any(chunk(fp, c) == chunk(other, c) for c in range(n_chunks))
     assert shared
+
+
+# --- bloom filter (membership sketch) --------------------------------------
+
+
+@given(
+    keys=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=60, unique=True),
+    probes=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=60),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bloom_never_false_negative(spark, keys, probes):
+    """Membership-sketch contract: every true key passes the filter
+    (false positives allowed, false negatives never)."""
+    from os_ex_3_map_reduce_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    pdf = spark.createDataFrame([(p,) for p in set(probes) | set(keys)], "k long")
+    bloom = bloom_build(kdf, "k", num_bits=1 << 12, num_hashes=4)
+    passed = {
+        r.k
+        for r in bloom_might_contain(
+            bloom, pdf, "k", num_bits=1 << 12, num_hashes=4
+        ).collect()
+    }
+    missing = set(keys) - passed
+    assert not missing, f"false negatives: {missing}"
+
+
+def test_bloom_prune_counts_pinned(spark):
+    """Deterministic sizing evidence on the fixture: 2^16 bits / 5
+    hashes over Brand#4's part keys prunes the sf0.01 fact side to
+    exactly the semi-join row count (zero false positives). A fixture
+    or hash drift changes these numbers loudly."""
+    from os_ex_3_map_reduce_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    dim = (
+        load_table(spark, sf, "part")
+        .where(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    fact = load_table(spark, sf, "lineitem")
+    pruned = bloom_might_contain(bloom_build(dim, "p_partkey"), fact, "l_partkey")
+    n_pruned = pruned.count()
+    n_exact = fact.join(
+        F.broadcast(dim), fact.l_partkey == dim.p_partkey, "left_semi"
+    ).count()
+    assert n_exact == 2829
+    assert n_pruned == n_exact  # zero false positives at this sizing
+
+
+# --- batch sessionization ---------------------------------------------------
+
+
+def test_sessionize_invariants(spark):
+    """Within a session consecutive gaps are <= the threshold; between
+    a user's consecutive sessions the gap is > the threshold; event
+    counts conserve."""
+    from os_ex_3_map_reduce_spark.plans import all_queries
+    from os_ex_3_map_reduce_spark.plans.relational import _SESSION_GAP_US
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    sessions = all_queries()["q_sessionize"](spark, sf).collect()
+    ev = load_table(spark, sf, "events")
+    assert sum(r.n_events for r in sessions) == ev.count()
+    by_user: dict[int, list] = {}
+    for r in sessions:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r.session_seq)
+        # session_seq is 1..N dense per user
+        assert [r.session_seq for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            gap = b.start_us - (a.start_us + a.duration_us)
+            assert gap > _SESSION_GAP_US, (user, a, b)
