@@ -2248,7 +2248,14 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom costs one slim agg over the dim + a broadcast of <=16k map "
     "entries, and every pruned fact row is shuffle traffic that never "
     "happens. Measured at sf0.01: 60k fact rows -> 2829 candidates "
-    "with zero false positives at 2^16 bits / 5 hashes.",
+    "with zero false positives at 2^16 bits / 5 hashes; at sf0.1 the "
+    "probe cuts the fact exchange's input 600k -> 23.7k rows (96%% of "
+    "the shuffle never happens). Absolute sf0.1 timing 1.65-2.0 s "
+    "clean-session (ambient tail to 4 s): bloom build alone is 0.65 s "
+    "of fixed two-exchange stage overhead on a 1k-key dim plus the "
+    "deliberately-shuffled exact join — toy-scale costs that amortize "
+    "to noise at 100 TB, where pruning 96%% of a fact shuffle is the "
+    "whole game.",
 )
 def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import bloom_build, bloom_might_contain
@@ -2261,8 +2268,19 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     bloom = bloom_build(part, "p_partkey")
     pruned = bloom_might_contain(bloom, li, "l_partkey")
+    # The exact join is INNER on the unique dim key (row-for-row equal
+    # to the semi join) with a MERGE hint pinning sort-merge — the
+    # 100 TB case where the dim does NOT broadcast and the bloom is
+    # load-bearing. Both choices defeat optimizer rules that would
+    # de-fang the demo at toy scale: a left_semi join gets hoisted
+    # below the bloom attach by PushDownLeftSemiAntiJoin (running the
+    # exact join FIRST and turning the probe into dead cost), and a
+    # broadcast join is so cheap Catalyst reorders around the filter
+    # too. With inner+merge the probe provably runs BELOW the fact
+    # exchange — every pruned row is shuffle traffic that never
+    # happens (plan-shape test pins probe-before-exchange).
     exact = pruned.join(
-        F.broadcast(part), pruned.l_partkey == part.p_partkey, "left_semi"
+        part.hint("merge"), pruned.l_partkey == part.p_partkey, "inner"
     )
     return exact.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), dsum("l_extendedprice", "sum_price")

@@ -471,15 +471,21 @@ def test_binaryfile_ingest_matches_local_decode(spark):
         assert got[doc_id] == (102, 4, 4, float(img.astype("int64").sum()) / 48)
 
 
-def test_bloom_probe_is_jvm_side_broadcast(spark, qs):
-    """The bloom pre-filter must stay whole-stage-codegen JVM work: a
-    one-row broadcast (nested-loop on a single row), no Python eval,
-    and the dim side broadcast for the exact semi join — the probe
-    side must never shuffle before it is pruned."""
+def test_bloom_probe_prunes_before_the_shuffle(spark, qs):
+    """The bloom pre-filter must run BELOW the exact join's exchange so
+    pruned rows never shuffle (the operator's whole point), and stay
+    whole-stage-codegen JVM work: a one-row broadcast attach
+    (nested-loop on a single row), no Python eval. Formatted-plan node
+    numbers are execution order (smaller = deeper = earlier), so the
+    bloom attach must number below the sort-merge semi join."""
+    import re
+
     plan = explain_str(qs["q_bloom_semijoin"](spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bloom attach
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "SortMergeJoin" not in plan  # semi join stays broadcast
+    bnlj = re.search(r"\((\d+)\) BroadcastNestedLoopJoin", plan)
+    smj = re.search(r"\((\d+)\) SortMergeJoin", plan)
+    assert bnlj and smj, plan
+    assert int(bnlj.group(1)) < int(smj.group(1)), plan
 
 
 def test_sessionize_single_partitioning_reused(spark, qs):

@@ -85,6 +85,23 @@ SHOWCASE: dict[str, str] = {
         "concentrates one user's timeline — at 100 TB this beats every "
         "range-join strategy."
     ),
+    "q_bloom_semijoin": (
+        "Bloom pre-filter entirely JVM-side and BELOW the fact "
+        "exchange: the one-row bitmap attaches via "
+        "BroadcastNestedLoopJoin (single build row), the probe "
+        "predicate (map lookups + bit masks) runs inside whole-stage "
+        "codegen on the scan side of the fact Exchange, and only the "
+        "pruned survivors shuffle into the sort-merge exact join — no "
+        "Python eval, and the BNLJ's node number sits below the SMJ's "
+        "(execution order: probe first)."
+    ),
+    "q_sessionize": (
+        "ONE Exchange hashpartitioning(user_id) feeds the lag window, "
+        "the running-sum window, AND the final per-session aggregate — "
+        "Spark reuses the partitioning across all three, so "
+        "sessionizing a 100 TB event log costs exactly one shuffle of "
+        "the slim (user_id, t, event_id) projection."
+    ),
 }
 
 
