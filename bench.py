@@ -111,6 +111,10 @@ BREADTH = [
     "q_histogram",
     "q_bloom_semijoin",
     "q_sessionize",
+    "q_profile_stats",
+    "q_pii_redact",
+    "q_zorder_cluster",
+    "q_incremental_agg",
 ]
 
 

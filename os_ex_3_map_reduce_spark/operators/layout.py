@@ -1,0 +1,135 @@
+"""Data-layout clustering: Z-order (Morton) interleaving for
+multi-dimensional data skipping.
+
+The reference engine has no storage layout at all (its input is an
+in-memory vector, SURVEY.md R1); this module is part of the mandated
+scale surface: at 100 TB the dominant cost is the scan, and the scan is
+only cheap if file-level min/max statistics (parquet footers, a lake
+format's zone maps) let the planner skip files. Sorting by one column
+clusters that column only; Z-ordering interleaves the bits of several
+columns so *every* interleaved dimension gets locality, and a predicate
+on any of them prunes files.
+
+Design notes for the 100 TB path:
+
+- The Z-value is a pure JVM expression (shift/mask/or over integer
+  bucket indices) — computed inside whole-stage codegen, no Python.
+- Bucket indices come from per-dimension global min/max, computed in
+  one tiny agg job and attached with a broadcast cross join (one row);
+  the data pass itself is scan → project → (optional) range partition.
+- ``zorder_write`` lays files out with ``repartitionByRange(z)`` so
+  each output file covers a contiguous Z range = a small hyper-rectangle
+  in dimension space. ``repartitionByRange`` samples to find balanced
+  split points — the layout is size-balanced even under skew, at the
+  cost of sampling nondeterminism in *file assignment* (file contents
+  overlap at boundaries only; the zone-map evidence test measures the
+  span shrink, which is robust to that).
+- 4 bits/dimension (16 buckets) by default: with 2 dims that is 256
+  cells; plenty for file-level skipping where files-per-table is
+  10^3..10^5. More bits sharpen pruning but shrink per-cell row counts;
+  the classic guidance is bits ≈ log2(number of files) / n_dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 4
+) -> tuple[DataFrame, Column]:
+    """Attach integer bucket indices and the interleaved Z-value.
+
+    Returns ``(df_with_bounds, z_column)`` where ``df_with_bounds``
+    carries broadcast-joined per-dimension global ``__min_{c}`` /
+    ``__max_{c}`` columns and ``z_column`` is the Morton code (bigint).
+    All arithmetic is integer and JVM-side.
+    """
+    bounds = df.agg(
+        *[F.min(c).cast("long").alias(f"__min_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"__max_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    n_buckets = 1 << bits
+    z = F.lit(0).cast("long")
+    for dim, c in enumerate(cols):
+        # floor((x - lo) * n / (hi - lo + 1)); operands are non-negative
+        # after the shift so `div` (exact bigint integer division — NOT
+        # `/`, which promotes to double and rounds above 2^53, i.e. at
+        # real 10^17-scale surrogate keys) equals floor.
+        idx = F.expr(
+            f"((cast({c} as bigint) - __min_{c}) * {n_buckets}) "
+            f"div (__max_{c} - __min_{c} + 1)"
+        )
+        # guard degenerate hi==lo and clamp to [0, n_buckets)
+        idx = F.least(F.greatest(idx, F.lit(0)), F.lit(n_buckets - 1))
+        for bit in range(bits):
+            # bit i of dim d lands at position i*n_dims + (n_dims-1-d):
+            # round-robin interleave, dim 0 most significant within each
+            # bit group (the standard Morton layout).
+            pos = bit * len(cols) + (len(cols) - 1 - dim)
+            z = z + F.shiftleft(
+                F.shiftrightunsigned(idx, bit).bitwiseAND(F.lit(1)), pos
+            )
+    return out, z
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int = 16,
+    bits: int = 4,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``.
+
+    ``repartitionByRange`` on the Z-value gives each task (→ file) a
+    contiguous Z range; ``sortWithinPartitions`` makes parquet row-group
+    stats monotone within the file as well. Downstream scans with a
+    predicate on ANY of ``cols`` skip most files via footer min/max.
+    """
+    with_bounds, z = zorder_value(df, cols, bits=bits)
+    drop = [c for c in with_bounds.columns if c.startswith("__min_") or c.startswith("__max_")]
+    (
+        with_bounds.withColumn("__z", z)
+        .drop(*drop)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_zone_maps(path: str, cols: list[str]) -> list[dict]:
+    """Read per-file min/max stats for ``cols`` straight from parquet
+    footers (what a lake planner consults for skipping) — no data read.
+    Evidence helper for tests/benchmarks, runs on the driver over file
+    *metadata* only.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, name)).metadata
+        lo: dict[str, int] = {}
+        hi: dict[str, int] = {}
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for i in range(group.num_columns):
+                col = group.column(i)
+                cname = col.path_in_schema
+                if cname in cols and col.statistics is not None:
+                    st = col.statistics
+                    lo[cname] = min(lo.get(cname, st.min), st.min)
+                    hi[cname] = max(hi.get(cname, st.max), st.max)
+        if lo:
+            out.append(
+                {"file": name, **{f"min_{c}": lo[c] for c in lo}, **{f"max_{c}": hi[c] for c in hi}}
+            )
+    return out

@@ -54,7 +54,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def _load_all() -> None:
     # Import for registration side effects; late import avoids cycles.
-    from . import llm, mapreduce_queries, relational, streaming_queries  # noqa: F401
+    from . import lake, llm, mapreduce_queries, relational, streaming_queries  # noqa: F401
 
 
 #: External verification reads the catalog in iteration order and checks a
@@ -67,27 +67,32 @@ def _load_all() -> None:
 DRIVER_WINDOW = 50
 
 #: Round-7 priority prefix (exactly DRIVER_WINDOW names). History as of
-#: CORRECTNESS_r06: 116 registered (118 after this round's additions),
+#: CORRECTNESS_r06: 116 registered (124 after this round's additions),
 #: 0 never-verified, 0 ERR; latest verdicts split 50 r6 / 48 r5 /
-#: 18 r2. Composition (18+3+1+2+26 = 50):
+#: 18 r2. Composition (18+3+1+6+22 = 50):
 #: - 18 whose last green verdict is round 2 (four rounds stale — the
 #:   oldest verdicts in the registry, VERDICT r6 "What's missing" #1);
 #: - 3 changed this round: the sketch queries whose rows-only checks
 #:   were upgraded to pinned-expectation exact oracles
 #:   (q_approx_distinct, q_approx_percentiles, q_sketch_heavyhitters);
 #: - 1 changed this round: q_simhash_neardup (exchange-fusion rework);
-#: - 2 new this round: q_bloom_semijoin, q_sessionize;
-#: - 26 oldest round-5 greens, front-loading the four perf-regressed
+#: - 6 new this round: q_bloom_semijoin, q_sessionize,
+#:   q_profile_stats, q_pii_redact, q_zorder_cluster,
+#:   q_incremental_agg;
+#: - 22 oldest round-5 greens, front-loading the four perf-regressed
 #:   names being re-measured this round (q_chargram_jaccard,
 #:   q_similarity_topk, q_hof_fns, q_mapreduce_wordcount).
-#: Next rotation (r8): the remaining 22 r5 names — q_ann_ivf_topk,
-#: q_ann_lsh_topk, q_multimodal_metadata, q_multimodal_wav,
-#: q_neardup_components, q_neardup_editdist, q_normalize_text,
-#: q_pipeline_clean_corpus, q_pivot, q_recursive_cte, q_repetition,
-#: q_rollup, q_salted_join, q_sample_hash, q_stream_partitioned_source,
-#: q_stream_python_source, q_text_quality, q_tfidf_top_terms,
-#: q_token_stats, q_udaf_sumsq, q_udtf_bigrams, q_wordcount — plus
-#: anything that changes in round 8's build.
+#: Next rotation (r8): the remaining 26 r5 names — q_ann_ivf_topk,
+#: q_ann_lsh_topk,
+#: q_lang_id, q_mapreduce_join, q_minhash_neardup, q_multimodal_bmp,
+#: q_multimodal_metadata, q_multimodal_wav, q_neardup_components,
+#: q_neardup_editdist, q_normalize_text, q_pipeline_clean_corpus,
+#: q_pivot, q_recursive_cte, q_repetition, q_rollup, q_salted_join,
+#: q_sample_hash, q_stream_partitioned_source, q_stream_python_source,
+#: q_text_quality, q_tfidf_top_terms, q_token_stats, q_udaf_sumsq,
+#: q_udtf_bigrams, q_wordcount — plus anything that changes in round
+#: 8's build (the list is >window-size; keep the overflow first in
+#: line for r9).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # last green in round 2 (stalest verdicts in the registry)
     "q_above_nation_avg",
@@ -117,6 +122,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 7 -> verify immediately
     "q_bloom_semijoin",
     "q_sessionize",
+    "q_profile_stats",
+    "q_pii_redact",
+    "q_zorder_cluster",
+    "q_incremental_agg",
     # oldest round-5 greens; perf-regressed names under re-measure first
     "q_chargram_jaccard",
     "q_similarity_topk",
@@ -140,10 +149,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_broadcast",
     "q_join_semi",
     "q_join_sortmerge",
-    "q_lang_id",
-    "q_mapreduce_join",
-    "q_minhash_neardup",
-    "q_multimodal_bmp",
 )
 
 

@@ -1,0 +1,290 @@
+"""Data-lake management queries: profiling, PII redaction, Z-order
+clustering, incremental aggregate maintenance.
+
+The reference engine stops at map/shuffle/reduce over an in-memory
+vector (SURVEY.md R1-R8); this module is part of the mandated extension
+surface — the table-management operations a 100 TB training-data lake
+runs daily:
+
+- **Profiling** (``q_profile_stats``): per-column statistics in ONE
+  scan — the input to skew detection, quality gates, and partition
+  planning. At fleet scale you run this after every major ingest.
+- **PII redaction** (``q_pii_redact``): masking / pseudonymization /
+  generalization before text ever reaches a training corpus.
+- **Z-order clustering** (``q_zorder_cluster`` +
+  ``operators.layout.zorder_write``): multi-dimensional file-level
+  data skipping; the layout decision that makes every later scan of a
+  100 TB table cheap.
+- **Incremental aggregation** (``q_incremental_agg``): merge a stored
+  partial-aggregate state with a new delta instead of rescanning
+  history — the only viable shape once "history" is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.layout import zorder_value
+from ..sources.tables import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# q_profile_stats
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM documents""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+@register(
+    "q_profile_stats",
+    oracle=_profile_oracle(),
+    doc="Table profiling: per-column n_rows/n_nulls/n_distinct/min/max "
+    "for the documents table in ONE scan (single wide agg row, melted "
+    "to long form driver-free via inline explode). The exact "
+    "COUNT(DISTINCT) x5 plans as one Expand (x5 row amplification) + "
+    "two-phase agg — acceptable for a profiling pass and required for "
+    "the exact oracle; the production knob at 100 TB is "
+    "profile(approx=True) which swaps in approx_count_distinct (HLL, "
+    "no Expand, one pass). min/max computed on native types, cast to "
+    "string only for output (string-minima differ from numeric minima).",
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile(load_table(spark, sf_dir, "documents"), list(_PROFILE_COLS))
+
+
+def profile(df: DataFrame, cols: list[str], approx: bool = False) -> DataFrame:
+    """Per-column stats in one scan. ``approx=True`` replaces the exact
+    distinct counts with HLL sketches (the 100 TB default: no Expand,
+    mergeable partials, ~2% error)."""
+    n_distinct = (
+        (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.countDistinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            n_distinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n_rows").alias("n_rows"),
+                (F.col("__n_rows") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(structs).alias("s"))
+        .select("s.*")
+        .orderBy("column_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pii_redact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pii_redact",
+    oracle="""
+        SELECT c_custkey,
+               regexp_replace(substr(c_name, 1, length(c_name) - 2),
+                              '[0-9]', '*', 'g')
+                   || substr(c_name, length(c_name) - 1, 2) AS masked_name,
+               sha256('pii-salt-v1:' || c_name) AS name_token,
+               CAST(FLOOR(c_acctbal / 500) * 500 AS BIGINT) AS acctbal_bucket,
+               c_mktsegment
+        FROM customer
+    """,
+    doc="PII pipeline pass: the three standard de-identification "
+    "transforms in one projection — masking (digits starred except a "
+    "2-char suffix, pure regexp, no UDF), pseudonymization (salted "
+    "SHA-256 token: stable for joins, irreversible without the salt), "
+    "and generalization (account balance coarsened to 500-wide "
+    "buckets). Narrow map stage: no shuffle, whole-stage codegen, "
+    "scales embarrassingly. DuckDB regexp_replace needs the explicit "
+    "'g' flag to match Spark's replace-all semantics.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    keep_tail = F.expr("substr(c_name, length(c_name) - 1, 2)")
+    head = F.expr("substr(c_name, 1, length(c_name) - 2)")
+    return cust.select(
+        "c_custkey",
+        F.concat(F.regexp_replace(head, "[0-9]", "*"), keep_tail).alias(
+            "masked_name"
+        ),
+        F.sha2(F.concat(F.lit("pii-salt-v1:"), F.col("c_name")), 256).alias(
+            "name_token"
+        ),
+        (F.floor(F.col("c_acctbal") / 500) * 500).cast("bigint").alias(
+            "acctbal_bucket"
+        ),
+        "c_mktsegment",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_zorder_cluster
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 4
+
+
+def _zorder_oracle() -> str:
+    n = 1 << _Z_BITS
+    idx = {}
+    for c in ("l_orderkey", "l_partkey"):
+        idx[c] = (
+            f"LEAST(GREATEST(((({c} - b.min_{c}) * {n}) "
+            f"// (b.max_{c} - b.min_{c} + 1)), 0), {n - 1})"
+        )
+    terms = []
+    for bit in range(_Z_BITS):
+        # dim 0 = l_orderkey at pos bit*2+1, dim 1 = l_partkey at bit*2
+        terms.append(f"((((ix >> {bit}) & 1)) << {bit * 2 + 1})")
+        terms.append(f"((((iy >> {bit}) & 1)) << {bit * 2})")
+    z = " + ".join(terms)
+    return f"""
+        WITH b AS (
+            SELECT MIN(l_orderkey) AS min_l_orderkey,
+                   MAX(l_orderkey) AS max_l_orderkey,
+                   MIN(l_partkey) AS min_l_partkey,
+                   MAX(l_partkey) AS max_l_partkey
+            FROM lineitem
+        ),
+        coded AS (
+            SELECT {idx['l_orderkey']} AS ix, {idx['l_partkey']} AS iy,
+                   l_orderkey, l_partkey
+            FROM lineitem, b
+        )
+        SELECT CAST({z} AS BIGINT) AS z,
+               COUNT(*) AS n_rows,
+               MIN(l_orderkey) AS min_orderkey,
+               MAX(l_orderkey) AS max_orderkey,
+               MIN(l_partkey) AS min_partkey,
+               MAX(l_partkey) AS max_partkey
+        FROM coded
+        GROUP BY z
+        ORDER BY z
+    """
+
+
+@register(
+    "q_zorder_cluster",
+    oracle=_zorder_oracle(),
+    doc="Z-order (Morton) clustering assignment over "
+    "(l_orderkey, l_partkey), 4 bits/dim = 256 cells, with per-cell "
+    "row counts and min/max of BOTH dims — the zone-map view a lake "
+    "planner uses for file skipping. The Z-value is pure integer "
+    "bit-interleaving inside whole-stage codegen (operators/layout.py; "
+    "bigint `div`, never `/` — double division corrupts 10^17-scale "
+    "keys); global bounds attach via a one-row broadcast cross join. "
+    "Plan: tiny bounds agg + scan -> project -> hash agg: ONE shuffle "
+    "of 256 partial rows per task. operators.layout.zorder_write lays "
+    "real files out by contiguous Z ranges; the zone-map span test in "
+    "tests/test_io.py measures the resulting per-file skipping power.",
+)
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    with_bounds, z = zorder_value(li, ["l_orderkey", "l_partkey"], bits=_Z_BITS)
+    return (
+        with_bounds.withColumn("z", z)
+        .groupBy("z")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+        )
+        .orderBy("z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_agg
+# ---------------------------------------------------------------------------
+
+_CUTOFF = "2000-01-01"
+
+
+@register(
+    "q_incremental_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 10000) AS BIGINT))
+                    AS DOUBLE) / 10000 AS total_price,
+               CAST(SUM(CAST(round(o_totalprice * 10000) AS BIGINT))
+                    AS DOUBLE) / 10000 / COUNT(*) AS avg_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Incremental aggregate maintenance: orders split at a date "
+    "cutoff into 'history' (in production: a STORED partial-state "
+    "table, computed once) and 'delta' (the new ingest); each side "
+    "reduces to per-group mergeable state (sum_cents bigint, count), "
+    "the states union+re-aggregate, and finalization derives "
+    "total/avg. The oracle recomputes from scratch over the full "
+    "table — equality holds because integer-cents sums are exactly "
+    "associative (the algebraic property that makes incremental "
+    "maintenance sound; double sums would drift). At 100 TB this is "
+    "the difference between scanning 100 TB of history per refresh "
+    "and scanning only the day's delta + a KB-scale state table. "
+    "Rows with NULL cutoff-column route to the delta side, so the "
+    "split is a partition of the table, never a filter.",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    in_history = F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp")
+    history = orders.where(in_history)
+    delta = orders.where(~in_history | F.col("o_orderdate").isNull())
+
+    cents = F.round(F.col("o_totalprice") * 10000).cast("long")
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("cnt")
+        )
+
+    merged = (
+        partial_state(history)
+        .unionByName(partial_state(delta))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("sum_cents").alias("sum_cents"),
+            F.sum("cnt").alias("n_orders"),
+        )
+    )
+    total = F.col("sum_cents").cast("double") / 10000
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        total.alias("total_price"),
+        (total / F.col("n_orders")).alias("avg_price"),
+    )

@@ -45,6 +45,10 @@ MUST_BE_IN_WINDOW = {
     # new in round 7
     "q_bloom_semijoin",
     "q_sessionize",
+    "q_profile_stats",
+    "q_pii_redact",
+    "q_zorder_cluster",
+    "q_incremental_agg",
 }
 
 

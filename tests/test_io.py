@@ -268,3 +268,56 @@ def test_compact_table_all_columns_partitioned(spark, tmp_path):
     with pytest.raises(ValueError, match="partitioned by all"):
         compact_table(spark, path, partition_by=["k", "id"])
     assert read_table(spark, path).count() == 100  # live table untouched
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_write_shrinks_file_zone_maps(spark, tmp_path):
+    """The point of Z-ordering: each file's footer min/max range on EVERY
+    interleaved dimension is a small slice of the global range, so a
+    predicate on any dimension skips most files. Compare the summed
+    zone-map spans of a Z-ordered layout against an unclustered write of
+    the same data — on both dimensions at once."""
+    from os_ex_3_map_reduce_spark.operators.layout import (
+        file_zone_maps,
+        zorder_write,
+    )
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    plain = str(tmp_path / "plain")
+    zpath = str(tmp_path / "zorder")
+    li.repartition(8).write.parquet(plain)
+    # 16 files over the 16x16 Morton grid -> each file covers a 4x4
+    # cell block: ~1/4 of the global range on BOTH dims (8 files would
+    # give the asymmetric 1/4 x 1/2 split that Morton order produces at
+    # non-square file counts).
+    zorder_write(li, ["l_orderkey", "l_partkey"], zpath, n_files=16)
+
+    cols = ["l_orderkey", "l_partkey"]
+    plain_maps = file_zone_maps(plain, cols)
+    z_maps = file_zone_maps(zpath, cols)
+    assert len(z_maps) >= 4  # repartitionByRange produced a real fan-out
+
+    def total_span(maps, c):
+        return sum(m[f"max_{c}"] - m[f"min_{c}"] for m in maps)
+
+    for c in cols:
+        plain_span = total_span(plain_maps, c) / max(len(plain_maps), 1)
+        z_span = total_span(z_maps, c) / max(len(z_maps), 1)
+        # hash-partitioned files each cover ~the full key range; Z-ordered
+        # files must cover well under half of it per dimension
+        assert z_span < 0.5 * plain_span, (
+            f"{c}: zorder avg span {z_span} not < 50% of plain {plain_span}"
+        )
+
+    # layout changes must never change the data
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    assert back.select(F.sum("l_quantity")).first()[0] == pytest.approx(
+        li.select(F.sum("l_quantity")).first()[0]
+    )

@@ -508,3 +508,46 @@ def test_simhash_fused_pairgen_has_two_exchanges(spark, qs):
 
     plan = explain_str(qs["q_simhash_neardup"](spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_pii_redact_is_narrow_map_only(spark, qs):
+    """De-identification is a pure projection: no exchange, no UDF —
+    the whole query must stay inside one whole-stage-codegen scan."""
+    import re
+
+    plan = explain_str(qs["q_pii_redact"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_profile_stats_is_single_pass(spark, qs):
+    """One scan of documents: the 5x exact-distinct profile plans as an
+    Expand + two-phase agg over a single FileScan — a second scan means
+    the per-column stats were computed as separate jobs."""
+    import re
+
+    plan = explain_str(qs["q_profile_stats"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan  # count-distinct expansion, not N scans
+
+
+def test_zorder_cluster_aggregates_jvm_side(spark, qs):
+    """The Morton code must be pure JVM expression work: no Python eval
+    nodes, bounds attached via broadcast (BroadcastNestedLoopJoin over
+    one row), and the cell aggregation partial before its shuffle."""
+    plan = explain_str(qs["q_zorder_cluster"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_incremental_agg_merges_partials(spark, qs):
+    """The union-of-partial-states shape: two branch aggregations (each
+    partial+final) then the merge agg — and the split predicate reaches
+    both parquet scans as a pushed filter."""
+    df = qs["q_incremental_agg"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 4, plan
+    assert pushed_filters(df).count("PushedFilters: []") <= 1, (
+        "cutoff predicate not pushed into the orders scans:\n" + plan
+    )

@@ -102,6 +102,28 @@ SHOWCASE: dict[str, str] = {
         "sessionizing a 100 TB event log costs exactly one shuffle of "
         "the slim (user_id, t, event_id) projection."
     ),
+    "q_zorder_cluster": (
+        "The Morton code is pure integer bit arithmetic inside "
+        "whole-stage codegen (no Python eval nodes); per-dimension "
+        "global bounds attach as a ONE-ROW BroadcastNestedLoopJoin; "
+        "the 256-cell aggregation is partial before its single "
+        "exchange — so clustering assignment for a 100 TB table costs "
+        "one scan plus a shuffle of 256 rows per task."
+    ),
+    "q_profile_stats": (
+        "Five exact COUNT(DISTINCT)s + min/max/null-counts over the "
+        "documents table in ONE parquet scan: a single Expand node "
+        "(x6 row tagging) feeding a two-phase aggregate — never five "
+        "separate jobs. The 100 TB knob is profile(approx=True), which "
+        "replaces the Expand with mergeable HLL sketches."
+    ),
+    "q_incremental_agg": (
+        "Aggregate-state merge, the incremental-maintenance shape: two "
+        "branch aggregations (history / delta, each partial+final over "
+        "a filter-pushed scan) union into a final merge aggregate. At "
+        "100 TB the history branch is replaced by a stored KB-scale "
+        "state table, so a refresh scans only the delta."
+    ),
 }
 
 
