@@ -115,6 +115,8 @@ BREADTH = [
     "q_pii_redact",
     "q_zorder_cluster",
     "q_incremental_agg",
+    "q_setsim_prefix",
+    "q_kmeans_assign",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-family).
+
+The MinHash-LSH path (``operators/dedup.py``) finds near-dup pairs
+probabilistically: tunable recall, signature cost, band machinery. This
+module is the EXACT counterpart — the other standard scale path for
+similarity joins, used when a pipeline owner needs "no pair above the
+threshold is ever missed" as a theorem rather than a 1-4e-8 bound:
+
+**Prefix-filter principle.** Impose one global total order on tokens —
+rarest first (ascending document frequency, token string as tiebreak).
+For Jaccard threshold ``t``, a document with ``n`` distinct tokens only
+needs to emit its first ``n - ceil(t*n) + 1`` tokens ("prefix") as join
+keys: if ``J(x, y) >= t`` then ``|x ∩ y| >= ceil(t*|x|)``, and by
+pigeonhole the globally-smallest shared token cannot sit past that
+prefix in either document — so every qualifying pair collides on at
+least one prefix token. Everything below threshold that sneaks in is
+removed by the exact verification.
+
+Why this scales to 100 TB:
+
+- The join fans out on the *rarest* tokens only: prefix emission drops
+  the stop-word-shaped hot keys that make a naive token self-join
+  explode, and bucket size is bounded by each token's document
+  frequency — the skew is engineered out, not salted after the fact.
+- Candidate verification is one ``array_intersect`` over the two
+  pre-sorted token arrays — JVM built-ins, no Python.
+- Stages are plain groupBy/join shuffles: document-frequency count,
+  per-doc sort, prefix self-join, verify. All AQE-coalescible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 3-token word shingles, identical to the MinHash path and to the
+#: oracle's _SHINGLE_SQL (DuckDB t[i] is 1-based, as is element_at).
+_SHINGLES = F.expr(
+    "array_distinct(transform(sequence(1, size(__t) - 2), "
+    "i -> concat_ws(' ', element_at(__t, i), element_at(__t, i + 1), "
+    "element_at(__t, i + 2))))"
+)
+
+
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) rows: distinct word-3-gram shingles per document."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__t"))
+        .where(F.size("__t") >= 3)
+        .select("doc_id", F.explode(_SHINGLES).alias("s"))
+    )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= ``threshold`` — exactly.
+
+    Returns (doc_a, doc_b, inter, union_, jaccard), doc_a < doc_b.
+    """
+    sh = shingle_sets(docs, id_col, text_col)
+    # global token order: ascending document frequency, then token —
+    # a total order shared by every document (the correctness pivot).
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    ranked = sh.join(freq, "s")
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("df_s", "s"))).alias("toks")
+    )
+    per_doc = per_doc.select(
+        "doc_id",
+        F.col("toks.s").alias("toks"),  # ordered token array (strings)
+        F.size("toks").alias("n"),
+    )
+    # three consumers below (prefix emission + both verify joins):
+    # persist, or the whole shingle->freq->sort pipeline runs three
+    # times (measured 3x wall at sf0.1). Slim relation: one row per doc.
+    per_doc = per_doc.persist()
+    # prefix length n - ceil(t*n) + 1; emit only those tokens as keys
+    plen = (F.col("n") - F.ceil(F.col("n") * F.lit(float(threshold))) + 1).cast("int")
+    prefixes = per_doc.select(
+        "doc_id", F.explode(F.slice("toks", 1, plen)).alias("s")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verify on the full sorted token arrays (JVM array_intersect)
+    docs_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    docs_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    out = (
+        cand.join(docs_a, "doc_a")
+        .join(docs_b, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("union_", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .withColumn(
+            "jaccard", F.col("inter") * F.lit(1.0) / F.col("union_")
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("doc_a", "doc_b", "inter", "union_", "jaccard")
+    )
+    out._osx3_per_doc = per_doc  # type: ignore[attr-defined]
+    return out
+
+
+def prefix_filter_pairs_eager(docs: DataFrame, **kwargs) -> DataFrame:
+    """:func:`prefix_filter_pairs`, materialized: persists the (tiny)
+    verified-pairs relation, forces it, and unpersists the per-doc
+    token relation so repeated invocations don't accumulate cached
+    blocks (same lifecycle as ``minhash_lsh_pairs_eager``)."""
+    pairs = prefix_filter_pairs(docs, **kwargs)
+    per_doc = pairs._osx3_per_doc  # type: ignore[attr-defined]
+    out = pairs.persist()
+    out.count()
+    per_doc.unpersist()
+    return out

@@ -254,6 +254,42 @@ def q_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_setsim_prefix",
+    oracle=_SHINGLE_SQL
+    + """
+        SELECT doc_a, doc_b, inter,
+               (sa.n + sb.n - inter) AS union_,
+               (inter * 1.0 / (sa.n + sb.n - inter)) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+    doc="EXACT set-similarity join via prefix filtering "
+    "(operators/setsim.py) — the deterministic counterpart to "
+    "q_minhash_neardup (same shingles, same threshold, same oracle, "
+    "same result set): tokens get one global rarest-first order, each "
+    "doc emits only its n-ceil(t*n)+1 rarest tokens as join keys, and "
+    "the pigeonhole argument guarantees every pair at J>=t collides — "
+    "completeness is a theorem, not a 1-4e-8 recall bound. The join "
+    "fans out on the rarest tokens only, so the hot-key explosion of "
+    "a naive token self-join is engineered out; verification is one "
+    "JVM array_intersect over pre-sorted arrays. All stages are plain "
+    "groupBy/join shuffles.",
+)
+def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setsim import prefix_filter_pairs_eager
+
+    return _cached_df(
+        spark,
+        ("setsim_prefix", sf_dir),
+        lambda: prefix_filter_pairs_eager(
+            load_table(spark, sf_dir, "documents"), threshold=0.5
+        ),
+    )
+
+
+@register(
     "q_neardup_components",
     oracle=_SHINGLE_SQL.replace("WITH", "WITH RECURSIVE", 1)
     + """
@@ -445,6 +481,90 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     return topk_to_query(emb, [float(x) for x in query], k=10)
+
+
+@register(
+    "q_kmeans_assign",
+    oracle="""
+        WITH emb AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        seeds AS (SELECT vec_id AS seed_id, v AS sv FROM emb WHERE vec_id < 8),
+        dists AS (
+            SELECT e.vec_id, s.seed_id,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i]))) AS dist
+            FROM emb e, seeds s
+        ),
+        best AS (
+            SELECT vec_id, seed_id, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, seed_id) AS rn
+            FROM dists
+        )
+        SELECT seed_id AS cluster_id,
+               COUNT(*) AS n_points,
+               CAST(SUM(dist) AS BIGINT) AS sum_dist
+        FROM best WHERE rn = 1
+        GROUP BY cluster_id
+        ORDER BY cluster_id
+    """,
+    doc="One k-means assignment step over the embeddings (k=8, seeds = "
+    "vec_id 0..7): the clustering primitive a corpus pipeline runs to "
+    "group embeddings before per-cluster dedup/sampling. Exactness "
+    "trick: coordinates fix-point to 1e-6 bigints, so squared "
+    "distances and their sums are exact integers — argmin and the "
+    "oracle compare hash-identically (double distances would drift "
+    "with summation order). Shape: seeds are a tiny broadcast side "
+    "(k rows); per-point argmin via min(struct(dist, seed)) needs NO "
+    "shuffle of the points (partial agg on vec_id would — instead the "
+    "8 distances per point reduce inside one projection after the "
+    "broadcast join); one final 8-group aggregate. The zip_with/"
+    "aggregate HOF distance is interpreted, not codegen — fine to "
+    "~10^7 points x 8 seeds; beyond that swap the kernel for the "
+    "Arrow-batched block matmul in operators/similarity.py (same "
+    "shape: broadcast centroids, argmin per row).",
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("v"),
+    )
+    seeds_row = emb.where(F.col("vec_id") < 8).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"))
+            )
+        ).alias("seeds")
+    )
+
+    def best_of(seeds_col):
+        def scored(s):
+            dist = F.aggregate(
+                F.zip_with("v", s["sv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            return F.struct(dist.alias("dist"), s["seed_id"].alias("seed_id"))
+
+        # lexicographic struct min == argmin(dist) with seed_id tiebreak
+        return F.array_min(F.transform(seeds_col, scored))
+
+    assigned = emb.crossJoin(F.broadcast(seeds_row)).select(
+        "vec_id", best_of(F.col("seeds")).alias("best")
+    )
+    return (
+        assigned.groupBy(F.col("best.seed_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("best.dist").alias("sum_dist"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 @register(

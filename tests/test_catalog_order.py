@@ -49,6 +49,8 @@ MUST_BE_IN_WINDOW = {
     "q_pii_redact",
     "q_zorder_cluster",
     "q_incremental_agg",
+    "q_setsim_prefix",
+    "q_kmeans_assign",
 }
 
 

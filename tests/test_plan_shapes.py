@@ -551,3 +551,24 @@ def test_incremental_agg_merges_partials(spark, qs):
     assert pushed_filters(df).count("PushedFilters: []") <= 1, (
         "cutoff predicate not pushed into the orders scans:\n" + plan
     )
+
+
+def test_kmeans_assign_points_never_hash_shuffle(spark, qs):
+    """Centroid assignment must broadcast the seeds to the points, never
+    shuffle the points: one BroadcastNestedLoopJoin (single seed-array
+    row), the per-point argmin inside a projection, and only 8-group
+    aggregate rows ever cross an exchange (seed-collect, final agg,
+    output sort = at most 3), all JVM-side."""
+    import re
+
+    plan = explain_str(qs["q_kmeans_assign"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_setsim_prefix_stays_jvm_side(spark, qs):
+    """The exact set-similarity join is groupBy/join shuffles over
+    built-in expressions only — no Python eval anywhere."""
+    plan = explain_str(qs["q_setsim_prefix"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -396,3 +396,46 @@ def test_sessionize_invariants(spark):
         for a, b in zip(rows, rows[1:]):
             gap = b.start_us - (a.start_us + a.duration_us)
             assert gap > _SESSION_GAP_US, (user, a, b)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter set-similarity join (operators/setsim.py)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_join_is_complete_and_exact(spark):
+    """The pigeonhole completeness theorem, checked against brute force:
+    on a corpus engineered with heavy token overlap, the prefix-filter
+    join must return EXACTLY the pairs whose word-3-gram Jaccard >= t —
+    nothing missed (completeness), nothing below threshold (verify)."""
+    from os_ex_3_map_reduce_spark.operators.setsim import prefix_filter_pairs
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = []
+    for i in range(24):
+        base = [vocab[(i + j) % len(vocab)] for j in range(8)]
+        if i % 3 == 1:  # near-dup of the previous doc: one token edited
+            base = [vocab[(i - 1 + j) % len(vocab)] for j in range(8)]
+            base[7] = "unique%d" % i
+        docs.append((i, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_pairs(df, threshold=0.5).collect()
+    }
+
+    def shingles(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    want = set()
+    sets = {i: shingles(t) for i, t in docs}
+    for a in range(24):
+        for b in range(a + 1, 24):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.5:
+                want.add((a, b))
+    assert want, "test corpus produced no qualifying pairs"
+    assert got == want
