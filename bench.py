@@ -117,6 +117,7 @@ BREADTH = [
     "q_incremental_agg",
     "q_setsim_prefix",
     "q_kmeans_assign",
+    "q_pagerank",
 ]
 
 

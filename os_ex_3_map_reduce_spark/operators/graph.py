@@ -1,0 +1,89 @@
+"""Iterative graph analytics on DataFrames: PageRank.
+
+Alongside min-label connected components (``dedup.py``), this is the
+second Pregel-style iterative pattern the engine supports — the shape
+used for influence scoring, dedup-cluster authority ranking, and link
+analysis over web-scale crawl graphs in a training-data pipeline.
+
+**Exactness design.** Classic PageRank is double-valued and its
+per-vertex sums depend on reduction order — unusable for a
+hash-compared oracle. Here rank mass is an INTEGER (scaled to
+``SCALE = 10^12`` units): contributions are ``rank div outdeg``,
+damping is ``(85 * s) div 100``, teleport is
+``(15 * (SCALE div N)) div 100`` — all exact bigint arithmetic with
+identical truncating-division semantics in Spark (``div``) and DuckDB
+(``//``). Integer sums are associative, so the result is bit-identical
+under any partitioning and any engine. The floor-rounding mass leak
+(< 1 unit per edge per iteration, i.e. < 10^-6 relative) is the price
+of determinism and affects both sides equally.
+
+**Scale design.** Each iteration is one join (edges ⋈ ranks on src,
+edge relation pre-joined with out-degrees and persisted — it is
+iteration-invariant) plus one groupBy(dst) aggregation: the textbook
+two-shuffle PageRank step. Ranks stay lazy; at a few dozen iterations
+on a real cluster you would checkpoint every ~5 iterations to truncate
+lineage — noted rather than done, since the fixed 5-iteration query
+keeps a 10-stage plan Catalyst handles fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # integer rank units: 10^12 per unit of mass
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list.
+
+    Returns (node, rank) for every node that appears as a source —
+    callers wanting sink-only nodes ranked should pre-symmetrize the
+    edge list (the graph queries do).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = e.join(outdeg, "src").persist()
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("n"))
+    nodes = nodes.crossJoin(F.broadcast(ncnt)).persist()
+
+    init = F.expr(f"{SCALE} div n")
+    teleport = F.expr(f"(15 * ({SCALE} div n)) div 100")
+    ranks = nodes.select("node", "n", init.alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges_deg.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                "n",
+                (teleport + F.expr("(85 * coalesce(s, 0)) div 100")).alias("rank"),
+            )
+        )
+    out = ranks.select("node", "rank")
+    out._osx3_persists = [edges_deg, nodes]  # type: ignore[attr-defined]
+    return out
+
+
+def pagerank_eager(edges: DataFrame, **kwargs) -> DataFrame:
+    """:func:`pagerank`, materialized: persists the (node, rank) result,
+    forces it, and unpersists the iteration-invariant edge/node
+    relations so repeated invocations don't accumulate cached blocks."""
+    ranks = pagerank(edges, **kwargs)
+    held = ranks._osx3_persists  # type: ignore[attr-defined]
+    out = ranks.persist()
+    out.count()
+    for df in held:
+        df.unpersist()
+    return out

@@ -51,6 +51,7 @@ MUST_BE_IN_WINDOW = {
     "q_incremental_agg",
     "q_setsim_prefix",
     "q_kmeans_assign",
+    "q_pagerank",
 }
 
 

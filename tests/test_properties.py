@@ -439,3 +439,36 @@ def test_prefix_filter_join_is_complete_and_exact(spark):
                 want.add((a, b))
     assert want, "test corpus produced no qualifying pairs"
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_exact_under_any_partitioning(spark):
+    """The integer formulation's whole claim: identical ranks under
+    different shuffle partitioning (associative bigint sums, truncating
+    division), and total rank mass conserved up to the documented
+    floor leak (< 10^-6 relative)."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.graph import SCALE, pagerank
+
+    rows = [(f"n{i}", f"n{(i * 3 + 1) % 40}") for i in range(40)]
+    rows += [(b, a) for a, b in rows]  # symmetrize: no dangling nodes
+    edges = spark.createDataFrame(sorted(set(rows)), "src string, dst string")
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted((r.node, r.rank) for r in pagerank(edges, 4).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = sorted((r.node, r.rank) for r in pagerank(edges, 4).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b
+
+    total = sum(r for _, r in a)
+    assert total <= SCALE  # truncating division never creates mass
+    assert total > SCALE * 0.99  # floor leak stays tiny
