@@ -118,6 +118,7 @@ BREADTH = [
     "q_setsim_prefix",
     "q_kmeans_assign",
     "q_pagerank",
+    "q_time_interpolate",
 ]
 
 

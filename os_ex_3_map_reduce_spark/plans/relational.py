@@ -1271,6 +1271,120 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_time_interpolate",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   {SQL_DSUM('value')} AS v
+            FROM events WHERE value >= 300
+            GROUP BY event_type, h
+        ),
+        span AS (
+            SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+            FROM hourly GROUP BY event_type
+        ),
+        spine AS (
+            SELECT event_type,
+                   UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+            FROM span
+        ),
+        joined AS (
+            SELECT spine.event_type, spine.h, hourly.v
+            FROM spine LEFT JOIN hourly
+              ON spine.event_type = hourly.event_type AND spine.h = hourly.h
+        ),
+        carried AS (
+            SELECT event_type, h, v,
+                   LAST_VALUE(v IGNORE NULLS) OVER w_prev AS v_prev,
+                   LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                       OVER w_prev AS t_prev,
+                   FIRST_VALUE(v IGNORE NULLS) OVER w_next AS v_next,
+                   FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                       OVER w_next AS t_next
+            FROM joined
+            WINDOW
+              w_prev AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              w_next AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+               CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+               CASE WHEN v IS NOT NULL THEN round(v, 4)
+                    ELSE round(v_prev + (v_next - v_prev) *
+                         (CAST(date_diff('hour', t_prev, h) AS DOUBLE) /
+                          CAST(date_diff('hour', t_prev, t_next) AS DOUBLE)),
+                         4)
+               END AS v_interp
+        FROM carried
+    """,
+    doc="Time-series linear interpolation (the resample/fill stage of a "
+    "sensor or metrics pipeline): per-event-type hourly sums of a "
+    "sparse slice (value >= 300), densified over each type's own hour "
+    "span, gaps filled by interpolating between the nearest observed "
+    "neighbors. Neighbor carry = last_value/first_value IGNORE NULLS "
+    "over ONE hash partitioning by event_type (both window directions "
+    "and the spine join reuse it; no global-order window, so no "
+    "single-partition bottleneck at 100 TB — each series parallelizes "
+    "independently). Determinism: observed values are exact decimal "
+    "sums; the interpolation is pure per-row IEEE arithmetic with a "
+    "pinned parenthesization, identical in both engines; spans start "
+    "and end at observed points so v_prev/v_next always exist.",
+)
+def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("value") >= 300)
+        .groupBy("event_type", F.date_trunc("hour", "ts_utc").alias("h"))
+        .agg(dsum("value", "v"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    carried = joined.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(t_obs, ignorenulls=True).over(w_prev).alias("t_prev"),
+        F.first("v", ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(t_obs, ignorenulls=True).over(w_next).alias("t_next"),
+    )
+    frac = F.expr(
+        "CAST(timestampdiff(HOUR, t_prev, h) AS DOUBLE) / "
+        "CAST(timestampdiff(HOUR, t_prev, t_next) AS DOUBLE)"
+    )
+    return carried.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.when(F.col("v").isNotNull(), F.round("v", 4))
+        .otherwise(
+            F.round(F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac, 4)
+        )
+        .alias("v_interp"),
+    )
+
+
+@register(
     "q_rollup_time",
     oracle=f"""
         WITH b AS (

@@ -52,6 +52,7 @@ MUST_BE_IN_WINDOW = {
     "q_setsim_prefix",
     "q_kmeans_assign",
     "q_pagerank",
+    "q_time_interpolate",
 }
 
 

@@ -572,3 +572,19 @@ def test_setsim_prefix_stays_jvm_side(spark, qs):
     built-in expressions only — no Python eval anywhere."""
     plan = explain_str(qs["q_setsim_prefix"](spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_time_interpolate_reuses_one_partitioning(spark, qs):
+    """Both carry-forward window directions share one hash partitioning
+    by event_type — never a global-order (single-partition) window —
+    and the sparse-slice predicate reaches the events scan."""
+    import re
+
+    df = qs["q_time_interpolate"](spark, SF)
+    plan = explain_str(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+    assert "value" in pushed_filters(df)
+    # hourly agg + window partitioning (+ possibly the span agg/spine
+    # join) — a regression to per-direction re-shuffles would exceed 4
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
