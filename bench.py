@@ -119,6 +119,7 @@ BREADTH = [
     "q_kmeans_assign",
     "q_pagerank",
     "q_time_interpolate",
+    "q_sample_weighted",
 ]
 
 

@@ -1578,6 +1578,42 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sample_weighted",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   (SELECT SUM(n_chars) FROM documents) AS t
+            FROM documents
+        )
+        SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum
+        FROM c
+        WHERE cum // (t // 40) > (cum - n_chars) // (t // 40)
+    """,
+    doc="Weighted (probability-proportional-to-size) systematic sample, "
+    "~40 docs with selection chance proportional to n_chars — the "
+    "corpus-subsampling strategy that keeps token-mass representative. "
+    "Built on the engine's distributed prefix-sum "
+    "(operators/prefix_sum.py): the global running total uses the "
+    "two-level scan — order-preserving range buckets scanned by a "
+    "PARTITIONED window in parallel, a tiny per-bucket-totals tier, "
+    "exclusive offsets broadcast back — never a global-order "
+    "single-task window over the data (the oracle's plain OVER "
+    "(ORDER BY) is exactly the shape that does NOT scale; fine for "
+    "DuckDB's single node). Selection is truncating bigint stride "
+    "arithmetic, so the sample is deterministic under any cluster "
+    "layout; docs with w >= stride are certainty units per PPS.",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix_sum import pps_systematic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pps_systematic_sample(docs, "doc_id", "n_chars", k=40)
+
+
+@register(
     "q_multimodal_bmp",
     oracle="""
         WITH px AS (

@@ -53,6 +53,7 @@ MUST_BE_IN_WINDOW = {
     "q_kmeans_assign",
     "q_pagerank",
     "q_time_interpolate",
+    "q_sample_weighted",
 }
 
 

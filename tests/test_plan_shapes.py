@@ -588,3 +588,13 @@ def test_time_interpolate_reuses_one_partitioning(spark, qs):
     # hourly agg + window partitioning (+ possibly the span agg/spine
     # join) — a regression to per-direction re-shuffles would exceed 4
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+
+
+def test_sample_weighted_scan_is_two_level(spark, qs):
+    """The distributed prefix sum must window the DATA under a hash
+    partitioning on the range bucket (parallel local scans) and attach
+    bucket offsets via broadcast — the only single-partition window
+    allowed is the tiny per-bucket-totals tier."""
+    plan = explain_str(qs["q_sample_weighted"](spark, SF))
+    assert "hashpartitioning(__bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # offsets join, not shuffled

@@ -472,3 +472,34 @@ def test_pagerank_exact_under_any_partitioning(spark):
     total = sum(r for _, r in a)
     assert total <= SCALE  # truncating division never creates mass
     assert total > SCALE * 0.99  # floor leak stays tiny
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix sum (operators/prefix_sum.py)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_sum_invariant_to_bucket_width(spark):
+    """The two-level scan must produce the identical global prefix sum
+    for ANY bucket width (the decomposition is an implementation detail)
+    and match the single-window reference."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.prefix_sum import prefix_sum
+
+    rows = [(i, (i * 7919) % 113 + 1) for i in range(0, 1000, 3)]
+    df = spark.createDataFrame(rows, "k long, w long")
+
+    ref = {
+        (r.k, r.cum)
+        for r in df.withColumn(
+            "cum",
+            F.sum("w").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    for width in (1, 7, 256, 10_000):
+        got = {(r.k, r.cum) for r in prefix_sum(df, "k", "w", width).collect()}
+        assert got == ref, f"bucket_width={width} diverged"

@@ -267,3 +267,69 @@ def test_stream_progress_metrics_account_for_all_rows(spark):
     assert sum(p["numInputRows"] for p in progress) == n_events
     state = [op for p in progress for op in p["stateOperators"]]
     assert any(op["numRowsTotal"] > 0 for op in state), "no state reported"
+
+
+def test_transform_with_state_gated_on_protobuf(spark):
+    """transformWithStateInPandas (the Spark 4 arbitrary-stateful API
+    succeeding applyInPandasWithState) requires google.protobuf for its
+    state-server protocol; this container has no protobuf and installs
+    are off-limits, so the engine covers arbitrary state via
+    applyInPandasWithState (q_stream_stateful) instead. This test is
+    the honest gate: it SKIPS while protobuf is absent and runs the
+    real operator the day the environment gains it."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf (absent; pip off-limits)",
+    )
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from os_ex_3_map_reduce_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getValueState("counts", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.state.get()[0] if self.state.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.state.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self):
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    sf = "/root/testdata/sf0.001"
+    stream = events_stream(spark, sf)
+    out = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCounts(),
+            outputStructType="user_id long, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    name = run_stream_to_memory(out, mode="update")
+    got = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    want = load_table(spark, sf, "events").groupBy("user_id").count()
+    assert {(r.user_id, r.n_events) for r in got.collect()} == {
+        (r.user_id, r["count"]) for r in want.collect()
+    }
