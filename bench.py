@@ -120,6 +120,7 @@ BREADTH = [
     "q_pagerank",
     "q_time_interpolate",
     "q_sample_weighted",
+    "q_histogram_equidepth",
 ]
 
 

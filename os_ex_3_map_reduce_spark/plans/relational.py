@@ -1109,6 +1109,58 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_histogram_equidepth",
+    oracle="""
+        WITH bs AS (
+            SELECT [quantile_cont(o_totalprice, 0.1),
+                    quantile_cont(o_totalprice, 0.2),
+                    quantile_cont(o_totalprice, 0.3),
+                    quantile_cont(o_totalprice, 0.4),
+                    quantile_cont(o_totalprice, 0.5),
+                    quantile_cont(o_totalprice, 0.6),
+                    quantile_cont(o_totalprice, 0.7),
+                    quantile_cont(o_totalprice, 0.8),
+                    quantile_cont(o_totalprice, 0.9)] AS b
+            FROM orders
+        )
+        SELECT CAST(len(list_filter(bs.b, x -> o_totalprice > x))
+                    AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM orders, bs
+        GROUP BY bin
+    """,
+    doc="Equi-DEPTH histogram (the partner to q_histogram's equi-width "
+    "profile, and the statistic a cost optimizer actually wants for "
+    "skewed columns): decile boundaries from ONE exact-percentile agg "
+    "(Spark percentile == DuckDB quantile_cont, identical sort+IEEE "
+    "interpolation), broadcast back as a 9-element array, each row "
+    "binned by counting boundaries strictly below its value — NO "
+    "global sort and NO ntile single-partition window (the naive "
+    "equi-depth shapes that don't scale); the data path is scan -> "
+    "9-comparison projection -> 10-group aggregate. Per-bin counts "
+    "land within rounding of N/10 — the equi-depth evidence the "
+    "output itself carries.",
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    qs = ", ".join(f"percentile(o_totalprice, {q / 10})" for q in range(1, 10))
+    bounds = orders.agg(F.expr(f"array({qs})").alias("b"))
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.expr(
+            "cast(size(filter(b, x -> o_totalprice > x)) as bigint)"
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
     "q_join_asof",
     oracle="""
         WITH sign AS (

@@ -54,6 +54,7 @@ MUST_BE_IN_WINDOW = {
     "q_pagerank",
     "q_time_interpolate",
     "q_sample_weighted",
+    "q_histogram_equidepth",
 }
 
 
