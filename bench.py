@@ -121,6 +121,7 @@ BREADTH = [
     "q_time_interpolate",
     "q_sample_weighted",
     "q_histogram_equidepth",
+    "q_cohort_retention",
 ]
 
 

@@ -1109,6 +1109,44 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cohort_retention",
+    oracle="""
+        WITH wk AS (
+            SELECT user_id,
+                   epoch_us(ts) // 604800000000 AS week,
+                   MIN(epoch_us(ts) // 604800000000)
+                       OVER (PARTITION BY user_id) AS cohort
+            FROM events
+        )
+        SELECT cohort, week - cohort AS week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM wk
+        GROUP BY cohort, week_offset
+    """,
+    doc="Cohort retention matrix (the product-analytics staple): users "
+    "grouped by first-activity week, distinct active users per "
+    "(cohort, week-offset) cell. Weeks are integer epoch-week indexes "
+    "(unix_micros div week — no calendar/locale semantics to disagree "
+    "on). Shape: ONE hash shuffle by user_id serves the per-user "
+    "MIN window (no agg+join round trip), then the cell aggregate's "
+    "exact COUNT(DISTINCT) runs as the standard two-phase "
+    "dedup-then-count — every stage partial before its exchange.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts_utc) div 604800000000").alias("week"),
+    )
+    cohort = F.min("week").over(Window.partitionBy("user_id"))
+    wk = ev.select("user_id", "week", cohort.alias("cohort"))
+    return wk.groupBy(
+        "cohort", (F.col("week") - F.col("cohort")).alias("week_offset")
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
     "q_histogram_equidepth",
     oracle="""
         WITH bs AS (

@@ -55,6 +55,7 @@ MUST_BE_IN_WINDOW = {
     "q_time_interpolate",
     "q_sample_weighted",
     "q_histogram_equidepth",
+    "q_cohort_retention",
 }
 
 
