@@ -122,6 +122,7 @@ BREADTH = [
     "q_sample_weighted",
     "q_histogram_equidepth",
     "q_cohort_retention",
+    "q_outlier_zscore",
 ]
 
 

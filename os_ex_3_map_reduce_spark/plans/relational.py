@@ -1109,6 +1109,49 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_outlier_zscore",
+    oracle=f"""
+        WITH stats AS (
+            SELECT event_type,
+                   {SQL_DSUM('value')} AS s,
+                   {SQL_DSUM('value * value')} AS sq,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - (s / n)) /
+                     sqrt((sq / n) - (s / n) * (s / n)), 4) AS z
+        FROM events e JOIN stats USING (event_type)
+        WHERE abs((e.value - (s / n)) /
+                  sqrt((sq / n) - (s / n) * (s / n))) > 2.4
+    """,
+    doc="Per-group z-score outlier screen (the data-quality gate that "
+    "drops anomalous records before training): per-event-type mean "
+    "and variance from ONE pass of exact decimal sums (sum, sum of "
+    "squares — order-independent, so the statistics are engine-exact), "
+    "broadcast back onto the rows, |z| > 2.4 flagged. The per-row z "
+    "is pinned-parenthesization IEEE arithmetic on exact inputs — "
+    "deterministic, hence the exact oracle. Shape: 5-group agg "
+    "broadcast-joined to the scan; no row ever shuffles.",
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        dsum("value", "s"),
+        dsum(F.col("value") * F.col("value"), "sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(F.col("sq") / F.col("n") - mean * mean)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 2.4)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
+
+
+@register(
     "q_cohort_retention",
     oracle="""
         WITH wk AS (

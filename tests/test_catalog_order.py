@@ -56,6 +56,7 @@ MUST_BE_IN_WINDOW = {
     "q_sample_weighted",
     "q_histogram_equidepth",
     "q_cohort_retention",
+    "q_outlier_zscore",
 }
 
 
