@@ -554,17 +554,17 @@ def test_incremental_agg_merges_partials(spark, qs):
 
 
 def test_kmeans_assign_points_never_hash_shuffle(spark, qs):
-    """Centroid assignment must broadcast the seeds to the points, never
-    shuffle the points: one BroadcastNestedLoopJoin (single seed-array
-    row), the per-point argmin inside a projection, and only 8-group
-    aggregate rows ever cross an exchange (seed-collect, final agg,
-    output sort = at most 3), all JVM-side."""
+    """Centroid assignment closes over the k seed vectors and computes
+    every distance + the argmin inside ONE Arrow-batched kernel pass:
+    the points never hash-shuffle — only 8-group aggregate rows cross
+    an exchange (final agg + output sort = at most 2), and the kernel
+    is vectorized (MapInPandas), never row-at-a-time Python."""
     import re
 
     plan = explain_str(qs["q_kmeans_assign"](spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
 
 
 def test_setsim_prefix_stays_jvm_side(spark, qs):
