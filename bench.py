@@ -123,6 +123,7 @@ BREADTH = [
     "q_histogram_equidepth",
     "q_cohort_retention",
     "q_outlier_zscore",
+    "q_funnel",
 ]
 
 

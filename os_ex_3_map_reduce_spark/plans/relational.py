@@ -1109,6 +1109,75 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_funnel",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view'
+                            THEN epoch_us(ts) END) AS v,
+                   MIN(CASE WHEN event_type = 'click'
+                            THEN epoch_us(ts) END) AS c,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) AS p
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT 1 AS step, 'view' AS name,
+               CAST(COUNT(v) AS BIGINT) AS n_users FROM firsts
+        UNION ALL
+        SELECT 2, 'view>click',
+               CAST(SUM(CASE WHEN c > v THEN 1 ELSE 0 END) AS BIGINT)
+        FROM firsts
+        UNION ALL
+        SELECT 3, 'view>click>purchase',
+               CAST(SUM(CASE WHEN c > v AND p > c THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM firsts
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase): users "
+    "counted at each step only if their FIRST occurrence of the step "
+    "event strictly follows the first occurrence of the previous one. "
+    "Shape: one groupBy(user_id) collapsing each user's timeline to "
+    "three conditional-MIN epoch-micro timestamps (map-side partial, "
+    "one shuffle of 3-column rows), then a 3-row summary — at 100 TB "
+    "the heavy stage moves only (user, 3 timestamps). NULL semantics "
+    "do the step gating for free: a user missing a step has NULL "
+    "first-time, and NULL > x is never true in either engine. "
+    "Integer epoch-micro comparisons — nothing for the engines to "
+    "disagree on.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts_utc)")
+
+    def first_of(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, us))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("v"),
+        first_of("click").alias("c"),
+        first_of("purchase").alias("p"),
+    )
+    step2 = F.col("c") > F.col("v")
+    step3 = step2 & (F.col("p") > F.col("c"))
+    summary = firsts.agg(
+        F.count("v").alias("n1"),
+        F.sum(step2.cast("long")).alias("n2"),
+        F.sum(step3.cast("long")).alias("n3"),
+    )
+    steps = F.array(
+        F.struct(F.lit(1).alias("step"), F.lit("view").alias("name"),
+                 F.col("n1").alias("n_users")),
+        F.struct(F.lit(2).alias("step"), F.lit("view>click").alias("name"),
+                 F.col("n2").alias("n_users")),
+        F.struct(F.lit(3).alias("step"),
+                 F.lit("view>click>purchase").alias("name"),
+                 F.col("n3").alias("n_users")),
+    )
+    return summary.select(F.explode(steps).alias("s")).select("s.*")
+
+
+@register(
     "q_outlier_zscore",
     oracle=f"""
         WITH stats AS (

@@ -57,6 +57,7 @@ MUST_BE_IN_WINDOW = {
     "q_histogram_equidepth",
     "q_cohort_retention",
     "q_outlier_zscore",
+    "q_funnel",
 }
 
 

@@ -124,6 +124,21 @@ SHOWCASE: dict[str, str] = {
         "100 TB the history branch is replaced by a stored KB-scale "
         "state table, so a refresh scans only the delta."
     ),
+    "q_sample_weighted": (
+        "The distributed prefix sum: the DATA is windowed under "
+        "hashpartitioning(__bkt) — parallel local scans — while the "
+        "only SinglePartition window sits on the tiny per-bucket-"
+        "totals tier, whose exclusive offsets re-attach via "
+        "BroadcastHashJoin. A global-order window over the rows "
+        "(the naive scan) would collapse to one task."
+    ),
+    "q_kmeans_assign": (
+        "Centroid assignment as ONE Arrow-batched kernel pass "
+        "(MapInPandas): all 8 exact-int64 distances + the argmin per "
+        "point inside the projection, no BatchEvalPython, and the "
+        "points never hash-shuffle — only 8 aggregate rows cross the "
+        "exchange."
+    ),
 }
 
 
