@@ -1525,12 +1525,11 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
                CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
-               CASE WHEN v IS NOT NULL THEN round(v, 4)
-                    ELSE round(v_prev + (v_next - v_prev) *
+               CAST(CAST(round((CASE WHEN v IS NOT NULL THEN v
+                    ELSE v_prev + (v_next - v_prev) *
                          (CAST(date_diff('hour', t_prev, h) AS DOUBLE) /
-                          CAST(date_diff('hour', t_prev, t_next) AS DOUBLE)),
-                         4)
-               END AS v_interp
+                          CAST(date_diff('hour', t_prev, t_next) AS DOUBLE))
+               END) * 10000) AS BIGINT) AS DOUBLE) / 10000 AS v_interp
         FROM carried
     """,
     doc="Time-series linear interpolation (the resample/fill stage of a "
@@ -1543,7 +1542,11 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-partition bottleneck at 100 TB — each series parallelizes "
     "independently). Determinism: observed values are exact decimal "
     "sums; the interpolation is pure per-row IEEE arithmetic with a "
-    "pinned parenthesization, identical in both engines; spans start "
+    "pinned parenthesization; output rounds via scale->integer->"
+    "divide because interpolants at frac 1/2 of 2-decimal values "
+    "land exactly on 4th-decimal ties where round(x, 4) semantics "
+    "diverge between engines (found by the 10x sf0.1 driver-sim "
+    "sweep, invisible at the sf0.01 gate); spans start "
     "and end at observed points so v_prev/v_next always exist.",
 )
 def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1587,15 +1590,22 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(timestampdiff(HOUR, t_prev, h) AS DOUBLE) / "
         "CAST(timestampdiff(HOUR, t_prev, t_next) AS DOUBLE)"
     )
+    raw = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac
+    )
+    # round via scale->integer->divide, NOT round(x, 4): interpolants
+    # at frac 1/2, 1/4 of 2-decimal sums land exactly on 4th-decimal
+    # ties, where Spark's decimal-expansion HALF_UP and DuckDB's
+    # scaled-double rounding disagree by 1 ulp (12 of 3484 rows at
+    # sf0.1, caught by the 10x driver-sim sweep). round-to-integer of
+    # the SAME double product is engine-identical.
     return carried.select(
         "event_type",
         F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
         F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
-        F.when(F.col("v").isNotNull(), F.round("v", 4))
-        .otherwise(
-            F.round(F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac, 4)
-        )
-        .alias("v_interp"),
+        (F.round(raw * 10000).cast("bigint").cast("double") / 10000).alias(
+            "v_interp"
+        ),
     )
 
 
