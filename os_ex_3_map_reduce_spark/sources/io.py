@@ -292,3 +292,66 @@ def compact_table(
         raise IOError(f"promoted {live} listed empty; live restored")
     fs.delete(backup, True)
     return n_files
+
+
+def read_with_corrupt_accounting(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: str | StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Read semi-structured data (json-lines / csv) WITHOUT dropping or
+    crashing on malformed rows — the ingestion posture a real lake
+    needs, because at 100 TB there is always a bad line and a job that
+    dies at hour three on row four billion is worse than one that
+    quarantines the row.
+
+    PERMISSIVE mode routes each unparseable line's raw text into
+    ``corrupt_col`` (all schema fields null); downstream splits with
+    ``df.where(col(corrupt_col).isNull())`` for the clean side and
+    ``...isNotNull()`` for the quarantine side, each a pushed-down
+    filter on the same scan. The schema gains the corrupt column here
+    so callers don't have to remember to declare it.
+
+    Caveat baked into the tests: Spark's json parser requires you to
+    SELECT the corrupt column from a cached/materialized relation or
+    filter in the same pass — counting corrupt rows straight off the
+    lazy scan is fine, but `.count()` of the raw frame may skip parsing
+    entirely (column pruning) and report nothing corrupt.
+    """
+    if fmt not in ("json", "csv"):
+        raise ValueError("corrupt-record accounting applies to json/csv reads")
+    base = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
+    if corrupt_col not in [f.name for f in base.fields]:
+        base = base.add(corrupt_col, "string")
+    return read_table(
+        spark,
+        path,
+        fmt,
+        schema=base,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
+    )
+
+
+def quarantine_split(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_corrupt_col, quarantined_raw_lines).
+
+    Caches the parsed relation first: Spark refuses corrupt-column-only
+    queries straight off a raw json/csv scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the parser
+    would otherwise prune every data column and never attempt the parse
+    whose failure defines "corrupt"). The cache holds exactly one
+    ingest batch; callers doing repeated splits should unpersist the
+    inputs when done."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, bad

@@ -321,3 +321,49 @@ def test_zorder_write_shrinks_file_zone_maps(spark, tmp_path):
     assert back.select(F.sum("l_quantity")).first()[0] == pytest.approx(
         li.select(F.sum("l_quantity")).first()[0]
     )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record ingestion (PERMISSIVE + quarantine)
+# ---------------------------------------------------------------------------
+
+
+def test_corrupt_jsonl_rows_quarantine_not_crash(spark, tmp_path):
+    """A 100 TB ingest always contains a bad line; the read must neither
+    crash nor silently drop — every input line lands in exactly one of
+    (clean, quarantine), and the quarantine keeps the raw text."""
+    from os_ex_3_map_reduce_spark.sources.io import (
+        quarantine_split,
+        read_with_corrupt_accounting,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": oops}\n'
+        '{"id": 3}\n'  # valid: missing field -> null, NOT corrupt
+    )
+    df = read_with_corrupt_accounting(spark, str(p), "json", "id long, v string")
+    clean, bad = quarantine_split(df)
+    clean_rows = {(r.id, r.v) for r in clean.collect()}
+    bad_lines = [r["_corrupt_record"] for r in bad.collect()]
+    assert clean_rows == {(1, "a"), (2, "b"), (3, None)}
+    assert sorted(bad_lines) == ["this is not json at all", '{"id": oops}']
+    # conservation: every line accounted for exactly once
+    assert clean.count() + bad.count() == 5
+
+
+def test_corrupt_csv_rows_quarantine(spark, tmp_path):
+    from os_ex_3_map_reduce_spark.sources.io import (
+        quarantine_split,
+        read_with_corrupt_accounting,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,v\n1,a\nnot_a_number,b\n3,c\n")
+    df = read_with_corrupt_accounting(spark, str(p), "csv", "id long, v string")
+    clean, bad = quarantine_split(df)
+    assert {(r.id, r.v) for r in clean.collect()} == {(1, "a"), (3, "c")}
+    assert bad.count() == 1
