@@ -26,6 +26,13 @@ Why this scales to 100 TB:
   pre-sorted token arrays — JVM built-ins, no Python.
 - Stages are plain groupBy/join shuffles: document-frequency count,
   per-doc sort, prefix self-join, verify. All AQE-coalescible.
+
+**Measured cost of exactness** (sf0.1, 5k docs, local[32], warm,
+identical shingles/threshold/result set): prefix-filter build
+3.2-4.2 s vs MinHash-LSH build 2.1-2.2 s — the exact join pays
+~1.5-2x for replacing a 1-4e-8 recall bound with a theorem. Pick per
+pipeline: MinHash when a measured-recall bound suffices, prefix
+filtering when a missed duplicate is a correctness bug.
 """
 
 from __future__ import annotations
@@ -33,13 +40,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: 3-token word shingles, identical to the MinHash path and to the
-#: oracle's _SHINGLE_SQL (DuckDB t[i] is 1-based, as is element_at).
-_SHINGLES = F.expr(
-    "array_distinct(transform(sequence(1, size(__t) - 2), "
-    "i -> concat_ws(' ', element_at(__t, i), element_at(__t, i + 1), "
-    "element_at(__t, i + 2))))"
-)
+def _shingles():
+    """3-token word shingles, identical to the MinHash path and to the
+    oracle's _SHINGLE_SQL (DuckDB t[i] is 1-based, as is element_at).
+    Built lazily — a module-level Column literal would require an
+    active SparkContext at import time and crash any import-before-
+    session caller."""
+    return F.expr(
+        "array_distinct(transform(sequence(1, size(__t) - 2), "
+        "i -> concat_ws(' ', element_at(__t, i), element_at(__t, i + 1), "
+        "element_at(__t, i + 2))))"
+    )
 
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -47,7 +58,7 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__t"))
         .where(F.size("__t") >= 3)
-        .select("doc_id", F.explode(_SHINGLES).alias("s"))
+        .select("doc_id", F.explode(_shingles()).alias("s"))
     )
 
 
