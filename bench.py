@@ -124,6 +124,7 @@ BREADTH = [
     "q_cohort_retention",
     "q_outlier_zscore",
     "q_funnel",
+    "q_drift_ks",
 ]
 
 

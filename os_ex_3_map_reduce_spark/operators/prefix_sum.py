@@ -36,15 +36,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def prefix_sum(
+def prefix_sums(
     df: DataFrame,
     order_col: str,
-    value_col: str,
+    value_cols: list[str],
     bucket_width: int = 256,
 ) -> DataFrame:
-    """Add ``cum`` = exact inclusive prefix sum of ``value_col`` in
-    ``order_col`` order, via the two-level scan. ``order_col`` must be
-    an integer key; ``value_col`` sums in bigint."""
+    """Add ``cum_{c}`` = exact inclusive prefix sum of each value column
+    in ``order_col`` order, via ONE two-level scan shared by all
+    columns. ``order_col`` must be an integer key; values sum in
+    bigint."""
     bucketed = df.withColumn(
         "__bkt", F.expr(f"cast({order_col} as bigint) div {bucket_width}")
     )
@@ -53,24 +54,41 @@ def prefix_sum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = bucketed.withColumn(
-        "__local_cum", F.sum(F.col(value_col).cast("long")).over(w_local)
-    )
+    local = bucketed
+    for c in value_cols:
+        local = local.withColumn(
+            f"__local_{c}", F.sum(F.col(c).cast("long")).over(w_local)
+        )
     totals = bucketed.groupBy("__bkt").agg(
-        F.sum(F.col(value_col).cast("long")).alias("__bkt_total")
+        *[F.sum(F.col(c).cast("long")).alias(f"__tot_{c}") for c in value_cols]
     )
     # tier 2: tiny (one row per bucket) — a plain ordered window here is
     # fine; nest the same construction if this tier ever gets big
     w_bkt = Window.orderBy("__bkt").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    offsets = totals.withColumn(
-        "__offset", F.sum("__bkt_total").over(w_bkt) - F.col("__bkt_total")
-    ).select("__bkt", "__offset")
-    return (
-        local.join(F.broadcast(offsets), "__bkt")
-        .withColumn("cum", F.col("__offset") + F.col("__local_cum"))
-        .drop("__bkt", "__local_cum", "__offset")
+    offsets = totals
+    for c in value_cols:
+        offsets = offsets.withColumn(
+            f"__off_{c}", F.sum(f"__tot_{c}").over(w_bkt) - F.col(f"__tot_{c}")
+        )
+    offsets = offsets.select("__bkt", *[f"__off_{c}" for c in value_cols])
+    out = local.join(F.broadcast(offsets), "__bkt")
+    for c in value_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"__off_{c}") + F.col(f"__local_{c}"))
+    drop = ["__bkt"] + [f"__local_{c}" for c in value_cols] + [f"__off_{c}" for c in value_cols]
+    return out.drop(*drop)
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket_width: int = 256,
+) -> DataFrame:
+    """Single-column :func:`prefix_sums`, with the sum named ``cum``."""
+    return prefix_sums(df, order_col, [value_col], bucket_width).withColumnRenamed(
+        f"cum_{value_col}", "cum"
     )
 
 

@@ -227,6 +227,90 @@ def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_drift_ks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_drift_ks",
+    oracle="""
+        WITH t AS (
+            SELECT CAST(round(o_totalprice * 10000) AS BIGINT) AS v,
+                   CASE WHEN o_orderdate < TIMESTAMP '2000-01-01'
+                        THEN 1 ELSE 0 END AS a
+            FROM orders
+        ),
+        pv AS (
+            SELECT v, SUM(a) AS cnt_a, SUM(1 - a) AS cnt_b
+            FROM t GROUP BY v
+        ),
+        c AS (
+            SELECT v,
+                   SUM(cnt_a) OVER w AS ca,
+                   SUM(cnt_b) OVER w AS cb
+            FROM pv
+            WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        n AS (SELECT SUM(a) AS na, SUM(1 - a) AS nb FROM t)
+        SELECT v AS value_cents,
+               CAST(abs(ca * nb - cb * na) AS BIGINT) AS d_num,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               CAST(abs(ca * nb - cb * na) AS DOUBLE) /
+                   CAST(na * nb AS DOUBLE) AS ks_d
+        FROM c, n
+        ORDER BY d_num DESC, value_cents
+        LIMIT 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift detector over order totals "
+    "(history vs post-cutoff — the data-drift monitor a training "
+    "pipeline runs on every new ingest): D = max |CDF_a - CDF_b|, "
+    "reported at its arg-max value. Exactness: values fix-point to "
+    "cents, both empirical CDFs come from ONE shared two-level "
+    "prefix-sum scan (operators/prefix_sum.py — per-distinct-value "
+    "counts, parallel bucket windows, no global-order window over the "
+    "data), and D's numerator is the integer |cum_a*n_b - cum_b*n_a| "
+    "so the arg-max selection is exact in both engines; the double "
+    "ks_d is derived once at the end. Top-1 via TakeOrdered.",
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix_sum import prefix_sums
+
+    orders = load_table(spark, sf_dir, "orders")
+    in_history = F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp")
+    tagged = orders.select(
+        F.round(F.col("o_totalprice") * 10000).cast("long").alias("v"),
+        F.when(in_history, 1).otherwise(0).alias("a"),
+    )
+    per_value = tagged.groupBy("v").agg(
+        F.sum("a").alias("cnt_a"), F.sum(F.lit(1) - F.col("a")).alias("cnt_b")
+    )
+    cums = prefix_sums(per_value, "v", ["cnt_a", "cnt_b"])
+    totals = tagged.agg(
+        F.sum("a").alias("n_a"), F.sum(F.lit(1) - F.col("a")).alias("n_b")
+    )
+    d_num = F.abs(
+        F.col("cum_cnt_a") * F.col("n_b") - F.col("cum_cnt_b") * F.col("n_a")
+    )
+    return (
+        cums.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("v").alias("value_cents"),
+            d_num.alias("d_num"),
+            "n_a",
+            "n_b",
+            (
+                d_num.cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks_d"),
+        )
+        .orderBy(F.desc("d_num"), "value_cents")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_incremental_agg
 # ---------------------------------------------------------------------------
 

@@ -58,6 +58,7 @@ MUST_BE_IN_WINDOW = {
     "q_cohort_retention",
     "q_outlier_zscore",
     "q_funnel",
+    "q_drift_ks",
 }
 
 
