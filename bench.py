@@ -125,6 +125,7 @@ BREADTH = [
     "q_outlier_zscore",
     "q_funnel",
     "q_drift_ks",
+    "q_chi2_terms",
 ]
 
 

@@ -227,6 +227,106 @@ def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_chi2_terms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_chi2_terms",
+    oracle="""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+            FROM documents
+        ),
+        n AS (
+            SELECT CAST(SUM(en) AS BIGINT) AS n_en,
+                   CAST(SUM(1 - en) AS BIGINT) AS n_other
+            FROM (SELECT DISTINCT doc_id, en FROM dt)
+        ),
+        tok AS (
+            SELECT w, CAST(SUM(en) AS BIGINT) AS a,
+                   CAST(SUM(1 - en) AS BIGINT) AS b
+            FROM dt GROUP BY w
+        ),
+        cells AS (
+            SELECT w, a, b, n_en - a AS c, n_other - b AS d,
+                   n_en + n_other AS n
+            FROM tok, n
+            WHERE a + b >= 50
+        )
+        SELECT w, a, b,
+               CAST(n AS DOUBLE)
+                   * CAST(a * d - b * c AS DOUBLE)
+                   * CAST(a * d - b * c AS DOUBLE)
+                   / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                   AS chi2
+        FROM cells
+        ORDER BY chi2 DESC, w
+        LIMIT 20
+    """,
+    doc="Chi-squared feature selection: the 20 tokens most associated "
+    "with (or against) lang='en' by document frequency — the corpus-"
+    "comparison / feature-selection statistic an NLP pipeline uses to "
+    "find domain- or language-marker terms. Determinism: the 2x2 "
+    "table cells are exact integers from one distinct(doc, token) "
+    "aggregation; chi2 is computed with every factor individually "
+    "cast to double in a pinned order, and the cross term a*d-b*c is "
+    "cast BEFORE squaring — its square can reach ~1e22, which "
+    "overflows int64 but is the same IEEE double in both engines; "
+    "df >= 50 keeps the ranked set stable. Shape: explode -> distinct "
+    "-> token aggregate -> broadcast totals -> TakeOrdered top-20.",
+)
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("w"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("en"),
+        )
+        .distinct()
+    )
+    n = dt.select("doc_id", "en").distinct().agg(
+        F.sum("en").alias("n_en"),
+        F.sum(F.lit(1) - F.col("en")).alias("n_other"),
+    )
+    tok = dt.groupBy("w").agg(
+        F.sum("en").alias("a"), F.sum(F.lit(1) - F.col("en")).alias("b")
+    )
+    cells = (
+        tok.crossJoin(F.broadcast(n))
+        .where(F.col("a") + F.col("b") >= 50)
+        .select(
+            "w",
+            "a",
+            "b",
+            (F.col("n_en") - F.col("a")).alias("c"),
+            (F.col("n_other") - F.col("b")).alias("d"),
+            (F.col("n_en") + F.col("n_other")).alias("n"),
+        )
+    )
+    cross = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    chi2 = (
+        F.col("n").cast("double")
+        * cross
+        * cross
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d")).cast("double")
+            * (F.col("a") + F.col("c")).cast("double")
+            * (F.col("b") + F.col("d")).cast("double")
+        )
+    )
+    return (
+        cells.select("w", "a", "b", chi2.alias("chi2"))
+        .orderBy(F.desc("chi2"), "w")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_drift_ks
 # ---------------------------------------------------------------------------
 

@@ -59,6 +59,7 @@ MUST_BE_IN_WINDOW = {
     "q_outlier_zscore",
     "q_funnel",
     "q_drift_ks",
+    "q_chi2_terms",
 }
 
 
