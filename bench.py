@@ -126,6 +126,7 @@ BREADTH = [
     "q_funnel",
     "q_drift_ks",
     "q_chi2_terms",
+    "q_trend_ols",
 ]
 
 

@@ -1109,6 +1109,74 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_trend_ols",
+    oracle="""
+        WITH b AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+        pts AS (
+            SELECT event_type,
+                   (epoch_us(ts) - b.t0) // 3600000000 AS x,
+                   CAST(round(value * 10000) AS BIGINT) AS y
+            FROM events, b
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / 10000 AS slope_per_hour
+        FROM s
+        ORDER BY event_type
+    """,
+    doc="Per-segment trend estimation: ordinary-least-squares slope of "
+    "event value over time for each event_type, from the closed form "
+    "slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — the metric-drift "
+    "primitive behind 'is this segment's value trending up'. "
+    "Exactness: x is integer hours since the corpus minimum (one "
+    "broadcast scalar), y integer cents, so every sufficient "
+    "statistic (n, Sx, Sy, Sxy, Sxx) is an exact int64 well inside "
+    "2^53; the closed form then runs in double with every operand "
+    "individually cast and a pinned parenthesization — identical "
+    "IEEE arithmetic in both engines, no rounding needed. ONE "
+    "groupBy shuffle of 5-column partial states; at 100 TB this is "
+    "a perfectly map-side-combined aggregation (the sums are the "
+    "mergeable state).",
+)
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.expr("unix_micros(ts_utc)")).alias("t0"))
+    pts = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.expr("(unix_micros(ts_utc) - t0) div 3600000000").alias("x"),
+        F.round(F.col("value") * 10000).cast("long").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (
+        (d("n") * d("sxy") - d("sx") * d("sy"))
+        / (d("n") * d("sxx") - d("sx") * d("sx"))
+        / 10000
+    )
+    return s.select(
+        "event_type", "n", slope.alias("slope_per_hour")
+    ).orderBy("event_type")
+
+
+@register(
     "q_funnel",
     oracle="""
         WITH firsts AS (

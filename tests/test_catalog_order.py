@@ -60,6 +60,7 @@ MUST_BE_IN_WINDOW = {
     "q_funnel",
     "q_drift_ks",
     "q_chi2_terms",
+    "q_trend_ols",
 }
 
 
