@@ -127,6 +127,8 @@ BREADTH = [
     "q_drift_ks",
     "q_chi2_terms",
     "q_trend_ols",
+    "q_event_transitions",
+    "q_mad_robust",
 ]
 
 

@@ -1109,6 +1109,112 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mad_robust",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1
+        ),
+        dev AS (
+            SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        st AS (
+            SELECT event_type, med, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1, 2
+        )
+        SELECT d.event_type, st.med, st.mad,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN d.adev > 5 * st.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev d JOIN st USING (event_type)
+        GROUP BY d.event_type, st.med, st.mad
+        ORDER BY d.event_type
+    """,
+    doc="Median-absolute-deviation robust outlier screen — the "
+    "companion to q_outlier_zscore for data whose mean/variance are "
+    "themselves corrupted by the outliers being hunted (median and "
+    "MAD have 50% breakdown vs 0% for the z-score). Two percentile "
+    "passes: per-type median, broadcast back; median of absolute "
+    "deviations, broadcast back; flag |x - med| > 5*MAD. Exact "
+    "because Spark percentile == DuckDB quantile_cont bit-for-bit "
+    "and every derived comparison is identical IEEE arithmetic on "
+    "identical doubles. Each pass is a 5-group aggregate + broadcast "
+    "join: the data never shuffles, it is scanned twice (the honest "
+    "price of exact medians; the single-pass production variant "
+    "swaps in approx_percentile sketches).",
+)
+def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    st = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.drop("med").join(F.broadcast(st), "event_type")
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("adev") > 5 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY from_type, to_type
+        ORDER BY from_type, to_type
+    """,
+    doc="First-order event-transition matrix (the Markov-chain "
+    "sufficient statistic behind next-action prediction and journey "
+    "mining): per-user timelines ordered by (event time, event_id "
+    "tiebreak — total order, so LEAD is deterministic), adjacent "
+    "pairs counted into a 5x5 from->to matrix. Shape: ONE hash "
+    "shuffle by user_id for the LEAD window, then a map-side-combined "
+    "25-group aggregate; per-user state is O(1), so skew only "
+    "concentrates a single user's timeline.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(ts_utc)"), "event_id"
+    )
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
     "q_trend_ols",
     oracle="""
         WITH b AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),

@@ -61,6 +61,8 @@ MUST_BE_IN_WINDOW = {
     "q_drift_ks",
     "q_chi2_terms",
     "q_trend_ols",
+    "q_event_transitions",
+    "q_mad_robust",
 }
 
 
