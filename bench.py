@@ -129,6 +129,7 @@ BREADTH = [
     "q_trend_ols",
     "q_event_transitions",
     "q_mad_robust",
+    "q_gini",
 ]
 
 

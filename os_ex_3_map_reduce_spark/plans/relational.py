@@ -1109,6 +1109,82 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_gini",
+    oracle="""
+        WITH rev AS (
+            SELECT c.c_nationkey, o.o_custkey,
+                   SUM(CAST(round(o.o_totalprice * 10000) AS BIGINT)) AS x
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT c_nationkey, x,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY x, o_custkey) AS r
+            FROM rev
+        ),
+        s AS (
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(r * x) AS BIGINT) AS srx
+            FROM ranked GROUP BY 1
+        )
+        SELECT n_name AS nation, n,
+               (2 * CAST(srx AS DOUBLE)
+                    - (CAST(n AS DOUBLE) + 1) * CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+        FROM s JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY nation
+    """,
+    doc="Gini concentration index of customer revenue per nation — the "
+    "inequality/concentration measure behind 'is this market dominated "
+    "by a few buyers' (and, in a corpus pipeline, 'is this source "
+    "dominated by a few documents'). Exact Lorenz arithmetic: per-"
+    "customer revenue in integer cents, rank from a PARTITIONED "
+    "row_number window with a total tiebreak (each nation sorts "
+    "independently — no global sort), and the classic closed form "
+    "G = (2*Sum(r*x) - (n+1)*Sum(x)) / (n*Sum(x)) over exact int64 "
+    "sums, finalized with individually-cast pinned-order doubles. "
+    "Shape: one groupBy(cust), one nation-partitioned window, one "
+    "25-group aggregate, broadcast nation-name join.",
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 10000).cast("long")
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("x", "o_custkey")
+    ranked = rev.select(
+        "c_nationkey", "x", F.row_number().over(w).cast("long").alias("r")
+    )
+    s = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("r") * F.col("x")).alias("srx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    gini = (2 * d("srx") - (d("n") + 1) * d("sx")) / (d("n") * d("sx"))
+    return (
+        s.join(F.broadcast(nat), s.c_nationkey == nat.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "n", gini.alias("gini"))
+        .orderBy("nation")
+    )
+
+
+@register(
     "q_mad_robust",
     oracle="""
         WITH med AS (

@@ -63,6 +63,7 @@ MUST_BE_IN_WINDOW = {
     "q_trend_ols",
     "q_event_transitions",
     "q_mad_robust",
+    "q_gini",
 }
 
 
