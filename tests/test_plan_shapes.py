@@ -598,3 +598,28 @@ def test_sample_weighted_scan_is_two_level(spark, qs):
     plan = explain_str(qs["q_sample_weighted"](spark, SF))
     assert "hashpartitioning(__bkt" in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # offsets join, not shuffled
+
+
+def test_event_transitions_window_is_partitioned(spark, qs):
+    """The LEAD window must run under hashpartitioning(user_id) — a
+    global-order window (SinglePartition) would serialize the scan."""
+    plan = explain_str(qs["q_event_transitions"](spark, SF))
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_gini_ranks_inside_nation_partitions(spark, qs):
+    """Lorenz ranks come from a nation-partitioned window (every nation
+    sorts independently) and the name lookup broadcasts — no global
+    sort of customers, no shuffled dim join."""
+    plan = explain_str(qs["q_gini"](spark, SF))
+    assert "hashpartitioning(c_nationkey" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mad_robust_broadcasts_stats_not_data(spark, qs):
+    """Both percentile passes broadcast their 5-row statistics back to
+    the scan — the events rows themselves never shuffle-join."""
+    plan = explain_str(qs["q_mad_robust"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
