@@ -130,6 +130,8 @@ BREADTH = [
     "q_event_transitions",
     "q_mad_robust",
     "q_gini",
+    "q_multimodal_audio_frames",
+    "q_data_contract",
 ]
 
 

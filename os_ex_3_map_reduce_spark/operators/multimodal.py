@@ -295,6 +295,54 @@ def wav_audio_features(
     )
 
 
+def wav_frame_features(
+    df: DataFrame,
+    n_samples: int = 256,
+    sample_rate: int = 16000,
+    frame_len: int = 64,
+) -> DataFrame:
+    """Windowed DSP features over REAL decoded audio: per doc, the PCM
+    stream (same synth->RIFF encode->chunk-walk decode path as
+    :func:`wav_audio_features`) splits into fixed frames and each frame
+    emits exact-integer energy (sum of squares, int64) and
+    zero-crossing count (sign flips between consecutive samples within
+    the frame; "negative vs non-negative" so a 0 sample is handled
+    identically everywhere) — the front-end features (frame energy,
+    ZCR) of every classical speech/VAD pipeline, exact enough to
+    hash-verify against a pure-arithmetic oracle.
+    """
+    from ..functions.codecs import decode_wav_pcm16, encode_wav_pcm16
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        n_frames = n_samples // frame_len
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                samples = (((int(doc_id) * 31 + i * 17) % 4096) - 2048).astype(
+                    np.int16
+                )
+                decoded, _ = decode_wav_pcm16(
+                    encode_wav_pcm16(samples, sample_rate)
+                )
+                x = decoded.astype(np.int64)[: n_frames * frame_len]
+                frames = x.reshape(n_frames, frame_len)
+                energy = (frames * frames).sum(axis=1)
+                neg = frames < 0
+                zcr = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+                for f in range(n_frames):
+                    rows.append(
+                        (int(doc_id), f, int(energy[f]), int(zcr[f]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame", "energy", "zcr"]
+            )
+
+    return df.select("doc_id").mapInPandas(
+        batch, schema="doc_id long, frame int, energy long, zcr long"
+    )
+
+
 # --- binaryFile-source ingestion (the production media-lake path) --------
 
 _BMP_STAGE_CACHE: dict[tuple[str, int, int], str] = {}

@@ -227,6 +227,108 @@ def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_data_contract
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_data_contract",
+    oracle="""
+        SELECT 'orders_fk_customer' AS rule,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+                   AS n_violations
+        UNION ALL
+        SELECT 'orders_nonneg_price',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_totalprice < 0)
+        UNION ALL
+        SELECT 'events_value_range',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                WHERE value < 0 OR value > 500)
+        UNION ALL
+        SELECT 'events_year_bounds',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                WHERE year(ts) < 2020 OR year(ts) > 2030)
+        UNION ALL
+        SELECT 'documents_nonempty',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE text IS NULL OR length(text) = 0)
+        UNION ALL
+        SELECT 'lineitem_qty_positive',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_quantity <= 0)
+        ORDER BY rule
+    """,
+    doc="Data-contract validation suite (the expectations gate an "
+    "ingest runs before publishing a table version): six declarative "
+    "rules — referential integrity (orders->customer as a LEFT ANTI "
+    "join, the scalable FK check), range bounds, temporal sanity, "
+    "non-emptiness — each reported as (rule, n_checked, n_violations) "
+    "so the gate can distinguish 'clean', 'quarantine', and 'block "
+    "the publish'. Every rule is a filter + count over one scan "
+    "(conditional aggregation where the table repeats), the FK check "
+    "broadcasts the dim; exact integer counts end to end.",
+)
+def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rule(name: str, df: DataFrame, violation) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(violation.cast("long")).alias("n_violations"),
+        )
+
+    fk_orphans = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    fk = orders.agg(
+        F.lit("orders_fk_customer").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+    ).crossJoin(
+        F.broadcast(fk_orphans.agg(F.count(F.lit(1)).alias("n_violations")))
+    )
+    checks = [
+        fk,
+        rule("orders_nonneg_price", orders, F.col("o_totalprice") < 0),
+        rule(
+            "events_value_range",
+            events,
+            (F.col("value") < 0) | (F.col("value") > 500),
+        ),
+        rule(
+            "events_year_bounds",
+            events,
+            (F.year("ts_utc") < 2020) | (F.year("ts_utc") > 2030),
+        ),
+        rule(
+            "documents_nonempty",
+            docs,
+            F.col("text").isNull() | (F.length("text") == 0),
+        ),
+        rule("lineitem_qty_positive", li, F.col("l_quantity") <= 0),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
 # q_chi2_terms
 # ---------------------------------------------------------------------------
 

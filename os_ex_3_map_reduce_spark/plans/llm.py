@@ -1650,6 +1650,47 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_audio_frames",
+    oracle="""
+        WITH s AS (
+            SELECT d.doc_id, i.i // 64 AS frame, i.i % 64 AS j,
+                   ((d.doc_id * 31 + i.i * 17) % 4096) - 2048 AS v
+            FROM documents d, generate_series(0, 255) i(i)
+        ),
+        flags AS (
+            SELECT doc_id, frame, j, v,
+                   CASE WHEN v < 0 THEN 1 ELSE 0 END AS neg,
+                   LEAD(CASE WHEN v < 0 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id, frame ORDER BY j)
+                       AS next_neg
+            FROM s
+        )
+        SELECT doc_id, CAST(frame AS INTEGER) AS frame,
+               CAST(SUM(v * v) AS BIGINT) AS energy,
+               CAST(SUM(CASE WHEN next_neg IS NOT NULL
+                             AND neg <> next_neg THEN 1 ELSE 0 END)
+                    AS BIGINT) AS zcr
+        FROM flags
+        GROUP BY doc_id, frame
+    """,
+    doc="Windowed DSP features over REAL decoded audio (E5 depth): "
+    "four 64-sample frames per doc, each emitting exact-int64 energy "
+    "and zero-crossing count — the classical speech/VAD front-end, "
+    "computed from the true RIFF/WAVE encode->chunk-walk-decode "
+    "roundtrip in an Arrow-batched numpy kernel. The oracle rebuilds "
+    "the same frames by pure arithmetic (sign flips via LEAD within "
+    "frame), so the whole codec+DSP path hash-verifies. Zero "
+    "crossings use 'negative vs non-negative' so a 0-valued sample "
+    "behaves identically in kernel and SQL.",
+)
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import wav_frame_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_frame_features(docs)
+
+
+@register(
     "q_multimodal_wav",
     oracle="""
         WITH s AS (

@@ -64,6 +64,8 @@ MUST_BE_IN_WINDOW = {
     "q_event_transitions",
     "q_mad_robust",
     "q_gini",
+    "q_multimodal_audio_frames",
+    "q_data_contract",
 }
 
 
