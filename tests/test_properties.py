@@ -503,3 +503,36 @@ def test_prefix_sum_invariant_to_bucket_width(spark):
     for width in (1, 7, 256, 10_000):
         got = {(r.k, r.cum) for r in prefix_sum(df, "k", "w", width).collect()}
         assert got == ref, f"bucket_width={width} diverged"
+
+
+# ---------------------------------------------------------------------------
+# Z-order interleave (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_code_is_morton_bijection(spark):
+    """On an exact 16x16 grid the 4-bit/dim Z-value must be a bijection
+    onto [0, 256) matching the reference Morton interleave (dim 0 most
+    significant within each bit pair) — the property the zone-map
+    locality argument rests on."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.layout import zorder_value
+
+    grid = spark.range(256).select(
+        (F.col("id") / 16).cast("long").alias("x"),
+        (F.col("id") % 16).alias("y"),
+    )
+    with_bounds, z = zorder_value(grid, ["x", "y"], bits=4)
+    rows = with_bounds.withColumn("z", z).select("x", "y", "z").collect()
+
+    def morton(x, y):
+        out = 0
+        for bit in range(4):
+            out |= ((x >> bit) & 1) << (2 * bit + 1)
+            out |= ((y >> bit) & 1) << (2 * bit)
+        return out
+
+    got = {(r.x, r.y): r.z for r in rows}
+    assert sorted(got.values()) == list(range(256))  # bijection onto [0,256)
+    assert all(z == morton(x, y) for (x, y), z in got.items())
