@@ -139,6 +139,20 @@ SHOWCASE: dict[str, str] = {
         "points never hash-shuffle — only 8 aggregate rows cross the "
         "exchange."
     ),
+    "q_drift_ks": (
+        "Both empirical CDFs come from ONE shared two-level "
+        "prefix-sum scan: the per-distinct-value counts window under "
+        "hashpartitioning (parallel buckets), only the tiny "
+        "bucket-totals tier is SinglePartition, offsets re-attach via "
+        "BroadcastHashJoin, and the arg-max row exits through "
+        "TakeOrderedAndProject — never a global sort."
+    ),
+    "q_data_contract": (
+        "Each expectation is a conditional aggregate over one scan; "
+        "the referential-integrity rule plans the orphan probe as a "
+        "BroadcastHashJoin LeftAnti (dim broadcast, fact never "
+        "shuffles) — the scalable FK check."
+    ),
 }
 
 
