@@ -132,6 +132,7 @@ BREADTH = [
     "q_gini",
     "q_multimodal_audio_frames",
     "q_data_contract",
+    "q_sample_budget",
 ]
 
 

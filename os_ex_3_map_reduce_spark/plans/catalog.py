@@ -69,24 +69,27 @@ DRIVER_WINDOW = 50
 #: Round-7 priority prefix (exactly DRIVER_WINDOW names). History as of
 #: CORRECTNESS_r06: 116 registered (124 after this round's additions),
 #: 0 never-verified, 0 ERR; latest verdicts split 50 r6 / 48 r5 /
-#: 18 r2. Composition (18+3+1+23+5 = 50):
+#: 18 r2. Composition (18+3+1+24+4 = 50):
 #: - 18 whose last green verdict is round 2 (four rounds stale — the
 #:   oldest verdicts in the registry, VERDICT r6 "What's missing" #1);
 #: - 3 changed this round: the sketch queries whose rows-only checks
 #:   were upgraded to pinned-expectation exact oracles
 #:   (q_approx_distinct, q_approx_percentiles, q_sketch_heavyhitters);
 #: - 1 changed this round: q_simhash_neardup (exchange-fusion rework);
-#: - 23 new this round: q_bloom_semijoin, q_sessionize,
+#: - 24 new this round: q_bloom_semijoin, q_sessionize,
 #:   q_profile_stats, q_pii_redact, q_zorder_cluster,
 #:   q_incremental_agg, q_setsim_prefix, q_kmeans_assign, q_pagerank,
 #:   q_time_interpolate, q_sample_weighted, q_histogram_equidepth,
 #:   q_cohort_retention, q_outlier_zscore, q_funnel, q_drift_ks,
 #:   q_chi2_terms, q_trend_ols, q_event_transitions, q_mad_robust,
-#:   q_gini, q_multimodal_audio_frames, q_data_contract;
-#: - 5 oldest round-5 greens, front-loading the four perf-regressed
+#:   q_gini, q_multimodal_audio_frames, q_data_contract,
+#:   q_sample_budget;
+#: - 4 round-5 greens: exactly the four perf-regressed names under
+#:   re-measure this round, front-loading the four perf-regressed
 #:   names being re-measured this round (q_chargram_jaccard,
 #:   q_similarity_topk, q_hof_fns, q_mapreduce_wordcount).
-#: Next rotation (r8): the remaining 43 r5 names — q_agg_pricing_summary,
+#: Next rotation (r8): the remaining 44 r5 names — q_agg_distinct,
+#: q_agg_pricing_summary,
 #: q_ann_ivf_topk, q_ann_lsh_recall,
 #: q_ann_lsh_topk, q_contamination, q_cube, q_dedup_exact, q_dedup_stats,
 #: q_embedding_neardup, q_embedding_topk_pairs,
@@ -152,12 +155,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_gini",
     "q_multimodal_audio_frames",
     "q_data_contract",
+    "q_sample_budget",
     # oldest round-5 greens; perf-regressed names under re-measure first
     "q_chargram_jaccard",
     "q_similarity_topk",
     "q_hof_fns",
     "q_mapreduce_wordcount",
-    "q_agg_distinct",
 )
 
 

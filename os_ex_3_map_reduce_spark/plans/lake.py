@@ -227,6 +227,92 @@ def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_sample_budget
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sample_budget",
+    oracle="""
+        WITH tot AS (
+            SELECT CAST(SUM(n_chars) AS BIGINT) AS t,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS k
+            FROM documents
+        ),
+        per_src AS (
+            SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t_src
+            FROM documents GROUP BY source
+        ),
+        bounds AS (
+            SELECT source, t_src,
+                   printf('%08x', LEAST(4294967295,
+                       ((tot.t // 2 // tot.k) * 4294967296) // t_src))
+                       AS bound_hex
+            FROM per_src, tot
+        )
+        SELECT d.source, b.t_src, b.bound_hex,
+               CAST(SUM(CASE WHEN substr(md5(d.text), 1, 8) < b.bound_hex
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+               CAST(SUM(CASE WHEN substr(md5(d.text), 1, 8) < b.bound_hex
+                             THEN d.n_chars ELSE 0 END) AS BIGINT)
+                   AS chars_selected
+        FROM documents d JOIN bounds b USING (source)
+        GROUP BY d.source, b.t_src, b.bound_hex
+        ORDER BY d.source
+    """,
+    doc="Token-budget mixture sampling (the dataset-recipe primitive: "
+    "'build a corpus of B tokens with equal share per source'): the "
+    "global char budget (50% here) splits equally across sources, each "
+    "source's take-fraction becomes an exact integer hash bound "
+    "(budget_share * 2^32 div source_total, clamped — truncating "
+    "bigint arithmetic, no floats anywhere), and membership is "
+    "content-hash deterministic (md5 prefix < bound, compared as "
+    "fixed-width lowercase hex, which orders identically to the "
+    "integers; the clamp is 2^32-1 so the bound stays 8 hex chars — a "
+    "full-take source misses only a doc whose hash prefix is exactly "
+    "ffffffff, a 2^-32 edge recorded here). The same doc always lands "
+    "in the same snapshot on any "
+    "cluster; a re-run with new data moves only the bounds. Shape: "
+    "two tiny aggs broadcast onto one scan, group-by source.",
+)
+def q_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.sum("n_chars").alias("t"),
+        F.countDistinct("source").alias("k"),
+    )
+    per_src = docs.groupBy("source").agg(F.sum("n_chars").alias("t_src"))
+    bounds = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "t_src",
+        F.lower(
+            F.lpad(
+                F.hex(
+                    F.least(
+                        F.lit(4294967295),
+                        F.expr("((t div 2 div k) * 4294967296) div t_src"),
+                    )
+                ),
+                8,
+                "0",
+            )
+        ).alias("bound_hex"),
+    )
+    sel = F.substring(F.md5("text"), 1, 8) < F.col("bound_hex")
+    return (
+        docs.join(F.broadcast(bounds), "source")
+        .groupBy("source", "t_src", "bound_hex")
+        .agg(
+            F.sum(sel.cast("long")).alias("n_selected"),
+            F.sum(F.when(sel, F.col("n_chars")).otherwise(0)).alias(
+                "chars_selected"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_data_contract
 # ---------------------------------------------------------------------------
 

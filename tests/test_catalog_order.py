@@ -66,6 +66,7 @@ MUST_BE_IN_WINDOW = {
     "q_gini",
     "q_multimodal_audio_frames",
     "q_data_contract",
+    "q_sample_budget",
 }
 
 
