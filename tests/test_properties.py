@@ -536,3 +536,32 @@ def test_zorder_code_is_morton_bijection(spark):
     got = {(r.x, r.y): r.z for r in rows}
     assert sorted(got.values()) == list(range(256))  # bijection onto [0,256)
     assert all(z == morton(x, y) for (x, y), z in got.items())
+
+
+def test_zorder_generalizes_to_three_dims(spark):
+    """zorder_value is dimension-generic: on an 8x8x8 grid with 3
+    bits/dim the code must again be a bijection onto [0, 512) matching
+    the reference interleave (dim 0 most significant per bit group)."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.layout import zorder_value
+
+    grid = spark.range(512).select(
+        (F.col("id") / 64).cast("long").alias("x"),
+        ((F.col("id") / 8) % 8).cast("long").alias("y"),
+        (F.col("id") % 8).alias("z3"),
+    )
+    with_bounds, z = zorder_value(grid, ["x", "y", "z3"], bits=3)
+    rows = with_bounds.withColumn("code", z).select("x", "y", "z3", "code").collect()
+
+    def morton3(x, y, w):
+        out = 0
+        for bit in range(3):
+            out |= ((x >> bit) & 1) << (3 * bit + 2)
+            out |= ((y >> bit) & 1) << (3 * bit + 1)
+            out |= ((w >> bit) & 1) << (3 * bit)
+        return out
+
+    got = {(r.x, r.y, r.z3): r.code for r in rows}
+    assert sorted(got.values()) == list(range(512))
+    assert all(c == morton3(x, y, w) for (x, y, w), c in got.items())
