@@ -565,3 +565,50 @@ def test_zorder_generalizes_to_three_dims(spark):
     got = {(r.x, r.y, r.z3): r.code for r in rows}
     assert sorted(got.values()) == list(range(512))
     assert all(c == morton3(x, y, w) for (x, y, w), c in got.items())
+
+
+@pytest.mark.filterwarnings("ignore")
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=10).map(
+            lambda chars: " ".join(chars)
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_filter_complete_on_random_corpora(spark, docs, threshold):
+    """Hypothesis version of the completeness theorem: for ANY corpus
+    and threshold, the prefix-filter join returns exactly the pairs at
+    word-3-gram Jaccard >= t — the pigeonhole argument has no
+    shape-dependent escape hatch."""
+    from os_ex_3_map_reduce_spark.operators.setsim import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_pairs(df, threshold=threshold).collect()
+    }
+
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh(t) for i, t in enumerate(docs)}
+    want = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b
+        and sets[a] | sets[b]
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= threshold
+    }
+    assert got == want
