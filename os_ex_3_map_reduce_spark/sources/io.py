@@ -132,6 +132,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     schema: str | StructType | None = None,
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Small-files compaction — the table-maintenance pass every
     long-running ingestion pipeline needs: streaming/batch appends leave
@@ -139,7 +140,14 @@ def compact_table(
     footer overhead dominates scan cost.
 
     Rewrites ``path`` toward ``target_file_bytes``-sized files and
-    returns the planned file count. All filesystem operations (sizing
+    returns the planned file count. Pass ``cluster_by`` for a table
+    whose layout is clustered: compaction then range-partitions on
+    those columns and sorts within files, preserving lexicographic
+    clustering (tight per-file min/max zone maps on the leading
+    column(s)) instead of silently destroying it with the default hash
+    repartition — for a Z-ordered table pass its persisted Z column,
+    or re-derive it, since range on the raw dims is lexicographic, not
+    Morton. All filesystem operations (sizing
     listing, staging swap, cleanup) go through the Hadoop FileSystem
     API, so the same code runs on file:, hdfs:, and object-store
     connectors. Sizing reads listings only — never the data — and the
@@ -265,6 +273,21 @@ def compact_table(
             staged.toString(),
             fmt,
             partition_by=partition_by,
+            max_records_per_file=max_records,
+        )
+    elif cluster_by:
+        # clustering-preserving recompaction: a plain hash repartition
+        # would destroy any Z-order / sort clustering the table carries
+        # (and with it every downstream scan's zone-map skipping) — the
+        # classic silent regression of naive maintenance jobs. Range-
+        # partition on the cluster columns and keep files sorted, so
+        # per-file min/max stats stay tight through compaction.
+        write_table(
+            df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            ),
+            staged.toString(),
+            fmt,
             max_records_per_file=max_records,
         )
     else:

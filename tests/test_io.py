@@ -367,3 +367,35 @@ def test_corrupt_csv_rows_quarantine(spark, tmp_path):
     clean, bad = quarantine_split(df)
     assert {(r.id, r.v) for r in clean.collect()} == {(1, "a"), (3, "c")}
     assert bad.count() == 1
+
+
+def test_compact_cluster_by_preserves_zone_maps(spark, tmp_path):
+    """Maintenance must not undo layout: compacting a sorted table with
+    cluster_by keeps per-file min/max spans tight (zone-map skipping
+    survives), where the default hash repartition would spread every
+    file across the full key range."""
+    from os_ex_3_map_reduce_spark.operators.layout import file_zone_maps
+    from os_ex_3_map_reduce_spark.sources.io import compact_table, read_table
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(0, 40000).selectExpr("id AS k", "id % 97 AS v")
+    # sorted-but-fragmented: 40 small files, each a contiguous k range
+    df.repartitionByRange(40, "k").sortWithinPartitions("k").write.parquet(path)
+
+    total = sum(
+        f.stat().st_size for f in (tmp_path / "sorted").rglob("*.parquet")
+    )
+    compact_table(
+        spark, path, target_file_bytes=max(1, total // 4), cluster_by=["k"]
+    )
+    maps = file_zone_maps(path, ["k"])
+    assert 2 <= len(maps) <= 6  # genuinely compacted
+    span = 40000
+    for m in maps:
+        file_span = m["max_k"] - m["min_k"]
+        assert file_span < 0.6 * span, (
+            f"clustered compaction produced a loose file: {m}"
+        )
+    back = read_table(spark, path)
+    assert back.count() == 40000
+    assert back.selectExpr("sum(k)").first()[0] == 39999 * 40000 // 2
