@@ -333,3 +333,44 @@ def test_transform_with_state_gated_on_protobuf(spark):
     assert {(r.user_id, r.n_events) for r in got.collect()} == {
         (r.user_id, r["count"]) for r in want.collect()
     }
+
+
+def test_stateful_op_portable_to_rocksdb_state_store(spark):
+    """The production state backend: at 100 TB of keys the HDFS-backed
+    in-memory state store is not viable — RocksDB keeps state off-heap
+    and incrementally checkpointed. The custom stateful operator must
+    produce IDENTICAL results under both providers (state semantics
+    are backend-independent), which also proves the bundled RocksDB
+    JNI path actually runs in this environment."""
+    from os_ex_3_map_reduce_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+        running_user_totals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = spark.conf.get(conf_key)
+
+    def totals():
+        out = running_user_totals(events_stream(spark, sf))
+        name = run_stream_to_memory(out, mode="update")
+        return sorted(
+            (r.user_id, r.n_events)
+            for r in spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+            .collect()
+        )
+
+    try:
+        base = totals()
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = totals()
+    finally:
+        spark.conf.set(conf_key, default_provider)
+    assert base == rocks and len(base) > 0
