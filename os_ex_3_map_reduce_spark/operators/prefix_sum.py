@@ -101,12 +101,23 @@ def pps_systematic_sample(
 ) -> DataFrame:
     """Select ~``k`` rows with probability proportional to
     ``weight_col`` via stride sampling over the exact prefix sum.
-    Deterministic: same input → same sample, on any cluster layout."""
+    Deterministic: same input → same sample, on any cluster layout.
+
+    Degenerate inputs: when the total weight is below ``k`` (including
+    an empty input, where the total aggregates to NULL) the raw stride
+    ``t div k`` would be 0 and the selection predicate would divide by
+    zero — a hard ANSI-mode runtime error. The stride is therefore
+    clamped to ``greatest(1, t div k)``: with stride 1 every
+    positive-weight row is a certainty unit (selected), the only
+    consistent PPS reading of "asked for more sample mass than
+    exists" (ADVICE r7)."""
+    if k <= 0:
+        raise ValueError(f"pps_systematic_sample: k must be positive, got {k}")
     with_cum = prefix_sum(df, order_col, weight_col, bucket_width)
     total = with_cum.agg(F.sum(F.col(weight_col).cast("long")).alias("t"))
     return (
         with_cum.crossJoin(F.broadcast(total))
-        .withColumn("__s", F.expr(f"t div {k}"))
+        .withColumn("__s", F.expr(f"greatest(1, t div {k})"))
         .where(
             F.expr(f"cum div __s > (cum - cast({weight_col} as bigint)) div __s")
         )

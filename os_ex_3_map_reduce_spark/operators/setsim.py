@@ -126,7 +126,10 @@ def prefix_filter_pairs(
         .where(F.col("jaccard") >= F.lit(float(threshold)))
         .select("doc_a", "doc_b", "inter", "union_", "jaccard")
     )
-    out._osx3_per_doc = per_doc  # type: ignore[attr-defined]
+    # Internal persisted relations, exposed under the same attribute
+    # name graph.py uses so callers of any non-eager operator share one
+    # unpersist idiom (tests use collect_unpersist; ADVICE r7).
+    out._osx3_persists = [per_doc]  # type: ignore[attr-defined]
     return out
 
 
@@ -136,8 +139,9 @@ def prefix_filter_pairs_eager(docs: DataFrame, **kwargs) -> DataFrame:
     token relation so repeated invocations don't accumulate cached
     blocks (same lifecycle as ``minhash_lsh_pairs_eager``)."""
     pairs = prefix_filter_pairs(docs, **kwargs)
-    per_doc = pairs._osx3_per_doc  # type: ignore[attr-defined]
+    held = pairs._osx3_persists  # type: ignore[attr-defined]
     out = pairs.persist()
     out.count()
-    per_doc.unpersist()
+    for df in held:
+        df.unpersist()
     return out

@@ -147,7 +147,10 @@ def compact_table(
     column(s)) instead of silently destroying it with the default hash
     repartition — for a Z-ordered table pass its persisted Z column,
     or re-derive it, since range on the raw dims is lexicographic, not
-    Morton. All filesystem operations (sizing
+    Morton. ``partition_by`` and ``cluster_by`` COMPOSE: both together
+    range-partition on (partition cols, cluster cols), so hive dirs and
+    per-file clustering are both preserved through compaction. All
+    filesystem operations (sizing
     listing, staging swap, cleanup) go through the Hadoop FileSystem
     API, so the same code runs on file:, hdfs:, and object-store
     connectors. Sizing reads listings only — never the data — and the
@@ -222,7 +225,31 @@ def compact_table(
     n_records = df.count()
     max_records = max(1, math.floor(n_records * target_file_bytes / max(total, 1)))
 
-    if partition_by:
+    if partition_by and cluster_by:
+        # Both layouts at once (hive dirs + clustered files): range-
+        # partition on (partition cols, cluster cols) so each task holds
+        # contiguous partition values and, within a partition value,
+        # a contiguous cluster range — the writer's partitionBy() then
+        # splits tasks across leaf dirs while files within a leaf keep
+        # disjoint, sorted cluster ranges (tight zone maps survive).
+        # Range sampling balances task sizes by rows, so the per-leaf
+        # hash-bucket sizing below is unnecessary here;
+        # maxRecordsPerFile still backstops oversized tasks. (The old
+        # if/elif silently dropped cluster_by — compacting a
+        # partitioned-and-clustered table destroyed its clustering,
+        # exactly the silent maintenance regression this function
+        # exists to prevent; ADVICE r7.)
+        order_cols = list(partition_by) + list(cluster_by)
+        write_table(
+            df.repartitionByRange(n_files, *order_cols).sortWithinPartitions(
+                *order_cols
+            ),
+            staged.toString(),
+            fmt,
+            partition_by=partition_by,
+            max_records_per_file=max_records,
+        )
+    elif partition_by:
         # per-leaf-partition byte sizes from the listing: the leaf dir's
         # relative path is the hive-encoded partition tuple
         prefix = live.toString().rstrip("/") + "/"
