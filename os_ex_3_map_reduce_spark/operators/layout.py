@@ -81,6 +81,7 @@ def zorder_write(
     path: str,
     n_files: int = 16,
     bits: int = 4,
+    keep_z_col: str | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered by the Z-order of ``cols``.
 
@@ -88,18 +89,28 @@ def zorder_write(
     contiguous Z range; ``sortWithinPartitions`` makes parquet row-group
     stats monotone within the file as well. Downstream scans with a
     predicate on ANY of ``cols`` skip most files via footer min/max.
+
+    ``keep_z_col``: persist the Morton code in the written table under
+    this name. A maintenance pass later re-compacting the table passes
+    exactly this column as ``compact_table(cluster_by=[...])`` — range
+    on the persisted Z IS Morton order, whereas range on the raw dims
+    would be lexicographic and quietly trade the multi-dim locality for
+    single-dim locality. (Measured survival evidence in
+    tests/test_io.py::test_compact_preserves_zorder_clustering and
+    PLANS.md.)
     """
     with_bounds, z = zorder_value(df, cols, bits=bits)
     drop = [c for c in with_bounds.columns if c.startswith("__min_") or c.startswith("__max_")]
-    (
-        with_bounds.withColumn("__z", z)
+    zname = keep_z_col or "__z"
+    staged = (
+        with_bounds.withColumn(zname, z)
         .drop(*drop)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
+        .repartitionByRange(n_files, zname)
+        .sortWithinPartitions(zname)
     )
+    if keep_z_col is None:
+        staged = staged.drop(zname)
+    staged.write.mode("overwrite").parquet(path)
 
 
 def file_zone_maps(path: str, cols: list[str]) -> list[dict]:

