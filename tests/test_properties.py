@@ -23,6 +23,18 @@ from os_ex_3_map_reduce_spark.operators.map_reduce import (
     run_map_reduce,
 )
 
+def collect_unpersist(df):
+    """Collect a non-eager operator result, then unpersist the internal
+    relations it pinned (exposed via ``_osx3_persists``) — direct
+    non-eager callers otherwise accumulate cached blocks for the
+    session's lifetime (ADVICE r7)."""
+    try:
+        return df.collect()
+    finally:
+        for held in getattr(df, "_osx3_persists", ()):
+            held.unpersist()
+
+
 KEYS = st.text(
     alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
     min_size=0,
@@ -422,7 +434,7 @@ def test_prefix_filter_join_is_complete_and_exact(spark):
 
     got = {
         (r.doc_a, r.doc_b)
-        for r in prefix_filter_pairs(df, threshold=0.5).collect()
+        for r in collect_unpersist(prefix_filter_pairs(df, threshold=0.5))
     }
 
     def shingles(text):
@@ -462,9 +474,9 @@ def test_pagerank_exact_under_any_partitioning(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
-        a = sorted((r.node, r.rank) for r in pagerank(edges, 4).collect())
+        a = sorted((r.node, r.rank) for r in collect_unpersist(pagerank(edges, 4)))
         spark.conf.set("spark.sql.shuffle.partitions", "29")
-        b = sorted((r.node, r.rank) for r in pagerank(edges, 4).collect())
+        b = sorted((r.node, r.rank) for r in collect_unpersist(pagerank(edges, 4)))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b
@@ -472,6 +484,32 @@ def test_pagerank_exact_under_any_partitioning(spark):
     total = sum(r for _, r in a)
     assert total <= SCALE  # truncating division never creates mass
     assert total > SCALE * 0.99  # floor leak stays tiny
+
+
+def test_pagerank_checkpointing_is_invisible_and_bounds_plan(spark):
+    """VERDICT r7 #4: lineage checkpointing must change NOTHING about
+    the result (bit-identical integer ranks at 12 iterations) while
+    keeping the plan bounded — the uncheckpointed optimized plan grows
+    with every iteration, the checkpointed one restarts from a
+    LogicalRDD scan after each truncation."""
+    from os_ex_3_map_reduce_spark.operators.graph import pagerank
+
+    rows = [(f"n{i}", f"n{(i * 3 + 1) % 40}") for i in range(40)]
+    rows += [(b, a) for a, b in rows]
+    edges = spark.createDataFrame(sorted(set(rows)), "src string, dst string")
+
+    plain = pagerank(edges, 12, checkpoint_every=None)
+    ckpt = pagerank(edges, 12, checkpoint_every=5)
+    plan_plain = plain._jdf.queryExecution().optimizedPlan().toString()
+    plan_ckpt = ckpt._jdf.queryExecution().optimizedPlan().toString()
+    # the checkpointed plan holds only the post-truncation iterations
+    assert len(plan_ckpt) < 0.5 * len(plan_plain), (
+        len(plan_ckpt),
+        len(plan_plain),
+    )
+    a = sorted((r.node, r.rank) for r in collect_unpersist(plain))
+    b = sorted((r.node, r.rank) for r in collect_unpersist(ckpt))
+    assert a == b and len(a) == 40
 
 
 # ---------------------------------------------------------------------------
@@ -503,6 +541,30 @@ def test_prefix_sum_invariant_to_bucket_width(spark):
     for width in (1, 7, 256, 10_000):
         got = {(r.k, r.cum) for r in prefix_sum(df, "k", "w", width).collect()}
         assert got == ref, f"bucket_width={width} diverged"
+
+
+def test_pps_sample_degenerate_inputs(spark):
+    """k above the total weight (and the empty input) must not hit the
+    stride-0 integer division ANSI error (ADVICE r7): the stride clamps
+    to 1, which selects every positive-weight row — the certainty-unit
+    reading of an over-asked PPS sample."""
+    import pytest as _pytest
+
+    from os_ex_3_map_reduce_spark.operators.prefix_sum import (
+        pps_systematic_sample,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 1), (3, 3)], "k long, w long")
+    got = sorted(
+        r.k for r in pps_systematic_sample(df, "k", "w", k=100).collect()
+    )
+    assert got == [1, 2, 3]  # total weight 6 < k: all certainty units
+
+    empty = spark.createDataFrame([], "k long, w long")
+    assert pps_systematic_sample(empty, "k", "w", k=5).collect() == []
+
+    with _pytest.raises(ValueError, match="k must be positive"):
+        pps_systematic_sample(df, "k", "w", k=0)
 
 
 # ---------------------------------------------------------------------------
@@ -595,7 +657,7 @@ def test_prefix_filter_complete_on_random_corpora(spark, docs, threshold):
     )
     got = {
         (r.doc_a, r.doc_b)
-        for r in prefix_filter_pairs(df, threshold=threshold).collect()
+        for r in collect_unpersist(prefix_filter_pairs(df, threshold=threshold))
     }
 
     def sh(t):
