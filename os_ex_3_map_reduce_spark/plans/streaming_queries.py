@@ -182,7 +182,14 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Custom stateful operator (applyInPandasWithState): per-user "
     "running totals carried in GroupState across micro-batches; each "
     "batch emits the cumulative count, so max-per-user equals the "
-    "batch COUNT(*) no matter how the replay was batched.",
+    "batch COUNT(*) no matter how the replay was batched. State-backend "
+    "A/B (r8, sf0.1, 1500 user keys, 3 runs each under one fixed "
+    "harness): HDFS-backed provider 1.9-2.4 s vs RocksDB 2.0-2.1 s — "
+    "wall parity at this key count, while stateOperators."
+    "memoryUsedBytes reads 302 KB (HDFS, state on-heap) vs 35 KB "
+    "(RocksDB, state off-heap in native memory) — the 100 TB argument: "
+    "RocksDB's heap footprint is bookkeeping-only, so executor heap "
+    "stops bounding key cardinality at no measured throughput cost.",
 )
 def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir)
@@ -225,7 +232,19 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(6.0 s). Output is batch-identical either way (row-count and "
     "equality test), so the query ships the single-batch plan; the "
     "remaining ~3 s is the symmetric-hash join's honest cost of "
-    "state-keying both sides and the final eviction scan.",
+    "state-keying both sides and the final eviction scan. "
+    "State-depth evidence (r8, sf0.1, one fixed harness, 3 runs each): "
+    "peak stateOperators.numRowsTotal 200,002 (both sides keyed: "
+    "2x(100k events + sentinel)), numRowsRemoved 100,000 — watermark "
+    "eviction FIRES during the bounded replay and drains the store, "
+    "asserted per-provider in tests/test_streaming.py. Provider A/B: "
+    "HDFS-backed 5.3-5.4 s / 47.7 MB on-heap state vs RocksDB "
+    "8.7-11.4 s / 15.5 MB heap — at this state size the HDFS provider "
+    "is ~1.6x faster (RocksDB pays JNI + per-commit SST overhead), "
+    "but its state lives on-heap; RocksDB's 3x smaller heap footprint "
+    "is what scales to the 10^8-key stores where the in-memory "
+    "provider OOMs. The engine keeps Spark's default provider and "
+    "documents the crossover rather than hard-coding RocksDB.",
 )
 def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = sentinel_events_dir(spark, sf_dir)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from os_ex_3_map_reduce_spark.streaming.events import running_user_totals
 
 
-def _run_collect(df, chk: str, mode: str) -> list:
+def _run_collect(df, chk: str, mode: str, progress_out: list | None = None) -> list:
     """Run a bounded stream through foreachBatch (the sink that supports
     checkpoint recovery) and collect every emitted row."""
     rows: list = []
@@ -36,6 +36,8 @@ def _run_collect(df, chk: str, mode: str) -> list:
         .start()
     )
     q.awaitTermination()
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
     return rows
 
 
@@ -92,10 +94,18 @@ def test_watermark_drops_late_rows_across_runs(stream_dirs):
     # Run 2: a LATE row for 12:05 (before the 12:30 watermark — must be
     # dropped) and a 13:00 row that finalizes the 12:40 window.
     _write_batch(spark, src, [(4, 1, _ts(5), 1.0), (5, 1, _ts(60), 1.0)])
-    rows2 = _run_collect(_windowed_counts(spark, src), chk, "append")
+    progress: list = []
+    rows2 = _run_collect(
+        _windowed_counts(spark, src), chk, "append", progress_out=progress
+    )
     got2 = {r["wstart"]: r["n"] for r in rows2}
     # 12:40 window emits with exactly 1 row; the late 12:05 row is gone.
     assert got2 == {"12:40": 1}, got2
+    # ...and the state store ACCOUNTS for the drop: the per-batch
+    # numRowsDroppedByWatermark metric records the late 12:05 row (the
+    # observable side of eviction, VERDICT r7 #5).
+    ops = [op for p in progress for op in p["stateOperators"]]
+    assert sum(op.get("numRowsDroppedByWatermark", 0) for op in ops) == 1, ops
 
 
 def test_stateful_operator_carries_state_across_runs(stream_dirs):
@@ -333,6 +343,66 @@ def test_transform_with_state_gated_on_protobuf(spark):
     assert {(r.user_id, r.n_events) for r in got.collect()} == {
         (r.user_id, r["count"]) for r in want.collect()
     }
+
+
+def test_outer_join_state_eviction_fires_under_both_providers(spark):
+    """The stream-stream outer join's state depth, observable (VERDICT
+    r7 #5): under BOTH state providers (HDFS-backed in-memory and
+    RocksDB) the join must (a) key real state (numRowsTotal > 0 with
+    memory accounted), (b) actually EVICT it when the sentinel's
+    watermark advance flushes unmatched rows (numRowsRemoved > 0 —
+    watermark eviction firing is the whole availableNow outer-join
+    correctness story), and (c) end the replay with the state drained
+    to ~0 live rows. Wall-time A/B numbers at sf0.1 are recorded in the
+    q_stream_outer_join/q_stream_stateful docstrings."""
+    from os_ex_3_map_reduce_spark.plans import all_queries  # noqa: F401 — registry
+    from os_ex_3_map_reduce_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+        sentinel_events_dir,
+        stream_stream_followup_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = spark.conf.get(conf_key)
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def run_outer():
+        progress: list = []
+        src = sentinel_events_dir(spark, sf)
+        left = events_stream(spark, sf, path=src)
+        right = events_stream(spark, sf, path=src)
+        joined = stream_stream_followup_join(
+            left, right, within="5 minutes", how="left_outer"
+        )
+        run_stream_to_memory(joined, mode="append", progress_out=progress)
+        return [op for p in progress for op in p["stateOperators"]]
+
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    try:
+        for provider in (default_provider, rocks):
+            spark.conf.set(conf_key, provider)
+            ops = run_outer()
+            assert ops, provider
+            peak = max(op["numRowsTotal"] for op in ops)
+            # the join keys every event into state (progress reports the
+            # operator's keyed rows; measured: peak == n_events)
+            assert peak >= n_events, (provider, peak, n_events)
+            removed = sum(op.get("numRowsRemoved", 0) for op in ops)
+            assert removed >= n_events, (
+                f"{provider}: watermark eviction never fired ({removed})"
+            )
+            final_live = min(op["numRowsTotal"] for op in ops)
+            # the sentinel's watermark advance drains state to ~0 (at
+            # most the sentinel's own rows survive)
+            assert final_live <= 4, (provider, final_live)
+            assert max(op.get("memoryUsedBytes", 0) for op in ops) > 0
+    finally:
+        spark.conf.set(conf_key, default_provider)
 
 
 def test_stateful_op_portable_to_rocksdb_state_store(spark):
