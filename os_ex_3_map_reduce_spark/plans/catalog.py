@@ -66,101 +66,82 @@ def _load_all() -> None:
 #: first, ~30 swaps per round so the stale tail keeps refreshing.
 DRIVER_WINDOW = 50
 
-#: Round-7 priority prefix (exactly DRIVER_WINDOW names). History as of
-#: CORRECTNESS_r06: 116 registered (124 after this round's additions),
-#: 0 never-verified, 0 ERR; latest verdicts split 50 r6 / 48 r5 /
-#: 18 r2. Composition (18+3+1+24+4 = 50):
-#: - 18 whose last green verdict is round 2 (four rounds stale — the
-#:   oldest verdicts in the registry, VERDICT r6 "What's missing" #1);
-#: - 3 changed this round: the sketch queries whose rows-only checks
-#:   were upgraded to pinned-expectation exact oracles
-#:   (q_approx_distinct, q_approx_percentiles, q_sketch_heavyhitters);
-#: - 1 changed this round: q_simhash_neardup (exchange-fusion rework);
-#: - 24 new this round: q_bloom_semijoin, q_sessionize,
-#:   q_profile_stats, q_pii_redact, q_zorder_cluster,
-#:   q_incremental_agg, q_setsim_prefix, q_kmeans_assign, q_pagerank,
-#:   q_time_interpolate, q_sample_weighted, q_histogram_equidepth,
-#:   q_cohort_retention, q_outlier_zscore, q_funnel, q_drift_ks,
-#:   q_chi2_terms, q_trend_ols, q_event_transitions, q_mad_robust,
-#:   q_gini, q_multimodal_audio_frames, q_data_contract,
-#:   q_sample_budget;
-#: - 4 round-5 greens: exactly the four perf-regressed names under
-#:   re-measure this round, front-loading the four perf-regressed
-#:   names being re-measured this round (q_chargram_jaccard,
-#:   q_similarity_topk, q_hof_fns, q_mapreduce_wordcount).
-#: Next rotation (r8): the remaining 44 r5 names — q_agg_distinct,
-#: q_agg_pricing_summary,
-#: q_ann_ivf_topk, q_ann_lsh_recall,
-#: q_ann_lsh_topk, q_contamination, q_cube, q_dedup_exact, q_dedup_stats,
-#: q_embedding_neardup, q_embedding_topk_pairs,
-#: q_filter_project, q_fingerprint,
-#: q_fingerprint_rolling, q_grouping_sets, q_having,
-#: q_job_control, q_join_broadcast, q_join_semi, q_join_sortmerge,
-#: q_lang_id, q_mapreduce_join, q_minhash_neardup, q_multimodal_bmp,
-#: q_multimodal_metadata, q_multimodal_wav, q_neardup_components,
-#: q_neardup_editdist, q_normalize_text, q_pipeline_clean_corpus,
-#: q_pivot, q_recursive_cte, q_repetition, q_rollup, q_salted_join,
-#: q_sample_hash, q_stream_partitioned_source, q_stream_python_source,
-#: q_text_quality, q_tfidf_top_terms, q_token_stats, q_udaf_sumsq,
-#: q_udtf_bigrams, q_wordcount — plus anything that changes in round
-#: 8's build (the list is >window-size; keep the overflow first in
-#: line for r9).
+#: Round-8 priority prefix (exactly DRIVER_WINDOW names). History as of
+#: CORRECTNESS_r07: 140 registered, 0 never-verified, 0 ERR, 0 failures
+#: at latest check; latest verdicts split 50 r7 / 46 r6 / 44 r5 —
+#: VERDICT r7 directive #1: rotate the window onto the 44 round-5-stale
+#: names. Composition (3+44+3 = 50):
+#: - 3 changed this round, re-verify first: q_kmeans_assign (explicit
+#:   half-away-from-zero fixed-point rule on the Spark side, ADVICE r7),
+#:   q_sample_weighted (PPS stride clamped greatest(1, t div k) against
+#:   the k-over-total ANSI division-by-zero, ADVICE r7), q_pagerank
+#:   (checkpoint_every lineage truncation added — inert at the query's
+#:   5 iterations but the implementation moved, so it re-verifies);
+#: - all 44 round-5-stale names (the full directive list — it fits);
+#:   q_ann_lsh_topk among them additionally changed: its rows-only
+#:   check upgraded to a pinned-expectation exact oracle (VERDICT r7
+#:   #7), same pattern the r7 sketch queries used;
+#: - 3 round-6 greens to fill the window: the judge's two perf watch
+#:   items (q_stream_outer_join, q_stream_cdc_apply — fresh external
+#:   verdicts alongside their r8 state-metrics evidence) and
+#:   q_merge_upsert (the mutation-surface piece CDC composes with).
+#: After r8 the expected distribution is 50 r8 / 47 r7 / 43 r6 —
+#: nothing older than two rounds. Next rotation (r9): the remaining 43
+#: r6 names, oldest first, plus anything round 9 changes.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # last green in round 2 (stalest verdicts in the registry)
-    "q_above_nation_avg",
-    "q_agg_filtered",
-    "q_array_fns",
-    "q_case_when",
-    "q_date_parts",
-    "q_date_trunc",
-    "q_join_cross",
-    "q_join_nullsafe",
-    "q_map_fns",
-    "q_math_fns",
-    "q_percentiles",
-    "q_regexp_fns",
-    "q_set_ops_all",
-    "q_shipping_priority",
-    "q_string_fns",
-    "q_unpivot",
-    "q_window_misc",
-    "q_window_range_frame",
-    # changed in round 7: rows-only -> pinned exact oracles
-    "q_approx_distinct",
-    "q_approx_percentiles",
-    "q_sketch_heavyhitters",
-    # changed in round 7: exchange-fusion rework
-    "q_simhash_neardup",
-    # new in round 7 -> verify immediately
-    "q_bloom_semijoin",
-    "q_sessionize",
-    "q_profile_stats",
-    "q_pii_redact",
-    "q_zorder_cluster",
-    "q_incremental_agg",
-    "q_setsim_prefix",
+    # changed in round 8 -> re-verify immediately
     "q_kmeans_assign",
-    "q_pagerank",
-    "q_time_interpolate",
     "q_sample_weighted",
-    "q_histogram_equidepth",
-    "q_cohort_retention",
-    "q_outlier_zscore",
-    "q_funnel",
-    "q_drift_ks",
-    "q_chi2_terms",
-    "q_trend_ols",
-    "q_event_transitions",
-    "q_mad_robust",
-    "q_gini",
-    "q_multimodal_audio_frames",
-    "q_data_contract",
-    "q_sample_budget",
-    # oldest round-5 greens; perf-regressed names under re-measure first
-    "q_chargram_jaccard",
-    "q_similarity_topk",
-    "q_hof_fns",
-    "q_mapreduce_wordcount",
+    "q_pagerank",
+    # the 44 round-5-stale names (VERDICT r7 directive #1)
+    "q_agg_distinct",
+    "q_agg_pricing_summary",
+    "q_ann_ivf_topk",
+    "q_ann_lsh_recall",
+    "q_ann_lsh_topk",  # also changed r8: pinned exact oracle
+    "q_contamination",
+    "q_cube",
+    "q_dedup_exact",
+    "q_dedup_stats",
+    "q_embedding_neardup",
+    "q_embedding_topk_pairs",
+    "q_filter_project",
+    "q_fingerprint",
+    "q_fingerprint_rolling",
+    "q_grouping_sets",
+    "q_having",
+    "q_job_control",
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_join_sortmerge",
+    "q_lang_id",
+    "q_mapreduce_join",
+    "q_minhash_neardup",
+    "q_multimodal_bmp",
+    "q_multimodal_metadata",
+    "q_multimodal_wav",
+    "q_neardup_components",
+    "q_neardup_editdist",
+    "q_normalize_text",
+    "q_pipeline_clean_corpus",
+    "q_pivot",
+    "q_recursive_cte",
+    "q_repetition",
+    "q_rollup",
+    "q_salted_join",
+    "q_sample_hash",
+    "q_stream_partitioned_source",
+    "q_stream_python_source",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_token_stats",
+    "q_udaf_sumsq",
+    "q_udtf_bigrams",
+    "q_wordcount",
+    # round-6 greens filling the window: perf watch items + mutation
+    "q_stream_outer_join",
+    "q_stream_cdc_apply",
+    "q_merge_upsert",
 )
 
 

@@ -11,62 +11,61 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
     all_queries,
 )
 
-# Queries with no external verdict yet, or whose behavior changed this
-# round — MUST be inside the verification window (round 7: the 18
-# round-2-stale names from VERDICT r6 "What's missing" #1, the three
-# sketch queries whose oracles were upgraded from rows-only to pinned
-# expectations this round, and the reworked simhash).
+# Queries whose behavior changed this round, plus the round-5-stale
+# rotation set — MUST be inside the verification window (round 8:
+# VERDICT r7 directive #1 names the 44 r5-stale queries; the three
+# r8-changed queries re-verify first).
 MUST_BE_IN_WINDOW = {
-    # last green in round 2 — four rounds stale
-    "q_above_nation_avg",
-    "q_agg_filtered",
-    "q_array_fns",
-    "q_case_when",
-    "q_date_parts",
-    "q_date_trunc",
-    "q_join_cross",
-    "q_join_nullsafe",
-    "q_map_fns",
-    "q_math_fns",
-    "q_percentiles",
-    "q_regexp_fns",
-    "q_set_ops_all",
-    "q_shipping_priority",
-    "q_string_fns",
-    "q_unpivot",
-    "q_window_misc",
-    "q_window_range_frame",
-    # oracle upgraded this round (rows-only -> pinned expectation)
-    "q_approx_distinct",
-    "q_approx_percentiles",
-    "q_sketch_heavyhitters",
-    # implementation reworked this round
-    "q_simhash_neardup",
-    # new in round 7
-    "q_bloom_semijoin",
-    "q_sessionize",
-    "q_profile_stats",
-    "q_pii_redact",
-    "q_zorder_cluster",
-    "q_incremental_agg",
-    "q_setsim_prefix",
+    # changed in round 8
     "q_kmeans_assign",
-    "q_pagerank",
-    "q_time_interpolate",
     "q_sample_weighted",
-    "q_histogram_equidepth",
-    "q_cohort_retention",
-    "q_outlier_zscore",
-    "q_funnel",
-    "q_drift_ks",
-    "q_chi2_terms",
-    "q_trend_ols",
-    "q_event_transitions",
-    "q_mad_robust",
-    "q_gini",
-    "q_multimodal_audio_frames",
-    "q_data_contract",
-    "q_sample_budget",
+    "q_pagerank",
+    # the 44 round-5-stale names (q_ann_lsh_topk also changed:
+    # rows-only upgraded to a pinned exact oracle)
+    "q_agg_distinct",
+    "q_agg_pricing_summary",
+    "q_ann_ivf_topk",
+    "q_ann_lsh_recall",
+    "q_ann_lsh_topk",
+    "q_contamination",
+    "q_cube",
+    "q_dedup_exact",
+    "q_dedup_stats",
+    "q_embedding_neardup",
+    "q_embedding_topk_pairs",
+    "q_filter_project",
+    "q_fingerprint",
+    "q_fingerprint_rolling",
+    "q_grouping_sets",
+    "q_having",
+    "q_job_control",
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_join_sortmerge",
+    "q_lang_id",
+    "q_mapreduce_join",
+    "q_minhash_neardup",
+    "q_multimodal_bmp",
+    "q_multimodal_metadata",
+    "q_multimodal_wav",
+    "q_neardup_components",
+    "q_neardup_editdist",
+    "q_normalize_text",
+    "q_pipeline_clean_corpus",
+    "q_pivot",
+    "q_recursive_cte",
+    "q_repetition",
+    "q_rollup",
+    "q_salted_join",
+    "q_sample_hash",
+    "q_stream_partitioned_source",
+    "q_stream_python_source",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_token_stats",
+    "q_udaf_sumsq",
+    "q_udtf_bigrams",
+    "q_wordcount",
 }
 
 
