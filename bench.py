@@ -222,6 +222,27 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # The driver captures the LAST lines of output (a tail); as the
+    # breadth set grew, the single full JSON line outran the capture and
+    # BENCH_r07.json lost the headline numbers (VERDICT r7 "What's
+    # wrong" #1). Emit a second, compact, headline-only line LAST so the
+    # tail always retains a parseable headline record.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_warm_sec",
+                "value": headline_total,
+                "unit": "sec",
+                "sf": sf_val,
+                "headline": {m: timings[m] for m in HEADLINE if m in timings},
+                "noise_rel_halfspread": out["noise_rel_halfspread"],
+                "n_breadth_queries_timed": len(
+                    [q for q in timings if q not in HEADLINE]
+                ),
+                "full_record": "previous line",
+            }
+        )
+    )
     spark.stop()
 
 

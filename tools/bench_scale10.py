@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Second bench draw at a synthetic 10x scale (VERDICT r7 #8): the
+sf0.1 bench cannot distinguish linear operators from quietly
+super-linear ones — a 10x input catches O(n^2)/O(n log^2 n) blowups
+while still fitting this box.
+
+Staging (one-time per run, under /tmp): events, documents and
+embeddings from sf0.1 are replicated 10x with DISJOINT key spaces —
+event ids/users shift per copy (10x more users at the same per-user
+density: the scale-out shape), document tokens get a per-copy suffix
+(every copy's shingle space is disjoint, so near-dup pair counts scale
+exactly 10x — naively duplicating text would instead create ~45
+cross-copy near-dup pairs per doc and measure a quadratic *fixture*,
+not a quadratic operator), embedding vec_ids shift. Other tables
+symlink to sf0.1.
+
+Queries: heavy batch operators over the three scaled tables, one per
+family — near-dup fingerprinting (simhash), n-gram similarity
+(chargram), shuffle-heavy text agg (wordcount + tf-idf), event
+sessionization, and bucketed ANN (lsh topk). Exclusions, deliberate:
+queries built on `_cached_df` per-process caches (q_setsim_prefix,
+q_dedup_keep_best, q_minhash_neardup, q_pagerank, q_contamination) —
+their timed runs read the persisted pair cache, so a scale ratio would
+measure cache IO, not the operator; exact all-pairs ops
+(q_embedding_topk_pairs/neardup) — quadratic by SPEC, so a 10x input
+is 100x work by definition, not a plan defect; and streaming state
+queries — their 10x behavior is governed by state-partition count and
+watermark eviction, A/B'd separately in tests/test_streaming.py and
+the q_stream_* docstrings.
+
+Run:  python tools/bench_scale10.py          # prints one JSON line/query
+
+Round-8 numbers (local[32], solo box, warm, best-of-2, ratio = 10x
+time / sf0.1 time; staged inputs verified 10x: 50k docs / 1M events /
+20k embeddings; linear scaling with perfect parallelism reads <= 10):
+
+    q_simhash_neardup      sf0.1 1.609 s   10x 2.707 s   ratio 1.68
+    q_chargram_jaccard     sf0.1 0.057 s   10x 0.070 s   ratio 1.21
+    q_mapreduce_wordcount  sf0.1 0.868 s   10x 1.273 s   ratio 1.47
+    q_sessionize           sf0.1 0.395 s   10x 0.437 s   ratio 1.11
+    q_ann_lsh_topk         sf0.1 0.875 s   10x 4.095 s   ratio 4.68
+    q_tfidf_top_terms      sf0.1 0.673 s   10x 2.592 s   ratio 3.85
+
+Every ratio is WELL below the linear budget of 10: at sf0.1 these
+queries are dominated by fixed per-stage costs (task launch, Arrow
+batch setup, shuffle file churn on 32 cores), which amortize at 10x —
+the data-proportional work visible in the 10x runs stays
+bucketed/banded (lsh: 4.7x) or shuffle-slim (tfidf: 3.9x). No
+super-linear blowup hides under the sf0.1 numbers; the two heaviest
+ratios are the two queries whose candidate/aggregate sets genuinely
+grow 10x, scaling at well under linear.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from os_ex_3_map_reduce_spark.plans import all_queries  # noqa: E402
+from os_ex_3_map_reduce_spark.session import get_spark  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+STAGE = f"/tmp/osx3_scale{COPIES}"
+
+QUERIES = [
+    "q_simhash_neardup",
+    "q_chargram_jaccard",
+    "q_mapreduce_wordcount",
+    "q_sessionize",
+    "q_ann_lsh_topk",
+    "q_tfidf_top_terms",
+]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def stage(spark) -> str:
+    if os.path.exists(os.path.join(STAGE, "_STAGED")):
+        return STAGE
+    shutil.rmtree(STAGE, ignore_errors=True)
+    os.makedirs(STAGE, exist_ok=True)
+
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    ev_parts, doc_parts, emb_parts = [], [], []
+    for i in range(COPIES):
+        ev_parts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+        )
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            # disjoint shingle space per copy: suffix every token
+            d = d.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1_c{i}")
+            )
+        doc_parts.append(d)
+        emb_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        )
+
+    def union_all(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    union_all(ev_parts).write.mode("overwrite").parquet(f"{STAGE}/events.parquet")
+    union_all(doc_parts).write.mode("overwrite").parquet(f"{STAGE}/documents.parquet")
+    union_all(emb_parts).write.mode("overwrite").parquet(f"{STAGE}/embeddings.parquet")
+    for t in TABLES:
+        if t in ("events", "documents", "embeddings"):
+            continue
+        dst = f"{STAGE}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE_SF}/{t}.parquet", dst)
+    open(os.path.join(STAGE, "_STAGED"), "w").write("ok")
+    return STAGE
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+    _materialize(fn(spark, sf_dir))
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench_scale10")
+    scaled = stage(spark)
+    qs = all_queries()
+    for name in QUERIES:
+        base = time_query(qs[name], spark, BASE_SF)
+        big = time_query(qs[name], spark, scaled)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf0.1_sec": round(base, 3),
+                    f"x{COPIES}_sec": round(big, 3),
+                    "ratio": round(big / base, 2) if base else None,
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
