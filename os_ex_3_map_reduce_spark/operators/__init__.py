@@ -24,6 +24,7 @@ from .multimodal import (  # noqa: F401
 from .similarity import (  # noqa: F401
     ivf_index,
     ivf_search,
+    train_centroids_sample,
     lsh_bucketed_topk,
     threshold_pairs,
     topk_pairs,

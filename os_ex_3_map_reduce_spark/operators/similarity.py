@@ -278,6 +278,61 @@ def _bucket_udf(planes: "np.ndarray", planes_per_table: int):
     return kernel
 
 
+def train_centroids_sample(
+    emb_df: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_n: int = 512,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> "np.ndarray":
+    """Deterministic coarse-quantizer training: numpy Lloyd on an
+    id-ordered sample.
+
+    This is the OTHER half of the 100 TB IVF story: spark.ml KMeans
+    (:func:`ivf_index` default) covers distributed training, but its
+    k-means|| init samples per-partition, so the centroids — hence list
+    boundaries, hence every downstream probe — shift with the input
+    layout even at a fixed seed. A production index build wants
+    REPRODUCIBLE centroids: train on a bounded, deterministically
+    chosen sample (lowest ``sample_n`` ids — at scale, a hash-bucket
+    sample) collected to the driver, run seeded k-means++ + Lloyd in
+    numpy, broadcast the result. The collect is ``sample_n × dim``
+    doubles (512×64 = 256 KB here) regardless of corpus size — the
+    standard faiss/ScaNN-style train-on-sample shape, not a
+    driver-side loop over data.
+
+    Determinism: the sample is id-ordered (partitioning-invariant), the
+    RNG is seeded, and numpy ops are run-to-run deterministic on a
+    given platform — verified under shuffle.partitions 32/7/13 in
+    tests, which is what lets ``q_ann_ivf_topk`` carry a
+    pinned-expectation exact oracle.
+    """
+    rows = (
+        emb_df.select(F.col(id_col), F.col(emb_col).cast("array<double>").alias("e"))
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["e"], dtype=np.float64) for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    # seeded k-means++ init (D² sampling over the ordered sample)
+    cents = [X[rng.randint(len(X))]]
+    for _ in range(nlist - 1):
+        d2 = np.min(np.stack([((X - c) ** 2).sum(axis=1) for c in cents]), axis=0)
+        cents.append(X[rng.choice(len(X), p=d2 / d2.sum())])
+    C = np.stack(cents)
+    for _ in range(max_iter):
+        a = (X @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+        for j in range(nlist):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
 def ivf_index(
     emb_df: DataFrame,
     nlist: int = 16,
@@ -285,36 +340,47 @@ def ivf_index(
     emb_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    trainer: str = "ml",
 ) -> tuple[DataFrame, "np.ndarray"]:
     """IVF (inverted-file) index build: k-means coarse quantizer +
     per-vector list assignment.
 
     Returns ``(assigned, centroids)`` where ``assigned`` adds a
     ``list_id`` column. Vectors are L2-normalized before clustering so
-    euclidean k-means orders like cosine. Training uses spark.ml
-    KMeans (distributed, seeded); at 100 TB you train on a sample and
-    assign the full corpus with the broadcast centroids — assignment
-    here is exactly that: one Arrow-batched argmin matmul per batch,
-    centroids broadcast, no shuffle.
+    euclidean k-means orders like cosine. ``trainer="ml"`` trains with
+    spark.ml KMeans (distributed, seeded — but k-means|| init is
+    partitioning-dependent); ``trainer="sample"`` trains with
+    :func:`train_centroids_sample` (deterministic, reproducible —
+    what the oracle-checked catalog query uses). Either way, at 100 TB
+    you train on a sample and assign the full corpus with the broadcast
+    centroids — assignment here is exactly that: one Arrow-batched
+    argmin matmul per batch, centroids broadcast, no shuffle.
 
     The production payoff is that ``assigned`` is written out
     partitioned by ``list_id``: a query probing nprobe lists prunes
     (nlist − nprobe)/nlist of the data at the *scan* (partition
     pruning), which is what makes ANN sublinear at scale.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    norm = (
-        emb_df.select(F.col(emb_col).cast("array<double>").alias("e"))
-        .withColumn(
-            "n", F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, v: acc + v * v))
+    if trainer == "sample":
+        centroids = train_centroids_sample(
+            emb_df, nlist, id_col, emb_col, seed=seed, max_iter=max_iter
         )
-        .select(F.transform("e", lambda x: x / F.col("n")).alias("e"))
-    )
-    train = norm.select(array_to_vector("e").alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
-    centroids = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        norm = (
+            emb_df.select(F.col(emb_col).cast("array<double>").alias("e"))
+            .withColumn(
+                "n", F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, v: acc + v * v))
+            )
+            .select(F.transform("e", lambda x: x / F.col("n")).alias("e"))
+        )
+        train = norm.select(array_to_vector("e").alias("features"))
+        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+        centroids = np.stack(
+            [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+        )
 
     b_cent = emb_df.sparkSession.sparkContext.broadcast(centroids)
 

@@ -146,6 +146,28 @@ def test_ivf_recall_and_pruning(spark):
         assigned.unpersist()
 
 
+def test_sample_trained_centroids_partitioning_invariant(spark):
+    """The deterministic trainer behind q_ann_ivf_topk's pinned oracle:
+    seeded Lloyd on an id-ordered sample must yield BIT-identical
+    centroids no matter how the input is partitioned (the property the
+    spark.ml k-means|| path cannot give), and the sample-trained index
+    must keep the same recall floor as the ml-trained one."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators import train_centroids_sample
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    c3 = train_centroids_sample(emb.repartition(3), nlist=16)
+    c11 = train_centroids_sample(emb.repartition(11), nlist=16)
+    assert np.array_equal(c3, c11), "centroids depend on partitioning"
+
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, cents = ivf_index(emb, nlist=16, trainer="sample")
+    got = {r.vec_id for r in ivf_search(assigned, cents, query, k=10, nprobe=4).collect()}
+    exact = {r.vec_id for r in topk_to_query(emb, query, k=10).collect()}
+    assert len(got & exact) / len(exact) >= 0.8
+
+
 def test_chargram_minhash_finds_planted_neardups(spark, duck):
     """Char-5-gram LSH must find the same planted near-dup pairs the
     word-shingle path finds (the fixture's dups are near-verbatim)."""
