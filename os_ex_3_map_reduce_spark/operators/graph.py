@@ -36,8 +36,10 @@ break at the 20-50 iterations of production link analysis.
 ``localCheckpoint`` needs no checkpoint directory but doesn't survive
 executor loss; a long-running cluster job with executor churn should
 ``setCheckpointDir`` + pass ``reliable=True`` for HDFS-backed
-checkpoints. Results are bit-identical with/without checkpointing
-(integer arithmetic; property-tested at 12 iterations).
+checkpoints (the reliable path is exercised under ``setCheckpointDir``
+in tests: bit-identical ranks, checkpoint files verified on disk).
+Results are bit-identical with/without checkpointing (integer
+arithmetic; property-tested at 12 iterations for both variants).
 """
 
 from __future__ import annotations
