@@ -49,6 +49,19 @@ bucketed/banded (lsh: 4.7x) or shuffle-slim (tfidf: 3.9x). No
 super-linear blowup hides under the sf0.1 numbers; the two heaviest
 ratios are the two queries whose candidate/aggregate sets genuinely
 grow 10x, scaling at well under linear.
+
+CDC apply at 10x change volume (bench_cdc, round-9 queue item; warm,
+150k-row orders base at sf0.1):
+
+    cdc_1x   15,000 change rows   apply 0.636 s
+    cdc_10x  150,000 change rows  apply 0.442 s   ratio ~1.0 (flat)
+
+The apply is one full-outer-join shuffle dominated by the BASE side,
+so change volume is nearly free until the batch rivals the snapshot —
+the property that lets a snapshot-maintenance job absorb bursty change
+streams on a fixed schedule instead of resizing per batch. (The 10x
+draw timing slightly UNDER 1x is scheduling noise on a warm 32-core
+box; both draws are base-scan-bound.)
 """
 
 from __future__ import annotations
@@ -144,6 +157,47 @@ def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
+def bench_cdc(spark) -> None:
+    """CDC apply at 10x change volume (round-9 queue item): fixed base
+    snapshot (orders, 150k rows at sf0.1), synthetic change batches
+    touching 10% vs 100% of keys (10x the rows, same mix of upserts and
+    ~10% deletes). merge_upsert is ONE full-outer-join shuffle whose
+    cost is dominated by the base side, so apply time should be nearly
+    FLAT in change volume — a ratio well under the linear budget of 10
+    is the evidence the snapshot-maintenance path absorbs bursty change
+    streams without replanning."""
+    from os_ex_3_map_reduce_spark.operators.merge import merge_upsert
+
+    base = spark.read.parquet(f"{BASE_SF}/orders.parquet")
+
+    def updates(frac_mod: int):
+        # deterministic change batch: every key with o_orderkey % mod == 0
+        # becomes an upsert; every 10th of those a delete
+        return base.where(F.col("o_orderkey") % frac_mod == 0).select(
+            "*",
+            F.when(F.col("o_orderkey") % (frac_mod * 10) == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 1)
+
+    for label, mod in (("cdc_1x", 10), ("cdc_10x", 1)):
+        u = updates(mod)
+        n = u.count()
+        _materialize(merge_upsert(base, u, key="o_orderkey"))
+        t0 = time.perf_counter()
+        _materialize(merge_upsert(base, u, key="o_orderkey"))
+        print(
+            json.dumps(
+                {
+                    "query": label,
+                    "change_rows": n,
+                    "apply_sec": round(time.perf_counter() - t0, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     spark = get_spark(app_name="bench_scale10")
     scaled = stage(spark)
@@ -162,6 +216,7 @@ def main() -> None:
             ),
             flush=True,
         )
+    bench_cdc(spark)
     spark.stop()
 
 
