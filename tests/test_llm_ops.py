@@ -169,23 +169,21 @@ def test_sample_trained_centroids_partitioning_invariant(spark):
 
 
 def test_ivf_layout_prunes_at_the_scan(spark, tmp_path):
-    """The 100 TB claim in ivf_index's docstring, made checkable: write
-    the assignment partitioned by list_id, probe nprobe/nlist lists, and
-    assert the probe's SCAN touches only the probed partitions' files —
-    partition pruning, not a post-scan filter. This is what makes IVF
-    sublinear at scale: (nlist − nprobe)/nlist of the corpus is never
-    read."""
-    import numpy as np
+    """The 100 TB claim in ivf_index's docstring, made checkable through
+    the public API: ivf_write the assignment, ivf_search_indexed the
+    query, and assert the probe's SCAN touches only the probed
+    partitions' files — partition pruning, not a post-scan filter. This
+    is what makes IVF sublinear at scale: (nlist − nprobe)/nlist of the
+    corpus is never read."""
+    from os_ex_3_map_reduce_spark.operators import ivf_search_indexed, ivf_write
 
     emb = load_table(spark, SF_CORRECT, "embeddings")
     assigned, cents = ivf_index(emb, nlist=16, trainer="sample")
     path = str(tmp_path / "ivf")
-    assigned.write.partitionBy("list_id").parquet(path)
+    ivf_write(assigned, path)
 
     query = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    q = np.asarray(query) / np.linalg.norm(query)
-    scores = cents @ q - 0.5 * (cents * cents).sum(axis=1)
-    probe = [int(i) for i in np.argsort(-scores)[:4]]
+    res = ivf_search_indexed(spark, path, cents, query, k=10, nprobe=4)
 
     def scanned_files(df):
         # runtime evidence, not plan text: execute THIS physical plan and
@@ -195,16 +193,18 @@ def test_ivf_layout_prunes_at_the_scan(spark, tmp_path):
         plan.executeCollect()
         return int(plan.collectLeaves().apply(0).metrics().apply("numFiles").value())
 
-    index = spark.read.parquet(path)
-    probed = index.where(F.col("list_id").isin(probe))
-    n_all = scanned_files(index)
-    n_probed = scanned_files(probed)
+    n_all = scanned_files(spark.read.parquet(path))
+    n_probed = scanned_files(res)
     assert 0 < n_probed < n_all, (n_probed, n_all)
     # the probe's plan prunes at the partition level, not post-scan
-    plan_str = probed._jdf.queryExecution().executedPlan().toString()
+    plan_str = res._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [list_id" in plan_str
-    # and the pruned read still yields the same rows as the full filter
-    assert probed.count() == assigned.where(F.col("list_id").isin(probe)).count()
+    # and the indexed search returns exactly what the in-memory search
+    # over the same assignment/centroids returns
+    direct = ivf_search(assigned, cents, query, k=10, nprobe=4)
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
 
 
 def test_chargram_minhash_finds_planted_neardups(spark, duck):
