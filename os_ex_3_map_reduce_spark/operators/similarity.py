@@ -322,6 +322,11 @@ def train_centroids_sample(
         .limit(sample_n)
         .collect()
     )
+    if not rows:
+        raise ValueError("train_centroids_sample: empty training input")
+    # fewer sample points than lists is legal (k-means++ then draws
+    # duplicate seeds and Lloyd leaves the surplus lists empty — probes
+    # simply never route to them); zero points is not.
     X = np.stack([np.asarray(r["e"], dtype=np.float64) for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
@@ -329,7 +334,12 @@ def train_centroids_sample(
     cents = [X[rng.randint(len(X))]]
     for _ in range(nlist - 1):
         d2 = np.min(np.stack([((X - c) ** 2).sum(axis=1) for c in cents]), axis=0)
-        cents.append(X[rng.choice(len(X), p=d2 / d2.sum())])
+        tot = d2.sum()
+        # tot == 0 once every distinct point is already a centroid
+        # (sample smaller than nlist): fall back to a uniform draw —
+        # duplicate seeds, surplus lists stay empty, assignment total
+        p = d2 / tot if tot > 0 else None
+        cents.append(X[rng.choice(len(X), p=p)])
     C = np.stack(cents)
     for _ in range(max_iter):
         a = (X @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)

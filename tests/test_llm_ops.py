@@ -168,6 +168,26 @@ def test_sample_trained_centroids_partitioning_invariant(spark):
     assert len(got & exact) / len(exact) >= 0.8
 
 
+def test_sample_trainer_degenerate_inputs(spark):
+    """Empty input raises a clear error instead of a numpy stack-trace;
+    a sample smaller than nlist still trains (duplicate seeds, surplus
+    lists empty) and assignment stays total."""
+    import pytest as _pytest
+
+    from os_ex_3_map_reduce_spark.operators import train_centroids_sample
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    empty = emb.where(F.col("vec_id") < 0)
+    with _pytest.raises(ValueError, match="empty training input"):
+        train_centroids_sample(empty, nlist=16)
+
+    tiny = emb.where(F.col("vec_id") < 5)  # 5 points, 16 lists
+    cents = train_centroids_sample(tiny, nlist=16)
+    assert cents.shape == (16, 64)
+    assigned, _ = ivf_index(emb, nlist=16, trainer="sample")
+    assert assigned.where(F.col("list_id").isNull()).count() == 0
+
+
 def test_ivf_layout_prunes_at_the_scan(spark, tmp_path):
     """The 100 TB claim in ivf_index's docstring, made checkable through
     the public API: ivf_write the assignment, ivf_search_indexed the
