@@ -77,6 +77,7 @@ BREADTH = [
     "q_similarity_topk",
     "q_embedding_topk_pairs",
     "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
     "q_mapreduce_wordcount",
     "q_sketch_heavyhitters",
     "q_hof_fns",
