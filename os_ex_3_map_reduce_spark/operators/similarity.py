@@ -328,7 +328,18 @@ def train_centroids_sample(
     # duplicate seeds and Lloyd leaves the surplus lists empty — probes
     # simply never route to them); zero points is not.
     X = np.stack([np.asarray(r["e"], dtype=np.float64) for r in rows])
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    if not np.all(norms > 0):
+        # mirror the empty-input guard: a zero-norm vector would turn
+        # into a NaN row and silently poison D² sampling + every Lloyd
+        # mean; dropping it keeps training deterministic and total.
+        X = X[norms[:, 0] > 0]
+        norms = norms[norms[:, 0] > 0]
+        if not len(X):
+            raise ValueError(
+                "train_centroids_sample: all sample vectors have zero norm"
+            )
+    X = X / norms
     rng = np.random.RandomState(seed)
     # seeded k-means++ init (D² sampling over the ordered sample)
     cents = [X[rng.randint(len(X))]]
@@ -405,7 +416,11 @@ def ivf_index(
     def assign(embs: pd.Series) -> pd.Series:
         cents = b_cent.value
         mat = np.stack(embs.to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        # zero-norm vector: score it unnormalized (= −||c||²/2 for every
+        # list → deterministically lands in the smallest-norm centroid's
+        # list) instead of emitting a NaN row that poisons argmax.
+        mat = mat / np.where(norms > 0, norms, 1.0)
         # argmin ||x-c||² = argmax x·c − ||c||²/2
         scores = mat @ cents.T - 0.5 * (cents * cents).sum(axis=1)
         return pd.Series(scores.argmax(axis=1).astype(np.int32))

@@ -720,6 +720,15 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expectation (same pattern as q_ann_lsh_topk / the r7 sketches);
     # measured recall@10 = 0.9, and each row still carries its own
     # exact_rank evidence.
+    # Rounding-margin ledger (ADVICE r8: diagnosability of platform
+    # drift vs regression): each pinned cosine's measured distance to
+    # its nearest round-4 boundary (|frac(|cos|*1e4) - 0.5| / 1e4) —
+    # vec 0: 5.0e-5, 73: 1.59e-5, 190: 4.47e-5, 320: 1.05e-5,
+    # 334: 2.79e-5, 365: 4.36e-5, 387: 1.13e-5, 388: 4.95e-5,
+    # 423: 1.64e-5, 464: 2.21e-5. Worst margin 1.05e-5 is ~10 orders
+    # above BLAS/numpy reduction-order noise (~1e-16 on unit vectors),
+    # so a future hash mismatch here means the fixture or the pipeline
+    # changed, not a numpy/BLAS upgrade flipping a .5 tie.
     oracle="""
         SELECT CAST(a AS BIGINT) AS vec_id, CAST(c AS DOUBLE) AS cosine,
                CAST(r AS INTEGER) AS exact_rank,

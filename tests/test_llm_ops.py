@@ -160,6 +160,17 @@ def test_sample_trained_centroids_partitioning_invariant(spark):
     c3 = train_centroids_sample(emb.repartition(3), nlist=16)
     c11 = train_centroids_sample(emb.repartition(11), nlist=16)
     assert np.array_equal(c3, c11), "centroids depend on partitioning"
+    # ... and under the shuffle.partitions variants the registration
+    # comment cites (32/7/13 — ADVICE r8: the claim must match the
+    # checked-in check, not just repartition variants)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("32", "7", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            cn = train_centroids_sample(emb, nlist=16)
+            assert np.array_equal(c3, cn), f"centroids drift at shuffle.partitions={n}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     query = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     assigned, cents = ivf_index(emb, nlist=16, trainer="sample")
@@ -184,8 +195,14 @@ def test_sample_trainer_degenerate_inputs(spark):
     tiny = emb.where(F.col("vec_id") < 5)  # 5 points, 16 lists
     cents = train_centroids_sample(tiny, nlist=16)
     assert cents.shape == (16, 64)
-    assigned, _ = ivf_index(emb, nlist=16, trainer="sample")
+    # assign with the TINY-trained centroids (duplicate seeds), so the
+    # documented surplus-empty-list behavior is what's actually tested:
+    # every point still gets a list, and ≤5 distinct lists are populated
+    assigned, _ = ivf_index(tiny, nlist=16, trainer="sample")
     assert assigned.where(F.col("list_id").isNull()).count() == 0
+    assert assigned.count() == 5
+    used = assigned.select("list_id").distinct().count()
+    assert 1 <= used <= 5  # surplus lists stay empty, probes never route there
 
 
 def test_ivf_layout_prunes_at_the_scan(spark, tmp_path):

@@ -527,18 +527,29 @@ def test_pagerank_reliable_checkpoint_under_checkpoint_dir(spark, tmp_path):
     edges = spark.createDataFrame(sorted(set(rows)), "src string, dst string")
 
     ckpt_dir = str(tmp_path / "ckpt")
+    prev_dir = spark.sparkContext.getCheckpointDir()
     spark.sparkContext.setCheckpointDir(ckpt_dir)
-    plain = pagerank(edges, 12, checkpoint_every=None)
-    reliable = pagerank(edges, 12, checkpoint_every=5, reliable=True)
-    a = sorted((r.node, r.rank) for r in collect_unpersist(plain))
-    b = sorted((r.node, r.rank) for r in collect_unpersist(reliable))
-    assert a == b and len(a) == 40
-    # evidence the reliable mechanism fired: checkpoint files on disk
-    # (12 iterations / every 5 = 2 mid-run truncations)
-    written = [
-        os.path.join(d, f) for d, _, fs in os.walk(ckpt_dir) for f in fs
-    ]
-    assert len(written) > 0, "reliable checkpoint wrote nothing"
+    try:
+        plain = pagerank(edges, 12, checkpoint_every=None)
+        reliable = pagerank(edges, 12, checkpoint_every=5, reliable=True)
+        a = sorted((r.node, r.rank) for r in collect_unpersist(plain))
+        b = sorted((r.node, r.rank) for r in collect_unpersist(reliable))
+        assert a == b and len(a) == 40
+        # evidence the reliable mechanism fired: checkpoint files on disk
+        # (12 iterations / every 5 = 2 mid-run truncations)
+        written = [
+            os.path.join(d, f) for d, _, fs in os.walk(ckpt_dir) for f in fs
+        ]
+        assert len(written) > 0, "reliable checkpoint wrote nothing"
+    finally:
+        # don't leak a tmp_path-backed checkpoint dir into later tests
+        # sharing this session (tmp_path is reclaimed by pytest): restore
+        # the prior dir, or park it on a session-lifetime location
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            prev_dir or tempfile.mkdtemp(prefix="spark-ckpt-session-")
+        )
 
 
 # ---------------------------------------------------------------------------
