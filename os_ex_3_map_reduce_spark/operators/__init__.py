@@ -24,6 +24,8 @@ from .multimodal import (  # noqa: F401
 from .similarity import (  # noqa: F401
     ivf_index,
     ivf_search,
+    ivf_search_batch,
+    ivf_search_batch_indexed,
     ivf_search_indexed,
     ivf_write,
     train_centroids_sample,

@@ -488,6 +488,139 @@ def ivf_search_indexed(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def _batch_probe_plan(
+    centroids: "np.ndarray",
+    queries: Iterable[Iterable[float]],
+    nprobe: int,
+) -> tuple["np.ndarray", list[list[int]], list[int]]:
+    """Driver-side probe selection for a BATCH of queries: one Q x nlist
+    matmul (constant work — centroids and queries are both driver-held
+    constants), returning the normalized query matrix, each query's
+    probe lists, and the sorted union of all probed lists."""
+    Q = np.stack([np.asarray(list(q), dtype=np.float64) for q in queries])
+    norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    if not np.all(norms > 0):
+        raise ValueError("ivf batch search: zero-norm query vector")
+    Qn = Q / norms
+    scores = Qn @ centroids.T - 0.5 * (centroids * centroids).sum(axis=1)
+    order = np.argsort(-scores, axis=1)[:, :nprobe]
+    probes = [[int(x) for x in row] for row in order]
+    union = sorted({lid for row in probes for lid in row})
+    return Qn, probes, union
+
+
+def _batch_score_topk(
+    pruned: DataFrame,
+    Qn: "np.ndarray",
+    probes: list[list[int]],
+    nlist: int,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Score every pruned row against every query that probes its list,
+    in ONE pass: an Arrow-batched (batch x Q) matmul per input batch,
+    masked by the per-query probe sets, with a per-batch partial top-k
+    so at most k x Q rows per batch reach the final aggregation. The
+    global per-query top-k is then a window over <= k x Q x n_batches
+    rows — never the full scored relation."""
+    from pyspark.sql import Window
+
+    spark = pruned.sparkSession
+    mask = np.zeros((nlist, len(probes)), dtype=bool)
+    for qi, row in enumerate(probes):
+        for lid in row:
+            mask[lid, qi] = True
+    b_q = spark.sparkContext.broadcast((Qn, mask))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Qn_, mask_ = b_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms > 0, norms, 1.0)
+            S = np.round(mat @ Qn_.T, 4)  # rows x Q, rounded BEFORE top-k
+            m = mask_[pdf["list_id"].to_numpy()]  # rows x Q probe mask
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_c = [], [], []
+            for qi in range(Qn_.shape[0]):
+                sel = np.nonzero(m[:, qi])[0]
+                if not len(sel):
+                    continue
+                # partial top-k with the GLOBAL tiebreak (-cosine, id)
+                order = np.lexsort((ids[sel], -S[sel, qi]))[:k]
+                pick = sel[order]
+                out_q.extend([qi] * len(pick))
+                out_id.extend(ids[pick])
+                out_c.extend(S[pick, qi])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    id_col: pd.Series(out_id, dtype="int64"),
+                    "cosine": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    partial = pruned.mapInPandas(
+        kernel, f"query_id long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def ivf_search_batch(
+    assigned: DataFrame,
+    centroids: "np.ndarray",
+    queries: Iterable[Iterable[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVF ANN (VERDICT r8 #4): Q query vectors answered in ONE
+    scan instead of Q scans. Probe lists are picked driver-side per
+    query (a Q x nlist matmul over broadcast-sized constants); the data
+    is filtered ONCE to the union of all probed lists; each surviving
+    row is scored against exactly the queries that probe its list via a
+    single Arrow-batched matmul; a per-batch partial top-k bounds the
+    shuffle to k rows per (query, batch); the final per-query top-k is
+    one window over that bounded relation.
+
+    At 100 TB this is the production shape: the scan cost is paid once
+    for the whole query batch (and prunes to union/nlist of the data),
+    compute is one fused matmul rather than Q vector folds, and the
+    only shuffle moves O(k * Q * n_batches) rows.
+
+    Output: (query_id, vec_id, cosine, rank) — query_id is the 0-based
+    position in ``queries``."""
+    Qn, probes, union = _batch_probe_plan(centroids, queries, nprobe)
+    pruned = assigned.where(F.col("list_id").isin(union))
+    return _batch_score_topk(pruned, Qn, probes, len(centroids), k, id_col)
+
+
+def ivf_search_batch_indexed(
+    spark,
+    path: str,
+    centroids: "np.ndarray",
+    queries: Iterable[Iterable[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`ivf_search_batch` against a written index
+    (:func:`ivf_write`): the union-of-probe-lists filter lands on the
+    ``list_id``-partitioned scan, so the batch probe still PRUNES —
+    only the union's partitions are read (numFiles-asserted in tests),
+    regardless of how many queries share the scan."""
+    Qn, probes, union = _batch_probe_plan(centroids, queries, nprobe)
+    pruned = spark.read.parquet(path).where(F.col("list_id").isin(union))
+    return _batch_score_topk(pruned, Qn, probes, len(centroids), k, id_col)
+
+
 def lsh_bucketed_topk(
     emb_df: DataFrame,
     k: int = 20,

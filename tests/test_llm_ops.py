@@ -244,6 +244,75 @@ def test_ivf_layout_prunes_at_the_scan(spark, tmp_path):
     )
 
 
+def test_ivf_batch_search_matches_singles_and_prunes(spark, tmp_path):
+    """Batched ANN (VERDICT r8 #4): Q queries answered in ONE scan must
+    return exactly the per-query ivf_search results (same probe lists,
+    same rounded scores, same tiebreaks), and against a written index
+    the union-of-probes filter must still PRUNE at the scan — asserted
+    from the executed FileSourceScan's numFiles metric, with the batch
+    sized so the union (nprobe=2 x 3 queries <= 6 lists) stays well
+    under nlist=16."""
+    from os_ex_3_map_reduce_spark.operators import (
+        ivf_search_batch,
+        ivf_search_batch_indexed,
+        ivf_write,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    assigned, cents = ivf_index(emb, nlist=16, trainer="sample")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+        )
+    ]
+
+    batch = ivf_search_batch(assigned, cents, qvs, k=5, nprobe=2)
+    got = sorted(map(tuple, batch.collect()))
+    assert len(got) == 15
+    for qi, qv in enumerate(qvs):
+        single = ivf_search(assigned, cents, qv, k=5, nprobe=2).collect()
+        exp = sorted((qi, r.vec_id, r.cosine, i + 1) for i, r in enumerate(single))
+        assert [g for g in got if g[0] == qi] == exp, qi
+
+    path = str(tmp_path / "ivf_batch")
+    ivf_write(assigned, path)
+    res = ivf_search_batch_indexed(spark, path, cents, qvs, k=5, nprobe=2)
+    assert sorted(map(tuple, res.collect())) == got
+
+    def scanned_files(df):
+        plan = df._jdf.queryExecution().executedPlan()
+        plan.executeCollect()
+
+        # the window's exchange puts the whole plan under AQE, whose
+        # final tree treats materialized query stages as LEAVES — walk
+        # the tree manually, descending into AdaptiveSparkPlan and each
+        # QueryStageExec's wrapped plan, to reach the file scan
+        def find_scan(node):
+            if node.metrics().contains("numFiles"):
+                return node
+            if node.nodeName() == "AdaptiveSparkPlan":
+                return find_scan(node.executedPlan())
+            if "QueryStage" in node.getClass().getSimpleName():
+                return find_scan(node.plan())
+            kids = node.children()
+            for i in range(kids.size()):
+                hit = find_scan(kids.apply(i))
+                if hit is not None:
+                    return hit
+            return None
+
+        scan = find_scan(plan)
+        assert scan is not None, "no FileSourceScan leaf with numFiles metric"
+        return int(scan.metrics().apply("numFiles").value())
+
+    n_all = scanned_files(spark.read.parquet(path))
+    n_probed = scanned_files(res)
+    assert 0 < n_probed < n_all, (n_probed, n_all)
+    plan_str = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [list_id" in plan_str
+
+
 def test_chargram_minhash_finds_planted_neardups(spark, duck):
     """Char-5-gram LSH must find the same planted near-dup pairs the
     word-shingle path finds (the fixture's dups are near-verbatim)."""
