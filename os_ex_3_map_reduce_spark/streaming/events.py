@@ -269,6 +269,7 @@ def run_stream_foreach_batch_parquet(
     out_dir: str,
     checkpoint: str,
     shuffle_partitions: int | None = 8,
+    fail_after_write_batch_id: int | None = None,
 ) -> None:
     """Bounded availableNow run into an idempotent parquet foreachBatch
     sink — the exactly-once file-sink pattern for sinks without their
@@ -283,6 +284,14 @@ def run_stream_foreach_batch_parquet(
     batch_id partitions. (With a transactional table format the
     batch_id would instead be committed into the table's log — same
     idempotence argument, atomic visibility too.)
+
+    ``fail_after_write_batch_id`` is a fault-injection point for
+    recovery testing: the writer raises AFTER the named batch's parquet
+    write succeeds but BEFORE the checkpoint commits it — the exact
+    window a real driver crash exposes. A restarted query (any new
+    SparkSession/driver over the same checkpoint) must replay that
+    batch idempotently; tests/test_streaming.py drives this across a
+    genuine JVM boundary.
     """
     spark = df.sparkSession
     before = spark.conf.get("spark.sql.shuffle.partitions")
@@ -293,6 +302,12 @@ def run_stream_foreach_batch_parquet(
 
         def write_batch(bdf: DataFrame, batch_id: int) -> None:
             bdf.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+            if fail_after_write_batch_id is not None and batch_id == int(
+                fail_after_write_batch_id
+            ):
+                raise RuntimeError(
+                    f"injected crash after write of batch {batch_id}"
+                )
 
         q = (
             df.writeStream.foreachBatch(write_batch)

@@ -444,3 +444,127 @@ def test_stateful_op_portable_to_rocksdb_state_store(spark):
     finally:
         spark.conf.set(conf_key, default_provider)
     assert base == rocks and len(base) > 0
+
+
+PHASE1_CRASHING_DRIVER = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .appName("restart-phase1").config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from os_ex_3_map_reduce_spark.streaming.events import (
+    events_stream, run_stream_foreach_batch_parquet)
+src, out, chk = sys.argv[1], sys.argv[2], sys.argv[3]
+stream = events_stream(spark, "/root/testdata/sf0.001", path=src,
+                       max_files_per_trigger=1).select(
+    "event_id", "event_type", "value")
+try:
+    run_stream_foreach_batch_parquet(stream, out, chk,
+                                     fail_after_write_batch_id=1)
+except Exception as exc:
+    print("CRASHED: " + type(exc).__name__, flush=True)
+    spark.stop()
+    sys.exit(42)
+sys.exit(0)
+"""
+
+
+def test_foreach_sink_recovers_across_driver_restart(spark, tmp_path):
+    """The across-restart exactly-once claim (VERDICT r8 #3): phase 1
+    runs the q_stream_foreach_sink pipeline in a SEPARATE python/JVM
+    process — a genuinely distinct driver — over a 4-file source and
+    crashes it in the worst window: batch 1's parquet already written,
+    its checkpoint commit not yet recorded. Phase 2, a different driver
+    (this test session), resumes from the same checkpoint directory:
+    the uncommitted batch must replay idempotently (overwrite, not
+    append) and the remaining files must process, with the final sink
+    equal to the batch oracle — no loss, no duplication."""
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from os_ex_3_map_reduce_spark.streaming.events import (
+        events_stream,
+        run_stream_foreach_batch_parquet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(f"{sf}/events.parquet")
+    step = (t.num_rows + 3) // 4
+    base_mtime = 1_700_000_000
+    for i in range(4):
+        p = src / f"part-{i}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        # file source orders micro-batches by mtime: pin ascending
+        os.utime(p, (base_mtime + i, base_mtime + i))
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    # phase 1: a separate driver crashes after writing batch 1 but
+    # before committing it
+    proc = subprocess.run(
+        [sys.executable, "-c", PHASE1_CRASHING_DRIVER, str(src), out, chk],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+        timeout=300,
+    )
+    assert proc.returncode == 42, (proc.returncode, proc.stdout, proc.stderr)
+    assert "CRASHED: StreamingQueryException" in proc.stdout
+    # the crash window is real: batch 1's data exists, its commit doesn't
+    assert os.path.isdir(f"{out}/batch_id=0") and os.path.isdir(
+        f"{out}/batch_id=1"
+    )
+    assert os.path.exists(f"{chk}/commits/0")
+    assert not os.path.exists(f"{chk}/commits/1")
+    interrupted_batch1 = sorted(
+        r.event_id for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    )
+
+    # phase 2: a NEW driver resumes from the same checkpoint
+    stream = events_stream(
+        spark, sf, path=str(src), max_files_per_trigger=1
+    ).select("event_id", "event_type", "value")
+    run_stream_foreach_batch_parquet(stream, out, chk)
+
+    # batch 1 was REPLAYED (commit now recorded) with identical content
+    assert os.path.exists(f"{chk}/commits/1")
+    replayed_batch1 = sorted(
+        r.event_id for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    )
+    assert replayed_batch1 == interrupted_batch1
+
+    # final sink == batch oracle: every event exactly once
+    got = spark.read.parquet(out)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n_events = ev.count()
+    assert got.count() == n_events, "lost or duplicated rows across restart"
+    assert got.select("event_id").distinct().count() == n_events
+    got_agg = sorted(
+        map(
+            tuple,
+            got.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(30,10)")).alias("s"),
+            )
+            .collect(),
+        )
+    )
+    exp_agg = sorted(
+        map(
+            tuple,
+            ev.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(30,10)")).alias("s"),
+            )
+            .collect(),
+        )
+    )
+    assert got_agg == exp_agg
