@@ -1,4 +1,4 @@
-"""Iterative graph analytics on DataFrames: PageRank.
+"""Iterative graph analytics on DataFrames: PageRank and BFS SSSP.
 
 Alongside min-label connected components (``dedup.py``), this is the
 second Pregel-style iterative pattern the engine supports — the shape
@@ -109,6 +109,83 @@ def pagerank(
             )
     out = ranks.select("node", "rank")
     out._osx3_persists = [edges_deg, nodes]  # type: ignore[attr-defined]
+    return out
+
+
+def sssp(
+    edges: DataFrame,
+    source: str,
+    max_hops: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int | None = 3,
+) -> DataFrame:
+    """Single-source shortest path (unweighted: BFS levels) over a
+    directed edge list; returns (node, hops) for every node reachable
+    from ``source`` within ``max_hops``, hops = exact minimum hop count.
+
+    The third Pregel-style iterative pattern (after PageRank and
+    min-label connected components): per hop, ONE join of the frontier
+    against the persisted edge list + ONE left-anti join against the
+    settled set — the textbook frontier-expansion step. The per-hop
+    ``count()`` action is the BFS convergence check (the loop exits as
+    soon as a frontier comes back empty — same driver-side convergence
+    pattern GraphFrames/Pregel use; the count is an aggregate of an
+    already-persisted frontier, not a collect). Distances are exact
+    integers, so results are bit-identical under any partitioning and
+    any engine — the DuckDB oracle is a hop-capped recursive CTE of the
+    same semantics.
+
+    Scale: the frontier relation is the only thing that grows within a
+    wave and it's bounded by the vertex set; the settled set is
+    persisted and grows monotonically; ``checkpoint_every`` truncates
+    its union lineage the same way PageRank's rank lineage is bounded
+    (localCheckpoint; see module docstring for reliable=True notes).
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    dist = spark.createDataFrame(
+        [(source, 0)], "node string, hops int"
+    ).persist()
+    frontier = dist.select("node")
+    held = [e, dist]
+    for hop in range(1, max_hops + 1):
+        neighbors = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("hops"))
+            .persist()
+        )
+        held.append(neighbors)
+        if neighbors.count() == 0:
+            break
+        dist = dist.union(neighbors)
+        if checkpoint_every and hop % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+        else:
+            dist = dist.persist()
+        held.append(dist)
+        frontier = neighbors.select("node")
+    out = dist.select("node", "hops")
+    out._osx3_persists = held  # type: ignore[attr-defined]
+    return out
+
+
+def sssp_eager(edges: DataFrame, source: str, **kwargs) -> DataFrame:
+    """:func:`sssp`, materialized: persists the result, forces it, and
+    unpersists every intermediate so repeated invocations don't
+    accumulate cached blocks."""
+    d = sssp(edges, source, **kwargs)
+    held = d._osx3_persists  # type: ignore[attr-defined]
+    out = d.persist()
+    out.count()
+    for df in held:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     return out
 
 

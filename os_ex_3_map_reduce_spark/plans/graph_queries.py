@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import SCALE, pagerank_eager
+from ..operators.graph import SCALE, pagerank_eager, sssp_eager
 from ..sources.tables import load_table
 from .catalog import register
 from .llm import _cached_df
@@ -72,6 +72,25 @@ def _pagerank_oracle() -> str:
     )
 
 
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer<->supplier edge list shared by the graph
+    queries: an edge wherever a customer's order contains a supplier's
+    line item, both directions."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    arcs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return arcs.union(
+        arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
 @register(
     "q_pagerank",
     oracle=_pagerank_oracle(),
@@ -92,20 +111,52 @@ def _pagerank_oracle() -> str:
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-        arcs = (
-            o.join(li, o.o_orderkey == li.l_orderkey)
-            .select(
-                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-            )
-            .distinct()
-        )
-        edges = arcs.union(
-            arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-        return pagerank_eager(edges, iterations=_ITER)
+        return pagerank_eager(_bipartite_edges(spark, sf_dir), iterations=_ITER)
 
     ranks = _cached_df(spark, ("pagerank", sf_dir), build)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+_SSSP_HOPS = 6
+
+
+@register(
+    "q_sssp",
+    oracle=f"""
+        WITH RECURSIVE arcs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT src, dst FROM arcs
+            UNION SELECT dst AS src, src AS dst FROM arcs
+        ),
+        walk(node, hops) AS (
+            SELECT 'c1', 0
+            UNION
+            SELECT e.dst, w.hops + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.hops < {_SSSP_HOPS}
+        )
+        SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+        FROM walk GROUP BY node
+    """,
+    doc=f"Single-source shortest path (BFS levels) from customer c1 "
+    f"over the symmetrized customer-supplier graph, capped at "
+    f"{_SSSP_HOPS} hops: (node, min hop count) for every node reached. "
+    "Per hop: one frontier-edges join + one left-anti join against the "
+    "settled set (operators/graph.py sssp — the third Pregel-style "
+    "iterative pattern, reusing PageRank's lineage-truncation "
+    "machinery); the loop ALSO early-exits on an empty frontier, "
+    "making the hop cap a bound, not a schedule. Distances are exact "
+    "integers, so the hop-capped recursive-CTE oracle (UNION-distinct "
+    "walk, MIN(hops) per node) hash-matches bit-for-bit under any "
+    "partitioning.",
+)
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        return sssp_eager(
+            _bipartite_edges(spark, sf_dir), "c1", max_hops=_SSSP_HOPS
+        )
+
+    return _cached_df(spark, ("sssp", sf_dir), build)

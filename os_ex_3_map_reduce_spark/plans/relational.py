@@ -1914,14 +1914,22 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sketch_heavyhitters",
     # The CMS pipeline is fully deterministic (xxhash64 is pure, sums
-    # commute), and on this fixture the depth-5 x width-1024 sketch has
-    # ZERO collisions among the top-10 candidates — verified
-    # byte-identical under local[2]/local[8] x shuffle partitions
-    # {7, 13, 32} before pinning (round 7). The pinned expectation is
-    # therefore `est = true_cnt, overcount = 0` for the top-10, which
-    # lets the oracle recompute everything from the data: if the sketch
-    # ever starts colliding (or the fixture drifts), the hash compare
-    # fails loudly instead of silently recording rows-only.
+    # commute), and the depth-5 x width-16384 sketch has ZERO
+    # collisions among the candidates at EVERY fixture scale — verified
+    # under shuffle partitions {7, 13, 32} per sf (round 9; originally
+    # round 7 at width 1024). The pinned expectation is therefore
+    # `est = true_cnt, overcount = 0` for the top-10, which lets the
+    # oracle recompute everything from the data AT ANY SCALE — no
+    # per-sf pins needed: if the sketch ever starts colliding (or the
+    # fixture drifts), the hash compare fails loudly instead of
+    # silently recording rows-only. Sizing note (the round-9 change):
+    # width 1024 saturated at sf0.1's 1500 distinct users (load 1.46 →
+    # the min over 5 rows collided for most keys and the top-10-by-est
+    # became collision artifacts); 16384 puts per-row load at 0.09 so
+    # P(all 5 rows collide) ~ 5e-6 per key. The production rule it
+    # demonstrates: width scales with ceil(e/eps) for the error you
+    # can afford, NOT a fixed constant — and the sketch stays tiny
+    # (5 x 16384 cells ~ 640 KB) either way.
     oracle="""
         WITH tc AS (
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
@@ -1958,9 +1966,9 @@ def q_sketch_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import cms_build, cms_estimate
 
     ev = load_table(spark, sf_dir, "events")
-    sketch = cms_build(ev, "user_id", depth=5, width=1024)
+    sketch = cms_build(ev, "user_id", depth=5, width=16384)
     cands = ev.select("user_id").distinct()
-    est = cms_estimate(sketch, cands, "user_id", depth=5, width=1024)
+    est = cms_estimate(sketch, cands, "user_id", depth=5, width=16384)
     # each estimate travels with the true count and its overcount (CMS
     # never underestimates, so overcount >= 0 is part of the evidence)
     true = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))

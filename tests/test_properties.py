@@ -714,3 +714,55 @@ def test_prefix_filter_complete_on_random_corpora(spark, docs, threshold):
         and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= threshold
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Single-source shortest path (operators/graph.py sssp)
+# ---------------------------------------------------------------------------
+
+
+def test_sssp_bfs_levels_exact_and_partitioning_invariant(spark):
+    """sssp on a known graph (chain + branch + back-edge cycle + an
+    unreachable island): exact BFS levels, cycle does not revisit,
+    island absent, the loop early-exits on the empty frontier well
+    before max_hops, and the result is identical under repartitioning
+    and shuffle.partitions variants."""
+    from os_ex_3_map_reduce_spark.operators.graph import sssp
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),  # chain: hops 1..3
+        ("a", "x"),                            # branch: hop 1
+        ("d", "a"),                            # back edge (cycle)
+        ("p", "q"),                            # unreachable island
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    got = {
+        (r.node, r.hops)
+        for r in collect_unpersist(sssp(df, "a", max_hops=10))
+    }
+    assert got == {("a", 0), ("b", 1), ("x", 1), ("c", 2), ("d", 3)}
+
+    # partitioning invariance: input layout and shuffle width must not
+    # change the settled set
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for reparts, sp in ((3, "7"), (11, "13")):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            alt = {
+                (r.node, r.hops)
+                for r in collect_unpersist(
+                    sssp(df.repartition(reparts), "a", max_hops=10)
+                )
+            }
+            assert alt == got, (reparts, sp)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # hop cap is a bound, not a schedule: capping below the diameter
+    # truncates distances rather than erroring
+    capped = {
+        (r.node, r.hops)
+        for r in collect_unpersist(sssp(df, "a", max_hops=2))
+    }
+    assert capped == {("a", 0), ("b", 1), ("x", 1), ("c", 2)}
