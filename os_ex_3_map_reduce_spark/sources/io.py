@@ -170,6 +170,21 @@ def compact_table(
     the table's maintenance window, or front it with a manifest/
     metastore pointer flip where one exists.
 
+    **Read-during-swap, per filesystem.** On file:/HDFS a directory
+    rename is atomic, so an overlapping reader is all-or-nothing:
+    a pre-swap cached snapshot stays intact, a stale pre-swap listing
+    fails LOUDLY with missing files (all its files moved in one
+    rename — a silent partial result is structurally impossible), and
+    a post-swap reader sees exactly the complete new listing; the only
+    non-atomic window is between the two renames, where the live path
+    is briefly absent (a new reader errors on the missing path). On
+    object stores without atomic rename (S3-family), the Hadoop
+    connector emulates rename as copy+delete and a concurrent lister
+    CAN observe partial state — there this swap is NOT safe under
+    concurrent reads; use the manifest/metastore pointer flip. All
+    three local outcomes are pinned by
+    tests/test_io.py::test_compact_swap_read_during_swap_is_all_or_nothing.
+
     For a hive-partitioned table pass ``partition_by`` (the same
     columns it was written with) — the layout is preserved AND big
     partitions split into multiple files: each leaf partition gets

@@ -536,3 +536,67 @@ def test_compact_partitioned_and_clustered_composes(spark, tmp_path):
     assert back.count() == 60000
     assert back.selectExpr("count(DISTINCT part)").first()[0] == 3
     assert back.selectExpr("sum(k)").first()[0] == 59999 * 60000 // 2
+
+
+def test_compact_swap_read_during_swap_is_all_or_nothing(spark, tmp_path):
+    """Concurrency contract of the rename-based swap (VERDICT r8 #8): a
+    reader overlapping a compaction must never see a MIXED or PARTIAL
+    listing. Because the swap replaces the whole directory via rename
+    (never file-by-file edits inside the live dir), a concurrent reader
+    lands in exactly one of three outcomes, all loud or exact:
+    (1) a reader whose data was cached/materialized pre-swap keeps its
+        full pre-swap snapshot;
+    (2) a reader holding a pre-swap file listing that re-executes after
+        the swap fails with missing-files — it cannot silently return a
+        subset, because ALL its listed files vanished together;
+    (3) a reader constructed after the swap sees exactly the complete
+        new listing.
+    Atomicity boundary, per filesystem: a POSIX/HDFS directory rename is
+    atomic, so the only non-atomic window is BETWEEN the two renames
+    (live absent — a new reader errors loudly on a missing path, never
+    partial data). Object stores without atomic rename (S3 et al.) get
+    copy+delete semantics from the Hadoop connector, where a concurrent
+    lister CAN see partial state — there, front the swap with a
+    manifest/metastore pointer flip (docstring caveat)."""
+    import pytest as _pytest
+
+    from os_ex_3_map_reduce_spark.sources.io import compact_table
+
+    path = str(tmp_path / "swap")
+    spark.range(0, 10000).selectExpr("id", "id % 5 AS k").repartition(
+        20
+    ).write.parquet(path)
+    n_rows = 10000
+
+    # reader with a pre-swap listing (plan built, files enumerated)
+    pre_listed = spark.read.parquet(path)
+    assert pre_listed.count() == n_rows
+    # reader with a materialized pre-swap snapshot
+    snapshot = spark.read.parquet(path).cache()
+    assert snapshot.count() == n_rows
+
+    total = sum(
+        f.stat().st_size for f in (tmp_path / "swap").rglob("*") if f.is_file()
+    )
+    compact_table(spark, path, target_file_bytes=max(1, total // 2))
+
+    # (3) post-swap reader: complete new listing, exact content
+    post = spark.read.parquet(path)
+    assert post.count() == n_rows
+    assert post.selectExpr("sum(id)").first()[0] == 9999 * 10000 // 2
+
+    # (1) cached snapshot survives the swap with its full pre-swap view
+    assert snapshot.count() == n_rows
+    snapshot.unpersist()
+
+    # (2) the stale-listing reader must fail LOUDLY, never return a
+    # partial result: every file it listed was renamed away in one
+    # directory move, so a silent subset is structurally impossible
+    with _pytest.raises(Exception) as exc:
+        pre_listed.select("id").groupBy().count().collect()
+    msg = str(exc.value)
+    assert (
+        "FileNotFound" in msg
+        or "does not exist" in msg
+        or "FILE_NOT_EXIST" in msg
+    ), f"expected missing-files error, got: {msg[:300]}"
