@@ -134,11 +134,46 @@ BREADTH = [
     "q_multimodal_audio_frames",
     "q_data_contract",
     "q_sample_budget",
+    # round-9 additions: batched ANN + BFS shortest path
+    "q_ann_ivf_batch",
+    "q_sssp",
 ]
 
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _calibrate(spark) -> dict:
+    """Fixed-cost host-speed canary, timed FIRST (VERDICT r8 #2): a
+    pure-JVM whole-stage-codegen fold over 5e7 longs — no I/O, no
+    Python, no shuffle, no code under test — so it measures the HOST,
+    not the engine. Ambient slowdowns (downclocked boots confounded
+    rounds 6 and 8) move this number by the same factor they move every
+    unchanged query; cross-round comparisons should divide per-query
+    times by the calibration medians before calling anything a
+    regression (normalization rule: SURVEY.md §7.6)."""
+    times = []
+    for _ in range(4):  # one warm-up + three timed
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id)").collect()
+        times.append(time.perf_counter() - t0)
+    timed = sorted(times[1:])
+    mhz: list[float] = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("cpu mhz"):
+                    mhz.append(float(line.split(":")[1]))
+    except Exception:  # noqa: BLE001 — MHz is best-effort evidence
+        pass
+    return {
+        "op": "spark.range(5e7).sum().collect, median-of-3 after warm-up",
+        "sec": round(timed[1], 4),
+        "min_max_sec": [round(timed[0], 4), round(timed[-1], 4)],
+        "cpu_mhz_mean": round(sum(mhz) / len(mhz), 1) if mhz else None,
+        "cpu_mhz_max": round(max(mhz), 1) if mhz else None,
+    }
 
 
 def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
@@ -172,6 +207,12 @@ def main() -> None:
     qs = all_queries()
 
     errors: dict[str, str] = {}
+
+    # host-speed canary FIRST, before any query timing
+    try:
+        calibration = _calibrate(spark)
+    except Exception as ex:  # noqa: BLE001
+        calibration = {"error": f"{type(ex).__name__}: {ex}"[:300]}
 
     # One untimed session warm-up touching every bench table: JVM +
     # codegen + parquet footer caches warm before any timing starts.
@@ -219,6 +260,7 @@ def main() -> None:
         "methodology": f"headline median-of-{HEADLINE_RUNS}, "
         f"breadth best-of-{RUNS}, warm",
         "noise_rel_halfspread": round(max(spreads), 4) if spreads else 0.0,
+        "calibration": calibration,
     }
     if errors:
         out["errors"] = errors
@@ -237,6 +279,7 @@ def main() -> None:
                 "sf": sf_val,
                 "headline": {m: timings[m] for m in HEADLINE if m in timings},
                 "noise_rel_halfspread": out["noise_rel_halfspread"],
+                "calibration": calibration,
                 "n_breadth_queries_timed": len(
                     [q for q in timings if q not in HEADLINE]
                 ),
