@@ -66,85 +66,84 @@ def _load_all() -> None:
 #: first, ~30 swaps per round so the stale tail keeps refreshing.
 DRIVER_WINDOW = 50
 
-#: Round-8 priority prefix (exactly DRIVER_WINDOW names). History as of
-#: CORRECTNESS_r07: 140 registered, 0 never-verified, 0 ERR, 0 failures
-#: at latest check; latest verdicts split 50 r7 / 46 r6 / 44 r5 —
-#: VERDICT r7 directive #1: rotate the window onto the 44 round-5-stale
-#: names. Composition (3+44+3 = 50):
-#: - 3 changed this round, re-verify first: q_kmeans_assign (explicit
-#:   half-away-from-zero fixed-point rule on the Spark side, ADVICE r7),
-#:   q_sample_weighted (PPS stride clamped greatest(1, t div k) against
-#:   the k-over-total ANSI division-by-zero, ADVICE r7), q_pagerank
-#:   (checkpoint_every lineage truncation added — inert at the query's
-#:   5 iterations but the implementation moved, so it re-verifies);
-#: - all 44 round-5-stale names (the full directive list — it fits);
-#:   two of them additionally changed in r8: q_ann_lsh_topk's rows-only
-#:   check upgraded to a pinned-expectation exact oracle (VERDICT r7
-#:   #7, same pattern the r7 sketch queries used), and q_ann_ivf_topk
-#:   later in the round moved to a deterministic sample-trained
-#:   quantizer and gained its own pinned exact oracle — retiring the
-#:   catalog's last rows-only entry (140/140 exact);
-#: - 3 round-6 greens to fill the window: the judge's two perf watch
-#:   items (q_stream_outer_join, q_stream_cdc_apply — fresh external
-#:   verdicts alongside their r8 state-metrics evidence) and
-#:   q_merge_upsert (the mutation-surface piece CDC composes with).
-#: After r8 the expected distribution is 50 r8 / 47 r7 / 43 r6 —
-#: nothing older than two rounds. Next rotation (r9): the remaining 43
-#: r6 names, oldest first, plus anything round 9 changes.
+#: Round-9 priority prefix (exactly DRIVER_WINDOW names). History as of
+#: CORRECTNESS_r08: 50/50 green; latest verdicts split 50 r8 / 47 r7 /
+#: 43 r6, no query ever failed its latest check. VERDICT r8 directive
+#: #1: rotate the window onto the 43 round-6-stale names. Composition
+#: (7 + 43 = 50):
+#: - 2 NEW queries, never externally verified: q_ann_ivf_batch
+#:   (batched union-probe IVF ANN, per-sf pinned oracle) and q_sssp
+#:   (BFS shortest path, recursive-CTE oracle);
+#: - 5 changed this round: q_sketch_heavyhitters (CMS width 1024 ->
+#:   16384 — real plan change, fixes sf0.1 saturation),
+#:   q_ann_ivf_topk (zero-norm guards in the trainer/assign kernel +
+#:   per-sf oracle), q_pagerank (edge builder factored out to share
+#:   with q_sssp), q_approx_distinct / q_approx_percentiles (oracles
+#:   rewritten per-sf; latest verdicts r7). Two further oracle-only
+#:   per-sf rewrites (q_ann_lsh_topk, q_ann_lsh_recall) carry r8
+#:   verdicts, identical sf0.01 pin values, and round-9 tri-scale
+#:   driver-sim greens — left outside the window to fit the 43;
+#: - all 43 round-6-stale names (the full directive list — it fits;
+#:   q_stream_foreach_sink among them also changed this round: the
+#:   foreachBatch sink gained a fault-injection parameter for the
+#:   driver-restart recovery test).
+#: After r9 the expected distribution is 50 r9 / ~48 r8 / ~44 r7 —
+#: nothing older than two rounds. Next rotation (r10): the remaining
+#: r7 names, oldest first, plus anything round 10 changes.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # changed in round 8 -> re-verify immediately
-    "q_kmeans_assign",
-    "q_sample_weighted",
-    "q_pagerank",
-    # the 44 round-5-stale names (VERDICT r7 directive #1)
-    "q_agg_distinct",
-    "q_agg_pricing_summary",
+    # new this round (never externally verified) -> verify first
+    "q_ann_ivf_batch",
+    "q_sssp",
+    # changed this round
+    "q_sketch_heavyhitters",
     "q_ann_ivf_topk",
-    "q_ann_lsh_recall",
-    "q_ann_lsh_topk",  # also changed r8: pinned exact oracle
-    "q_contamination",
-    "q_cube",
-    "q_dedup_exact",
-    "q_dedup_stats",
-    "q_embedding_neardup",
-    "q_embedding_topk_pairs",
-    "q_filter_project",
-    "q_fingerprint",
-    "q_fingerprint_rolling",
-    "q_grouping_sets",
-    "q_having",
-    "q_job_control",
-    "q_join_broadcast",
-    "q_join_semi",
-    "q_join_sortmerge",
-    "q_lang_id",
-    "q_mapreduce_join",
-    "q_minhash_neardup",
-    "q_multimodal_bmp",
-    "q_multimodal_metadata",
-    "q_multimodal_wav",
-    "q_neardup_components",
-    "q_neardup_editdist",
-    "q_normalize_text",
-    "q_pipeline_clean_corpus",
-    "q_pivot",
-    "q_recursive_cte",
-    "q_repetition",
-    "q_rollup",
-    "q_salted_join",
-    "q_sample_hash",
-    "q_stream_partitioned_source",
-    "q_stream_python_source",
-    "q_text_quality",
-    "q_tfidf_top_terms",
-    "q_token_stats",
-    "q_udaf_sumsq",
-    "q_udtf_bigrams",
-    "q_wordcount",
-    # round-6 greens filling the window: perf watch items + mutation
-    "q_stream_outer_join",
-    "q_stream_cdc_apply",
-    "q_merge_upsert",
+    "q_pagerank",
+    "q_approx_distinct",
+    "q_approx_percentiles",
+    # the 43 round-6-stale names (VERDICT r8 directive #1)
+    "q_binaryfile_ingest",
+    "q_dedup_keep_best",
+    "q_events_hourly",
+    "q_except",
+    "q_histogram",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_bucketed",
+    "q_join_multiway",
+    "q_join_outer",
+    "q_join_range",
+    "q_json_extract",
+    "q_lateral",
+    "q_mapreduce_key_equiv",
+    "q_multimodal_fake_image",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_null_handling",
+    "q_observe_metrics",
+    "q_pack_chunks",
+    "q_percentiles_grouped",
+    "q_python_datasource",
+    "q_rollup_time",
+    "q_salted_agg",
+    "q_sample_stratified",
+    "q_stream_dedup",
+    "q_stream_foreach_sink",
+    "q_stream_join",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_stateful",
+    "q_stream_static_join",
+    "q_stream_tumbling",
+    "q_tf_df",
+    "q_time_gapfill",
+    "q_token_stats_bpe",
+    "q_topk",
+    "q_union",
+    "q_variant_json",
+    "q_window_lag",
+    "q_window_rank",
+    "q_window_running_sum",
 )
 
 

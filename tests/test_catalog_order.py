@@ -11,61 +11,65 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
     all_queries,
 )
 
-# Queries whose behavior changed this round, plus the round-5-stale
-# rotation set — MUST be inside the verification window (round 8:
-# VERDICT r7 directive #1 names the 44 r5-stale queries; the three
-# r8-changed queries re-verify first).
+# Queries whose behavior changed this round, plus the round-6-stale
+# rotation set — MUST be inside the verification window (round 9:
+# VERDICT r8 directive #1 names the 43 r6-stale queries; the two new
+# and five changed queries verify first).
 MUST_BE_IN_WINDOW = {
-    # changed in round 8
-    "q_kmeans_assign",
-    "q_sample_weighted",
-    "q_pagerank",
-    # the 44 round-5-stale names (q_ann_lsh_topk also changed:
-    # rows-only upgraded to a pinned exact oracle)
-    "q_agg_distinct",
-    "q_agg_pricing_summary",
+    # new in round 9 (never externally verified)
+    "q_ann_ivf_batch",
+    "q_sssp",
+    # changed in round 9
+    "q_sketch_heavyhitters",
     "q_ann_ivf_topk",
-    "q_ann_lsh_recall",
-    "q_ann_lsh_topk",
-    "q_contamination",
-    "q_cube",
-    "q_dedup_exact",
-    "q_dedup_stats",
-    "q_embedding_neardup",
-    "q_embedding_topk_pairs",
-    "q_filter_project",
-    "q_fingerprint",
-    "q_fingerprint_rolling",
-    "q_grouping_sets",
-    "q_having",
-    "q_job_control",
-    "q_join_broadcast",
-    "q_join_semi",
-    "q_join_sortmerge",
-    "q_lang_id",
-    "q_mapreduce_join",
-    "q_minhash_neardup",
-    "q_multimodal_bmp",
-    "q_multimodal_metadata",
-    "q_multimodal_wav",
-    "q_neardup_components",
-    "q_neardup_editdist",
-    "q_normalize_text",
-    "q_pipeline_clean_corpus",
-    "q_pivot",
-    "q_recursive_cte",
-    "q_repetition",
-    "q_rollup",
-    "q_salted_join",
-    "q_sample_hash",
-    "q_stream_partitioned_source",
-    "q_stream_python_source",
-    "q_text_quality",
-    "q_tfidf_top_terms",
-    "q_token_stats",
-    "q_udaf_sumsq",
-    "q_udtf_bigrams",
-    "q_wordcount",
+    "q_pagerank",
+    "q_approx_distinct",
+    "q_approx_percentiles",
+    # the 43 round-6-stale names (VERDICT r8 directive #1);
+    # q_stream_foreach_sink among them also changed this round
+    "q_binaryfile_ingest",
+    "q_dedup_keep_best",
+    "q_events_hourly",
+    "q_except",
+    "q_histogram",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_bucketed",
+    "q_join_multiway",
+    "q_join_outer",
+    "q_join_range",
+    "q_json_extract",
+    "q_lateral",
+    "q_mapreduce_key_equiv",
+    "q_multimodal_fake_image",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_null_handling",
+    "q_observe_metrics",
+    "q_pack_chunks",
+    "q_percentiles_grouped",
+    "q_python_datasource",
+    "q_rollup_time",
+    "q_salted_agg",
+    "q_sample_stratified",
+    "q_stream_dedup",
+    "q_stream_foreach_sink",
+    "q_stream_join",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_stateful",
+    "q_stream_static_join",
+    "q_stream_tumbling",
+    "q_tf_df",
+    "q_time_gapfill",
+    "q_token_stats_bpe",
+    "q_topk",
+    "q_union",
+    "q_variant_json",
+    "q_window_lag",
+    "q_window_rank",
+    "q_window_running_sum",
 }
 
 
