@@ -623,3 +623,37 @@ def test_mad_robust_broadcasts_stats_not_data(spark, qs):
     plan = explain_str(qs["q_mad_robust"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_batched_ann_is_one_scan_one_exchange(spark, qs):
+    """q_ann_ivf_batch's scale contract: Q queries share ONE scan of the
+    pruned assignment (a single ArrowEvalPython/mapInPandas kernel —
+    never one scan per query) and the only exchange in the plan is the
+    per-query top-k window's hash partition on query_id over the
+    k-bounded partial results."""
+    # simple mode: each node appears exactly once (formatted mode lists
+    # every node twice — tree + detail section)
+    plan = explain_str(qs["q_ann_ivf_batch"](spark, SF), "simple")
+    # one scoring kernel, not Q of them
+    assert plan.count("MapInPandas") == 1, plan
+    # exactly one exchange: the bounded window shuffle (the probe filter
+    # and partial top-k add none)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}:\n{plan}"
+    # Spark's rank-limit pushdown keeps a WindowGroupLimit on BOTH
+    # sides of that exchange — the plan-level partial top-k
+    assert plan.count("WindowGroupLimit") == 2, plan
+    # one scan of one relation: Q queries never multiply the scan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_sssp_iteration_is_two_joins_no_cartesian(spark, qs):
+    """q_sssp's per-hop contract: frontier expansion joins (an equi-join
+    on src plus a left-anti join on node), never a cartesian product or
+    a broadcast of the full edge relation; the settled relation stays
+    cached between hops."""
+    df = qs["q_sssp"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    # the final relation is served from the eager materialization
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan, plan
