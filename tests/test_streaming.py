@@ -568,3 +568,160 @@ def test_foreach_sink_recovers_across_driver_restart(spark, tmp_path):
         )
     )
     assert got_agg == exp_agg
+
+
+PHASE1_STATEFUL_DRIVER = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+spark = (SparkSession.builder.master("local[4]")
+         .appName("stateful-phase1").config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from os_ex_3_map_reduce_spark.streaming.events import events_stream
+src, out, chk = sys.argv[1], sys.argv[2], sys.argv[3]
+stream = events_stream(spark, "/root/testdata/sf0.001", path=src,
+                       max_files_per_trigger=1)
+agg = (stream.withWatermark("ts_utc", "10 minutes")
+       .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+       .agg(F.count("*").alias("n"))
+       .select(F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour"),
+               "event_type", "n"))
+q = (agg.writeStream.format("parquet").option("path", out)
+     .option("checkpointLocation", chk).outputMode("append")
+     .trigger(availableNow=True).start())
+q.awaitTermination()
+spark.stop()
+print("PHASE1_DONE", flush=True)
+"""
+
+
+def test_stateful_agg_state_survives_driver_restart(spark, tmp_path):
+    """Stateful across-restart recovery — the state-store counterpart of
+    the foreachBatch test: a windowed count with watermark runs HALF its
+    input (time-ordered files) in a SEPARATE JVM that then exits, its
+    in-flight window state living only in the checkpoint's state store.
+    A different driver (this session) adds the remaining files plus a
+    watermark-flushing sentinel and resumes from the same checkpoint +
+    file-sink output. The final sink must equal the batch aggregate:
+    windows spanning the restart boundary prove the state RELOADED
+    (phase-2-only counts would undercount them), and exact totals prove
+    nothing re-emitted (append-mode windows emit exactly once)."""
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from os_ex_3_map_reduce_spark.sources.tables import (
+        event_time_expr,
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = tmp_path / "src"
+    src.mkdir()
+    # time-ordered quarters, so hour windows span the file (and restart)
+    # boundaries — the state the second driver must reload
+    t = pq.read_table(f"{sf}/events.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    step = (t.num_rows + 3) // 4
+    base_mtime = 1_700_000_000
+    for i in range(4):
+        p = src / f"part-{i}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (base_mtime + i, base_mtime + i))
+    # phase 1 sees only the first two quarters
+    for i in (2, 3):
+        os.rename(src / f"part-{i}.parquet", str(tmp_path / f"held-{i}.parquet"))
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    proc = subprocess.run(
+        [sys.executable, "-c", PHASE1_STATEFUL_DRIVER, str(src), out, chk],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+        timeout=300,
+    )
+    assert proc.returncode == 0 and "PHASE1_DONE" in proc.stdout, proc.stderr[-2000:]
+    # the first driver is gone; its unflushed window state exists ONLY
+    # in the checkpoint's state store
+    assert os.path.isdir(f"{chk}/state"), "no state store files checkpointed"
+    n_phase1 = (
+        spark.read.parquet(out).agg(F.sum("n")).first()[0] or 0
+    )
+    assert n_phase1 < t.num_rows, "phase 1 already emitted everything"
+
+    # phase 2, a NEW driver: release the held files + a far-future
+    # sentinel (one event, filtered from the comparison) so the
+    # watermark passes every real window and append mode flushes them
+    for i in (2, 3):
+        p = src / f"part-{i}.parquet"
+        os.rename(str(tmp_path / f"held-{i}.parquet"), p)
+        os.utime(p, (base_mtime + i, base_mtime + i))
+    last = t.slice(t.num_rows - 1, 1).to_pandas()
+    ts_col = t.schema.field("ts").type
+    import pandas as pd
+
+    if str(ts_col).startswith("int"):
+        last["ts"] = last["ts"] + 48 * 3600 * 10**9
+    else:
+        last["ts"] = last["ts"] + pd.Timedelta(hours=48)
+    last["event_type"] = "sentinel"
+    sent = src / "part-9-sentinel.parquet"
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(last, schema=t.schema), sent)
+    os.utime(sent, (base_mtime + 9, base_mtime + 9))
+
+    from os_ex_3_map_reduce_spark.streaming.events import events_stream
+
+    stream = events_stream(spark, sf, path=str(src), max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts_utc", "10 minutes")
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.hour, r.event_type): r.n
+        for r in spark.read.parquet(out)
+        .where(F.col("event_type") != "sentinel")
+        .collect()
+    }
+    ev = load_table(spark, sf, "events")
+    exp = {
+        (r.hour, r.event_type): r.n
+        for r in ev.groupBy(
+            F.window(event_time_expr(ev), "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    }
+    assert got == exp, (
+        f"state lost or duplicated across restart: "
+        f"{len(got)} vs {len(exp)} groups; "
+        f"diff={set(got.items()) ^ set(exp.items())}"
+    )
