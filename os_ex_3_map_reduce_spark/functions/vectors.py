@@ -42,7 +42,14 @@ def norm_fold(a: Column) -> Column:
 
 def cosine_to_query(emb_col: str | Column, query: Iterable[float]) -> Column:
     """Cosine similarity of each row's embedding to a literal query
-    vector, entirely JVM-side: dot / (norm_d * norm_q)."""
+    vector, entirely JVM-side: dot / (norm_d * norm_q).
+
+    A zero-norm embedding scores 0.0 instead of erroring (ANSI mode
+    turns the bare division into DIVIDE_BY_ZERO — found by the round-9
+    randomized batch/single equivalence test) — matching the Arrow
+    batch kernels, which score zero vectors unnormalized (= 0 against
+    every query)."""
     d = to_double_array(emb_col)
     q = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
-    return dot_fold(d, q) / (norm_fold(d) * norm_fold(q))
+    den = norm_fold(d) * norm_fold(q)
+    return F.when(den != F.lit(0.0), dot_fold(d, q) / den).otherwise(F.lit(0.0))

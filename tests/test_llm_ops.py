@@ -745,3 +745,50 @@ def test_merge_upsert_semantics(spark):
     )
     kept2 = latest_wins(renamed, key="k", version_col="ver", op_col="change").collect()
     assert len(kept2) == 1 and kept2[0].change == "D"
+
+
+def test_ivf_batch_matches_singles_on_random_data(spark):
+    """Batch/single equivalence beyond the fixture: seeded random
+    embedding sets — including duplicate vectors, a zero vector (the
+    round-9 guard: deterministic routing, no NaN), and duplicate query
+    vectors — must give ivf_search_batch == per-query ivf_search for
+    every query, scores and tiebreaks included."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators import (
+        ivf_index,
+        ivf_search,
+        ivf_search_batch,
+    )
+
+    for seed in (0, 7):
+        rng = np.random.RandomState(seed)
+        n, d = 60, 8
+        X = rng.randn(n, d)
+        X[5] = X[3]  # duplicate vector
+        X[9] = 0.0  # zero vector: guard must route it, not NaN it
+        emb = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        assigned, cents = ivf_index(emb, nlist=4, trainer="sample")
+        assigned = assigned.persist()
+        assert assigned.where(F.col("list_id").isNull()).count() == 0
+        qvs = [
+            [float(v) for v in X[0]],
+            [float(v) for v in X[17]],
+            [float(v) for v in X[17]],  # duplicate query
+        ]
+        batch = sorted(
+            map(
+                tuple,
+                ivf_search_batch(assigned, cents, qvs, k=4, nprobe=2).collect(),
+            )
+        )
+        for qi, qv in enumerate(qvs):
+            single = ivf_search(assigned, cents, qv, k=4, nprobe=2).collect()
+            exp = sorted(
+                (qi, r.vec_id, r.cosine, i + 1) for i, r in enumerate(single)
+            )
+            assert [b for b in batch if b[0] == qi] == exp, (seed, qi)
+        assigned.unpersist()

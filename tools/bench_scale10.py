@@ -106,6 +106,12 @@ QUERIES = [
     "q_sessionize",
     "q_ann_lsh_topk",
     "q_tfidf_top_terms",
+    # round 9: batched IVF ANN — rebuilds its index per call (no
+    # _cached_df), so the ratio measures trainer (constant 512-sample)
+    # + assignment (linear) + union-probe search (pruned). q_sssp is
+    # NOT here: it is _cached_df-served and its graph tables
+    # (orders/lineitem) are symlinked, not scaled, by this staging.
+    "q_ann_ivf_batch",
 ]
 
 TABLES = (
