@@ -153,6 +153,21 @@ SHOWCASE: dict[str, str] = {
         "BroadcastHashJoin LeftAnti (dim broadcast, fact never "
         "shuffles) — the scalable FK check."
     ),
+    "q_ann_ivf_batch": (
+        "Batched ANN (round 9): ONE parquet scan feeds all Q queries — "
+        "the probe-union Filter sits directly on the assign projection, "
+        "ONE MapInPandas scores every (row, probing query) pair, and "
+        "the only Exchange is the per-query top-k window over "
+        "k-bounded partials, with WindowGroupLimit on BOTH sides of it "
+        "(plan-level partial top-k)."
+    ),
+    "q_sssp": (
+        "BFS shortest path (round 9): the returned relation is the "
+        "eagerly materialized settled set (InMemoryTableScan) — the "
+        "per-hop frontier joins ran at build time as equi-join + "
+        "left-anti join pairs with lineage truncated every 3 hops; no "
+        "CartesianProduct anywhere."
+    ),
 }
 
 
