@@ -578,6 +578,7 @@ from pyspark.sql import functions as F
 spark = (SparkSession.builder.master("local[4]")
          .appName("stateful-phase1").config("spark.ui.enabled", "false")
          .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.streaming.stateStore.providerClass", sys.argv[4])
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from os_ex_3_map_reduce_spark.streaming.events import events_stream
@@ -598,7 +599,17 @@ print("PHASE1_DONE", flush=True)
 """
 
 
-def test_stateful_agg_state_survives_driver_restart(spark, tmp_path):
+@pytest.mark.parametrize(
+    "provider",
+    [
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    ],
+    ids=["hdfs", "rocksdb"],
+)
+def test_stateful_agg_state_survives_driver_restart(spark, tmp_path, provider):
     """Stateful across-restart recovery — the state-store counterpart of
     the foreachBatch test: a windowed count with watermark runs HALF its
     input (time-ordered files) in a SEPARATE JVM that then exits, its
@@ -640,7 +651,8 @@ def test_stateful_agg_state_survives_driver_restart(spark, tmp_path):
     out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
 
     proc = subprocess.run(
-        [sys.executable, "-c", PHASE1_STATEFUL_DRIVER, str(src), out, chk],
+        [sys.executable, "-c", PHASE1_STATEFUL_DRIVER, str(src), out, chk,
+         provider],
         capture_output=True,
         text=True,
         cwd="/tmp",
@@ -690,15 +702,24 @@ def test_stateful_agg_state_survives_driver_restart(spark, tmp_path):
             "n",
         )
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", chk)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, provider)
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is not None:
+            spark.conf.set(conf_key, prev_provider)
+        else:
+            spark.conf.unset(conf_key)
 
     got = {
         (r.hour, r.event_type): r.n
