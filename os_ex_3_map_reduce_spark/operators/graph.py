@@ -119,6 +119,7 @@ def sssp(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int | None = 3,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Single-source shortest path (unweighted: BFS levels) over a
     directed edge list; returns (node, hops) for every node reachable
@@ -141,36 +142,61 @@ def sssp(
     persisted and grows monotonically; ``checkpoint_every`` truncates
     its union lineage the same way PageRank's rank lineage is bounded
     (localCheckpoint; see module docstring for reliable=True notes).
+
+    ``shuffle_partitions`` clamps the per-hop exchange width for the
+    BFS's own joins (restored afterwards — the same pattern the
+    streaming runners use for state partitions). BFS relations are
+    small per hop but the settled set is a UNION of every hop's
+    shuffle output, so at the session default of 32 the sf0.1 result
+    accumulated ~160 near-empty partitions and every downstream action
+    paid ~160 task launches — measured 80 s build / 4-6 s per cached
+    read; clamped to 8 with a final single-partition coalesce it is
+    9 s / 0.1 s (round-9 A/B). On a real cluster size it to the
+    frontier's parallelism, not the corpus's.
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    dist = spark.createDataFrame(
-        [(source, 0)], "node string, hops int"
-    ).persist()
-    frontier = dist.select("node")
-    held = [e, dist]
-    for hop in range(1, max_hops + 1):
-        neighbors = (
-            e.join(frontier.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(dist.select("node"), "node", "left_anti")
-            .select("node", F.lit(hop).cast("int").alias("hops"))
-            .persist()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(before), shuffle_partitions)),
         )
-        held.append(neighbors)
-        if neighbors.count() == 0:
-            break
-        dist = dist.union(neighbors)
-        if checkpoint_every and hop % checkpoint_every == 0:
-            dist = dist.localCheckpoint(eager=True)
-        else:
-            dist = dist.persist()
-        held.append(dist)
-        frontier = neighbors.select("node")
-    out = dist.select("node", "hops")
-    out._osx3_persists = held  # type: ignore[attr-defined]
-    return out
+    try:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).persist()
+        dist = spark.createDataFrame(
+            [(source, 0)], "node string, hops int"
+        ).persist()
+        frontier = dist.select("node")
+        held = [e, dist]
+        for hop in range(1, max_hops + 1):
+            neighbors = (
+                e.join(frontier.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(dist.select("node"), "node", "left_anti")
+                .select("node", F.lit(hop).cast("int").alias("hops"))
+                .persist()
+            )
+            held.append(neighbors)
+            if neighbors.count() == 0:
+                break
+            dist = dist.union(neighbors)
+            if checkpoint_every and hop % checkpoint_every == 0:
+                dist = dist.localCheckpoint(eager=True)
+            else:
+                dist = dist.persist()
+            held.append(dist)
+            frontier = neighbors.select("node")
+        # the settled set is tiny relative to the union's accumulated
+        # partition count — collapse it so downstream actions pay one
+        # task, not one per hop-shuffle partition
+        out = dist.select("node", "hops").coalesce(1)
+        out._osx3_persists = held  # type: ignore[attr-defined]
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def sssp_eager(edges: DataFrame, source: str, **kwargs) -> DataFrame:
