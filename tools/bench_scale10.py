@@ -50,6 +50,24 @@ super-linear blowup hides under the sf0.1 numbers; the two heaviest
 ratios are the two queries whose candidate/aggregate sets genuinely
 grow 10x, scaling at well under linear.
 
+Round-9 numbers (2100 MHz degraded host, calibration canary ~0.22 s
+vs the 0.157 idle reference — raw seconds read ~1.5x r8):
+
+    q_simhash_neardup      ratio 1.35     q_chargram_jaccard  2.06
+    q_mapreduce_wordcount  ratio 1.78     q_sessionize        1.14
+    q_tfidf_top_terms      ratio 1.69
+    q_ann_ivf_batch        ratio 0.67  <- NEW: sublinear by design —
+        the trainer is a constant 512-sample collect and the probe
+        reads 4/16 lists regardless of corpus size; at 10x the pruned
+        fraction amortizes the fixed costs past break-even.
+    q_ann_lsh_topk: the in-sweep draw read 12.9 s (ratio 10.1), but a
+        clean-session median-of-3 immediately after reads 4.6-4.9 s
+        (ratio ~4.7, matching r8's 4.68) — the sweep draw ran right
+        after the 10x staging writes in the same session, the
+        accumulated-session effect documented in SURVEY §7.6. Ratio
+        unchanged from r8; no regression (code untouched since r7,
+        same-boot A/B in q_ann_lsh_topk's docstring).
+
 CDC apply at 10x change volume (bench_cdc, round-9 queue item; warm,
 150k-row orders base at sf0.1):
 
