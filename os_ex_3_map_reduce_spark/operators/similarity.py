@@ -497,7 +497,10 @@ def _batch_probe_plan(
     matmul (constant work — centroids and queries are both driver-held
     constants), returning the normalized query matrix, each query's
     probe lists, and the sorted union of all probed lists."""
-    Q = np.stack([np.asarray(list(q), dtype=np.float64) for q in queries])
+    vecs = [np.asarray(list(q), dtype=np.float64) for q in queries]
+    if not vecs:
+        raise ValueError("ivf batch search: empty query batch")
+    Q = np.stack(vecs)
     norms = np.linalg.norm(Q, axis=1, keepdims=True)
     if not np.all(norms > 0):
         raise ValueError("ivf batch search: zero-norm query vector")

@@ -791,4 +791,8 @@ def test_ivf_batch_matches_singles_on_random_data(spark):
                 (qi, r.vec_id, r.cosine, i + 1) for i, r in enumerate(single)
             )
             assert [b for b in batch if b[0] == qi] == exp, (seed, qi)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="empty query batch"):
+            ivf_search_batch(assigned, cents, [], k=4)
         assigned.unpersist()

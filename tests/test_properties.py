@@ -766,3 +766,11 @@ def test_sssp_bfs_levels_exact_and_partitioning_invariant(spark):
         for r in collect_unpersist(sssp(df, "a", max_hops=2))
     }
     assert capped == {("a", 0), ("b", 1), ("x", 1), ("c", 2)}
+
+    # a source with no outgoing edges settles immediately (first
+    # frontier empty -> early exit at hop 1)
+    lone = {
+        (r.node, r.hops)
+        for r in collect_unpersist(sssp(df, "q", max_hops=5))
+    }
+    assert lone == {("q", 0)}
