@@ -28,6 +28,7 @@ from .similarity import (  # noqa: F401
     ivf_search_batch_indexed,
     ivf_search_indexed,
     ivf_write,
+    topk_to_query_batch,
     train_centroids_sample,
     lsh_bucketed_topk,
     threshold_pairs,

@@ -796,3 +796,66 @@ def test_ivf_batch_matches_singles_on_random_data(spark):
         with _pytest.raises(ValueError, match="empty query batch"):
             ivf_search_batch(assigned, cents, [], k=4)
         assigned.unpersist()
+
+
+def test_ivf_batch_production_q50_against_numpy_oracle(spark):
+    """Production-shaped batch (Q=50 queries) checked against an
+    INDEPENDENT numpy reimplementation of the whole IVF pipeline —
+    probe selection, pruned candidate sets, rounded cosine scoring,
+    (-cosine, vec_id) tiebreaks — not Spark-vs-Spark. One scan serves
+    all 50 queries; every per-query top-k must match the oracle
+    exactly."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators import ivf_index, ivf_search_batch
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    assigned, cents = ivf_index(emb, nlist=16, trainer="sample")
+    assigned = assigned.persist()
+    qvs = [[float(v) for v in X[i]] for i in range(50)]
+    got = sorted(
+        map(tuple, ivf_search_batch(assigned, cents, qvs, k=5, nprobe=4).collect())
+    )
+    assigned.unpersist()
+
+    # independent oracle: numpy end-to-end
+    lists = (Xn @ cents.T - 0.5 * (cents * cents).sum(axis=1)).argmax(axis=1)
+    exp = []
+    for qi in range(50):
+        q = X[qi] / np.linalg.norm(X[qi])
+        probe = set(np.argsort(-(cents @ q - 0.5 * (cents * cents).sum(axis=1)))[:4])
+        cand = np.array([j for j in range(len(ids)) if lists[j] in probe])
+        cos = np.round(Xn[cand] @ q, 4)
+        order = sorted(range(len(cand)), key=lambda j: (-cos[j], ids[cand[j]]))[:5]
+        exp.extend(
+            (qi, int(ids[cand[j]]), float(cos[j]), rank + 1)
+            for rank, j in enumerate(order)
+        )
+    assert got == sorted(exp)
+    assert len(got) == 250
+
+
+def test_brute_batch_matches_singles(spark):
+    """topk_to_query_batch (exact brute force, one scan for Q queries)
+    must equal topk_to_query per query — scores, rounding, tiebreaks —
+    on the fixture, for a batch of 10 queries."""
+    from os_ex_3_map_reduce_spark.operators import topk_to_query_batch
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    rows = sorted(
+        emb.where(F.col("vec_id") < 10).collect(), key=lambda r: r.vec_id
+    )
+    qvs = [[float(v) for v in r.embedding] for r in rows]
+    got = sorted(
+        map(tuple, topk_to_query_batch(emb, qvs, k=5).collect())
+    )
+    assert len(got) == 50
+    for qi, qv in enumerate(qvs):
+        single = topk_to_query(emb, qv, k=5).collect()
+        exp = sorted((qi, r.vec_id, r.cosine, i + 1) for i, r in enumerate(single))
+        assert [g for g in got if g[0] == qi] == exp, qi
