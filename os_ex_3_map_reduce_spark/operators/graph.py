@@ -199,6 +199,110 @@ def sssp(
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def sssp_weighted(
+    edges: DataFrame,
+    source: str,
+    max_rounds: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    checkpoint_every: int | None = 3,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Weighted single-source shortest path: bounded distributed
+    Bellman-Ford over non-negative integer edge weights; returns
+    (node, dist) for every node reachable within ``max_rounds``
+    relaxation rounds (= shortest paths of at most that many edges),
+    dist = exact minimum path weight.
+
+    Per round: ONE join of the current distance relation against the
+    persisted edge list (candidate relaxations dist[src] + w) and ONE
+    groupBy(node) min — the min-plus analog of PageRank's two-shuffle
+    step. Convergence is detected from a (count, sum(dist)) pair per
+    round: relaxation is monotone (the node set only grows, each
+    node's dist only decreases), so an unchanged pair means a fixed
+    point and the loop exits early — one tiny aggregate per round, no
+    diff join. Distances are exact bigints, so results are
+    bit-identical under any partitioning (and oracle-able the same way
+    q_sssp is — registration queued for the r10 window).
+
+    Weights must be >= 0 (validated); negative edges would need the
+    full |V|-1 rounds plus a negative-cycle check, which is a
+    different contract. Same lineage-truncation and exchange-width
+    knobs as :func:`sssp`.
+    """
+    spark = edges.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(before), shuffle_partitions)),
+        )
+    try:
+        e = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        ).persist()
+        n_neg = e.where(F.col("w") < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"sssp_weighted: {n_neg} negative edge weights; "
+                "Bellman-Ford here requires w >= 0"
+            )
+        dist = spark.createDataFrame(
+            [(source, 0)], "node string, dist long"
+        ).persist()
+        held = [e, dist]
+        prev_stats = (1, 0)
+        for rnd in range(1, max_rounds + 1):
+            cand = e.join(
+                dist.select(
+                    F.col("node").alias("src"), F.col("dist").alias("d")
+                ),
+                "src",
+            ).select(
+                F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("dist")
+            )
+            new = (
+                dist.union(cand)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            if checkpoint_every and rnd % checkpoint_every == 0:
+                new = new.localCheckpoint(eager=True)
+            else:
+                new = new.persist()
+            held.append(new)
+            row = new.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+            ).first()
+            stats = (row["n"], row["s"])
+            dist = new
+            if stats == prev_stats:
+                break  # monotone fixed point: nothing relaxed this round
+            prev_stats = stats
+        out = dist.select("node", "dist").coalesce(1)
+        out._osx3_persists = held  # type: ignore[attr-defined]
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def sssp_weighted_eager(edges: DataFrame, source: str, **kwargs) -> DataFrame:
+    """:func:`sssp_weighted`, materialized, intermediates unpersisted."""
+    d = sssp_weighted(edges, source, **kwargs)
+    held = d._osx3_persists  # type: ignore[attr-defined]
+    out = d.persist()
+    out.count()
+    for df in held:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out
+
+
 def sssp_eager(edges: DataFrame, source: str, **kwargs) -> DataFrame:
     """:func:`sssp`, materialized: persists the result, forces it, and
     unpersists every intermediate so repeated invocations don't

@@ -774,3 +774,75 @@ def test_sssp_bfs_levels_exact_and_partitioning_invariant(spark):
         for r in collect_unpersist(sssp(df, "q", max_hops=5))
     }
     assert lone == {("q", 0)}
+
+
+def test_sssp_weighted_bellman_ford_properties(spark):
+    """sssp_weighted on a known weighted graph: min path WEIGHT beats
+    fewest hops (the property hop-BFS cannot express), early
+    convergence, unreachable nodes absent, w=1 degenerates to exactly
+    the hop-BFS result, negative weights rejected, and the result is
+    partitioning-invariant."""
+    import pytest as _pytest
+
+    from os_ex_3_map_reduce_spark.operators.graph import sssp, sssp_weighted
+
+    # a->b direct costs 5; the 3-edge detour a->c->d->b costs 3
+    edges = [
+        ("a", "b", 5), ("a", "c", 1), ("c", "d", 1), ("d", "b", 1),
+        ("b", "e", 0),              # zero-weight edge is legal
+        ("p", "q", 2),              # unreachable island
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+
+    got = {
+        (r.node, r.dist)
+        for r in collect_unpersist(sssp_weighted(df, "a", max_rounds=10))
+    }
+    assert got == {("a", 0), ("c", 1), ("d", 2), ("b", 3), ("e", 3)}
+
+    # round cap below the cheapest path's edge count: the direct w=5
+    # edge wins inside 1 round, the detour needs 3
+    capped = {
+        (r.node, r.dist)
+        for r in collect_unpersist(sssp_weighted(df, "a", max_rounds=1))
+    }
+    assert capped == {("a", 0), ("b", 5), ("c", 1)}
+
+    # partitioning invariance
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for reparts, sp in ((3, "7"), (11, "13")):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            alt = {
+                (r.node, r.dist)
+                for r in collect_unpersist(
+                    sssp_weighted(df.repartition(reparts), "a", max_rounds=10)
+                )
+            }
+            assert alt == got, (reparts, sp)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # w=1 everywhere degenerates to hop-BFS — cross-check the two
+    # iterative operators against each other
+    from pyspark.sql import functions as F
+
+    unit = df.select("src", "dst", F.lit(1).alias("w"))
+    wd = {
+        (r.node, r.dist)
+        for r in collect_unpersist(sssp_weighted(unit, "a", max_rounds=10))
+    }
+    bfs = {
+        (r.node, r.hops)
+        for r in collect_unpersist(
+            sssp(df.select("src", "dst"), "a", max_hops=10)
+        )
+    }
+    assert wd == bfs
+
+    # negative weights are a different contract: reject loudly
+    neg = spark.createDataFrame(
+        [("a", "b", -1)], "src string, dst string, w long"
+    )
+    with _pytest.raises(ValueError, match="negative edge weights"):
+        sssp_weighted(neg, "a")
