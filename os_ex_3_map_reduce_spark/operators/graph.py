@@ -319,6 +319,105 @@ def sssp_eager(edges: DataFrame, source: str, **kwargs) -> DataFrame:
     return out
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int | None = 3,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over a
+    directed edge list; returns (node, label) after ``iterations``
+    rounds. Every node starts labeled with its own id; each round,
+    every node with incoming edges adopts its neighbors' most frequent
+    label, ties broken by the smallest label — a TOTAL, deterministic
+    rule, so unlike classic randomized LPA the result is bit-identical
+    under any partitioning (the same determinism discipline as
+    PageRank/SSSP, and what makes an exact oracle possible —
+    registration queued for the r10 window). Nodes without incoming
+    edges keep their current label.
+
+    Per round: ONE join of the persisted edge list against current
+    labels + ONE groupBy(dst, label) count + a per-node argmax window
+    (partitioned by node — narrow state, no global sort). Symmetrize
+    the edge list first for undirected semantics, as the graph queries
+    do. Same lineage-truncation and exchange-width knobs as
+    :func:`sssp`.
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(before), shuffle_partitions)),
+        )
+    try:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).persist()
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        labels = nodes.select("node", F.col("node").alias("label"))
+        held = [e, nodes]
+        w = Window.partitionBy("node").orderBy(
+            F.desc("n"), F.asc("label")
+        )
+        for it in range(1, iterations + 1):
+            votes = (
+                e.join(
+                    labels.select(
+                        F.col("node").alias("src"), F.col("label")
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            winner = (
+                votes.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") == 1)
+                .select("node", F.col("label").alias("new_label"))
+            )
+            labels = (
+                labels.join(winner, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("new_label", "label").alias("label"),
+                )
+            )
+            if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
+                labels = labels.localCheckpoint(eager=True)
+            else:
+                labels = labels.persist()
+            held.append(labels)
+        out = labels.select("node", "label").coalesce(1)
+        out._osx3_persists = held  # type: ignore[attr-defined]
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def label_propagation_eager(edges: DataFrame, **kwargs) -> DataFrame:
+    """:func:`label_propagation`, materialized, intermediates freed."""
+    d = label_propagation(edges, **kwargs)
+    held = d._osx3_persists  # type: ignore[attr-defined]
+    out = d.persist()
+    out.count()
+    for df in held:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out
+
+
 def pagerank_eager(edges: DataFrame, **kwargs) -> DataFrame:
     """:func:`pagerank`, materialized: persists the (node, rank) result,
     forces it, and unpersists the iteration-invariant edge/node

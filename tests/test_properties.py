@@ -846,3 +846,54 @@ def test_sssp_weighted_bellman_ford_properties(spark):
     )
     with _pytest.raises(ValueError, match="negative edge weights"):
         sssp_weighted(neg, "a")
+
+
+def test_label_propagation_deterministic_communities(spark):
+    """Deterministic LPA: two symmetrized cliques bridged by nothing
+    converge to per-clique min labels; the tie rule (most frequent,
+    then smallest) is total so repartitioning and shuffle-width changes
+    cannot move a single label; iteration-0 labels are the node ids."""
+    from os_ex_3_map_reduce_spark.operators.graph import label_propagation
+
+    def clique(names):
+        return [
+            (a, b) for a in names for b in names if a != b
+        ]
+
+    edges = clique(["a", "b", "c"]) + clique(["x", "y", "z"])
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    got = {
+        (r.node, r.label)
+        for r in collect_unpersist(label_propagation(df, iterations=5))
+    }
+    # each clique collapses to its smallest member's label
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"), ("z", "x"),
+    }, got
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for reparts, sp in ((3, "7"), (11, "13")):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            alt = {
+                (r.node, r.label)
+                for r in collect_unpersist(
+                    label_propagation(df.repartition(reparts), iterations=5)
+                )
+            }
+            assert alt == got, (reparts, sp)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # a node with no incoming edges keeps its own label, while feeding
+    # its label downstream
+    chain = spark.createDataFrame(
+        [("r", "s"), ("s", "t")], "src string, dst string"
+    )
+    got2 = {
+        (r.node, r.label)
+        for r in collect_unpersist(label_propagation(chain, iterations=3))
+    }
+    assert got2 == {("r", "r"), ("s", "r"), ("t", "r")}, got2
