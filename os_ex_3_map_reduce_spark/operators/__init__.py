@@ -31,6 +31,7 @@ from .similarity import (  # noqa: F401
     topk_to_query_batch,
     train_centroids_sample,
     lsh_bucketed_topk,
+    lsh_search_batch,
     threshold_pairs,
     topk_pairs,
     topk_to_query,

@@ -859,3 +859,67 @@ def test_brute_batch_matches_singles(spark):
         single = topk_to_query(emb, qv, k=5).collect()
         exp = sorted((qi, r.vec_id, r.cosine, i + 1) for i, r in enumerate(single))
         assert [g for g in got if g[0] == qi] == exp, qi
+
+
+def test_lsh_batch_search_recall_and_pruning(spark):
+    """Batched LSH query search: measured recall vs the EXACT batch
+    (never assumed), the multiprobe dial strictly widens the candidate
+    set, results are deterministic under repartitioning, and the
+    union-probe really prunes (scans a strict subset of rows)."""
+    from os_ex_3_map_reduce_spark.operators import (
+        lsh_search_batch,
+        topk_to_query_batch,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    rows = sorted(
+        emb.where(F.col("vec_id") < 5).collect(), key=lambda r: r.vec_id
+    )
+    qvs = [[float(v) for v in r.embedding] for r in rows]
+
+    exact = topk_to_query_batch(emb, qvs, k=10).collect()
+    exact_sets = {
+        qi: {r.vec_id for r in exact if r.query_id == qi} for qi in range(5)
+    }
+
+    approx = lsh_search_batch(emb, qvs, k=10, planes=6, multiprobe=1)
+    got = approx.collect()
+    got_sets = {
+        qi: {r.vec_id for r in got if r.query_id == qi} for qi in range(5)
+    }
+    recalls = [
+        len(got_sets[qi] & exact_sets[qi]) / 10 for qi in range(5)
+    ]
+    # the query vector itself always collides with its own bucket
+    assert all(qi in got_sets[qi] for qi in range(5))
+    # measured 0.32 at planes=6/multiprobe=1 on the fixture; floor
+    # set under it with margin
+    assert sum(recalls) / 5 >= 0.2, f"mean recall {recalls} below floor"
+
+    # multiprobe=2 widens the probe set -> recall never decreases
+    wider = lsh_search_batch(emb, qvs, k=10, planes=6, multiprobe=2).collect()
+    wider_sets = {
+        qi: {r.vec_id for r in wider if r.query_id == qi} for qi in range(5)
+    }
+    recalls2 = [
+        len(wider_sets[qi] & exact_sets[qi]) / 10 for qi in range(5)
+    ]
+    assert all(b >= a for a, b in zip(recalls, recalls2)), (recalls, recalls2)
+
+    # deterministic under input layout
+    again = sorted(
+        map(
+            tuple,
+            lsh_search_batch(
+                emb.repartition(7), qvs, k=10, planes=6, multiprobe=1
+            ).collect(),
+        )
+    )
+    assert again == sorted(map(tuple, got))
+
+    # the probe prunes: candidates scanned < corpus — check via the
+    # public path: score with k=n and count distinct vec_ids reached
+    n_total = emb.count()
+    all_rows = lsh_search_batch(emb, qvs, k=n_total, planes=6, multiprobe=1)
+    n_candidates = all_rows.select("vec_id").distinct().count()
+    assert 0 < n_candidates < n_total, (n_candidates, n_total)
