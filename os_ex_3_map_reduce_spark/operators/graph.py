@@ -151,8 +151,10 @@ def sssp(
     accumulated ~160 near-empty partitions and every downstream action
     paid ~160 task launches — measured 80 s build / 4-6 s per cached
     read; clamped to 8 with a final single-partition coalesce it is
-    9 s / 0.1 s (round-9 A/B). On a real cluster size it to the
-    frontier's parallelism, not the corpus's.
+    22 s / ~1 s on the same degraded 2100 MHz host (round-9 A/B; the
+    build residue is the honest cost of 2 shuffles + a count per hop
+    plus the edge-relation distincts). On a real cluster size it to
+    the frontier's parallelism, not the corpus's.
     """
     spark = edges.sparkSession
     before = spark.conf.get("spark.sql.shuffle.partitions")
