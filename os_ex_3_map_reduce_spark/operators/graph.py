@@ -406,6 +406,96 @@ def label_propagation(
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph (pass each
+    edge once in either direction; duplicates and self-loops are
+    removed here); returns (node, n_triangles).
+
+    The node-iterator-with-orientation formulation: orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one — the total order makes each triangle appear EXACTLY once as a
+    directed path a→b→c plus the closing oriented edge a→c, so the
+    count is one self-join of the oriented edge list plus one
+    semi-join-shaped probe. Degree ordering is the skew defense: a
+    hub's oriented out-degree is bounded by the number of
+    higher-degree nodes, so the quadratic wedge work a raw self-join
+    would pile onto hubs is capped (the standard distributed triangle
+    trick). Everything is exact integers — partitioning-invariant and
+    SQL-oracle-able (same joins in DuckDB); registration queued for
+    the r10 window alongside the other late-r9 operators.
+    """
+    spark = edges.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(before), shuffle_partitions)),
+        )
+    try:
+        und = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+            .persist()
+        )
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .union(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        # orient low -> high under the (deg, node) total order
+        withdeg = (
+            und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+            .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+        )
+        lo_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        oriented = withdeg.select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        ).persist()
+        # wedges u->v, u->w (v != w) closed by an oriented edge between
+        # v and w (either direction exists exactly once post-orientation)
+        e1 = oriented.select(F.col("u"), F.col("v"))
+        e2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+        wedges = e1.join(e2, "u").where(F.col("v") < F.col("w"))
+        closing = oriented.select(
+            F.least("u", "v").alias("v"), F.greatest("u", "v").alias("w")
+        )
+        tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+        counts = (
+            tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        # nodes in no triangle still appear, with 0
+        out = (
+            deg.select("node")
+            .join(counts, "node", "left")
+            .select(
+                "node",
+                F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                    "n_triangles"
+                ),
+            )
+            .coalesce(1)
+        )
+        out._osx3_persists = [und, oriented]  # type: ignore[attr-defined]
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def label_propagation_eager(edges: DataFrame, **kwargs) -> DataFrame:
     """:func:`label_propagation`, materialized, intermediates freed."""
     d = label_propagation(edges, **kwargs)

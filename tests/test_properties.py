@@ -897,3 +897,52 @@ def test_label_propagation_deterministic_communities(spark):
         for r in collect_unpersist(label_propagation(chain, iterations=3))
     }
     assert got2 == {("r", "r"), ("s", "r"), ("t", "r")}, got2
+
+
+def test_triangle_counts_exact_and_invariant(spark):
+    """Per-node triangle counts: K4 gives every node C(3,2)=3 triangles,
+    a square (4-cycle) gives zero, a bipartite graph gives zero, and
+    adding one diagonal to the square creates exactly two triangles
+    touching the diagonal's endpoints twice... (verified by hand: the
+    diagonal splits the square into two triangles; its endpoints sit in
+    both, the other corners in one each). Duplicate/reversed/self-loop
+    edges must not change anything; result is partitioning-invariant."""
+    from os_ex_3_map_reduce_spark.operators.graph import triangle_counts
+
+    def counts(edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            (r.node, r.n_triangles)
+            for r in collect_unpersist(triangle_counts(df))
+        }
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert counts(k4) == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+
+    square = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    assert counts(square) == {("a", 0), ("b", 0), ("c", 0), ("d", 0)}
+
+    # diagonal a-c: triangles abc and acd
+    diag = square + [("a", "c")]
+    assert counts(diag) == {("a", 2), ("c", 2), ("b", 1), ("d", 1)}
+
+    # dirty input: reversed duplicates + self loops are absorbed
+    dirty = k4 + [("b", "a"), ("c", "a"), ("a", "a"), ("d", "c")]
+    assert counts(dirty) == counts(k4)
+
+    # partitioning invariance
+    df = spark.createDataFrame(diag, "src string, dst string")
+    base = {
+        (r.node, r.n_triangles)
+        for r in collect_unpersist(triangle_counts(df))
+    }
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        alt = {
+            (r.node, r.n_triangles)
+            for r in collect_unpersist(triangle_counts(df.repartition(5)))
+        }
+        assert alt == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
