@@ -946,3 +946,53 @@ def test_triangle_counts_exact_and_invariant(spark):
         assert alt == base
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_new_graph_operators_on_fixture_graph(spark):
+    """The late-r9 graph operators exercised on the real fixture graph
+    (symmetrized customer-supplier bipartite, sf0.01: 1,600 nodes,
+    ~97k directed edges) — beyond toy examples: a bipartite graph has
+    ZERO triangles (odd cycle impossible — structural invariant, not a
+    tuned expectation); unit-weight Bellman-Ford must equal hop-BFS on
+    the full graph; label propagation must produce a total labeling
+    drawn from existing node ids."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.graph import (
+        label_propagation,
+        sssp,
+        sssp_weighted,
+        triangle_counts,
+    )
+    from os_ex_3_map_reduce_spark.plans.graph_queries import _bipartite_edges
+
+    edges = _bipartite_edges(spark, "/root/testdata/sf0.01").persist()
+    try:
+        n_nodes = (
+            edges.select(F.col("src").alias("n"))
+            .union(edges.select(F.col("dst").alias("n")))
+            .distinct()
+            .count()
+        )
+
+        tri = collect_unpersist(triangle_counts(edges))
+        assert len(tri) == n_nodes
+        assert all(r.n_triangles == 0 for r in tri), "bipartite graph grew a triangle"
+
+        unit = edges.withColumn("w", F.lit(1))
+        wd = {
+            (r.node, r.dist)
+            for r in collect_unpersist(sssp_weighted(unit, "c1", max_rounds=6))
+        }
+        bfs = {
+            (r.node, r.hops)
+            for r in collect_unpersist(sssp(edges, "c1", max_hops=6))
+        }
+        assert wd == bfs and len(bfs) > 1
+
+        labels = collect_unpersist(label_propagation(edges, iterations=3))
+        assert len(labels) == n_nodes
+        node_set = {r.node for r in labels}
+        assert all(r.label in node_set for r in labels)
+    finally:
+        edges.unpersist()
