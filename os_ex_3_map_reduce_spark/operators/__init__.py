@@ -31,7 +31,9 @@ from .similarity import (  # noqa: F401
     topk_to_query_batch,
     train_centroids_sample,
     lsh_bucketed_topk,
+    lsh_bucket_assign,
     lsh_search_batch,
+    lsh_search_batch_indexed,
     threshold_pairs,
     topk_pairs,
     topk_to_query,

@@ -659,6 +659,101 @@ def ivf_search_batch_indexed(
     return _batch_score_topk(pruned, Qn, probes, len(centroids), k, id_col)
 
 
+def lsh_bucket_assign(
+    emb_df: DataFrame,
+    planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Sign-hash every row into its single-table LSH bucket: returns
+    (id, e, list_id) with ``list_id`` = the ``planes``-bit bucket from
+    deterministic seeded hyperplanes — the same (id, e, list_id)
+    contract as :func:`ivf_index`'s assignment, so :func:`ivf_write`
+    materializes it partitioned by bucket unchanged and probes prune
+    at the scan identically."""
+    rng = np.random.RandomState(seed)
+    P = rng.randn(planes, dim)
+    weights = (1 << np.arange(planes)).astype(np.int64)
+    spark = emb_df.sparkSession
+    b_p = spark.sparkContext.broadcast((P, weights))
+
+    @F.pandas_udf("int")
+    def row_bucket(embs: pd.Series) -> pd.Series:
+        P_, w_ = b_p.value
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        return pd.Series(
+            (((mat @ P_.T) > 0).astype(np.int64) @ w_).astype(np.int32)
+        )
+
+    return emb_df.select(
+        F.col(id_col), F.col(emb_col).cast("array<double>").alias("e")
+    ).withColumn("list_id", row_bucket(F.col("e")))
+
+
+def _lsh_batch_probes(
+    queries: Iterable[Iterable[float]],
+    planes: int,
+    seed: int,
+    dim: int,
+    multiprobe: int,
+) -> tuple["np.ndarray", list[list[int]]]:
+    """Driver-side probe selection for the batched LSH search: each
+    query's own bucket plus every bucket within ``multiprobe`` bit
+    flips, from the SAME seeded hyperplanes the corpus was bucketed
+    with."""
+    if multiprobe < 0 or multiprobe > 2:
+        raise ValueError("lsh_search_batch: multiprobe must be 0, 1, or 2")
+    rng = np.random.RandomState(seed)
+    P = rng.randn(planes, dim)
+    vecs = [np.asarray(list(q), dtype=np.float64) for q in queries]
+    if not vecs:
+        raise ValueError("lsh batch search: empty query batch")
+    Q = np.stack(vecs)
+    norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    if not np.all(norms > 0):
+        raise ValueError("lsh batch search: zero-norm query vector")
+    Qn = Q / norms
+    weights = (1 << np.arange(planes)).astype(np.int64)
+    buckets = ((Q @ P.T) > 0).astype(np.int64) @ weights
+    probes: list[list[int]] = []
+    for b in buckets:
+        ps = {int(b)}
+        if multiprobe >= 1:
+            ps |= {int(b) ^ (1 << j) for j in range(planes)}
+        if multiprobe >= 2:
+            ps |= {
+                int(b) ^ (1 << i) ^ (1 << j)
+                for i in range(planes)
+                for j in range(i + 1, planes)
+            }
+        probes.append(sorted(ps))
+    return Qn, probes
+
+
+def lsh_search_batch_indexed(
+    spark,
+    path: str,
+    queries: Iterable[Iterable[float]],
+    k: int = 10,
+    planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`lsh_search_batch` against a written bucketed corpus
+    (:func:`lsh_bucket_assign` + :func:`ivf_write`): the union-of-probe
+    -buckets filter lands on the ``list_id``-partitioned scan, so the
+    batch probe prunes at the SCAN — numFiles-asserted in tests, same
+    mechanism as the IVF index."""
+    Qn, probes = _lsh_batch_probes(queries, planes, seed, dim, multiprobe)
+    union = sorted({b for row in probes for b in row})
+    pruned = spark.read.parquet(path).where(F.col("list_id").isin(union))
+    return _batch_score_topk(pruned, Qn, probes, 1 << planes, k, id_col)
+
+
 def lsh_search_batch(
     emb_df: DataFrame,
     queries: Iterable[Iterable[float]],
@@ -689,51 +784,11 @@ def lsh_search_batch(
     works unchanged) and the probe prunes at the scan exactly like the
     IVF index.
     """
-    if multiprobe < 0 or multiprobe > 2:
-        raise ValueError("lsh_search_batch: multiprobe must be 0, 1, or 2")
-    rng = np.random.RandomState(seed)
-    P = rng.randn(planes, dim)
-
-    vecs = [np.asarray(list(q), dtype=np.float64) for q in queries]
-    if not vecs:
-        raise ValueError("lsh batch search: empty query batch")
-    Q = np.stack(vecs)
-    norms = np.linalg.norm(Q, axis=1, keepdims=True)
-    if not np.all(norms > 0):
-        raise ValueError("lsh batch search: zero-norm query vector")
-    Qn = Q / norms
-
-    weights = (1 << np.arange(planes)).astype(np.int64)
-
-    def bucket_of(mat: "np.ndarray") -> "np.ndarray":
-        return ((mat @ P.T) > 0).astype(np.int64) @ weights
-
-    spark = emb_df.sparkSession
-    b_p = spark.sparkContext.broadcast((P, weights))
-
-    @F.pandas_udf("int")
-    def row_bucket(embs: pd.Series) -> pd.Series:
-        P_, w_ = b_p.value
-        mat = np.stack(embs.to_numpy()).astype(np.float64)
-        return pd.Series((((mat @ P_.T) > 0).astype(np.int64) @ w_).astype(np.int32))
-
-    assigned = emb_df.select(
-        F.col(id_col), F.col(emb_col).cast("array<double>").alias("e")
-    ).withColumn("list_id", row_bucket(F.col("e")))
-
-    probes: list[list[int]] = []
-    for b in bucket_of(Q):
-        ps = {int(b)}
-        if multiprobe >= 1:
-            ps |= {int(b) ^ (1 << j) for j in range(planes)}
-        if multiprobe >= 2:
-            ps |= {
-                int(b) ^ (1 << i) ^ (1 << j)
-                for i in range(planes)
-                for j in range(i + 1, planes)
-            }
-        probes.append(sorted(ps))
-    return _batch_score_topk(assigned, Qn, probes, 1 << planes, k, id_col)
+    Qn, probes = _lsh_batch_probes(queries, planes, seed, dim, multiprobe)
+    assigned = lsh_bucket_assign(emb_df, planes, seed, dim, id_col, emb_col)
+    union = sorted({b for row in probes for b in row})
+    pruned = assigned.where(F.col("list_id").isin(union))
+    return _batch_score_topk(pruned, Qn, probes, 1 << planes, k, id_col)
 
 
 def lsh_bucketed_topk(

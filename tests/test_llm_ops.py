@@ -923,3 +923,61 @@ def test_lsh_batch_search_recall_and_pruning(spark):
     all_rows = lsh_search_batch(emb, qvs, k=n_total, planes=6, multiprobe=1)
     n_candidates = all_rows.select("vec_id").distinct().count()
     assert 0 < n_candidates < n_total, (n_candidates, n_total)
+
+
+def test_lsh_batch_indexed_prunes_at_the_scan(spark, tmp_path):
+    """The LSH batch against a WRITTEN bucketed corpus (lsh_bucket_assign
+    + ivf_write): identical results to the in-memory search, and the
+    union-of-probe-buckets filter prunes at the scan — executed-plan
+    numFiles strictly below the full listing (same assertion the IVF
+    index carries)."""
+    from os_ex_3_map_reduce_spark.operators import (
+        ivf_write,
+        lsh_bucket_assign,
+        lsh_search_batch,
+        lsh_search_batch_indexed,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    rows = sorted(
+        emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+    )
+    qvs = [[float(v) for v in r.embedding] for r in rows]
+
+    assigned = lsh_bucket_assign(emb, planes=6)
+    path = str(tmp_path / "lshidx")
+    ivf_write(assigned, path)
+
+    mem = sorted(
+        map(tuple, lsh_search_batch(emb, qvs, k=10, planes=6).collect())
+    )
+    idx = lsh_search_batch_indexed(spark, path, qvs, k=10, planes=6)
+    assert sorted(map(tuple, idx.collect())) == mem
+
+    def scanned_files(df):
+        plan = df._jdf.queryExecution().executedPlan()
+        plan.executeCollect()
+
+        def find_scan(node):
+            if node.metrics().contains("numFiles"):
+                return node
+            if node.nodeName() == "AdaptiveSparkPlan":
+                return find_scan(node.executedPlan())
+            if "QueryStage" in node.getClass().getSimpleName():
+                return find_scan(node.plan())
+            kids = node.children()
+            for i in range(kids.size()):
+                hit = find_scan(kids.apply(i))
+                if hit is not None:
+                    return hit
+            return None
+
+        scan = find_scan(plan)
+        assert scan is not None, "no scan with numFiles metric"
+        return int(scan.metrics().apply("numFiles").value())
+
+    n_all = scanned_files(spark.read.parquet(path))
+    n_probed = scanned_files(idx)
+    assert 0 < n_probed < n_all, (n_probed, n_all)
+    plan_str = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [list_id" in plan_str
