@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import SCALE, pagerank_eager, sssp_eager
+from ..operators.graph import (
+    SCALE,
+    label_propagation_eager,
+    pagerank_eager,
+    sssp_eager,
+    sssp_weighted_eager,
+    triangle_counts,
+)
 from ..sources.tables import load_table
 from .catalog import register
 from .llm import _cached_df
@@ -160,3 +167,246 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _cached_df(spark, ("sssp", sf_dir), build)
+
+
+_SSSP_W_ROUNDS = 6
+
+_SQL_WEIGHTED_EDGES = """
+    arcs AS (
+        SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+               MIN(1 + (o_custkey + l_suppkey) % 5) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT src, dst, w FROM arcs
+        UNION ALL SELECT dst, src, w FROM arcs
+    )
+"""
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer-supplier edges with deterministic small
+    integer weights w = 1 + ((custkey + suppkey) % 5) — derivable
+    identically in SQL, and small enough to keep the oracle's
+    recursive walk finite (path weight <= 5 * rounds)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    arcs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (1 + (F.col("o_custkey") + F.col("l_suppkey")) % 5).alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    return arcs.union(
+        arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+
+
+@register(
+    "q_sssp_weighted",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_WEIGHTED_EDGES},
+        walk(node, d, hops) AS (
+            SELECT 'c1', CAST(0 AS BIGINT), 0
+            UNION
+            SELECT e.dst, w.d + e.w, w.hops + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.hops < {_SSSP_W_ROUNDS}
+        )
+        SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+        FROM walk GROUP BY node
+    """,
+    doc=f"Weighted single-source shortest path from customer c1: "
+    f"bounded distributed Bellman-Ford ({_SSSP_W_ROUNDS} relaxation "
+    "rounds) over the symmetrized customer-supplier graph with "
+    "deterministic integer weights 1 + ((custkey + suppkey) % 5). "
+    "Per round: ONE min-plus join of current distances against the "
+    "persisted edge list + ONE groupBy(node) min "
+    "(operators/graph.py sssp_weighted); a (count, sum) monotone "
+    "fixed-point check early-exits the loop with one tiny aggregate "
+    "per round, no diff join. Distances are exact bigints, so the "
+    "hop-capped recursive-CTE oracle (UNION-distinct (node, d, hops) "
+    "walk — finite because weights are small ints — then MIN(d)) "
+    "hash-matches bit-for-bit under any partitioning. Cross-check in "
+    "tests: with w=1 it equals hop-BFS q_sssp exactly. Tri-scale "
+    "driver-sim validated (r9) before registration.",
+)
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        return sssp_weighted_eager(
+            _weighted_edges(spark, sf_dir), "c1", max_rounds=_SSSP_W_ROUNDS
+        )
+
+    return _cached_df(spark, ("sssp_weighted", sf_dir), build)
+
+
+_LP_ITER = 3
+
+
+def _labelprop_oracle() -> str:
+    """Unrolled mode-per-node CTE chain: windows are legal in
+    non-recursive CTEs (unlike recursive ones), so each label-prop
+    iteration is one generated (votes, winner, next-labels) triple —
+    the same generator trick as the PageRank oracle."""
+    cte = ["""
+    arcs AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM arcs
+        UNION SELECT dst AS src, src AS dst FROM arcs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes)"""]
+    for i in range(_LP_ITER):
+        cte.append(f"""
+    v{i} AS (
+        SELECT e.dst AS node, l.label, COUNT(*) AS n
+        FROM edges e JOIN l{i} l ON e.src = l.node
+        GROUP BY 1, 2
+    ),
+    w{i} AS (
+        SELECT node, label AS new_label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY n DESC, label) AS rk
+        FROM v{i}
+    ),
+    l{i + 1} AS (
+        SELECT l{i}.node, COALESCE(w{i}.new_label, l{i}.label) AS label
+        FROM l{i} LEFT JOIN w{i}
+          ON l{i}.node = w{i}.node AND w{i}.rk = 1
+    )""")
+    return "WITH " + ",".join(cte) + f"\n    SELECT node, label FROM l{_LP_ITER}"
+
+
+@register(
+    "q_labelprop",
+    oracle=_labelprop_oracle(),
+    doc=f"Label propagation (community detection), {_LP_ITER} "
+    "synchronous iterations over the symmetrized customer-supplier "
+    "graph: every node starts labeled with its own id; each round "
+    "every node with incoming edges adopts its neighbors' most "
+    "frequent label, ties broken by the smallest label — a TOTAL "
+    "deterministic rule, so unlike classic randomized LPA the result "
+    "is bit-identical under any partitioning and exact-oracle-able "
+    "(operators/graph.py label_propagation). Per round: ONE edge-"
+    "labels join + ONE groupBy(dst, label) count + a per-node argmax "
+    "window (partitioned by node — narrow state, no global sort). "
+    "Oracle: unrolled mode-CTE chain, one generated iteration triple "
+    "per round. Tri-scale driver-sim validated (r9) before "
+    "registration.",
+)
+def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        return label_propagation_eager(
+            _bipartite_edges(spark, sf_dir), iterations=_LP_ITER
+        )
+
+    return _cached_df(spark, ("labelprop", sf_dir), build)
+
+
+def _part_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-occurrence graph: an edge between two parts whenever
+    some order contains line items for both. Unlike the bipartite
+    customer-supplier graph (odd cycles impossible -> triangle-free)
+    or the co-supplier projection (complete at every fixture scale),
+    this one is genuinely sparse AND triangle-bearing: 200 nodes /
+    8.9k edges / 126k triangles at sf0.001 up to 20k nodes / 1.2M
+    edges / 1.88M triangles at sf0.1."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_triangles",
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        und AS (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT a AS node FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY node
+        ),
+        oriented AS (
+            SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u,
+                   CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v
+            FROM und u
+            JOIN deg da ON u.a = da.node
+            JOIN deg db ON u.b = db.node
+        ),
+        tris AS (
+            SELECT e1.u, e1.v, e2.v AS w
+            FROM oriented e1
+            JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN (SELECT least(u, v) AS v, greatest(u, v) AS w FROM oriented) c
+              ON c.v = least(e1.v, e2.v) AND c.w = greatest(e1.v, e2.v)
+        ),
+        counts AS (
+            SELECT node, COUNT(*) AS n FROM (
+                SELECT u AS node FROM tris
+                UNION ALL SELECT v FROM tris
+                UNION ALL SELECT w FROM tris
+            ) GROUP BY node
+        )
+        SELECT CAST(deg.node AS BIGINT) AS node,
+               CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_triangles
+        FROM deg LEFT JOIN counts ON deg.node = counts.node
+    """,
+    doc="Per-node triangle counts over the part co-occurrence graph "
+    "(edge = two parts share an order; sparse and triangle-bearing at "
+    "every fixture scale — the bipartite customer-supplier graph is "
+    "triangle-FREE by parity and the co-supplier projection is "
+    "complete, so neither demonstrates the counting machinery). "
+    "Node-iterator-with-orientation (operators/graph.py "
+    "triangle_counts): each undirected edge is oriented from its "
+    "lower-(degree, id) endpoint, so every triangle appears EXACTLY "
+    "once as a wedge plus one closing probe, and a hub's oriented "
+    "out-degree is capped by the number of higher-degree nodes — the "
+    "standard distributed skew defense. shuffle_partitions=None here "
+    "(inherit the session's 32): the operator's default cap of 8 is "
+    "tuned for the 1.1k-node bipartite graph; on this 1.2M-edge graph "
+    "the wedge join wants the session width (A/B at sf0.1: 7.9 s @ 8 "
+    "-> 2.7 s @ 32). Exact integers end-to-end; same joins replicated "
+    "in the DuckDB oracle. Tri-scale driver-sim validated (r9).",
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        d = triangle_counts(
+            _part_cooccur_edges(spark, sf_dir), shuffle_partitions=None
+        )
+        out = d.persist()
+        out.count()
+        for df in getattr(d, "_osx3_persists", ()):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        return out
+
+    return _cached_df(spark, ("triangles", sf_dir), build)
