@@ -21,6 +21,7 @@ from .multimodal import (  # noqa: F401
     resize_nearest,
     sample_frames,
 )
+from .pq import pq_encode, pq_search_batch, pq_train  # noqa: F401
 from .similarity import (  # noqa: F401
     ivf_index,
     ivf_search,

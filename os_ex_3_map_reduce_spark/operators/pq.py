@@ -1,0 +1,249 @@
+"""Product quantization (PQ) for embedding search: the memory side of
+the 100 TB ANN story.
+
+IVF (operators/similarity.py) makes search SUBLINEAR — probe a few
+lists, prune the rest at the scan. PQ makes the scanned bytes SMALL:
+each d-dim float vector is split into ``m`` subvectors and every
+subvector is replaced by the id of its nearest codeword from a
+per-subspace codebook of ``ksub`` centroids — the faiss ``IndexPQ``
+construction. At m=16 codes of one byte each, a 64-d float64 embedding
+(512 B) compresses 32x to 16 B, which is the difference between an
+index that fits executor memory and one that doesn't. Search never
+decodes: a query builds an m x ksub lookup table of subspace inner
+products once, and each candidate's approximate score is m table
+lookups summed (ADC — asymmetric distance computation), no float
+vector ever touched.
+
+Design mirrors the IVF stack's determinism discipline so the catalog
+query can carry a pinned-expectation exact oracle:
+
+- codebooks train on the same id-ordered, driver-collected sample as
+  :func:`~.similarity.train_centroids_sample` (bounded collect —
+  sample_n x dim doubles regardless of corpus size), seeded k-means++
+  + Lloyd per subspace with a per-subspace derived seed;
+- corpus vectors are L2-normalized before encoding and queries before
+  table build, so ADC approximates COSINE (inner product of unit
+  vectors);
+- ADC scores round to 4 decimals with total (query_id, score desc,
+  vec_id) tiebreaks — partitioning-invariant output, verified under
+  shuffle.partitions 32/7/13 in tests.
+
+Composes with IVF: encode an ``ivf_index``-assigned relation and the
+codes table keeps ``list_id``, so an IVF-PQ search is "filter to the
+probed lists, then ADC" — both halves exist, the composition is
+tested. (Faiss's IVFPQ additionally encodes residuals against the
+coarse centroid; plain PQ keeps the pinned-oracle arithmetic simple
+and loses a little fidelity — the standard IndexPQ/IVFPQ trade.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _kmeans_subspace(
+    X: "np.ndarray", ksub: int, seed: int, max_iter: int
+) -> "np.ndarray":
+    """Seeded k-means++ + Lloyd on one subspace's sample rows (no
+    per-subvector normalization — the full vector was normalized)."""
+    rng = np.random.RandomState(seed)
+    cents = [X[rng.randint(len(X))]]
+    for _ in range(ksub - 1):
+        d2 = np.min(
+            np.stack([((X - c) ** 2).sum(axis=1) for c in cents]), axis=0
+        )
+        tot = d2.sum()
+        p = d2 / tot if tot > 0 else None
+        cents.append(X[rng.choice(len(X), p=p)])
+    C = np.stack(cents)
+    for _ in range(max_iter):
+        a = (X @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+        for j in range(ksub):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def pq_train(
+    emb_df: DataFrame,
+    m: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_n: int = 512,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> "np.ndarray":
+    """Train PQ codebooks on an id-ordered driver-side sample; returns
+    an (m, ksub, d/m) array. Same reproducible-index-build shape as
+    :func:`~.similarity.train_centroids_sample`: bounded collect,
+    seeded numpy, partitioning-invariant. The vector dim must divide
+    evenly into ``m`` subspaces."""
+    rows = (
+        emb_df.select(
+            F.col(id_col), F.col(emb_col).cast("array<double>").alias("e")
+        )
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty training input")
+    X = np.stack([np.asarray(r["e"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    if not np.all(norms > 0):
+        X = X[norms[:, 0] > 0]
+        norms = norms[norms[:, 0] > 0]
+        if not len(X):
+            raise ValueError("pq_train: all sample vectors have zero norm")
+    X = X / norms
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [
+            _kmeans_subspace(
+                X[:, j * dsub : (j + 1) * dsub], ksub, seed + j, max_iter
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    emb_df: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep_cols: Iterable[str] = (),
+) -> DataFrame:
+    """Encode every vector to its m codeword ids: one Arrow-batched
+    kernel, codebooks broadcast, no shuffle — the same
+    assign-the-corpus-with-broadcast-constants shape as IVF
+    assignment. ``keep_cols`` passes extra columns through (e.g.
+    ``list_id`` from :func:`~.similarity.ivf_index` for IVF-PQ)."""
+    m, ksub, dsub = codebooks.shape
+    b_cb = emb_df.sparkSession.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf("array<int>")
+    def encode(embs: pd.Series) -> pd.Series:
+        cb = b_cb.value
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        # zero-norm: encode the zero vector (deterministic codes via
+        # the same argmax rule) instead of poisoning the batch with NaN
+        mat = mat / np.where(norms > 0, norms, 1.0)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            C = cb[j]
+            codes[:, j] = (sub @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+        return pd.Series(list(codes))
+
+    return emb_df.select(
+        id_col, *keep_cols, encode(F.col(emb_col).cast("array<double>")).alias("code")
+    )
+
+
+def pq_search_batch(
+    codes_df: DataFrame,
+    codebooks: "np.ndarray",
+    queries: Iterable[Iterable[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched ADC search over a PQ-encoded relation: Q queries in ONE
+    scan of the codes (never the vectors). Driver-side, each query
+    builds its m x ksub inner-product lookup table against the
+    broadcast codebooks; executor-side, one Arrow-batched kernel sums
+    m table lookups per (query, candidate) — a fancy-indexing gather,
+    no matmul over raw vectors — keeps a per-batch partial top-k
+    (bounding the shuffle to k rows per query per batch, the same
+    bound as the IVF batch kernel), and one bounded window ranks the
+    global per-query top-k.
+
+    Output: (query_id, vec_id, adc_score, rank) — adc_score is the
+    quantized cosine, rounded to 4 decimals with total tiebreaks.
+    Approximate by construction: recall against the exact batch is
+    MEASURED (tests + the q_ann_pq_recall catalog query), never
+    assumed."""
+    m, ksub, dsub = codebooks.shape
+    vecs = [np.asarray(list(q), dtype=np.float64) for q in queries]
+    if not vecs:
+        raise ValueError("pq_search_batch: empty query batch")
+    Q = np.stack(vecs)
+    norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    if not np.all(norms > 0):
+        raise ValueError("pq_search_batch: zero-norm query vector")
+    Qn = Q / norms
+    nq = len(Qn)
+    # LUT[q, j, c] = <q_subj, codebook[j][c]> ; sum over j approximates
+    # <q, decode(code)> = quantized cosine
+    lut = np.stack(
+        [
+            np.stack(
+                [
+                    codebooks[j] @ Qn[qi, j * dsub : (j + 1) * dsub]
+                    for j in range(m)
+                ]
+            )
+            for qi in range(nq)
+        ]
+    )
+    spark = codes_df.sparkSession
+    b_lut = spark.sparkContext.broadcast(lut)
+
+    out_schema = "query_id long, vec_id long, adc_score double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        L = b_lut.value  # (nq, m, ksub)
+        cols = np.arange(m)
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "adc_score": pd.Series(dtype="float64"),
+            }
+        )
+        for pdf in batches:
+            if not len(pdf):
+                yield empty
+                continue
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            codes = np.stack(pdf["code"].to_numpy())  # (n, m)
+            outs = []
+            for qi in range(L.shape[0]):
+                scores = np.round(L[qi][cols, codes].sum(axis=1), 4)
+                if len(scores) > k:
+                    # partial top-k with the global order's tiebreak
+                    keep = np.lexsort((ids, -scores))[:k]
+                else:
+                    keep = np.arange(len(scores))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qi),
+                            "vec_id": ids[keep],
+                            "adc_score": scores[keep],
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else empty
+
+    local = codes_df.select(id_col, "code").mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("vec_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_score", "rank")
+    )

@@ -88,14 +88,15 @@ DRIVER_WINDOW = 50
 #:   foreachBatch sink gained a fault-injection parameter for the
 #:   driver-restart recovery test).
 #: After r9 the expected distribution is 50 r9 / ~48 r8 / ~44 r7 —
-#: nothing older than two rounds. The five operators that landed late
-#: in r9 ARE registered (q_sssp_weighted, q_labelprop, q_triangles,
-#: q_similarity_topk_batch, q_ann_lsh_batch — tri-scale driver-sim
-#: validated at registration) but sit BELOW the priority prefix so the
-#: r9 window keeps all 43 directive names; they are never-verified
-#: externally until r10. Next rotation (r10): front those five, then
-#: anything round 10 changes, then the remaining r7 names oldest
-#: first.
+#: nothing older than two rounds. Seven queries registered late in r9
+#: sit BELOW the priority prefix so the r9 window keeps all 43
+#: directive names (each tri-scale driver-sim validated at
+#: registration; never-verified externally until r10): the five
+#: late-landed operators (q_sssp_weighted, q_labelprop, q_triangles,
+#: q_similarity_topk_batch, q_ann_lsh_batch) plus the product-
+#: quantization pair (q_ann_pq_topk, q_ann_pq_recall). Next rotation
+#: (r10): front those seven, then anything round 10 changes, then the
+#: remaining r7 names oldest first.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # new this round (never externally verified) -> verify first
     "q_ann_ivf_batch",

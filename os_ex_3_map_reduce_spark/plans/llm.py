@@ -1010,6 +1010,141 @@ def q_ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_search_batch(emb, qvs, k=5, planes=6, multiprobe=1)
 
 
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    """Shared PQ build for the two PQ queries: deterministic sample-
+    trained codebooks (m=16 subspaces x 16 codewords — 16-byte codes,
+    32x compression of the 64-d float64 embeddings) + the 3-query
+    batch (vec_id 0/1/2)."""
+    from ..operators.pq import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+        )
+    ]
+    cb = pq_train(emb, m=16, ksub=16)
+    return emb, qvs, cb, pq_encode(emb, cb)
+
+
+@register(
+    "q_ann_pq_topk",
+    # The PQ pipeline is FULLY deterministic (id-ordered driver sample,
+    # per-subspace seeded k-means, rounded ADC scores, total
+    # tiebreaks), so its output on a fixed fixture is a constant —
+    # measured identical under shuffle.partitions 32/7/13 at EVERY
+    # fixture scale before pinning (round 9, same recipe as the other
+    # seeded-ANN pins). Pins keyed per scale by the orders row count.
+    # Note the self-match scores (~0.67-0.78, not 1.0): ADC scores the
+    # QUANTIZED vector, so even a query's own row loses the
+    # reconstruction error — the honest signature of a real PQ.
+    oracle="""
+        SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+               CAST(c AS DOUBLE) AS adc_score, CAST(r AS INTEGER) AS rank
+        FROM (VALUES
+            (1500,   0,    0, 0.7807, 1), (1500,   0,  340, 0.2869, 2),
+            (1500,   0,  262, 0.2832, 3), (1500,   0,  225, 0.262,  4),
+            (1500,   0,  483, 0.2614, 5),
+            (1500,   1,    1, 0.6797, 1), (1500,   1,  257, 0.3021, 2),
+            (1500,   1,  440, 0.2969, 3), (1500,   1,  129, 0.2946, 4),
+            (1500,   1,  183, 0.2617, 5),
+            (1500,   2,    2, 0.7425, 1), (1500,   2,   38, 0.2634, 2),
+            (1500,   2,  443, 0.2544, 3), (1500,   2,   91, 0.2475, 4),
+            (1500,   2,  136, 0.2391, 5),
+            (15000,  0,    0, 0.7069, 1), (15000,  0,  334, 0.2891, 2),
+            (15000,  0,  415, 0.2625, 3), (15000,  0,  365, 0.2578, 4),
+            (15000,  0,  165, 0.2563, 5),
+            (15000,  1,    1, 0.7154, 1), (15000,  1,  386, 0.3671, 2),
+            (15000,  1,  195, 0.2866, 3), (15000,  1,   27, 0.2845, 4),
+            (15000,  1,    4, 0.2759, 5),
+            (15000,  2,    2, 0.6691, 1), (15000,  2,  395, 0.3098, 2),
+            (15000,  2,  350, 0.2689, 3), (15000,  2,  112, 0.2579, 4),
+            (15000,  2,  198, 0.2568, 5),
+            (150000, 0,    0, 0.6654, 1), (150000, 0, 1724, 0.3504, 2),
+            (150000, 0, 1119, 0.298,  3), (150000, 0, 1647, 0.2919, 4),
+            (150000, 0,  699, 0.2907, 5),
+            (150000, 1,    1, 0.6967, 1), (150000, 1, 1950, 0.3755, 2),
+            (150000, 1, 1580, 0.371,  3), (150000, 1, 1069, 0.3176, 4),
+            (150000, 1,  909, 0.3054, 5),
+            (150000, 2,    2, 0.6928, 1), (150000, 2, 1303, 0.3242, 2),
+            (150000, 2,  150, 0.3216, 3), (150000, 2, 1505, 0.307,  4),
+            (150000, 2,  915, 0.3011, 5)
+        ) t(sf, q, v, c, r)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="Product-quantization ANN (operators/pq.py — the faiss IndexPQ "
+    "construction, and the MEMORY half of the 100 TB story where IVF "
+    "is the scan half): every 64-d float64 embedding (512 B) "
+    "compresses 32x to 16 one-byte codeword ids via 16 per-subspace "
+    "sample-trained codebooks; the batched search never decodes — "
+    "each query builds an m x ksub inner-product lookup table once "
+    "and every candidate costs m table lookups (ADC), an Arrow-"
+    "batched gather over the CODES relation with per-batch partial "
+    "top-k and one bounded window. Q=3 queries, one scan. "
+    "Pinned-expectation exact oracle keyed per scale: see "
+    "registration comment. Recall is measured by the companion "
+    "q_ann_pq_recall, never assumed.",
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_search_batch
+
+    _, qvs, cb, codes = _pq_parts(spark, sf_dir)
+    return pq_search_batch(codes, cb, qvs, k=5)
+
+
+@register(
+    "q_ann_pq_recall",
+    # Deterministic pipeline -> measured recall on a fixed fixture is
+    # a constant, pinned per scale (same pattern as q_ann_lsh_recall).
+    # Mean recall@10: 0.40 at sf0.001, 0.60 at sf0.01, 0.37 at sf0.1 —
+    # the modest numbers are the honest cost of 32x compression on a
+    # near-random fixture (m=32 measured 0.76 at 16x; the m/recall
+    # dial is the standard PQ trade).
+    oracle="""
+        SELECT CAST(q AS BIGINT) AS query_id,
+               CAST(10 AS BIGINT) AS k,
+               CAST(10 AS BIGINT) AS n_returned,
+               CAST(h AS BIGINT) AS n_hit_top10,
+               CAST(h / 10.0 AS DOUBLE) AS recall_at_10
+        FROM (VALUES
+            (1500, 0, 4), (1500, 1, 5), (1500, 2, 3),
+            (15000, 0, 5), (15000, 1, 6), (15000, 2, 7),
+            (150000, 0, 3), (150000, 1, 4), (150000, 2, 4)
+        ) t(sf, q, h)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="Driver-visible PQ quality evidence: joins the ADC top-10 "
+    "against the EXACT batch top-10 (topk_to_query_batch — the same "
+    "exact baseline every ANN path measures against) and emits "
+    "per-query hits + recall@10. The driver's hash compare fails if "
+    "quantization quality regresses. Companion to q_ann_pq_topk.",
+)
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_search_batch
+
+    _, qvs, cb, codes = _pq_parts(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = pq_search_batch(codes, cb, qvs, k=10).select(
+        "query_id", "vec_id"
+    )
+    exact = (
+        topk_to_query_batch(emb, qvs, k=10)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        approx.join(exact, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(10).cast("long").alias("k"),
+            F.count("*").cast("long").alias("n_returned"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit_top10"),
+            (F.sum(F.coalesce("hit", F.lit(0))) / 10.0).alias("recall_at_10"),
+        )
+    )
+
+
 # --- text analysis (E4) --------------------------------------------------
 
 
