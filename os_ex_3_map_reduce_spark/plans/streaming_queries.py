@@ -268,6 +268,64 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_full_outer_join",
+    oracle="""
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               CAST(SUM(CASE WHEN a.event_id IS NOT NULL
+                              AND b.event_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+               CAST(SUM(CASE WHEN b.event_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_no_followup,
+               CAST(SUM(CASE WHEN a.event_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_no_predecessor
+        FROM events a FULL JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        GROUP BY 1
+    """,
+    doc="Stream-stream FULL OUTER join — the last of the three "
+    "watermarked outer-join shapes (inner and LEFT OUTER are "
+    "q_stream_join / q_stream_outer_join): both unmatched sides emit "
+    "null-extended rows as the watermark passes their eviction "
+    "bounds. On the follow-up self-join the right-unmatched rows are "
+    "a NEW signal the left join cannot express: events with no "
+    "preceding same-user event within 5 minutes (every user's "
+    "session-opener qualifies), counted as n_no_predecessor next to "
+    "the left join's n_no_followup. Same sentinel-flush staging as "
+    "the LEFT OUTER query; the sentinel emits unmatched rows on BOTH "
+    "sides, so the filter keys on COALESCE(a_user, b_user) >= 0 — a "
+    "bare a_user >= 0 would null-drop every right-only row. Oracle: "
+    "the batch FULL JOIN grouped by the coalesced user.",
+)
+def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sentinel_events_dir(spark, sf_dir)
+    left = events_stream(spark, sf_dir, path=src)
+    right = events_stream(spark, sf_dir, path=src)
+    joined = stream_stream_followup_join(
+        left, right, within="5 minutes", how="full_outer"
+    )
+    name = run_stream_to_memory(joined, mode="append")
+    both = F.col("a_id").isNotNull() & F.col("b_id").isNotNull()
+    return (
+        spark.table(name)
+        .where(F.coalesce(F.col("a_user"), F.col("b_user")) >= 0)
+        .groupBy(
+            F.coalesce(F.col("a_user"), F.col("b_user")).alias("user_id")
+        )
+        .agg(
+            F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_matches"),
+            F.sum(F.when(F.col("b_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_no_followup"),
+            F.sum(F.when(F.col("a_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_no_predecessor"),
+        )
+    )
+
+
+@register(
     "q_stream_foreach_sink",
     oracle=f"""
         SELECT event_type, COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value

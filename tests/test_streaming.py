@@ -746,3 +746,73 @@ def test_stateful_agg_state_survives_driver_restart(spark, tmp_path, provider):
         f"{len(got)} vs {len(exp)} groups; "
         f"diff={set(got.items()) ^ set(exp.items())}"
     )
+
+
+def test_stream_full_outer_join_equals_batch_and_ties_to_siblings(spark):
+    """The FULL OUTER stream-stream join must emit exactly the batch
+    full join, and its columns must tie out against the inner/left
+    shapes: n_matches equals the left join's follow-up count and
+    n_no_followup equals the left join's lonely count — the right-only
+    column (n_no_predecessor) is the only new information."""
+    from os_ex_3_map_reduce_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    full = {
+        r.user_id: (r.n_matches, r.n_no_followup, r.n_no_predecessor)
+        for r in qs["q_stream_full_outer_join"](spark, sf).collect()
+    }
+    left = {
+        r.user_id: (r.n_followups, r.n_lonely)
+        for r in qs["q_stream_outer_join"](spark, sf).collect()
+    }
+    assert set(full) == set(left)
+    for u, (nf, nl) in left.items():
+        nm, nnf, nnp = full[u]
+        # left join's n_followups counts matched b rows; full outer's
+        # n_matches counts the same matched pairs
+        assert nm == nf, (u, nm, nf)
+        assert nnf == nl, (u, nnf, nl)
+        # every user has at least one session-opener (first event has
+        # no predecessor within 5 minutes)
+        assert nnp >= 1, (u, nnp)
+
+    # batch replica: full join grouped by the coalesced user
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts_utc").alias("a_ts"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("bu"),
+        F.col("ts_utc").alias("b_ts"),
+    )
+    j = a.join(
+        b,
+        (F.col("u") == F.col("bu"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "full_outer",
+    )
+    both = F.col("a_id").isNotNull() & F.col("b_id").isNotNull()
+    want = {
+        r.user_id: (r.nm, r.nnf, r.nnp)
+        for r in j.groupBy(
+            F.coalesce(F.col("u"), F.col("bu")).alias("user_id")
+        )
+        .agg(
+            F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("nm"),
+            F.sum(F.when(F.col("b_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nnf"),
+            F.sum(F.when(F.col("a_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nnp"),
+        )
+        .collect()
+    }
+    assert full == want
