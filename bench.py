@@ -137,6 +137,17 @@ BREADTH = [
     # round-9 additions: batched ANN + BFS shortest path
     "q_ann_ivf_batch",
     "q_sssp",
+    # late-r9 + round-10 additions: batch kernels, PQ, graph trio,
+    # streaming full-outer, incremental IVF append, star-contraction CC
+    "q_similarity_topk_batch",
+    "q_ann_lsh_batch",
+    "q_ann_pq_topk",
+    "q_sssp_weighted",
+    "q_labelprop",
+    "q_triangles",
+    "q_stream_full_outer_join",
+    "q_ann_ivf_append",
+    "q_cc_starcontract",
 ]
 
 
@@ -235,9 +246,28 @@ def main() -> None:
             spreads.append(spread)
         except Exception as ex:  # noqa: BLE001
             errors[metric] = f"{type(ex).__name__}: {ex}"[:300]
-    for qname in BREADTH:
+    # Session-hygiene between breadth families (VERDICT r9 #4): three
+    # rounds running, best-of-2 inside a 100+-query accumulated session
+    # produced >=2x phantom readings that never reproduced in a clean
+    # session (r9: q_mad_robust 4.49 s bench vs 1.14 s clean median).
+    # Dropping cached blocks + a GC + a short settle every few queries
+    # keeps executor pressure flat across the sweep; the per-query
+    # untimed warm-up re-materializes any shared relation before its
+    # timed runs, so the clear never lands inside a measurement.
+    clear_every = int(os.environ.get("BENCH_CLEAR_EVERY", "8"))
+    for i, qname in enumerate(BREADTH):
         if qname not in qs:
             continue
+        if clear_every and i and i % clear_every == 0:
+            try:
+                spark.catalog.clearCache()
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(0.5)
+            except Exception:  # noqa: BLE001 — hygiene is best-effort
+                pass
         try:
             timings[qname] = round(_time_query(qs[qname], spark, SF_DIR, RUNS), 4)
         except Exception as ex:  # noqa: BLE001
@@ -251,14 +281,26 @@ def main() -> None:
     headline_total = round(
         sum(timings[m] for m in HEADLINE if m in timings), 4
     )
+    # Host-normalized per-query values (VERDICT r9 #4): t_q divided by
+    # the calibration canary, so cross-round comparisons need no judge
+    # forensics — a normalized value that moved is a plan change, one
+    # that held while the raw value moved is ambient host speed.
+    cal_sec = calibration.get("sec")
+    normalized = (
+        {q: round(t / cal_sec, 3) for q, t in timings.items()}
+        if isinstance(cal_sec, (int, float)) and cal_sec > 0
+        else {}
+    )
     out = {
         "metric": "headline_total_warm_sec",
         "value": headline_total,
         "unit": "sec",
         "queries": timings,
+        "queries_normalized_by_calibration": normalized,
         "sf": sf_val,
         "methodology": f"headline median-of-{HEADLINE_RUNS}, "
-        f"breadth best-of-{RUNS}, warm",
+        f"breadth best-of-{RUNS}, warm; clearCache+gc+settle every "
+        f"{int(os.environ.get('BENCH_CLEAR_EVERY', '8'))} breadth queries",
         "noise_rel_halfspread": round(max(spreads), 4) if spreads else 0.0,
         "calibration": calibration,
     }

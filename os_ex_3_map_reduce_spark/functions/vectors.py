@@ -48,8 +48,15 @@ def cosine_to_query(emb_col: str | Column, query: Iterable[float]) -> Column:
     turns the bare division into DIVIDE_BY_ZERO — found by the round-9
     randomized batch/single equivalence test) — matching the Arrow
     batch kernels, which score zero vectors unnormalized (= 0 against
-    every query)."""
+    every query). A NULL/missing embedding stays NULL: without the
+    explicit isNull branch, ``when(den != 0.0, ...)`` evaluates NULL
+    as false and the otherwise-branch would silently convert a null
+    embedding into a 0.0 score (ADVICE r9)."""
     d = to_double_array(emb_col)
     q = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
     den = norm_fold(d) * norm_fold(q)
-    return F.when(den != F.lit(0.0), dot_fold(d, q) / den).otherwise(F.lit(0.0))
+    return (
+        F.when(den.isNull(), F.lit(None).cast("double"))
+        .when(den != F.lit(0.0), dot_fold(d, q) / den)
+        .otherwise(F.lit(0.0))
+    )

@@ -23,12 +23,17 @@ from .multimodal import (  # noqa: F401
 )
 from .pq import pq_encode, pq_search_batch, pq_train  # noqa: F401
 from .similarity import (  # noqa: F401
+    ivf_append,
+    ivf_assign,
     ivf_index,
     ivf_search,
     ivf_search_batch,
     ivf_search_batch_indexed,
     ivf_search_indexed,
     ivf_write,
+    load_centroids,
+    save_centroids,
+    round_half_away,
     topk_to_query_batch,
     train_centroids_sample,
     lsh_bucketed_topk,

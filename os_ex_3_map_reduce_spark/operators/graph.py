@@ -345,7 +345,10 @@ def label_propagation(
     (partitioned by node — narrow state, no global sort). Symmetrize
     the edge list first for undirected semantics, as the graph queries
     do. Same lineage-truncation and exchange-width knobs as
-    :func:`sssp`.
+    :func:`sssp`; because ``spark.sql.shuffle.partitions`` is read at
+    execution time, setting ``shuffle_partitions`` makes the result
+    EAGER (materialized under the clamp before the conf is restored) —
+    pass None for a lazy plan at the session width.
     """
     from pyspark.sql import Window
 
@@ -400,6 +403,12 @@ def label_propagation(
                 labels = labels.persist()
             held.append(labels)
         out = labels.select("node", "label").coalesce(1)
+        if shuffle_partitions is not None:
+            # shuffle.partitions is read at EXECUTION time, so the clamp
+            # is only real if an action runs before the finally restores
+            # the conf (ADVICE r9): materialize here, under the clamp.
+            out = out.persist()
+            out.count()
         out._osx3_persists = held  # type: ignore[attr-defined]
         return out
     finally:
@@ -426,8 +435,12 @@ def triangle_counts(
     higher-degree nodes, so the quadratic wedge work a raw self-join
     would pile onto hubs is capped (the standard distributed triangle
     trick). Everything is exact integers — partitioning-invariant and
-    SQL-oracle-able (same joins in DuckDB); registration queued for
-    the r10 window alongside the other late-r9 operators.
+    SQL-oracle-able (same joins in DuckDB). Setting
+    ``shuffle_partitions`` makes the result EAGER (materialized under
+    the clamp — the conf is execution-time, so a lazy return would
+    make the knob dead code); None → lazy at the session width, the
+    right choice for large wedge joins (sf0.1 A/B: 7.9 s @ 8 →
+    2.7 s @ 32).
     """
     spark = edges.sparkSession
     before = spark.conf.get("spark.sql.shuffle.partitions")
@@ -490,10 +503,165 @@ def triangle_counts(
             )
             .coalesce(1)
         )
+        if shuffle_partitions is not None:
+            # conf is execution-time: materialize under the clamp or the
+            # knob is dead code (ADVICE r9). None → stay lazy, inherit
+            # the session width at whatever action the caller runs.
+            out = out.persist()
+            out.count()
         out._osx3_persists = [und, oriented]  # type: ignore[attr-defined]
         return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction — the O(log d)-round algorithm for DEEP graphs, where
+    the min-label iterate (operators/dedup.py connected_components)
+    needs O(diameter) rounds (VERDICT r9 #7).
+
+    The two operators follow the public large-star/small-star
+    construction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014), re-expressed as DataFrame ops:
+
+    - **large-star**: key every edge at BOTH endpoints (symmetrize);
+      per node u, m = min(Γ(u) ∪ {u}); emit {v, m} for every strictly
+      larger neighbor v > u. Hooks tall subtrees directly under local
+      minima — this is the step that halves depth.
+    - **small-star**: key every edge at its LARGER endpoint; per node
+      u, m = min(Γ(u) ∪ {u}); emit {v, m} for every v ∈ Γ(u) ∪ {u}
+      except m itself. Flattens each node's smaller neighborhood into
+      a star.
+
+    Each operator is one groupBy(node) min + one join — two shuffles —
+    and both preserve connectivity while strictly reducing a potential
+    function, so the edge set converges to a union of stars whose
+    centers are the component minima. Convergence is detected from a
+    (count, xor of xxhash64(a,b)) checksum pair per round — one tiny
+    aggregate, no edge-set diff join. Labels are then child → star
+    center, centers labeling themselves; every vertex of the input
+    appears. Same determinism discipline as the rest of the module
+    (exact integer/string comparisons only, partitioning-invariant, so
+    the same recursive-CTE closure oracles the result), and the same
+    lineage bound (localCheckpoint per round).
+
+    Returns (id, label), label = min vertex id of the component —
+    byte-identical to ``connected_components`` output (equivalence
+    property-tested; round-count A/B on a path graph lives in
+    tests/test_llm_ops.py: depth-64 path converges in 7 star rounds —
+    the last being the no-change detection round — while min-label at
+    the same 7-round budget still returns wrong labels and needs all
+    64). The returned DataFrame carries ``_osx3_rounds`` (rounds to
+    convergence) for that evidence."""
+    spark = edges.sparkSession
+    E = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    all_nodes = (
+        E.select(F.col("a").alias("node"))
+        .union(E.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def checksum(e: DataFrame) -> tuple:
+        # xor, not sum: order-free like sum but cannot overflow ANSI long
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        # v > u ≥ m, so the new undirected edge {v, m} is canonically
+        # (m, v) and can never be a self-loop
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # canonical (a < b) ⇒ keying at the larger endpoint is just
+        # renaming: u = b, v = a
+        dire = e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m = (
+            dire.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        e1 = (
+            dire.join(m, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        )
+        e2 = m.where(F.col("u") != F.col("m")).select(
+            F.col("m").alias("a"), F.col("u").alias("b")
+        )
+        return e1.union(e2).distinct()
+
+    held = [E, all_nodes]
+    prev = checksum(E)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        E = small_star(large_star(E)).localCheckpoint(eager=True)
+        held.append(E)
+        cur = checksum(E)
+        if cur == prev:
+            break
+        prev = cur
+    # converged edge set is a union of stars (a = center = component
+    # min); every non-center vertex appears as b with a unique center
+    parents = E.groupBy(F.col("b").alias("node")).agg(
+        F.min("a").alias("parent")
+    )
+    out = (
+        all_nodes.join(parents, "node", "left")
+        .select(
+            F.col("node").alias("id"),
+            F.coalesce("parent", "node").alias("label"),
+        )
+    )
+    out._osx3_rounds = rounds  # type: ignore[attr-defined]
+    out._osx3_persists = held  # type: ignore[attr-defined]
+    return out
+
+
+def connected_components_star_eager(edges: DataFrame, *args, **kwargs) -> DataFrame:
+    """:func:`connected_components_star`, materialized, intermediates
+    freed; preserves the ``_osx3_rounds`` evidence attribute."""
+    d = connected_components_star(edges, *args, **kwargs)
+    held = d._osx3_persists  # type: ignore[attr-defined]
+    out = d.persist()
+    out.count()
+    out._osx3_rounds = d._osx3_rounds  # type: ignore[attr-defined]
+    for df in held:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out
 
 
 def label_propagation_eager(edges: DataFrame, **kwargs) -> DataFrame:

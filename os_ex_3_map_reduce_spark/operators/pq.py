@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .similarity import round_half_away
+
 
 def _kmeans_subspace(
     X: "np.ndarray", ksub: int, seed: int, max_iter: int
@@ -221,7 +223,8 @@ def pq_search_batch(
             codes = np.stack(pdf["code"].to_numpy())  # (n, m)
             outs = []
             for qi in range(L.shape[0]):
-                scores = np.round(L[qi][cols, codes].sum(axis=1), 4)
+                # half-away rounding matches DuckDB/Spark round() (ADVICE r9)
+                scores = round_half_away(L[qi][cols, codes].sum(axis=1), 4)
                 if len(scores) > k:
                     # partial top-k with the global order's tiebreak
                     keep = np.lexsort((ids, -scores))[:k]

@@ -34,6 +34,19 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_to_query
 
 
+def round_half_away(arr: "np.ndarray", decimals: int = 4) -> "np.ndarray":
+    """Half-AWAY-from-zero rounding, matching Spark ``F.round`` and
+    DuckDB ``round()`` on doubles. numpy's ``np.round`` is
+    half-to-EVEN, so a score landing exactly on a .00005 boundary
+    would quantize differently from the oracle and break the hash
+    compare / flip a top-k tiebreak (ADVICE r9; same rule as the
+    q_kmeans_assign fixpoint). sign*floor(|x|*10^d + 0.5)/10^d is
+    half-away for either sign."""
+    scale = 10.0 ** decimals
+    scaled = arr * scale
+    return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / scale
+
+
 def topk_to_query(
     emb_df: DataFrame,
     query: Iterable[float],
@@ -155,7 +168,7 @@ def _block_pair_sims(
 ) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
     """Rounded cosines for every unordered pair of a block pair, with
     (min-id, max-id) orientation. Within a block: upper triangle only."""
-    sims = np.round(mat_a @ mat_b.T, 4)
+    sims = round_half_away(mat_a @ mat_b.T, 4)
     if same_block:
         iu, ju = np.triu_indices(len(ids_a), k=1)
     else:
@@ -410,6 +423,20 @@ def ivf_index(
             [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
         )
 
+    return ivf_assign(emb_df, centroids, id_col, emb_col), centroids
+
+
+def ivf_assign(
+    emb_df: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest-centroid list: one
+    Arrow-batched argmin matmul per batch, centroids broadcast, no
+    shuffle. A pure function of (vector, centroids) — the property
+    :func:`ivf_append` rests on: assigning corpora A and B separately
+    with the SAME centroids is identical to assigning A ∪ B at once."""
     b_cent = emb_df.sparkSession.sparkContext.broadcast(centroids)
 
     @F.pandas_udf("int")
@@ -425,10 +452,9 @@ def ivf_index(
         scores = mat @ cents.T - 0.5 * (cents * cents).sum(axis=1)
         return pd.Series(scores.argmax(axis=1).astype(np.int32))
 
-    assigned = emb_df.select(
+    return emb_df.select(
         id_col, F.col(emb_col).cast("array<double>").alias("e")
     ).withColumn("list_id", assign(F.col("e")))
-    return assigned, centroids
 
 
 def ivf_search(
@@ -461,6 +487,59 @@ def ivf_write(assigned: DataFrame, path: str) -> None:
     corpus is never read. Evidence: the FileSourceScan numFiles metric
     test in tests/test_llm_ops.py."""
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def save_centroids(spark, centroids: "np.ndarray", path: str) -> None:
+    """Persist a trained coarse quantizer next to its index so a later
+    session (or a daily append job) can encode new vectors against the
+    SAME list boundaries — the other half of incremental index
+    maintenance (VERDICT r9 #2). One row per centroid, ordered by
+    ``list_id``; float64 exact round-trip through parquet DOUBLE."""
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        rows, "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> "np.ndarray":
+    """Read back :func:`save_centroids` output as the (nlist, dim)
+    float64 matrix, in ``list_id`` order — bit-identical to what was
+    saved (asserted in tests), so probe selection and assignment are
+    reproducible across sessions."""
+    rows = spark.read.parquet(path).orderBy("list_id").collect()
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def ivf_append(
+    new_df: DataFrame,
+    path: str,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Incrementally grow a written IVF index (VERDICT r9 #2): encode +
+    assign ``new_df`` with the PERSISTED centroids and append to the
+    ``list_id``-partitioned layout — no retrain, no rewrite of the
+    existing corpus. A 100 TB media lake grows daily; full rebuild was
+    the only story before this.
+
+    Why it's sound: :func:`ivf_assign` is a pure per-row function of
+    (vector, centroids), so with FIXED centroids
+    ``append(B) after write(A)`` produces byte-equivalent index
+    CONTENT to ``write(A ∪ B)`` (property-tested in
+    tests/test_llm_ops.py, which also re-asserts scan pruning from
+    executed-plan numFiles AFTER the append — new files land inside
+    existing ``list_id=`` directories, so partition pruning is
+    untouched). The appended files only ever add rows to their own
+    list; nothing global is touched, so the operation is safely
+    re-runnable per delta batch and needs no table lock beyond
+    parquet's append atomicity. What append does NOT do: adapt the
+    quantizer to drift — when the data distribution moves, retrain and
+    rebuild (the trainer is deterministic, so that rebuild is
+    reproducible too)."""
+    ivf_assign(new_df, centroids, id_col, emb_col).write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(path)
 
 
 def ivf_search_indexed(
@@ -543,7 +622,7 @@ def _batch_score_topk(
             mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             mat = mat / np.where(norms > 0, norms, 1.0)
-            S = np.round(mat @ Qn_.T, 4)  # rows x Q, rounded BEFORE top-k
+            S = round_half_away(mat @ Qn_.T, 4)  # rows x Q, rounded BEFORE top-k
             m = mask_[pdf["list_id"].to_numpy()]  # rows x Q probe mask
             ids = pdf[id_col].to_numpy()
             out_q, out_id, out_c = [], [], []
@@ -856,7 +935,7 @@ def lsh_bucketed_topk(
                 ids = np.fromiter((m["vid"] for m in ms), dtype=np.int64, count=len(ms))
                 mat = np.stack([np.asarray(m["e"], dtype=np.float64) for m in ms])
                 mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-                sims = np.round(mat @ mat.T, 4)
+                sims = round_half_away(mat @ mat.T, 4)
                 iu, ju = np.triu_indices(len(ids), k=1)
                 s = sims[iu, ju]
                 a = np.minimum(ids[iu], ids[ju])

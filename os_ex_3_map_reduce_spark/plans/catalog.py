@@ -66,91 +66,91 @@ def _load_all() -> None:
 #: first, ~30 swaps per round so the stale tail keeps refreshing.
 DRIVER_WINDOW = 50
 
-#: Round-9 priority prefix (exactly DRIVER_WINDOW names). History as of
-#: CORRECTNESS_r08: 50/50 green; latest verdicts split 50 r8 / 47 r7 /
-#: 43 r6, no query ever failed its latest check. VERDICT r8 directive
-#: #1: rotate the window onto the 43 round-6-stale names. Composition
-#: (7 + 43 = 50):
-#: - 2 NEW queries, never externally verified: q_ann_ivf_batch
-#:   (batched union-probe IVF ANN, per-sf pinned oracle) and q_sssp
-#:   (BFS shortest path, recursive-CTE oracle);
-#: - 5 changed this round: q_sketch_heavyhitters (CMS width 1024 ->
-#:   16384 — real plan change, fixes sf0.1 saturation),
-#:   q_ann_ivf_topk (zero-norm guards in the trainer/assign kernel +
-#:   per-sf oracle), q_pagerank (edge builder factored out to share
-#:   with q_sssp), q_approx_distinct / q_approx_percentiles (oracles
-#:   rewritten per-sf; latest verdicts r7). Two further oracle-only
-#:   per-sf rewrites (q_ann_lsh_topk, q_ann_lsh_recall) carry r8
-#:   verdicts, identical sf0.01 pin values, and round-9 tri-scale
-#:   driver-sim greens — left outside the window to fit the 43;
-#: - all 43 round-6-stale names (the full directive list — it fits;
-#:   q_stream_foreach_sink among them also changed this round: the
-#:   foreachBatch sink gained a fault-injection parameter for the
-#:   driver-restart recovery test).
-#: After r9 the expected distribution is 50 r9 / ~48 r8 / ~44 r7 —
-#: nothing older than two rounds. Seven queries registered late in r9
-#: sit BELOW the priority prefix so the r9 window keeps all 43
-#: directive names (each tri-scale driver-sim validated at
-#: registration; never-verified externally until r10): the five
-#: late-landed operators (q_sssp_weighted, q_labelprop, q_triangles,
-#: q_similarity_topk_batch, q_ann_lsh_batch) plus the product-
-#: quantization pair (q_ann_pq_topk, q_ann_pq_recall). Next rotation
-#: (r10): front those seven, then anything round 10 changes, then the
-#: remaining r7 names oldest first.
+#: Round-10 priority prefix (exactly DRIVER_WINDOW names). History as
+#: of CORRECTNESS_r09: 50/50 green; latest verdicts split 50 r9 /
+#: 48 r8 / 44 r7; no query has ever ended a round red. VERDICT r9
+#: directive #1: front the 8 late-r9 registrations that have never
+#: been driver-verified, then anything round 10 changes, then the
+#: oldest r7-stale names. Composition (8 + 2 + 7 + 33 = 50):
+#: - the 8 NEVER-driver-verified late-r9 registrations (each tri-scale
+#:   driver-sim validated at registration and judge-verified ALL MATCH
+#:   in the r9 session — external verification still outstanding):
+#:   q_similarity_topk_batch, q_ann_lsh_batch, q_ann_pq_topk,
+#:   q_ann_pq_recall, q_sssp_weighted, q_labelprop, q_triangles,
+#:   q_stream_full_outer_join (the r9 snapshot commit's late arrival
+#:   ADVICE r9 flagged as missing from this list);
+#: - 2 NEW in round 10: q_ann_ivf_append (incremental IVF index
+#:   maintenance, VERDICT r9 #2) and q_cc_starcontract (large-star/
+#:   small-star contraction CC, VERDICT r9 #7) — both tri-scale
+#:   driver-sim validated at registration;
+#: - 7 whose scoring kernels changed in round 10 (np.round half-to-even
+#:   -> explicit half-away-from-zero in the Arrow batch kernels,
+#:   ADVICE r9; cosine_to_query NULL-embedding guard): q_similarity_
+#:   topk, q_embedding_topk_pairs, q_embedding_neardup, q_ann_lsh_topk,
+#:   q_ann_lsh_recall, q_ann_ivf_topk, q_ann_ivf_batch — fixture
+#:   values are unchanged (measured rounding margins >= 1e-5 vs the
+#:   5e-5 boundary), so these re-verify rather than re-pin;
+#: - 33 of the 41 remaining r7-stale names, tool order
+#:   (tools/rotation.py). The 8 left for r11: q_setsim_prefix,
+#:   q_shipping_priority, q_simhash_neardup, q_string_fns,
+#:   q_time_interpolate, q_trend_ols, q_unpivot, q_window_misc.
+#: After r10 the expected distribution: 50 r10 / ~50 r9 / ~44 r8/r7,
+#: every query carrying an external verdict.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # new this round (never externally verified) -> verify first
-    "q_ann_ivf_batch",
-    "q_sssp",
-    # changed this round
-    "q_sketch_heavyhitters",
+    # never driver-verified (late-r9 registrations) -> verify first
+    "q_similarity_topk_batch",
+    "q_ann_lsh_batch",
+    "q_ann_pq_topk",
+    "q_ann_pq_recall",
+    "q_sssp_weighted",
+    "q_labelprop",
+    "q_triangles",
+    "q_stream_full_outer_join",
+    # new in round 10
+    "q_ann_ivf_append",
+    "q_cc_starcontract",
+    # scoring-kernel rounding / null-guard changed in round 10
+    "q_similarity_topk",
+    "q_embedding_topk_pairs",
+    "q_embedding_neardup",
+    "q_ann_lsh_topk",
+    "q_ann_lsh_recall",
     "q_ann_ivf_topk",
-    "q_pagerank",
-    "q_approx_distinct",
-    "q_approx_percentiles",
-    # the 43 round-6-stale names (VERDICT r8 directive #1)
-    "q_binaryfile_ingest",
-    "q_dedup_keep_best",
-    "q_events_hourly",
-    "q_except",
-    "q_histogram",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_bucketed",
-    "q_join_multiway",
-    "q_join_outer",
-    "q_join_range",
-    "q_json_extract",
-    "q_lateral",
-    "q_mapreduce_key_equiv",
-    "q_multimodal_fake_image",
-    "q_multimodal_frames",
-    "q_multimodal_resize",
-    "q_null_handling",
-    "q_observe_metrics",
-    "q_pack_chunks",
-    "q_percentiles_grouped",
-    "q_python_datasource",
-    "q_rollup_time",
-    "q_salted_agg",
-    "q_sample_stratified",
-    "q_stream_dedup",
-    "q_stream_foreach_sink",
-    "q_stream_join",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_stateful",
-    "q_stream_static_join",
-    "q_stream_tumbling",
-    "q_tf_df",
-    "q_time_gapfill",
-    "q_token_stats_bpe",
-    "q_topk",
-    "q_union",
-    "q_variant_json",
-    "q_window_lag",
-    "q_window_rank",
-    "q_window_running_sum",
+    "q_ann_ivf_batch",
+    # oldest r7-stale names (33 of 41, tools/rotation.py order)
+    "q_above_nation_avg",
+    "q_agg_filtered",
+    "q_array_fns",
+    "q_bloom_semijoin",
+    "q_case_when",
+    "q_chargram_jaccard",
+    "q_chi2_terms",
+    "q_cohort_retention",
+    "q_data_contract",
+    "q_date_parts",
+    "q_date_trunc",
+    "q_drift_ks",
+    "q_event_transitions",
+    "q_funnel",
+    "q_gini",
+    "q_histogram_equidepth",
+    "q_hof_fns",
+    "q_incremental_agg",
+    "q_join_cross",
+    "q_join_nullsafe",
+    "q_mad_robust",
+    "q_map_fns",
+    "q_mapreduce_wordcount",
+    "q_math_fns",
+    "q_multimodal_audio_frames",
+    "q_outlier_zscore",
+    "q_percentiles",
+    "q_pii_redact",
+    "q_profile_stats",
+    "q_regexp_fns",
+    "q_sample_budget",
+    "q_sessionize",
+    "q_set_ops_all",
 )
 
 

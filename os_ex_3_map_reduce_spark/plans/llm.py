@@ -39,11 +39,18 @@ from ..operators.multimodal import (
     sample_frames,
 )
 from ..operators.similarity import (
+    ivf_append,
+    ivf_assign,
     ivf_index,
     ivf_search,
     ivf_search_batch,
+    ivf_search_indexed,
+    ivf_write,
+    load_centroids,
     lsh_search_batch,
+    save_centroids,
     topk_to_query_batch,
+    train_centroids_sample,
 )
 from ..operators.similarity import (
     lsh_bucketed_topk,
@@ -327,6 +334,50 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _neardup_pairs(spark, sf_dir, "word")
     cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("id").alias("doc_id"), F.col("label").alias("rep"))
+
+
+@register(
+    "q_cc_starcontract",
+    oracle=_SHINGLE_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+        , pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT a AS id, a AS r FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        )
+        SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id
+    """,
+    doc="Connected components at DEPTH (VERDICT r9 #7): the same "
+    "near-dup cluster labeling as q_neardup_components, computed by "
+    "alternating large-star/small-star contraction (operators/graph.py "
+    "connected_components_star — the public Kiveris et al. SoCC'14 "
+    "construction) instead of O(diameter)-round min-label iteration. "
+    "Per round: two groupBy-min + join star operators (four shuffles) "
+    "with a (count, hash) checksum convergence aggregate; converges in "
+    "O(log d) rounds, which is what survives a 100 TB web-crawl graph "
+    "whose components are chains, not shallow clusters (round-count "
+    "A/B on a depth-64 path graph: 7 star rounds — including the "
+    "no-change convergence round — vs 64 for min-label, which at the "
+    "same 7-round budget still returns wrong labels: "
+    "tests/test_llm_ops.py). Same recursive-CTE closure oracle as the "
+    "min-label query — the two engines' labelings must agree exactly.",
+)
+def q_cc_starcontract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star_eager
+
+    pairs = _neardup_pairs(spark, sf_dir, "word")
+    cc = connected_components_star_eager(pairs, "doc_a", "doc_b")
     return cc.select(F.col("id").alias("doc_id"), F.col("label").alias("rep"))
 
 
@@ -890,6 +941,82 @@ def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     assigned, centroids = ivf_index(emb, nlist=16, trainer="sample")
     return ivf_search_batch(assigned, centroids, qvs, k=5, nprobe=4)
+
+
+@register(
+    "q_ann_ivf_append",
+    # Incremental index maintenance (VERDICT r9 #2). Every stage is
+    # deterministic (quantizer = seeded Lloyd on the BASE half's
+    # id-ordered sample; assignment = pure function of (vector,
+    # centroids); search = rounded cosines with total tiebreaks), so
+    # the output on a fixed fixture is a constant — measured identical
+    # under shuffle.partitions 32/7/13 at every fixture scale before
+    # pinning (tools/pin_scales.py recipe). Pins keyed per scale by
+    # the orders row count. rebuild_match = 1 on every row is computed
+    # IN the query (appended-index search joined against a
+    # same-centroids full-rebuild search), so the driver's hash compare
+    # itself re-proves append ≡ rebuild each round, not just the pins.
+    oracle="""
+        SELECT CAST(v AS BIGINT) AS vec_id, CAST(c AS DOUBLE) AS cosine,
+               CAST(1 AS INTEGER) AS rebuild_match
+        FROM (VALUES
+            (1500, 0, 1.0), (1500, 12, 0.311), (1500, 17, 0.3345),
+            (1500, 212, 0.2814), (1500, 225, 0.3151), (1500, 232, 0.2673),
+            (1500, 260, 0.2987), (1500, 299, 0.2687), (1500, 402, 0.2745),
+            (1500, 483, 0.3005),
+            (15000, 0, 1.0), (15000, 7, 0.2928), (15000, 190, 0.2818),
+            (15000, 320, 0.2879), (15000, 334, 0.3627), (15000, 387, 0.3311),
+            (15000, 388, 0.2763), (15000, 423, 0.2969), (15000, 464, 0.2766),
+            (15000, 483, 0.2567),
+            (150000, 0, 1.0), (150000, 142, 0.3113), (150000, 144, 0.3243),
+            (150000, 291, 0.3919), (150000, 510, 0.3445), (150000, 1020, 0.376),
+            (150000, 1204, 0.4065), (150000, 1407, 0.3191),
+            (150000, 1511, 0.3288), (150000, 1978, 0.3192)
+        ) t(sf, v, c)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="ANN index maintenance (VERDICT r9 #2): grow a WRITTEN "
+    "list_id-partitioned IVF index by encode+assign of a delta batch "
+    "with the PERSISTED centroids (save_centroids/load_centroids "
+    "round-trip is part of the query) — no retrain, no rewrite of the "
+    "existing corpus. The index is built from the even-vec_id half, "
+    "the odd half is appended, and the top-10 probe (nprobe=4/16) "
+    "runs against the appended layout; each result row carries "
+    "rebuild_match, the in-query proof that a same-centroids full "
+    "rebuild scores identically (append-equals-rebuild: ivf_assign is "
+    "a pure per-row function of (vector, centroids), so appended "
+    "files only ever add rows to their own list). Partition pruning "
+    "surviving the append is numFiles-asserted in "
+    "tests/test_llm_ops.py. Pinned-expectation exact oracle keyed per "
+    "scale: see registration comment.",
+)
+def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    # quantizer trained on the BASE only — append must not retrain
+    centroids = train_centroids_sample(base, nlist=16)
+    root = tempfile.mkdtemp(prefix="osx3_ivf_append_")
+    cpath, ipath = f"{root}/centroids", f"{root}/index"
+    save_centroids(spark, centroids, cpath)
+    loaded = load_centroids(spark, cpath)  # cross-session persistence path
+    ivf_write(ivf_assign(base, loaded), ipath)
+    ivf_append(delta, ipath, loaded)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    appended = ivf_search_indexed(spark, ipath, loaded, qv, k=10, nprobe=4)
+    rebuilt = ivf_search(
+        ivf_assign(emb, loaded), loaded, qv, k=10, nprobe=4
+    ).select(F.col("vec_id"), F.col("cosine").alias("cosine_rebuilt"))
+    return appended.join(rebuilt, "vec_id", "left").select(
+        "vec_id",
+        "cosine",
+        F.when(F.col("cosine_rebuilt") == F.col("cosine"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rebuild_match"),
+    )
 
 
 @register(

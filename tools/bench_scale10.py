@@ -197,6 +197,154 @@ def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
+def bench_ann_batch10(spark, scaled: str) -> None:
+    """10x draws for the round-9 batch-ANN additions (VERDICT r9 #6):
+    the fused batch kernel at production Q (32 queries) and the PQ ADC
+    search, timed over the base vs the 10x-staged embeddings with the
+    INDEX BUILD EXCLUDED (assignment/codes persisted and forced before
+    timing) — so the ratio isolates the search path the scale claims
+    are about: union-probe pruning bounds the IVF scan, and ADC cost
+    is m lookups per candidate, linear in the probed subset. Queries
+    are the 32 lowest base vec_ids (present in both corpora — copy 0
+    keeps the original ids), so both sides answer identical queries."""
+    from os_ex_3_map_reduce_spark.operators.pq import (
+        pq_encode,
+        pq_search_batch,
+        pq_train,
+    )
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        ivf_index,
+        ivf_search_batch,
+    )
+
+    base_emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in base_emb.where(F.col("vec_id") < 32)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+        emb = spark.read.parquet(f"{path}/embeddings.parquet")
+        # IVF: build once (deterministic sample trainer sees the same
+        # lowest-512 ids in both corpora), persist assignment, time search
+        assigned, cents = ivf_index(emb, nlist=16, trainer="sample")
+        assigned = assigned.persist()
+        assigned.count()
+        _materialize(ivf_search_batch(assigned, cents, qvs, k=10, nprobe=4))
+        t0 = time.perf_counter()
+        _materialize(ivf_search_batch(assigned, cents, qvs, k=10, nprobe=4))
+        ivf_sec = time.perf_counter() - t0
+        # PQ: train/encode once, persist codes, time the ADC batch search
+        cb = pq_train(emb, m=16, ksub=16)
+        codes = pq_encode(emb, cb).persist()
+        codes.count()
+        _materialize(pq_search_batch(codes, cb, qvs, k=10))
+        t0 = time.perf_counter()
+        _materialize(pq_search_batch(codes, cb, qvs, k=10))
+        pq_sec = time.perf_counter() - t0
+        assigned.unpersist()
+        codes.unpersist()
+        print(
+            json.dumps(
+                {
+                    "query": f"ann_batch_q32_{label}",
+                    "ivf_search_sec": round(ivf_sec, 3),
+                    "pq_adc_sec": round(pq_sec, 3),
+                    "corpus_rows": emb.count(),
+                }
+            ),
+            flush=True,
+        )
+
+
+def bench_graph10(spark) -> None:
+    """10x draws for the late-r9 graph additions (VERDICT r9 #6):
+    triangle counting and weighted SSSP on deterministic synthetic
+    graphs at N and 10N — the catalog queries are unsuitable here
+    because their part-co-occurrence graph comes from symlinked
+    (unscaled) tables and is _cached_df-served.
+
+    - triangles: N/3 disjoint triangles plus a chain of cross edges —
+      triangle count scales exactly linearly, so the ratio measures
+      the oriented wedge join, not fixture quadratics.
+    - sssp_weighted: pseudo-random 3-out-regular digraph (constant
+      average degree — the web/crawl shape), source 0, 6 bounded
+      Bellman-Ford rounds; per-round cost is the edges-joined-to-
+      frontier relation, O(E) in the classic model, so the linear
+      budget is ratio <= 10."""
+    from os_ex_3_map_reduce_spark.operators.graph import (
+        sssp_weighted_eager,
+        triangle_counts,
+    )
+
+    def tri_edges(n: int):
+        base3 = (F.col("id") * 3).cast("long")
+        tri = (
+            spark.range(n // 3)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(base3.alias("src"), (base3 + 1).alias("dst")),
+                        F.struct((base3 + 1).alias("src"), (base3 + 2).alias("dst")),
+                        F.struct(base3.alias("src"), (base3 + 2).alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+        )
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        return tri.unionByName(chain)
+
+    def rand_edges(n: int):
+        out = []
+        for a, b in ((7, 1), (13, 3), (29, 11)):
+            out.append(
+                spark.range(n).select(
+                    F.col("id").alias("src"),
+                    ((F.col("id") * a + b) % n).alias("dst"),
+                    ((F.col("id") % 10) + 1).alias("w"),
+                )
+            )
+        e = out[0]
+        for p in out[1:]:
+            e = e.unionByName(p)
+        return e.where(F.col("src") != F.col("dst"))
+
+    n0 = int(os.environ.get("GRAPH10_N", "100000"))
+    draws = []
+    for label, n in (("base", n0), (f"x{COPIES}", n0 * COPIES)):
+        ed = tri_edges(n).persist()
+        ed.count()
+        d = triangle_counts(ed, shuffle_partitions=None)
+        _materialize(d)  # warm
+        t0 = time.perf_counter()
+        _materialize(triangle_counts(ed, shuffle_partitions=None))
+        tri_sec = time.perf_counter() - t0
+        ed.unpersist()
+        ew = rand_edges(n).persist()
+        ew.count()
+        t0 = time.perf_counter()
+        res = sssp_weighted_eager(ew, 0, max_rounds=6)
+        sssp_sec = time.perf_counter() - t0
+        reach = res.count()
+        res.unpersist()
+        ew.unpersist()
+        draws.append(
+            {
+                "query": f"graph10_{label}",
+                "n_nodes": n,
+                "triangles_sec": round(tri_sec, 3),
+                "sssp_weighted_sec": round(sssp_sec, 3),
+                "sssp_reachable": reach,
+            }
+        )
+    for d in draws:
+        print(json.dumps(d), flush=True)
+
+
 def bench_cdc(spark) -> None:
     """CDC apply at 10x change volume (round-9 queue item): fixed base
     snapshot (orders, 150k rows at sf0.1), synthetic change batches
@@ -323,6 +471,8 @@ def main() -> None:
             ),
             flush=True,
         )
+    bench_ann_batch10(spark, scaled)
+    bench_graph10(spark)
     bench_cdc(spark)
     bench_skew(spark, scaled)
     spark.stop()
