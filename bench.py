@@ -148,6 +148,7 @@ BREADTH = [
     "q_stream_full_outer_join",
     "q_ann_ivf_append",
     "q_cc_starcontract",
+    "q_ann_ivfpq_topk",
 ]
 
 

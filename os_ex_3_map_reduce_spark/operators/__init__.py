@@ -21,7 +21,15 @@ from .multimodal import (  # noqa: F401
     resize_nearest,
     sample_frames,
 )
-from .pq import pq_encode, pq_search_batch, pq_train  # noqa: F401
+from .pq import (  # noqa: F401
+    load_codebooks,
+    pq_append,
+    pq_encode,
+    pq_search_batch,
+    pq_train,
+    pq_write,
+    save_codebooks,
+)
 from .similarity import (  # noqa: F401
     ivf_append,
     ivf_assign,

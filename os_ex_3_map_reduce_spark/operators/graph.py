@@ -558,7 +558,16 @@ def connected_components_star(
     the last being the no-change detection round — while min-label at
     the same 7-round budget still returns wrong labels and needs all
     64). The returned DataFrame carries ``_osx3_rounds`` (rounds to
-    convergence) for that evidence."""
+    convergence) for that evidence.
+
+    When to use which (measured, sf0.1 near-dup graph, 256 pairs,
+    shallow components, local[32]): star converges in 2 rounds but
+    costs 4.7 s vs min-label's 1.6 s — four shuffles + an eager
+    checkpoint per star round dwarf the work on a shallow graph, so
+    min-label stays the right default for near-dup clusters
+    (diameter 2-3) and star contraction is for deep/chain-shaped
+    components (crawl graphs), where O(log d) vs O(d) rounds decides
+    feasibility, not constants."""
     spark = edges.sparkSession
     E = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))

@@ -250,3 +250,174 @@ def pq_search_batch(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "adc_score", "rank")
     )
+
+
+def save_codebooks(spark, codebooks: "np.ndarray", path: str) -> None:
+    """Persist trained PQ codebooks next to their codes relation so a
+    later session (or a daily append job) can encode new vectors
+    against the SAME quantization grid — the PQ half of incremental
+    index maintenance (VERDICT r9 #2, alongside
+    :func:`~.similarity.save_centroids`). One row per (subspace,
+    codeword); float64 exact round-trip through parquet DOUBLE."""
+    m, ksub, _ = codebooks.shape
+    rows = [
+        (int(j), int(c), [float(x) for x in codebooks[j, c]])
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, codeword int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_codebooks(spark, path: str) -> "np.ndarray":
+    """Read back :func:`save_codebooks` output as the (m, ksub, dsub)
+    float64 array, in (subspace, codeword) order — bit-identical to
+    what was saved (asserted in tests), so encoding and ADC search are
+    reproducible across sessions."""
+    rows = spark.read.parquet(path).orderBy("subspace", "codeword").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    ksub = max(r["codeword"] for r in rows) + 1
+    flat = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    return flat.reshape(m, ksub, flat.shape[1])
+
+
+def pq_write(codes_df: DataFrame, path: str) -> None:
+    """Materialize a PQ codes relation; if the codes carry ``list_id``
+    (IVF-PQ — :func:`pq_encode` with ``keep_cols=["list_id"]``), the
+    write is partitioned by it so ADC search over probed lists prunes
+    at the scan exactly like the float IVF index."""
+    w = codes_df.write.mode("overwrite")
+    if "list_id" in codes_df.columns:
+        w = w.partitionBy("list_id")
+    w.parquet(path)
+
+
+def pq_append(
+    new_df: DataFrame,
+    path: str,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep_cols: Iterable[str] = (),
+) -> None:
+    """Incrementally grow a written PQ codes relation: encode ``new_df``
+    with the PERSISTED codebooks and append — no retrain, no recode of
+    the existing corpus. Sound for the same reason as
+    :func:`~.similarity.ivf_append`: :func:`pq_encode` is a pure
+    per-row function of (vector, codebooks), so with fixed codebooks
+    ``append(B) after write(A)`` produces identical codes to
+    ``write(A ∪ B)`` (property-tested). Quantization-drift caveat
+    applies identically: when the data distribution moves, retrain and
+    rebuild (deterministically)."""
+    codes = pq_encode(new_df, codebooks, id_col, emb_col, keep_cols)
+    w = codes.write.mode("append")
+    if "list_id" in codes.columns:
+        w = w.partitionBy("list_id")
+    w.parquet(path)
+
+
+def ivfpq_search_batch(
+    codes_df: DataFrame,
+    codebooks: "np.ndarray",
+    centroids: "np.ndarray",
+    queries: Iterable[Iterable[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVF-PQ search — the top rung of the faiss-style memory
+    ladder (exact → LSH → IVF → IVF-PQ) as ONE fused kernel: the scan
+    is bounded by the union of every query's ``nprobe`` probed lists
+    (against a :func:`pq_write` list_id-partitioned layout the filter
+    prunes at the scan), the bytes are the 32x-compressed codes, and
+    scoring is ADC — each query's m x ksub lookup table gathered per
+    candidate, masked so a row is scored only by queries probing its
+    list, with a per-batch partial top-k bounding the shuffle to k
+    rows per (query, batch) — the same bound as the float IVF batch
+    kernel. Plain-PQ codes (no residual encoding) keep the
+    deterministic pinned-oracle arithmetic; the fidelity trade is
+    measured, not assumed (q_ann_pq_recall).
+
+    ``codes_df`` must carry ``list_id`` (:func:`pq_encode` with
+    ``keep_cols=["list_id"]`` over an IVF-assigned relation).
+    Output: (query_id, vec_id, adc_score, rank)."""
+    from .similarity import _batch_probe_plan
+
+    m, ksub, dsub = codebooks.shape
+    Qn, probes, union = _batch_probe_plan(centroids, queries, nprobe)
+    nq = len(Qn)
+    lut = np.stack(
+        [
+            np.stack(
+                [
+                    codebooks[j] @ Qn[qi, j * dsub : (j + 1) * dsub]
+                    for j in range(m)
+                ]
+            )
+            for qi in range(nq)
+        ]
+    )
+    nlist = len(centroids)
+    mask = np.zeros((nlist, nq), dtype=bool)
+    for qi, row in enumerate(probes):
+        for lid in row:
+            mask[lid, qi] = True
+    spark = codes_df.sparkSession
+    b = spark.sparkContext.broadcast((lut, mask))
+    pruned = codes_df.where(F.col("list_id").isin(union))
+
+    out_schema = "query_id long, vec_id long, adc_score double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        L, mask_ = b.value
+        cols = np.arange(m)
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "adc_score": pd.Series(dtype="float64"),
+            }
+        )
+        for pdf in batches:
+            if not len(pdf):
+                yield empty
+                continue
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            codes = np.stack(pdf["code"].to_numpy())  # (n, m)
+            row_mask = mask_[pdf["list_id"].to_numpy()]  # (n, nq)
+            outs = []
+            for qi in range(L.shape[0]):
+                sel = np.nonzero(row_mask[:, qi])[0]
+                if not len(sel):
+                    continue
+                scores = round_half_away(
+                    L[qi][cols, codes[sel]].sum(axis=1), 4
+                )
+                sel_ids = ids[sel]
+                if len(scores) > k:
+                    keep = np.lexsort((sel_ids, -scores))[:k]
+                else:
+                    keep = np.arange(len(scores))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qi),
+                            "vec_id": sel_ids[keep],
+                            "adc_score": scores[keep],
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else empty
+
+    local = pruned.select(id_col, "list_id", "code").mapInPandas(
+        kernel, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("vec_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_score", "rank")
+    )

@@ -1272,6 +1272,86 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ann_ivfpq_topk",
+    # The composed top rung of the memory ladder. Every stage is
+    # deterministic (sample-trained centroids AND codebooks, pure
+    # assignment/encoding, rounded ADC with total tiebreaks), so the
+    # output on a fixed fixture is a constant — measured identical
+    # under shuffle.partitions 32/7/13 at every fixture scale before
+    # pinning (tools/pin_scales.py recipe). Pins keyed per scale by
+    # the orders row count. ADC self-match scores < 1.0 are the honest
+    # PQ reconstruction-error signature; a probed set further differs
+    # from plain PQ (q_ann_pq_topk) wherever the true neighbor's list
+    # was not probed — both effects are in the pins.
+    oracle="""
+        SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+               CAST(c AS DOUBLE) AS adc_score, CAST(r AS INTEGER) AS rank
+        FROM (VALUES
+            (1500,   0,    0, 0.7807, 1), (1500,   0,  340, 0.2869, 2),
+            (1500,   0,  225, 0.262,  3), (1500,   0,   59, 0.2288, 4),
+            (1500,   0,  227, 0.2279, 5),
+            (1500,   1,    1, 0.6797, 1), (1500,   1,  257, 0.3021, 2),
+            (1500,   1,  440, 0.2969, 3), (1500,   1,  129, 0.2946, 4),
+            (1500,   1,  183, 0.2617, 5),
+            (1500,   2,    2, 0.7425, 1), (1500,   2,  443, 0.2544, 2),
+            (1500,   2,   91, 0.2475, 3), (1500,   2,  136, 0.2391, 4),
+            (1500,   2,  358, 0.2347, 5),
+            (15000,  0,    0, 0.7069, 1), (15000,  0,  334, 0.2891, 2),
+            (15000,  0,  415, 0.2625, 3), (15000,  0,  365, 0.2578, 4),
+            (15000,  0,  165, 0.2563, 5),
+            (15000,  1,    1, 0.7154, 1), (15000,  1,  386, 0.3671, 2),
+            (15000,  1,   27, 0.2845, 3), (15000,  1,  124, 0.253,  4),
+            (15000,  1,  414, 0.2493, 5),
+            (15000,  2,    2, 0.6691, 1), (15000,  2,  128, 0.2347, 2),
+            (15000,  2,  117, 0.2343, 3), (15000,  2,  418, 0.2254, 4),
+            (15000,  2,   97, 0.2212, 5),
+            (150000, 0,    0, 0.6654, 1), (150000, 0, 1724, 0.3504, 2),
+            (150000, 0,  699, 0.2907, 3), (150000, 0, 1740, 0.2877, 4),
+            (150000, 0,  510, 0.2854, 5),
+            (150000, 1,    1, 0.6967, 1), (150000, 1,  909, 0.3054, 2),
+            (150000, 1, 1832, 0.2829, 3), (150000, 1,   90, 0.2786, 4),
+            (150000, 1, 1060, 0.2536, 5),
+            (150000, 2,    2, 0.6928, 1), (150000, 2, 1505, 0.307,  2),
+            (150000, 2,  915, 0.3011, 3), (150000, 2, 1704, 0.3002, 4),
+            (150000, 2,  876, 0.2634, 5)
+        ) t(sf, q, v, c, r)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="IVF-PQ batched ANN (operators/pq.py ivfpq_search_batch) — the "
+    "faiss-style composition and the full 100 TB story in one query: "
+    "the scan reads only the union of each query's 4 probed lists of "
+    "16 (sublinear, prunes at the scan against a pq_write partitioned "
+    "layout — numFiles-asserted in tests), the bytes scanned are the "
+    "32x-compressed 16-byte codes (memory), and scoring is ADC — per "
+    "query an m x ksub lookup table, m gathers per candidate, masked "
+    "so a row is scored only by queries probing its list, per-batch "
+    "partial top-k bounding the shuffle to k rows per (query, batch). "
+    "Q=3 queries, one scan. Plain-PQ codes (no residual encoding) "
+    "keep the arithmetic pinnable; fidelity is measured by "
+    "q_ann_pq_recall, never assumed. Pinned-expectation exact oracle "
+    "keyed per scale: see registration comment.",
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_search_batch, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+        )
+    ]
+    centroids = train_centroids_sample(emb, nlist=16)
+    cb = pq_train(emb, m=16, ksub=16)
+    codes = pq_encode(
+        ivf_assign(emb, centroids).withColumnRenamed("e", "embedding"),
+        cb,
+        keep_cols=["list_id"],
+    )
+    return ivfpq_search_batch(codes, cb, centroids, qvs, k=5, nprobe=4)
+
+
 # --- text analysis (E4) --------------------------------------------------
 
 

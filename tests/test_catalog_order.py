@@ -30,6 +30,7 @@ MUST_BE_IN_WINDOW = {
     # new in round 10
     "q_ann_ivf_append",
     "q_cc_starcontract",
+    "q_ann_ivfpq_topk",
     # rounding / null-guard kernel changes in round 10
     "q_similarity_topk",
     "q_embedding_topk_pairs",
