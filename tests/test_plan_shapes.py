@@ -657,3 +657,38 @@ def test_sssp_iteration_is_two_joins_no_cartesian(spark, qs):
     assert "CartesianProduct" not in plan
     # the final relation is served from the eager materialization
     assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_ivfpq_batch_is_one_codes_kernel_one_exchange(spark, qs):
+    """q_ann_ivfpq_topk's scale contract (round 10): Q queries share ONE
+    masked ADC kernel over the pruned CODES relation (never one pass
+    per query, never the float vectors), the only exchange is the
+    per-query top-k window over k-bounded partials, and the rank-limit
+    pushdown keeps WindowGroupLimit on both sides of it."""
+    plan = explain_str(qs["q_ann_ivfpq_topk"](spark, SF), "simple")
+    assert plan.count("MapInPandas") == 1, plan
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}:\n{plan}"
+    assert plan.count("WindowGroupLimit") == 2, plan
+
+
+def test_ivf_append_probe_prunes_partitions(spark, qs):
+    """q_ann_ivf_append's scale contract (round 10): the search runs
+    against the WRITTEN list_id-partitioned layout, so the probe filter
+    must land as a partition filter on the scan — the append path never
+    rescans the corpus."""
+    df = qs["q_ann_ivf_append"](spark, SF)
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters: [list_id" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_cc_starcontract_materializes_fixed_point(spark, qs):
+    """q_cc_starcontract returns the eagerly materialized label fixed
+    point (its per-round star operators ran at build time with
+    checkpoint-truncated lineage); the serving plan must be a cache
+    read, with no cartesian product anywhere in the lineage."""
+    df = qs["q_cc_starcontract"](spark, SF)
+    plan = explain_str(df)
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan
