@@ -520,6 +520,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 25,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction — the O(log d)-round algorithm for DEEP graphs, where
@@ -562,13 +563,34 @@ def connected_components_star(
 
     When to use which (measured, sf0.1 near-dup graph, 256 pairs,
     shallow components, local[32]): star converges in 2 rounds but
-    costs 4.7 s vs min-label's 1.6 s — four shuffles + an eager
-    checkpoint per star round dwarf the work on a shallow graph, so
+    costs 4.7 s vs min-label's 1.6 s at the session's 32 shuffle
+    partitions — four shuffles + an eager checkpoint per star round
+    dwarf the work on a shallow graph (clamped to 8 the same warm
+    build reads 3.0-3.2 s vs 3.9-4.3 s unclamped, interleaved A/B;
+    the ``shuffle_partitions`` knob below, effective because every
+    round materializes eagerly inside the clamp) — so
     min-label stays the right default for near-dup clusters
     (diameter 2-3) and star contraction is for deep/chain-shaped
     components (crawl graphs), where O(log d) vs O(d) rounds decides
-    feasibility, not constants."""
+    feasibility, not constants. Like the other clamped graph ops,
+    setting ``shuffle_partitions`` makes the result EAGER; size it to
+    the edge relation's parallelism on a real cluster."""
     spark = edges.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(before), shuffle_partitions)),
+        )
+    try:
+        return _cc_star_body(spark, edges, src, dst, max_rounds, shuffle_partitions)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def _cc_star_body(
+    spark, edges, src, dst, max_rounds, shuffle_partitions
+) -> DataFrame:
     E = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .where(F.col("x") != F.col("y"))
@@ -652,6 +674,11 @@ def connected_components_star(
             F.coalesce("parent", "node").alias("label"),
         )
     )
+    if shuffle_partitions is not None:
+        # conf is execution-time: the final labeling join must run
+        # under the clamp too, so the knob makes the result eager
+        out = out.persist()
+        out.count()
     out._osx3_rounds = rounds  # type: ignore[attr-defined]
     out._osx3_persists = held  # type: ignore[attr-defined]
     return out

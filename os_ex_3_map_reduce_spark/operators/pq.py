@@ -287,10 +287,14 @@ def pq_write(codes_df: DataFrame, path: str) -> None:
     (IVF-PQ — :func:`pq_encode` with ``keep_cols=["list_id"]``), the
     write is partitioned by it so ADC search over probed lists prunes
     at the scan exactly like the float IVF index."""
-    w = codes_df.write.mode("overwrite")
     if "list_id" in codes_df.columns:
-        w = w.partitionBy("list_id")
-    w.parquet(path)
+        # one file per list dir, not one per (task x list) — same
+        # file-churn fix as ivf_write
+        codes_df.repartition("list_id").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(path)
+    else:
+        codes_df.write.mode("overwrite").parquet(path)
 
 
 def pq_append(
@@ -311,10 +315,12 @@ def pq_append(
     applies identically: when the data distribution moves, retrain and
     rebuild (deterministically)."""
     codes = pq_encode(new_df, codebooks, id_col, emb_col, keep_cols)
-    w = codes.write.mode("append")
     if "list_id" in codes.columns:
-        w = w.partitionBy("list_id")
-    w.parquet(path)
+        codes.repartition("list_id").write.mode("append").partitionBy(
+            "list_id"
+        ).parquet(path)
+    else:
+        codes.write.mode("append").parquet(path)
 
 
 def ivfpq_search_batch(

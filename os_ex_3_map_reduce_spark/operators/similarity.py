@@ -485,8 +485,23 @@ def ivf_write(assigned: DataFrame, path: str) -> None:
     a probe against the written index prunes non-probed lists at the
     SCAN (hive partition pruning), so (nlist − nprobe)/nlist of the
     corpus is never read. Evidence: the FileSourceScan numFiles metric
-    test in tests/test_llm_ops.py."""
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    test in tests/test_llm_ops.py.
+
+    The pre-write ``repartition("list_id")`` hash-colocates each list
+    into one task so each partition directory gets ONE file instead of
+    one per (writer task x list) — up to shuffle.partitions x nlist
+    tiny files otherwise. At fixture scale the added shuffle costs
+    about what the file churn saved (q_ann_ivf_append end-to-end is
+    unchanged within noise, 6.5-7.4 s best-of-2 across sessions — the
+    pipeline is 3 writes + 2 index reads + 2 searches of Spark-job
+    fixed costs); the win is structural at 100 TB: ~10x fewer files
+    means fewer scan tasks per probe, less listing pressure, and a
+    bounded file count as appends accumulate. For very large lists add
+    a row-count target per file (repartitionByRange on (list_id, id))
+    — the knob composes."""
+    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(path)
 
 
 def save_centroids(spark, centroids: "np.ndarray", path: str) -> None:
@@ -537,9 +552,9 @@ def ivf_append(
     quantizer to drift — when the data distribution moves, retrain and
     rebuild (the trainer is deterministic, so that rebuild is
     reproducible too)."""
-    ivf_assign(new_df, centroids, id_col, emb_col).write.mode(
-        "append"
-    ).partitionBy("list_id").parquet(path)
+    ivf_assign(new_df, centroids, id_col, emb_col).repartition(
+        "list_id"
+    ).write.mode("append").partitionBy("list_id").parquet(path)
 
 
 def ivf_search_indexed(

@@ -988,7 +988,11 @@ def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "files only ever add rows to their own list). Partition pruning "
     "surviving the append is numFiles-asserted in "
     "tests/test_llm_ops.py. Pinned-expectation exact oracle keyed per "
-    "scale: see registration comment.",
+    "scale: see registration comment. Bench note: this is a "
+    "build+maintain+verify PIPELINE, not a read query — each timed run "
+    "re-executes 3 index/quantizer writes, 2 index reads, and 2 "
+    "searches (~6.5-7.4 s at sf0.1, dominated by per-job fixed costs; "
+    "the searches themselves are sub-second — see q_ann_ivf_topk).",
 )
 def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
