@@ -149,6 +149,8 @@ BREADTH = [
     "q_ann_ivf_append",
     "q_cc_starcontract",
     "q_ann_ivfpq_topk",
+    "q_dedup_ingest",
+    "q_stream_dedup_ingest",
 ]
 
 

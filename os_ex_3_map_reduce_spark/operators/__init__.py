@@ -2,6 +2,9 @@ from .candidates import candidate_pairs  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components,
     exact_dedup,
+    minhash_index_append,
+    minhash_index_lookup,
+    minhash_index_write,
     minhash_lsh_pairs,
     minhash_lsh_pairs_eager,
     minhash_signatures,

@@ -180,6 +180,28 @@ def minhash_signatures(
     )
 
 
+def _band_bucket_expr(num_hashes: int, bands: int):
+    """The banded-LSH bucket keys of a ``sig`` column: one xxhash64 per
+    band over that band's signature rows, band index folded into the
+    hash so one flat ``bucket`` column distinguishes bands. Shared by
+    the all-pairs path and the written-index path so their buckets are
+    identical BY CONSTRUCTION — a lookup against an index probes
+    exactly the buckets the all-pairs run would have co-grouped."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at("sig", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -219,7 +241,6 @@ def minhash_lsh_pairs(
        pairs; shingle sets are joined back in last, touching only
        surviving candidates.
     """
-    rows_per_band = num_hashes // bands
     spark = df.sparkSession
     sigs = minhash_signatures(
         df.repartition(spark.sparkContext.defaultParallelism),
@@ -237,20 +258,8 @@ def minhash_lsh_pairs(
     # otherwise each invocation leaves cached blocks behind until LRU
     # eviction.
 
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.element_at("sig", b * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
     buckets = sigs.select(
-        "doc_id", F.explode(band_hashes).alias("bucket")
+        "doc_id", F.explode(_band_bucket_expr(num_hashes, bands)).alias("bucket")
     )
     cand = candidate_pairs(
         buckets, ["bucket"], "doc_id", max_bucket, "doc_a", "doc_b"
@@ -285,6 +294,156 @@ def minhash_lsh_pairs_eager(df: DataFrame, **kwargs) -> DataFrame:
     out = pairs.persist()
     out.count()
     sigs.unpersist()
+    return out
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    shingle_mode: str = "word",
+    max_bucket: int = 1000,
+) -> None:
+    """Materialize a reusable near-dup INDEX over a corpus: the
+    signature relation (doc_id, shingle_hashes, sig) under
+    ``{path}/sigs`` and the banded bucket relation (bucket, doc_id)
+    under ``{path}/buckets`` — dedup-at-ingest for a training-data
+    lake (the E2 analog of :func:`~.similarity.ivf_write`). A daily
+    pipeline shingles the CORPUS exactly once; every future delta
+    batch is checked by :func:`minhash_index_lookup` without touching
+    corpus text again.
+
+    Hot buckets (> ``max_bucket`` corpus members — boilerplate at web
+    scale) are dropped at WRITE time, so every future lookup skips
+    them for free instead of re-detecting them per batch — the same
+    recall-for-survival trade :func:`minhash_lsh_pairs` applies
+    per-run, made once."""
+    spark = df.sparkSession
+    sigs = minhash_signatures(
+        df.repartition(spark.sparkContext.defaultParallelism),
+        id_col,
+        text_col,
+        num_hashes,
+        shingle_n,
+        shingle_mode,
+    ).persist()
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    buckets = sigs.select(
+        "doc_id", F.explode(_band_bucket_expr(num_hashes, bands)).alias("bucket")
+    )
+    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    buckets.join(
+        sizes.where(F.col("n") <= max_bucket), "bucket"
+    ).select("bucket", "doc_id").write.mode("overwrite").parquet(
+        f"{path}/buckets"
+    )
+    sigs.unpersist()
+
+
+def minhash_index_append(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    shingle_mode: str = "word",
+) -> None:
+    """Grow a written near-dup index with a delta batch: shingle + sign
+    the delta ONLY and append its rows to both relations — no recompute
+    of the existing corpus (the E2 analog of
+    :func:`~.similarity.ivf_append`; signatures are a pure per-row
+    function of (text, seeded hash family), so append(B) after
+    write(A) equals write(A ∪ B) up to the write-time hot-bucket cap,
+    which append does NOT re-apply globally — a bucket that becomes
+    hot only through accumulated appends is re-capped at the next full
+    rewrite, the standard compaction-time fix)."""
+    spark = df.sparkSession
+    sigs = minhash_signatures(
+        df.repartition(spark.sparkContext.defaultParallelism),
+        id_col,
+        text_col,
+        num_hashes,
+        shingle_n,
+        shingle_mode,
+    ).persist()
+    sigs.write.mode("append").parquet(f"{path}/sigs")
+    sigs.select(
+        "doc_id", F.explode(_band_bucket_expr(num_hashes, bands)).alias("bucket")
+    ).write.mode("append").parquet(f"{path}/buckets")
+    sigs.unpersist()
+
+
+def minhash_index_lookup(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    shingle_mode: str = "word",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup-at-ingest: exact-verified near-dup matches of a DELTA
+    batch against a WRITTEN corpus index, corpus text never re-read.
+
+    The delta is shingled/signed once (the only Python work); its band
+    buckets equi-join the index's bucket relation (slim: 8-byte keys
+    and ids only — the same no-payload-shuffle discipline as
+    :func:`minhash_lsh_pairs`); surviving candidates verify exact
+    shingle-set Jaccard against the index's stored ``shingle_hashes``.
+    Because :func:`_band_bucket_expr` is shared, a lookup probes
+    exactly the buckets an all-pairs run would have co-grouped —
+    recall relative to the all-pairs path differs only by the
+    write-time hot-bucket cap (equivalence property-tested in
+    tests/test_llm_ops.py).
+
+    Output: (new_doc, corpus_doc, inter, union_, jaccard), jaccard ≥
+    ``threshold``, exact ints + one IEEE divide — SQL-oracle-able."""
+    spark = new_df.sparkSession
+    new_sigs = minhash_signatures(
+        new_df.repartition(spark.sparkContext.defaultParallelism),
+        id_col,
+        text_col,
+        num_hashes,
+        shingle_n,
+        shingle_mode,
+    ).persist()
+    new_buckets = new_sigs.select(
+        F.col("doc_id").alias("new_doc"),
+        F.explode(_band_bucket_expr(num_hashes, bands)).alias("bucket"),
+    )
+    idx_buckets = spark.read.parquet(f"{path}/buckets")
+    cand = (
+        new_buckets.join(idx_buckets, "bucket")
+        .select("new_doc", F.col("doc_id").alias("corpus_doc"))
+        .where(F.col("new_doc") != F.col("corpus_doc"))
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+    idx_sh = spark.read.parquet(f"{path}/sigs").select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("shingle_hashes").alias("sh_c"),
+    )
+    new_sh = new_sigs.select(
+        F.col("doc_id").alias("new_doc"), F.col("shingle_hashes").alias("sh_n")
+    )
+    withsets = cand.join(new_sh, "new_doc").join(idx_sh, "corpus_doc")
+    inter = F.size(F.array_intersect("sh_n", "sh_c"))
+    union = F.size("sh_n") + F.size("sh_c") - inter
+    out = withsets.select(
+        "new_doc",
+        "corpus_doc",
+        inter.cast("long").alias("inter"),
+        union.cast("long").alias("union_"),
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+    out._osx3_sigs = new_sigs  # type: ignore[attr-defined]
     return out
 
 

@@ -79,11 +79,15 @@ DRIVER_WINDOW = 50
 #:   q_ann_pq_recall, q_sssp_weighted, q_labelprop, q_triangles,
 #:   q_stream_full_outer_join (the r9 snapshot commit's late arrival
 #:   ADVICE r9 flagged as missing from this list);
-#: - 3 NEW in round 10: q_ann_ivf_append (incremental IVF index
+#: - 5 NEW in round 10: q_ann_ivf_append (incremental IVF index
 #:   maintenance, VERDICT r9 #2), q_cc_starcontract (large-star/
-#:   small-star contraction CC, VERDICT r9 #7) and q_ann_ivfpq_topk
+#:   small-star contraction CC, VERDICT r9 #7), q_ann_ivfpq_topk
 #:   (fused IVF-PQ batch search — the composed top rung of the memory
-#:   ladder) — each tri-scale driver-sim validated at registration;
+#:   ladder), q_dedup_ingest (delta-vs-written-index near-dup lookup
+#:   — dedup-at-ingest, the E2 index-maintenance analog) and
+#:   q_stream_dedup_ingest (the same lookup as a foreachBatch stream,
+#:   hash-identical to the batch result) — each tri-scale driver-sim
+#:   validated at registration;
 #: - 7 whose scoring kernels changed in round 10 (np.round half-to-even
 #:   -> explicit half-away-from-zero in the Arrow batch kernels,
 #:   ADVICE r9; cosine_to_query NULL-embedding guard): q_similarity_
@@ -91,11 +95,11 @@ DRIVER_WINDOW = 50
 #:   q_ann_lsh_recall, q_ann_ivf_topk, q_ann_ivf_batch — fixture
 #:   values are unchanged (measured rounding margins >= 1e-5 vs the
 #:   5e-5 boundary), so these re-verify rather than re-pin;
-#: - 32 of the 41 remaining r7-stale names, tool order
-#:   (tools/rotation.py). The 9 left for r11: q_set_ops_all,
-#:   q_setsim_prefix, q_shipping_priority, q_simhash_neardup,
-#:   q_string_fns, q_time_interpolate, q_trend_ols, q_unpivot,
-#:   q_window_misc.
+#: - 30 of the 41 remaining r7-stale names, tool order
+#:   (tools/rotation.py). The 11 left for r11: q_sample_budget,
+#:   q_sessionize, q_set_ops_all, q_setsim_prefix,
+#:   q_shipping_priority, q_simhash_neardup, q_string_fns,
+#:   q_time_interpolate, q_trend_ols, q_unpivot, q_window_misc.
 #: After r10 the expected distribution: 50 r10 / ~50 r9 / ~44 r8/r7,
 #: every query carrying an external verdict.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -112,6 +116,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ann_ivf_append",
     "q_cc_starcontract",
     "q_ann_ivfpq_topk",
+    "q_dedup_ingest",
+    "q_stream_dedup_ingest",
     # scoring-kernel rounding / null-guard changed in round 10
     "q_similarity_topk",
     "q_embedding_topk_pairs",
@@ -151,8 +157,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pii_redact",
     "q_profile_stats",
     "q_regexp_fns",
-    "q_sample_budget",
-    "q_sessionize",
 )
 
 

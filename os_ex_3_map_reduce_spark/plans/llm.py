@@ -230,6 +230,65 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_ingest",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, len(t) - 2),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+            FROM toks WHERE len(t) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+                   COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            GROUP BY 1, 2
+        )
+        SELECT new_doc, corpus_doc, inter,
+               (sa.n + sb.n - inter) AS union_,
+               (inter * 1.0 / (sa.n + sb.n - inter)) AS jaccard
+        FROM inter
+        JOIN sizes sa ON new_doc = sa.doc_id
+        JOIN sizes sb ON corpus_doc = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+    doc="Dedup-at-INGEST (round 10 — the E2 analog of the ANN "
+    "index-maintenance story): the even-doc_id half of the corpus is "
+    "materialized as a reusable near-dup index (operators/dedup.py "
+    "minhash_index_write: signature relation + write-time-capped band "
+    "buckets), and the odd half — the daily delta batch — is checked "
+    "against it (minhash_index_lookup): the delta alone is shingled, "
+    "its band buckets equi-join the index's slim (bucket, doc_id) "
+    "relation, and survivors verify exact shingle Jaccard against the "
+    "index's STORED shingle hashes — corpus text is never re-read. "
+    "The band-bucket expression is shared with the all-pairs path, so "
+    "lookup candidates equal all-pairs candidates by construction "
+    "(property-tested, incl. append-then-lookup). Oracle: exact "
+    "cross-side Jaccard in pure SQL — valid for the same ~4e-20 LSH "
+    "miss bound as q_minhash_neardup.",
+)
+def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import minhash_index_lookup, minhash_index_write
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="osx3_neardup_idx_") + "/idx"
+    minhash_index_write(docs.where(F.col("doc_id") % 2 == 0), path)
+    out = minhash_index_lookup(
+        docs.where(F.col("doc_id") % 2 == 1), path, threshold=0.5
+    )
+    sigs = out._osx3_sigs  # type: ignore[attr-defined]
+    res = out.persist()
+    res.count()
+    sigs.unpersist()
+    return res
+
+
+@register(
     "q_chargram_jaccard",
     oracle="""
         WITH sh AS (

@@ -549,3 +549,89 @@ def q_stream_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_stream_to_memory(agg, mode="complete")
     return spark.table(name)
+
+
+@register(
+    "q_stream_dedup_ingest",
+    # Same oracle as q_dedup_ingest: the streamed lookup must equal the
+    # batch lookup exactly — micro-batching the delta cannot change the
+    # match set (each delta doc is in exactly one staged file, and the
+    # corpus side is a static written index).
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, len(t) - 2),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+            FROM toks WHERE len(t) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+                   COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            GROUP BY 1, 2
+        )
+        SELECT new_doc, corpus_doc, inter,
+               (sa.n + sb.n - inter) AS union_,
+               (inter * 1.0 / (sa.n + sb.n - inter)) AS jaccard
+        FROM inter
+        JOIN sizes sa ON new_doc = sa.doc_id
+        JOIN sizes sb ON corpus_doc = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+    doc="STREAMING dedup-at-ingest (round 10, the E7 x E2 cross): the "
+    "even-doc_id corpus is materialized once as a written near-dup "
+    "index; the odd half arrives as a 4-file stream "
+    "(maxFilesPerTrigger=1 -> one micro-batch per file) and each "
+    "micro-batch runs minhash_index_lookup inside foreachBatch, "
+    "writing its matches to an idempotent batch_id=N parquet sink "
+    "(exactly-once by the same overwrite contract as "
+    "q_stream_foreach_sink). This is the daily-ingest pipeline shape "
+    "at 100 TB: corpus shingled once, every arriving batch pays only "
+    "its own shingling plus a slim bucket equi-join. Result = union "
+    "of batch outputs; the batch q_dedup_ingest oracle checks it "
+    "exactly — streaming cannot change the match set because each "
+    "delta doc lands in exactly one micro-batch.",
+)
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import minhash_index_lookup, minhash_index_write
+    from ..sources.tables import load_table
+    from ..streaming.events import staged_documents_delta_dir
+
+    corpus = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
+    root = tempfile.mkdtemp(prefix="osx3_stream_ingest_")
+    _cleanup_at_exit(root)
+    idx = f"{root}/idx"
+    minhash_index_write(corpus, idx)
+
+    src = staged_documents_delta_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_dir = f"{root}/matches"
+
+    def lookup_batch(bdf: DataFrame, batch_id: int) -> None:
+        res = minhash_index_lookup(bdf, idx, threshold=0.5)
+        sigs = res._osx3_sigs  # type: ignore[attr-defined]
+        res.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        sigs.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(lookup_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "new_doc", "corpus_doc", "inter", "union_", "jaccard"
+    )

@@ -76,6 +76,35 @@ def doubled_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return staged_events_dir(sf_dir, copies=2)
 
 
+def staged_documents_delta_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """The odd-doc_id half of the documents table staged as ``n_files``
+    parquet files — the delta side of the ingest-dedup stream, one
+    micro-batch per file under ``maxFilesPerTrigger=1``. Each doc lands
+    in exactly one file (deterministic ``(doc_id // 2) % n_files``
+    split), so the streamed lookup emits each (new_doc, corpus_doc)
+    match exactly once without needing stream-side dedup state."""
+    key = (f"{sf_dir}::docs_delta", n_files)
+    if key not in _STAGED_CACHE:
+        ensure_session_confs(spark)
+        d = Path(tempfile.mkdtemp(prefix="osx3_docs_delta_"))
+        _cleanup_at_exit(str(d))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+            F.col("doc_id") % 2 == 1
+        )
+        for i in range(n_files):
+            stage = d / f"_stage{i}"
+            docs.where((F.col("doc_id") / 2).cast("long") % n_files == i).coalesce(
+                1
+            ).write.parquet(str(stage))
+            part = next(stage.glob("part-*.parquet"))
+            shutil.move(str(part), d / f"part-{i}.parquet")
+            shutil.rmtree(stage)
+        _STAGED_CACHE[key] = str(d)
+    return _STAGED_CACHE[key]
+
+
 def sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Events staging dir plus one far-future sentinel event in its own,
     later-modified file.

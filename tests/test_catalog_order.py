@@ -31,6 +31,8 @@ MUST_BE_IN_WINDOW = {
     "q_ann_ivf_append",
     "q_cc_starcontract",
     "q_ann_ivfpq_topk",
+    "q_dedup_ingest",
+    "q_stream_dedup_ingest",
     # rounding / null-guard kernel changes in round 10
     "q_similarity_topk",
     "q_embedding_topk_pairs",

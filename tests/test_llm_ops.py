@@ -1439,3 +1439,65 @@ def test_ivfpq_batch_matches_per_query_composition_and_prunes(spark, tmp_path):
     n_probed = scanned_files(res)
     assert 0 < n_probed < n_all, (n_probed, n_all)
     assert "PartitionFilters: [list_id" in res._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_index_lookup_matches_allpairs_and_append_grows(spark, tmp_path):
+    """Dedup-at-ingest (the E2 analog of the ANN index-maintenance
+    story): a delta batch looked up against a WRITTEN corpus index must
+    find exactly the cross-side pairs the all-pairs run finds (shared
+    band-bucket construction ⇒ identical candidate generation, modulo
+    the write-time hot-bucket cap — inactive on this fixture); corpus
+    text is never re-shingled at lookup. Appending a second delta must
+    make its docs visible to subsequent lookups without recomputing the
+    corpus."""
+    from os_ex_3_map_reduce_spark.operators import (
+        minhash_index_append,
+        minhash_index_lookup,
+        minhash_index_write,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+
+    path = str(tmp_path / "neardup_idx")
+    minhash_index_write(corpus, path)
+    got = {
+        (r.new_doc, r.corpus_doc, r.inter, r.union_, r.jaccard)
+        for r in minhash_index_lookup(delta, path, threshold=0.5).collect()
+    }
+    # oracle: the all-pairs run over the full table, restricted to
+    # cross-parity pairs, reoriented (new=odd, corpus=even)
+    allp = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    want = set()
+    for r in allp:
+        pa, pb = r.doc_a % 2, r.doc_b % 2
+        if pa == pb:
+            continue
+        new, cor = (r.doc_a, r.doc_b) if pa == 1 else (r.doc_b, r.doc_a)
+        want.add((new, cor, r.inter, r.union_, r.jaccard))
+    assert want, "fixture should contain cross-parity near-dup pairs"
+    assert got == want
+
+    # append: a second delta (copies of two corpus docs with new ids)
+    # becomes findable without re-writing the corpus
+    src = corpus.orderBy("doc_id").limit(2).collect()
+    clones = spark.createDataFrame(
+        [(int(r.doc_id) + 10_000_000, r.text) for r in src],
+        "doc_id long, text string",
+    )
+    minhash_index_append(clones, path)
+    probe = {
+        (r.new_doc, r.corpus_doc)
+        for r in minhash_index_lookup(
+            clones.withColumn("doc_id", F.col("doc_id") + 20_000_000),
+            path,
+            threshold=0.99,
+        ).collect()
+    }
+    # each re-cloned doc matches BOTH its original (in the base index)
+    # and its first clone (appended) at jaccard 1.0
+    for r in src:
+        assert (int(r.doc_id) + 30_000_000, int(r.doc_id)) in probe
+        assert (int(r.doc_id) + 30_000_000, int(r.doc_id) + 10_000_000) in probe

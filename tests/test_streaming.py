@@ -907,3 +907,35 @@ def test_full_outer_join_identical_under_both_state_providers(spark):
         f"{results['hdfs'] ^ results['rocksdb']}"
     )
     assert state_evidence["rocksdb"]["peak_mem"] > 0
+
+
+def test_stream_dedup_ingest_equals_batch_lookup(spark):
+    """The streamed ingest-dedup (foreachBatch lookup per micro-batch
+    against the written corpus index) must equal the one-shot batch
+    lookup exactly — micro-batching cannot change the match set because
+    every delta doc lands in exactly one staged file."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.plans import all_queries
+    from os_ex_3_map_reduce_spark.operators import (
+        minhash_index_lookup,
+        minhash_index_write,
+    )
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    got = {
+        (r.new_doc, r.corpus_doc, r.inter, r.union_, r.jaccard)
+        for r in qs["q_stream_dedup_ingest"](spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    idx = tempfile.mkdtemp(prefix="osx3_ingest_ref_") + "/idx"
+    minhash_index_write(docs.where(F.col("doc_id") % 2 == 0), idx)
+    want = {
+        (r.new_doc, r.corpus_doc, r.inter, r.union_, r.jaccard)
+        for r in minhash_index_lookup(
+            docs.where(F.col("doc_id") % 2 == 1), idx, threshold=0.5
+        ).collect()
+    }
+    assert got == want and got
