@@ -91,6 +91,15 @@ with the strongest scale claims; linear budget = ratio 10):
       the session's first-run overhead (neither draw is pre-warmed).
     Catalog-level q_ann_ivf_batch (full pipeline incl. trainer):
     0.474 s -> 0.549 s, ratio 1.16 (r9: 0.67; both sublinear).
+    dedup-at-ingest (bench_ingest10; cross-side matches verified to
+    scale exactly 10x, 120 -> 1200):
+        delta lookup (warm)   0.890 s -> 1.212 s   ratio 1.36
+        index build (unwarmed) 7.251 s -> 2.646 s  — the base draw
+      carries the session's first-run costs (first documents scan,
+      first Arrow UDF ship); the 10x build at 2.6 s bounds the real
+      linear cost from above. Lookup is the number that matters
+      daily: strongly sublinear-in-budget because the delta pays only
+      its own shingling plus a slim bucket equi-join.
 
 CDC apply at 10x change volume (bench_cdc, round-9 queue item; warm,
 150k-row orders base at sf0.1):
@@ -369,6 +378,55 @@ def bench_graph10(spark) -> None:
         print(json.dumps(d), flush=True)
 
 
+def bench_ingest10(spark, scaled: str) -> None:
+    """10x draw for dedup-at-ingest (round 10): corpus index build
+    (even doc_ids) and delta lookup (odd doc_ids) timed separately at
+    1x vs 10x documents. The staging's id shifts are even (parity
+    preserved) and each copy's shingle space is disjoint, so the
+    cross-side match set scales exactly 10x. The scale claims under
+    test: index build is one shingling pass + two writes (linear), and
+    lookup cost is delta shingling + a slim bucket equi-join + Jaccard
+    on survivors (linear in delta + matches, independent of how much
+    corpus text exists — the corpus is only touched through its
+    index)."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.operators.dedup import (
+        minhash_index_lookup,
+        minhash_index_write,
+    )
+
+    for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+        docs = spark.read.parquet(f"{path}/documents.parquet")
+        corpus = docs.where(F.col("doc_id") % 2 == 0)
+        delta = docs.where(F.col("doc_id") % 2 == 1)
+        idx = tempfile.mkdtemp(prefix="osx3_ingest10_") + "/idx"
+        t0 = time.perf_counter()
+        minhash_index_write(corpus, idx)
+        build_sec = time.perf_counter() - t0
+        out = minhash_index_lookup(delta, idx, threshold=0.5)
+        sigs = out._osx3_sigs
+        _materialize(out)  # warm (includes delta shingling)
+        t0 = time.perf_counter()
+        out2 = minhash_index_lookup(delta, idx, threshold=0.5)
+        _materialize(out2)
+        lookup_sec = time.perf_counter() - t0
+        n = out2.count()
+        sigs.unpersist()
+        out2._osx3_sigs.unpersist()
+        print(
+            json.dumps(
+                {
+                    "query": f"dedup_ingest_{label}",
+                    "index_build_sec": round(build_sec, 3),
+                    "lookup_sec": round(lookup_sec, 3),
+                    "matches": n,
+                }
+            ),
+            flush=True,
+        )
+
+
 def bench_cdc(spark) -> None:
     """CDC apply at 10x change volume (round-9 queue item): fixed base
     snapshot (orders, 150k rows at sf0.1), synthetic change batches
@@ -497,6 +555,7 @@ def main() -> None:
         )
     bench_ann_batch10(spark, scaled)
     bench_graph10(spark)
+    bench_ingest10(spark, scaled)
     bench_cdc(spark)
     bench_skew(spark, scaled)
     spark.stop()

@@ -290,6 +290,7 @@ the tool's docstring with their per-round histories.
 | triangle counts (planted triangles + chain) | 1.513 s | 2.797 s | 1.85 | degree-ordered orientation caps wedge work |
 | weighted SSSP (3-out-regular, 6 rounds) | 3.693 s | 2.768 s | ~1 (flat) | frontier-bounded (~1.09k reachable both scales); base draw pays first-run overhead |
 | q_ann_ivf_batch (catalog, full pipeline) | 0.474 s | 0.549 s | 1.16 | constant 512-sample trainer + pruned probe |
+| dedup-at-ingest delta lookup (warm; matches scale exactly 10x) | 0.890 s | 1.212 s | 1.36 | delta-only shingling + slim bucket equi-join against the written index |
 | CDC apply (10x change rows) | 0.294 s | 0.283 s | ~1 (flat) | one full-outer shuffle dominated by the base side |
 
 No super-linear blowup in any draw; the two flat rows are flat by
