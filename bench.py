@@ -151,6 +151,7 @@ BREADTH = [
     "q_ann_ivfpq_topk",
     "q_dedup_ingest",
     "q_stream_dedup_ingest",
+    "q_ann_ivfpq_residual",
 ]
 
 
