@@ -152,6 +152,8 @@ BREADTH = [
     "q_dedup_ingest",
     "q_stream_dedup_ingest",
     "q_ann_ivfpq_residual",
+    "q_shard_shuffle",
+    "q_upsample_quality",
 ]
 
 

@@ -102,11 +102,18 @@ DRIVER_WINDOW = 50
 #:   q_time_interpolate, q_trend_ols, q_unpivot, q_window_misc.
 #: After r10 the expected distribution: 50 r10 / ~50 r9 / ~44 r8/r7,
 #: every previously-registered query carrying an external verdict.
-#: ONE query registered late in r10 sits BELOW the priority prefix so
-#: the window keeps its stale-refresh breadth (the r9 late-landing
-#: precedent; tri-scale driver-sim validated at registration, queued
-#: for r11 fronting): q_ann_ivfpq_residual (faiss residual-IVFPQ).
-DRIVER_R11_QUEUE: tuple[str, ...] = ("q_ann_ivfpq_residual",)
+#: THREE queries registered late in r10 sit BELOW the priority prefix
+#: so the window keeps its stale-refresh breadth (the r9 late-landing
+#: precedent; each tri-scale driver-sim validated at registration,
+#: queued for r11 fronting): q_ann_ivfpq_residual (faiss
+#: residual-IVFPQ), q_shard_shuffle (deterministic training-order
+#: shuffle into shards) and q_upsample_quality (mixture upsampling by
+#: deterministic quality weight).
+DRIVER_R11_QUEUE: tuple[str, ...] = (
+    "q_ann_ivfpq_residual",
+    "q_shard_shuffle",
+    "q_upsample_quality",
+)
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first
     "q_similarity_topk_batch",

@@ -2343,6 +2343,93 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_shard_shuffle",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 AS k
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(k % 8 AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY k % 8
+                                       ORDER BY k, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM keyed
+    """,
+    doc="Deterministic training-order shuffle into shards — the last "
+    "step of every data-prep pipeline (training wants decorrelated "
+    "order; reproducibility wants NO RNG): each doc's shuffle key is "
+    "a Knuth multiplicative hash of its id (exact BIGINT arithmetic, "
+    "identical on any engine), shard = key mod 8, and the within-"
+    "shard position is a rank over the key — so the full (shard, pos) "
+    "ordering is a pure function of the ids, re-derivable anywhere. "
+    "Scale: the only window is PARTITIONED BY shard (N parallel "
+    "rank scans, no global sort); at 100 TB shards map 1:1 to output "
+    "files and writers stream each shard independently. Exact SQL "
+    "oracle — the same arithmetic in DuckDB.",
+)
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        (F.col("doc_id") * F.lit(2654435761)).cast("long").__mod__(
+            F.lit(4294967296)
+        ).alias("k"),
+    )
+    w = Window.partitionBy(F.col("k") % 8).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.col("k") % 8).cast("long").alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
+@register(
+    "q_upsample_quality",
+    oracle="""
+        WITH weighted AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 450 THEN 3
+                        WHEN length(text) >= 300 THEN 2
+                        ELSE 1 END AS n_copies
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+               CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT)
+                   AS copy_idx
+        FROM weighted
+    """,
+    doc="Quality-weighted upsampling — the mixture-building primitive "
+    "that pairs with downsampling (q_sample_stratified): high-value "
+    "documents repeat in the training stream (here: a deterministic "
+    "length-band weight, 3x/2x/1x — in production the weight column "
+    "comes from a quality classifier) by exploding a 0..n_copies-1 "
+    "sequence per doc. Scale: pure per-row generate+explode inside "
+    "codegen — no shuffle, no RNG, output size = sum of weights; "
+    "downstream q_shard_shuffle decorrelates the copies. Exact SQL "
+    "oracle via generate_series.",
+)
+def q_upsample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        F.when(F.length("text") >= 450, 3)
+        .when(F.length("text") >= 300, 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("n_copies"),
+    )
+    return weighted.select(
+        "doc_id",
+        "n_copies",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1)
+        ).alias("copy_idx"),
+    )
+
+
+@register(
     "q_sample_stratified",
     oracle="""
         SELECT doc_id, lang, substr(md5(text), 1, 8) AS bucket_hex

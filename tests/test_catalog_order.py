@@ -88,3 +88,15 @@ def test_generated_docs_in_sync_with_registry():
     readme = (root / "README.md").read_text()
     for phrase in (f"all {n} queries", f"{n} queries total"):
         assert phrase in readme, f"README.md stale: expected {phrase!r}"
+
+
+def test_r11_queue_names_registered_and_below_window():
+    """Late-round registrations parked below the verification window
+    (the r9 precedent) must exist in the registry and must NOT occupy
+    window slots — they are queued for fronting next rotation."""
+    from os_ex_3_map_reduce_spark.plans.catalog import DRIVER_R11_QUEUE
+
+    qs = set(all_queries())
+    for name in DRIVER_R11_QUEUE:
+        assert name in qs, name
+        assert name not in DRIVER_PRIORITY, name
