@@ -154,6 +154,7 @@ BREADTH = [
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
     "q_upsample_quality",
+    "q_kcore",
 ]
 
 

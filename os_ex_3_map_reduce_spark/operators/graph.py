@@ -684,6 +684,101 @@ def _cc_star_body(
     return out
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """k-core decomposition for a fixed ``k`` — the SEVENTH iterative
+    graph pattern: repeatedly peel every vertex whose degree in the
+    remaining induced subgraph is below ``k`` until a fixed point; what
+    survives is the k-core, the standard density filter for crawl-graph
+    pruning (drop weakly-connected periphery before expensive link
+    analysis) and community pre-segmentation.
+
+    Per round: the persisted symmetric edge list semi-joins the alive
+    set on BOTH endpoints, one groupBy(node) count recomputes induced
+    degrees, and the alive set becomes the >= k survivors — two slim
+    joins + one aggregate, all exact integers, so the converged result
+    is partitioning-invariant and an unrolled CTE chain of the same
+    algebra oracles it exactly (the PageRank oracle pattern).
+    Convergence is the alive-count fixed point (one tiny aggregate per
+    round — peeling is monotone, so an unchanged count means an
+    unchanged set); rounds are bounded by ``max_rounds`` and the
+    per-round eager materialization makes the ``shuffle_partitions``
+    clamp execution-effective (same contract as the other clamped
+    graph ops — the result is EAGER when the knob is set).
+
+    Returns (node, deg): the k-core members with their degree inside
+    the core. Peel-depth behavior lives in tests: a path graph's
+    2-core peels from both ends inward, one layer per round."""
+    spark = edges.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(before), shuffle_partitions)),
+        )
+    try:
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+            F.col("a") != F.col("b")
+        )
+        # undirected semantics: symmetrize (pass each edge in either or
+        # both directions; degree counts each neighbor once)
+        e = (
+            und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .persist()
+        )
+        alive = e.select(F.col("a").alias("node")).distinct().persist()
+        held = [e, alive]
+        n_alive = alive.count()
+        deg = None
+        for _ in range(max_rounds):
+            deg = (
+                e.join(alive.withColumnRenamed("node", "a"), "a")
+                .join(alive.withColumnRenamed("node", "b"), "b")
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            new_alive = deg.where(F.col("deg") >= k).select("node").persist()
+            held.append(new_alive)
+            n_new = new_alive.count()
+            alive = new_alive
+            if n_new == n_alive or n_new == 0:
+                break
+            n_alive = n_new
+        out = (
+            deg.join(alive, "node")
+            .select("node", F.col("deg").cast("long").alias("deg"))
+            .coalesce(1)
+        )
+        if shuffle_partitions is not None:
+            out = out.persist()
+            out.count()
+        out._osx3_persists = held  # type: ignore[attr-defined]
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def kcore_eager(edges: DataFrame, *args, **kwargs) -> DataFrame:
+    """:func:`kcore`, materialized, intermediates freed."""
+    d = kcore(edges, *args, **kwargs)
+    held = d._osx3_persists  # type: ignore[attr-defined]
+    out = d.persist()
+    out.count()
+    for df in held:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out
+
+
 def connected_components_star_eager(edges: DataFrame, *args, **kwargs) -> DataFrame:
     """:func:`connected_components_star`, materialized, intermediates
     freed; preserves the ``_osx3_rounds`` evidence attribute."""

@@ -71,7 +71,7 @@ DRIVER_WINDOW = 50
 #: 48 r8 / 44 r7; no query has ever ended a round red. VERDICT r9
 #: directive #1: front the 8 late-r9 registrations that have never
 #: been driver-verified, then anything round 10 changes, then the
-#: oldest r7-stale names. Composition (8 + 2 + 7 + 33 = 50):
+#: oldest r7-stale names. Composition (8 + 5 + 7 + 30 = 50):
 #: - the 8 NEVER-driver-verified late-r9 registrations (each tri-scale
 #:   driver-sim validated at registration and judge-verified ALL MATCH
 #:   in the r9 session — external verification still outstanding):
@@ -102,17 +102,19 @@ DRIVER_WINDOW = 50
 #:   q_time_interpolate, q_trend_ols, q_unpivot, q_window_misc.
 #: After r10 the expected distribution: 50 r10 / ~50 r9 / ~44 r8/r7,
 #: every previously-registered query carrying an external verdict.
-#: THREE queries registered late in r10 sit BELOW the priority prefix
+#: FOUR queries registered late in r10 sit BELOW the priority prefix
 #: so the window keeps its stale-refresh breadth (the r9 late-landing
 #: precedent; each tri-scale driver-sim validated at registration,
 #: queued for r11 fronting): q_ann_ivfpq_residual (faiss
 #: residual-IVFPQ), q_shard_shuffle (deterministic training-order
-#: shuffle into shards) and q_upsample_quality (mixture upsampling by
-#: deterministic quality weight).
+#: shuffle into shards), q_upsample_quality (mixture upsampling by
+#: deterministic quality weight) and q_kcore (fixed-point k-core
+#: peel, the seventh iterative graph pattern).
 DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
     "q_upsample_quality",
+    "q_kcore",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first
@@ -138,7 +140,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ann_lsh_recall",
     "q_ann_ivf_topk",
     "q_ann_ivf_batch",
-    # oldest r7-stale names (33 of 41, tools/rotation.py order)
+    # oldest r7-stale names (30 of 41, tools/rotation.py order)
     "q_above_nation_avg",
     "q_agg_filtered",
     "q_array_fns",

@@ -410,3 +410,74 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return _cached_df(spark, ("triangles", sf_dir), build)
+
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 6  # measured convergence: 2 rounds at every fixture
+                   # scale; 6 gives 3x margin and costs the oracle ~ms
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel rounds of the exact kcore algebra (the PageRank
+    oracle pattern): deg_i over alive_i, alive_{i+1} = survivors."""
+    cte = [
+        """
+        WITH arcs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT src AS a, dst AS b FROM arcs
+            UNION SELECT dst, src FROM arcs
+        ),
+        alive0 AS (SELECT DISTINCT a AS node FROM edges)"""
+    ]
+    for i in range(_KCORE_ROUNDS):
+        cte.append(
+            f"""
+        deg{i} AS (
+            SELECT e.a AS node, COUNT(*) AS d
+            FROM edges e
+            JOIN alive{i} x ON e.a = x.node
+            JOIN alive{i} y ON e.b = y.node
+            GROUP BY e.a
+        ),
+        alive{i + 1} AS (SELECT node FROM deg{i} WHERE d >= {_KCORE_K})"""
+        )
+    return (
+        ",".join(cte)
+        + f"""
+        SELECT node, CAST(d AS BIGINT) AS deg
+        FROM deg{_KCORE_ROUNDS - 1}
+        WHERE d >= {_KCORE_K}
+    """
+    )
+
+
+@register(
+    "q_kcore",
+    oracle=_kcore_oracle(),
+    doc=f"k-core decomposition (k={_KCORE_K}) of the symmetrized "
+    "customer-supplier bipartite graph — the SEVENTH iterative graph "
+    "pattern (operators/graph.py kcore): peel every vertex whose "
+    "induced degree falls below k until the fixed point, the standard "
+    "density filter a crawl pipeline runs before link analysis. Per "
+    "round: two slim alive-set semi-joins + one groupBy(node) count; "
+    "convergence = alive-count fixed point (peeling is monotone), "
+    "measured at 2 rounds on every fixture scale. Output (node, deg "
+    "within core). Exact integers end-to-end; the oracle unrolls "
+    f"{_KCORE_ROUNDS} peel rounds of the identical algebra "
+    "(PageRank-oracle pattern, 3x the measured convergence margin). "
+    "Deep-peel behavior (a path's 2-core peeling one layer per round "
+    "from the ends inward) is exercised in tests.",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_eager
+
+    def build() -> DataFrame:
+        return kcore_eager(
+            _bipartite_edges(spark, sf_dir), k=_KCORE_K,
+            max_rounds=_KCORE_ROUNDS,
+        )
+
+    return _cached_df(spark, ("kcore", sf_dir), build)

@@ -1559,3 +1559,31 @@ def test_residual_ivfpq_beats_plain_pq_recall(spark):
         assert resid >= plain, (sf, resid, plain)
         gains.append(resid - plain)
     assert any(g > 0 for g in gains), gains
+
+
+def test_kcore_peels_layer_by_layer_and_keeps_cycles(spark):
+    """kcore semantics on shapes with known cores: a path has an EMPTY
+    2-core (endpoints peel one layer per round, inward — the deep-peel
+    case bounded by max_rounds), while a cycle IS its own 2-core
+    (nothing peels, convergence in one round); a cycle with a pendant
+    tail keeps exactly the cycle."""
+    from os_ex_3_map_reduce_spark.operators.graph import kcore_eager
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    assert kcore_eager(path, k=2).count() == 0
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)], "src long, dst long"
+    )
+    got = {(r.node, r.deg) for r in kcore_eager(cycle, k=2).collect()}
+    assert got == {(i, 2) for i in range(8)}
+
+    # cycle 0..7 plus tail 7-100-101: tail peels, cycle survives intact
+    tailed = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)] + [(7, 100), (100, 101)],
+        "src long, dst long",
+    )
+    got2 = {(r.node, r.deg) for r in kcore_eager(tailed, k=2).collect()}
+    assert got2 == {(i, 2) for i in range(8)}
