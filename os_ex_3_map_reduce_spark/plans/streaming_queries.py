@@ -598,17 +598,15 @@ def q_stream_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from ..operators.dedup import minhash_index_lookup, minhash_index_write
-    from ..sources.tables import load_table
+    from ..operators.dedup import minhash_index_lookup
     from ..streaming.events import staged_documents_delta_dir
+    from .llm import neardup_corpus_index_path
 
-    corpus = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 2 == 0
-    )
+    # the written corpus index is a persistent artifact by design —
+    # shared with q_dedup_ingest via the per-(session, sf) memo
+    idx = neardup_corpus_index_path(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="osx3_stream_ingest_")
     _cleanup_at_exit(root)
-    idx = f"{root}/idx"
-    minhash_index_write(corpus, idx)
 
     src = staged_documents_delta_dir(spark, sf_dir)
     schema = spark.read.parquet(src).schema
