@@ -1587,3 +1587,57 @@ def test_kcore_peels_layer_by_layer_and_keeps_cycles(spark):
     )
     got2 = {(r.node, r.deg) for r in kcore_eager(tailed, k=2).collect()}
     assert got2 == {(i, 2) for i in range(8)}
+
+
+def test_round10_operators_degenerate_inputs(spark, tmp_path):
+    """Degenerate-input behavior of the round-10 operators: loud errors
+    or well-defined empties, never crashes or NaN poisoning."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators import (
+        ivf_append,
+        ivf_assign,
+        minhash_index_lookup,
+        minhash_index_write,
+        train_centroids_sample,
+    )
+    from os_ex_3_map_reduce_spark.operators.graph import (
+        connected_components_star_eager,
+        kcore_eager,
+    )
+
+    # kcore: k=1 keeps every non-isolated vertex; k above max degree
+    # empties; an empty edge list yields an empty core
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    assert kcore_eager(path, k=1).count() == 6
+    assert kcore_eager(path, k=3).count() == 0
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert kcore_eager(empty_edges, k=2).count() == 0
+    # star CC on an empty edge list: empty labeling, no crash
+    assert connected_components_star_eager(empty_edges).count() == 0
+
+    # ingest lookup: a delta whose docs are too short to shingle (< 3
+    # tokens) produces an empty, schema-stable match set
+    docs = load_table(spark, SF_CORRECT, "documents")
+    idx = str(tmp_path / "idx")
+    minhash_index_write(docs.limit(50), idx)
+    shorts = spark.createDataFrame(
+        [(1_000_001, "one two"), (1_000_002, "")], "doc_id long, text string"
+    )
+    out = minhash_index_lookup(shorts, idx, threshold=0.5)
+    assert out.columns == ["new_doc", "corpus_doc", "inter", "union_", "jaccard"]
+    assert out.count() == 0
+    out._osx3_sigs.unpersist()
+
+    # ivf_append of an EMPTY delta: a no-op, index content unchanged
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    cents = train_centroids_sample(emb, nlist=16)
+    ipath = str(tmp_path / "ivf")
+    ivf_assign(emb, cents).repartition("list_id").write.partitionBy(
+        "list_id"
+    ).parquet(ipath)
+    n0 = spark.read.parquet(ipath).count()
+    ivf_append(emb.where(F.col("vec_id") < 0), ipath, cents)
+    assert spark.read.parquet(ipath).count() == n0

@@ -692,3 +692,32 @@ def test_cc_starcontract_materializes_fixed_point(spark, qs):
     plan = explain_str(df)
     assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_shard_shuffle_window_is_shard_partitioned(spark, qs):
+    """q_shard_shuffle's scale contract: the rank window is PARTITIONED
+    BY shard — N parallel scans, never a single global sort of the
+    corpus (the naive shuffle implementation)."""
+    plan = explain_str(qs["q_shard_shuffle"](spark, SF), "simple")
+    # one exchange: hashpartitioning on the shard key for the window
+    assert "hashpartitioning" in plan, plan
+    # no global (SinglePartition-ordered) window anywhere
+    assert "SinglePartition" not in plan, plan
+
+
+def test_dedup_ingest_shuffles_ids_not_payloads(spark, qs):
+    """q_dedup_ingest's scale contract: candidate generation equi-joins
+    slim (bucket, id) relations — document TEXT must never reach a
+    shuffle (shingle sets join back only against survivors), and the
+    corpus side arrives via the written index's parquet scans."""
+    df = qs["q_dedup_ingest"](spark, SF)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    # the index relations are read from parquet (sigs + buckets)
+    assert plan.count("Scan parquet") >= 2, plan[:1500]
+    # no exchange moves the raw text column: 'text' appears only in
+    # scan projections feeding the Arrow shingling kernel
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
