@@ -155,6 +155,7 @@ BREADTH = [
     "q_shard_shuffle",
     "q_upsample_quality",
     "q_kcore",
+    "q_ann_ivfpq_append",
 ]
 
 

@@ -548,3 +548,27 @@ def pq_encode_residual(
             F.col(emb_col).cast("array<double>"), F.col("list_id")
         ).alias("code"),
     )
+
+
+def pq_append_residual(
+    assigned_delta: DataFrame,
+    path: str,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    emb_col: str = "e",
+) -> None:
+    """Incrementally grow a written RESIDUAL IVF-PQ codes layout: the
+    delta (already IVF-assigned with the persisted centroids) residual-
+    encodes against the same centroids + codebooks and appends into the
+    ``list_id``-partitioned layout — completing index maintenance for
+    the ladder's top rung (ivf_append covers the float index,
+    pq_append the plain codes; this covers IVFPQ proper). Sound for
+    the same pure-per-row reason; append ≡ rebuild given fixed
+    quantizers is asserted by the composed catalog query's
+    rebuild_match column and tests."""
+    pq_encode_residual(
+        assigned_delta, centroids, codebooks, id_col, emb_col
+    ).repartition("list_id").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(path)

@@ -1521,6 +1521,103 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ann_ivfpq_append",
+    # Composed index maintenance for the ladder's top rung: residual
+    # IVF-PQ codes grown by append with BOTH persisted quantizers
+    # (centroids + residual codebooks round-tripped through parquet).
+    # Deterministic end-to-end — measured identical under
+    # shuffle.partitions 32/7/13 at every fixture scale before pinning.
+    # rebuild_match = 1 on every row is computed IN the query (search
+    # over write(base)+append(delta) joined against search over
+    # write(base ∪ delta) with the same quantizers), so the driver's
+    # hash compare re-proves append ≡ rebuild for the compressed
+    # layout each round. Quantizers train on the BASE half only —
+    # append must not retrain.
+    oracle="""
+        SELECT CAST(v AS BIGINT) AS vec_id, CAST(c AS DOUBLE) AS adc_score,
+               CAST(1 AS INTEGER) AS rebuild_match
+        FROM (VALUES
+            (1500, 0, 0.8823), (1500, 17, 0.3622), (1500, 59, 0.28),
+            (1500, 212, 0.3234), (1500, 225, 0.2963), (1500, 232, 0.3177),
+            (1500, 260, 0.3096), (1500, 340, 0.3462), (1500, 453, 0.3333),
+            (1500, 483, 0.3644),
+            (15000, 0, 0.7735), (15000, 32, 0.3522), (15000, 36, 0.3378),
+            (15000, 99, 0.2867), (15000, 190, 0.2939), (15000, 211, 0.2953),
+            (15000, 334, 0.4361), (15000, 345, 0.302), (15000, 423, 0.3464),
+            (15000, 483, 0.2881),
+            (150000, 0, 0.8153), (150000, 66, 0.3034), (150000, 121, 0.3447),
+            (150000, 291, 0.3648), (150000, 794, 0.3337),
+            (150000, 867, 0.3179), (150000, 934, 0.3769),
+            (150000, 1204, 0.4311), (150000, 1647, 0.3332),
+            (150000, 1775, 0.3077)
+        ) t(sf, v, c)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="IVF-PQ index maintenance (composing q_ann_ivf_append's float "
+    "story with the compressed top rung): the even-vec_id half builds "
+    "a written residual-codes layout (coarse centroids + shared "
+    "residual codebooks both persisted and reloaded — "
+    "save/load_centroids + save/load_codebooks round trips are part "
+    "of the query), the odd half appends via pq_append_residual (no "
+    "retrain, no recode of the base), and the top-10 residual-ADC "
+    "probe (nprobe=4/16) runs against the appended layout. Each "
+    "result row carries rebuild_match — the in-query proof that a "
+    "same-quantizers full rebuild scores identically. Pinned-"
+    "expectation exact oracle keyed per scale: see registration "
+    "comment.",
+)
+def q_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.pq import (
+        ivfpq_search_batch,
+        load_codebooks,
+        pq_append_residual,
+        pq_encode_residual,
+        pq_train_residual,
+        pq_write,
+        save_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    # quantizers trained on the BASE only — append must not retrain
+    cents0 = train_centroids_sample(base, nlist=16)
+    cb0 = pq_train_residual(base, cents0, m=16, ksub=16)
+    root = tempfile.mkdtemp(prefix="osx3_ivfpq_append_")
+    save_centroids(spark, cents0, f"{root}/centroids")
+    save_codebooks(spark, cb0, f"{root}/codebooks")
+    cents = load_centroids(spark, f"{root}/centroids")
+    cb = load_codebooks(spark, f"{root}/codebooks")
+    ipath = f"{root}/codes"
+    pq_write(pq_encode_residual(ivf_assign(base, cents), cents, cb), ipath)
+    pq_append_residual(ivf_assign(delta, cents), ipath, cents, cb)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    appended = ivfpq_search_batch(
+        spark.read.parquet(ipath), cb, cents, [qv], k=10, nprobe=4,
+        residual=True,
+    ).select("vec_id", "adc_score")
+    rebuilt = ivfpq_search_batch(
+        pq_encode_residual(ivf_assign(emb, cents), cents, cb),
+        cb,
+        cents,
+        [qv],
+        k=10,
+        nprobe=4,
+        residual=True,
+    ).select(F.col("vec_id"), F.col("adc_score").alias("score_rebuilt"))
+    return appended.join(rebuilt, "vec_id", "left").select(
+        "vec_id",
+        "adc_score",
+        F.when(F.col("score_rebuilt") == F.col("adc_score"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rebuild_match"),
+    )
+
+
 # --- text analysis (E4) --------------------------------------------------
 
 
