@@ -3,6 +3,7 @@ from .dedup import (  # noqa: F401
     connected_components,
     exact_dedup,
     minhash_index_append,
+    minhash_index_compact,
     minhash_index_lookup,
     minhash_index_write,
     minhash_lsh_pairs,
@@ -25,11 +26,15 @@ from .multimodal import (  # noqa: F401
     sample_frames,
 )
 from .pq import (  # noqa: F401
+    ivfpq_search_batch,
     load_codebooks,
     pq_append,
+    pq_append_residual,
     pq_encode,
+    pq_encode_residual,
     pq_search_batch,
     pq_train,
+    pq_train_residual,
     pq_write,
     save_codebooks,
 )
@@ -37,6 +42,7 @@ from .similarity import (  # noqa: F401
     ivf_append,
     ivf_assign,
     ivf_index,
+    ivf_index_compact,
     ivf_search,
     ivf_search_batch,
     ivf_search_batch_indexed,

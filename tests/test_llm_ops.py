@@ -1641,3 +1641,79 @@ def test_round10_operators_degenerate_inputs(spark, tmp_path):
     n0 = spark.read.parquet(ipath).count()
     ivf_append(emb.where(F.col("vec_id") < 0), ipath, cents)
     assert spark.read.parquet(ipath).count() == n0
+
+
+def test_index_compaction_restores_caps_and_file_layout(spark, tmp_path):
+    """The two compaction maintenance ops (turning the docstrings'
+    'fixed at the next rewrite' promises into runnable passes):
+
+    - minhash_index_compact re-applies the GLOBAL hot-bucket cap that
+      appends only apply per-batch: a bucket grown hot across appends
+      is dropped, and lookups afterwards stop paying its quadratic
+      candidates while every legitimate match survives.
+    - ivf_index_compact rewrites appended list fragments back to one
+      file per list without changing a row; searches are identical
+      before and after."""
+    from os_ex_3_map_reduce_spark.operators import (
+        ivf_append,
+        ivf_assign,
+        ivf_search_indexed,
+        ivf_write,
+        minhash_index_append,
+        minhash_index_lookup,
+        minhash_index_write,
+        train_centroids_sample,
+    )
+    from os_ex_3_map_reduce_spark.operators.dedup import minhash_index_compact
+    from os_ex_3_map_reduce_spark.operators.similarity import ivf_index_compact
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "nd_idx")
+    minhash_index_write(corpus, idx, max_bucket=50)
+    # grow one bucket hot through appends: many boilerplate copies of
+    # one corpus doc (cap 50; 3 appends x 20 copies crosses it)
+    boiler = corpus.orderBy("doc_id").limit(1).first()
+    for j in range(3):
+        clones = spark.createDataFrame(
+            [
+                (10_000_000 + j * 100 + i, boiler.text)
+                for i in range(20)
+            ],
+            "doc_id long, text string",
+        )
+        minhash_index_append(clones, idx)
+    pre = minhash_index_lookup(delta, idx, threshold=0.5)
+    pre_rows = {(r.new_doc, r.corpus_doc) for r in pre.collect()}
+    pre._osx3_sigs.unpersist()
+    stats = minhash_index_compact(spark, idx, max_bucket=50)
+    assert stats["hot_buckets_dropped"] > 0, stats
+    assert stats["bucket_rows_after"] < stats["bucket_rows_before"]
+    post = minhash_index_lookup(delta, idx, threshold=0.5)
+    post_rows = {(r.new_doc, r.corpus_doc) for r in post.collect()}
+    post._osx3_sigs.unpersist()
+    # real (non-boilerplate) matches all survive the cap re-application
+    real_pre = {p for p in pre_rows if p[1] < 10_000_000}
+    real_post = {p for p in post_rows if p[1] < 10_000_000}
+    assert real_post == real_pre and real_post
+
+    # IVF: appends fragment the layout; compaction restores 1 file/list
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    cents = train_centroids_sample(emb, nlist=16)
+    ipath = str(tmp_path / "ivf_idx")
+    ivf_write(ivf_assign(emb.where(F.col("vec_id") % 3 == 0), cents), ipath)
+    ivf_append(emb.where(F.col("vec_id") % 3 == 1), ipath, cents)
+    ivf_append(emb.where(F.col("vec_id") % 3 == 2), ipath, cents)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    before = sorted(
+        map(tuple, ivf_search_indexed(spark, ipath, cents, qv, k=10).collect())
+    )
+    stats2 = ivf_index_compact(spark, ipath)
+    assert stats2["files_after"] < stats2["files_before"], stats2
+    assert stats2["files_after"] <= 16
+    after = sorted(
+        map(tuple, ivf_search_indexed(spark, ipath, cents, qv, k=10).collect())
+    )
+    assert after == before
+    assert spark.read.parquet(ipath).count() == stats2["rows"]
