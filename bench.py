@@ -156,6 +156,7 @@ BREADTH = [
     "q_upsample_quality",
     "q_kcore",
     "q_ann_ivfpq_append",
+    "q_corenumbers",
 ]
 
 

@@ -765,6 +765,106 @@ def kcore(
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def core_numbers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    shuffle_partitions: int | None = 8,
+    checkpoint_every: int | None = 3,
+) -> DataFrame:
+    """FULL core-number decomposition — every node's coreness (the max
+    k for which it survives the k-core peel) in one pass, the EIGHTH
+    iterative graph pattern. Where :func:`kcore` answers one fixed k,
+    this is the whole spectrum: the quality/density score a crawl
+    pipeline stores per host.
+
+    Algorithm: the h-index fixpoint (public construction — Lü et al.,
+    "The H-index of a network node and its relation to degree and
+    coreness", 2016): start every node at its degree and repeatedly
+    replace each node's value with the h-index of its neighbors'
+    values; the fixpoint IS the coreness, and iteration is monotone
+    non-increasing. Per round, entirely JVM-side (no Python): one join
+    of the persisted edge list against current values, one
+    rank-per-node window (partitioned by node — narrow state, no
+    global sort), and ``h = MAX(LEAST(rank, value))`` — the h-index as
+    one aggregate expression. Convergence: monotonicity makes the
+    (count, sum) pair a sound fixed-point check (same discipline as
+    weighted SSSP); measured 2/4/6 rounds at the three fixture scales.
+    Exact integers end-to-end, so an unrolled CTE chain of the same
+    algebra oracles it exactly and the result is
+    partitioning-invariant. Same lineage/clamp knobs as the other
+    iterators (the clamp makes the result eager).
+
+    Returns (node, core). Cross-checked in tests against an
+    independent peel-based python coreness on the fixture graph."""
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(before), shuffle_partitions)),
+        )
+    try:
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+            F.col("a") != F.col("b")
+        )
+        e = (
+            und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .persist()
+        )
+        c = e.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        held = [e]
+        w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("b"))
+        prev = (0, 0)
+        for rnd in range(1, max_rounds + 1):
+            ranked = e.join(
+                c.select(F.col("node").alias("b"), "c"), "b"
+            ).withColumn("rnk", F.row_number().over(w))
+            c = ranked.groupBy(F.col("a").alias("node")).agg(
+                F.max(F.least(F.col("rnk"), F.col("c"))).alias("c")
+            )
+            if checkpoint_every and rnd % checkpoint_every == 0:
+                c = c.localCheckpoint(eager=True)
+            else:
+                c = c.persist()
+            held.append(c)
+            row = c.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+            ).first()
+            stats = (row["n"], row["s"])
+            if stats == prev:
+                break  # monotone fixed point reached
+            prev = stats
+        out = c.select("node", F.col("c").cast("long").alias("core")).coalesce(1)
+        if shuffle_partitions is not None:
+            out = out.persist()
+            out.count()
+        out._osx3_persists = held  # type: ignore[attr-defined]
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def core_numbers_eager(edges: DataFrame, *args, **kwargs) -> DataFrame:
+    """:func:`core_numbers`, materialized, intermediates freed."""
+    d = core_numbers(edges, *args, **kwargs)
+    held = d._osx3_persists  # type: ignore[attr-defined]
+    out = d.persist()
+    out.count()
+    for df in held:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out
+
+
 def kcore_eager(edges: DataFrame, *args, **kwargs) -> DataFrame:
     """:func:`kcore`, materialized, intermediates freed."""
     d = kcore(edges, *args, **kwargs)

@@ -102,7 +102,7 @@ DRIVER_WINDOW = 50
 #:   q_time_interpolate, q_trend_ols, q_unpivot, q_window_misc.
 #: After r10 the expected distribution: 50 r10 / ~50 r9 / ~44 r8/r7,
 #: every previously-registered query carrying an external verdict.
-#: FIVE queries registered late in r10 sit BELOW the priority prefix
+#: SIX queries registered late in r10 sit BELOW the priority prefix
 #: so the window keeps its stale-refresh breadth (the r9 late-landing
 #: precedent; each tri-scale driver-sim validated at registration,
 #: queued for r11 fronting): q_ann_ivfpq_residual (faiss
@@ -111,13 +111,15 @@ DRIVER_WINDOW = 50
 #: deterministic quality weight), q_kcore (fixed-point k-core peel,
 #: the seventh iterative graph pattern) and q_ann_ivfpq_append
 #: (composed residual-IVFPQ index maintenance, both quantizers
-#: persisted, rebuild_match proof in-query).
+#: persisted, rebuild_match proof in-query) and q_corenumbers (full
+#: coreness via the h-index fixpoint, the eighth iterative pattern).
 DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
     "q_upsample_quality",
     "q_kcore",
     "q_ann_ivfpq_append",
+    "q_corenumbers",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first

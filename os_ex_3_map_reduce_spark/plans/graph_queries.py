@@ -481,3 +481,73 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _cached_df(spark, ("kcore", sf_dir), build)
+
+
+_CORE_ROUNDS = 9  # measured h-index fixpoint: 2/4/6 rounds at
+                  # sf0.001/0.01/0.1 — 9 is 1.5x the worst
+
+
+def _core_numbers_oracle() -> str:
+    """Unrolled h-index iteration (Lü et al. fixpoint = coreness) —
+    per round: rank neighbor values desc per node, h = MAX(LEAST(rank,
+    value)). Tie order inside the rank is irrelevant (h is a multiset
+    function), so the chain is exact on any engine."""
+    cte = [
+        """
+        WITH arcs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT src AS a, dst AS b FROM arcs
+            UNION SELECT dst, src FROM arcs
+        ),
+        c0 AS (SELECT a AS node, COUNT(*) AS c FROM edges GROUP BY a)"""
+    ]
+    for i in range(_CORE_ROUNDS):
+        cte.append(
+            f"""
+        rk{i} AS (
+            SELECT e.a, r.c AS v,
+                   ROW_NUMBER() OVER (PARTITION BY e.a
+                                      ORDER BY r.c DESC, e.b) AS rnk
+            FROM edges e JOIN c{i} r ON e.b = r.node
+        ),
+        c{i + 1} AS (
+            SELECT a AS node, MAX(LEAST(rnk, v)) AS c FROM rk{i} GROUP BY a
+        )"""
+        )
+    return (
+        ",".join(cte)
+        + f"""
+        SELECT node, CAST(c AS BIGINT) AS core FROM c{_CORE_ROUNDS}
+    """
+    )
+
+
+@register(
+    "q_corenumbers",
+    oracle=_core_numbers_oracle(),
+    doc="FULL core-number decomposition of the customer-supplier graph "
+    "— every node's coreness in one pass (the EIGHTH iterative graph "
+    "pattern, operators/graph.py core_numbers): the h-index fixpoint "
+    "(start at degree, iterate h-index of neighbor values; the "
+    "fixpoint IS the coreness — Lü et al. 2016), entirely JVM-side "
+    "per round (one edge-values join, one node-partitioned rank "
+    "window, h = MAX(LEAST(rank, value)) as a single aggregate). "
+    "Monotone non-increasing, so the (count, sum) pair is a sound "
+    "convergence check; measured 2/4/6 rounds at the three fixture "
+    f"scales, oracle unrolls {_CORE_ROUNDS}. Cross-checked against an "
+    "independent peel-based coreness in tests. Where q_kcore answers "
+    "one fixed k, this is the whole spectrum — the per-host density "
+    "score a crawl pipeline stores.",
+)
+def q_corenumbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import core_numbers_eager
+
+    def build() -> DataFrame:
+        return core_numbers_eager(
+            _bipartite_edges(spark, sf_dir), max_rounds=_CORE_ROUNDS
+        )
+
+    return _cached_df(spark, ("corenumbers", sf_dir), build)

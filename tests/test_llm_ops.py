@@ -1717,3 +1717,59 @@ def test_index_compaction_restores_caps_and_file_layout(spark, tmp_path):
     )
     assert after == before
     assert spark.read.parquet(ipath).count() == stats2["rows"]
+
+
+def test_core_numbers_match_independent_peel(spark):
+    """The h-index-fixpoint core numbers must equal an INDEPENDENT
+    peel-based coreness computation (the defining algorithm) on the
+    real fixture graph, and be consistent with the fixed-k kcore
+    operator: {node : core(node) >= k} is exactly the k-core."""
+    import collections
+
+    from os_ex_3_map_reduce_spark.operators.graph import (
+        core_numbers_eager,
+        kcore_eager,
+    )
+    from os_ex_3_map_reduce_spark.plans.graph_queries import _bipartite_edges
+
+    edges_df = _bipartite_edges(spark, SF_CORRECT).persist()
+    got = {r.node: r.core for r in core_numbers_eager(edges_df).collect()}
+
+    # independent reference: textbook min-degree peel
+    adj = collections.defaultdict(set)
+    for r in edges_df.collect():
+        adj[r.src].add(r.dst)
+    deg = {n: len(adj[n]) for n in adj}
+    core: dict = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        k = max(k, min(deg[n] for n in alive))
+        peel = [n for n in alive if deg[n] <= k]
+        while peel:
+            n = peel.pop()
+            if n not in alive:
+                continue
+            core[n] = k
+            alive.discard(n)
+            for m in adj[n]:
+                if m in alive:
+                    deg[m] -= 1
+                    if deg[m] <= k:
+                        peel.append(m)
+    assert got == core
+
+    # consistency with the fixed-k operator
+    kc = {r.node for r in kcore_eager(edges_df, k=8).collect()}
+    assert kc == {n for n, c in got.items() if c >= 8}
+    edges_df.unpersist()
+
+    # shapes: a path's coreness is 1 everywhere; a cycle's is 2
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    assert {r.core for r in core_numbers_eager(path).collect()} == {1}
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    assert {r.core for r in core_numbers_eager(cycle).collect()} == {2}
