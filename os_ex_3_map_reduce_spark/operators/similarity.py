@@ -753,6 +753,116 @@ def ivf_search_batch_indexed(
     return _batch_score_topk(pruned, Qn, probes, len(centroids), k, id_col)
 
 
+def _batch_score_range(
+    pruned: DataFrame,
+    Qn: "np.ndarray",
+    probes: list[list[int]],
+    nlist: int,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Range-search twin of :func:`_batch_score_topk`: score every
+    pruned row against every query that probes its list in ONE
+    Arrow-batched (batch x Q) matmul, emit every (query, row) pair
+    whose ROUNDED cosine clears the threshold. Unlike top-k there is
+    no rank to reconcile across batches, so the result needs NO window
+    and NO shuffle at all — each batch's qualifying rows are final.
+    Output: (query_id, id_col, cosine)."""
+    spark = pruned.sparkSession
+    mask = np.zeros((nlist, len(probes)), dtype=bool)
+    for qi, row in enumerate(probes):
+        for lid in row:
+            mask[lid, qi] = True
+    b_q = spark.sparkContext.broadcast((Qn, mask, float(threshold)))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Qn_, mask_, tau = b_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms > 0, norms, 1.0)
+            # round BEFORE the threshold test: the emitted set is then a
+            # pure function of the 4-decimal grid both engines share
+            # (half-away rule), so a score microscopically either side
+            # of tau cannot split Spark from the oracle.
+            S = round_half_away(mat @ Qn_.T, 4)  # rows x Q
+            m = mask_[pdf["list_id"].to_numpy()] & (S >= tau)
+            rows, qs = np.nonzero(m)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(qs, dtype="int64"),
+                    id_col: pd.Series(ids[rows], dtype="int64"),
+                    "cosine": pd.Series(S[rows, qs], dtype="float64"),
+                }
+            )
+
+    return pruned.mapInPandas(kernel, f"query_id long, {id_col} long, cosine double")
+
+
+def range_search_batch(
+    emb_df: DataFrame,
+    queries: Iterable[Iterable[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """EXACT brute-force batch RANGE search — the faiss ``range_search``
+    surface next to the existing top-k: every vector whose cosine to a
+    query clears ``threshold``, Q queries answered in ONE scan. Where
+    top-k bounds output by count, range search bounds it by score — the
+    shape a dedup/contamination pipeline wants when "how many neighbors"
+    is the unknown being measured. Implemented as the degenerate
+    single-list case of the IVF range kernel (every row in list 0,
+    every query probing it), the same cannot-drift construction as
+    :func:`topk_to_query_batch` vs the IVF batch top-k.
+
+    Scale shape: one scan, one fused Arrow matmul per input batch, NO
+    shuffle and NO window — qualifying rows are final where they are
+    scored, so output cost is pure selectivity. Output:
+    (query_id, vec_id, cosine), query_id = 0-based position in
+    ``queries``."""
+    vecs = [np.asarray(list(q), dtype=np.float64) for q in queries]
+    if not vecs:
+        raise ValueError("range search: empty query batch")
+    Q = np.stack(vecs)
+    norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    if not np.all(norms > 0):
+        raise ValueError("range search: zero-norm query vector")
+    Qn = Q / norms
+    pruned = emb_df.select(
+        F.col(id_col),
+        F.col(emb_col).cast("array<double>").alias("e"),
+        F.lit(0).alias("list_id"),
+    )
+    return _batch_score_range(pruned, Qn, [[0]] * len(vecs), 1, threshold, id_col)
+
+
+def ivf_range_search_batch(
+    assigned: DataFrame,
+    centroids: "np.ndarray",
+    queries: Iterable[Iterable[float]],
+    threshold: float,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN batch range search over an IVF assignment: probe lists are
+    picked driver-side per query (:func:`_batch_probe_plan`), the data
+    is filtered once to the union of all probed lists (partition-pruned
+    when ``assigned`` is a written index), and the shared range kernel
+    emits qualifying rows with no shuffle. Approximate exactly like the
+    top-k IVF path — a neighbor above the threshold living in an
+    unprobed list is missed; catalog registration carries per-query
+    completeness evidence instead of hiding that."""
+    Qn, probes, union = _batch_probe_plan(centroids, queries, nprobe)
+    pruned = assigned.where(F.col("list_id").isin(union))
+    return _batch_score_range(
+        pruned, Qn, probes, len(centroids), threshold, id_col
+    )
+
+
 def lsh_bucket_assign(
     emb_df: DataFrame,
     planes: int = 8,

@@ -45,9 +45,11 @@ from ..operators.similarity import (
     ivf_search,
     ivf_search_batch,
     ivf_search_indexed,
+    ivf_range_search_batch,
     ivf_write,
     load_centroids,
     lsh_search_batch,
+    range_search_batch,
     save_centroids,
     topk_to_query_batch,
     train_centroids_sample,
@@ -1153,6 +1155,55 @@ def q_similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return topk_to_query_batch(emb, qvs, k=5)
+
+
+@register(
+    "q_range_search_batch",
+    # Same no-pin construction as q_similarity_topk_batch: the query
+    # vectors are rows of the embeddings table (vec_id 0/1/2), so the
+    # oracle recomputes the exact range search in pure SQL at any
+    # scale. Both engines round to the shared 4-decimal grid
+    # (half-away on each side) BEFORE the threshold test, so the
+    # emitted set is a pure function of that grid; measured engine
+    # cosine disagreement is <= 4e-16 (module header), ~8 orders below
+    # the 5e-5 boundary half-width.
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 3
+        )
+        SELECT CAST(q.query_id AS BIGINT) AS query_id,
+               CAST(e.vec_id AS BIGINT) AS vec_id,
+               CAST(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 q.qv::DOUBLE[]), 4)
+                    AS DOUBLE) AS cosine
+        FROM embeddings e, q
+        WHERE round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                           q.qv::DOUBLE[]), 4) >= 0.25
+    """,
+    doc="EXACT brute-force batch RANGE search (faiss range_search "
+    "analog, operators/similarity.py range_search_batch): every vector "
+    "with cosine >= 0.25 to any of the Q=3 query vectors, answered in "
+    "ONE scan. Completes the search surface next to top-k: range "
+    "search bounds output by SCORE, the shape dedup/contamination "
+    "pipelines want when neighbor count is the unknown. Scale shape: "
+    "one fused Arrow matmul per input batch, rows emitted where they "
+    "are scored — NO shuffle, NO window, output cost is pure "
+    "selectivity (35/35/138 rows at sf0.001/0.01/0.1; threshold "
+    "chosen from the measured score distribution, llm.py header). "
+    "Degenerate single-list case of the IVF range kernel, so exact "
+    "and ANN range paths cannot drift. Pure SQL oracle (query vectors "
+    "are table rows — no pins).",
+)
+def q_range_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+        )
+    ]
+    return range_search_batch(emb, qvs, threshold=0.25)
 
 
 @register(
