@@ -43,11 +43,13 @@ from .similarity import (  # noqa: F401
     ivf_assign,
     ivf_index,
     ivf_index_compact,
+    ivf_range_search_batch,
     ivf_search,
     ivf_search_batch,
     ivf_search_batch_indexed,
     ivf_search_indexed,
     ivf_write,
+    range_search_batch,
     load_centroids,
     save_centroids,
     round_half_away,

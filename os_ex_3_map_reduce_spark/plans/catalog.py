@@ -113,6 +113,11 @@ DRIVER_WINDOW = 50
 #: (composed residual-IVFPQ index maintenance, both quantizers
 #: persisted, rebuild_match proof in-query) and q_corenumbers (full
 #: coreness via the h-index fixpoint, the eighth iterative pattern).
+#: Round-10 continuation additions (same below-window policy):
+#: q_range_search_batch (brute batch cosine range search — the faiss
+#: range_search surface, pure-SQL exact oracle, zero-shuffle plan
+#: pinned) and q_ann_ivf_range (IVF probe-pruned range search with
+#: in-query completeness + score-checksum evidence, pinned tri-scale).
 DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
@@ -120,6 +125,8 @@ DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_kcore",
     "q_ann_ivfpq_append",
     "q_corenumbers",
+    "q_range_search_batch",
+    "q_ann_ivf_range",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first

@@ -1207,6 +1207,84 @@ def q_range_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_ivf_range",
+    # Pinned per scale (tools/pin_scales.py, invariant under
+    # shuffle.partitions 32/7/13 at every sf), keyed by the orders row
+    # count. Measured completeness at nprobe=4/16: 0.67-0.77 /
+    # 0.71-0.87 / 0.31-0.84 at sf0.001/0.01/0.1 — the honest
+    # range-search recall story next to the top-k pins.
+    oracle="""
+        SELECT CAST(q AS BIGINT) AS query_id, CAST(nf AS BIGINT) AS n_found,
+               CAST(ne AS BIGINT) AS n_exact,
+               CAST(c AS DOUBLE) AS completeness,
+               CAST(s AS BIGINT) AS cos_sum_e4
+        FROM (VALUES
+            (1500,   0, 10, 13, 0.7692,  36105),
+            (1500,   1,  8, 12, 0.6667,  32648),
+            (1500,   2,  7, 10, 0.7,     27446),
+            (15000,  0, 13, 15, 0.8667,  45386),
+            (15000,  1, 10, 13, 0.7692,  37114),
+            (15000,  2,  5,  7, 0.7143,  21019),
+            (150000, 0, 37, 44, 0.8409, 115472),
+            (150000, 1, 25, 52, 0.4808,  77390),
+            (150000, 2, 13, 42, 0.3095,  44551)
+        ) t(sf, q, nf, ne, c, s)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="ANN batch RANGE search over the IVF assignment "
+    "(operators/similarity.py ivf_range_search_batch): the Q=3 "
+    "queries' probe lists are picked driver-side, the corpus is "
+    "filtered ONCE to the union of probed lists, and the shared range "
+    "kernel emits every probed row with rounded cosine >= 0.25 — no "
+    "shuffle in the search itself. Approximate by construction (a "
+    "qualifying neighbor in an unprobed list is missed), so each "
+    "output row carries its completeness evidence IN the query: "
+    "n_found vs the exact in-scan count n_exact (brute range kernel), "
+    "plus cos_sum_e4 — the integer checksum of every found score on "
+    "the shared 4-decimal grid, which pins the actual scored values, "
+    "not just their count. Same deterministic sample-trained "
+    "quantizer as q_ann_ivf_topk, so the output on a fixed fixture is "
+    "a constant — pinned per scale, partitioning-invariance asserted "
+    "at pin time (tools/pin_scales.py).",
+)
+def q_ann_ivf_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+        )
+    ]
+    assigned, centroids = ivf_index(emb, nlist=16, trainer="sample")
+    found = ivf_range_search_batch(
+        assigned, centroids, qvs, threshold=0.25, nprobe=4
+    )
+    exact = range_search_batch(emb, qvs, threshold=0.25)
+    f = found.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_found"),
+        # cosine values sit exactly on the 4-decimal grid (rounded in
+        # the kernel), so *1e4 rounds to an exact int64 checksum.
+        F.sum(F.round(F.col("cosine") * 10000).cast("long")).alias("cos_sum_e4"),
+    )
+    ex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    # left-join FROM the exact side: a query whose probes all come up
+    # empty must still report n_found=0 rather than vanish.
+    return (
+        ex.join(f, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(
+                F.coalesce("n_found", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("completeness"),
+            F.coalesce("cos_sum_e4", F.lit(0)).cast("long").alias("cos_sum_e4"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "q_ann_lsh_batch",
     # The batched LSH pipeline is FULLY deterministic (seeded
     # hyperplanes, rounded cosines, total tiebreaks), so its output on

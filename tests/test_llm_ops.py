@@ -1773,3 +1773,79 @@ def test_core_numbers_match_independent_peel(spark):
         [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
     )
     assert {r.core for r in core_numbers_eager(cycle).collect()} == {2}
+
+
+def test_range_search_matches_numpy_and_ivf_is_subset(spark):
+    """Range search (the faiss range_search analog) checked against an
+    INDEPENDENT numpy oracle on seeded random data — including a
+    duplicate vector, a zero vector, and a threshold that excludes
+    most pairs. The IVF range result must be a SUBSET of the brute
+    result with identical scores (probing only prunes, never invents
+    or rescores), and the guards must reject degenerate query input."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators import (
+        ivf_index,
+        ivf_range_search_batch,
+        range_search_batch,
+        round_half_away,
+    )
+
+    rng = np.random.RandomState(11)
+    n, d = 80, 8
+    X = rng.randn(n, d)
+    X[5] = X[3]  # duplicate vector
+    X[9] = 0.0  # zero vector: scores 0.0 everywhere, below any tau > 0
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    qvs = [[float(v) for v in X[0]], [float(v) for v in X[17]]]
+    tau = 0.3
+
+    # independent numpy oracle: rounded half-away BEFORE the threshold
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(norms > 0, norms, 1.0)
+    Q = np.stack([np.asarray(q) for q in qvs])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = round_half_away(Xn @ Qn.T, 4)
+    expected = sorted(
+        (qi, vid, S[vid, qi])
+        for qi in range(len(qvs))
+        for vid in range(n)
+        if S[vid, qi] >= tau
+    )
+    assert len(expected) > 4  # non-vacuous
+    got = sorted(
+        map(tuple, range_search_batch(emb, qvs, threshold=tau).collect())
+    )
+    assert got == expected
+
+    # IVF range: subset with identical scores, and completeness is
+    # honest (probing 4/4 lists == brute by construction)
+    assigned, cents = ivf_index(emb, nlist=4, trainer="sample")
+    assigned = assigned.persist()
+    ivf_rows = sorted(
+        map(
+            tuple,
+            ivf_range_search_batch(
+                assigned, cents, qvs, threshold=tau, nprobe=2
+            ).collect(),
+        )
+    )
+    assert set(ivf_rows) <= set(expected)
+    full_probe = sorted(
+        map(
+            tuple,
+            ivf_range_search_batch(
+                assigned, cents, qvs, threshold=tau, nprobe=4
+            ).collect(),
+        )
+    )
+    assert full_probe == expected
+    assigned.unpersist()
+
+    with pytest.raises(ValueError, match="empty query batch"):
+        range_search_batch(emb, [], threshold=tau)
+    with pytest.raises(ValueError, match="zero-norm"):
+        range_search_batch(emb, [[0.0] * d], threshold=tau)

@@ -721,3 +721,22 @@ def test_dedup_ingest_shuffles_ids_not_payloads(spark, qs):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_range_search_batch_has_no_shuffle(spark, qs):
+    """Brute batch range search is scan → Arrow kernel → done:
+    qualifying rows are final where they are scored, so the plan must
+    contain NO exchange and no window — output cost is pure
+    selectivity. (The registered query's plan; the kernel itself is
+    shared with the IVF range path.)"""
+    from os_ex_3_map_reduce_spark.operators import range_search_batch
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    plan = explain_str(range_search_batch(emb, qvs, threshold=0.25))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
