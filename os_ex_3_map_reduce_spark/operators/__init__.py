@@ -49,6 +49,7 @@ from .similarity import (  # noqa: F401
     ivf_search_batch_indexed,
     ivf_search_indexed,
     ivf_write,
+    kmeans_lloyd,
     range_search_batch,
     load_centroids,
     save_centroids,

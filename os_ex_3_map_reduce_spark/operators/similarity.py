@@ -374,6 +374,158 @@ def train_centroids_sample(
     return C
 
 
+def _lloyd_fixpoint(arr: "np.ndarray") -> "np.ndarray":
+    """Quantize coordinates to the 1e-6 int64 grid with the explicit
+    half-away-from-zero rule (the q_kmeans_assign precedent): DuckDB
+    round() is half-away, np.round is half-to-even, so the rule is
+    spelled out to keep both engines on the same grid."""
+    scaled = arr * 1e6
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+
+
+def kmeans_lloyd(
+    emb_df: DataFrame,
+    k: int = 8,
+    updates: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple["np.ndarray", DataFrame]:
+    """Fully DISTRIBUTED Lloyd k-means over the whole corpus — the
+    scale-out counterpart of :func:`train_centroids_sample` (which
+    trains on a bounded driver-side sample). When the training set
+    itself must exceed one machine, this is the shape: every update
+    reads the data once, computes assignments AND per-cluster partial
+    sums inside one Arrow kernel (map-side combine by hand — each
+    batch emits k x (dim+1) partial rows, never per-point rows), one
+    tiny groupBy reduces them, and only k x dim int64 sums reach the
+    driver per iteration (the same bounded-constant collect class as
+    the sample trainer; spark.ml KMeans moves the same aggregate via
+    treeAggregate). T updates = T+1 data passes (final pass scores the
+    converged assignment) — inherent to Lloyd, identical to spark.ml.
+
+    INTEGER-EXACT and engine-portable, unlike spark.ml: coordinates
+    fix-point to the 1e-6 int64 grid (half-away rule), so squared
+    distances, argmins and partial sums are exact integers; the
+    centroid update round(sum/n) divides two exactly-representable
+    int64s — IEEE says both engines produce the bit-identical double —
+    and re-rounds onto the grid with the shared half-away rule. The
+    whole T-update trajectory is therefore reproducible in ANSI SQL,
+    which is what lets the catalog query carry an exact recomputing
+    oracle instead of pins. An empty cluster keeps its previous
+    centroid (deterministic; with data-point seeds it does not occur
+    on the fixtures — asserted in tests).
+
+    Returns ``(centroids_int, summary)``: the final int64 grid
+    centroids and a per-cluster DataFrame (cluster_id, n_points,
+    sum_dist, cent_sum) where sum_dist is the exact within-cluster
+    squared-distance sum and cent_sum the centroid coordinate checksum.
+    """
+    spark = emb_df.sparkSession
+    seed_rows = sorted(
+        emb_df.where(F.col(id_col) < k).select(id_col, emb_col).collect(),
+        key=lambda r: r[0],
+    )
+    if len(seed_rows) < 1:
+        raise ValueError("kmeans_lloyd: no seed vectors (ids < k)")
+    cents = _lloyd_fixpoint(
+        np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+    )
+    dim = cents.shape[1]
+    kk = cents.shape[0]
+    base = emb_df.select(F.col(emb_col).cast("array<double>").alias("e"))
+
+    def _assign(mat_int: "np.ndarray", C: "np.ndarray") -> tuple:
+        p_sq = (mat_int * mat_int).sum(axis=1)
+        c_sq = (C * C).sum(axis=1)
+        dists = p_sq[:, None] + c_sq[None, :] - 2 * (mat_int @ C.T)
+        best = dists.argmin(axis=1)  # first min == lowest cluster id
+        return best, dists[np.arange(len(best)), best]
+
+    for _ in range(updates):
+        b_c = spark.sparkContext.broadcast(cents)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = b_c.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = _lloyd_fixpoint(
+                    np.stack(pdf["e"].to_numpy()).astype(np.float64)
+                )
+                best, _d = _assign(mat, C)
+                cl, pos, s = [], [], []
+                for j in np.unique(best):
+                    members = mat[best == j]
+                    cl.extend([j] * (C.shape[1] + 1))
+                    pos.extend([-1] + list(range(C.shape[1])))
+                    s.extend([len(members)] + list(members.sum(axis=0)))
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": pd.Series(cl, dtype="int64"),
+                        "pos": pd.Series(pos, dtype="int32"),
+                        "s": pd.Series(s, dtype="int64"),
+                    }
+                )
+
+        rows = (
+            base.mapInPandas(partials, "cluster_id long, pos int, s long")
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        counts = np.zeros(kk, dtype=np.int64)
+        sums = np.zeros((kk, dim), dtype=np.int64)
+        for r in rows:
+            if r.pos == -1:
+                counts[r.cluster_id] = r.s
+            else:
+                sums[r.cluster_id, r.pos] = r.s
+        new = cents.copy()  # empty cluster keeps its previous centroid
+        nz = counts > 0
+        # sum/n: both int64 < 2^53 -> the division is one exactly-
+        # rounded IEEE op, bit-identical across engines; re-round onto
+        # the grid half-away. (np.sign/floor on the quotient — NOT the
+        # 1e-6 fixpoint, the quotient is already grid-scaled.)
+        q = sums[nz] / counts[nz][:, None]
+        new[nz] = (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64)
+        cents = new
+
+    b_final = spark.sparkContext.broadcast(cents)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_final.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _lloyd_fixpoint(np.stack(pdf["e"].to_numpy()).astype(np.float64))
+            best, d = _assign(mat, C)
+            cl = np.unique(best)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": pd.Series(cl, dtype="int64"),
+                    "n": pd.Series(
+                        [(best == j).sum() for j in cl], dtype="int64"
+                    ),
+                    "dist": pd.Series(
+                        [d[best == j].sum() for j in cl], dtype="int64"
+                    ),
+                }
+            )
+
+    cent_rows = [
+        (int(j), int(cents[j].sum())) for j in range(kk)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cluster_id long, cent_sum long")
+    summary = (
+        base.mapInPandas(stats, "cluster_id long, n long, dist long")
+        .groupBy("cluster_id")
+        .agg(F.sum("n").alias("n_points"), F.sum("dist").alias("sum_dist"))
+        .join(F.broadcast(cent_df), "cluster_id")
+        .orderBy("cluster_id")
+    )
+    return cents, summary
+
+
 def ivf_index(
     emb_df: DataFrame,
     nlist: int = 16,

@@ -117,7 +117,9 @@ DRIVER_WINDOW = 50
 #: q_range_search_batch (brute batch cosine range search — the faiss
 #: range_search surface, pure-SQL exact oracle, zero-shuffle plan
 #: pinned) and q_ann_ivf_range (IVF probe-pruned range search with
-#: in-query completeness + score-checksum evidence, pinned tri-scale).
+#: in-query completeness + score-checksum evidence, pinned tri-scale),
+#: plus q_kmeans_lloyd (fully distributed integer-exact Lloyd k-means
+#: with an exact unrolled-CTE oracle — no pins on an iterative ML op).
 DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
@@ -127,6 +129,7 @@ DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_corenumbers",
     "q_range_search_batch",
     "q_ann_ivf_range",
+    "q_kmeans_lloyd",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first

@@ -47,6 +47,7 @@ from ..operators.similarity import (
     ivf_search_indexed,
     ivf_range_search_batch,
     ivf_write,
+    kmeans_lloyd,
     load_centroids,
     lsh_search_batch,
     range_search_batch,
@@ -718,6 +719,110 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "q_kmeans_lloyd",
+    # Exact RECOMPUTING oracle for an iterative ML trainer: the whole
+    # 2-update Lloyd trajectory is integer arithmetic on the shared
+    # 1e-6 grid (see operators/similarity.py kmeans_lloyd), so DuckDB
+    # replays it as an unrolled CTE — seeds -> assign -> mean ->
+    # assign -> mean -> final assignment stats — with no pins. The
+    # centroid-mean division sum/n is one IEEE double op on two
+    # exactly-representable int64s (bit-identical across engines),
+    # re-rounded half-away onto the grid by both sides.
+    oracle="""
+        WITH emb AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        s0 AS (SELECT vec_id AS cid, v AS sv FROM emb WHERE vec_id < 8),
+        d0 AS (
+            SELECT e.vec_id, s.cid,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i]))) AS dist
+            FROM emb e, s0 s
+        ),
+        a0 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d0) WHERE rn = 1
+        ),
+        c1d AS (
+            SELECT a.cid, dims.i,
+                   CAST(round(CAST(SUM(e.v[dims.i]) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS coord
+            FROM a0 a JOIN emb e USING (vec_id),
+                 (SELECT unnest(range(1, 65)) AS i) dims
+            GROUP BY a.cid, dims.i
+        ),
+        c1 AS (SELECT cid, list(coord ORDER BY i) AS sv FROM c1d GROUP BY cid),
+        d1 AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - c.sv[i]) * (e.v[i] - c.sv[i]))) AS dist
+            FROM emb e, c1 c
+        ),
+        a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d1) WHERE rn = 1
+        ),
+        c2d AS (
+            SELECT a.cid, dims.i,
+                   CAST(round(CAST(SUM(e.v[dims.i]) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS coord
+            FROM a1 a JOIN emb e USING (vec_id),
+                 (SELECT unnest(range(1, 65)) AS i) dims
+            GROUP BY a.cid, dims.i
+        ),
+        c2 AS (SELECT cid, list(coord ORDER BY i) AS sv FROM c2d GROUP BY cid),
+        d2 AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - c.sv[i]) * (e.v[i] - c.sv[i]))) AS dist
+            FROM emb e, c2 c
+        ),
+        a2 AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT vec_id, cid, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d2) WHERE rn = 1
+        ),
+        cs AS (SELECT cid, CAST(SUM(coord) AS BIGINT) AS cent_sum
+               FROM c2d GROUP BY cid)
+        SELECT a.cid AS cluster_id,
+               COUNT(*) AS n_points,
+               CAST(SUM(a.dist) AS BIGINT) AS sum_dist,
+               cs.cent_sum
+        FROM a2 a JOIN cs USING (cid)
+        GROUP BY a.cid, cs.cent_sum
+        ORDER BY cluster_id
+    """,
+    doc="Fully DISTRIBUTED Lloyd k-means (k=8, 2 centroid updates, "
+    "seeds = vec_id 0..7) — the scale-out answer to the documented "
+    "sample-trainer constraint: when the training set itself must "
+    "exceed one machine, each update reads the data once, fuses "
+    "assignment + per-cluster partial sums in one Arrow kernel "
+    "(map-side combine by hand: k x (dim+1) partial rows per batch, "
+    "never per-point rows), reduces them in one tiny groupBy, and "
+    "moves only k x dim int64 sums to the driver per iteration — the "
+    "same treeAggregate shape spark.ml KMeans uses, but INTEGER-EXACT "
+    "on the shared 1e-6 grid so the whole trajectory is reproducible "
+    "in ANSI SQL (exact unrolled-CTE oracle, no pins — a first among "
+    "the iterative-ML operators). Output: per-cluster n_points, exact "
+    "within-cluster squared-distance sum, centroid checksum.",
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _cents, summary = kmeans_lloyd(emb, k=8, updates=2)
+    return summary
 
 
 @register(

@@ -1849,3 +1849,105 @@ def test_range_search_matches_numpy_and_ivf_is_subset(spark):
         range_search_batch(emb, [], threshold=tau)
     with pytest.raises(ValueError, match="zero-norm"):
         range_search_batch(emb, [[0.0] * d], threshold=tau)
+
+
+def test_kmeans_lloyd_matches_independent_oracle(spark):
+    """Distributed Lloyd vs an INDEPENDENT pure-python replay of the
+    integer-grid trajectory (quantize -> assign -> rounded mean ->
+    repeat) on seeded random blobs — centroids AND summary must match
+    exactly. Includes a DUPLICATE seed pair (vec 0 == vec 1), so
+    cluster 1 is empty from the first assignment and the
+    keep-previous-centroid rule is actually exercised."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators import kmeans_lloyd
+
+    rng = np.random.RandomState(3)
+    k, d, n = 4, 6, 120
+    blob_centers = rng.randn(k, d) * 3
+    X = np.concatenate(
+        [blob_centers[i] + 0.4 * rng.randn(n // k, d) for i in range(k)]
+    )
+    X[1] = X[0]  # duplicate seed: cluster 1 starves immediately
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+
+    def fix(a):
+        s = a * 1e6
+        return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+
+    P = fix(X)
+    C = P[:k].copy()
+    for _ in range(2):
+        dists = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = dists.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            m = P[a == j]
+            if len(m):
+                q = m.sum(axis=0) / len(m)
+                newC[j] = (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(
+                    np.int64
+                )
+        C = newC
+    dists = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = dists.argmin(axis=1)
+    expect = {
+        int(j): (
+            int((a == j).sum()),
+            int(dists[a == j, j].sum()),
+            int(C[j].sum()),
+        )
+        for j in range(k)
+        if (a == j).sum()
+    }
+    # the duplicate seed ties every point to cluster 0 in the first
+    # assignment, so cluster 1 is empty there and the keep-previous
+    # rule must hold its centroid at the seed through update 1
+    c1_after_one, _ = kmeans_lloyd(emb, k=k, updates=1)
+    assert np.array_equal(c1_after_one[1], P[1])
+    assert not np.array_equal(c1_after_one[0], P[0])  # cluster 0 moved
+
+    cents, summary = kmeans_lloyd(emb, k=k, updates=2)
+    assert np.array_equal(cents, C)
+    got = {
+        int(r.cluster_id): (int(r.n_points), int(r.sum_dist), int(r.cent_sum))
+        for r in summary.collect()
+    }
+    assert got == expect
+
+    # more updates must improve the clustering on blob data
+    _, s0 = kmeans_lloyd(emb, k=k, updates=0)
+    d0 = sum(r.sum_dist for r in s0.collect())
+    d2 = sum(v[1] for v in got.values())
+    assert d2 < d0
+
+    with pytest.raises(ValueError, match="no seed vectors"):
+        kmeans_lloyd(emb.where(F.col("vec_id") >= 100), k=k)
+
+
+def test_kmeans_lloyd_invariant_under_partitioning(spark):
+    """The catalog query's exactness claim: the full 2-update
+    trajectory is identical under shuffle.partitions 32/7/13 AND
+    input repartitioning — integer partial sums are associative, so
+    batch/partition boundaries cannot move a centroid."""
+    from os_ex_3_map_reduce_spark.operators import kmeans_lloyd
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    draws = []
+    for parts, rep in (("32", 1), ("7", 5), ("13", 3)):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            cents, summary = kmeans_lloyd(
+                emb.repartition(rep), k=8, updates=2
+            )
+            draws.append(
+                (cents.tolist(), sorted(map(tuple, summary.collect())))
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert draws[0] == draws[1] == draws[2]
