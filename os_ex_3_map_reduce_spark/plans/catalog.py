@@ -119,7 +119,9 @@ DRIVER_WINDOW = 50
 #: pinned) and q_ann_ivf_range (IVF probe-pruned range search with
 #: in-query completeness + score-checksum evidence, pinned tri-scale),
 #: plus q_kmeans_lloyd (fully distributed integer-exact Lloyd k-means
-#: with an exact unrolled-CTE oracle — no pins on an iterative ML op).
+#: with an exact unrolled-CTE oracle — no pins on an iterative ML op)
+#: and q_linkpred (resource-allocation link prediction, the ninth
+#: graph pattern — integer-exact, hub-capped wedge join, exact oracle).
 DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
@@ -130,6 +132,7 @@ DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_range_search_batch",
     "q_ann_ivf_range",
     "q_kmeans_lloyd",
+    "q_linkpred",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first

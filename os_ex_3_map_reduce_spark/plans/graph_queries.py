@@ -551,3 +551,72 @@ def q_corenumbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _cached_df(spark, ("corenumbers", sf_dir), build)
+
+
+@register(
+    "q_linkpred",
+    oracle="""
+        WITH arcs0 AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (SELECT src, dst FROM arcs0
+                  UNION SELECT dst, src FROM arcs0),
+        deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+        mid AS (SELECT node, CAST(round(1000000000000.0 / deg) AS BIGINT) AS w
+                FROM deg WHERE deg <= 32),
+        wedge AS (
+            SELECT e1.src AS a, e2.dst AS b, m.w
+            FROM edges e1 JOIN mid m ON e1.dst = m.node
+                 JOIN edges e2 ON e2.src = m.node
+            WHERE e1.src < e2.dst
+        ),
+        cand AS (
+            SELECT a, b, COUNT(*) AS n_common, SUM(w) AS ra_pico
+            FROM wedge w0
+            WHERE NOT EXISTS (SELECT 1 FROM edges x
+                              WHERE x.src = w0.a AND x.dst = w0.b)
+            GROUP BY a, b
+        )
+        SELECT a AS node_a, b AS node_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(ra_pico AS BIGINT) AS ra_pico,
+               round(CAST(ra_pico AS DOUBLE) / 1000000000000.0, 4) AS ra
+        FROM cand
+        ORDER BY ra_pico DESC, node_a, node_b
+        LIMIT 20
+    """,
+    doc="Link prediction (the ninth graph pattern, and the one that "
+    "feeds recommendation/retrieval pipelines): top-20 non-adjacent "
+    "node pairs of the customer-supplier graph by resource-allocation "
+    "score RA = sum over common neighbors z of 1/deg(z), with the "
+    "common-neighbor count alongside (operators/graph.py "
+    "link_prediction_ra). Integer-exact: each term is round(1e12/deg) "
+    "- one IEEE division both engines compute bit-identically - and "
+    "scores are exact int64 sums, so the SQL oracle mirrors the whole "
+    "pipeline with no pins (Adamic-Adar's 1/ln(deg) deliberately "
+    "avoided: libm log ULP differences would gamble determinism on a "
+    ".5-grid coincidence). Hub defense: middles above degree 32 are "
+    "dropped (terms <= 1/32 carry the least signal - the standard "
+    "distributed hub filter; measured 185M -> 1.5M wedges at sf0.1), "
+    "the capped degree relation broadcasts, and both aggregates "
+    "map-side combine ahead of their single shuffle each.",
+)
+def q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import link_prediction_ra
+
+    def build() -> DataFrame:
+        out = link_prediction_ra(
+            _bipartite_edges(spark, sf_dir), max_middle_degree=32, top_k=20
+        )
+        held = out._osx3_persists  # type: ignore[attr-defined]
+        res = out.persist()
+        res.count()
+        for df in held:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        return res
+
+    return _cached_df(spark, ("linkpred", sf_dir), build)

@@ -996,3 +996,60 @@ def test_new_graph_operators_on_fixture_graph(spark):
         assert all(r.label in node_set for r in labels)
     finally:
         edges.unpersist()
+
+
+def test_link_prediction_ra_hand_graph_and_hub_cap(spark):
+    """RA link prediction on a hand-computable graph. Square a-b-c-d-a:
+    the two diagonals (a,c) and (b,d) are the only non-adjacent pairs,
+    each with 2 common neighbors of degree 2 -> RA = 1.0 exactly. Then
+    a star hub attached to everything: with the hub under the cap the
+    scores shift by 1/deg(hub); with the cap below the hub degree the
+    square's scores are restored — the hub filter drops middles, never
+    candidate pairs' other evidence. Adjacent pairs must never appear."""
+    from os_ex_3_map_reduce_spark.operators.graph import link_prediction_ra
+
+    def sym(pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+            "src string, dst string",
+        )
+
+    def run(df, **kw):
+        out = link_prediction_ra(df, **kw)
+        rows = {
+            (r.node_a, r.node_b): (r.n_common, r.ra_pico, r.ra)
+            for r in out.collect()
+        }
+        for held in out._osx3_persists:
+            held.unpersist()
+        return rows
+
+    square = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    got = run(sym(square))
+    assert got == {
+        ("a", "c"): (2, 10**12, 1.0),
+        ("b", "d"): (2, 10**12, 1.0),
+    }
+
+    # hub 'h' connected to all four corners: corners now have degree 3,
+    # h degree 4. Diagonals gain the middle h: RA = 2*(1/3) + 1/4.
+    hub = square + [("h", n) for n in "abcd"]
+    got_hub = run(sym(hub))
+    exp_pico = 2 * round(1e12 / 3) + round(1e12 / 4)
+    assert got_hub[("a", "c")] == (3, exp_pico, round(exp_pico / 1e12, 4))
+    # corner pairs sharing h and one corner... (a,b) adjacent -> absent
+    assert ("a", "b") not in got_hub
+
+    # cap below the hub degree: h stops being a middle, diagonals drop
+    # back to the two degree-3 corner middles; h itself remains a
+    # candidate ENDPOINT (pairs like (a ?) via corners) — the cap
+    # filters middles only.
+    got_cap = run(sym(hub), max_middle_degree=3)
+    assert got_cap[("a", "c")] == (
+        2,
+        2 * round(1e12 / 3),
+        round(2 * round(1e12 / 3) / 1e12, 4),
+    )
+
+    # partitioning invariance (integer sums + total tiebreaks)
+    assert run(sym(hub)) == run(sym(hub).repartition(7))
