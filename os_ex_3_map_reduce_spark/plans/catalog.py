@@ -121,7 +121,9 @@ DRIVER_WINDOW = 50
 #: plus q_kmeans_lloyd (fully distributed integer-exact Lloyd k-means
 #: with an exact unrolled-CTE oracle — no pins on an iterative ML op)
 #: and q_linkpred (resource-allocation link prediction, the ninth
-#: graph pattern — integer-exact, hub-capped wedge join, exact oracle).
+#: graph pattern — integer-exact, hub-capped wedge join, exact oracle)
+#: and q_stream_right_outer_join (completes the watermarked stream-
+#: stream outer-join family; exact batch RIGHT JOIN oracle).
 DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
@@ -133,6 +135,7 @@ DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivf_range",
     "q_kmeans_lloyd",
     "q_linkpred",
+    "q_stream_right_outer_join",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first

@@ -326,6 +326,52 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_right_outer_join",
+    oracle="""
+        SELECT b.user_id,
+               CAST(COUNT(a.event_id) AS BIGINT) AS n_predecessors,
+               CAST(SUM(CASE WHEN a.event_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_openers
+        FROM events a RIGHT JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        GROUP BY b.user_id
+    """,
+    doc="Stream-stream RIGHT OUTER join — completes the watermarked "
+    "outer-join family (inner/left/full are q_stream_join / "
+    "q_stream_outer_join / q_stream_full_outer_join): the unmatched "
+    "RIGHT side emits null-extended rows as the watermark passes its "
+    "eviction bound, surfacing events with no preceding same-user "
+    "event within 5 minutes (every user's session-opener) — the "
+    "left join's signal mirrored, selected by join type rather than "
+    "by post-filtering the full join. Same sentinel-flush staging; "
+    "the right side is always present in right-outer output, so the "
+    "sentinel filter keys on b_user alone. Oracle: the batch RIGHT "
+    "JOIN grouped by the right-side user.",
+)
+def q_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sentinel_events_dir(spark, sf_dir)
+    left = events_stream(spark, sf_dir, path=src)
+    right = events_stream(spark, sf_dir, path=src)
+    joined = stream_stream_followup_join(
+        left, right, within="5 minutes", how="right_outer"
+    )
+    name = run_stream_to_memory(joined, mode="append")
+    return (
+        spark.table(name)
+        .where(F.col("b_user") >= 0)
+        .groupBy(F.col("b_user").alias("user_id"))
+        .agg(
+            F.count("a_id").alias("n_predecessors"),
+            F.sum(F.when(F.col("a_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_openers"),
+        )
+    )
+
+
+@register(
     "q_stream_foreach_sink",
     oracle=f"""
         SELECT event_type, COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value

@@ -939,3 +939,28 @@ def test_stream_dedup_ingest_equals_batch_lookup(spark):
         ).collect()
     }
     assert got == want and got
+
+
+def test_stream_right_outer_join_ties_to_full_outer(spark):
+    """RIGHT OUTER completes the outer-join family: its matched-pair
+    count per user must equal the full join's n_matches, and its
+    null-extended left side (session-openers: events with no
+    predecessor within 5 minutes) must equal the full join's
+    n_no_predecessor — the same information selected by join type
+    instead of post-filtering."""
+    from os_ex_3_map_reduce_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    right = {
+        r.user_id: (r.n_predecessors, r.n_openers)
+        for r in qs["q_stream_right_outer_join"](spark, sf).collect()
+    }
+    full = {
+        r.user_id: (r.n_matches, r.n_no_predecessor)
+        for r in qs["q_stream_full_outer_join"](spark, sf).collect()
+    }
+    assert set(right) == set(full)
+    for u, (np_, no_) in right.items():
+        assert (np_, no_) == full[u], (u, (np_, no_), full[u])
+        assert no_ >= 1  # every user opens at least one session
