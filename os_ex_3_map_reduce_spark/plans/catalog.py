@@ -123,7 +123,9 @@ DRIVER_WINDOW = 50
 #: and q_linkpred (resource-allocation link prediction, the ninth
 #: graph pattern — integer-exact, hub-capped wedge join, exact oracle)
 #: and q_stream_right_outer_join (completes the watermarked stream-
-#: stream outer-join family; exact batch RIGHT JOIN oracle).
+#: stream outer-join family; exact batch RIGHT JOIN oracle), and
+#: q_bpe_merges (distributed BPE merge training over the distinct-word
+#: relation — pinned tri-scale, reference-BPE cross-checked in tests).
 DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
@@ -136,6 +138,7 @@ DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_kmeans_lloyd",
     "q_linkpred",
     "q_stream_right_outer_join",
+    "q_bpe_merges",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first

@@ -2235,6 +2235,66 @@ def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bpe_merges",
+    # Pinned per scale (tools/pin_scales.py, invariant under
+    # shuffle.partitions 32/7/13 at every sf), keyed by the orders row
+    # count. All merge counts are exact integer word-frequency sums.
+    oracle="""
+        SELECT CAST(st AS INTEGER) AS step, l AS left, r AS right,
+               CAST(c AS BIGINT) AS pair_count, m AS merged
+        FROM (VALUES
+            (1500,   1, 'e', 'r',  4650, 'er'),
+            (1500,   2, 'o', 'r',  2880, 'or'),
+            (1500,   3, 'i', 'n',  2858, 'in'),
+            (1500,   4, 'o', 'w',  2763, 'ow'),
+            (1500,   5, 's', 't',  2721, 'st'),
+            (1500,   6, 'l', 'u',  1928, 'lu'),
+            (1500,   7, 'a', 'r',  1873, 'ar'),
+            (1500,   8, 'p', 'ar', 1873, 'par'),
+            (15000,  1, 'e', 'r',  4568, 'er'),
+            (15000,  2, 'i', 'n',  2760, 'in'),
+            (15000,  3, 'o', 'w',  2747, 'ow'),
+            (15000,  4, 'o', 'r',  2696, 'or'),
+            (15000,  5, 's', 't',  2676, 'st'),
+            (15000,  6, 'm', 'er', 1852, 'mer'),
+            (15000,  7, 'a', 't',  1845, 'at'),
+            (15000,  8, 'l', 'u',  1831, 'lu'),
+            (150000, 1, 'e', 'r', 45089, 'er'),
+            (150000, 2, 'i', 'n', 27190, 'in'),
+            (150000, 3, 'o', 'r', 27095, 'or'),
+            (150000, 4, 's', 't', 27060, 'st'),
+            (150000, 5, 'o', 'w', 27044, 'ow'),
+            (150000, 6, 't', 'a', 18248, 'ta'),
+            (150000, 7, 'l', 'u', 18239, 'lu'),
+            (150000, 8, 'm', 'er', 18174, 'mer')
+        ) t(sf, st, l, r, c, m)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="Distributed BPE merge TRAINING (operators/bpe.py, the "
+    "Sennrich 2016 construction): learn the corpus's first 8 merge "
+    "rules — q_token_stats_bpe measures a fixed tokenizer, this one "
+    "learns a tokenizer. The only full-corpus pass is the word "
+    "histogram (the wordcount flagship's map-side-combined groupBy); "
+    "every merge round then runs on the DISTINCT-word relation: "
+    "JVM-side bigram explode + combined sum for pair counts, "
+    "TakeOrdered(1) argmax (one row to the driver per round, no "
+    "global sort), and one Arrow-batched kernel applying the merge "
+    "left-to-right non-overlapping. Loop region clamps shuffle width "
+    "with actions inside the clamp (A/B at sf0.1: 17.7 s at session "
+    "width -> 10.0 s cold / 3.8 s warm at 8). Counts are exact ints "
+    "with a total (count desc, pair asc) tiebreak, so the trajectory "
+    "is partitioning-invariant — pinned per scale, invariance "
+    "asserted at pin time; cross-checked against an independent "
+    "reference BPE in tests.",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, num_merges=8)
+
+
+@register(
     "q_fingerprint_rolling",
     # The window hash is a pure function of its n token values —
     # h_i = (v_i·B² + v_{i+1}·B + v_{i+2}) mod M — so the oracle skips

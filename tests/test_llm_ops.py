@@ -1951,3 +1951,66 @@ def test_kmeans_lloyd_invariant_under_partitioning(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
     assert draws[0] == draws[1] == draws[2]
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """bpe_train vs an INDEPENDENT in-memory reference BPE (the
+    Sennrich get_stats/merge loop over a word-frequency dict) on the
+    sf0.001 documents corpus — the full 8-step merge trajectory
+    (pairs, counts, order) must match exactly. Plus a hand-built
+    corpus exercising overlapping occurrences ('aaaa': left-to-right
+    non-overlap counts 3 but merges 2) and the early-stop case."""
+    import collections
+    import re
+
+    from os_ex_3_map_reduce_spark.operators.bpe import bpe_train
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT.replace("sf0.01", "sf0.001"), "documents")
+    got = [tuple(r) for r in bpe_train(docs, num_merges=8).collect()]
+
+    freqs = collections.Counter()
+    for (text,) in docs.select("text").collect():
+        for w in re.split(r"[^0-9A-Za-z]+", text):
+            if w:
+                freqs[w] += 1
+    vocab = {tuple(w): f for w, f in freqs.items()}
+
+    def reference_merges(vocab, n):
+        out = []
+        for step in range(1, n + 1):
+            stats = collections.Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] += f
+            if not stats:
+                break
+            (a, b), c = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((step, a, b, c, a + b))
+            nxt = {}
+            for syms, f in vocab.items():
+                fused, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        fused.append(a + b)
+                        i += 2
+                    else:
+                        fused.append(syms[i])
+                        i += 1
+                nxt[tuple(fused)] = nxt.get(tuple(fused), 0) + f
+            vocab = nxt
+        return out
+
+    assert got == reference_merges(dict(vocab), 8)
+
+    # overlap semantics: 'aaaa' x10 — pair count is 3 per word (every
+    # adjacent position), but the merge fuses left-to-right
+    # non-overlapping into ('aa','aa'), so step 2 merges ('aa','aa').
+    tiny = spark.createDataFrame([(1, "aaaa " * 10)], "doc_id long, text string")
+    tiny_merges = [tuple(r) for r in bpe_train(tiny, num_merges=3).collect()]
+    assert tiny_merges[0] == (1, "a", "a", 30, "aa")
+    assert tiny_merges[1] == (2, "aa", "aa", 10, "aaaa")
+    # after 'aaaa' every word is one symbol: early stop before step 3
+    assert len(tiny_merges) == 2
