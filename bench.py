@@ -157,6 +157,14 @@ BREADTH = [
     "q_kcore",
     "q_ann_ivfpq_append",
     "q_corenumbers",
+    # round-10 continuation additions: range search, distributed Lloyd,
+    # link prediction, right-outer stream join, BPE merge training
+    "q_range_search_batch",
+    "q_ann_ivf_range",
+    "q_kmeans_lloyd",
+    "q_linkpred",
+    "q_stream_right_outer_join",
+    "q_bpe_merges",
 ]
 
 

@@ -125,7 +125,10 @@ DRIVER_WINDOW = 50
 #: and q_stream_right_outer_join (completes the watermarked stream-
 #: stream outer-join family; exact batch RIGHT JOIN oracle), and
 #: q_bpe_merges (distributed BPE merge training over the distinct-word
-#: relation — pinned tri-scale, reference-BPE cross-checked in tests).
+#: relation — pinned tri-scale, reference-BPE cross-checked in tests),
+#: q_gram_matrix (one-pass distributed XtX + column sums, exact SQL
+#: oracle) and q_pca_topk (Gramian PCA: driver eigendecomposition of
+#: the exactly-aggregated covariance, pinned tri-scale).
 DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
@@ -139,6 +142,8 @@ DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_linkpred",
     "q_stream_right_outer_join",
     "q_bpe_merges",
+    "q_gram_matrix",
+    "q_pca_topk",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first

@@ -722,6 +722,95 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_gram_matrix",
+    # Exact oracle — the Gram aggregation is integer arithmetic on the
+    # shared 1e-6 grid, so DuckDB recomputes the full upper triangle +
+    # column sums directly (SUM(BIGINT) widens to HUGEINT there, the
+    # Spark side sums in DECIMAL(38,0) — same overflow-safety, cast
+    # back to BIGINT for the compare).
+    oracle="""
+        WITH emb AS (
+            SELECT list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        dims AS (SELECT unnest(range(1, 65)) AS i),
+        tri AS (SELECT d1.i AS i, d2.i AS j
+                FROM dims d1, dims d2 WHERE d1.i <= d2.i)
+        SELECT CAST(t.i AS BIGINT) AS i, CAST(t.j AS BIGINT) AS j,
+               CAST(SUM(e.v[t.i] * e.v[t.j]) AS BIGINT) AS gram
+        FROM emb e, tri t
+        GROUP BY t.i, t.j
+        UNION ALL
+        SELECT 0 AS i, CAST(d.i AS BIGINT) AS j,
+               CAST(SUM(e.v[d.i]) AS BIGINT) AS gram
+        FROM emb e, dims d
+        GROUP BY d.i
+    """,
+    doc="Distributed Gram matrix XtX over the embedding column "
+    "(operators/linalg.py) — the tall-skinny aggregation every "
+    "covariance/PCA/linear-regression pipeline runs at scale (the "
+    "spark.ml RowMatrix computeGramianMatrix shape): each Arrow batch "
+    "computes its d x d Gram with ONE local matmul and emits "
+    "d(d+1)/2 upper-triangle partials plus the d column sums; one "
+    "map-side-combined groupBy in DECIMAL(38,0) reduces them. n never "
+    "moves — only k x d^2 numbers per partition. Integer-exact on the "
+    "1e-6 grid, so the oracle recomputes the whole matrix in SQL with "
+    "no pins. Output: 2144 rows (2080 triangle + 64 colsum).",
+)
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import gram_matrix_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix_int(emb)
+
+
+@register(
+    "q_pca_topk",
+    # Pinned per scale (tools/pin_scales.py, invariant under
+    # shuffle.partitions 32/7/13 at every sf), keyed by the orders row
+    # count. The fixture's synthetic embeddings have a near-flat
+    # spectrum (~1/64 per component) — the pins still discriminate to
+    # 4 decimals.
+    oracle="""
+        SELECT CAST(c AS INTEGER) AS component, CAST(e AS DOUBLE) AS eigenvalue,
+               CAST(r AS DOUBLE) AS explained_ratio
+        FROM (VALUES
+            (1500,   1, 0.0289, 0.0289), (1500,   2, 0.0269, 0.027),
+            (1500,   3, 0.0258, 0.0259), (1500,   4, 0.0253, 0.0253),
+            (1500,   5, 0.0247, 0.0247), (1500,   6, 0.0245, 0.0246),
+            (1500,   7, 0.024,  0.024),  (1500,   8, 0.0231, 0.0232),
+            (15000,  1, 0.0275, 0.0276), (15000,  2, 0.0272, 0.0272),
+            (15000,  3, 0.0266, 0.0267), (15000,  4, 0.0256, 0.0257),
+            (15000,  5, 0.0254, 0.0254), (15000,  6, 0.0251, 0.0251),
+            (15000,  7, 0.0239, 0.024),  (15000,  8, 0.0232, 0.0232),
+            (150000, 1, 0.0209, 0.0209), (150000, 2, 0.0206, 0.0206),
+            (150000, 3, 0.0204, 0.0204), (150000, 4, 0.02,   0.02),
+            (150000, 5, 0.0198, 0.0198), (150000, 6, 0.0196, 0.0197),
+            (150000, 7, 0.0192, 0.0192), (150000, 8, 0.0191, 0.0191)
+        ) t(sf, c, e, r)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="Distributed PCA, the Gramian way (operators/linalg.py "
+    "pca_topk): the exact integer Gram + column sums aggregate in one "
+    "pass (q_gram_matrix's kernel — nothing per-row shuffles), the "
+    "d x d covariance assembles on the driver, and numpy eigvalsh "
+    "decomposes it there — the spectrum is a pure function of the "
+    "exactly-determined integer aggregate, so it is partitioning- and "
+    "summation-order-invariant (asserted at pin time). Top-8 "
+    "eigenvalues + explained-variance ratios, rounded half-away. "
+    "Pinned per scale (eigendecomposition is not SQL-expressible); a "
+    "BLAS upgrade would surface as a pin mismatch — same ledger "
+    "argument as the IVF centroid pins.",
+)
+def q_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import pca_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_topk(emb, k=8)
+
+
+@register(
     "q_kmeans_lloyd",
     # Exact RECOMPUTING oracle for an iterative ML trainer: the whole
     # 2-update Lloyd trajectory is integer arithmetic on the shared

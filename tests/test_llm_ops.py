@@ -2014,3 +2014,49 @@ def test_bpe_train_matches_reference_implementation(spark):
     assert tiny_merges[1] == (2, "aa", "aa", 10, "aaaa")
     # after 'aaaa' every word is one symbol: early stop before step 3
     assert len(tiny_merges) == 2
+
+
+def test_gram_matrix_and_pca_match_numpy(spark):
+    """gram_matrix_int vs numpy's P.T @ P on the same quantized data
+    (exact integer equality, triangle + column sums), invariance under
+    repartitioning, and pca_topk vs an independent full-precision
+    numpy covariance eigendecomposition of the quantized points."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators import gram_matrix_int, pca_topk
+
+    rng = np.random.RandomState(5)
+    n, d = 150, 6
+    X = rng.randn(n, d) * [5, 3, 2, 1, 0.5, 0.1]  # real spectrum decay
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def fix(a):
+        s = a * 1e6
+        return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+
+    P = fix(X)
+    G = P.T @ P
+    expect = {(i + 1, j + 1): int(G[i, j]) for i in range(d) for j in range(i, d)}
+    expect.update({(0, j + 1): int(P[:, j].sum()) for j in range(d)})
+
+    got = {(r.i, r.j): r.gram for r in gram_matrix_int(emb).collect()}
+    assert got == expect
+    got7 = {
+        (r.i, r.j): r.gram for r in gram_matrix_int(emb.repartition(7)).collect()
+    }
+    assert got7 == expect
+
+    cov = np.cov(P / 1e6, rowvar=False, bias=True)
+    ref = np.linalg.eigvalsh(cov)[::-1]
+    rows = pca_topk(emb, k=3).collect()
+    assert [r.component for r in rows] == [1, 2, 3]
+    for r, ev in zip(rows, ref[:3]):
+        assert abs(r.eigenvalue - ev) < 1e-3, (r, ev)
+    # the planted decay must be visible: first component dominates
+    assert rows[0].explained_ratio > 0.5
+
+    with pytest.raises(ValueError, match="at least 2 rows"):
+        pca_topk(emb.limit(1))
