@@ -165,6 +165,9 @@ BREADTH = [
     "q_linkpred",
     "q_stream_right_outer_join",
     "q_bpe_merges",
+    "q_gram_matrix",
+    "q_pca_topk",
+    "q_ann_sq_topk",
 ]
 
 

@@ -66,4 +66,5 @@ from .similarity import (  # noqa: F401
 )
 from .skew import salted_agg, salted_join  # noqa: F401
 from .linalg import gram_matrix_int, pca_topk  # noqa: F401
+from .sq import sq_encode, sq_search_batch, sq_train  # noqa: F401
 from .sketch import cms_build, cms_estimate, cms_merge  # noqa: F401

@@ -128,7 +128,9 @@ DRIVER_WINDOW = 50
 #: relation — pinned tri-scale, reference-BPE cross-checked in tests),
 #: q_gram_matrix (one-pass distributed XtX + column sums, exact SQL
 #: oracle) and q_pca_topk (Gramian PCA: driver eigendecomposition of
-#: the exactly-aggregated covariance, pinned tri-scale).
+#: the exactly-aggregated covariance, pinned tri-scale), and
+#: q_ann_sq_topk (SQ8 scalar quantization — the 8x rung of the memory
+#: ladder, LUT-style no-reconstruction search, recall@5 = 1.0 pinned).
 DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
@@ -144,6 +146,7 @@ DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_bpe_merges",
     "q_gram_matrix",
     "q_pca_topk",
+    "q_ann_sq_topk",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first

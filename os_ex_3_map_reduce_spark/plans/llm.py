@@ -1565,6 +1565,104 @@ def _pq_parts(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "q_ann_sq_topk",
+    # Pinned per scale (tools/pin_scales.py, invariant under
+    # shuffle.partitions 32/7/13 at every sf), keyed by the orders row
+    # count. Recall@5 = 1.0 at EVERY scale and the only deviation from
+    # exact anywhere is one adjacent rank swap (sf0.01 query 2, ranks
+    # 4/5, scores 0.0004 apart) — the 8x-compression fidelity the
+    # docstring claims, measured.
+    oracle="""
+        SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+               CAST(s AS DOUBLE) AS sq_score, CAST(r AS INTEGER) AS rank,
+               CAST(er AS INTEGER) AS exact_rank,
+               CAST(rec AS DOUBLE) AS recall_at_5
+        FROM (VALUES
+            (1500,   0,    0, 1.0,    1, 1, 1.0),
+            (1500,   0,   12, 0.3101, 4, 4, 1.0),
+            (1500,   0,   17, 0.3334, 2, 2, 1.0),
+            (1500,   0,  225, 0.316,  3, 3, 1.0),
+            (1500,   0,  483, 0.3013, 5, 5, 1.0),
+            (1500,   1,    1, 1.0,    1, 1, 1.0),
+            (1500,   1,  129, 0.3513, 4, 4, 1.0),
+            (1500,   1,  209, 0.3836, 3, 3, 1.0),
+            (1500,   1,  257, 0.3924, 2, 2, 1.0),
+            (1500,   1,  376, 0.3062, 5, 5, 1.0),
+            (1500,   2,    2, 1.0,    1, 1, 1.0),
+            (1500,   2,   62, 0.2901, 3, 3, 1.0),
+            (1500,   2,  185, 0.283,  5, 5, 1.0),
+            (1500,   2,  246, 0.2898, 4, 4, 1.0),
+            (1500,   2,  443, 0.3575, 2, 2, 1.0),
+            (15000,  0,    0, 1.0,    1, 1, 1.0),
+            (15000,  0,  334, 0.3631, 3, 3, 1.0),
+            (15000,  0,  365, 0.3702, 2, 2, 1.0),
+            (15000,  0,  387, 0.3307, 4, 4, 1.0),
+            (15000,  0,  423, 0.2978, 5, 5, 1.0),
+            (15000,  1,    1, 1.0,    1, 1, 1.0),
+            (15000,  1,   27, 0.3474, 3, 3, 1.0),
+            (15000,  1,  195, 0.3212, 5, 5, 1.0),
+            (15000,  1,  386, 0.3708, 2, 2, 1.0),
+            (15000,  1,  407, 0.3268, 4, 4, 1.0),
+            (15000,  2,    2, 1.0,    1, 1, 1.0),
+            (15000,  2,  117, 0.3181, 2, 2, 1.0),
+            (15000,  2,  145, 0.2639, 5, 4, 1.0),
+            (15000,  2,  188, 0.2643, 4, 5, 1.0),
+            (15000,  2,  450, 0.266,  3, 3, 1.0),
+            (150000, 0,    0, 1.0,    1, 1, 1.0),
+            (150000, 0,  291, 0.3927, 3, 3, 1.0),
+            (150000, 0,  510, 0.3456, 5, 5, 1.0),
+            (150000, 0, 1020, 0.377,  4, 4, 1.0),
+            (150000, 0, 1204, 0.4064, 2, 2, 1.0),
+            (150000, 1,    1, 1.0,    1, 1, 1.0),
+            (150000, 1,  260, 0.3465, 5, 5, 1.0),
+            (150000, 1, 1175, 0.3705, 3, 3, 1.0),
+            (150000, 1, 1580, 0.3672, 4, 4, 1.0),
+            (150000, 1, 1950, 0.3868, 2, 2, 1.0),
+            (150000, 2,    2, 1.0,    1, 1, 1.0),
+            (150000, 2,  337, 0.3574, 4, 4, 1.0),
+            (150000, 2,  953, 0.3684, 3, 3, 1.0),
+            (150000, 2, 1053, 0.356,  5, 5, 1.0),
+            (150000, 2, 1303, 0.3932, 2, 2, 1.0)
+        ) t(sf, q, v, s, r, er, rec)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="SQ8 scalar-quantized ANN (operators/sq.py — the faiss "
+    "ScalarQuantizer QT_8bit rung, completing the memory ladder "
+    "between IVF floats and PQ codes at 8x compression): per-dim "
+    "[min,max] trained in one pass (Arrow partials + tiny groupBy), "
+    "codes are uint8 levels with stored reconstruction norms, and the "
+    "batch search never reconstructs — cosine factors into offset(q) "
+    "+ codes . w(q), one integer-codes matmul per Arrow batch (the SQ "
+    "analog of PQ's ADC), per-batch partial top-k, bounded window. "
+    "Each row carries exact_rank and recall_at_5 evidence in-query; "
+    "note the self-match scores (~0.99+, vs PQ's ~0.7): 8 bits/dim "
+    "loses far less than 4-bit subspace sharing — that fidelity gap "
+    "IS the rung's reason to exist. Pinned per scale (invariance "
+    "asserted at pin time, tools/pin_scales.py).",
+)
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sq import sq_encode, sq_search_batch, sq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+        )
+    ]
+    params = sq_train(emb)
+    codes = sq_encode(emb, params)
+    res = sq_search_batch(codes, params, qvs, k=5)
+    exact = topk_to_query_batch(emb, qvs, k=5).select(
+        "query_id", "vec_id", F.col("rank").alias("exact_rank")
+    )
+    return res.join(exact, ["query_id", "vec_id"], "left").withColumn(
+        "recall_at_5",
+        F.count("exact_rank").over(Window.partitionBy("query_id")) / 5.0,
+    )
+
+
+@register(
     "q_ann_pq_topk",
     # The PQ pipeline is FULLY deterministic (id-ordered driver sample,
     # per-subspace seeded k-means, rounded ADC scores, total

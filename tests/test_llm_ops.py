@@ -2060,3 +2060,80 @@ def test_gram_matrix_and_pca_match_numpy(spark):
 
     with pytest.raises(ValueError, match="at least 2 rows"):
         pca_topk(emb.limit(1))
+
+
+def test_sq_quantization_fidelity_and_guards(spark):
+    """SQ8: (1) encode/reconstruct error per coordinate is bounded by
+    half a level (width/510) on in-range data; (2) batch search over
+    codes matches EXACT brute search on well-separated random data
+    (8 bits/dim preserves top-k where PQ would not); (3) a constant
+    dimension and out-of-range append vectors take the documented
+    clip/vmin semantics; (4) degenerate query guards."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators import (
+        range_search_batch,
+        sq_encode,
+        sq_search_batch,
+        sq_train,
+        topk_to_query_batch,
+    )
+
+    rng = np.random.RandomState(9)
+    n, d = 120, 8
+    X = rng.randn(n, d)
+    X[:, 3] = 2.5  # constant dimension: width 0
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    params = sq_train(emb)
+    assert params.shape == (2, d)
+    assert params[0, 3] == params[1, 3] == 2.5
+    np.testing.assert_allclose(params[0], X.min(axis=0))
+    np.testing.assert_allclose(params[1], X.max(axis=0))
+
+    codes = sq_encode(emb, params).persist()
+    rows = {r.vec_id: (list(r.codes), r.recon_norm) for r in codes.collect()}
+    width = params[1] - params[0]
+    for i in (0, 17, 50):
+        c = np.array(rows[i][0], dtype=np.float64)
+        assert c.min() >= 0 and c.max() <= 255
+        recon = params[0] + c * np.where(width > 0, width, 1.0) / 255.0 * (
+            width > 0
+        )
+        recon[3] = 2.5  # constant dim reconstructs vmin
+        err = np.abs(recon - X[i])
+        bound = np.where(width > 0, width, 0.0) / 510.0 + 1e-12
+        assert (err <= bound).all(), (i, err, bound)
+        assert abs(np.linalg.norm(recon) - rows[i][1]) < 1e-9
+
+    # search equivalence vs exact on the same data
+    qvs = [[float(v) for v in X[0]], [float(v) for v in X[9]]]
+    sq_rows = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in sq_search_batch(codes, params, qvs, k=3).collect()
+    )
+    exact_rows = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in topk_to_query_batch(emb, qvs, k=3).collect()
+    )
+    assert sq_rows == exact_rows
+
+    # out-of-range append vector clips into the learned range
+    extra = spark.createDataFrame(
+        [(999, [float(v) for v in X.max(axis=0) * 3])],
+        "vec_id long, embedding array<double>",
+    )
+    crow = sq_encode(extra, params).collect()[0]
+    assert max(crow.codes) == 255 and min(crow.codes) >= 0
+
+    codes.unpersist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty query batch"):
+        sq_search_batch(codes, params, [], k=3)
+    with _pytest.raises(ValueError, match="zero-norm"):
+        sq_search_batch(codes, params, [[0.0] * d], k=3)
+    with _pytest.raises(ValueError, match="empty training"):
+        sq_train(emb.where(F.col("vec_id") < 0))

@@ -291,6 +291,116 @@ def bench_ann_batch10(spark, scaled: str) -> None:
         )
 
 
+def bench_continuation10(spark, scaled: str) -> None:
+    """10x draws for the round-10 continuation operators: brute range
+    search at production Q (32 queries — zero-shuffle scan kernel,
+    should track corpus size sub-linearly once fixed costs amortize),
+    distributed Lloyd (2 updates — per-update cost is one scan plus a
+    k x (dim+1) reduce, so the ratio tracks scan cost), the Gram
+    aggregation (one scan, d^2 partials per batch), BPE training
+    (8 merges — the word histogram is the only full-corpus pass; the
+    10x staging suffixes tokens per copy, so the DISTINCT-word
+    relation also grows ~10x: the worst case for the merge loop), and
+    link prediction over a 10x-replicated disjoint-copy graph (wedge
+    and candidate sets scale exactly 10x by construction)."""
+    from os_ex_3_map_reduce_spark.operators.bpe import bpe_train
+    from os_ex_3_map_reduce_spark.operators.graph import link_prediction_ra
+    from os_ex_3_map_reduce_spark.operators.linalg import gram_matrix_int
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        kmeans_lloyd,
+        range_search_batch,
+    )
+
+    base_emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in base_emb.where(F.col("vec_id") < 32)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out: dict[str, dict[str, float]] = {}
+    for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+        emb = spark.read.parquet(f"{path}/embeddings.parquet").persist()
+        emb.count()
+        _materialize(range_search_batch(emb, qvs, threshold=0.25))
+        t0 = time.perf_counter()
+        _materialize(range_search_batch(emb, qvs, threshold=0.25))
+        rng_sec = time.perf_counter() - t0
+
+        kmeans_lloyd(emb, k=8, updates=2)[1].collect()  # warm
+        t0 = time.perf_counter()
+        kmeans_lloyd(emb, k=8, updates=2)[1].collect()
+        lloyd_sec = time.perf_counter() - t0
+
+        _materialize(gram_matrix_int(emb))
+        t0 = time.perf_counter()
+        _materialize(gram_matrix_int(emb))
+        gram_sec = time.perf_counter() - t0
+        emb.unpersist()
+
+        docs = spark.read.parquet(f"{path}/documents.parquet")
+        bpe_train(docs, num_merges=8).collect()  # warm
+        t0 = time.perf_counter()
+        bpe_train(docs, num_merges=8).collect()
+        bpe_sec = time.perf_counter() - t0
+        out[label] = {
+            "range_q32_sec": round(rng_sec, 3),
+            "lloyd_2upd_sec": round(lloyd_sec, 3),
+            "gram_sec": round(gram_sec, 3),
+            "bpe_8merge_sec": round(bpe_sec, 3),
+        }
+
+    # linkpred: replicate the sf0.1 bipartite graph into 10 disjoint
+    # node spaces (suffix per copy) — wedges/candidates scale 10x
+    from os_ex_3_map_reduce_spark.plans.graph_queries import _bipartite_edges
+
+    def run_linkpred(edges) -> float:
+        def once() -> float:
+            t0 = time.perf_counter()
+            res = link_prediction_ra(edges, max_middle_degree=32, top_k=20)
+            res.collect()
+            for held in res._osx3_persists:
+                held.unpersist()
+            return time.perf_counter() - t0
+
+        once()
+        return once()
+
+    e1 = _bipartite_edges(spark, BASE_SF).persist()
+    e1.count()
+    e10 = (
+        e1.crossJoin(F.broadcast(spark.range(COPIES).select(F.col("id").alias("copy"))))
+        .select(
+            F.concat("src", F.lit("_"), F.col("copy")).alias("src"),
+            F.concat("dst", F.lit("_"), F.col("copy")).alias("dst"),
+        )
+        .persist()
+    )
+    e10.count()
+    lp_base = run_linkpred(e1)
+    lp_big = run_linkpred(e10)
+    e1.unpersist()
+    e10.unpersist()
+    out["base"]["linkpred_sec"] = round(lp_base, 3)
+    out[f"x{COPIES}"]["linkpred_sec"] = round(lp_big, 3)
+
+    base_r, big_r = out["base"], out[f"x{COPIES}"]
+    for key in base_r:
+        print(
+            json.dumps(
+                {
+                    "query": f"continuation10_{key}",
+                    "base_sec": base_r[key],
+                    f"x{COPIES}_sec": big_r[key],
+                    "ratio": round(big_r[key] / base_r[key], 2)
+                    if base_r[key]
+                    else None,
+                }
+            ),
+            flush=True,
+        )
+
+
 def bench_graph10(spark) -> None:
     """10x draws for the late-r9 graph additions (VERDICT r9 #6):
     triangle counting and weighted SSSP on deterministic synthetic
@@ -554,6 +664,7 @@ def main() -> None:
             flush=True,
         )
     bench_ann_batch10(spark, scaled)
+    bench_continuation10(spark, scaled)
     bench_graph10(spark)
     bench_ingest10(spark, scaled)
     bench_cdc(spark)
