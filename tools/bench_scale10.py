@@ -101,6 +101,27 @@ with the strongest scale claims; linear budget = ratio 10):
       daily: strongly sublinear-in-budget because the delta pays only
       its own shingling plus a slim bucket equi-join.
 
+Round-10 continuation numbers (bench_continuation10; warm best-of-2
+after warm-up, linear budget = ratio 10):
+
+    range search (Q=32, tau=0.25)  0.250 s -> 0.334 s   ratio 1.34
+      zero-shuffle scan kernel: qualifying rows final where scored.
+    distributed Lloyd (2 updates)  1.444 s -> 1.220 s   ratio 0.84
+      per-update cost = one scan + a k x (dim+1) integer reduce; at
+      2k vectors the rounds are pure fixed cost, 20k amortizes them.
+    Gram matrix (d=64)             0.345 s -> 0.360 s   ratio 1.04
+      one scan, d^2 partials per batch — corpus size only widens the
+      scan, which 32 cores absorb at these row counts.
+    BPE training (8 merges)        4.001 s -> 6.509 s   ratio 1.63
+      the 10x staging suffixes tokens per copy, so the DISTINCT-word
+      relation ALSO grows ~10x (the worst case for the merge loop) —
+      still 6x under the linear budget.
+    link prediction (10x disjoint-copy graph)
+                                   1.817 s -> 6.705 s   ratio 3.69
+      wedges and candidates scale exactly 10x by construction; the
+      hub-capped wedge join + map-side-combined aggregates hold it
+      to ~1/3 of linear.
+
 CDC apply at 10x change volume (bench_cdc, round-9 queue item; warm,
 150k-row orders base at sf0.1):
 
