@@ -740,3 +740,57 @@ def test_range_search_batch_has_no_shuffle(spark, qs):
     plan = explain_str(range_search_batch(emb, qvs, threshold=0.25))
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_gram_matrix_single_exchange(spark):
+    """The Gram aggregation must shuffle ONLY the d(d+1)/2 + d partial
+    rows per batch (one hash exchange for the tiny groupBy) — never
+    the corpus, and no window/sort anywhere."""
+    import re
+
+    from os_ex_3_map_reduce_spark.operators import gram_matrix_int
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    plan = explain_str(gram_matrix_int(load_table(spark, SF, "embeddings")))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Window" not in plan
+
+
+def test_sq_search_bounded_shuffle(spark):
+    """SQ batch search mirrors the IVF/PQ batch contract: the only
+    exchange carries the k-rows-per-(query,batch) partials into the
+    final per-query window — one exchange, one window."""
+    import re
+
+    from os_ex_3_map_reduce_spark.operators import (
+        sq_encode,
+        sq_search_batch,
+        sq_train,
+    )
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    params = sq_train(emb)
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    plan = explain_str(sq_search_batch(sq_encode(emb, params), params, qvs, k=5))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Window" in plan
+
+
+def test_linkpred_broadcasts_middles_and_takeordered(spark):
+    """Link prediction's hub-capped degree relation must BROADCAST
+    into the wedge join (shuffling the arc list against a tiny capped
+    dimension would be a plan bug), and the top-k must plan as
+    TakeOrdered, not a global sort."""
+    from os_ex_3_map_reduce_spark.operators.graph import link_prediction_ra
+    from os_ex_3_map_reduce_spark.plans.graph_queries import _bipartite_edges
+
+    out = link_prediction_ra(_bipartite_edges(spark, SF), max_middle_degree=32)
+    plan = explain_str(out)
+    for held in out._osx3_persists:
+        held.unpersist()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
