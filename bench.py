@@ -168,6 +168,7 @@ BREADTH = [
     "q_gram_matrix",
     "q_pca_topk",
     "q_ann_sq_topk",
+    "q_ppr",
 ]
 
 

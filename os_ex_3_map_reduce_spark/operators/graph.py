@@ -112,6 +112,79 @@ def pagerank(
     return out
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    source: str,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int | None = 5,
+    reliable: bool = False,
+) -> DataFrame:
+    """Personalized PageRank: identical integer-exact machinery to
+    :func:`pagerank`, but ALL restart mass returns to ``source``
+    instead of spreading uniformly — rank(v) becomes a random-walk
+    proximity score to the source, the localized ranking
+    recommendation/retrieval pipelines actually use (SALSA/PPR
+    literature; at scale one runs many sources in one pass by making
+    rank a per-source map — this is the single-source primitive).
+
+    Init: SCALE at the source, 0 elsewhere. Per iteration:
+    rank'(v) = [v = source]·(15·SCALE div 100) + (85·Σ contribs) div
+    100 — same truncating bigint arithmetic, same two-shuffle step,
+    same lineage-truncation knobs, so results stay bit-identical
+    under any partitioning and the oracle is the same generated-CTE
+    replica with a CASE'd teleport."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = e.join(outdeg, "src").persist()
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+
+    is_src = F.col("node") == F.lit(source)
+    ranks = nodes.select(
+        "node", F.when(is_src, F.lit(SCALE)).otherwise(F.lit(0)).alias("rank")
+    )
+    teleport = F.when(is_src, F.lit((15 * SCALE) // 100)).otherwise(F.lit(0))
+    for i in range(iterations):
+        contribs = (
+            edges_deg.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+            "node",
+            (teleport + F.expr("(85 * coalesce(s, 0)) div 100")).alias("rank"),
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and (i + 1) < iterations
+        ):
+            ranks = (
+                ranks.checkpoint(eager=True)
+                if reliable
+                else ranks.localCheckpoint(eager=True)
+            )
+    out = ranks.select("node", "rank")
+    out._osx3_persists = [edges_deg, nodes]  # type: ignore[attr-defined]
+    return out
+
+
+def personalized_pagerank_eager(
+    edges: DataFrame, source: str, **kwargs
+) -> DataFrame:
+    """:func:`personalized_pagerank`, materialized, intermediates
+    freed."""
+    d = personalized_pagerank(edges, source, **kwargs)
+    held = d._osx3_persists  # type: ignore[attr-defined]
+    out = d.persist()
+    out.count()
+    for df in held:
+        df.unpersist()
+    return out
+
+
 def sssp(
     edges: DataFrame,
     source: str,

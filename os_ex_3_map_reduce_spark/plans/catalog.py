@@ -130,7 +130,10 @@ DRIVER_WINDOW = 50
 #: oracle) and q_pca_topk (Gramian PCA: driver eigendecomposition of
 #: the exactly-aggregated covariance, pinned tri-scale), and
 #: q_ann_sq_topk (SQ8 scalar quantization — the 8x rung of the memory
-#: ladder, LUT-style no-reconstruction search, recall@5 = 1.0 pinned).
+#: ladder, LUT-style no-reconstruction search, recall@5 = 1.0 pinned),
+#: and q_ppr (personalized PageRank, the tenth iterative graph pattern
+#: — same integer-exact machinery, CASE'd teleport, generated-CTE
+#: exact oracle).
 DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
@@ -147,6 +150,7 @@ DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_gram_matrix",
     "q_pca_topk",
     "q_ann_sq_topk",
+    "q_ppr",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first

@@ -620,3 +620,77 @@ def q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res
 
     return _cached_df(spark, ("linkpred", sf_dir), build)
+
+
+def _ppr_oracle(source: str, iters: int) -> str:
+    cte = [
+        """
+        WITH arcs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT src, dst FROM arcs
+            UNION SELECT dst AS src, src AS dst FROM arcs
+        ),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        r0 AS (
+            SELECT node,
+                   CASE WHEN node = '{SRC}' THEN {SCALE} ELSE 0 END AS rank
+            FROM nodes
+        )""".replace("{SCALE}", str(SCALE)).replace("{SRC}", source)
+    ]
+    for i in range(iters):
+        cte.append(
+            f"""
+        c{i} AS (
+            SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+            FROM edges e
+            JOIN r{i} r ON e.src = r.node
+            JOIN outdeg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+            SELECT nodes.node,
+                   CASE WHEN nodes.node = '{source}'
+                        THEN (15 * {SCALE}) // 100 ELSE 0 END
+                     + (85 * COALESCE(c{i}.s, 0)) // 100 AS rank
+            FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+        )"""
+        )
+    return (
+        ",".join(cte)
+        + f"""
+        SELECT node, CAST(rank AS BIGINT) AS rank
+        FROM r{iters}
+        ORDER BY rank DESC, node
+        LIMIT 20
+    """
+    )
+
+
+@register(
+    "q_ppr",
+    oracle=_ppr_oracle("c1", _ITER),
+    doc=f"Personalized PageRank from customer c1, {_ITER} iterations — "
+    "the TENTH iterative graph pattern, and the localized variant "
+    "recommendation/retrieval pipelines actually rank with: all "
+    "restart mass returns to the source, so rank(v) is a random-walk "
+    "proximity score to c1 rather than global authority "
+    "(operators/graph.py personalized_pagerank — identical "
+    "integer-exact truncating-bigint machinery, two-shuffle step, and "
+    "lineage-truncation knobs as q_pagerank, so the generated-CTE "
+    "oracle replica differs only in a CASE'd teleport). Top-20 nodes "
+    "by proximity with total tiebreaks.",
+)
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank_eager
+
+    def build() -> DataFrame:
+        return personalized_pagerank_eager(
+            _bipartite_edges(spark, sf_dir), "c1", iterations=_ITER
+        )
+
+    ranks = _cached_df(spark, ("ppr", sf_dir), build)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)

@@ -1053,3 +1053,46 @@ def test_link_prediction_ra_hand_graph_and_hub_cap(spark):
 
     # partitioning invariance (integer sums + total tiebreaks)
     assert run(sym(hub)) == run(sym(hub).repartition(7))
+
+
+def test_personalized_pagerank_localizes_and_is_invariant(spark):
+    """PPR sanity on a two-component graph: mass stays in the source's
+    component (the other component ranks exactly 0 — integer zero, not
+    epsilon), the source holds the largest rank of a symmetric star,
+    and results are bit-identical under repartitioning. Also: teleport
+    mass is CASE'd to the source only, so total mass stays within the
+    truncation leak of SCALE."""
+    from os_ex_3_map_reduce_spark.operators.graph import (
+        SCALE,
+        personalized_pagerank_eager,
+    )
+
+    def sym(pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+            "src string, dst string",
+        )
+
+    # component A: star around s; component B: disjoint triangle
+    star = [("s", f"l{i}") for i in range(4)]
+    tri = [("x", "y"), ("y", "z"), ("z", "x")]
+    g = sym(star + tri)
+
+    r = {
+        row.node: row.rank
+        for row in personalized_pagerank_eager(g, "s", iterations=5).collect()
+    }
+    assert r["x"] == r["y"] == r["z"] == 0  # unreachable: exact zero
+    leaves = [r[f"l{i}"] for i in range(4)]
+    assert len(set(leaves)) == 1  # symmetry preserved exactly
+    assert r["s"] > leaves[0] > 0  # localized around the source
+    total = sum(r.values())
+    assert 0 <= SCALE - total < 100  # at most the truncation leak
+
+    r2 = {
+        row.node: row.rank
+        for row in personalized_pagerank_eager(
+            g.repartition(7), "s", iterations=5
+        ).collect()
+    }
+    assert r == r2
