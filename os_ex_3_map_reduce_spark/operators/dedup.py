@@ -728,3 +728,118 @@ def minhash_index_compact(
         "bucket_rows_after": n_after,
         "hot_buckets_dropped": n_hot,
     }
+
+
+def semantic_dedup(
+    emb_df: DataFrame,
+    threshold: float = 0.4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (the public Abbas et al.
+    2023 construction): cluster the embeddings with one integer-exact
+    k-means assignment step, then examine cosine similarity ONLY
+    within each cluster and drop every vector that has a smaller-id
+    cluster-mate with ``round(cosine, 4) >= threshold``.
+
+    Returns the REMOVED rows — ``(cluster_id, vec_id, keeper_id,
+    cosine)`` with ``keeper_id`` the smallest qualifying cluster-mate
+    (a total, partitioning-invariant choice) and ``cosine`` the rounded
+    score against that keeper.
+
+    Scale shape: the clustering step is the q_kmeans_assign kernel —
+    scan → Arrow projection → per-cluster grouping; the pair scan is
+    ``applyInPandas`` per cluster, so the quadratic work is n_c² per
+    cluster, never n². That per-cluster-fit is the SemDeDup recipe's
+    own contract: k grows with the corpus (the paper runs ~50k
+    clusters) precisely so clusters stay small enough to pair-scan;
+    this implementation inherits the same knob. The k seed vectors are
+    a k-row driver constant (q_kmeans_assign precedent), not data
+    movement.
+
+    Determinism: cluster assignment is exact int64 arithmetic on the
+    1e-6 fixpoint grid (first-min argmin == lowest cluster id); pair
+    scores are normalize-then-matmul float64 rounded half-away to 4
+    decimals BEFORE thresholding — the same parity-proven recipe as
+    :func:`~..operators.similarity.threshold_pairs`, so a DuckDB
+    oracle recomputing with ``list_cosine_similarity`` matches
+    hash-identically.
+    """
+    import numpy as np
+
+    from .similarity import _lloyd_fixpoint, round_half_away
+
+    seed_rows = sorted(
+        emb_df.where(F.col(id_col) < k)
+        .select(id_col, F.col(emb_col).cast("array<double>"))
+        .collect(),
+        key=lambda r: r[0],
+    )
+    seeds = _lloyd_fixpoint(np.array([list(r[1]) for r in seed_rows], dtype=np.float64))
+    s_sq = (seeds * seeds).sum(axis=1)
+
+    base = emb_df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["e"]])
+            pts = _lloyd_fixpoint(mat)
+            p_sq = (pts * pts).sum(axis=1)
+            dists = p_sq[:, None] + s_sq[None, :] - 2 * (pts @ seeds.T)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": dists.argmin(axis=1).astype("int64"),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "e": pdf["e"],
+                }
+            )
+
+    assigned = base.mapInPandas(
+        assign, "cluster_id long, vec_id long, e array<double>"
+    )
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in pdf["e"].iloc[order]]
+        )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0  # zero vectors score 0 < any threshold
+        mat = mat / norms
+        sims = round_half_away(mat @ mat.T, 4)
+        # qualifying (i < j) pairs; keeper(j) = FIRST qualifying i
+        # (ids ascending), a total partitioning-invariant choice.
+        qual = np.triu(sims >= threshold, k=1)
+        removed_cols = np.flatnonzero(qual.any(axis=0))
+        if not len(removed_cols):
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series(dtype="int64"),
+                    "vec_id": pd.Series(dtype="int64"),
+                    "keeper_id": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        keep_rows = qual[:, removed_cols].argmax(axis=0)
+        return pd.DataFrame(
+            {
+                "cluster_id": np.repeat(
+                    pdf["cluster_id"].iloc[0], len(removed_cols)
+                ).astype("int64"),
+                "vec_id": ids[removed_cols],
+                "keeper_id": ids[keep_rows],
+                "cosine": sims[keep_rows, removed_cols],
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        cluster_pairs,
+        "cluster_id long, vec_id long, keeper_id long, cosine double",
+    )

@@ -29,6 +29,7 @@ from ..operators.dedup import (
     connected_components,
     exact_dedup,
     minhash_lsh_pairs_eager,
+    semantic_dedup,
     simhash_neardup_pairs,
 )
 from ..operators.multimodal import (
@@ -955,6 +956,66 @@ def q_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return threshold_pairs(emb, threshold=0.4)
+
+
+@register(
+    "q_semdedup",
+    oracle="""
+        WITH emb AS (
+            SELECT vec_id, embedding, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        seeds AS (SELECT vec_id AS seed_id, v AS sv FROM emb WHERE vec_id < 8),
+        dists AS (
+            SELECT e.vec_id, s.seed_id,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i]))) AS dist
+            FROM emb e, seeds s
+        ),
+        best AS (
+            SELECT vec_id, seed_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, seed_id) AS rn
+            FROM dists
+        ),
+        asg AS (
+            SELECT e.vec_id, b.seed_id AS cluster_id, e.embedding
+            FROM emb e JOIN best b ON e.vec_id = b.vec_id AND b.rn = 1
+        ),
+        qual AS (
+            SELECT a.cluster_id, b.vec_id AS vec_id, a.vec_id AS keeper_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4)
+                       AS cosine,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY a.vec_id) AS rn
+            FROM asg a JOIN asg b
+              ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4)
+                  >= 0.4
+        )
+        SELECT cluster_id, vec_id, keeper_id, cosine FROM qual WHERE rn = 1
+    """,
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023): one "
+    "integer-exact k-means assignment (k=8, seeds vec_id 0..7 — the "
+    "q_kmeans_assign step), then WITHIN-cluster rounded-cosine "
+    "threshold 0.4; every vector with a smaller-id cluster-mate over "
+    "threshold is emitted as removed, keyed to its smallest keeper. "
+    "The within-cluster restriction is the SemDeDup approximation "
+    "itself — quadratic work is per-cluster (the paper scales k with "
+    "the corpus so clusters stay pair-scannable), and the exact "
+    "oracle recomputes the identical decision set, so the catalog "
+    "row verifies both the clustering and the prune. Removed rows at "
+    "the fixture: 18/19/235 across sf0.001/0.01/0.1 (threshold sits "
+    "in the fixture's top similarity tail, non-empty at every SF). "
+    "Shape: one Arrow assignment projection (no shuffle) + ONE "
+    "hash shuffle on cluster_id + per-cluster Arrow pair scan.",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, k=8)
 
 
 @register(
@@ -2783,6 +2844,61 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.where(F.col("rn") == 1).select(
         "eval_doc", "train_doc", "n_shared", "n_eval", "containment"
+    )
+
+
+@register(
+    "q_substring_dupes",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(t) - 14),
+                i -> array_to_string(t[i:i+14], ' '))) AS span
+            FROM toks WHERE len(t) >= 15
+        )
+        SELECT span,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occ,
+               MIN(doc_id) AS min_doc
+        FROM spans GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="Duplicated-substring detection — the exact-substring half of "
+    "the public Lee et al. 2022 'Deduplicating Training Data' recipe "
+    "(their suffix-array pass finds verbatim spans repeated across "
+    "documents; this is the fixed-width W=15-token formulation): every "
+    "15-token span occurring in >= 2 distinct documents, with doc and "
+    "occurrence counts and the min-id witness. Pure JVM higher-order "
+    "expression (the shingles() span generator) + ONE map-side-"
+    "combined groupBy — within-partition duplicate spans partial-"
+    "aggregate before the shuffle, exactly what makes this survive "
+    "boilerplate-heavy corpora. At 100 TB the group key becomes "
+    "xxhash64(span) with min(span) carried as representative (the "
+    "q_contamination 8-bytes-per-key discipline); the catalog row "
+    "keys on the string so the oracle is directly comparable. Output "
+    "972/857/8939 rows at sf0.001/0.01/0.1.",
+)
+def q_substring_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    spans = docs.select(
+        "doc_id", F.explode(shingles(toks, 15)).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
     )
 
 

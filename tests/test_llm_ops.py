@@ -2137,3 +2137,97 @@ def test_sq_quantization_fidelity_and_guards(spark):
         sq_search_batch(codes, params, [[0.0] * d], k=3)
     with _pytest.raises(ValueError, match="empty training"):
         sq_train(emb.where(F.col("vec_id") < 0))
+
+
+def test_semantic_dedup_decision_set_matches_numpy(spark):
+    """semantic_dedup on a constructed corpus: numpy recomputes the full
+    SemDeDup decision set (integer-grid cluster assignment, within-
+    cluster rounded cosine >= t, min-id keeper) and the operator must
+    reproduce it exactly; cross-cluster near-dups must NOT be removed."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators.dedup import semantic_dedup
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        _lloyd_fixpoint,
+        round_half_away,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype(np.float64)
+    # ids 0..3 are the seeds (k=4); make 10, 11 near-dups of 4 and 5,
+    # and 12 a near-dup of the far-apart seed direction (cross-cluster
+    # control is asserted from the recomputed truth below).
+    base[10] = base[4] + 0.01 * rng.normal(size=16)
+    base[11] = base[5] + 0.01 * rng.normal(size=16)
+    base[12] = -base[4] + 0.01 * rng.normal(size=16)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+
+    out = semantic_dedup(df, threshold=0.9, k=4).collect()
+
+    pts = _lloyd_fixpoint(base)
+    seeds = pts[:4]
+    d = (
+        (pts * pts).sum(axis=1)[:, None]
+        + (seeds * seeds).sum(axis=1)[None, :]
+        - 2 * pts @ seeds.T
+    )
+    cl = d.argmin(axis=1)
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = round_half_away(unit @ unit.T, 4)
+    expected = {}
+    for j in range(len(base)):
+        for i in range(j):
+            if cl[i] == cl[j] and sims[i, j] >= 0.9:
+                expected[j] = (int(cl[j]), int(i), float(sims[i, j]))
+                break
+    assert expected, "fixture must produce at least one removal"
+    got = {r.vec_id: (r.cluster_id, r.keeper_id, r.cosine) for r in out}
+    assert got == expected
+    # near-dup pairs split across clusters are kept (the SemDeDup
+    # approximation): every removal is within one cluster by schema.
+    for vid, (c, keeper, _) in got.items():
+        assert cl[vid] == c and cl[keeper] == c and keeper < vid
+
+
+def test_substring_dupes_flags_planted_span_only(spark):
+    """A planted 15-token span shared by three docs (one containing it
+    twice) is reported with exact counts; unique-text docs contribute
+    nothing; short docs (<15 tokens) are handled by the shingle guard."""
+    from os_ex_3_map_reduce_spark.plans.llm import q_substring_dupes
+
+    span = " ".join(f"w{i}" for i in range(15))
+    rows = [
+        (0, span + " tail0"),
+        (1, "head1 " + span),
+        (2, span + " mid " + span),
+        (3, "totally different words " + " ".join(f"u{i}" for i in range(20))),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import os_ex_3_map_reduce_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables_patch = lambda sp, sf, name: df  # noqa: E731
+        import os_ex_3_map_reduce_spark.plans.llm as llm
+
+        llm_orig = llm.load_table
+        llm.load_table = tables_patch
+        out = {r.span: r for r in q_substring_dupes(spark, "ignored").collect()}
+    finally:
+        llm.load_table = llm_orig
+        tables.load_table = orig
+    assert span in out
+    r = out[span]
+    assert (r.n_docs, r.n_occ, r.min_doc) == (3, 4, 0)
+    # every reported span is a 15-gram in >= 2 docs, and since the
+    # planted window is the only cross-document text, every span's
+    # tokens come from it (w0..w14 plus the immediate context words)
+    allowed = set(span.split(" ")) | {"tail0", "head1", "mid"}
+    for s, row in out.items():
+        toks = s.split(" ")
+        assert len(toks) == 15 and row.n_docs >= 2
+        assert set(toks) <= allowed
