@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.layout import zorder_value
 from ..sources.tables import load_table
@@ -659,4 +660,88 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         total.alias("total_price"),
         (total / F.col("n_orders")).alias("avg_price"),
+    )
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+        WITH seq AS (
+            SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn,
+                   row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                                      ORDER BY o_orderdate, o_orderkey) AS rnp
+            FROM orders
+        ),
+        runs AS (
+            SELECT o_custkey, o_orderpriority,
+                   MIN(o_orderdate) AS from_ts,
+                   COUNT(*) AS n_orders,
+                   MIN(rn) AS first_rn
+            FROM seq GROUP BY o_custkey, o_orderpriority, rn - rnp
+        ),
+        ver AS (
+            SELECT o_custkey, o_orderpriority, n_orders,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY first_rn) AS version,
+                   strftime(from_ts, '%Y-%m-%d') AS valid_from,
+                   lead(strftime(from_ts, '%Y-%m-%d')) OVER (
+                       PARTITION BY o_custkey ORDER BY first_rn)
+                       AS next_from
+            FROM runs
+        )
+        SELECT o_custkey, o_orderpriority, version, n_orders, valid_from,
+               COALESCE(next_from, 'current') AS valid_to
+        FROM ver
+    """,
+    doc="SCD Type-2 history build (the slowly-changing-dimension "
+    "pattern every warehouse load runs): treat each customer's order "
+    "stream as updates to a tracked attribute (o_orderpriority) and "
+    "compress consecutive equal values into versioned validity "
+    "intervals — version number, valid_from, valid_to (= next "
+    "version's start, 'current' for the open run) and the run's "
+    "order count. Gaps-and-islands via the rn - rn_per_value "
+    "difference trick: two windows over the SAME (custkey, date, key) "
+    "sort order, so Spark plans ONE shuffle on o_custkey and sorts "
+    "once; the run aggregation and both version windows reuse that "
+    "partitioning (no further exchange — plan-pinned in "
+    "tests/test_plan_shapes.py). Total (date, orderkey) tiebreak "
+    "makes runs partitioning-invariant; dates render as strings "
+    "(catalog determinism rule #1). At 100 TB: everything is "
+    "per-customer — one hash shuffle, no global sort, skew bounded "
+    "by max orders-per-customer.",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_val = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_val).alias("rnp"),
+    )
+    runs = seq.groupBy(
+        "o_custkey", "o_orderpriority", (F.col("rn") - F.col("rnp")).alias("grp")
+    ).agg(
+        F.min("o_orderdate").alias("from_ts"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("rn").alias("first_rn"),
+    )
+    w_ver = Window.partitionBy("o_custkey").orderBy("first_rn")
+    from_str = F.date_format("from_ts", "yyyy-MM-dd")
+    return runs.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.row_number().over(w_ver).alias("version"),
+        "n_orders",
+        from_str.alias("valid_from"),
+        F.coalesce(F.lead(from_str).over(w_ver), F.lit("current")).alias(
+            "valid_to"
+        ),
     )

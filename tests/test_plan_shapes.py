@@ -794,3 +794,16 @@ def test_linkpred_broadcasts_middles_and_takeordered(spark):
         held.unpersist()
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scd2_history_single_exchange_reused_partitioning(spark, qs):
+    """SCD2 gaps-and-islands: both row_number windows, the run groupBy
+    (keys are a SUPERSET of the window partitioning) and the version
+    window must all reuse ONE hash exchange on o_custkey — a second
+    exchange means the run aggregation stopped riding the window's
+    partitioning. No global sort, no join."""
+    import re
+
+    plan = explain_str(qs["q_scd2_history"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
