@@ -2259,6 +2259,88 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lm_perplexity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(t) - 1),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS b
+            FROM toks WHERE len(t) >= 2
+        ),
+        bc AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+        pc AS (
+            SELECT split_part(b, ' ', 1) AS w1, COUNT(*) AS cu
+            FROM bg GROUP BY 1
+        ),
+        model AS (
+            SELECT bc.b,
+                   CAST(round(ln(bc.cb) - ln(pc.cu), 6)
+                        AS DECIMAL(18,6)) AS term
+            FROM bc JOIN pc ON split_part(bc.b, ' ', 1) = pc.w1
+        )
+        SELECT bg.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(model.term) AS DOUBLE) AS sum_logprob,
+               CAST(SUM(model.term) AS DOUBLE) / COUNT(*) AS avg_logprob
+        FROM bg JOIN model ON bg.b = model.b
+        GROUP BY bg.doc_id
+    """,
+    doc="Bigram language-model perplexity scoring — the classic "
+    "KenLM-style quality signal a pretraining pipeline computes for "
+    "every document: train maximum-likelihood bigram statistics on "
+    "the corpus itself (P(w2|w1) = c(w1 w2)/c(w1 ·), counts over "
+    "positional bigrams), then score each document's mean token "
+    "log-probability under that model. Two-phase plan: the MODEL "
+    "relation (distinct bigram -> log-prob term) is built with two "
+    "map-side-combined groupBys and is vocab-bounded — tiny next to "
+    "the corpus — so it BROADCASTS into the per-occurrence scoring "
+    "join (at 100 TB with an open vocab the same plan degrades to a "
+    "hash join on the bigram string; the broadcast is asserted in "
+    "test_plan_shapes). Determinism: each log term is ln(int)-ln(int) "
+    "rounded (half-away, the shared Spark/DuckDB rule) to 6 decimals ONCE per distinct bigram, summed "
+    "exactly in DECIMAL(18,6); the rounding-margin ledger test "
+    "measures every distinct (cb, cu) term's distance to the nearest "
+    "rounding boundary (min ~1e-7 at the fixture, vs ~1e-15 libm "
+    "disagreement) so the JVM-vs-libm ln parity assumption is "
+    "evidence, not hope. avg = double(sum)/n (IEEE division, "
+    "bit-identical both engines).",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    bg = docs.select("doc_id", F.explode(shingles(toks, 2)).alias("b"))
+    bc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    pc = (
+        bg.groupBy(F.substring_index("b", " ", 1).alias("w1"))
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    model = (
+        bc.join(pc, F.substring_index(bc["b"], " ", 1) == pc["w1"])
+        .select(
+            "b",
+            F.round(F.log("cb") - F.log("cu"), 6)
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+    )
+    scored = bg.join(F.broadcast(model), "b")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("term").cast("double").alias("sum_logprob"),
+        (F.sum("term").cast("double") / F.count(F.lit(1))).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+@register(
     "q_fingerprint",
     oracle="""
         SELECT doc_id,

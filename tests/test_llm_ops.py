@@ -2231,3 +2231,77 @@ def test_substring_dupes_flags_planted_span_only(spark):
         toks = s.split(" ")
         assert len(toks) == 15 and row.n_docs >= 2
         assert set(toks) <= allowed
+
+
+def test_lm_perplexity_margin_ledger_and_reference(spark, duck):
+    """Two pieces of evidence for q_lm_perplexity's determinism story:
+    (1) rounding-margin ledger — every distinct (cb, cu) log term at
+    the verification scale sits far from a 6-decimal rounding boundary
+    (so a <=2-ulp libm-vs-JVM ln disagreement can never flip a rounded
+    term); (2) a numpy reference recomputes one document's score."""
+    import math
+
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.plans import all_queries
+
+    pairs = duck.execute(
+        """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(t) - 1),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS b
+            FROM toks WHERE len(t) >= 2
+        ),
+        bc AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+        pc AS (SELECT split_part(b, ' ', 1) AS w1, COUNT(*) AS cu
+               FROM bg GROUP BY 1)
+        SELECT DISTINCT bc.cb, pc.cu
+        FROM bc JOIN pc ON split_part(bc.b, ' ', 1) = pc.w1
+        """
+    ).fetchall()
+    terms = np.array(
+        [math.log(cb) - math.log(cu) for cb, cu in pairs], dtype=np.float64
+    )
+    scaled = terms * 1e6
+    margin = np.abs(np.abs(scaled - np.floor(scaled)) - 0.5).min()
+    # libm-vs-JVM ln disagree at ~1e-16 relative (~1e-15 here, scaled
+    # to ~1e-9 on the 1e6 grid); require 100x headroom over that.
+    assert margin > 1e-7, f"rounding margin too small: {margin}"
+
+    out = {
+        r.doc_id: r
+        for r in all_queries()["q_lm_perplexity"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    from collections import Counter
+
+    text = duck.execute(
+        "SELECT text FROM documents WHERE doc_id = 0"
+    ).fetchone()[0]
+    corpus = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    big = Counter()
+    pre = Counter()
+    for _, t in corpus:
+        ws = [w for w in t.split(" ") if w]
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+            pre[a] += 1
+    ws = [w for w in text.split(" ") if w]
+    doc_terms = [
+        round(math.log(big[(a, b)]) - math.log(pre[a]), 6)
+        for a, b in zip(ws, ws[1:])
+    ]
+    exp_sum = round(sum(doc_terms), 6)
+    got = out[0]
+    assert got.n_bigrams == len(doc_terms)
+    assert abs(got.sum_logprob - exp_sum) < 1e-9
+    assert abs(got.avg_logprob - exp_sum / len(doc_terms)) < 1e-12
+    # model sanity: probabilities, so every score is negative
+    assert all(r.avg_logprob < 0 for r in out.values())

@@ -807,3 +807,13 @@ def test_scd2_history_single_exchange_reused_partitioning(spark, qs):
     plan = explain_str(qs["q_scd2_history"](spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_lm_perplexity_broadcasts_model(spark, qs):
+    """The vocab-bounded bigram model must BROADCAST into the
+    per-occurrence scoring join — shuffling the exploded bigram
+    relation against a model thousands of times smaller would be the
+    classic unbroadcast-dimension bug."""
+    plan = explain_str(qs["q_lm_perplexity"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
