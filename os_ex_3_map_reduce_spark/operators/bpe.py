@@ -154,3 +154,61 @@ def bpe_train(
         merges,
         "step int, left string, right string, pair_count long, merged string",
     )
+
+
+def bpe_apply(syms: list, merges: list) -> list:
+    """Apply a merge table (priority-ordered (left, right) pairs) to one
+    symbol sequence: for each rule in order, fuse non-overlapping
+    occurrences left-to-right — the reference BPE encode semantics,
+    matching the training kernel's fusion rule exactly."""
+    for a, b in merges:
+        fused, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                fused.append(a + b)
+                i += 2
+            else:
+                fused.append(syms[i])
+                i += 1
+        syms = fused
+    return syms
+
+
+def bpe_encode_tokens(
+    docs_df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+) -> DataFrame:
+    """ENCODE side of the BPE pair (:func:`bpe_train` learns the rules,
+    this applies them): tokenize every document with the same BPE-ish
+    pre-tokenizer, split words to characters, fuse by the merge table,
+    and return one ``(token)`` row per emitted subword token.
+
+    ``merges`` is the priority-ordered merge list — a num_merges-row
+    driver constant (the trained table), shipped in the kernel closure
+    like the k-means seeds. The kernel is Arrow-batched and memoizes
+    the encode PER DISTINCT WORD within each batch — word frequency
+    follows Zipf, so the memo hit-rate is high and the per-row cost is
+    a dict lookup, the same argument as the training loop's
+    distinct-word relation. Downstream aggregation (counts, top-k)
+    map-side combines; nothing but token strings ever shuffles.
+    """
+    from ..functions.text import bpe_ish_tokens
+
+    rules = [(str(a), str(b)) for a, b in merges]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list] = {}
+        for pdf in batches:
+            out: list[str] = []
+            for words in pdf["ws"]:
+                for w in words:
+                    toks = memo.get(w)
+                    if toks is None:
+                        toks = bpe_apply(list(w), rules)
+                        memo[w] = toks
+                    out.extend(toks)
+            yield pd.DataFrame({"token": pd.Series(out, dtype=object)})
+
+    base = docs_df.select(bpe_ish_tokens(text_col).alias("ws"))
+    return base.mapInPandas(kernel, "token string")

@@ -2625,6 +2625,62 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bpe_encode",
+    # Pinned-expectation exact oracle (the q_ann_lsh_topk pattern,
+    # keyed per scale by the orders row count): the merge trajectory is
+    # partitioning-invariant (integer counts, total tiebreaks — the
+    # q_bpe_merges pin), and the encode of a fixed corpus under a fixed
+    # merge table is a pure function, so the top merged-token table is
+    # a per-scale CONSTANT. Cross-checked against a pure-Python
+    # reference encode in tests/test_llm_ops.py.
+    oracle="""
+        SELECT t AS token, CAST(c AS BIGINT) AS cnt
+        FROM (VALUES
+            (1500, 'er', 4650), (1500, 'or', 2880), (1500, 'in', 2858),
+            (1500, 'ow', 2763), (1500, 'st', 2721), (1500, 'lu', 1928),
+            (1500, 'par', 1873),
+            (15000, 'in', 2760), (15000, 'ow', 2747), (15000, 'er', 2716),
+            (15000, 'or', 2696), (15000, 'st', 2676), (15000, 'mer', 1852),
+            (15000, 'at', 1845), (15000, 'lu', 1831),
+            (150000, 'in', 27190), (150000, 'or', 27095),
+            (150000, 'st', 27060), (150000, 'ow', 27044),
+            (150000, 'er', 26915), (150000, 'ta', 18248),
+            (150000, 'lu', 18239), (150000, 'mer', 18174)
+        ) v(sf, t, c)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="BPE ENCODE — the apply side of the tokenizer pair "
+    "(q_bpe_merges trains the rules, this runs them over the corpus): "
+    "re-tokenize every document with the trained 8-rule merge table "
+    "and report the top learned subword tokens (length >= 2) by "
+    "corpus frequency, total (count desc, token) tiebreak. The merge "
+    "table is a num_merges-row driver constant shipped in the kernel "
+    "closure; the encode kernel is Arrow-batched with a per-batch "
+    "distinct-word memo (Zipf makes the hit-rate high), token counts "
+    "map-side combine, and the top-k is a TakeOrdered — the full "
+    "distributed tokenize-and-count pass a pretraining pipeline runs "
+    "to budget tokens (q_token_stats_bpe's regex proxy, replaced by "
+    "the LEARNED tokenizer).",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_tokens, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, num_merges=8).orderBy("step").collect()
+    ]
+    toks = bpe_encode_tokens(docs, merges)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.length("token") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(10)
+    )
+
+
+@register(
     "q_fingerprint_rolling",
     # The window hash is a pure function of its n token values —
     # h_i = (v_i·B² + v_{i+1}·B + v_{i+2}) mod M — so the oracle skips

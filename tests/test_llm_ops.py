@@ -2305,3 +2305,50 @@ def test_lm_perplexity_margin_ledger_and_reference(spark, duck):
     assert abs(got.avg_logprob - exp_sum / len(doc_terms)) < 1e-12
     # model sanity: probabilities, so every score is negative
     assert all(r.avg_logprob < 0 for r in out.values())
+
+
+def test_bpe_encode_matches_reference_and_reconstructs(spark, duck):
+    """bpe_encode_tokens against a from-scratch reference: encode every
+    sf0.001 document in pure Python with the same trained rules and
+    compare the FULL token histogram (not just the catalog's top-k);
+    concatenating each word's tokens must reconstruct the word."""
+    import re
+    from collections import Counter
+
+    from os_ex_3_map_reduce_spark.operators.bpe import (
+        bpe_apply,
+        bpe_encode_tokens,
+        bpe_train,
+    )
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, num_merges=8).orderBy("step").collect()
+    ]
+    assert len(merges) == 8
+
+    got = Counter(
+        {
+            r.token: r.cnt
+            for r in bpe_encode_tokens(docs, merges)
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+    )
+
+    import duckdb
+
+    texts = duckdb.connect().execute(
+        f"SELECT text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    ref = Counter()
+    for (t,) in texts:
+        for w in re.findall(r"[0-9A-Za-z]+|[^0-9A-Za-z\s]+", t):
+            toks = bpe_apply(list(w), merges)
+            assert "".join(toks) == w  # lossless
+            ref.update(toks)
+    assert got == ref
