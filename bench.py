@@ -169,6 +169,12 @@ BREADTH = [
     "q_pca_topk",
     "q_ann_sq_topk",
     "q_ppr",
+    # second round-10 continuation: corpus-dedup + tokenizer surfaces
+    "q_semdedup",
+    "q_substring_dupes",
+    "q_scd2_history",
+    "q_lm_perplexity",
+    "q_bpe_encode",
 ]
 
 

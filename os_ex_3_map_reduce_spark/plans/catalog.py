@@ -133,7 +133,14 @@ DRIVER_WINDOW = 50
 #: ladder, LUT-style no-reconstruction search, recall@5 = 1.0 pinned),
 #: and q_ppr (personalized PageRank, the tenth iterative graph pattern
 #: — same integer-exact machinery, CASE'd teleport, generated-CTE
-#: exact oracle).
+#: exact oracle). Second continuation session adds five more (same
+#: below-window policy, each tri-scale driver-sim green): q_semdedup
+#: (SemDeDup embedding-cluster dedup, exact oracle), q_substring_dupes
+#: (Lee-et-al duplicated 15-token spans, exact oracle), q_scd2_history
+#: (SCD2 validity intervals, exact oracle, single-exchange pin),
+#: q_lm_perplexity (bigram-LM document scoring, exact oracle +
+#: rounding-margin ledger) and q_bpe_encode (trained-tokenizer encode,
+#: pinned tri-scale + reference-encode cross-check).
 DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
@@ -151,6 +158,11 @@ DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_pca_topk",
     "q_ann_sq_topk",
     "q_ppr",
+    "q_semdedup",
+    "q_substring_dupes",
+    "q_scd2_history",
+    "q_lm_perplexity",
+    "q_bpe_encode",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified (late-r9 registrations) -> verify first
