@@ -122,6 +122,30 @@ after warm-up, linear budget = ratio 10):
       hub-capped wedge join + map-side-combined aggregates hold it
       to ~1/3 of linear.
 
+Second-continuation numbers (bench_continuation10b; warm best-of-2,
+linear budget = ratio 10):
+
+    q_substring_dupes        1.205 s -> 2.424 s   ratio 2.01
+      span space is disjoint per copy so output scales exactly 10x;
+      the map-side combine absorbs the within-partition repeats.
+    q_lm_perplexity          1.244 s -> 6.172 s   ratio 4.96
+      the heaviest honest ratio here: the suffixed staging grows the
+      MODEL 10x too (vocab per copy is disjoint), so both the
+      broadcast build and the scoring join scale — still half of
+      linear.
+    q_bpe_encode             4.921 s -> 11.382 s  ratio 2.31
+      dominated by the 8-round training loop (measured separately at
+      1.63); the encode pass itself amortizes via the word memo.
+    semdedup (k=8 -> k=80)   0.446 s -> 0.757 s   ratio 1.70
+      the SemDeDup scale contract applied: k grows with the corpus so
+      per-cluster quadratic work stays FLAT; the ratio is the
+      assignment scan + 10x cluster count.
+    scd2 (10x orders, disjoint custkeys)
+                             0.323 s -> 0.917 s   ratio 2.84
+      one exchange + per-customer windows; 10x customers at the same
+      per-customer density is the scale-out shape and the plan rides
+      it.
+
 CDC apply at 10x change volume (bench_cdc, round-9 queue item; warm,
 150k-row orders base at sf0.1):
 
@@ -422,6 +446,119 @@ def bench_continuation10(spark, scaled: str) -> None:
         )
 
 
+def bench_continuation10b(spark, scaled: str) -> None:
+    """10x draws for the second continuation batch: substring-span
+    dedup, bigram-LM scoring and the learned-tokenizer encode run the
+    CATALOG queries on the staged corpus (documents are 10x with
+    per-copy token suffixes, so span/vocab/bigram spaces are disjoint
+    and outputs scale exactly 10x); SemDeDup follows its own scale
+    contract — k grows with the corpus so cluster size stays constant
+    (base k=8 on 2k vectors vs k=80 on 20k: per-cluster quadratic
+    work is FLAT, cluster count 10x); SCD2 runs on an in-memory 10x
+    orders replication with disjoint customer spaces (10x customers
+    at the same per-customer run density — the scale-out shape)."""
+    from pyspark.sql.window import Window
+
+    from os_ex_3_map_reduce_spark.operators.dedup import semantic_dedup
+
+    qs = all_queries()
+    out: dict[str, dict[str, float]] = {"base": {}, f"x{COPIES}": {}}
+    for name in ("q_substring_dupes", "q_lm_perplexity", "q_bpe_encode"):
+        for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+            _materialize(qs[name](spark, path))
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, path))
+            out[label][name] = round(time.perf_counter() - t0, 3)
+
+    for label, path, k in (("base", BASE_SF, 8), (f"x{COPIES}", scaled, 80)):
+        emb = spark.read.parquet(f"{path}/embeddings.parquet").persist()
+        emb.count()
+        _materialize(semantic_dedup(emb, threshold=0.4, k=k))
+        t0 = time.perf_counter()
+        _materialize(semantic_dedup(emb, threshold=0.4, k=k))
+        out[label][f"semdedup_k{k}"] = round(time.perf_counter() - t0, 3)
+        emb.unpersist()
+
+    orders1 = spark.read.parquet(f"{BASE_SF}/orders.parquet").persist()
+    orders1.count()
+    orders10 = (
+        orders1.crossJoin(
+            F.broadcast(spark.range(COPIES).select(F.col("id").alias("copy")))
+        )
+        .select(
+            (F.col("o_custkey") + F.col("copy") * 10_000_000).alias(
+                "o_custkey"
+            ),
+            (F.col("o_orderkey") + F.col("copy") * 1_000_000_000).alias(
+                "o_orderkey"
+            ),
+            "o_orderpriority",
+            "o_orderdate",
+        )
+        .persist()
+    )
+    orders10.count()
+
+    def scd2(orders) -> float:
+        w_all = Window.partitionBy("o_custkey").orderBy(
+            "o_orderdate", "o_orderkey"
+        )
+        w_val = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+            "o_orderdate", "o_orderkey"
+        )
+        seq = orders.select(
+            "o_custkey",
+            "o_orderpriority",
+            F.row_number().over(w_all).alias("rn"),
+            F.row_number().over(w_val).alias("rnp"),
+            "o_orderdate",
+        )
+        runs = seq.groupBy(
+            "o_custkey",
+            "o_orderpriority",
+            (F.col("rn") - F.col("rnp")).alias("grp"),
+        ).agg(
+            F.min("o_orderdate").alias("from_ts"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("rn").alias("first_rn"),
+        )
+        w_ver = Window.partitionBy("o_custkey").orderBy("first_rn")
+        res = runs.select(
+            "o_custkey",
+            "o_orderpriority",
+            F.row_number().over(w_ver).alias("version"),
+            "n_orders",
+            F.date_format("from_ts", "yyyy-MM-dd").alias("valid_from"),
+        )
+        _materialize(res)
+        t0 = time.perf_counter()
+        _materialize(res)
+        return round(time.perf_counter() - t0, 3)
+
+    out["base"]["scd2_sec"] = scd2(orders1)
+    out[f"x{COPIES}"]["scd2_sec"] = scd2(orders10)
+    orders1.unpersist()
+    orders10.unpersist()
+
+    base_r, big_r = out["base"], out[f"x{COPIES}"]
+    keys = list(base_r)
+    for i, key in enumerate(keys):
+        big_key = list(big_r)[i]
+        print(
+            json.dumps(
+                {
+                    "query": f"continuation10b_{key}",
+                    "base_sec": base_r[key],
+                    f"x{COPIES}_sec": big_r[big_key],
+                    "ratio": round(big_r[big_key] / base_r[key], 2)
+                    if base_r[key]
+                    else None,
+                }
+            ),
+            flush=True,
+        )
+
+
 def bench_graph10(spark) -> None:
     """10x draws for the late-r9 graph additions (VERDICT r9 #6):
     triangle counting and weighted SSSP on deterministic synthetic
@@ -686,6 +823,7 @@ def main() -> None:
         )
     bench_ann_batch10(spark, scaled)
     bench_continuation10(spark, scaled)
+    bench_continuation10b(spark, scaled)
     bench_graph10(spark)
     bench_ingest10(spark, scaled)
     bench_cdc(spark)
