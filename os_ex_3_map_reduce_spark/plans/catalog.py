@@ -66,82 +66,53 @@ def _load_all() -> None:
 #: first, ~30 swaps per round so the stale tail keeps refreshing.
 DRIVER_WINDOW = 50
 
-#: Round-10 priority prefix (exactly DRIVER_WINDOW names). History as
-#: of CORRECTNESS_r09: 50/50 green; latest verdicts split 50 r9 /
-#: 48 r8 / 44 r7; no query has ever ended a round red. VERDICT r9
-#: directive #1: front the 8 late-r9 registrations that have never
-#: been driver-verified, then anything round 10 changes, then the
-#: oldest r7-stale names. Composition (8 + 5 + 7 + 30 = 50):
-#: - the 8 NEVER-driver-verified late-r9 registrations (each tri-scale
-#:   driver-sim validated at registration and judge-verified ALL MATCH
-#:   in the r9 session — external verification still outstanding):
-#:   q_similarity_topk_batch, q_ann_lsh_batch, q_ann_pq_topk,
-#:   q_ann_pq_recall, q_sssp_weighted, q_labelprop, q_triangles,
-#:   q_stream_full_outer_join (the r9 snapshot commit's late arrival
-#:   ADVICE r9 flagged as missing from this list);
-#: - 5 NEW in round 10: q_ann_ivf_append (incremental IVF index
-#:   maintenance, VERDICT r9 #2), q_cc_starcontract (large-star/
-#:   small-star contraction CC, VERDICT r9 #7), q_ann_ivfpq_topk
-#:   (fused IVF-PQ batch search — the composed top rung of the memory
-#:   ladder), q_dedup_ingest (delta-vs-written-index near-dup lookup
-#:   — dedup-at-ingest, the E2 index-maintenance analog) and
-#:   q_stream_dedup_ingest (the same lookup as a foreachBatch stream,
-#:   hash-identical to the batch result) — each tri-scale driver-sim
-#:   validated at registration;
-#: - 7 whose scoring kernels changed in round 10 (np.round half-to-even
-#:   -> explicit half-away-from-zero in the Arrow batch kernels,
-#:   ADVICE r9; cosine_to_query NULL-embedding guard): q_similarity_
-#:   topk, q_embedding_topk_pairs, q_embedding_neardup, q_ann_lsh_topk,
-#:   q_ann_lsh_recall, q_ann_ivf_topk, q_ann_ivf_batch — fixture
-#:   values are unchanged (measured rounding margins >= 1e-5 vs the
-#:   5e-5 boundary), so these re-verify rather than re-pin;
-#: - 30 of the 41 remaining r7-stale names, tool order
-#:   (tools/rotation.py). The 11 left for r11: q_sample_budget,
-#:   q_sessionize, q_set_ops_all, q_setsim_prefix,
-#:   q_shipping_priority, q_simhash_neardup, q_string_fns,
-#:   q_time_interpolate, q_trend_ols, q_unpivot, q_window_misc.
-#: After r10 the expected distribution: 50 r10 / ~50 r9 / ~44 r8/r7,
-#: every previously-registered query carrying an external verdict.
-#: SIX queries registered late in r10 sit BELOW the priority prefix
-#: so the window keeps its stale-refresh breadth (the r9 late-landing
-#: precedent; each tri-scale driver-sim validated at registration,
-#: queued for r11 fronting): q_ann_ivfpq_residual (faiss
-#: residual-IVFPQ), q_shard_shuffle (deterministic training-order
-#: shuffle into shards), q_upsample_quality (mixture upsampling by
-#: deterministic quality weight), q_kcore (fixed-point k-core peel,
-#: the seventh iterative graph pattern) and q_ann_ivfpq_append
-#: (composed residual-IVFPQ index maintenance, both quantizers
-#: persisted, rebuild_match proof in-query) and q_corenumbers (full
-#: coreness via the h-index fixpoint, the eighth iterative pattern).
-#: Round-10 continuation additions (same below-window policy):
-#: q_range_search_batch (brute batch cosine range search — the faiss
-#: range_search surface, pure-SQL exact oracle, zero-shuffle plan
-#: pinned) and q_ann_ivf_range (IVF probe-pruned range search with
-#: in-query completeness + score-checksum evidence, pinned tri-scale),
-#: plus q_kmeans_lloyd (fully distributed integer-exact Lloyd k-means
-#: with an exact unrolled-CTE oracle — no pins on an iterative ML op)
-#: and q_linkpred (resource-allocation link prediction, the ninth
-#: graph pattern — integer-exact, hub-capped wedge join, exact oracle)
-#: and q_stream_right_outer_join (completes the watermarked stream-
-#: stream outer-join family; exact batch RIGHT JOIN oracle), and
-#: q_bpe_merges (distributed BPE merge training over the distinct-word
-#: relation — pinned tri-scale, reference-BPE cross-checked in tests),
-#: q_gram_matrix (one-pass distributed XtX + column sums, exact SQL
-#: oracle) and q_pca_topk (Gramian PCA: driver eigendecomposition of
-#: the exactly-aggregated covariance, pinned tri-scale), and
-#: q_ann_sq_topk (SQ8 scalar quantization — the 8x rung of the memory
-#: ladder, LUT-style no-reconstruction search, recall@5 = 1.0 pinned),
-#: and q_ppr (personalized PageRank, the tenth iterative graph pattern
-#: — same integer-exact machinery, CASE'd teleport, generated-CTE
-#: exact oracle). Second continuation session adds five more (same
-#: below-window policy, each tri-scale driver-sim green): q_semdedup
-#: (SemDeDup embedding-cluster dedup, exact oracle), q_substring_dupes
-#: (Lee-et-al duplicated 15-token spans, exact oracle), q_scd2_history
-#: (SCD2 validity intervals, exact oracle, single-exchange pin),
-#: q_lm_perplexity (bigram-LM document scoring, exact oracle +
-#: rounding-margin ledger) and q_bpe_encode (trained-tokenizer encode,
-#: pinned tri-scale + reference-encode cross-check).
-DRIVER_R11_QUEUE: tuple[str, ...] = (
+#: Round-11 priority prefix (exactly DRIVER_WINDOW names). History as
+#: of round-11 start: CORRECTNESS_r10 was NEVER produced — the round-10
+#: driver session (and its two continuations) registered 26 new queries
+#: and re-fronted 20 changed/unverified names, but no external
+#: verification ran. tools/rotation.py therefore reports 34
+#: never-verified names at HEAD. Composition (34 + 7 + 9 = 50):
+#: - the 34 NEVER-driver-verified names, oldest registration first:
+#:   the 8 late-r9 registrations (judge-verified ALL MATCH in the r9
+#:   session, external row still outstanding), the 5 r10 main-session
+#:   additions (ivf_append / cc_starcontract / ivfpq_topk /
+#:   dedup_ingest / stream_dedup_ingest), then the 21 r10
+#:   late/continuation registrations (residual IVF-PQ + append, shard
+#:   shuffle, quality upsample, k-core + corenumbers, range search x2,
+#:   Lloyd k-means, link prediction, stream right-outer, BPE train +
+#:   encode, Gram matrix, PCA, SQ8, PPR, SemDeDup, substring dupes,
+#:   SCD2, LM perplexity). Each was tri-scale driver-sim green at
+#:   registration.
+#: - 7 whose scoring kernels changed in round 10 (half-away-from-zero
+#:   rounding, NULL-embedding guard) whose last green verdict predates
+#:   that change: q_similarity_topk, q_embedding_topk_pairs,
+#:   q_embedding_neardup, q_ann_lsh_topk, q_ann_lsh_recall,
+#:   q_ann_ivf_topk, q_ann_ivf_batch (fixture values unchanged —
+#:   measured rounding margins >= 1e-5 vs the 5e-5 boundary).
+#: - 9 oldest r7-stale names, tool order. The 32 r7-stale left for
+#:   r12: q_date_parts .. q_window_misc (tools/rotation.py prints
+#:   them).
+#: Queries registered late in round 11 park BELOW the window in
+#: DRIVER_R12_QUEUE (the established late-landing policy) so the
+#: stale-refresh breadth is preserved.
+DRIVER_R12_QUEUE: tuple[str, ...] = ()
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-verified: late-r9 registrations
+    "q_similarity_topk_batch",
+    "q_ann_lsh_batch",
+    "q_ann_pq_topk",
+    "q_ann_pq_recall",
+    "q_sssp_weighted",
+    "q_labelprop",
+    "q_triangles",
+    "q_stream_full_outer_join",
+    # never driver-verified: round-10 main session
+    "q_ann_ivf_append",
+    "q_cc_starcontract",
+    "q_ann_ivfpq_topk",
+    "q_dedup_ingest",
+    "q_stream_dedup_ingest",
+    # never driver-verified: round-10 late + continuation sessions
     "q_ann_ivfpq_residual",
     "q_shard_shuffle",
     "q_upsample_quality",
@@ -163,24 +134,8 @@ DRIVER_R11_QUEUE: tuple[str, ...] = (
     "q_scd2_history",
     "q_lm_perplexity",
     "q_bpe_encode",
-)
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-verified (late-r9 registrations) -> verify first
-    "q_similarity_topk_batch",
-    "q_ann_lsh_batch",
-    "q_ann_pq_topk",
-    "q_ann_pq_recall",
-    "q_sssp_weighted",
-    "q_labelprop",
-    "q_triangles",
-    "q_stream_full_outer_join",
-    # new in round 10
-    "q_ann_ivf_append",
-    "q_cc_starcontract",
-    "q_ann_ivfpq_topk",
-    "q_dedup_ingest",
-    "q_stream_dedup_ingest",
-    # scoring-kernel rounding / null-guard changed in round 10
+    # scoring-kernel rounding / null-guard changed in round 10,
+    # last green verdict predates the change
     "q_similarity_topk",
     "q_embedding_topk_pairs",
     "q_embedding_neardup",
@@ -188,7 +143,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ann_lsh_recall",
     "q_ann_ivf_topk",
     "q_ann_ivf_batch",
-    # oldest r7-stale names (30 of 41, tools/rotation.py order)
+    # oldest r7-stale names (9 of 41, tools/rotation.py order)
     "q_above_nation_avg",
     "q_agg_filtered",
     "q_array_fns",
@@ -198,27 +153,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_chi2_terms",
     "q_cohort_retention",
     "q_data_contract",
-    "q_date_parts",
-    "q_date_trunc",
-    "q_drift_ks",
-    "q_event_transitions",
-    "q_funnel",
-    "q_gini",
-    "q_histogram_equidepth",
-    "q_hof_fns",
-    "q_incremental_agg",
-    "q_join_cross",
-    "q_join_nullsafe",
-    "q_mad_robust",
-    "q_map_fns",
-    "q_mapreduce_wordcount",
-    "q_math_fns",
-    "q_multimodal_audio_frames",
-    "q_outlier_zscore",
-    "q_percentiles",
-    "q_pii_redact",
-    "q_profile_stats",
-    "q_regexp_fns",
 )
 
 

@@ -12,11 +12,11 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
 )
 
 # Queries that MUST be inside the verification window this round
-# (round 10: VERDICT r9 directive #1 — the 8 never-driver-verified
-# late-r9 registrations first, then the round-10 additions and the
-# queries whose scoring kernels changed this round; the r7-stale
-# rotation fill is policy, not a hard requirement, so it is not
-# pinned here).
+# (round 11: CORRECTNESS_r10 never ran, so every name that was
+# unverified or changed going into round 10 is STILL unverified —
+# all 34 never-verified names plus the 7 kernel-changed ones must
+# hold window slots; the r7-stale rotation fill is policy, not a
+# hard requirement, so it is not pinned here).
 MUST_BE_IN_WINDOW = {
     # never driver-verified (late-r9 registrations)
     "q_similarity_topk_batch",
@@ -27,13 +27,36 @@ MUST_BE_IN_WINDOW = {
     "q_labelprop",
     "q_triangles",
     "q_stream_full_outer_join",
-    # new in round 10
+    # never driver-verified (round-10 main session)
     "q_ann_ivf_append",
     "q_cc_starcontract",
     "q_ann_ivfpq_topk",
     "q_dedup_ingest",
     "q_stream_dedup_ingest",
-    # rounding / null-guard kernel changes in round 10
+    # never driver-verified (round-10 late + continuation sessions)
+    "q_ann_ivfpq_residual",
+    "q_shard_shuffle",
+    "q_upsample_quality",
+    "q_kcore",
+    "q_ann_ivfpq_append",
+    "q_corenumbers",
+    "q_range_search_batch",
+    "q_ann_ivf_range",
+    "q_kmeans_lloyd",
+    "q_linkpred",
+    "q_stream_right_outer_join",
+    "q_bpe_merges",
+    "q_gram_matrix",
+    "q_pca_topk",
+    "q_ann_sq_topk",
+    "q_ppr",
+    "q_semdedup",
+    "q_substring_dupes",
+    "q_scd2_history",
+    "q_lm_perplexity",
+    "q_bpe_encode",
+    # rounding / null-guard kernel changes in round 10, last green
+    # verdict predates the change
     "q_similarity_topk",
     "q_embedding_topk_pairs",
     "q_embedding_neardup",
@@ -90,13 +113,13 @@ def test_generated_docs_in_sync_with_registry():
         assert phrase in readme, f"README.md stale: expected {phrase!r}"
 
 
-def test_r11_queue_names_registered_and_below_window():
+def test_r12_queue_names_registered_and_below_window():
     """Late-round registrations parked below the verification window
     (the r9 precedent) must exist in the registry and must NOT occupy
     window slots — they are queued for fronting next rotation."""
-    from os_ex_3_map_reduce_spark.plans.catalog import DRIVER_R11_QUEUE
+    from os_ex_3_map_reduce_spark.plans.catalog import DRIVER_R12_QUEUE
 
     qs = set(all_queries())
-    for name in DRIVER_R11_QUEUE:
+    for name in DRIVER_R12_QUEUE:
         assert name in qs, name
         assert name not in DRIVER_PRIORITY, name
