@@ -1234,6 +1234,64 @@ def lsh_bucketed_topk(
     )
 
 
+def rerank_exact(
+    emb_df: DataFrame,
+    queries: Iterable[Iterable[float]],
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Stage-2 exact refinement — the two-stage retrieval shape every
+    production vector store runs (faiss ``IndexRefineFlat`` /
+    "search k*k_factor with the compressed index, re-rank with the
+    floats"): a compressed first stage (PQ/SQ/LSH) returns C
+    candidates per query cheaply but with quantization error in the
+    scores; this pass joins those candidates BACK to the float-vector
+    relation and re-scores them exactly, keeping top-``k`` per query
+    by exact cosine.
+
+    Scale shape: the candidate relation is Q x C rows — broadcast it
+    into a hash join against the vector relation, so the only shuffle
+    anywhere is the final bounded top-k window over <= Q x C rows.
+    Scoring is the JVM fold path (``cosine_to_query`` per query in a
+    CASE chain — Q is a small batch, so the chain stays in codegen;
+    zero Python). At 100 TB the refine scan reads the same
+    ``ivf_write`` list-partitioned layout the coarse stage probed, so
+    partition pruning bounds it to the probed lists; here the fixture
+    relation is a single parquet scan.
+
+    ``candidates`` must carry (query_id, ``id_col``, rank) — the
+    contract every batch search kernel in this module emits; its rank
+    is kept as ``coarse_rank`` evidence so the output shows exactly
+    which re-orderings the refine pass made.
+
+    Output: (query_id, vec_id, exact_score, coarse_rank, rank)."""
+    from pyspark.sql import Window
+
+    qvs = [list(map(float, q)) for q in queries]
+    if not qvs:
+        raise ValueError("rerank: empty query batch")
+    cand = candidates.select(
+        "query_id", F.col(id_col), F.col("rank").alias("coarse_rank")
+    )
+    joined = emb_df.join(F.broadcast(cand), id_col)
+    chain = None
+    for qi, qv in enumerate(qvs):
+        score = F.round(cosine_to_query(emb_col, qv), 4)
+        cond = F.col("query_id") == qi
+        chain = F.when(cond, score) if chain is None else chain.when(cond, score)
+    scored = joined.withColumn("exact_score", chain)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("exact_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "exact_score", "coarse_rank", "rank")
+    )
+
+
 def ivf_index_compact(spark, path: str) -> dict:
     """Compaction for an appended IVF index: rewrite every ``list_id``
     partition back to one file. Each :func:`ivf_append` adds at least

@@ -95,7 +95,9 @@ DRIVER_WINDOW = 50
 #: Queries registered late in round 11 park BELOW the window in
 #: DRIVER_R12_QUEUE (the established late-landing policy) so the
 #: stale-refresh breadth is preserved.
-DRIVER_R12_QUEUE: tuple[str, ...] = ()
+DRIVER_R12_QUEUE: tuple[str, ...] = (
+    "q_ann_rerank",
+)
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations
     "q_similarity_topk_batch",

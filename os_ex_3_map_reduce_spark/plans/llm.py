@@ -2100,6 +2100,121 @@ def q_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ann_rerank",
+    # Two-stage retrieval: deterministic IVF-PQ coarse stage (same
+    # seeded pipeline as q_ann_ivfpq_topk) + exact JVM-fold refine, so
+    # the output on a fixed fixture is a constant — measured identical
+    # under shuffle.partitions 32/7/13 at every fixture scale before
+    # pinning (tools/pin_scales.py recipe). Pins keyed per scale by
+    # the orders row count. The pins themselves carry the refine
+    # story: exact_score is the true cosine (self-match = 1.0 again,
+    # unlike the ADC rungs), coarse_rank shows the re-orderings the
+    # refine made, and recall_at_5 ≥ the plain-PQ recall by
+    # construction (asserted in tests, measured in q_ann_pq_recall).
+    # The sf0.1 recalls (0.8 / 0.2 / 0.4) are probe misses, not
+    # quantization error — nprobe=4/16 is held fixed while the corpus
+    # grows 100x, so the coarse stage itself skips the true
+    # neighbors' lists; the refine stage can only fix what stage 1
+    # surfaces. That is the honest tuning knob the query documents.
+    oracle="""
+        SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+               CAST(s AS DOUBLE) AS exact_score,
+               CAST(cr AS INTEGER) AS coarse_rank, CAST(r AS INTEGER) AS rank,
+               CAST(er AS INTEGER) AS exact_rank,
+               CAST(rec AS DOUBLE) AS recall_at_5
+        FROM (VALUES
+            (1500,   0,    0, 1.0,    1,  1, 1,    0.6),
+            (1500,   0,   17, 0.3345, 22, 2, 2,    0.6),
+            (1500,   0,  212, 0.2814, 12, 5, NULL, 0.6),
+            (1500,   0,  225, 0.3151, 3,  3, 3,    0.6),
+            (1500,   0,  260, 0.2987, 6,  4, NULL, 0.6),
+            (1500,   1,    1, 1.0,    1,  1, 1,    1.0),
+            (1500,   1,  129, 0.3515, 4,  4, 4,    1.0),
+            (1500,   1,  209, 0.3815, 13, 3, 3,    1.0),
+            (1500,   1,  257, 0.3918, 2,  2, 2,    1.0),
+            (1500,   1,  376, 0.3048, 14, 5, 5,    1.0),
+            (1500,   2,    2, 1.0,    1,  1, 1,    0.8),
+            (1500,   2,   62, 0.29,   19, 3, 3,    0.8),
+            (1500,   2,   91, 0.2789, 3,  5, NULL, 0.8),
+            (1500,   2,  246, 0.2898, 10, 4, 4,    0.8),
+            (1500,   2,  443, 0.3576, 2,  2, 2,    0.8),
+            (15000,  0,    0, 1.0,    1,  1, 1,    1.0),
+            (15000,  0,  334, 0.3627, 2,  3, 3,    1.0),
+            (15000,  0,  365, 0.37,   4,  2, 2,    1.0),
+            (15000,  0,  387, 0.3311, 14, 4, 4,    1.0),
+            (15000,  0,  423, 0.2969, 7,  5, 5,    1.0),
+            (15000,  1,    1, 1.0,    1,  1, 1,    0.6),
+            (15000,  1,   27, 0.3482, 3,  3, 3,    0.6),
+            (15000,  1,   64, 0.3164, 9,  4, NULL, 0.6),
+            (15000,  1,  124, 0.3028, 4,  5, NULL, 0.6),
+            (15000,  1,  386, 0.3715, 2,  2, 2,    0.6),
+            (15000,  2,    2, 1.0,    1,  1, 1,    0.8),
+            (15000,  2,  117, 0.3181, 3,  2, 2,    0.8),
+            (15000,  2,  145, 0.2635, 11, 4, 4,    0.8),
+            (15000,  2,  418, 0.254,  4,  5, NULL, 0.8),
+            (15000,  2,  450, 0.2663, 16, 3, 3,    0.8),
+            (150000, 0,    0, 1.0,    1,  1, 1,    0.8),
+            (150000, 0,  291, 0.3919, 11, 2, 3,    0.8),
+            (150000, 0,  510, 0.3445, 5,  4, 5,    0.8),
+            (150000, 0, 1020, 0.376,  16, 3, 4,    0.8),
+            (150000, 0, 1511, 0.3288, 7,  5, NULL, 0.8),
+            (150000, 1,    1, 1.0,    1,  1, 1,    0.2),
+            (150000, 1,  134, 0.3064, 10, 5, NULL, 0.2),
+            (150000, 1,  173, 0.3109, 13, 4, NULL, 0.2),
+            (150000, 1, 1832, 0.3312, 3,  3, NULL, 0.2),
+            (150000, 1, 1843, 0.3399, 19, 2, NULL, 0.2),
+            (150000, 2,    2, 1.0,    1,  1, 1,    0.4),
+            (150000, 2,  848, 0.3008, 9,  5, NULL, 0.4),
+            (150000, 2, 1053, 0.356,  16, 2, 5,    0.4),
+            (150000, 2, 1196, 0.3168, 15, 4, NULL, 0.4),
+            (150000, 2, 1912, 0.3519, 11, 3, NULL, 0.4)
+        ) t(sf, q, v, s, cr, r, er, rec)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="Two-stage ANN retrieval (operators/similarity.py "
+    "rerank_exact — the faiss IndexRefineFlat / search-then-rerank "
+    "shape production vector stores run): stage 1 answers Q=3 queries "
+    "with the 32x-compressed IVF-PQ index (ADC over 4 probed lists of "
+    "16, k*k_factor=24 candidates/query), stage 2 broadcast-joins "
+    "those Q x 24 candidate ids back to the float vectors and "
+    "re-scores them EXACTLY with the JVM cosine fold, keeping top-5. "
+    "The compressed index bounds the scan; the floats are touched "
+    "only for the candidate set — the memory/fidelity trade both "
+    "rungs alone can't make. Each row carries coarse_rank (the ADC "
+    "rank it arrived with) and recall_at_5 vs the brute-force exact "
+    "top-5, computed in-query. Pinned-expectation exact oracle keyed "
+    "per scale: see registration comment.",
+)
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_search_batch, pq_encode, pq_train
+    from ..operators.similarity import rerank_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+        )
+    ]
+    centroids = train_centroids_sample(emb, nlist=16)
+    cb = pq_train(emb, m=16, ksub=16)
+    codes = pq_encode(
+        ivf_assign(emb, centroids).withColumnRenamed("e", "embedding"),
+        cb,
+        keep_cols=["list_id"],
+    )
+    cand = ivfpq_search_batch(codes, cb, centroids, qvs, k=24, nprobe=4)
+    refined = rerank_exact(emb, qvs, cand, k=5)
+    exact = topk_to_query_batch(emb, qvs, k=5).select(
+        "query_id", "vec_id", F.col("rank").alias("exact_rank")
+    )
+    return refined.join(exact, ["query_id", "vec_id"], "left").withColumn(
+        "recall_at_5",
+        F.count("exact_rank").over(Window.partitionBy("query_id")) / 5.0,
+    )
+
+
 # --- text analysis (E4) --------------------------------------------------
 
 

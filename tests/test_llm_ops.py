@@ -2352,3 +2352,91 @@ def test_bpe_encode_matches_reference_and_reconstructs(spark, duck):
             assert "".join(toks) == w  # lossless
             ref.update(toks)
     assert got == ref
+
+
+def test_rerank_recall_never_below_adc_and_fixes_quantization(spark):
+    """Two-stage retrieval contract (rerank_exact): re-ranking the
+    coarse stage's top-C candidates with exact cosines must never
+    lose recall@5 vs taking the ADC top-5 directly (the refined top-5
+    is chosen from a superset that CONTAINS the ADC top-5, scored
+    exactly), and every refined score must equal the independently
+    computed exact cosine for that (query, vec) pair."""
+    from os_ex_3_map_reduce_spark.operators.pq import (
+        ivfpq_search_batch,
+        pq_encode,
+        pq_train,
+    )
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        ivf_assign,
+        rerank_exact,
+        topk_to_query_batch,
+        train_centroids_sample,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+        )
+    ]
+    cents = train_centroids_sample(emb, nlist=16)
+    cb = pq_train(emb, m=16, ksub=16)
+    codes = pq_encode(
+        ivf_assign(emb, cents).withColumnRenamed("e", "embedding"),
+        cb,
+        keep_cols=["list_id"],
+    )
+    cand = ivfpq_search_batch(codes, cb, cents, qvs, k=24, nprobe=4).persist()
+    cand.count()
+    refined = rerank_exact(emb, qvs, cand, k=5)
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in topk_to_query_batch(emb, qvs, k=5).collect()
+    }
+    adc5 = {(r.query_id, r.vec_id) for r in cand.collect() if r.rank <= 5}
+    got = refined.collect()
+    cand.unpersist()
+    ref5 = {(r.query_id, r.vec_id) for r in got}
+    assert len(ref5 & set(exact)) >= len(adc5 & set(exact))
+    # refined scores are the true cosines (sf0.01 fixture: refine
+    # finds every exact hit the probes surfaced; spot-check values)
+    for r in got:
+        if (r.query_id, r.vec_id) in exact:
+            assert r.exact_score == exact[(r.query_id, r.vec_id)]
+    # self-match restored to 1.0 (ADC scores it ~0.7)
+    assert all(
+        r.exact_score == 1.0 for r in got if r.query_id == r.vec_id
+    )
+
+
+def test_rerank_candidate_contract_and_empty_batch(spark):
+    """rerank_exact rejects an empty query batch and respects the
+    candidate relation: rows never in the candidates cannot appear in
+    the refined output even if their exact score is high."""
+    import pytest as _pytest
+
+    from os_ex_3_map_reduce_spark.operators.similarity import rerank_exact
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    with _pytest.raises(ValueError):
+        rerank_exact(emb, [], emb.limit(0), k=5)
+    # candidates deliberately EXCLUDE vec_id 0 (the query itself)
+    cand = (
+        emb.where((F.col("vec_id") > 0) & (F.col("vec_id") < 40))
+        .select(
+            F.lit(0).cast("long").alias("query_id"),
+            "vec_id",
+            F.row_number()
+            .over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.orderBy("vec_id")
+            )
+            .alias("rank"),
+        )
+    )
+    got = rerank_exact(emb, [qv], cand, k=5).collect()
+    assert len(got) == 5
+    assert all(r.vec_id != 0 for r in got)  # self-match never injected
+    assert all(1 <= r.coarse_rank <= 39 for r in got)
