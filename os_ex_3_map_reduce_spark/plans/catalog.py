@@ -97,6 +97,7 @@ DRIVER_WINDOW = 50
 #: stale-refresh breadth is preserved.
 DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_rerank",
+    "q_dsir_select",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

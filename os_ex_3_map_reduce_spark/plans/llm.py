@@ -2456,6 +2456,142 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dsir_select",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+            FROM documents
+        ),
+        uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+        bi AS (
+            SELECT doc_id, lang, unnest(list_transform(
+                generate_series(1, len(t) - 1),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS f
+            FROM toks WHERE len(t) >= 2
+        ),
+        feats AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(f), 1, 4))::INT % 64 AS b
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        ),
+        sc AS (SELECT b, COUNT(*) AS s FROM feats GROUP BY b),
+        tc AS (SELECT b, COUNT(*) AS tt FROM feats WHERE lang = 'en'
+               GROUP BY b),
+        tot AS (SELECT (SELECT COUNT(*) FROM feats) AS src_n,
+                       (SELECT COUNT(*) FROM feats WHERE lang = 'en') AS tgt_n),
+        model AS (
+            SELECT sc.b,
+                   CAST(round(ln(COALESCE(tc.tt, 0) + 1) - ln(sc.s + 1), 6)
+                        AS DECIMAL(18,6)) AS term
+            FROM sc LEFT JOIN tc ON sc.b = tc.b
+        ),
+        konst AS (
+            SELECT CAST(round(ln(src_n + 64) - ln(tgt_n + 64), 6)
+                        AS DECIMAL(18,6)) AS c
+            FROM tot
+        ),
+        scored AS (
+            SELECT f.doc_id, COUNT(*) AS n_features, SUM(m.term) AS sum_term
+            FROM feats f JOIN model m ON f.b = m.b
+            GROUP BY f.doc_id
+        ),
+        wtd AS (
+            SELECT doc_id, n_features,
+                   sum_term + n_features * (SELECT c FROM konst) AS logw_d
+            FROM scored
+        )
+        SELECT doc_id, n_features, CAST(logw_d AS DOUBLE) AS logw,
+               CAST(row_number() OVER (ORDER BY logw_d DESC, doc_id)
+                    AS INTEGER) AS rank
+        FROM wtd ORDER BY logw_d DESC, doc_id LIMIT 50
+    """,
+    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): score every document "
+    "by its importance weight between a TARGET feature distribution "
+    "(here the lang='en' slice standing in for the high-quality "
+    "corpus) and the full SOURCE distribution, over hashed n-gram "
+    "features — unigrams + bigrams hashed into 64 buckets (md5-prefix "
+    "hashing, engine-portable), the paper's hashed bag-of-ngrams "
+    "model. log w(d) = sum_b n_db*(ln p_tgt(b) - ln p_src(b)) with "
+    "+1 smoothing decomposes into per-bucket terms plus a global "
+    "constant x feature count, so the plan is: one explode + bucket "
+    "groupBy pair for the two distributions (map-side combined; the "
+    "model is 64 rows -> BROADCAST into the per-occurrence scoring "
+    "join), one groupBy(doc_id), and a distributed top-50 "
+    "(orderBy+limit = TakeOrdered partial top-k, no global window). "
+    "Determinism: each term is ln(int)-ln(int) rounded half-away to "
+    "6dp ONCE per bucket, summed exactly in DECIMAL(18,6) (the "
+    "q_lm_perplexity recipe; rounding-margin ledger in tests); "
+    "selection order compares decimals with a doc_id tiebreak.",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    feats_arr = F.concat(toks, shingles(toks, 2))
+    bucket = (
+        F.conv(F.substring(F.md5("f"), 1, 4), 16, 10).cast("int") % 64
+    ).alias("b")
+    feats = docs.select(
+        "doc_id", "lang", F.explode(feats_arr).alias("f")
+    ).select("doc_id", "lang", bucket)
+    sc_ = feats.groupBy("b").agg(F.count(F.lit(1)).alias("s"))
+    tc_ = (
+        feats.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tt"))
+    )
+    model = sc_.join(tc_, "b", "left").select(
+        "b",
+        F.round(
+            F.log(F.coalesce(F.col("tt"), F.lit(0)) + F.lit(1))
+            - F.log(F.col("s") + F.lit(1)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("term"),
+    )
+    totals = feats.agg(
+        F.count(F.lit(1)).alias("src_n"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tgt_n"),
+    )
+    konst = totals.select(
+        F.round(
+            F.log(F.col("src_n") + F.lit(64)) - F.log(F.col("tgt_n") + F.lit(64)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("c")
+    )
+    scored = (
+        feats.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("term").alias("sum_term"),
+        )
+        .crossJoin(F.broadcast(konst))
+        .select(
+            "doc_id",
+            "n_features",
+            (F.col("sum_term") + F.col("n_features") * F.col("c")).alias(
+                "logw_d"
+            ),
+        )
+    )
+    top = scored.orderBy(F.desc("logw_d"), F.asc("doc_id")).limit(50)
+    w = Window.orderBy(F.desc("logw_d"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "n_features",
+        F.col("logw_d").cast("double").alias("logw"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+@register(
     "q_fingerprint",
     oracle="""
         SELECT doc_id,

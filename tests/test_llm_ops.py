@@ -2440,3 +2440,88 @@ def test_rerank_candidate_contract_and_empty_batch(spark):
     assert len(got) == 5
     assert all(r.vec_id != 0 for r in got)  # self-match never injected
     assert all(1 <= r.coarse_rank <= 39 for r in got)
+
+
+def test_dsir_margin_ledger_and_selection_semantics(spark, duck):
+    """Evidence for q_dsir_select's determinism + semantics: (1)
+    rounding-margin ledger — every distinct (target_count,
+    source_count) bucket term AND the global constant sit far from a
+    6-decimal rounding boundary, so a <=2-ulp libm-vs-JVM ln
+    disagreement can never flip a rounded term; (2) the selected set
+    really is importance-weighted toward the target distribution —
+    the lang='en' share of the selected 50 must exceed the corpus
+    share (that's the whole point of DSIR)."""
+    import math
+
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.plans import all_queries
+
+    pairs = duck.execute(
+        """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+            FROM documents
+        ),
+        uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+        bi AS (
+            SELECT doc_id, lang, unnest(list_transform(
+                generate_series(1, len(t) - 1),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS f
+            FROM toks WHERE len(t) >= 2
+        ),
+        feats AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(f), 1, 4))::INT % 64 AS b
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        ),
+        sc AS (SELECT b, COUNT(*) AS s FROM feats GROUP BY b),
+        tc AS (SELECT b, COUNT(*) AS tt FROM feats WHERE lang = 'en'
+               GROUP BY b)
+        SELECT DISTINCT COALESCE(tc.tt, 0) AS tt, sc.s
+        FROM sc LEFT JOIN tc ON sc.b = tc.b
+        """
+    ).fetchall()
+    src_n, tgt_n = duck.execute(
+        """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+            FROM documents
+        ),
+        uni AS (SELECT lang, unnest(t) AS f FROM toks),
+        bi AS (
+            SELECT lang, unnest(list_transform(
+                generate_series(1, len(t) - 1),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS f
+            FROM toks WHERE len(t) >= 2
+        ),
+        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        SELECT COUNT(*), COUNT(*) FILTER (lang = 'en') FROM feats
+        """
+    ).fetchone()
+    terms = [math.log(tt + 1) - math.log(s + 1) for tt, s in pairs]
+    terms.append(math.log(src_n + 64) - math.log(tgt_n + 64))
+    scaled = np.array(terms, dtype=np.float64) * 1e6
+    margin = np.abs(np.abs(scaled - np.floor(scaled)) - 0.5).min()
+    assert margin > 1e-7, f"rounding margin too small: {margin}"
+
+    sel = all_queries()["q_dsir_select"](spark, SF_CORRECT)
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    got = sel.collect()
+    assert len(got) == 50 and len({r.doc_id for r in got}) == 50
+    en_share_sel = sum(langs[r.doc_id] == "en" for r in got) / 50
+    en_share_all = sum(v == "en" for v in langs.values()) / len(langs)
+    assert en_share_sel > en_share_all, (en_share_sel, en_share_all)
+    # ranks are a permutation of 1..50 aligned with descending logw
+    ranks = sorted((r.rank, r.logw) for r in got)
+    assert [r for r, _ in ranks] == list(range(1, 51))
+    assert all(
+        ranks[i][1] >= ranks[i + 1][1] for i in range(49)
+    )
