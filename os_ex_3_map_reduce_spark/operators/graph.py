@@ -1077,3 +1077,88 @@ def link_prediction_ra(
     out = scored.orderBy(F.desc("ra_pico"), "node_a", "node_b").limit(top_k)
     out._osx3_persists = [arcs]  # type: ignore[attr-defined]
     return out
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int | None = 5,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999, 'Authoritative sources in a
+    hyperlinked environment') over a DIRECTED arc list — the eleventh
+    iterative graph pattern: hubs point at good authorities,
+    authorities are pointed at by good hubs.
+
+    **Exactness design.** Classic HITS L2-normalizes both vectors each
+    half-step — float division whose reduction order differs across
+    engines. This implementation drops the normalization entirely:
+    with h0 = 1, the unnormalized iterates are directed PATH COUNTS
+    (a_t(v) = #paths of length 2t-1 ending at v alternating with the
+    arc direction; h_t likewise), which are exact int64 sums — and
+    since each normalization is one positive scalar per half-step, the
+    unnormalized RANKING is identical to normalized HITS. Bounded
+    growth: scores multiply by at most (max in-deg x max out-deg) per
+    round, so 3 rounds on the fixture graphs stay far below int64
+    (max observed ~1e15 at sf0.1); graphs needing more rounds or
+    bigger hubs should switch the sums to DECIMAL(38,0), which both
+    engines carry exactly.
+
+    **Scale shape.** Each half-step is one shuffle-join of the arc
+    list with the current score vector plus one map-side-combined
+    groupBy — the same two-exchange budget as a PageRank iteration.
+    The arc relation is iteration-invariant and persisted once;
+    ``checkpoint_every`` truncates score lineage like the other
+    iterative operators.
+
+    Returns (node, kind, score): kind 'hub' for every arc source,
+    'authority' for every arc target, after ``iterations`` full
+    rounds."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    hubs = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1).cast("long").alias("h"))
+    )
+    auth = None
+    for i in range(iterations):
+        auth = (
+            e.join(hubs.select(F.col("node").alias("src"), "h"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("dst").alias("node"), "a")
+        )
+        hubs = (
+            e.join(auth.select(F.col("node").alias("dst"), "a"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("src").alias("node"), "h")
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and (i + 1) < iterations
+        ):
+            hubs = hubs.localCheckpoint(eager=True)
+    out = hubs.select(
+        "node", F.lit("hub").alias("kind"), F.col("h").alias("score")
+    ).unionByName(
+        auth.select(
+            "node", F.lit("authority").alias("kind"), F.col("a").alias("score")
+        )
+    )
+    out._osx3_persists = [e]  # type: ignore[attr-defined]
+    return out
+
+
+def hits_eager(edges: DataFrame, **kwargs) -> DataFrame:
+    """:func:`hits`, materialized: persists the result, forces it, and
+    unpersists the iteration-invariant arc relation."""
+    scores = hits(edges, **kwargs)
+    held = scores._osx3_persists  # type: ignore[attr-defined]
+    out = scores.persist()
+    out.count()
+    for df in held:
+        df.unpersist()
+    return out

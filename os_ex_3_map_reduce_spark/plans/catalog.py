@@ -98,6 +98,7 @@ DRIVER_WINDOW = 50
 DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_rerank",
     "q_dsir_select",
+    "q_hits",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -694,3 +694,103 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = _cached_df(spark, ("ppr", sf_dir), build)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+_HITS_ITER = 3
+
+
+def _hits_oracle() -> str:
+    cte = [
+        """
+        WITH arcs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        h0 AS (
+            SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS h FROM arcs
+        )"""
+    ]
+    for i in range(_HITS_ITER):
+        cte.append(
+            f"""
+        a{i + 1} AS (
+            SELECT e.dst AS node, SUM(h.h) AS a
+            FROM arcs e JOIN h{i} h ON e.src = h.node
+            GROUP BY e.dst
+        ),
+        h{i + 1} AS (
+            SELECT e.src AS node, SUM(x.a) AS h
+            FROM arcs e JOIN a{i + 1} x ON e.dst = x.node
+            GROUP BY e.src
+        )"""
+        )
+    n = _HITS_ITER
+    return (
+        ",".join(cte)
+        + f"""
+        , ranked AS (
+            SELECT node, 'hub' AS kind, h AS score,
+                   row_number() OVER (ORDER BY h DESC, node) AS rnk
+            FROM h{n}
+            UNION ALL
+            SELECT node, 'authority' AS kind, a AS score,
+                   row_number() OVER (ORDER BY a DESC, node) AS rnk
+            FROM a{n}
+        )
+        SELECT node, kind, CAST(score AS BIGINT) AS score,
+               CAST(rnk AS INTEGER) AS rank
+        FROM ranked WHERE rnk <= 10
+    """
+    )
+
+
+@register(
+    "q_hits",
+    oracle=_hits_oracle(),
+    doc=f"HITS hubs & authorities (Kleinberg 1999), {_HITS_ITER} full "
+    "rounds over the DIRECTED customer->supplier arc list (the "
+    "eleventh iterative graph pattern, and the one that uses the arc "
+    "DIRECTION the symmetrized queries discard): customers are hubs, "
+    "suppliers authorities. Integer-exact by dropping the per-round "
+    "L2 normalization — with h0=1 the unnormalized iterates are "
+    "directed path counts (exact int64 sums; ranking unchanged since "
+    "each normalization is one positive scalar) — so the unrolled-CTE "
+    "DuckDB replica hash-matches bit-for-bit (operators/graph.py "
+    "hits; growth bound + DECIMAL(38,0) escape hatch in its "
+    "docstring). Per half-step: one arc-list join + one map-side-"
+    "combined groupBy, the PageRank two-exchange budget. Top-10 per "
+    "kind with total tiebreaks; the per-kind window has exactly two "
+    "partitions here — at scale swap it for the per-batch partial "
+    "top-k the ANN kernels use.",
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import hits_eager
+
+    def build() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        arcs = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                    "src"
+                ),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                    "dst"
+                ),
+            )
+            .distinct()
+        )
+        return hits_eager(arcs, iterations=_HITS_ITER)
+
+    scores = _cached_df(spark, ("hits", sf_dir), build)
+    w = Window.partitionBy("kind").orderBy(F.desc("score"), "node")
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("node", "kind", F.col("score").cast("long").alias("score"), "rank")
+    )

@@ -1096,3 +1096,66 @@ def test_personalized_pagerank_localizes_and_is_invariant(spark):
         ).collect()
     }
     assert r == r2
+
+
+def test_hits_ranking_matches_normalized_hits_and_star_shape(spark):
+    """HITS contract: (1) on a hand graph, the integer path-count
+    ranking equals the classic L2-normalized float HITS ranking
+    (normalization is a positive scalar per half-step, so dropping it
+    cannot reorder); (2) star shape — the one customer pointing at
+    every supplier is the unique top hub; (3) kinds partition cleanly
+    (hubs = arc sources, authorities = arc targets)."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators.graph import hits
+
+    # directed bipartite hand graph: h1 -> {a1,a2,a3}, h2 -> {a1,a2},
+    # h3 -> {a1}; a1 is cited by everyone -> top authority; h1 cites
+    # the most/best -> top hub.
+    arcs = [
+        ("h1", "a1"), ("h1", "a2"), ("h1", "a3"),
+        ("h2", "a1"), ("h2", "a2"),
+        ("h3", "a1"),
+    ]
+    e = spark.createDataFrame(arcs, "src string, dst string")
+    got = collect_unpersist(hits(e, iterations=3, checkpoint_every=None))
+    hubs = sorted(
+        ((r.node, r.score) for r in got if r.kind == "hub"),
+        key=lambda t: (-t[1], t[0]),
+    )
+    auths = sorted(
+        ((r.node, r.score) for r in got if r.kind == "authority"),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [n for n, _ in hubs] == ["h1", "h2", "h3"]
+    assert [n for n, _ in auths] == ["a1", "a2", "a3"]
+
+    # float reference: classic normalized HITS, same iteration count
+    hs = ["h1", "h2", "h3"]
+    as_ = ["a1", "a2", "a3"]
+    A = np.zeros((3, 3))
+    for s, d in arcs:
+        A[hs.index(s), as_.index(d)] = 1.0
+    h = np.ones(3)
+    for _ in range(3):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    assert list(np.argsort(-h)) == [0, 1, 2]
+    assert list(np.argsort(-a)) == [0, 1, 2]
+
+    # star: one hub pointing at 5 authorities, plus a 1-arc bystander
+    star = [("center", f"s{i}") for i in range(5)] + [("other", "s0")]
+    got2 = collect_unpersist(
+        hits(
+            spark.createDataFrame(star, "src string, dst string"),
+            iterations=2,
+            checkpoint_every=None,
+        )
+    )
+    hub_scores = {r.node: r.score for r in got2 if r.kind == "hub"}
+    assert max(hub_scores, key=lambda n: (hub_scores[n], n)) == "center"
+    assert {r.node for r in got2 if r.kind == "authority"} == {
+        f"s{i}" for i in range(5)
+    }
