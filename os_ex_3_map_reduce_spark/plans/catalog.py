@@ -99,6 +99,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_rerank",
     "q_dsir_select",
     "q_hits",
+    "q_time_travel",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -745,3 +745,82 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_to"
         ),
     )
+
+
+@register(
+    "q_time_travel",
+    oracle="""
+        WITH hit_buckets AS (
+            SELECT COUNT(DISTINCT o_custkey % 8) AS nb
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_custkey % 8 < 4
+        )
+        SELECT 0 AS version, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price,
+               0 AS files_rewritten, 0 AS files_carried
+        FROM orders
+        UNION ALL
+        SELECT 1 AS version, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price,
+               (SELECT CAST(nb AS INTEGER) FROM hit_buckets)
+                   AS files_rewritten,
+               8 - (SELECT CAST(nb AS INTEGER) FROM hit_buckets)
+                   AS files_carried
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_custkey % 8 < 4)
+    """,
+    doc="Snapshot isolation + time travel over a manifest-versioned "
+    "parquet table (sources/versioned.py — the Delta/Iceberg commit "
+    "mechanism reduced to essentials: immutable data files, one JSON "
+    "manifest per version, manifest rename as the atomic commit "
+    "point): the query materializes orders as version 0 (bucketed by "
+    "o_custkey into 8 one-file buckets), runs a COPY-ON-WRITE delete "
+    "of completed orders in buckets 0-3 as version 1 — rewriting ONLY "
+    "the 4 files containing matches and carrying the other 4 BY "
+    "REFERENCE — then reads BOTH snapshots from the same on-disk "
+    "table and aggregates each. v0's numbers surviving the v1 commit "
+    "IS the time-travel contract; files_rewritten/files_carried come "
+    "from the commit manifest and the oracle re-derives them from "
+    "the bucket arithmetic (4 rewritten requires every bucket 0-3 to "
+    "contain a matching row — holds at every fixture scale and is "
+    "what the oracle computes, not assumes). Exact sums via "
+    "DECIMAL(18,2); at 100 TB the CoW delete touches the predicate's "
+    "buckets only, and old snapshots remain readable for "
+    "reproducibility until a retention pass drops their manifests.",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.versioned import vt_delete, vt_read, vt_history, vt_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="osx3_vt_") + "/orders"
+    vt_write(orders, path, "o_custkey", nbuckets=8)
+    vt_delete(spark, path, "o_orderstatus = 'F' AND pmod(o_custkey, 8) < 4")
+    hist = {m["version"]: m for m in vt_history(path)}
+
+    def agg_version(v: int) -> DataFrame:
+        return (
+            vt_read(spark, path, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                "sum_price",
+                F.lit(hist[v]["files_rewritten"])
+                .cast("int")
+                .alias("files_rewritten"),
+                F.lit(hist[v]["files_carried"]).cast("int").alias("files_carried"),
+            )
+        )
+
+    return agg_version(0).unionByName(agg_version(1))

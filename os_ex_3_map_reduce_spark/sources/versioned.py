@@ -1,0 +1,251 @@
+"""Manifest-versioned parquet table: snapshot isolation + time travel.
+
+The one mechanism behind every lakehouse table format (Delta Lake's
+_delta_log, Iceberg's snapshot manifests), reduced to its essentials
+over plain parquet:
+
+- **Data files are immutable.** Every commit writes its files under a
+  fresh ``data/c{N}/`` directory; no file is ever modified in place.
+- **A manifest is a snapshot.** ``_manifests/v{N}.json`` lists exactly
+  the data files visible at version N (each with its commit dir and
+  bucket). Reading a version = reading precisely that file list —
+  nothing else, regardless of what later commits added.
+- **Manifest rename is the commit point.** Commits stage data files
+  first, then write the manifest to a temp name and ``os.rename`` it
+  into place — atomic on POSIX, so a reader either sees the complete
+  new version or the previous one, never partial state. Creating a
+  version that already exists raises (optimistic concurrency: the
+  loser of a race must retry on top of the winner's version).
+- **Deletes are COPY-ON-WRITE.** A delete rewrites only the files that
+  contain matching rows (without the matches) and carries every
+  untouched file BY REFERENCE into the new manifest — the Delta/
+  Iceberg CoW shape. At 100 TB this is the difference between
+  rewriting a table and rewriting the 0.1% of files a predicate
+  touches; the bucketed layout below is what keeps the touched set
+  small for key-local predicates.
+
+Layout: rows are bucketed by ``pmod(bucket_key, nbuckets)`` and
+written ``partitionBy("bucket")`` with one file per bucket per commit
+(the ivf_write hash-colocation trick), so per-file pruning aligns with
+the bucket key and the per-file match probe below is one scan with a
+groupBy, not a per-file loop.
+
+Driver-side state is bounded: manifests carry file NAMES (a few dozen
+strings), never data; the CoW match probe collects one row per
+matching FILE (≤ nbuckets x versions).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFESTS = "_manifests"
+
+
+def _manifest_file(path: str, version: int) -> str:
+    return f"{path}/{_MANIFESTS}/v{version:06d}.json"
+
+
+def vt_current_version(path: str) -> int | None:
+    """Highest committed version, or None for a nonexistent table."""
+    ms = sorted(glob.glob(f"{path}/{_MANIFESTS}/v*.json"))
+    return int(os.path.basename(ms[-1])[1:7]) if ms else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_file(path, version)) as fh:
+        return json.load(fh)
+
+
+def _commit(path: str, version: int, manifest: dict) -> None:
+    """Write the manifest via temp-file + rename — the atomic commit
+    point. Refuses to clobber an existing version (lost-update guard:
+    a concurrent committer must rebase and retry)."""
+    final = _manifest_file(path, version)
+    if os.path.exists(final):
+        raise FileExistsError(
+            f"version {version} already committed at {path} — rebase on "
+            "the current version and retry"
+        )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.rename(tmp, final)
+
+
+def _stage_files(
+    df: DataFrame, path: str, commit_dir: str, nbuckets: int
+) -> list[dict]:
+    """Write ``df`` (which must carry an int ``bucket`` column) into
+    ``data/{commit_dir}/bucket=K/`` with one file per bucket, and
+    return manifest entries for the files produced."""
+    out = f"{path}/data/{commit_dir}"
+    df.repartition(nbuckets, "bucket").sortWithinPartitions(
+        "bucket"
+    ).write.partitionBy("bucket").parquet(out)
+    entries = []
+    for f in sorted(glob.glob(f"{out}/bucket=*/*.parquet")):
+        rel = os.path.relpath(f, path)
+        bucket = int(rel.split("bucket=")[1].split("/")[0])
+        entries.append({"path": rel, "commit": commit_dir, "bucket": bucket})
+    return entries
+
+
+def vt_write(
+    df: DataFrame, path: str, bucket_key: str, nbuckets: int = 8
+) -> int:
+    """Create the table: bucket rows by ``pmod(bucket_key, nbuckets)``,
+    stage the data files, commit manifest v0. Returns the version."""
+    if vt_current_version(path) is not None:
+        raise FileExistsError(f"versioned table already exists at {path}")
+    b = df.withColumn(
+        "bucket", F.pmod(F.col(bucket_key), F.lit(nbuckets)).cast("int")
+    )
+    files = _stage_files(b, path, "c0", nbuckets)
+    _commit(
+        path,
+        0,
+        {
+            "version": 0,
+            "parent": None,
+            "op": "create",
+            "nbuckets": nbuckets,
+            "bucket_key": bucket_key,
+            "files": files,
+            "files_rewritten": 0,
+            "files_carried": 0,
+        },
+    )
+    return 0
+
+
+def vt_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: exactly the files of ``version`` (default:
+    current). Older snapshots stay readable after later commits — the
+    time-travel contract. Files are grouped by commit dir so the
+    ``basePath`` option restores the ``bucket`` partition column."""
+    v = vt_current_version(path) if version is None else version
+    if v is None or not os.path.exists(_manifest_file(path, v)):
+        raise FileNotFoundError(f"no version {version} at {path}")
+    man = _read_manifest(path, v)
+    by_commit: dict[str, list[str]] = {}
+    for e in man["files"]:
+        by_commit.setdefault(e["commit"], []).append(f"{path}/{e['path']}")
+    out = None
+    for commit, files in sorted(by_commit.items()):
+        part = spark.read.option(
+            "basePath", f"{path}/data/{commit}"
+        ).parquet(*sorted(files))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def vt_append(df: DataFrame, path: str) -> int:
+    """Append-only commit: stage the new rows' files (bucketed with
+    the table's own key/width from the manifest) and commit a manifest
+    carrying every previous file by reference plus the new ones —
+    no existing file is read or rewritten, the cheapest commit kind.
+    Returns the new version."""
+    cur = vt_current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, cur)
+    b = df.withColumn(
+        "bucket",
+        F.pmod(F.col(man["bucket_key"]), F.lit(man["nbuckets"])).cast("int"),
+    )
+    new_version = cur + 1
+    new_files = _stage_files(b, path, f"c{new_version}", man["nbuckets"])
+    _commit(
+        path,
+        new_version,
+        {
+            "version": new_version,
+            "parent": cur,
+            "op": "append",
+            "nbuckets": man["nbuckets"],
+            "bucket_key": man["bucket_key"],
+            "files": man["files"] + new_files,
+            "files_rewritten": 0,
+            "files_carried": len(man["files"]),
+        },
+    )
+    return new_version
+
+
+def vt_delete(spark: SparkSession, path: str, predicate: str) -> int:
+    """Copy-on-write delete: commit a new version in which rows
+    matching ``predicate`` (a SQL expression over the table's columns)
+    are gone. Only files that CONTAIN matching rows are rewritten
+    (grouped per commit dir, one distributed filter-and-stage each);
+    untouched files are carried by reference. Returns the new version.
+    """
+    cur = vt_current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, cur)
+    snap = vt_read(spark, path, cur)
+    probe = (
+        snap.withColumn("_f", F.input_file_name())
+        .where(predicate)
+        .select("_f")
+        .distinct()
+        .collect()
+    )  # bounded: one row per matching FILE (<= nbuckets x commits)
+    # input_file_name() yields a file: URI; recover the manifest's
+    # path-relative form from the data/ root (robust to file:// vs
+    # file:/// slashing)
+    hit = {"data/" + r._f.split("/data/", 1)[1] for r in probe}
+    carried = [e for e in man["files"] if e["path"] not in hit]
+    hit_entries = [e for e in man["files"] if e["path"] in hit]
+    new_version = cur + 1
+    new_files: list[dict] = []
+    if hit_entries:
+        by_commit: dict[str, list[str]] = {}
+        for e in hit_entries:
+            by_commit.setdefault(e["commit"], []).append(f"{path}/{e['path']}")
+        kept = None
+        for commit, files in sorted(by_commit.items()):
+            part = spark.read.option(
+                "basePath", f"{path}/data/{commit}"
+            ).parquet(*sorted(files))
+            kept = part if kept is None else kept.unionByName(part)
+        kept = kept.where(f"NOT ({predicate})")
+        new_files = _stage_files(
+            kept, path, f"c{new_version}", man["nbuckets"]
+        )
+    _commit(
+        path,
+        new_version,
+        {
+            "version": new_version,
+            "parent": cur,
+            "op": "delete",
+            "predicate": predicate,
+            "nbuckets": man["nbuckets"],
+            "bucket_key": man["bucket_key"],
+            "files": carried + new_files,
+            "files_rewritten": len(hit_entries),
+            "files_carried": len(carried),
+        },
+    )
+    return new_version
+
+
+def vt_history(path: str) -> list[dict]:
+    """All manifests, oldest first, file lists elided to counts."""
+    cur = vt_current_version(path)
+    out = []
+    for v in range((cur if cur is not None else -1) + 1):
+        m = _read_manifest(path, v)
+        m["n_files"] = len(m.pop("files"))
+        out.append(m)
+    return out

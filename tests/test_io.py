@@ -600,3 +600,94 @@ def test_compact_swap_read_during_swap_is_all_or_nothing(spark, tmp_path):
         or "does not exist" in msg
         or "FILE_NOT_EXIST" in msg
     ), f"expected missing-files error, got: {msg[:300]}"
+
+
+class TestVersionedTable:
+    """sources/versioned.py: the manifest-versioned table's four
+    contracts — snapshot isolation, copy-on-write minimality, atomic
+    append-by-reference, and commit-protocol guards."""
+
+    @pytest.fixture()
+    def vt(self, spark, tmp_path):
+        from os_ex_3_map_reduce_spark.sources.versioned import vt_write
+
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("grp"),
+            (F.col("id") * 2).alias("val"),
+        )
+        path = str(tmp_path / "t")
+        vt_write(df, path, "k", nbuckets=4)
+        return path
+
+    def test_snapshot_isolation_across_delete(self, spark, vt):
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_delete,
+            vt_read,
+        )
+
+        assert vt_read(spark, vt, 0).count() == 100
+        v1 = vt_delete(spark, vt, "grp = 3")
+        assert v1 == 1
+        # current snapshot lost exactly the matching rows
+        assert vt_read(spark, vt).count() == 90
+        assert vt_read(spark, vt).where("grp = 3").count() == 0
+        # version 0 still reads complete AFTER the delete committed
+        assert vt_read(spark, vt, 0).count() == 100
+        assert vt_read(spark, vt, 0).where("grp = 3").count() == 10
+
+    def test_cow_rewrites_only_touched_files(self, spark, vt):
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            _read_manifest,
+            vt_delete,
+        )
+
+        # k = 5 lives in exactly one bucket (pmod(5,4)=1): the delete
+        # must rewrite 1 file and carry the other 3 by reference —
+        # identical path strings, not copies.
+        vt_delete(spark, vt, "k = 5")
+        m0, m1 = _read_manifest(vt, 0), _read_manifest(vt, 1)
+        assert m1["files_rewritten"] == 1 and m1["files_carried"] == 3
+        p0 = {e["path"] for e in m0["files"]}
+        p1 = {e["path"] for e in m1["files"]}
+        assert len(p0 & p1) == 3  # carried by reference
+        rewritten = p1 - p0
+        assert len(rewritten) == 1
+        assert next(iter(rewritten)).startswith("data/c1/bucket=1")
+
+    def test_append_carries_everything_and_time_travels(self, spark, vt):
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            _read_manifest,
+            vt_append,
+            vt_read,
+        )
+
+        extra = spark.range(100, 120).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("grp"),
+            (F.col("id") * 2).alias("val"),
+        )
+        vt_append(extra, vt)
+        m1 = _read_manifest(vt, 1)
+        assert m1["op"] == "append" and m1["files_rewritten"] == 0
+        assert vt_read(spark, vt).count() == 120
+        assert vt_read(spark, vt, 0).count() == 100
+        # appended rows landed in the right buckets
+        got = vt_read(spark, vt).where("k >= 100")
+        assert got.where(F.col("bucket") != F.pmod("k", F.lit(4))).count() == 0
+
+    def test_commit_protocol_guards(self, spark, vt, tmp_path):
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            _commit,
+            vt_read,
+            vt_write,
+        )
+
+        with pytest.raises(FileExistsError):
+            vt_write(spark.range(1).select(F.col("id").alias("k")), vt, "k")
+        with pytest.raises(FileExistsError):
+            _commit(vt, 0, {"version": 0})  # lost-update guard
+        with pytest.raises(FileNotFoundError):
+            vt_read(spark, vt, 7)
+        with pytest.raises(FileNotFoundError):
+            vt_read(spark, str(tmp_path / "nope"), None)
