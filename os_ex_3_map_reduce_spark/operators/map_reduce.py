@@ -208,3 +208,88 @@ def run_map_reduce(
         num_shuffle_partitions,
         key_normalizer=client.key_normalizer,
     )
+
+
+class SortedGroupFold:
+    """User contract for :func:`sorted_group_scan` — an ONLINE fold
+    over a group's rows delivered in sort order, possibly in several
+    chunks: ``init(key)`` makes the initial state, ``step(state,
+    chunk)`` consumes one pandas chunk (rows of THIS group only, in
+    order) and returns the new state, ``finish(key, state)`` emits
+    0..N output tuples. State is whatever the fold needs — O(1) for
+    running aggregates — which is the entire point: unlike
+    ``applyInPandas``, the group is never materialized."""
+
+    def init(self, key: tuple) -> Any:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def step(self, state: Any, chunk: pd.DataFrame) -> Any:  # pragma: no cover
+        raise NotImplementedError
+
+    def finish(self, key: tuple, state: Any) -> Iterable[tuple]:  # pragma: no cover
+        raise NotImplementedError
+
+
+def sorted_group_scan(
+    df: DataFrame,
+    key_cols: list[str],
+    sort_cols: list[str],
+    fold: SortedGroupFold,
+    output_schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Secondary sort — the classic MapReduce composite-key pattern
+    (partition by the natural key, sort the shuffle by (key, value
+    fields), stream each group through reduce in value order), the one
+    grouped-reduce shape :func:`run_map_reduce` cannot express because
+    ``applyInPandas`` materializes whole groups in arbitrary row
+    order.
+
+    Spark-first realization: ``repartition(key)`` co-locates each key,
+    ``sortWithinPartitions(key, sort)`` makes every group a contiguous
+    SORTED run inside its partition — the ordering work rides the
+    shuffle's own sort machinery, costing zero extra passes — and one
+    ``mapInPandas`` walks the partition detecting group boundaries,
+    folding each group's chunks online. A group larger than one Arrow
+    batch arrives as several ``step`` calls (boundary-spanning groups
+    are the hard part of the pattern and are property-tested with
+    tiny batch sizes); memory is O(fold state), never O(group) — at
+    100 TB this is what makes billion-row keys reducible where
+    ``applyInPandas`` would OOM.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    arranged = df.repartition(n, *key_cols).sortWithinPartitions(
+        *key_cols, *sort_cols
+    )
+    out_names = _ddl_field_names(output_schema)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key: tuple | None = None
+        state: Any = None
+        pending: list[tuple] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = list(zip(*[pdf[k] for k in key_cols]))
+            bounds = [0]
+            bounds += [i for i in range(1, len(keys)) if keys[i] != keys[i - 1]]
+            bounds.append(len(keys))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                k = keys[s]
+                chunk = pdf.iloc[s:e]
+                if cur_key is not None and k != cur_key:
+                    pending.extend(fold.finish(cur_key, state))
+                    cur_key = None
+                if cur_key is None:
+                    cur_key, state = k, fold.init(k)
+                state = fold.step(state, chunk)
+            if pending:
+                yield pd.DataFrame(pending, columns=out_names)
+                pending = []
+        if cur_key is not None:
+            pending.extend(fold.finish(cur_key, state))
+        if pending:
+            yield pd.DataFrame(pending, columns=out_names)
+
+    return arranged.mapInPandas(run, output_schema)

@@ -100,6 +100,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_dsir_select",
     "q_hits",
     "q_time_travel",
+    "q_mapreduce_secondary_sort",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -242,3 +242,92 @@ def q_job_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(rows, schema=WordCountClient.output_schema)
     handle.close()
     return out
+
+
+class OrderGapFold:
+    """Online per-customer order-cadence fold for the secondary-sort
+    query: consumes (epoch_day, date_str) rows in date order, keeping
+    only (n, first, prev, max_gap) — O(1) state however many orders a
+    customer has. Boundary gaps between chunks are covered because
+    ``prev`` survives across ``step`` calls."""
+
+    def init(self, key):
+        # n, first_str, prev_day, max_gap, last_str
+        return (0, None, None, 0, None)
+
+    def step(self, state, chunk):
+        n, first, prev, mg, _last = state
+        days = chunk["epoch_day"].to_numpy()
+        if first is None:
+            first = str(chunk["date_str"].iloc[0])
+        else:
+            mg = max(mg, int(days[0]) - prev)
+        if len(days) > 1:
+            mg = max(mg, int((days[1:] - days[:-1]).max()))
+        return (
+            n + len(days),
+            first,
+            int(days[-1]),
+            mg,
+            str(chunk["date_str"].iloc[-1]),
+        )
+
+    def finish(self, key, state):
+        n, first, _prev, mg, last = state
+        return [(key[0], n, first, last, mg)]
+
+
+@register(
+    "q_mapreduce_secondary_sort",
+    oracle="""
+        WITH g AS (
+            SELECT o_custkey, o_orderdate,
+                   date_diff('day',
+                       lag(o_orderdate) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+            FROM orders
+        )
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+               strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date,
+               CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days
+        FROM g GROUP BY o_custkey
+    """,
+    doc="The classic MapReduce SECONDARY SORT pattern (composite key: "
+    "partition by the natural key, sort the shuffle itself by (key, "
+    "value), stream each group through reduce in value order) — the "
+    "grouped-reduce shape applyInPandas cannot express because it "
+    "materializes whole unsorted groups. operators/map_reduce.py "
+    "sorted_group_scan: repartition(custkey) + sortWithinPartitions("
+    "custkey, date, orderkey) rides the shuffle's own sort (zero "
+    "extra passes), one mapInPandas walks each partition folding "
+    "groups ONLINE — O(1) state per customer (n/first/prev/max-gap), "
+    "groups spanning Arrow-batch boundaries handled by construction "
+    "and property-tested at tiny batch sizes. Per-customer order "
+    "cadence: count, first/last date, max day-gap between "
+    "consecutive orders. The window-function oracle recomputes the "
+    "same thing declaratively — same result, but the windowed plan "
+    "re-buffers each partition; the fold is the shape that survives "
+    "billion-row keys.",
+)
+def q_mapreduce_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.map_reduce import sorted_group_scan
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("epoch_day"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+    )
+    return sorted_group_scan(
+        orders,
+        key_cols=["o_custkey"],
+        sort_cols=["epoch_day", "o_orderkey"],
+        fold=OrderGapFold(),
+        output_schema=(
+            "o_custkey bigint, n_orders bigint, first_date string, "
+            "last_date string, max_gap_days bigint"
+        ),
+    )

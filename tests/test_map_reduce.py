@@ -231,3 +231,105 @@ def test_key_normalizer_reduce_sees_whole_equivalence_class(spark):
         "foo": (3, "|".join(sorted({"Foobar", "FOOBAZ ", " fooqux"}))),
         "bar": (2, "BARTWO|barone"),
     }
+
+
+def test_sorted_group_scan_boundary_spanning_groups(spark):
+    """Secondary sort's hard case: a group larger than one Arrow batch
+    must arrive as SEVERAL step() calls and still fold to the same
+    answer. Force 7-row batches (groups of 40 rows span many), run the
+    order-gap fold, and compare against the declarative window
+    equivalent — also under a different partition count (the fold must
+    be partitioning-invariant because each key is wholly in one
+    partition)."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.map_reduce import sorted_group_scan
+    from os_ex_3_map_reduce_spark.plans.mapreduce_queries import OrderGapFold
+
+    rows = spark.range(0, 200).select(
+        (F.col("id") % 5).alias("o_custkey"),
+        (F.col("id") * 7 % 365).alias("epoch_day"),
+        F.col("id").alias("o_orderkey"),
+        F.date_format(
+            F.date_add(F.lit("1970-01-01"), (F.col("id") * 7 % 365).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("date_str"),
+    )
+    schema = (
+        "o_custkey bigint, n_orders bigint, first_date string, "
+        "last_date string, max_gap_days bigint"
+    )
+    want_df = (
+        rows.withColumn(
+            "gap",
+            F.col("epoch_day")
+            - F.lag("epoch_day").over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("o_custkey")
+                .orderBy("epoch_day", "o_orderkey")
+            ),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("date_str").alias("first_date"),
+            F.max("date_str").alias("last_date"),
+            F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap_days"),
+        )
+    )
+    want = {tuple(r) for r in want_df.collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        for nparts in (1, 3):
+            got = {
+                tuple(r)
+                for r in sorted_group_scan(
+                    rows,
+                    ["o_custkey"],
+                    ["epoch_day", "o_orderkey"],
+                    OrderGapFold(),
+                    schema,
+                    num_partitions=nparts,
+                ).collect()
+            }
+            assert got == want, f"nparts={nparts}"
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_sorted_group_scan_multi_emit_and_empty_finish(spark):
+    """The fold's finish() may emit 0..N rows (the reference's emit3
+    contract): a fold that drops single-row groups and splits others
+    into per-row echoes exercises both ends."""
+    from os_ex_3_map_reduce_spark.operators.map_reduce import (
+        SortedGroupFold,
+        sorted_group_scan,
+    )
+
+    class EchoFold(SortedGroupFold):
+        def init(self, key):
+            return []
+
+        def step(self, state, chunk):
+            return state + [int(v) for v in chunk["v"]]
+
+        def finish(self, key, state):
+            if len(state) <= 1:
+                return []
+            return [(key[0], v) for v in state]
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 9), ("c", 3), ("c", 4), ("c", 5)],
+        "k string, v int",
+    )
+    got = sorted(
+        tuple(r)
+        for r in sorted_group_scan(
+            df, ["k"], ["v"], EchoFold(), "k string, v int", num_partitions=2
+        ).collect()
+    )
+    assert got == [("a", 1), ("a", 2), ("c", 3), ("c", 4), ("c", 5)]
