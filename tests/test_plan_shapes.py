@@ -817,3 +817,46 @@ def test_lm_perplexity_broadcasts_model(spark, qs):
     plan = explain_str(qs["q_lm_perplexity"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcasts_model_and_takeordered(spark, qs):
+    """q_dsir_select's 64-bucket model must BROADCAST into the
+    per-occurrence scoring join (shuffling billions of exploded
+    feature occurrences against a 64-row model would be the classic
+    unbroadcast-dimension bug), and the top-50 must be TakeOrdered
+    (distributed partial top-k), not a global Sort+window."""
+    plan = explain_str(qs["q_dsir_select"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rerank_broadcasts_candidates(spark, qs):
+    """q_ann_rerank's refine stage must broadcast the Q x C candidate
+    relation into the hash join against the vector table — the float
+    vectors must never shuffle for a re-rank."""
+    plan = explain_str(qs["q_ann_rerank"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_secondary_sort_rides_shuffle_sort(spark, qs):
+    """q_mapreduce_secondary_sort: exactly ONE exchange (the key
+    repartition) with the group ordering done by Sort WITHIN
+    partitions — a global Sort or a second exchange means the
+    composite-key pattern degraded to sort-everything."""
+    import re
+
+    plan = explain_str(qs["q_mapreduce_secondary_sort"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    sorts = re.findall(r"\(\d+\) Sort(?!MergeJoin)", plan)
+    assert sorts, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_hits_halfstep_is_join_plus_partial_agg(spark, qs):
+    """q_hits: every half-step is one arc-join + one map-side-combined
+    groupBy; no cartesian products, and the per-kind top-10 window
+    runs over the two-partition kind split, not a global sort."""
+    plan = explain_str(qs["q_hits"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
