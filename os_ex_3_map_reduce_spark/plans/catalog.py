@@ -101,6 +101,8 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_hits",
     "q_time_travel",
     "q_mapreduce_secondary_sort",
+    "q_entropy_quality",
+    "q_group_split",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -3701,3 +3701,204 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return wav_audio_features(docs)
+
+
+@register(
+    "q_entropy_quality",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS w
+            FROM documents
+        ),
+        wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+        terms AS (
+            SELECT doc_id, c,
+                   CAST(round(c * ln(c), 6) AS DECIMAL(18,6)) AS term
+            FROM wc
+        ),
+        agg AS (
+            SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+                   SUM(term) AS s
+            FROM terms GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               CAST(CAST(round(ln(n_tokens), 6) AS DECIMAL(18,6)) AS DOUBLE)
+                   - CAST(s AS DOUBLE) / n_tokens AS entropy
+        FROM agg
+    """,
+    doc="Token-distribution Shannon entropy per document — the "
+    "classic repetitiveness/quality signal (low entropy = boilerplate "
+    "or keyword stuffing, used alongside the Gopher-style ratio rules "
+    "in corpus cleaning): H = ln(n) - (1/n) * sum_w c_w ln(c_w), "
+    "computed from per-(doc, word) counts in one explode + two "
+    "map-side-combined groupBys, no UDF anywhere. Determinism: each "
+    "c*ln(c) term (and ln(n)) is rounded half-away to 6dp ONCE per "
+    "integer count then summed exactly in DECIMAL(18,6) — the "
+    "q_lm_perplexity ln-ledger recipe (margins measured in tests); "
+    "the final expression is IEEE double arithmetic on identical "
+    "inputs, bit-equal across engines.",
+)
+def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    wc = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    terms = wc.select(
+        "doc_id",
+        "c",
+        F.round(F.col("c") * F.log("c"), 6).cast("decimal(18,6)").alias("term"),
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("term").alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.round(F.log("n_tokens"), 6).cast("decimal(18,6)").cast("double")
+            - F.col("s").cast("double") / F.col("n_tokens")
+        ).alias("entropy"),
+    )
+
+
+@register(
+    "q_group_split",
+    oracle=_SHINGLE_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+        , pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT a AS id, a AS r FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        ),
+        reps AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+        assign AS (
+            SELECT d.doc_id,
+                   COALESCE(reps.rep, d.doc_id) AS grp,
+                   ('0x' || substr(md5(CAST(COALESCE(reps.rep, d.doc_id)
+                        AS VARCHAR)), 1, 4))::INT % 3 AS fold,
+                   ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT
+                       % 3 AS naive_fold
+            FROM documents d LEFT JOIN reps ON d.doc_id = reps.doc_id
+        ),
+        leaks AS (
+            SELECT aa.fold AS fold,
+                   COUNT(*) FILTER (aa.fold <> ab.fold) AS leaked,
+                   COUNT(*) FILTER (aa.naive_fold <> ab.naive_fold)
+                       AS naive_leaked
+            FROM pairs p
+            JOIN assign aa ON p.doc_a = aa.doc_id
+            JOIN assign ab ON p.doc_b = ab.doc_id
+            GROUP BY aa.fold
+        )
+        SELECT a.fold,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT a.grp) AS BIGINT) AS n_groups,
+               CAST(COALESCE(MAX(l.leaked), 0) AS BIGINT) AS leaked_pairs,
+               CAST(COALESCE(MAX(l.naive_leaked), 0) AS BIGINT)
+                   AS naive_leaked_pairs
+        FROM assign a LEFT JOIN leaks l ON a.fold = l.fold
+        GROUP BY a.fold
+    """,
+    doc="Leakage-safe dataset split — the dedup-aware train/eval "
+    "partitioning every serious corpus pipeline needs (splitting "
+    "near-duplicate documents across train and eval is silent "
+    "contamination): assign every document to its near-dup cluster "
+    "(connected components over the verified MinHash pairs — the "
+    "shared persisted relation q_neardup_components uses; singletons "
+    "are their own cluster), then hash the CLUSTER representative "
+    "into 3 folds (md5-prefix, engine-portable, no RNG). Because "
+    "every verified pair lies within one cluster, leaked_pairs is 0 "
+    "BY CONSTRUCTION — and the query proves it in-band, next to "
+    "naive_leaked_pairs, the contamination count the row-hash split "
+    "of the SAME corpus would have produced (nonzero wherever pairs "
+    "straddle naive folds). Scale shape: the CC relation is tiny "
+    "(docs in pairs only), broadcast into the assignment join; fold "
+    "counts are one map-side-combined groupBy.",
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _neardup_pairs(spark, sf_dir, "word").select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("rep")
+    )
+
+    def fold_of(c):
+        return (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast(
+                "int"
+            )
+            % 3
+        )
+
+    assign = (
+        docs.join(F.broadcast(cc), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep", "doc_id").alias("grp"),
+        )
+        .select(
+            "doc_id",
+            "grp",
+            fold_of(F.col("grp")).alias("fold"),
+            fold_of(F.col("doc_id")).alias("naive_fold"),
+        )
+    )
+    aa = assign.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fold").alias("fold_a"),
+        F.col("naive_fold").alias("nf_a"),
+    )
+    ab = assign.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fold").alias("fold_b"),
+        F.col("naive_fold").alias("nf_b"),
+    )
+    leaks = (
+        pairs.join(F.broadcast(aa), "doc_a")
+        .join(F.broadcast(ab), "doc_b")
+        .groupBy(F.col("fold_a").alias("fold"))
+        .agg(
+            F.count(F.when(F.col("fold_a") != F.col("fold_b"), 1)).alias(
+                "leaked"
+            ),
+            F.count(F.when(F.col("nf_a") != F.col("nf_b"), 1)).alias(
+                "naive_leaked"
+            ),
+        )
+    )
+    return (
+        assign.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+        )
+        .join(F.broadcast(leaks), "fold", "left")
+        .select(
+            "fold",
+            "n_docs",
+            "n_groups",
+            F.coalesce("leaked", F.lit(0)).cast("long").alias("leaked_pairs"),
+            F.coalesce("naive_leaked", F.lit(0))
+            .cast("long")
+            .alias("naive_leaked_pairs"),
+        )
+    )

@@ -2525,3 +2525,63 @@ def test_dsir_margin_ledger_and_selection_semantics(spark, duck):
     assert all(
         ranks[i][1] >= ranks[i + 1][1] for i in range(49)
     )
+
+
+def test_entropy_margin_ledger_and_reference(spark, duck):
+    """q_entropy_quality determinism evidence: every distinct token
+    count c in the corpus has c*ln(c) (and every doc's ln(n_tokens))
+    far from a 6-decimal rounding boundary, and a numpy reference
+    recomputes one document's entropy to the emitted value."""
+    import math
+
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.plans import all_queries
+
+    cs = [
+        r[0]
+        for r in duck.execute(
+            """
+            WITH w AS (SELECT doc_id,
+                              unnest(list_filter(string_split(text, ' '),
+                                                 x -> x <> '')) AS w
+                       FROM documents),
+            wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w)
+            SELECT DISTINCT c FROM wc
+            UNION
+            SELECT DISTINCT SUM(c) FROM wc GROUP BY doc_id
+            """
+        ).fetchall()
+    ]
+    vals = np.array(
+        [c * math.log(c) for c in cs] + [math.log(c) for c in cs],
+        dtype=np.float64,
+    )
+    scaled = vals * 1e6
+    margin = np.abs(np.abs(scaled - np.floor(scaled)) - 0.5)[vals != 0].min()
+    assert margin > 1e-7, f"rounding margin too small: {margin}"
+
+    got = {
+        r.doc_id: r
+        for r in all_queries()["q_entropy_quality"](spark, SF_CORRECT).collect()
+    }
+    doc0 = duck.execute(
+        "SELECT text FROM documents ORDER BY doc_id LIMIT 1"
+    ).fetchone()[0]
+    words = [w for w in doc0.split(" ") if w]
+    from collections import Counter
+
+    counts = Counter(words)
+    n = len(words)
+    s = sum(round(c * math.log(c), 6) for c in counts.values())
+    want = round(math.log(n), 6) - s / n
+    first_id = min(got)
+    assert got[first_id].n_tokens == n
+    assert got[first_id].n_distinct == len(counts)
+    assert abs(got[first_id].entropy - want) < 1e-12
+    # uniform docs (all counts 1) hit the maximum ln(n): entropy is
+    # maximized exactly when every token is distinct
+    for r in got.values():
+        if r.n_distinct == r.n_tokens:
+            assert abs(r.entropy - round(math.log(r.n_tokens), 6)) < 1e-12
+        assert r.entropy <= round(math.log(r.n_tokens), 6) + 1e-12
