@@ -803,6 +803,180 @@ def bench_skew(spark, scaled: str) -> None:
                 spark.conf.set(k, v)
 
 
+def bench_round11(spark, scaled: str) -> None:
+    """10x draws for the round-11 operators. DSIR and entropy run the
+    CATALOG queries on the staged corpus (documents 10x, per-copy
+    token suffixes: the hashed-feature OCCURRENCE relation and the
+    per-doc count relation both scale ~10x while the DSIR model stays
+    64 buckets). Secondary sort runs the online fold on a 10x orders
+    replication with disjoint custkeys (10x groups at constant group
+    size — the scale-out shape). HITS runs on a deterministic
+    bipartite graph at N and 10N hubs (3 arcs per hub: constant
+    degree, E scales 10x, path counts bounded). The two-stage re-rank
+    measures the REFINE stage alone against the 10x vector relation
+    (candidates fixed at Q x 24 — the stage's whole point is that its
+    cost is the candidate join + pruned scan, not the corpus). Time
+    travel stages a bucketed orders table at both scales and times
+    the copy-on-write delete commit (rewritten-bucket bytes scale
+    10x; carried files are metadata-only)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from os_ex_3_map_reduce_spark.operators.graph import hits_eager
+    from os_ex_3_map_reduce_spark.operators.map_reduce import sorted_group_scan
+    from os_ex_3_map_reduce_spark.operators.similarity import rerank_exact
+    from os_ex_3_map_reduce_spark.plans.mapreduce_queries import OrderGapFold
+    from os_ex_3_map_reduce_spark.sources.versioned import vt_delete, vt_write
+
+    qs = all_queries()
+    out: dict[str, dict[str, float]] = {"base": {}, f"x{COPIES}": {}}
+    for name in ("q_dsir_select", "q_entropy_quality"):
+        for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+            _materialize(qs[name](spark, path))
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, path))
+            out[label][name] = round(time.perf_counter() - t0, 3)
+
+    orders1 = spark.read.parquet(f"{BASE_SF}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus",
+        "o_totalprice",
+    ).persist()
+    orders1.count()
+    orders10 = (
+        orders1.crossJoin(
+            F.broadcast(spark.range(COPIES).select(F.col("id").alias("copy")))
+        )
+        .select(
+            (F.col("o_custkey") + F.col("copy") * 10_000_000).alias(
+                "o_custkey"
+            ),
+            (F.col("o_orderkey") + F.col("copy") * 1_000_000_000).alias(
+                "o_orderkey"
+            ),
+            "o_orderdate",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .persist()
+    )
+    orders10.count()
+
+    def secsort(orders) -> float:
+        prepped = orders.select(
+            "o_custkey",
+            F.datediff("o_orderdate", F.lit("1970-01-01")).alias("epoch_day"),
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        )
+        res = sorted_group_scan(
+            prepped,
+            ["o_custkey"],
+            ["epoch_day", "o_orderkey"],
+            OrderGapFold(),
+            "o_custkey bigint, n_orders bigint, first_date string, "
+            "last_date string, max_gap_days bigint",
+        )
+        _materialize(res)
+        t0 = time.perf_counter()
+        _materialize(res)
+        return round(time.perf_counter() - t0, 3)
+
+    out["base"]["secondary_sort"] = secsort(orders1)
+    out[f"x{COPIES}"]["secondary_sort"] = secsort(orders10)
+
+    def vt_cow(orders) -> float:
+        root = tempfile.mkdtemp(prefix="osx3_vt10_") + "/t"
+        vt_write(orders, root, "o_custkey", nbuckets=8)
+        t0 = time.perf_counter()
+        vt_delete(
+            spark, root, "o_orderstatus = 'F' AND pmod(o_custkey, 8) < 4"
+        )
+        sec = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        return sec
+
+    out["base"]["timetravel_cow_delete"] = vt_cow(orders1)
+    out[f"x{COPIES}"]["timetravel_cow_delete"] = vt_cow(orders10)
+    orders1.unpersist()
+    orders10.unpersist()
+
+    def hits_draw(n_hubs: int) -> float:
+        arcs = (
+            spark.range(n_hubs)
+            .select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.concat(F.lit("h"), F.col("id")).alias("src"),
+                            F.concat(
+                                F.lit("a"), (F.col("id") * (k + 7) % (n_hubs // 2))
+                            ).alias("dst"),
+                        )
+                        for k in range(3)
+                    ])
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .distinct()
+        )
+        t0 = time.perf_counter()
+        res = hits_eager(arcs, iterations=3)
+        sec = round(time.perf_counter() - t0, 3)
+        res.unpersist()
+        return sec
+
+    hits_draw(10_000)  # warm the path once
+    out["base"]["hits_n100k"] = hits_draw(100_000)
+    out[f"x{COPIES}"]["hits_n1m"] = hits_draw(1_000_000)
+
+    emb1 = spark.read.parquet(f"{BASE_SF}/embeddings.parquet").persist()
+    emb10 = spark.read.parquet(f"{scaled}/embeddings.parquet").persist()
+    emb1.count(), emb10.count()
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb1.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+        )
+    ]
+
+    def rerank_draw(emb) -> float:
+        n = emb.count()
+        cand = spark.range(3).crossJoin(
+            spark.range(24).select(F.col("id").alias("c"))
+        ).select(
+            F.col("id").alias("query_id"),
+            ((F.col("id") * 7919 + F.col("c") * 104729) % n).alias("vec_id"),
+            (F.col("c") + 1).cast("int").alias("rank"),
+        )
+        res = rerank_exact(emb, qvs, cand, k=5)
+        _materialize(res)
+        t0 = time.perf_counter()
+        _materialize(res)
+        return round(time.perf_counter() - t0, 3)
+
+    out["base"]["rerank_refine"] = rerank_draw(emb1)
+    out[f"x{COPIES}"]["rerank_refine"] = rerank_draw(emb10)
+    emb1.unpersist()
+    emb10.unpersist()
+
+    base_r, big_r = out["base"], out[f"x{COPIES}"]
+    for bk, gk in zip(list(base_r), list(big_r)):
+        print(
+            json.dumps(
+                {
+                    "query": f"round11_{bk}",
+                    "base_sec": base_r[bk],
+                    f"x{COPIES}_sec": big_r[gk],
+                    "ratio": round(big_r[gk] / base_r[bk], 2)
+                    if base_r[bk]
+                    else None,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     spark = get_spark(app_name="bench_scale10")
     scaled = stage(spark)
@@ -827,6 +1001,7 @@ def main() -> None:
     bench_graph10(spark)
     bench_ingest10(spark, scaled)
     bench_cdc(spark)
+    bench_round11(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
