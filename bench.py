@@ -175,6 +175,15 @@ BREADTH = [
     "q_scd2_history",
     "q_lm_perplexity",
     "q_bpe_encode",
+    # round 11: retrieval refine, data selection, graph, lakehouse,
+    # secondary sort, quality, leakage-safe split
+    "q_ann_rerank",
+    "q_dsir_select",
+    "q_hits",
+    "q_time_travel",
+    "q_mapreduce_secondary_sort",
+    "q_entropy_quality",
+    "q_group_split",
 ]
 
 

@@ -103,6 +103,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_mapreduce_secondary_sort",
     "q_entropy_quality",
     "q_group_split",
+    "q_ann_filtered",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

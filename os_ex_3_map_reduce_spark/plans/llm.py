@@ -3902,3 +3902,117 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("naive_leaked_pairs"),
         )
     )
+
+
+@register(
+    "q_ann_filtered",
+    # Deterministic end-to-end (the filter is a pure predicate; the
+    # rest is the seeded IVF-PQ + exact-rerank pipeline) — measured
+    # identical under shuffle.partitions 32/7/13 at every fixture
+    # scale before pinning (tools/pin_scales.py recipe). Pins keyed
+    # per scale by the orders row count. Every returned vec_id
+    # satisfies the predicate BY CONSTRUCTION (asserted in tests);
+    # recall_at_5 is vs the brute-force top-5 over the SAME filtered
+    # subset, computed in-query. Note sf0.001: the three query vectors
+    # THEMSELVES fail the predicate (labels >= 4), so no self-match
+    # rows appear — exactly the "query from outside the filtered
+    # slice" case a filtered search must handle.
+    oracle="""
+        SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+               CAST(s AS DOUBLE) AS exact_score,
+               CAST(cr AS INTEGER) AS coarse_rank, CAST(r AS INTEGER) AS rank,
+               CAST(er AS INTEGER) AS exact_rank,
+               CAST(rec AS DOUBLE) AS recall_at_5
+        FROM (VALUES
+            (1500,   0,   71, 0.2452, 10, 4, NULL, 0.6),
+            (1500,   0,   73, 0.2972, 7,  2, 2,    0.6),
+            (1500,   0,  248, 0.2393, 2,  5, NULL, 0.6),
+            (1500,   0,  260, 0.2987, 5,  1, 1,    0.6),
+            (1500,   0,  497, 0.2521, 9,  3, 4,    0.6),
+            (1500,   1,   75, 0.29,   5,  1, 2,    0.6),
+            (1500,   1,  237, 0.2535, 1,  4, NULL, 0.6),
+            (1500,   1,  247, 0.2615, 6,  2, 4,    0.6),
+            (1500,   1,  248, 0.248,  2,  5, NULL, 0.6),
+            (1500,   1,  260, 0.2553, 19, 3, 5,    0.6),
+            (1500,   2,   24, 0.2302, 4,  5, NULL, 0.6),
+            (1500,   2,   91, 0.2789, 6,  3, 4,    0.6),
+            (1500,   2,  183, 0.2506, 9,  4, NULL, 0.6),
+            (1500,   2,  185, 0.2829, 2,  2, 3,    0.6),
+            (1500,   2,  443, 0.3576, 1,  1, 1,    0.6),
+            (15000,  0,    0, 1.0,    1,  1, 1,    1.0),
+            (15000,  0,    7, 0.2928, 7,  4, 4,    1.0),
+            (15000,  0,  320, 0.2879, 11, 5, 5,    1.0),
+            (15000,  0,  334, 0.3627, 3,  2, 2,    1.0),
+            (15000,  0,  423, 0.2969, 4,  3, 3,    1.0),
+            (15000,  1,    1, 1.0,    1,  1, 1,    0.8),
+            (15000,  1,   64, 0.3164, 4,  4, 4,    0.8),
+            (15000,  1,  165, 0.2439, 10, 5, NULL, 0.8),
+            (15000,  1,  195, 0.3227, 3,  3, 3,    0.8),
+            (15000,  1,  386, 0.3715, 2,  2, 2,    0.8),
+            (15000,  2,    2, 1.0,    1,  1, 1,    0.4),
+            (15000,  2,   49, 0.1975, 11, 5, NULL, 0.4),
+            (15000,  2,  128, 0.2234, 4,  3, NULL, 0.4),
+            (15000,  2,  350, 0.2401, 6,  2, 5,    0.4),
+            (15000,  2,  459, 0.2234, 8,  4, NULL, 0.4),
+            (150000, 0,    0, 1.0,    1,  1, 1,    1.0),
+            (150000, 0,  144, 0.3243, 12, 4, 4,    1.0),
+            (150000, 0,  291, 0.3919, 9,  2, 2,    1.0),
+            (150000, 0, 1020, 0.376,  2,  3, 3,    1.0),
+            (150000, 0, 1978, 0.3192, 23, 5, 5,    1.0),
+            (150000, 1,    1, 1.0,    1,  1, 1,    0.8),
+            (150000, 1,  260, 0.3467, 5,  4, 4,    0.8),
+            (150000, 1,  665, 0.3066, 3,  5, NULL, 0.8),
+            (150000, 1, 1580, 0.3668, 17, 3, 3,    0.8),
+            (150000, 1, 1950, 0.3861, 2,  2, 2,    0.8),
+            (150000, 2,   32, 0.2827, 13, 3, NULL, 0.4),
+            (150000, 2,   95, 0.2601, 7,  5, NULL, 0.4),
+            (150000, 2,  247, 0.2604, 5,  4, NULL, 0.4),
+            (150000, 2,  337, 0.3574, 6,  1, 2,    0.4),
+            (150000, 2,  990, 0.3337, 2,  2, 3,    0.4)
+        ) t(sf, q, v, s, cr, r, er, rec)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="FILTERED vector search — the metadata-predicate + ANN "
+    "composition every production vector store struggles with (the "
+    "pre- vs post-filtering problem: post-filtering an unfiltered "
+    "top-k starves the result set when the predicate is selective; "
+    "the right plan filters FIRST and searches the surviving "
+    "vectors). Here the predicate (label < 4, ~40% selective, an "
+    "embeddings-table metadata column) prunes the vector relation "
+    "BEFORE quantization, so the IVF-PQ candidate stage (4/16 probed "
+    "lists, ADC over 32x-compressed codes, k*k_factor=24) and the "
+    "exact re-rank both touch only qualifying rows — no result "
+    "starvation, no wasted ADC on rows the predicate would discard. "
+    "At 100 TB the predicate column lives IN the codes relation "
+    "(pq_encode keep_cols) so the filter prunes the compressed scan "
+    "directly. Pinned-expectation exact oracle keyed per scale: see "
+    "registration comment.",
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_search_batch, pq_encode, pq_train
+    from ..operators.similarity import rerank_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+        )
+    ]
+    femb = emb.where(F.col("label") < 4)
+    centroids = train_centroids_sample(femb, nlist=16)
+    cb = pq_train(femb, m=16, ksub=16)
+    codes = pq_encode(
+        ivf_assign(femb, centroids).withColumnRenamed("e", "embedding"),
+        cb,
+        keep_cols=["list_id"],
+    )
+    cand = ivfpq_search_batch(codes, cb, centroids, qvs, k=24, nprobe=4)
+    refined = rerank_exact(femb, qvs, cand, k=5)
+    exact = topk_to_query_batch(femb, qvs, k=5).select(
+        "query_id", "vec_id", F.col("rank").alias("exact_rank")
+    )
+    return refined.join(exact, ["query_id", "vec_id"], "left").withColumn(
+        "recall_at_5",
+        F.count("exact_rank").over(Window.partitionBy("query_id")) / 5.0,
+    )

@@ -2585,3 +2585,32 @@ def test_entropy_margin_ledger_and_reference(spark, duck):
         if r.n_distinct == r.n_tokens:
             assert abs(r.entropy - round(math.log(r.n_tokens), 6)) < 1e-12
         assert r.entropy <= round(math.log(r.n_tokens), 6) + 1e-12
+
+
+def test_filtered_search_respects_predicate_everywhere(spark):
+    """q_ann_filtered's hard requirement: no stage may leak a row the
+    predicate excludes — candidates, refined results, and the recall
+    baseline must all satisfy label < 4; and the result must differ
+    from the UNfiltered search wherever an excluded row would have
+    made top-5 (otherwise the filter did nothing and the test is
+    vacuous)."""
+    from os_ex_3_map_reduce_spark.plans import all_queries
+
+    qs = all_queries()
+    got = qs["q_ann_filtered"](spark, SF_CORRECT).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_CORRECT, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assert got and all(labels[r.vec_id] < 4 for r in got)
+    unfiltered = {
+        (r.query_id, r.vec_id)
+        for r in qs["q_ann_rerank"](spark, SF_CORRECT).collect()
+    }
+    filtered = {(r.query_id, r.vec_id) for r in got}
+    dropped = unfiltered - filtered
+    assert any(labels.get(v, 9) >= 4 for _, v in dropped), (
+        "filter was vacuous on this fixture — pick a different predicate"
+    )
