@@ -104,6 +104,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_entropy_quality",
     "q_group_split",
     "q_ann_filtered",
+    "q_stream_versioned_ingest",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -679,3 +679,129 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "new_doc", "corpus_doc", "inter", "union_", "jaccard"
     )
+
+
+@register(
+    "q_stream_versioned_ingest",
+    # Every output row is batch-ORDER-independent (which micro-batch a
+    # file lands in depends on file discovery order): v0 and the final
+    # snapshot are set-determined, the version/replay/monotonic facts
+    # are structural. The oracle recomputes the two aggregates from
+    # the orders table and pins the structural constants.
+    oracle="""
+        SELECT 'v0' AS item, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 'vfinal', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'n_versions', 5, NULL
+        UNION ALL
+        SELECT 'replay_skipped', 1, NULL
+        UNION ALL
+        SELECT 'monotonic_growth', 1, NULL
+    """,
+    doc="STREAMING ingest into the manifest-versioned table (the E7 x "
+    "E8 cross on sources/versioned.py — the Delta-style streaming "
+    "sink shape): the even-orderkey half is the table's version 0; "
+    "the odd half arrives as a 4-file stream (maxFilesPerTrigger=1) "
+    "and each micro-batch commits ONE vt_append tagged with its "
+    "batch id — append-only manifests, no existing file read or "
+    "rewritten. Exactly-once across replays comes from the tag: the "
+    "query re-invokes the sink function with an already-committed "
+    "batch id and proves the replay was SKIPPED (version count "
+    "unchanged) — the vt_has_tag idempotency contract, which unlike "
+    "the overwrite-sink idiom also survives non-deterministic "
+    "re-partitioning of the replayed batch. Output: v0 and final-"
+    "snapshot aggregates (set-determined, batch-order-independent), "
+    "version count (1 create + 4 appends), the replay verdict, and a "
+    "monotonic-growth check across every snapshot read back via time "
+    "travel.",
+)
+def q_stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.tables import load_table
+    from ..sources.versioned import (
+        vt_append,
+        vt_current_version,
+        vt_has_tag,
+        vt_read,
+        vt_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="osx3_vt_stream_")
+    _cleanup_at_exit(root)
+    table = f"{root}/t"
+    vt_write(orders.where(F.col("o_orderkey") % 2 == 0), table, "o_custkey")
+
+    # stage the odd half as 4 deterministic delta files
+    src = Path(root) / "delta"
+    src.mkdir()
+    odd = orders.where(F.col("o_orderkey") % 2 == 1)
+    for i in range(4):
+        stage = Path(root) / f"_stage{i}"
+        odd.where(
+            (F.col("o_orderkey") / 2).cast("long") % 4 == i
+        ).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), src / f"part-{i}.parquet")
+        shutil.rmtree(stage)
+
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    def append_batch(bdf: DataFrame, batch_id: int) -> None:
+        tag = f"batch-{batch_id}"
+        if vt_has_tag(table, tag):
+            return  # replayed batch: already committed, skip
+        vt_append(bdf, table, tag=tag)
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    before_replay = vt_current_version(table)
+    append_batch(spark.read.parquet(str(src / "part-0.parquet")), 0)
+    replay_skipped = int(vt_current_version(table) == before_replay)
+
+    n_versions = vt_current_version(table) + 1
+    counts = [vt_read(spark, table, v).count() for v in range(n_versions)]
+    monotonic = int(all(a < b for a, b in zip(counts, counts[1:])))
+
+    def agg(df: DataFrame, item: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(F.lit(item).alias("item"), "n", "sum_price")
+
+    facts = spark.createDataFrame(
+        [
+            ("n_versions", n_versions),
+            ("replay_skipped", replay_skipped),
+            ("monotonic_growth", monotonic),
+        ],
+        "item string, n long",
+    ).select("item", "n", F.lit(None).cast("double").alias("sum_price"))
+    return (
+        agg(vt_read(spark, table, 0), "v0")
+        .unionByName(agg(vt_read(spark, table), "vfinal"))
+        .unionByName(facts)
+    )

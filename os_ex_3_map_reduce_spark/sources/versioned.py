@@ -148,12 +148,27 @@ def vt_read(
     return out
 
 
-def vt_append(df: DataFrame, path: str) -> int:
+def vt_has_tag(path: str, tag: str) -> bool:
+    """True if any committed manifest carries ``tag`` — the replay
+    check an exactly-once streaming sink runs before appending a
+    micro-batch (tag = batch id): a replayed batch finds its tag
+    already committed and skips, making the append idempotent."""
+    cur = vt_current_version(path)
+    if cur is None:
+        return False
+    return any(
+        _read_manifest(path, v).get("tag") == tag for v in range(cur + 1)
+    )
+
+
+def vt_append(df: DataFrame, path: str, tag: str | None = None) -> int:
     """Append-only commit: stage the new rows' files (bucketed with
     the table's own key/width from the manifest) and commit a manifest
     carrying every previous file by reference plus the new ones —
     no existing file is read or rewritten, the cheapest commit kind.
-    Returns the new version."""
+    ``tag`` (stored in the manifest) lets a streaming sink make the
+    append idempotent via :func:`vt_has_tag`. Returns the new
+    version."""
     cur = vt_current_version(path)
     if cur is None:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -171,6 +186,7 @@ def vt_append(df: DataFrame, path: str) -> int:
             "version": new_version,
             "parent": cur,
             "op": "append",
+            "tag": tag,
             "nbuckets": man["nbuckets"],
             "bucket_key": man["bucket_key"],
             "files": man["files"] + new_files,

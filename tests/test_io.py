@@ -691,3 +691,26 @@ class TestVersionedTable:
             vt_read(spark, vt, 7)
         with pytest.raises(FileNotFoundError):
             vt_read(spark, str(tmp_path / "nope"), None)
+
+    def test_tagged_append_idempotency(self, spark, vt):
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_append,
+            vt_current_version,
+            vt_has_tag,
+            vt_read,
+        )
+
+        extra = spark.range(100, 110).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("grp"),
+            (F.col("id") * 2).alias("val"),
+        )
+        assert not vt_has_tag(vt, "b-7")
+        vt_append(extra, vt, tag="b-7")
+        assert vt_has_tag(vt, "b-7")
+        v = vt_current_version(vt)
+        # the streaming sink's replay guard: same tag -> caller skips
+        if not vt_has_tag(vt, "b-7"):
+            vt_append(extra, vt, tag="b-7")
+        assert vt_current_version(vt) == v
+        assert vt_read(spark, vt).count() == 110
