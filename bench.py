@@ -184,6 +184,9 @@ BREADTH = [
     "q_mapreduce_secondary_sort",
     "q_entropy_quality",
     "q_group_split",
+    "q_ann_filtered",
+    "q_stream_versioned_ingest",
+    "q_ann_opq_topk",
 ]
 
 

@@ -572,3 +572,154 @@ def pq_append_residual(
     ).repartition("list_id").write.mode("append").partitionBy(
         "list_id"
     ).parquet(path)
+
+
+def opq_train(
+    emb_df: DataFrame,
+    m: int = 16,
+    ksub: int = 16,
+    iters: int = 6,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_n: int = 512,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """OPQ — Optimized Product Quantization (Ge, He, Ke, Sun; CVPR
+    2013 / TPAMI 2014; faiss ``OPQMatrix``): learn an orthogonal
+    rotation R that re-mixes dimensions BEFORE product quantization so
+    the m independent subspaces carry balanced, decorrelated variance
+    — the fix for PQ's one structural weakness (its subspaces are an
+    arbitrary slicing of the dimension order).
+
+    Alternating minimization of ||XR - decode(encode(XR))||^2 on the
+    same id-ordered 512-row driver sample as :func:`pq_train` (bounded
+    collect, seeded subspace k-means — the whole pipeline stays
+    partitioning-invariant and pinnable):
+
+    1. fix R: train per-subspace codebooks on XR (fresh seeds per
+       subspace, same recipe as pq_train);
+    2. fix codebooks: encode+decode the sample to X̂, then the
+       orthogonal Procrustes step — SVD(Xᵀ X̂) = U S Vᵀ, R ← U Vᵀ —
+       the closed-form rotation minimizing ||XR - X̂||_F.
+
+    Each step minimizes the shared objective given the other, so the
+    sample reconstruction error is monotone non-increasing up to the
+    bounded-Lloyd tolerance (asserted in tests, with the measured
+    error trace). Returns (R, codebooks) where codebooks are trained
+    in the ROTATED space — search composes by rotating queries with
+    the same R (:func:`opq_rotate` for the corpus side; rotation
+    preserves inner products, so ADC arithmetic is unchanged)."""
+    rows = (
+        emb_df.select(
+            F.col(id_col), F.col(emb_col).cast("array<double>").alias("e")
+        )
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("opq_train: empty training input")
+    X = np.stack([np.asarray(r["e"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X[norms[:, 0] > 0]
+    if not len(X):
+        raise ValueError("opq_train: all sample vectors have zero norm")
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"opq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    R = np.eye(d)
+
+    def train_cb(XR: "np.ndarray") -> "np.ndarray":
+        return np.stack(
+            [
+                _kmeans_subspace(
+                    XR[:, j * dsub : (j + 1) * dsub], ksub, seed + j, max_iter
+                )
+                for j in range(m)
+            ]
+        )
+
+    def decode_sample(XR: "np.ndarray", cb: "np.ndarray") -> "np.ndarray":
+        Xh = np.empty_like(XR)
+        for j in range(m):
+            sub = XR[:, j * dsub : (j + 1) * dsub]
+            C = cb[j]
+            a = (sub @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+            Xh[:, j * dsub : (j + 1) * dsub] = C[a]
+        return Xh
+
+    cb = train_cb(X)
+    for _ in range(iters):
+        Xh = decode_sample(X @ R, cb)
+        U, _s, Vt = np.linalg.svd(X.T @ Xh)
+        R = U @ Vt
+        cb = train_cb(X @ R)
+    return R, cb
+
+
+def opq_errors(
+    X: "np.ndarray", m: int, ksub: int, iters: int, seed: int = 42
+) -> list[float]:
+    """Objective trace for the OPQ alternation on a prepared sample —
+    test/evidence helper mirroring opq_train's exact steps; returns
+    the reconstruction error after each rotation update."""
+    d = X.shape[1]
+    dsub = d // m
+
+    def train_cb(XR):
+        return np.stack(
+            [
+                _kmeans_subspace(
+                    XR[:, j * dsub : (j + 1) * dsub], ksub, seed + j, 10
+                )
+                for j in range(m)
+            ]
+        )
+
+    def decode(XR, cb):
+        Xh = np.empty_like(XR)
+        for j in range(m):
+            sub = XR[:, j * dsub : (j + 1) * dsub]
+            C = cb[j]
+            a = (sub @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+            Xh[:, j * dsub : (j + 1) * dsub] = C[a]
+        return Xh
+
+    R = np.eye(d)
+    cb = train_cb(X)
+    errs = []
+    for _ in range(iters):
+        Xh = decode(X @ R, cb)
+        U, _s, Vt = np.linalg.svd(X.T @ Xh)
+        R = U @ Vt
+        cb = train_cb(X @ R)
+        Xh2 = decode(X @ R, cb)
+        errs.append(float(((X @ R - Xh2) ** 2).sum()))
+    return errs
+
+
+def opq_rotate(
+    emb_df: DataFrame,
+    R: "np.ndarray",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep_cols: Iterable[str] = (),
+) -> DataFrame:
+    """Apply the OPQ rotation to every vector: one Arrow-batched
+    matmul per batch with R broadcast — the same no-shuffle
+    assign-with-broadcast-constants shape as pq_encode. Output keeps
+    ``emb_col`` (now rotated) so pq_encode/pq_train compose
+    unchanged."""
+    b_r = emb_df.sparkSession.sparkContext.broadcast(R)
+
+    @F.pandas_udf("array<double>")
+    def rot(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        return pd.Series(list(mat @ b_r.value))
+
+    return emb_df.select(
+        id_col, *keep_cols, rot(F.col(emb_col).cast("array<double>")).alias(emb_col)
+    )

@@ -105,6 +105,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_group_split",
     "q_ann_filtered",
     "q_stream_versioned_ingest",
+    "q_ann_opq_topk",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

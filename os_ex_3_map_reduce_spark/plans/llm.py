@@ -4016,3 +4016,110 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_at_5",
         F.count("exact_rank").over(Window.partitionBy("query_id")) / 5.0,
     )
+
+
+@register(
+    "q_ann_opq_topk",
+    # Deterministic end-to-end: id-ordered driver sample, seeded
+    # subspace k-means each alternation, closed-form SVD Procrustes
+    # (numpy LAPACK on identical input — the q_pca_topk
+    # eigendecomposition precedent), rounded ADC with total tiebreaks.
+    # Measured identical under shuffle.partitions 32/7/13 at every
+    # fixture scale before pinning. Pins keyed per scale by the orders
+    # row count.
+    oracle="""
+        SELECT CAST(q AS BIGINT) AS query_id, CAST(v AS BIGINT) AS vec_id,
+               CAST(c AS DOUBLE) AS adc_score, CAST(r AS INTEGER) AS rank,
+               CAST(er AS INTEGER) AS exact_rank,
+               CAST(rec AS DOUBLE) AS recall_at_5
+        FROM (VALUES
+            (1500,   0,    0, 0.728,  1, 1,    0.4),
+            (1500,   0,   17, 0.3211, 3, 2,    0.4),
+            (1500,   0,   59, 0.3012, 4, NULL, 0.4),
+            (1500,   0,  346, 0.2813, 5, NULL, 0.4),
+            (1500,   0,  350, 0.3219, 2, NULL, 0.4),
+            (1500,   1,    1, 0.7258, 1, 1,    0.8),
+            (1500,   1,  129, 0.3983, 2, 4,    0.8),
+            (1500,   1,  209, 0.3009, 4, 3,    0.8),
+            (1500,   1,  257, 0.3863, 3, 2,    0.8),
+            (1500,   1,  455, 0.2945, 5, NULL, 0.8),
+            (1500,   2,    2, 0.7681, 1, 1,    0.6),
+            (1500,   2,  132, 0.2562, 3, NULL, 0.6),
+            (1500,   2,  235, 0.2217, 5, NULL, 0.6),
+            (1500,   2,  246, 0.2523, 4, 4,    0.6),
+            (1500,   2,  443, 0.2612, 2, 2,    0.6),
+            (15000,  0,    0, 0.7721, 1, 1,    0.8),
+            (15000,  0,  334, 0.3556, 2, 3,    0.8),
+            (15000,  0,  365, 0.3304, 5, 2,    0.8),
+            (15000,  0,  387, 0.3479, 4, 4,    0.8),
+            (15000,  0,  415, 0.3553, 3, NULL, 0.8),
+            (15000,  1,    1, 0.732,  1, 1,    0.4),
+            (15000,  1,  124, 0.3102, 4, NULL, 0.4),
+            (15000,  1,  165, 0.3398, 3, NULL, 0.4),
+            (15000,  1,  386, 0.3586, 2, 2,    0.4),
+            (15000,  1,  490, 0.2635, 5, NULL, 0.4),
+            (15000,  2,    2, 0.7487, 1, 1,    0.6),
+            (15000,  2,  117, 0.3152, 2, 2,    0.6),
+            (15000,  2,  145, 0.3108, 3, 4,    0.6),
+            (15000,  2,  197, 0.2598, 4, NULL, 0.6),
+            (15000,  2,  395, 0.2588, 5, NULL, 0.6),
+            (150000, 0,    0, 0.705,  1, 1,    0.4),
+            (150000, 0,   34, 0.2972, 5, NULL, 0.4),
+            (150000, 0,  142, 0.3032, 4, NULL, 0.4),
+            (150000, 0, 1020, 0.3197, 3, 4,    0.4),
+            (150000, 0, 1724, 0.3273, 2, NULL, 0.4),
+            (150000, 1,    1, 0.6858, 1, 1,    0.2),
+            (150000, 1,  173, 0.3302, 3, NULL, 0.2),
+            (150000, 1, 1069, 0.3327, 2, NULL, 0.2),
+            (150000, 1, 1479, 0.3098, 4, NULL, 0.2),
+            (150000, 1, 1543, 0.3082, 5, NULL, 0.2),
+            (150000, 2,    2, 0.7488, 1, 1,    0.4),
+            (150000, 2,  833, 0.3715, 2, NULL, 0.4),
+            (150000, 2, 1282, 0.3271, 4, NULL, 0.4),
+            (150000, 2, 1303, 0.3476, 3, 2,    0.4),
+            (150000, 2, 1781, 0.3105, 5, NULL, 0.4)
+        ) t(sf, q, v, c, r, er, rec)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="OPQ ANN — Optimized Product Quantization (Ge et al. CVPR "
+    "2013, faiss OPQMatrix+IndexPQ; operators/pq.py opq_train/"
+    "opq_rotate): learn an orthogonal rotation R by alternating "
+    "[train codebooks on XR | closed-form Procrustes R update] on "
+    "the 512-row trainer sample, rotate corpus AND queries with the "
+    "same R (one Arrow matmul per batch, no shuffle; rotation "
+    "preserves inner products so the ADC kernel is reused "
+    "unchanged), then batched ADC top-5. Honest fidelity note: the "
+    "alternation provably drives the TRAIN objective down "
+    "(sample reconstruction error 154.9 -> 131.2 here, 15%; 30% on "
+    "correlated data — the monotone trace and the "
+    "correlation-helps-more property are asserted in tests via "
+    "opq_errors), but on this fixture's near-isotropic synthetic "
+    "embeddings the top-k recall lands at parity-to-slightly-below "
+    "plain PQ (0.53 vs 0.60 @10, sf0.01) — OPQ's win requires "
+    "correlated dimensions, which real text/image embeddings have "
+    "and this fixture deliberately lacks. Pinned-expectation exact "
+    "oracle keyed per scale: see registration comment.",
+)
+def q_ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.pq import opq_rotate, opq_train, pq_encode, pq_search_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+        )
+    ]
+    R, cb = opq_train(emb, m=16, ksub=16)
+    codes = pq_encode(opq_rotate(emb, R), cb)
+    qrot = [list(np.asarray(q, dtype=np.float64) @ R) for q in qvs]
+    res = pq_search_batch(codes, cb, qrot, k=5)
+    exact = topk_to_query_batch(emb, qvs, k=5).select(
+        "query_id", "vec_id", F.col("rank").alias("exact_rank")
+    )
+    return res.join(exact, ["query_id", "vec_id"], "left").withColumn(
+        "recall_at_5",
+        F.count("exact_rank").over(Window.partitionBy("query_id")) / 5.0,
+    )
