@@ -51,10 +51,19 @@ def _manifest_file(path: str, version: int) -> str:
     return f"{path}/{_MANIFESTS}/v{version:06d}.json"
 
 
+def _versions(path: str) -> list[int]:
+    """Committed versions present on disk, ascending. NOT necessarily
+    contiguous from 0: :func:`vt_vacuum` removes old manifests."""
+    return sorted(
+        int(os.path.basename(m)[1:7])
+        for m in glob.glob(f"{path}/{_MANIFESTS}/v*.json")
+    )
+
+
 def vt_current_version(path: str) -> int | None:
     """Highest committed version, or None for a nonexistent table."""
-    ms = sorted(glob.glob(f"{path}/{_MANIFESTS}/v*.json"))
-    return int(os.path.basename(ms[-1])[1:7]) if ms else None
+    vs = _versions(path)
+    return vs[-1] if vs else None
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -153,11 +162,8 @@ def vt_has_tag(path: str, tag: str) -> bool:
     check an exactly-once streaming sink runs before appending a
     micro-batch (tag = batch id): a replayed batch finds its tag
     already committed and skips, making the append idempotent."""
-    cur = vt_current_version(path)
-    if cur is None:
-        return False
     return any(
-        _read_manifest(path, v).get("tag") == tag for v in range(cur + 1)
+        _read_manifest(path, v).get("tag") == tag for v in _versions(path)
     )
 
 
@@ -258,10 +264,47 @@ def vt_delete(spark: SparkSession, path: str, predicate: str) -> int:
 
 def vt_history(path: str) -> list[dict]:
     """All manifests, oldest first, file lists elided to counts."""
-    cur = vt_current_version(path)
     out = []
-    for v in range((cur if cur is not None else -1) + 1):
+    for v in _versions(path):
         m = _read_manifest(path, v)
         m["n_files"] = len(m.pop("files"))
         out.append(m)
     return out
+
+
+def vt_vacuum(path: str, keep_last: int = 2) -> dict:
+    """Retention pass: drop all but the newest ``keep_last`` manifests
+    and delete every data file no surviving manifest references — the
+    Delta VACUUM / Iceberg expire-snapshots step that bounds storage
+    growth once old snapshots are past their reproducibility window.
+    Order matters for crash safety: manifests are removed FIRST (a
+    reader can no longer resolve the dropped versions), then the
+    orphaned files — a crash between the two leaves unreferenced
+    files (re-vacuumable garbage), never a readable version with
+    missing files. Returns {versions_dropped, files_deleted,
+    files_kept}."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    if keep_last < 1:
+        raise ValueError("vt_vacuum: keep_last must be >= 1")
+    drop, keep = vs[:-keep_last], vs[-keep_last:]
+    referenced = {
+        e["path"] for v in keep for e in _read_manifest(path, v)["files"]
+    }
+    dropped_refs = {
+        e["path"] for v in drop for e in _read_manifest(path, v)["files"]
+    }
+    for v in drop:
+        os.remove(_manifest_file(path, v))
+    deleted = 0
+    for rel in sorted(dropped_refs - referenced):
+        f = f"{path}/{rel}"
+        if os.path.exists(f):
+            os.remove(f)
+            deleted += 1
+    return {
+        "versions_dropped": len(drop),
+        "files_deleted": deleted,
+        "files_kept": len(referenced),
+    }

@@ -714,3 +714,36 @@ class TestVersionedTable:
             vt_append(extra, vt, tag="b-7")
         assert vt_current_version(vt) == v
         assert vt_read(spark, vt).count() == 110
+
+    def test_vacuum_expires_old_snapshots_only(self, spark, vt):
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_append,
+            vt_delete,
+            vt_read,
+            vt_vacuum,
+        )
+
+        extra = spark.range(100, 120).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("grp"),
+            (F.col("id") * 2).alias("val"),
+        )
+        vt_append(extra, vt)          # v1
+        vt_delete(spark, vt, "grp = 3")  # v2 (CoW rewrites touched buckets)
+        stats = vt_vacuum(vt, keep_last=2)
+        assert stats["versions_dropped"] == 1
+        # surviving snapshots still read completely
+        assert vt_read(spark, vt, 1).count() == 120
+        assert vt_read(spark, vt, 2).where("grp = 3").count() == 0
+        # the expired snapshot is gone
+        with pytest.raises(FileNotFoundError):
+            vt_read(spark, vt, 0)
+        # files shared with survivors were NOT deleted: v1 carries all
+        # of v0's files (append), so nothing was deletable yet
+        assert stats["files_deleted"] == 0
+        # after expiring v1 too, v0/v1-only files become garbage
+        stats2 = vt_vacuum(vt, keep_last=1)
+        assert stats2["versions_dropped"] == 1
+        assert stats2["files_deleted"] > 0
+        # 120 rows, grp = k % 10 -> exactly 12 rows had grp = 3
+        assert vt_read(spark, vt, 2).count() == 108
