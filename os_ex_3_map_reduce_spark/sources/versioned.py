@@ -308,3 +308,63 @@ def vt_vacuum(path: str, keep_last: int = 2) -> dict:
         "files_deleted": deleted,
         "files_kept": len(referenced),
     }
+
+
+def vt_upsert(
+    spark: SparkSession, path: str, changes: DataFrame, key: str
+) -> int:
+    """Copy-on-write MERGE (the Delta ``MERGE INTO`` / upsert shape):
+    rows in ``changes`` REPLACE current rows with the same ``key``;
+    unmatched keys INSERT. Only the buckets that receive changes are
+    rewritten — each affected bucket's surviving old rows and its
+    incoming changes are staged as one new file; every other bucket
+    is carried by reference. The affected-bucket set is the distinct
+    ``pmod(key)`` of the changes (bounded driver collect:
+    <= nbuckets rows). At 100 TB this is the nightly-merge cost
+    model: you pay for the buckets your keys touch, not the table.
+    Returns the new version."""
+    cur = vt_current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, cur)
+    nb = man["nbuckets"]
+    ch = changes.withColumn(
+        "bucket", F.pmod(F.col(man["bucket_key"]), F.lit(nb)).cast("int")
+    )
+    affected = sorted(
+        r.bucket for r in ch.select("bucket").distinct().collect()
+    )
+    carried = [e for e in man["files"] if e["bucket"] not in set(affected)]
+    hit_entries = [e for e in man["files"] if e["bucket"] in set(affected)]
+    new_version = cur + 1
+    merged = ch
+    if hit_entries:
+        by_commit: dict[str, list[str]] = {}
+        for e in hit_entries:
+            by_commit.setdefault(e["commit"], []).append(f"{path}/{e['path']}")
+        old = None
+        for commit, files in sorted(by_commit.items()):
+            part = spark.read.option(
+                "basePath", f"{path}/data/{commit}"
+            ).parquet(*sorted(files))
+            old = part if old is None else old.unionByName(part)
+        survivors = old.join(
+            ch.select(F.col(key)).distinct(), key, "left_anti"
+        )
+        merged = survivors.unionByName(ch)
+    new_files = _stage_files(merged, path, f"c{new_version}", nb)
+    _commit(
+        path,
+        new_version,
+        {
+            "version": new_version,
+            "parent": cur,
+            "op": "upsert",
+            "nbuckets": nb,
+            "bucket_key": man["bucket_key"],
+            "files": carried + new_files,
+            "files_rewritten": len(hit_entries),
+            "files_carried": len(carried),
+        },
+    )
+    return new_version

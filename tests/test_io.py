@@ -747,3 +747,32 @@ class TestVersionedTable:
         assert stats2["files_deleted"] > 0
         # 120 rows, grp = k % 10 -> exactly 12 rows had grp = 3
         assert vt_read(spark, vt, 2).count() == 108
+
+    def test_upsert_merges_by_key_and_rewrites_touched_buckets_only(
+        self, spark, vt
+    ):
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            _read_manifest,
+            vt_read,
+            vt_upsert,
+        )
+
+        # k=5 (update, bucket 1) and k=101 (insert, bucket 1): exactly
+        # one bucket is touched -> 1 rewritten, 3 carried
+        changes = spark.createDataFrame(
+            [(5, 99, 999), (101, 98, 888)], "k long, grp long, val long"
+        )
+        v = vt_upsert(spark, vt, changes, "k")
+        assert v == 1
+        m1 = _read_manifest(vt, 1)
+        assert m1["op"] == "upsert"
+        assert m1["files_rewritten"] == 1 and m1["files_carried"] == 3
+        cur = vt_read(spark, vt)
+        assert cur.count() == 101  # 100 rows + 1 insert
+        got5 = cur.where("k = 5").collect()[0]
+        assert (got5.grp, got5.val) == (99, 999)
+        assert cur.where("k = 101").count() == 1
+        # snapshot isolation: v0 still has the old row and no k=101
+        v0 = vt_read(spark, vt, 0)
+        assert v0.where("k = 5").collect()[0].val == 10
+        assert v0.where("k = 101").count() == 0
