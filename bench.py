@@ -187,6 +187,7 @@ BREADTH = [
     "q_ann_filtered",
     "q_stream_versioned_ingest",
     "q_ann_opq_topk",
+    "q_unigram_vocab",
 ]
 
 

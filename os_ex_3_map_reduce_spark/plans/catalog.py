@@ -106,6 +106,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_filtered",
     "q_stream_versioned_ingest",
     "q_ann_opq_topk",
+    "q_unigram_vocab",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

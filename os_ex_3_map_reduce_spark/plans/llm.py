@@ -4123,3 +4123,101 @@ def q_ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_at_5",
         F.count("exact_rank").over(Window.partitionBy("query_id")) / 5.0,
     )
+
+
+@register(
+    "q_unigram_vocab",
+    # Deterministic trajectory: integer word histogram, JVM substring
+    # seeding with total tiebreaks, hard-EM Viterbi counts (exact
+    # integers; DP ties broken by the explicit longer-final-piece
+    # rule), ln-ledger-rounded log-probs — measured identical under
+    # shuffle.partitions 32/7/13 at every fixture scale before
+    # pinning. Pins keyed per scale by the orders row count. The same
+    # 30 generator-vocabulary words win at every scale (the fixture's
+    # text generator has a closed word list) — only counts and
+    # rank order shift with scale, which is itself evidence the
+    # trainer finds the true generating vocabulary.
+    oracle="""
+        SELECT p AS piece, CAST(length(p) AS INTEGER) AS piece_len,
+               CAST(c AS BIGINT) AS count, CAST(r AS INTEGER) AS rank
+        FROM (VALUES
+            (1500, 'agg', 953, 7),    (1500, 'batch', 910, 21),
+            (1500, 'big', 890, 27),   (1500, 'column', 978, 2),
+            (1500, 'custom', 889, 28),(1500, 'data', 896, 26),
+            (1500, 'er', 889, 29),    (1500, 'fast', 913, 20),
+            (1500, 'filter', 917, 19),(1500, 'group', 934, 13),
+            (1500, 'hash', 923, 16),  (1500, 'join', 936, 11),
+            (1500, 'key', 945, 10),   (1500, 'line', 946, 9),
+            (1500, 'merge', 935, 12), (1500, 'order', 975, 4),
+            (1500, 'part', 963, 6),   (1500, 'query', 934, 14),
+            (1500, 'row', 866, 30),   (1500, 'scan', 984, 1),
+            (1500, 'slow', 921, 17),  (1500, 'small', 898, 25),
+            (1500, 'sort', 974, 5),   (1500, 'spark', 910, 22),
+            (1500, 'stream', 919, 18),(1500, 'table', 903, 24),
+            (1500, 'the', 910, 23),   (1500, 'value', 950, 8),
+            (1500, 'vector', 931, 15),(1500, 'window', 976, 3),
+            (15000, 'agg', 901, 18),  (15000, 'batch', 937, 4),
+            (15000, 'big', 876, 26),  (15000, 'column', 934, 6),
+            (15000, 'custom', 934, 7),(15000, 'data', 908, 16),
+            (15000, 'er', 934, 8),    (15000, 'fast', 854, 29),
+            (15000, 'filter', 933, 9),(15000, 'group', 878, 24),
+            (15000, 'hash', 947, 2),  (15000, 'join', 964, 1),
+            (15000, 'key', 896, 20),  (15000, 'line', 910, 15),
+            (15000, 'merge', 918, 11),(15000, 'order', 912, 13),
+            (15000, 'part', 878, 25), (15000, 'query', 871, 28),
+            (15000, 'row', 943, 3),   (15000, 'scan', 936, 5),
+            (15000, 'slow', 918, 12), (15000, 'small', 928, 10),
+            (15000, 'sort', 872, 27), (15000, 'spark', 880, 23),
+            (15000, 'stream', 888, 21),(15000, 'table', 908, 17),
+            (15000, 'the', 840, 30),  (15000, 'value', 897, 19),
+            (15000, 'vector', 912, 14),(15000, 'window', 886, 22),
+            (150000, 'agg', 8912, 26),   (150000, 'batch', 8829, 30),
+            (150000, 'big', 9057, 13),   (150000, 'column', 9127, 5),
+            (150000, 'custom', 9017, 16),(150000, 'data', 9104, 9),
+            (150000, 'er', 9017, 17),    (150000, 'fast', 8926, 23),
+            (150000, 'filter', 9063, 12),(150000, 'group', 9040, 14),
+            (150000, 'hash', 9024, 15),  (150000, 'join', 9080, 11),
+            (150000, 'key', 8893, 27),   (150000, 'line', 8951, 21),
+            (150000, 'merge', 9157, 3),  (150000, 'order', 8971, 19),
+            (150000, 'part', 8929, 22),  (150000, 'query', 8881, 28),
+            (150000, 'row', 8925, 24),   (150000, 'scan', 8863, 29),
+            (150000, 'slow', 8960, 20),  (150000, 'small', 9100, 10),
+            (150000, 'sort', 9005, 18),  (150000, 'spark', 9182, 1),
+            (150000, 'stream', 9117, 7), (150000, 'table', 9144, 4),
+            (150000, 'the', 8925, 25),   (150000, 'value', 9112, 8),
+            (150000, 'vector', 9119, 6), (150000, 'window', 9159, 2)
+        ) t(sf, p, c, r)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="Unigram-LM tokenizer TRAINING (Kudo 2018 — the SentencePiece "
+    "unigram model, the other mainstream learned tokenizer next to "
+    "q_bpe_merges' BPE; operators/unigram_lm.py): substring seed "
+    "vocabulary (all <=6-char substrings of corpus words, JVM "
+    "nested-explode counted, top-512 + all chars), then hard-EM — "
+    "each round one Arrow-batched Viterbi DP over the DISTINCT-word "
+    "relation with the few-hundred-row model broadcast, counts "
+    "re-estimated in one map-side-combined groupBy, pruned to 256 "
+    "keeping the single-char coverage floor. The corpus is scanned "
+    "ONCE (word histogram); EM cost is vocab x distinct-words, the "
+    "only shape that trains a tokenizer at 100 TB. Counts are exact "
+    "integers satisfying sum(count x piece_len) = total word chars "
+    "(conservation asserted in tests); output = top-30 multi-char "
+    "pieces of the final vocabulary. Pinned-expectation exact oracle "
+    "keyed per scale: see registration comment.",
+)
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram_lm import unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_train(docs, iters=2, seed_max=512, keep=256)
+    multi = vocab[vocab["piece"].str.len() > 1]
+    multi = multi.sort_values(
+        ["count", "piece"], ascending=[False, True]
+    ).head(30)
+    rows = [
+        (str(p), int(len(p)), int(c), i + 1)
+        for i, (p, c) in enumerate(zip(multi["piece"], multi["count"]))
+    ]
+    return spark.createDataFrame(
+        rows, "piece string, piece_len int, count long, rank int"
+    )

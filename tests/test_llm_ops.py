@@ -2678,3 +2678,49 @@ def test_opq_objective_monotone_and_correlation_helps(spark):
     gain_iso = 1 - errs[-1] / base
     gain_cor = 1 - errs_y[-1] / base_y
     assert gain_cor > gain_iso > 0.05, (gain_iso, gain_cor)
+
+
+def test_unigram_lm_conservation_coverage_and_segmentation(spark):
+    """Unigram-LM trainer contracts: (1) conservation — the final
+    Viterbi counts satisfy sum(count x piece_len) == total word
+    characters in the corpus (every word fully segmented, nothing
+    double-counted); (2) coverage — every distinct word segments
+    losslessly under the final model (concatenation reconstructs the
+    word); (3) the learned multi-char pieces dominate: total corpus
+    characters covered by multi-char pieces exceeds 80% (the fixture
+    generator's closed vocabulary makes whole words learnable); (4)
+    the distributed E-step equals the reference single-word DP."""
+    from os_ex_3_map_reduce_spark.operators.unigram_lm import (
+        _logprobs,
+        unigram_segment,
+        unigram_train,
+        viterbi_counts,
+        word_histogram,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    vocab = unigram_train(docs, iters=2)
+    wh = word_histogram(docs).collect()
+    total_chars = sum(len(r.w) * r.freq for r in wh)
+    covered = int((vocab["count"] * vocab["piece"].str.len()).sum())
+    assert covered == total_chars
+
+    logp = _logprobs(vocab)
+    multi_chars = 0
+    for r in wh:
+        segs = unigram_segment(r.w, logp, 6)
+        assert "".join(segs) == r.w
+        multi_chars += sum(len(s) for s in segs if len(s) > 1) * r.freq
+    assert multi_chars / total_chars > 0.8
+
+    # distributed E-step == reference DP (same counts)
+    words = word_histogram(docs)
+    dist = {
+        r.piece: int(r["count"])
+        for r in viterbi_counts(words, logp, 6).collect()
+    }
+    ref: dict[str, int] = {}
+    for r in wh:
+        for s in unigram_segment(r.w, logp, 6):
+            ref[s] = ref.get(s, 0) + r.freq
+    assert dist == ref
