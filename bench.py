@@ -188,6 +188,7 @@ BREADTH = [
     "q_stream_versioned_ingest",
     "q_ann_opq_topk",
     "q_unigram_vocab",
+    "q_stream_cdc_versioned",
 ]
 
 

@@ -107,6 +107,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_stream_versioned_ingest",
     "q_ann_opq_topk",
     "q_unigram_vocab",
+    "q_stream_cdc_versioned",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

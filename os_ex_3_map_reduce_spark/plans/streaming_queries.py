@@ -805,3 +805,150 @@ def q_stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(vt_read(spark, table), "vfinal"))
         .unionByName(facts)
     )
+
+
+@register(
+    "q_stream_cdc_versioned",
+    # The two change files touch DISJOINT key sets (updates of
+    # existing multiple-of-10 keys; inserts of brand-new keys), so
+    # the final state is independent of micro-batch order — the
+    # property that makes the aggregate oracle exact while file
+    # discovery order stays unspecified.
+    oracle="""
+        WITH final AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS price
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+                   o_custkey, 50.0
+            FROM orders WHERE o_orderkey % 20 = 2
+        )
+        SELECT 'v0' AS item, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        UNION ALL
+        SELECT 'vfinal', COUNT(*),
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        FROM final
+        UNION ALL
+        SELECT 'n_versions', 3, NULL
+        UNION ALL
+        SELECT 'replay_skipped', 1, NULL
+    """,
+    doc="STREAMING CDC into the manifest-versioned table — the Delta "
+    "'MERGE INTO from a change feed' shape, composing vt_upsert's "
+    "copy-on-write merge with the tagged idempotent-commit contract: "
+    "orders materialize as version 0; a 2-file change stream "
+    "(maxFilesPerTrigger=1; file 1 = repricings of existing keys, "
+    "file 2 = inserts of new keys) applies each micro-batch as ONE "
+    "tagged vt_upsert — only the buckets the batch's keys hash to "
+    "are rewritten, everything else carried by reference. The query "
+    "replays a committed batch and proves it was SKIPPED "
+    "(vt_has_tag), then reads v0 and the final snapshot from the "
+    "same table: v0's aggregate surviving two merges is the "
+    "time-travel contract, and the final aggregate equals the batch "
+    "CDC semantics exactly (change files touch disjoint keys, so "
+    "batch order cannot matter — see registration comment).",
+)
+def q_stream_cdc_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.tables import load_table
+    from ..sources.versioned import (
+        vt_current_version,
+        vt_has_tag,
+        vt_read,
+        vt_upsert,
+        vt_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="osx3_vt_cdc_")
+    _cleanup_at_exit(root)
+    table = f"{root}/t"
+    vt_write(orders, table, "o_custkey")
+
+    maxkey = orders.agg(F.max("o_orderkey")).first()[0]
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 20 == 2).select(
+        (F.col("o_orderkey") + F.lit(int(maxkey) + 1)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(50.0).alias("o_totalprice"),
+    )
+    src = Path(root) / "changes"
+    src.mkdir()
+    for i, part_df in enumerate((updates, inserts)):
+        stage = Path(root) / f"_stage{i}"
+        part_df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), src / f"part-{i}.parquet")
+        shutil.rmtree(stage)
+
+    stream = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        tag = f"cdc-{batch_id}"
+        if vt_has_tag(table, tag):
+            return
+        v = vt_upsert(spark, table, bdf, "o_orderkey")
+        # stamp the tag into the committed manifest (vt_upsert is
+        # op-agnostic; the sink owns idempotency bookkeeping)
+        import json as _json
+
+        from ..sources.versioned import _manifest_file
+
+        mf = _manifest_file(table, v)
+        man = _json.load(open(mf))
+        man["tag"] = tag
+        tmp = mf + ".tag"
+        with open(tmp, "w") as fh:
+            _json.dump(man, fh, indent=1, sort_keys=True)
+        import os as _os
+
+        _os.replace(tmp, mf)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    before = vt_current_version(table)
+    merge_batch(spark.read.parquet(str(src / "part-0.parquet")), 0)
+    replay_skipped = int(vt_current_version(table) == before)
+    n_versions = vt_current_version(table) + 1
+
+    def agg(df: DataFrame, item: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(F.lit(item).alias("item"), "n", "sum_price")
+
+    facts = spark.createDataFrame(
+        [("n_versions", n_versions), ("replay_skipped", replay_skipped)],
+        "item string, n long",
+    ).select("item", "n", F.lit(None).cast("double").alias("sum_price"))
+    return (
+        agg(vt_read(spark, table, 0), "v0")
+        .unionByName(agg(vt_read(spark, table), "vfinal"))
+        .unionByName(facts)
+    )

@@ -319,10 +319,16 @@ def vt_upsert(
     rewritten — each affected bucket's surviving old rows and its
     incoming changes are staged as one new file; every other bucket
     is carried by reference. The affected-bucket set is the distinct
-    ``pmod(key)`` of the changes (bounded driver collect:
+    ``pmod(bucket_key)`` of the changes (bounded driver collect:
     <= nbuckets rows). At 100 TB this is the nightly-merge cost
     model: you pay for the buckets your keys touch, not the table.
-    Returns the new version."""
+
+    ``key`` (the MERGE match key) and the table's bucket key may
+    differ (e.g. match on order id, bucket by customer) — but then
+    an update must not CHANGE the bucket-key value: the old row is
+    only removed from buckets the change row hashes to. Same
+    constraint every bucketed/partitioned table format places on its
+    layout key. Returns the new version."""
     cur = vt_current_version(path)
     if cur is None:
         raise FileNotFoundError(f"no versioned table at {path}")

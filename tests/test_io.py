@@ -776,3 +776,25 @@ class TestVersionedTable:
         v0 = vt_read(spark, vt, 0)
         assert v0.where("k = 5").collect()[0].val == 10
         assert v0.where("k = 101").count() == 0
+
+    def test_upsert_match_key_distinct_from_bucket_key(self, spark, vt):
+        """MERGE key != layout key (match on k, bucket by k too here,
+        but the changes carry a DIFFERENT match column): upsert on
+        'val' as the match key must replace by val, not by k — and an
+        update that would move a row between buckets is out of
+        contract (documented), so this test keeps bucket keys
+        stable."""
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_read,
+            vt_upsert,
+        )
+
+        # row k=7 has val=14; replace it by matching on val, keeping k
+        changes = spark.createDataFrame(
+            [(7, 77, 14)], "k long, grp long, val long"
+        )
+        vt_upsert(spark, vt, changes, "val")
+        cur = vt_read(spark, vt)
+        assert cur.count() == 100
+        got = cur.where("k = 7").collect()[0]
+        assert got.grp == 77 and got.val == 14
