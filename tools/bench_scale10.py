@@ -977,6 +977,83 @@ def bench_round11(spark, scaled: str) -> None:
         )
 
 
+def bench_round11b(spark, scaled: str) -> None:
+    """10x draws for the late round-11 additions: unigram-LM training
+    runs the catalog query on the staged corpus (per-copy token
+    suffixes grow the DISTINCT-word relation ~10x — the worst case
+    for the E-step, same staging argument as the BPE draw) and the
+    versioned-table CoW upsert merges a fixed-selectivity change set
+    into tables at both scales (rewritten-bucket bytes scale ~10x,
+    carried files are metadata-only)."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.sources.versioned import vt_upsert, vt_write
+
+    qs = all_queries()
+    out: dict[str, dict[str, float]] = {"base": {}, f"x{COPIES}": {}}
+    for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+        _materialize(qs["q_unigram_vocab"](spark, path))
+        t0 = time.perf_counter()
+        _materialize(qs["q_unigram_vocab"](spark, path))
+        out[label]["unigram_vocab"] = round(time.perf_counter() - t0, 3)
+
+    orders1 = spark.read.parquet(f"{BASE_SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).persist()
+    orders1.count()
+    orders10 = (
+        orders1.crossJoin(
+            F.broadcast(spark.range(COPIES).select(F.col("id").alias("copy")))
+        )
+        .select(
+            (F.col("o_orderkey") + F.col("copy") * 1_000_000_000).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("copy") * 10_000_000).alias(
+                "o_custkey"
+            ),
+            "o_totalprice",
+        )
+        .persist()
+    )
+    orders10.count()
+
+    def upsert_draw(orders) -> float:
+        root = tempfile.mkdtemp(prefix="osx3_vtup10_") + "/t"
+        vt_write(orders, root, "o_custkey", nbuckets=8)
+        changes = orders.where(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        )
+        t0 = time.perf_counter()
+        vt_upsert(spark, root, changes, "o_orderkey")
+        sec = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        return sec
+
+    out["base"]["vt_upsert_merge"] = upsert_draw(orders1)
+    out[f"x{COPIES}"]["vt_upsert_merge"] = upsert_draw(orders10)
+    orders1.unpersist()
+    orders10.unpersist()
+
+    base_r, big_r = out["base"], out[f"x{COPIES}"]
+    for key in base_r:
+        print(
+            json.dumps(
+                {
+                    "query": f"round11b_{key}",
+                    "base_sec": base_r[key],
+                    f"x{COPIES}_sec": big_r[key],
+                    "ratio": round(big_r[key] / base_r[key], 2)
+                    if base_r[key]
+                    else None,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     spark = get_spark(app_name="bench_scale10")
     scaled = stage(spark)
@@ -1002,6 +1079,7 @@ def main() -> None:
     bench_ingest10(spark, scaled)
     bench_cdc(spark)
     bench_round11(spark, scaled)
+    bench_round11b(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
