@@ -3872,9 +3872,12 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fold").alias("fold_b"),
         F.col("naive_fold").alias("nf_b"),
     )
+    # broadcast the PAIR relation (tiny: verified near-dup pairs), not
+    # the corpus-sized assignment — at 100 TB `assign` is billions of
+    # rows and must stream through the join
     leaks = (
-        pairs.join(F.broadcast(aa), "doc_a")
-        .join(F.broadcast(ab), "doc_b")
+        F.broadcast(F.broadcast(pairs).join(aa, "doc_a"))
+        .join(ab, "doc_b")
         .groupBy(F.col("fold_a").alias("fold"))
         .agg(
             F.count(F.when(F.col("fold_a") != F.col("fold_b"), 1)).alias(
