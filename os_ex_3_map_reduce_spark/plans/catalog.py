@@ -108,6 +108,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_opq_topk",
     "q_unigram_vocab",
     "q_stream_cdc_versioned",
+    "q_mor_delete",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

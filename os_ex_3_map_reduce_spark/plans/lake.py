@@ -748,6 +748,110 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mor_delete",
+    oracle="""
+        WITH matched AS (
+            SELECT COUNT(*) AS nd,
+                   COUNT(DISTINCT o_custkey % 8) AS nb
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_custkey % 8 < 4
+        ),
+        survivors AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS s
+            FROM orders
+            WHERE NOT (o_orderstatus = 'F' AND o_custkey % 8 < 4)
+        )
+        SELECT 0 AS version, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price,
+               0 AS files_rewritten,
+               0 AS rows_deleted, 0 AS n_delete_files
+        FROM orders
+        UNION ALL
+        SELECT 1, (SELECT n FROM survivors), (SELECT s FROM survivors),
+               0,
+               (SELECT CAST(nd AS INTEGER) FROM matched), 1
+        UNION ALL
+        SELECT 2, (SELECT n FROM survivors), (SELECT s FROM survivors),
+               (SELECT CAST(nb AS INTEGER) FROM matched),
+               0, 0
+    """,
+    doc="MERGE-ON-READ delete + compaction over the manifest-versioned "
+    "table (sources/versioned.py vt_delete_mor / vt_compact_mor — the "
+    "Iceberg v2 position-delete / Delta deletion-vector shape): "
+    "version 1 deletes completed orders in buckets 0-3 by committing "
+    "ONE position-delete file keyed on (data file, "
+    "_metadata.row_index) and rewriting NOTHING — files_rewritten is "
+    "0 BY CONSTRUCTION and rows_deleted comes from the commit "
+    "manifest (the oracle recounts the matches); version 2 compacts, "
+    "rewriting ONLY the files that held pending positions (the "
+    "oracle re-derives the count from the bucket arithmetic: one "
+    "file per distinct matched bucket) and clearing the delete "
+    "backlog (n_delete_files back to 0). All three snapshots read "
+    "from the same on-disk table and v1/v2 must aggregate "
+    "identically — compaction is a physical rewrite with NO logical "
+    "effect, which is exactly what the shared `survivors` CTE "
+    "asserts. CoW (q_time_travel) pays O(bucket rewrite) per delete "
+    "and scans clean; MoR pays O(matched rows) per delete and "
+    "anti-joins at read — the write/read amplification trade every "
+    "lakehouse format exposes, here with both paths sharing one "
+    "manifest protocol. Exact sums via DECIMAL(18,2).",
+)
+def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.versioned import (
+        vt_compact_mor,
+        vt_delete_mor,
+        vt_history,
+        vt_read,
+        vt_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="osx3_vtmor_") + "/orders"
+    vt_write(orders, path, "o_custkey", nbuckets=8)
+    vt_delete_mor(
+        spark, path, "o_orderstatus = 'F' AND pmod(o_custkey, 8) < 4"
+    )
+    vt_compact_mor(spark, path)
+    hist = {m["version"]: m for m in vt_history(path)}
+
+    def agg_version(v: int) -> DataFrame:
+        return (
+            vt_read(spark, path, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                "sum_price",
+                F.lit(hist[v]["files_rewritten"])
+                .cast("int")
+                .alias("files_rewritten"),
+                F.lit(hist[v].get("rows_deleted", 0))
+                .cast("int")
+                .alias("rows_deleted"),
+                F.lit(hist[v]["n_delete_files"])
+                .cast("int")
+                .alias("n_delete_files"),
+            )
+        )
+
+    return (
+        agg_version(0).unionByName(agg_version(1)).unionByName(agg_version(2))
+    )
+
+
+@register(
     "q_time_travel",
     oracle="""
         WITH hit_buckets AS (
@@ -790,6 +894,8 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "buckets only, and old snapshots remain readable for "
     "reproducibility until a retention pass drops their manifests.",
 )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 

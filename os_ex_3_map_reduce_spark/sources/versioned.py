@@ -23,6 +23,17 @@ over plain parquet:
   rewriting a table and rewriting the 0.1% of files a predicate
   touches; the bucketed layout below is what keeps the touched set
   small for key-local predicates.
+- **Or MERGE-ON-READ.** :func:`vt_delete_mor` rewrites NOTHING:
+  it commits POSITION-DELETE files — (file, pos) rows naming the
+  deleted row positions inside existing data files (the Iceberg v2
+  position-delete / Delta deletion-vector shape, built on Spark's
+  ``_metadata.row_index`` hidden column). Readers anti-join the
+  delete relation at scan time; :func:`vt_compact_mor` later folds
+  pending deletes into rewritten files and clears them. MoR trades
+  write amplification (CoW pays O(bucket) rewrite per delete) for
+  read amplification (every snapshot read carries the anti-join) —
+  the knob every lakehouse format exposes; the manifest records
+  which one each commit chose.
 
 Layout: rows are bucketed by ``pmod(bucket_key, nbuckets)`` and
 written ``partitionBy("bucket")`` with one file per bucket per commit
@@ -134,27 +145,97 @@ def vt_write(
     return 0
 
 
-def vt_read(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame:
-    """Snapshot read: exactly the files of ``version`` (default:
-    current). Older snapshots stay readable after later commits — the
-    time-travel contract. Files are grouped by commit dir so the
-    ``basePath`` option restores the ``bucket`` partition column."""
-    v = vt_current_version(path) if version is None else version
-    if v is None or not os.path.exists(_manifest_file(path, v)):
-        raise FileNotFoundError(f"no version {version} at {path}")
-    man = _read_manifest(path, v)
+def _read_entries(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    with_rowid: bool = False,
+) -> DataFrame | None:
+    """Union the data files of ``entries``, grouped by commit dir so
+    the ``basePath`` option restores the ``bucket`` partition column.
+    With ``with_rowid``, each scan also projects the stable row id the
+    position-delete files key on — (``_dfile`` path-relative data
+    file, ``_dpos`` = ``_metadata.row_index``) — projected INSIDE each
+    per-commit scan (the hidden ``_metadata`` column resolves against
+    a file source, not a union). Returns None for an empty entry
+    list."""
     by_commit: dict[str, list[str]] = {}
-    for e in man["files"]:
+    for e in entries:
         by_commit.setdefault(e["commit"], []).append(f"{path}/{e['path']}")
     out = None
     for commit, files in sorted(by_commit.items()):
         part = spark.read.option(
             "basePath", f"{path}/data/{commit}"
         ).parquet(*sorted(files))
+        if with_rowid:
+            part = part.select(
+                "*",
+                F.concat(
+                    F.lit("data/"),
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/data/", -1
+                    ),
+                ).alias("_dfile"),
+                F.col("_metadata.row_index").alias("_dpos"),
+            )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _read_delete_relation(
+    spark: SparkSession, path: str, man: dict
+) -> DataFrame | None:
+    """The manifest's pending position-delete rows as one DataFrame
+    (``_dfile``, ``_dpos``), or None when the snapshot has no delete
+    files."""
+    dels = man.get("delete_files", [])
+    if not dels:
+        return None
+    return spark.read.parquet(*sorted(f"{path}/{e['path']}" for e in dels))
+
+
+def _snapshot(
+    spark: SparkSession,
+    path: str,
+    man: dict,
+    entries: list[dict] | None = None,
+) -> DataFrame | None:
+    """Read ``entries`` (default: the whole manifest) with the
+    manifest's pending position deletes applied — the merge-on-read
+    scan. The delete relation is broadcast into a left-anti join:
+    position deletes are bounded by the rows matched between
+    compactions (the same assumption behind Delta's per-file
+    deletion-vector bitmaps); a table whose delete backlog outgrows
+    broadcast is overdue for :func:`vt_compact_mor`. Delete rows
+    aimed at files outside ``entries`` (or at rewritten, no-longer-
+    referenced paths) simply never match — commit dirs are never
+    reused, so a path can't be reincarnated."""
+    if entries is None:
+        entries = man["files"]
+    deletes = _read_delete_relation(spark, path, man)
+    data = _read_entries(
+        spark, path, entries, with_rowid=deletes is not None
+    )
+    if deletes is None or data is None:
+        return data
+    cols = [c for c in data.columns if c not in ("_dfile", "_dpos")]
+    return data.join(
+        F.broadcast(deletes), ["_dfile", "_dpos"], "left_anti"
+    ).select(*cols)
+
+
+def vt_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: exactly the files of ``version`` (default:
+    current), minus any position-deleted rows the manifest's
+    ``delete_files`` name (merge-on-read). Older snapshots stay
+    readable after later commits — the time-travel contract."""
+    v = vt_current_version(path) if version is None else version
+    if v is None or not os.path.exists(_manifest_file(path, v)):
+        raise FileNotFoundError(f"no version {version} at {path}")
+    man = _read_manifest(path, v)
+    return _snapshot(spark, path, man)
 
 
 def vt_has_tag(path: str, tag: str) -> bool:
@@ -196,6 +277,7 @@ def vt_append(df: DataFrame, path: str, tag: str | None = None) -> int:
             "nbuckets": man["nbuckets"],
             "bucket_key": man["bucket_key"],
             "files": man["files"] + new_files,
+            "delete_files": man.get("delete_files", []),
             "files_rewritten": 0,
             "files_carried": len(man["files"]),
         },
@@ -214,33 +296,31 @@ def vt_delete(spark: SparkSession, path: str, predicate: str) -> int:
     if cur is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     man = _read_manifest(path, cur)
-    snap = vt_read(spark, path, cur)
+    # Per-relation ``_metadata`` projection rather than
+    # input_file_name(): the latter rejects multi-source plans, and a
+    # merge-on-read snapshot joins the delete relation into the scan.
+    keyed = _read_entries(spark, path, man["files"], with_rowid=True)
+    pending = _read_delete_relation(spark, path, man)
+    if pending is not None:
+        keyed = keyed.join(
+            F.broadcast(pending), ["_dfile", "_dpos"], "left_anti"
+        )
     probe = (
-        snap.withColumn("_f", F.input_file_name())
-        .where(predicate)
-        .select("_f")
-        .distinct()
-        .collect()
+        keyed.where(predicate).select("_dfile").distinct().collect()
     )  # bounded: one row per matching FILE (<= nbuckets x commits)
-    # input_file_name() yields a file: URI; recover the manifest's
-    # path-relative form from the data/ root (robust to file:// vs
-    # file:/// slashing)
-    hit = {"data/" + r._f.split("/data/", 1)[1] for r in probe}
+    hit = {r._dfile for r in probe}
     carried = [e for e in man["files"] if e["path"] not in hit]
     hit_entries = [e for e in man["files"] if e["path"] in hit]
     new_version = cur + 1
     new_files: list[dict] = []
     if hit_entries:
-        by_commit: dict[str, list[str]] = {}
-        for e in hit_entries:
-            by_commit.setdefault(e["commit"], []).append(f"{path}/{e['path']}")
-        kept = None
-        for commit, files in sorted(by_commit.items()):
-            part = spark.read.option(
-                "basePath", f"{path}/data/{commit}"
-            ).parquet(*sorted(files))
-            kept = part if kept is None else kept.unionByName(part)
-        kept = kept.where(f"NOT ({predicate})")
+        # Apply pending position deletes while rewriting: a CoW
+        # rewrite of a file folds its deletion vector in. Delete rows
+        # aimed at files we do NOT rewrite simply don't match here and
+        # are carried forward below.
+        kept = _snapshot(spark, path, man, hit_entries).where(
+            f"NOT ({predicate})"
+        )
         new_files = _stage_files(
             kept, path, f"c{new_version}", man["nbuckets"]
         )
@@ -255,6 +335,7 @@ def vt_delete(spark: SparkSession, path: str, predicate: str) -> int:
             "nbuckets": man["nbuckets"],
             "bucket_key": man["bucket_key"],
             "files": carried + new_files,
+            "delete_files": man.get("delete_files", []),
             "files_rewritten": len(hit_entries),
             "files_carried": len(carried),
         },
@@ -268,6 +349,7 @@ def vt_history(path: str) -> list[dict]:
     for v in _versions(path):
         m = _read_manifest(path, v)
         m["n_files"] = len(m.pop("files"))
+        m["n_delete_files"] = len(m.pop("delete_files", []))
         out.append(m)
     return out
 
@@ -289,12 +371,15 @@ def vt_vacuum(path: str, keep_last: int = 2) -> dict:
     if keep_last < 1:
         raise ValueError("vt_vacuum: keep_last must be >= 1")
     drop, keep = vs[:-keep_last], vs[-keep_last:]
-    referenced = {
-        e["path"] for v in keep for e in _read_manifest(path, v)["files"]
-    }
-    dropped_refs = {
-        e["path"] for v in drop for e in _read_manifest(path, v)["files"]
-    }
+
+    def _refs(v: int) -> set[str]:
+        m = _read_manifest(path, v)
+        return {e["path"] for e in m["files"]} | {
+            e["path"] for e in m.get("delete_files", [])
+        }
+
+    referenced = set().union(*(_refs(v) for v in keep))
+    dropped_refs = set().union(*(_refs(v) for v in drop)) if drop else set()
     for v in drop:
         os.remove(_manifest_file(path, v))
     deleted = 0
@@ -308,6 +393,108 @@ def vt_vacuum(path: str, keep_last: int = 2) -> dict:
         "files_deleted": deleted,
         "files_kept": len(referenced),
     }
+
+
+def vt_delete_mor(spark: SparkSession, path: str, predicate: str) -> int:
+    """MERGE-ON-READ delete: commit position-delete files instead of
+    rewriting data (the Iceberg v2 position-delete / Delta
+    deletion-vector shape). Matching LIVE rows (pending deletes
+    applied first, so re-deleting is idempotent) are projected to
+    (``_dfile``, ``_dpos``) — path-relative data file +
+    ``_metadata.row_index``, a stable row id because data files are
+    immutable — and staged under ``deletes/d{N}/``; the new manifest
+    carries every data file BY REFERENCE (``files_rewritten`` is 0 by
+    construction) plus the accumulated delete files. Write cost is
+    O(matched rows) regardless of file sizes — the high-churn /
+    small-delete regime where CoW's bucket rewrites dominate; the
+    price is the anti-join every read pays until
+    :func:`vt_compact_mor` folds the backlog in. Returns the new
+    version."""
+    cur = vt_current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, cur)
+    keyed = _read_entries(spark, path, man["files"], with_rowid=True)
+    pending = _read_delete_relation(spark, path, man)
+    if pending is not None:
+        keyed = keyed.join(
+            F.broadcast(pending), ["_dfile", "_dpos"], "left_anti"
+        )
+    hits = keyed.where(predicate).select("_dfile", "_dpos")
+    new_version = cur + 1
+    out = f"{path}/deletes/d{new_version}"
+    hits.coalesce(1).write.parquet(out)
+    new_dels = [
+        {"path": os.path.relpath(f, path), "commit": f"d{new_version}"}
+        for f in sorted(glob.glob(f"{out}/*.parquet"))
+    ]
+    rows_deleted = spark.read.parquet(out).count()
+    _commit(
+        path,
+        new_version,
+        {
+            "version": new_version,
+            "parent": cur,
+            "op": "delete-mor",
+            "predicate": predicate,
+            "nbuckets": man["nbuckets"],
+            "bucket_key": man["bucket_key"],
+            "files": man["files"],
+            "delete_files": man.get("delete_files", []) + new_dels,
+            "files_rewritten": 0,
+            "files_carried": len(man["files"]),
+            "rows_deleted": rows_deleted,
+        },
+    )
+    return new_version
+
+
+def vt_compact_mor(spark: SparkSession, path: str) -> int:
+    """Fold the pending position-delete backlog into rewritten data
+    files and clear ``delete_files`` — the Iceberg rewrite-data-files
+    / Delta PURGE maintenance action that converts read amplification
+    back into clean scans. Only data files with >= 1 pending delete
+    position are rewritten; every other file is carried by reference.
+    The compacted snapshot must read identically to its parent — the
+    invariant the q_mor_delete oracle re-derives. Old delete files
+    stay on disk for older snapshots' time travel until
+    :func:`vt_vacuum` drops them. Returns the new version."""
+    cur = vt_current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, cur)
+    pending = _read_delete_relation(spark, path, man)
+    if pending is None:
+        raise ValueError(f"no pending delete files to compact at {path}")
+    # Files that actually have pending positions (stale rows aimed at
+    # already-rewritten paths fall out of the intersection).
+    hit = {r._dfile for r in pending.select("_dfile").distinct().collect()}
+    hit &= {e["path"] for e in man["files"]}
+    carried = [e for e in man["files"] if e["path"] not in hit]
+    hit_entries = [e for e in man["files"] if e["path"] in hit]
+    new_version = cur + 1
+    new_files: list[dict] = []
+    if hit_entries:
+        kept = _snapshot(spark, path, man, hit_entries)
+        new_files = _stage_files(
+            kept, path, f"c{new_version}", man["nbuckets"]
+        )
+    _commit(
+        path,
+        new_version,
+        {
+            "version": new_version,
+            "parent": cur,
+            "op": "compact-mor",
+            "nbuckets": man["nbuckets"],
+            "bucket_key": man["bucket_key"],
+            "files": carried + new_files,
+            "delete_files": [],
+            "files_rewritten": len(hit_entries),
+            "files_carried": len(carried),
+        },
+    )
+    return new_version
 
 
 def vt_upsert(
@@ -345,15 +532,7 @@ def vt_upsert(
     new_version = cur + 1
     merged = ch
     if hit_entries:
-        by_commit: dict[str, list[str]] = {}
-        for e in hit_entries:
-            by_commit.setdefault(e["commit"], []).append(f"{path}/{e['path']}")
-        old = None
-        for commit, files in sorted(by_commit.items()):
-            part = spark.read.option(
-                "basePath", f"{path}/data/{commit}"
-            ).parquet(*sorted(files))
-            old = part if old is None else old.unionByName(part)
+        old = _snapshot(spark, path, man, hit_entries)
         survivors = old.join(
             ch.select(F.col(key)).distinct(), key, "left_anti"
         )
@@ -369,6 +548,7 @@ def vt_upsert(
             "nbuckets": nb,
             "bucket_key": man["bucket_key"],
             "files": carried + new_files,
+            "delete_files": man.get("delete_files", []),
             "files_rewritten": len(hit_entries),
             "files_carried": len(carried),
         },

@@ -798,3 +798,128 @@ class TestVersionedTable:
         assert cur.count() == 100
         got = cur.where("k = 7").collect()[0]
         assert got.grp == 77 and got.val == 14
+
+    def test_mor_delete_rewrites_nothing_and_time_travels(self, spark, vt):
+        """vt_delete_mor commits position-delete files only: zero data
+        files rewritten, rows invisible at the new version, previous
+        snapshot intact — the Iceberg v2 / deletion-vector contract."""
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_delete_mor,
+            vt_history,
+            vt_read,
+        )
+
+        v1 = vt_delete_mor(spark, vt, "grp = 3")
+        assert v1 == 1
+        m = vt_history(vt)[-1]
+        assert m["op"] == "delete-mor"
+        assert m["files_rewritten"] == 0
+        assert m["rows_deleted"] == 10
+        assert m["n_delete_files"] == 1
+        assert m["n_files"] == 4  # every data file carried by reference
+        cur = vt_read(spark, vt)
+        assert cur.count() == 90
+        assert cur.where("grp = 3").count() == 0
+        # time travel: v0 still reads the full table
+        assert vt_read(spark, vt, 0).count() == 100
+
+    def test_mor_redelete_is_idempotent(self, spark, vt):
+        """Deleting the same predicate twice records 0 new positions
+        the second time: the live view (pending deletes applied) is
+        what the matcher runs over."""
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_delete_mor,
+            vt_history,
+            vt_read,
+        )
+
+        vt_delete_mor(spark, vt, "grp = 3")
+        vt_delete_mor(spark, vt, "grp = 3")
+        hist = vt_history(vt)
+        assert hist[-1]["rows_deleted"] == 0
+        assert vt_read(spark, vt).count() == 90
+
+    def test_mor_compact_reads_identical_and_clears_backlog(
+        self, spark, vt
+    ):
+        """vt_compact_mor folds the delete backlog into rewritten data
+        files: the compacted snapshot reads row-identically to its
+        parent, delete_files goes to zero, and only files that had
+        pending positions are rewritten (rows appended after the MoR
+        delete live in untouched files and are carried)."""
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_append,
+            vt_compact_mor,
+            vt_history,
+            vt_read,
+        )
+
+        from os_ex_3_map_reduce_spark.sources.versioned import vt_delete_mor
+
+        vt_delete_mor(spark, vt, "grp = 3")          # v1: 10 positions
+        extra = spark.range(100, 110).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("grp"),
+            (F.col("id") * 2).alias("val"),
+        )
+        vt_append(extra, vt)                          # v2: +10 rows
+        before = sorted(r.k for r in vt_read(spark, vt).collect())
+        v3 = vt_compact_mor(spark, vt)
+        after = sorted(r.k for r in vt_read(spark, vt).collect())
+        assert before == after and len(after) == 100
+        m = vt_history(vt)[-1]
+        assert m["op"] == "compact-mor"
+        assert m["n_delete_files"] == 0
+        # grp = 3 means k = 3 (mod 10): odd keys, so only buckets 1
+        # and 3 of v0's 4 files hold positions — exactly 2 files are
+        # rewritten; the other 2 and the append commit's 4 are carried
+        assert m["files_rewritten"] == 2 and m["files_carried"] == 6
+        # the appended grp=3 row (k=103) post-dates the delete and
+        # must survive compaction
+        assert vt_read(spark, vt, v3).where("k = 103").count() == 1
+
+    def test_mor_composes_with_cow_delete_and_upsert(self, spark, vt):
+        """Pending position deletes stay honored by CoW rewrites: a
+        CoW delete folds the backlog into the files it touches, an
+        upsert's survivors view applies deletes, and re-inserting a
+        MoR-deleted key resurrects exactly that key."""
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_delete,
+            vt_delete_mor,
+            vt_read,
+            vt_upsert,
+        )
+
+        vt_delete_mor(spark, vt, "grp = 4")   # 10 rows via positions
+        vt_delete(spark, vt, "grp = 5")       # 10 rows via CoW rewrite
+        cur = vt_read(spark, vt)
+        assert cur.count() == 80
+        assert cur.where("grp in (4, 5)").count() == 0
+        # upsert resurrects k=4 with new attrs; k=14 stays dead
+        ch = spark.createDataFrame([(4, 99, 777)], "k long, grp long, val long")
+        vt_upsert(spark, vt, ch, "k")
+        cur = vt_read(spark, vt)
+        assert cur.count() == 81
+        got = cur.where("k = 4").collect()[0]
+        assert (got.grp, got.val) == (99, 777)
+        assert cur.where("k = 14").count() == 0
+
+    def test_mor_vacuum_reclaims_delete_files(self, spark, vt):
+        """After compaction, a retention pass that expires the MoR
+        snapshots removes their delete files from disk; surviving
+        snapshots still read correctly."""
+        import glob as _glob
+
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_compact_mor,
+            vt_delete_mor,
+            vt_read,
+            vt_vacuum,
+        )
+
+        vt_delete_mor(spark, vt, "grp = 3")
+        vt_compact_mor(spark, vt)
+        assert _glob.glob(f"{vt}/deletes/d*/*.parquet")
+        vt_vacuum(vt, keep_last=1)
+        assert not _glob.glob(f"{vt}/deletes/d*/*.parquet")
+        assert vt_read(spark, vt).count() == 90
