@@ -174,3 +174,150 @@ def bloom_might_contain(
         mask = f"shiftleft(cast(1 as bigint), cast({b} & 63 as int))"
         cond = cond & (F.expr(f"({word} & {mask})") != 0)
     return probed.where(cond).drop("bloom")
+
+
+# ---------------------------------------------------------------------------
+# KMV ("theta") distinct sketch + mergeable bottom-k sample
+# ---------------------------------------------------------------------------
+#
+# The property that makes any sketch usable at 100 TB is MERGEABILITY:
+# sketch(A ∪ B) must be computable from sketch(A) and sketch(B) alone,
+# so per-partition / per-day partials roll up without rescanning raw
+# data. KMV (k minimum values — the construction inside the
+# Theta/DataSketches distinct family) has the cleanest possible merge:
+# a sketch IS the set of the k smallest hash values of the distinct
+# keys, and merge = union the value sets, keep the k smallest. That
+# identity — merge(kmv(A), kmv(B)) == kmv(A ∪ B), EXACTLY, not
+# approximately — is what q_sketch_theta_union proves in-band.
+#
+# Estimator (Beyer et al., SIGMOD'07): with hashes uniform on [0, M),
+# the k-th smallest value h_(k) estimates density k/n, so
+# n ≈ (k-1) * M / h_(k) (the -1 debiases); fewer than k distinct
+# hashes means the sketch holds ALL of them and the count is exact.
+#
+# Hashes are the engine-portable md5-prefix construction (15 hex
+# nibbles -> bigint in [0, 2^60), the q_dsir_select recipe): both
+# Spark and DuckDB compute the identical value, so the oracle can
+# rebuild the sketch bit-for-bit — an EXACT oracle for an
+# approximate-distinct operator. xxhash64 would be faster but is not
+# reproducible in DuckDB; the portable hash is the price of the
+# correctness gate, documented here once.
+
+_HASH60_M = float(1 << 60)  # md5-prefix hash range, exactly 16^15
+
+
+def portable_hash60(col) -> "F.Column":
+    """Engine-portable 60-bit hash: first 15 md5 hex nibbles of the
+    column's (or expression's) string form, decoded to bigint. DuckDB
+    equivalent: ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def bottom_k(
+    df: DataFrame,
+    k: int,
+    by: list[str] | None = None,
+    order: str | list[str] = "h",
+) -> DataFrame:
+    """The k smallest rows by ``order`` (per ``by`` group), with their
+    rank ``rk`` (1-based). ``order`` may be several columns — callers
+    whose first sort key can tie across distinct rows (e.g. a hash
+    over non-distinct inputs) MUST pass a tiebreak so both engines
+    keep the same rows. Two-level: per-input-partition top-k first
+    (row_number over (group, partition id) — state bounded at k rows
+    per group per task), then the global top-k over the ≤ k × P
+    survivors. The global pass sorts k × P rows, not the data — the
+    standard distributed-top-k shape, so no single task ever sees more
+    than max(k × P, group width) rows."""
+    from pyspark.sql.window import Window
+
+    by = by or []
+    order = [order] if isinstance(order, str) else list(order)
+    w1 = Window.partitionBy(*by, "_pid").orderBy(*order)
+    w2 = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    local = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rk1", F.row_number().over(w1))
+        .where(F.col("_rk1") <= k)
+        .drop("_pid", "_rk1")
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w2.orderBy(*order)))
+        .where(F.col("rk") <= k)
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, key: str, k: int = 64, by: list[str] | None = None
+) -> DataFrame:
+    """Build the KMV distinct sketch of ``key`` (per ``by`` group):
+    the k smallest portable hashes of the distinct keys. Columns:
+    (*by, h, rk). The distinct() is one map-side-combined shuffle on
+    (group, hash); everything after runs on ≤ k rows per group per
+    partition."""
+    by = by or []
+    hashed = df.select(
+        *by, portable_hash60(key).alias("h")
+    ).distinct()
+    return bottom_k(hashed, k, by=by)
+
+
+def kmv_merge(
+    sketches: DataFrame, k: int, by: list[str] | None = None
+) -> DataFrame:
+    """Merge sketches (a union of kmv_sketch outputs, possibly from
+    different segments/partitions/days): distinct hash values, keep
+    the k smallest. Input is ≤ k rows per source sketch — merging
+    never touches raw data, which is the entire point."""
+    return bottom_k(
+        sketches.select(*(by or []), "h").distinct(), k, by=by
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int, by: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch relation:
+    exact row count when the sketch holds fewer than k values (it then
+    holds ALL distinct hashes), else (k-1) * M / h_(k). Both branches
+    are single IEEE-double operations on exactly-represented integers,
+    so the estimate is bit-identical across engines."""
+    by = by or []
+    agg = sketch.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH60_M) / F.col("kth_hash")
+    )
+    return agg.withColumn("est_distinct", est)
+
+
+def bottomk_sample(
+    df: DataFrame,
+    k: int,
+    id_col,
+    keep: list[str],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic uniform sample: the k rows whose row-identity
+    hash (``portable_hash60(id_col)``) is smallest, carrying ``keep``
+    columns. This is the mergeable bottom-k sample (Cohen & Kaplan):
+    because membership depends only on the row's own hash,
+    bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — exactly
+    the property a KLL/GK quantile summary needs from its compactors,
+    here in its simplest deterministic form. Quantiles read off the
+    sample are within O(1/sqrt(k)) of the population's; the tradeoff
+    vs KLL (which gets O(1/k) for the same space) is bought with exact
+    cross-engine reproducibility. ``keep`` columns double as the rank
+    tiebreak after the hash, so hash ties across distinct rows cannot
+    make two engines keep different rows."""
+    hashed = df.select(
+        *(by or []), *keep, portable_hash60(id_col).alias("h")
+    )
+    return bottom_k(hashed, k, by=by, order=["h", *keep])

@@ -109,6 +109,8 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_unigram_vocab",
     "q_stream_cdc_versioned",
     "q_mor_delete",
+    "q_sketch_theta_union",
+    "q_sketch_quantile_merge",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

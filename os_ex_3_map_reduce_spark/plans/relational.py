@@ -2986,3 +2986,253 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t").alias("start_us"),
         (F.max("t") - F.min("t")).cast("long").alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sketch_theta_union — KMV distinct sketch + the mergeability proof
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@register(
+    "q_sketch_theta_union",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT o_orderstatus AS seg,
+                   ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM orders
+        ),
+        seg_sk AS (
+            SELECT seg, h,
+                   row_number() OVER (PARTITION BY seg ORDER BY h) AS rk
+            FROM h QUALIFY rk <= {_KMV_K}
+        ),
+        dir_sk AS (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk
+            FROM (SELECT DISTINCT h FROM h) QUALIFY rk <= {_KMV_K}
+        ),
+        mrg_sk AS (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk
+            FROM (SELECT DISTINCT h FROM seg_sk) QUALIFY rk <= {_KMV_K}
+        ),
+        est AS (
+            SELECT seg AS scope, COUNT(*) AS n_kept, MAX(h) AS kth_hash
+            FROM seg_sk GROUP BY seg
+            UNION ALL
+            SELECT 'MERGED', COUNT(*), MAX(h) FROM mrg_sk
+            UNION ALL
+            SELECT 'DIRECT', COUNT(*), MAX(h) FROM dir_sk
+        ),
+        ex AS (
+            SELECT o_orderstatus AS scope,
+                   COUNT(DISTINCT o_custkey) AS exact_distinct
+            FROM orders GROUP BY o_orderstatus
+            UNION ALL
+            SELECT s, COUNT(DISTINCT o_custkey)
+            FROM orders, (VALUES ('MERGED'), ('DIRECT')) AS v(s)
+            GROUP BY s
+        )
+        SELECT est.scope,
+               CAST(n_kept AS BIGINT) AS n_kept,
+               CAST(kth_hash AS BIGINT) AS kth_hash,
+               CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                         * 1152921504606846976.0 / kth_hash
+               END AS est_distinct,
+               CAST(exact_distinct AS BIGINT) AS exact_distinct
+        FROM est JOIN ex ON est.scope = ex.scope
+        ORDER BY est.scope
+    """,
+    doc="KMV ('theta') distinct sketch with the MERGEABILITY identity "
+    "proven in-band (operators/sketch.py kmv_sketch/kmv_merge/"
+    "kmv_estimate): per-o_orderstatus sketches of distinct o_custkey "
+    "(k=64 smallest portable hashes) are merged across segments "
+    "WITHOUT touching raw data, next to a direct whole-table sketch — "
+    "the MERGED and DIRECT rows must be identical (merge(kmv(A), "
+    "kmv(B)) == kmv(A∪B), exactly), which is the property that lets "
+    "per-partition/per-day sketch partials roll up at 100 TB. Every "
+    "row carries the exact distinct count next to the estimate "
+    "(segments under k hold ALL hashes and estimate exactly — the "
+    "small-status 'P' segment exercises that branch at sf0.001). "
+    "Hashes are the engine-portable md5-prefix-to-bigint recipe and "
+    "the estimator is single IEEE-double ops on exact integers, so "
+    "DuckDB rebuilds the sketch bit-for-bit: an EXACT oracle for an "
+    "approximate-distinct operator. Two-level bottom-k keeps state "
+    "bounded (k rows per group per task; global pass sorts k x P "
+    "rows, never the data).",
+)
+def q_sketch_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    k = _KMV_K
+    orders = load_table(spark, sf_dir, "orders")
+    seg_sk = kmv_sketch(orders, "o_custkey", k, by=["o_orderstatus"])
+    merged = kmv_merge(seg_sk, k)
+    direct = kmv_sketch(orders, "o_custkey", k)
+    seg_est = kmv_estimate(seg_sk, k, by=["o_orderstatus"]).withColumnRenamed(
+        "o_orderstatus", "scope"
+    )
+    m_est = kmv_estimate(merged, k).select(
+        F.lit("MERGED").alias("scope"), "n_kept", "kth_hash", "est_distinct"
+    )
+    d_est = kmv_estimate(direct, k).select(
+        F.lit("DIRECT").alias("scope"), "n_kept", "kth_hash", "est_distinct"
+    )
+    ests = seg_est.unionByName(m_est).unionByName(d_est)
+    seg_ex = orders.groupBy(F.col("o_orderstatus").alias("scope")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    tot_ex = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    all_ex = seg_ex.unionByName(
+        tot_ex.crossJoin(
+            F.broadcast(
+                spark.createDataFrame([("MERGED",), ("DIRECT",)], "scope string")
+            )
+        ).select("scope", "exact_distinct")
+    )
+    return (
+        ests.join(all_ex, "scope")
+        .select("scope", "n_kept", "kth_hash", "est_distinct", "exact_distinct")
+        .orderBy("scope")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sketch_quantile_merge — mergeable bottom-k sample quantiles
+# ---------------------------------------------------------------------------
+
+_BKQ_K = 256
+
+
+@register(
+    "q_sketch_quantile_merge",
+    oracle=f"""
+        WITH base AS (
+            SELECT l_returnflag AS seg, l_extendedprice AS val,
+                   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                       AS h
+            FROM lineitem
+        ),
+        seg_s AS (
+            SELECT seg, h, val,
+                   row_number() OVER (PARTITION BY seg ORDER BY h, val)
+                       AS rk
+            FROM base QUALIFY rk <= {_BKQ_K}
+        ),
+        mrg AS (
+            -- fresh alias rk2: a bare "rk" in QUALIFY would bind to
+            -- seg_s's OWN rk column (always <= k) and filter nothing
+            SELECT h, val, row_number() OVER (ORDER BY h, val) AS rk2
+            FROM seg_s QUALIFY rk2 <= {_BKQ_K}
+        ),
+        dir AS (
+            SELECT h, val, row_number() OVER (ORDER BY h, val) AS rk
+            FROM base QUALIFY rk <= {_BKQ_K}
+        ),
+        qm AS (
+            SELECT val, row_number() OVER (ORDER BY val) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM mrg
+        ),
+        qd AS (
+            SELECT val, row_number() OVER (ORDER BY val) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM dir
+        ),
+        tot AS (SELECT COUNT(*) AS n_total FROM lineitem)
+        SELECT 'MERGED' AS scope,
+               CAST(MAX(n) AS BIGINT) AS n_sample,
+               MAX(CASE WHEN rn = CEIL(n * 0.25) THEN val END) AS p25,
+               MAX(CASE WHEN rn = CEIL(n * 0.5) THEN val END) AS p50,
+               MAX(CASE WHEN rn = CEIL(n * 0.75) THEN val END) AS p75,
+               (SELECT n_total FROM tot) AS n_total
+        FROM qm
+        UNION ALL
+        SELECT 'DIRECT', CAST(MAX(n) AS BIGINT),
+               MAX(CASE WHEN rn = CEIL(n * 0.25) THEN val END),
+               MAX(CASE WHEN rn = CEIL(n * 0.5) THEN val END),
+               MAX(CASE WHEN rn = CEIL(n * 0.75) THEN val END),
+               (SELECT n_total FROM tot)
+        FROM qd
+        ORDER BY scope
+    """,
+    doc="Mergeable quantile summary via the deterministic bottom-k "
+    "sample (operators/sketch.py bottomk_sample — Cohen-Kaplan bottom-k "
+    "sketch, the reproducible stand-in for KLL/GK compactors): each "
+    "l_returnflag segment keeps the 256 lineitem rows with the "
+    "smallest row-identity hashes; merging the per-segment samples "
+    "WITHOUT touching raw data and re-taking bottom-k must equal the "
+    "direct whole-table sample — the MERGED and DIRECT rows are "
+    "identical BY THE MERGE IDENTITY bottom-k(A∪B) == "
+    "bottom-k(bottom-k(A) ∪ bottom-k(B)), which is what lets "
+    "per-day/per-partition quantile summaries roll up at 100 TB. "
+    "p25/p50/p75 are read off the sample by explicit rank arithmetic "
+    "(value at rank ceil(q*n) — no engine quantile function, so both "
+    "engines agree bit-for-bit); sample quantiles carry O(1/sqrt(k)) "
+    "population error, the price of exact cross-engine "
+    "reproducibility vs KLL's O(1/k). The (h, val) compound order "
+    "makes hash ties harmless; two-level bottom-k bounds every task "
+    "at k rows per group.",
+)
+def q_sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bottom_k, bottomk_sample
+
+    k = _BKQ_K
+    li = load_table(spark, sf_dir, "lineitem")
+    ident = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    base = li.select(
+        F.col("l_returnflag").alias("seg"),
+        F.col("l_extendedprice").alias("val"),
+        ident.alias("ident"),
+    )
+    seg_s = bottomk_sample(base, k, F.col("ident"), ["val"], by=["seg"])
+    merged = bottom_k(seg_s.select("h", "val"), k, order=["h", "val"])
+    direct = bottom_k(
+        bottomk_sample(base, k, F.col("ident"), ["val"]).select("h", "val"),
+        k,
+        order=["h", "val"],
+    )
+    tot = li.agg(F.count(F.lit(1)).alias("n_total"))
+
+    def quantiles(sample: DataFrame, scope: str) -> DataFrame:
+        w = Window.partitionBy(F.lit(1)).orderBy("val")
+        wn = Window.partitionBy(F.lit(1))
+        q = (
+            sample.select("val")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+        )
+        pick = lambda p: F.max(  # noqa: E731
+            F.when(F.col("rn") == F.ceil(F.col("n") * p), F.col("val"))
+        )
+        return (
+            q.agg(
+                F.max("n").alias("n_sample"),
+                pick(0.25).alias("p25"),
+                pick(0.5).alias("p50"),
+                pick(0.75).alias("p75"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(scope).alias("scope"),
+                "n_sample",
+                "p25",
+                "p50",
+                "p75",
+                "n_total",
+            )
+        )
+
+    return (
+        quantiles(merged, "MERGED")
+        .unionByName(quantiles(direct, "DIRECT"))
+        .orderBy("scope")
+    )

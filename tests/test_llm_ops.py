@@ -2724,3 +2724,100 @@ def test_unigram_lm_conservation_coverage_and_segmentation(spark):
         for s in unigram_segment(r.w, logp, 6):
             ref[s] = ref.get(s, 0) + r.freq
     assert dist == ref
+
+
+class TestKMVSketch:
+    """operators/sketch.py KMV ('theta') distinct sketch + mergeable
+    bottom-k sample: the merge identity (exactly, not approximately),
+    estimator behavior in both regimes, and the two-level bottom-k's
+    partitioning invariance."""
+
+    def test_merge_equals_direct_sketch(self, spark):
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.operators.sketch import (
+            kmv_merge,
+            kmv_sketch,
+        )
+        from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+        ordr = load_table(spark, "/root/testdata/sf0.001", "orders")
+        parts = [
+            ordr.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+        ]
+        merged = kmv_merge(
+            parts[0]
+            .transform(lambda d: kmv_sketch(d, "o_custkey", 32))
+            .unionByName(kmv_sketch(parts[1], "o_custkey", 32))
+            .unionByName(kmv_sketch(parts[2], "o_custkey", 32)),
+            32,
+        )
+        direct = kmv_sketch(ordr, "o_custkey", 32)
+        m = sorted(r.h for r in merged.collect())
+        d = sorted(r.h for r in direct.collect())
+        assert m == d and len(d) == 32
+
+    def test_estimator_exact_below_k_and_bounded_above(self, spark):
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.operators.sketch import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+        from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+        ordr = load_table(spark, "/root/testdata/sf0.001", "orders")
+        n_true = ordr.select("o_custkey").distinct().count()
+        # k above the distinct count: sketch holds every hash -> exact
+        big = kmv_estimate(kmv_sketch(ordr, "o_custkey", 4096), 4096)
+        r = big.collect()[0]
+        assert r.est_distinct == float(n_true)
+        # k = 64: standard KMV relative error ~ 1/sqrt(k-2) ~ 12.7%;
+        # assert a loose 3-sigma envelope
+        small = kmv_estimate(kmv_sketch(ordr, "o_custkey", 64), 64)
+        est = small.collect()[0].est_distinct
+        assert abs(est - n_true) / n_true < 3 / (62 ** 0.5)
+
+    def test_bottom_k_partitioning_invariant(self, spark):
+        from os_ex_3_map_reduce_spark.operators.sketch import bottom_k
+        from pyspark.sql import functions as F
+
+        base = spark.range(0, 5000).select(
+            (F.xxhash64("id") % 100000).alias("h"),
+            (F.col("id") % 7).alias("v"),
+        )
+        outs = []
+        for nparts in (1, 3, 32):
+            got = bottom_k(
+                base.repartition(nparts), 50, order=["h", "v"]
+            ).collect()
+            outs.append(sorted((r.h, r.v, r.rk) for r in got))
+        assert outs[0] == outs[1] == outs[2]
+        assert len(outs[0]) == 50
+
+    def test_bottomk_sample_merge_identity(self, spark):
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.operators.sketch import (
+            bottom_k,
+            bottomk_sample,
+        )
+        from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        ident = F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+        base = li.select(
+            F.col("l_returnflag").alias("seg"),
+            F.col("l_extendedprice").alias("val"),
+            ident.alias("ident"),
+        )
+        seg = bottomk_sample(base, 128, F.col("ident"), ["val"], by=["seg"])
+        merged = bottom_k(seg.select("h", "val"), 128, order=["h", "val"])
+        direct = bottomk_sample(base, 128, F.col("ident"), ["val"])
+        m = sorted((r.h, r.val) for r in merged.collect())
+        d = sorted((r.h, r.val) for r in direct.collect())
+        assert m == d and len(d) == 128
