@@ -860,3 +860,49 @@ def test_hits_halfstep_is_join_plus_partial_agg(spark, qs):
     plan = explain_str(qs["q_hits"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan or "partial" in plan.lower(), plan
+
+
+def test_mor_read_broadcasts_delete_relation(spark):
+    """Merge-on-read snapshot scan: the position-delete relation joins
+    as a BROADCAST left-anti (the deletion-vector assumption — deletes
+    are small between compactions); the data side must NOT shuffle to
+    apply its own deletes."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.sources.versioned import (
+        vt_delete_mor,
+        vt_read,
+        vt_write,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("grp")
+    )
+    path = tempfile.mkdtemp(prefix="osx3_planmor_") + "/t"
+    vt_write(df, path, "k", nbuckets=4)
+    vt_delete_mor(spark, path, "grp = 3")
+    plan = explain_str(vt_read(spark, path))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmv_sketch_state_is_bounded_two_level(spark, qs):
+    """q_sketch_theta_union: the distinct() must partial-aggregate
+    before its exchange (map-side combine on (group, hash)), and the
+    bottom-k must run as windows over partition-id prefilters — no
+    global Sort of the data and no cartesian products."""
+    plan = explain_str(qs["q_sketch_theta_union"](spark, SF))
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+    # stage 1 of bottom-k is the shuffle-free Arrow fold
+    assert "MapInPandas" in plan, plan
+
+
+def test_quantile_merge_samples_before_sorting(spark, qs):
+    """q_sketch_quantile_merge: the only single-partition work is over
+    the <= k-row samples; lineitem itself must reach the plan through
+    the two-level bottom-k (partition-id windows), not a global
+    sort."""
+    plan = explain_str(qs["q_sketch_quantile_merge"](spark, SF))
+    assert "MapInPandas" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -736,6 +736,140 @@ def bench_cdc(spark) -> None:
         )
 
 
+def bench_round11c(spark, scaled: str) -> None:
+    """10x draws for the second round-11 continuation: merge-on-read
+    delete/compact on the versioned table and the two mergeable
+    sketches. Orders/lineitem are replicated with disjoint keys (10x
+    rows, 10x matched delete positions, 10x distinct customers); the
+    sketch state stays k rows per group at BOTH scales — the whole
+    point — so the sketch draws should scale with the scan, and the
+    MoR delete with the scan + matched rows (never with rewrite
+    bytes, which is CoW's cost)."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.operators.sketch import (
+        bottom_k,
+        bottomk_sample,
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+    from os_ex_3_map_reduce_spark.sources.versioned import (
+        vt_compact_mor,
+        vt_delete_mor,
+        vt_read,
+        vt_write,
+    )
+
+    orders1 = (
+        spark.read.parquet(f"{BASE_SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .persist()
+    )
+    orders1.count()
+    copies = F.broadcast(spark.range(COPIES).select(F.col("id").alias("copy")))
+    orders10 = (
+        orders1.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") + F.col("copy") * 10_000_000_000).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("copy") * 10_000_000).alias(
+                "o_custkey"
+            ),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .persist()
+    )
+    orders10.count()
+    li1 = (
+        spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+        .persist()
+    )
+    li1.count()
+    li10 = (
+        li1.crossJoin(copies)
+        .select(
+            (F.col("l_orderkey") + F.col("copy") * 10_000_000_000).alias(
+                "l_orderkey"
+            ),
+            "l_linenumber",
+            "l_extendedprice",
+            "l_returnflag",
+        )
+        .persist()
+    )
+    li10.count()
+
+    res: dict[str, dict[str, float]] = {}
+
+    def rec(q: str, label: str, sec: float) -> None:
+        res.setdefault(q, {})[label] = round(sec, 3)
+
+    for label, o in (("base", orders1), (f"x{COPIES}", orders10)):
+        path = tempfile.mkdtemp(prefix="osx3_b11c_") + "/t"
+        vt_write(o, path, "o_custkey", nbuckets=8)
+        t0 = time.perf_counter()
+        vt_delete_mor(
+            spark, path, "o_orderstatus = 'F' AND pmod(o_custkey, 8) < 4"
+        )
+        rec("mor_delete_commit", label, time.perf_counter() - t0)
+        _materialize(vt_read(spark, path))  # warm
+        t0 = time.perf_counter()
+        _materialize(vt_read(spark, path))
+        rec("mor_read_with_deletes", label, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        vt_compact_mor(spark, path)
+        rec("mor_compact", label, time.perf_counter() - t0)
+
+        def theta(df):
+            seg = kmv_sketch(df, "o_custkey", 64, by=["o_orderstatus"])
+            return kmv_estimate(kmv_merge(seg, 64), 64)
+
+        _materialize(theta(o))
+        t0 = time.perf_counter()
+        _materialize(theta(o))
+        rec("kmv_theta_union", label, time.perf_counter() - t0)
+
+    for label, l in (("base", li1), (f"x{COPIES}", li10)):
+        ident = F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+        base = l.select(
+            F.col("l_returnflag").alias("seg"),
+            F.col("l_extendedprice").alias("val"),
+            ident.alias("ident"),
+        )
+
+        def qsample():
+            seg = bottomk_sample(base, 256, F.col("ident"), ["val"], by=["seg"])
+            return bottom_k(seg.select("h", "val"), 256, order=["h", "val"])
+
+        _materialize(qsample())
+        t0 = time.perf_counter()
+        _materialize(qsample())
+        rec("bottomk_quantile_sample", label, time.perf_counter() - t0)
+
+    for q, d in res.items():
+        base_s, big_s = d["base"], d[f"x{COPIES}"]
+        print(
+            json.dumps(
+                {
+                    "query": q,
+                    "base_sec": base_s,
+                    f"x{COPIES}_sec": big_s,
+                    "ratio": round(big_s / base_s, 2) if base_s else None,
+                }
+            ),
+            flush=True,
+        )
+    orders1.unpersist(); orders10.unpersist(); li1.unpersist(); li10.unpersist()
+
+
 def bench_skew(spark, scaled: str) -> None:
     """Skew-stress draw: the salted-join primitive and AQE's skew-join
     split, measured against the naive plan at a genuinely hot key.
@@ -1080,6 +1214,7 @@ def main() -> None:
     bench_cdc(spark)
     bench_round11(spark, scaled)
     bench_round11b(spark, scaled)
+    bench_round11c(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
