@@ -111,6 +111,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_mor_delete",
     "q_sketch_theta_union",
     "q_sketch_quantile_merge",
+    "q_stream_kmv_distinct",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

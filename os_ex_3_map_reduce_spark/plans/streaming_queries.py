@@ -952,3 +952,133 @@ def q_stream_cdc_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(vt_read(spark, table), "vfinal"))
         .unionByName(facts)
     )
+
+
+@register(
+    "q_stream_kmv_distinct",
+    # The incremental sketch must equal the one-shot sketch by the
+    # KMV merge identity — so the oracle can ignore micro-batching
+    # entirely and rebuild the sketch directly over events. Batch
+    # membership (file discovery order) provably cannot change the
+    # result.
+    oracle="""
+        WITH hrs AS (
+            SELECT DISTINCT
+                   strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M') AS hour,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                       AS h
+            FROM events
+        ),
+        sk AS (
+            SELECT hour, h,
+                   row_number() OVER (PARTITION BY hour ORDER BY h) AS rk
+            FROM hrs QUALIFY rk <= 64
+        ),
+        est AS (
+            SELECT hour, COUNT(*) AS n_kept, MAX(h) AS kth_hash
+            FROM sk GROUP BY hour
+        ),
+        ex AS (
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M') AS hour,
+                   COUNT(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY 1
+        )
+        SELECT est.hour,
+               CAST(n_kept AS BIGINT) AS n_kept,
+               CAST(kth_hash AS BIGINT) AS kth_hash,
+               CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0 / kth_hash
+               END AS est_distinct,
+               CAST(exact_distinct AS BIGINT) AS exact_distinct
+        FROM est JOIN ex ON est.hour = ex.hour
+        ORDER BY est.hour
+    """,
+    doc="STREAMING approximate distinct-users-per-hour via the "
+    "mergeable KMV sketch (E7 x sketches — the reason sketch "
+    "mergeability exists): events arrive as a 4-file disjoint split "
+    "(one micro-batch per file), and each foreachBatch merges the "
+    "batch's per-hour sketch into a versioned state relation "
+    "(state v{N} = kmv_merge(state v{N-1}, sketch(batch N)) — "
+    "replaying a batch overwrites the same v{N} from the same v{N-1}, "
+    "so recovery is idempotent by construction, the same "
+    "batch-id-versioned contract as q_stream_foreach_sink). State per "
+    "hour is EXACTLY k=64 hashes no matter how many events stream "
+    "through — the bounded-state property that lets a 100 TB/day "
+    "stream keep per-window cardinality state in KB. The final "
+    "estimate must equal the one-shot sketch BY THE MERGE IDENTITY, "
+    "which is why the oracle can rebuild it directly over events, "
+    "ignoring micro-batching; every row carries the exact distinct "
+    "count next to the estimate.",
+)
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ..operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+    from ..sources.tables import event_time_expr, load_table
+    from ..streaming.events import staged_events_split_dir
+
+    k = 64
+    root = tempfile.mkdtemp(prefix="osx3_stream_kmv_")
+    _cleanup_at_exit(root)
+    src = staged_events_split_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state_dir = f"{root}/state"
+
+    def hour_col(df: DataFrame):
+        return F.date_format(
+            F.date_trunc("hour", event_time_expr(df)), "yyyy-MM-dd HH:mm"
+        )
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        sess = bdf.sparkSession
+        batch_sk = kmv_sketch(
+            bdf.withColumn("hour", hour_col(bdf)), "user_id", k, by=["hour"]
+        ).select("hour", "h")
+        prev_path = f"{state_dir}/v{batch_id - 1}"
+        if batch_id > 0 and os.path.exists(prev_path):
+            prev = sess.read.parquet(prev_path)
+            merged = kmv_merge(
+                batch_sk.unionByName(prev.select("hour", "h")),
+                k,
+                by=["hour"],
+            )
+        else:
+            merged = batch_sk.withColumn("rk", F.lit(0))
+            merged = kmv_merge(merged, k, by=["hour"])
+        merged.select("hour", "h").write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = max(
+        int(os.path.basename(p)[1:])
+        for p in _glob.glob(f"{state_dir}/v*")
+    )
+    final = spark.read.parquet(f"{state_dir}/v{last}")
+    est = kmv_estimate(final, k, by=["hour"])
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.withColumn("hour", hour_col(ev))
+        .groupBy("hour")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "hour")
+        .select("hour", "n_kept", "kth_hash", "est_distinct", "exact_distinct")
+        .orderBy("hour")
+    )

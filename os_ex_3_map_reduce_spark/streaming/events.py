@@ -72,6 +72,33 @@ def staged_events_dir(sf_dir: str, copies: int = 1) -> str:
     return _STAGED_CACHE[key]
 
 
+def staged_events_split_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """The events table split into ``n_files`` parquet files by
+    ``event_id % n_files`` — a DISJOINT partition of the stream (vs
+    :func:`staged_events_dir`'s duplicate copies), one micro-batch per
+    file under ``maxFilesPerTrigger=1``. Used by incremental-state
+    queries (e.g. the streaming KMV sketch) where each event must
+    arrive exactly once but batch membership must be arbitrary."""
+    key = (f"{sf_dir}::events_split", n_files)
+    if key not in _STAGED_CACHE:
+        ensure_session_confs(spark)
+        d = Path(tempfile.mkdtemp(prefix="osx3_events_split_"))
+        _cleanup_at_exit(str(d))
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        for i in range(n_files):
+            stage = d / f"_stage{i}"
+            ev.where(F.col("event_id") % n_files == i).coalesce(1).write.parquet(
+                str(stage)
+            )
+            part = next(stage.glob("part-*.parquet"))
+            shutil.move(str(part), d / f"part-{i}.parquet")
+            shutil.rmtree(stage)
+        _STAGED_CACHE[key] = str(d)
+    return _STAGED_CACHE[key]
+
+
 def doubled_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return staged_events_dir(sf_dir, copies=2)
 
