@@ -1162,3 +1162,124 @@ def hits_eager(edges: DataFrame, **kwargs) -> DataFrame:
     for df in held:
         df.unpersist()
     return out
+
+
+def mis_luby(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 15,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Deterministic Luby maximal independent set — the TWELFTH
+    iterative graph pattern. Classic Luby draws fresh random
+    priorities per round; this variant fixes ONE priority per node —
+    the engine-portable 60-bit md5 hash of its id (the
+    operators/sketch.py recipe) — which keeps Luby's local-minimum
+    selection rule and expected O(log n) rounds (fixed random
+    priorities = the greedy-MIS-by-random-permutation analysis of
+    Blelloch et al.) while making every round bit-replayable by the
+    DuckDB oracle. Comparison is STRICT: a hash tie between neighbors
+    (none at any fixture scale; ~1e-12 for the 2^60 space) leaves both
+    unselected that round, identically in both engines.
+
+    Per round over the alive-induced subgraph: one double semi-join
+    restricts the persisted symmetric edge list to alive endpoints,
+    one groupBy(node) takes the min neighbor priority, and nodes whose
+    own priority beats it (or with no alive neighbor) enter the MIS;
+    selected nodes and their neighbors leave the alive set. All slim
+    integer/string relations; eager per round under the exchange-width
+    clamp (same contract as kcore). Returns (node, sel_round) for MIS
+    members; independence and maximality are asserted in tests, round
+    counts recorded in the q_mis catalog docstring."""
+    from .sketch import portable_hash60
+
+    spark = edges.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(before), shuffle_partitions)),
+        )
+    try:
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+            F.col("a") != F.col("b")
+        )
+        e = (
+            und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .persist()
+        )
+        nodes = e.select(F.col("a").alias("node")).distinct()
+        prio = nodes.withColumn("h", portable_hash60("node")).persist()
+        alive = prio.select("node").persist()
+        held = [e, prio, alive]
+        n_alive = alive.count()
+        sel_parts: list[DataFrame] = []
+        rounds_run = 0
+        for r in range(max_rounds):
+            if n_alive == 0:
+                break
+            ae = e.join(alive.withColumnRenamed("node", "a"), "a").join(
+                alive.withColumnRenamed("node", "b"), "b"
+            )
+            mn = (
+                ae.join(
+                    prio.select(F.col("node").alias("b"), "h"), "b"
+                )
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("h").alias("mn"))
+            )
+            sel = (
+                alive.join(prio, "node")
+                .join(mn, "node", "left")
+                .where(F.col("mn").isNull() | (F.col("h") < F.col("mn")))
+                .select("node")
+                .persist()
+            )
+            held.append(sel)
+            n_sel = sel.count()
+            rounds_run = r + 1
+            if n_sel == 0:
+                break  # all-tied pathological stall: identical in oracle
+            dead = sel.unionByName(
+                ae.join(sel.withColumnRenamed("node", "a"), "a").select(
+                    F.col("b").alias("node")
+                )
+            ).distinct()
+            new_alive = alive.join(dead, "node", "left_anti").persist()
+            held.append(new_alive)
+            n_alive = new_alive.count()
+            alive = new_alive
+            sel_parts.append(
+                sel.withColumn("sel_round", F.lit(r).cast("long"))
+            )
+        out = sel_parts[0]
+        for p in sel_parts[1:]:
+            out = out.unionByName(p)
+        out = out.coalesce(1)
+        if shuffle_partitions is not None:
+            out = out.persist()
+            out.count()
+        out._osx3_persists = held  # type: ignore[attr-defined]
+        out._osx3_rounds = rounds_run  # type: ignore[attr-defined]
+        return out
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def mis_luby_eager(edges: DataFrame, **kwargs) -> DataFrame:
+    """:func:`mis_luby`, materialized, intermediates freed; preserves
+    the ``_osx3_rounds`` evidence attribute."""
+    d = mis_luby(edges, **kwargs)
+    held = d._osx3_persists  # type: ignore[attr-defined]
+    out = d.persist()
+    out.count()
+    out._osx3_rounds = d._osx3_rounds  # type: ignore[attr-defined]
+    for df in held:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out

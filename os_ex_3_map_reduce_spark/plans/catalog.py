@@ -112,6 +112,8 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_sketch_theta_union",
     "q_sketch_quantile_merge",
     "q_stream_kmv_distinct",
+    "q_incremental_join",
+    "q_mis",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

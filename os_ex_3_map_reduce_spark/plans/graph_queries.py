@@ -794,3 +794,96 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("node", "kind", F.col("score").cast("long").alias("score"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mis — deterministic Luby maximal independent set (twelfth pattern)
+# ---------------------------------------------------------------------------
+
+_MIS_ROUNDS = 6  # measured convergence: 2 rounds at ALL three fixture
+                 # scales (bipartite + fixed random priorities resolve
+                 # fast); 6 = 3x margin, the house rule
+
+
+def _mis_oracle() -> str:
+    cte = [
+        """
+        WITH arcs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS MATERIALIZED (
+            SELECT src AS a, dst AS b FROM arcs
+            UNION SELECT dst, src FROM arcs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        prio AS MATERIALIZED (
+            SELECT node, ('0x' || substr(md5(node), 1, 15))::BIGINT AS h
+            FROM nodes
+        ),
+        alive0 AS (SELECT node FROM nodes)"""
+    ]
+    for i in range(_MIS_ROUNDS):
+        cte.append(
+            f"""
+        ae{i} AS MATERIALIZED (
+            SELECT e.a, e.b FROM edges e
+            JOIN alive{i} x ON e.a = x.node
+            JOIN alive{i} y ON e.b = y.node
+        ),
+        mn{i} AS (
+            SELECT ae.a AS node, MIN(p.h) AS mn
+            FROM ae{i} ae JOIN prio p ON ae.b = p.node GROUP BY ae.a
+        ),
+        sel{i} AS MATERIALIZED (
+            SELECT al.node FROM alive{i} al
+            JOIN prio p ON al.node = p.node
+            LEFT JOIN mn{i} m ON al.node = m.node
+            WHERE m.mn IS NULL OR p.h < m.mn
+        ),
+        dead{i} AS (
+            SELECT node FROM sel{i}
+            UNION
+            SELECT ae.b FROM ae{i} ae JOIN sel{i} s ON ae.a = s.node
+        ),
+        alive{i + 1} AS MATERIALIZED (
+            SELECT node FROM alive{i}
+            EXCEPT SELECT node FROM dead{i}
+        )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT node, CAST({i} AS BIGINT) AS sel_round FROM sel{i}"
+        for i in range(_MIS_ROUNDS)
+    )
+    return ",".join(cte) + "\n" + selects
+
+
+@register(
+    "q_mis",
+    oracle=_mis_oracle(),
+    doc="Deterministic Luby MAXIMAL INDEPENDENT SET over the "
+    "customer-supplier graph — the TWELFTH iterative graph pattern "
+    "(operators/graph.py mis_luby): fixed engine-portable md5 "
+    "priorities (the greedy-MIS-by-random-permutation variant), each "
+    "round selecting every alive node whose priority strictly beats "
+    "all alive neighbors', then removing selected + neighborhood. "
+    "MIS is the classic symmetry-breaking primitive (scheduling "
+    "conflict-free work over co-occurrence graphs, picking cluster "
+    "exemplars no two of which are near-dups). Measured convergence: "
+    f"2 rounds at every fixture scale; the oracle unrolls "
+    f"{_MIS_ROUNDS} rounds of the identical algebra (empty tail "
+    "rounds contribute nothing — the PageRank oracle pattern). "
+    "Independence (no edge inside the MIS) and maximality (every "
+    "non-member has a member neighbor) are asserted as properties in "
+    "tests at all scales; per round the work is one double semi-join "
+    "+ one min aggregate over slim relations.",
+)
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import mis_luby_eager
+
+    def build() -> DataFrame:
+        return mis_luby_eager(
+            _bipartite_edges(spark, sf_dir), max_rounds=_MIS_ROUNDS
+        )
+
+    return _cached_df(spark, ("mis", sf_dir), build)

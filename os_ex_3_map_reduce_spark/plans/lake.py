@@ -930,3 +930,102 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg_version(0).unionByName(agg_version(1))
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_join — delta-rule maintenance of a join view
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_incremental_join",
+    oracle=f"""
+        WITH full_j AS (
+            SELECT c_mktsegment AS segment,
+                   CAST(round(o_totalprice * 10000) AS BIGINT) AS cents,
+                   o_orderdate, c_custkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        init AS (
+            SELECT segment, COUNT(*) AS n_init
+            FROM full_j
+            WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+              AND c_custkey % 10 < 8
+            GROUP BY segment
+        )
+        SELECT f.segment,
+               COUNT(*) AS n_orders,
+               COUNT(*) - COALESCE(MAX(n_init), 0) AS n_from_delta,
+               CAST(SUM(cents) AS DOUBLE) / 10000 AS total_price
+        FROM full_j f LEFT JOIN init ON f.segment = init.segment
+        GROUP BY f.segment
+        ORDER BY f.segment
+    """,
+    doc="Incremental JOIN-view maintenance (the IVM delta rule — the "
+    "mechanism behind every materialized-view refresh): the view "
+    "V = orders JOIN customer, aggregated per c_mktsegment, is "
+    "maintained under deltas on BOTH inputs via "
+    "delta(A JOIN B) = dA JOIN B_old + A_old JOIN dB + dA JOIN dB — "
+    "orders split at the q_incremental_agg date cutoff (NULL dates "
+    "route to the delta side), customers split by c_custkey %% 10 "
+    "(the 'new customers arrive' case, whose OLD orders join in "
+    "through the A_old JOIN dB term — the term naive 'join only the "
+    "new rows' refreshes forget). All four states are integer-cents "
+    "mergeable partials, so the union+re-aggregate is exactly "
+    "associative and the from-scratch oracle must match to the bit. "
+    "n_from_delta carries the in-band evidence that every delta term "
+    "contributed (nonzero at every fixture scale). At 100 TB this is "
+    "the nightly-refresh cost model: each term joins a delta against "
+    "a (bucketed) base — never base against base; the only full-size "
+    "work is the one-time initial state.",
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    in_history = F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp")
+    a_old = orders.where(in_history)
+    a_new = orders.where(~in_history | F.col("o_orderdate").isNull())
+    old_cust = F.pmod(F.col("c_custkey"), F.lit(10)) < 8
+    b_old = cust.where(old_cust)
+    b_new = cust.where(~old_cust)
+
+    cents = F.round(F.col("o_totalprice") * 10000).cast("long")
+
+    def state(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).alias("sum_cents"),
+            )
+        )
+
+    v_init = state(a_old, b_old)
+    deltas = (
+        state(a_new, b_old)
+        .unionByName(state(a_old, b_new))
+        .unionByName(state(a_new, b_new))
+    )
+    merged = (
+        v_init.withColumn("is_init", F.lit(1))
+        .unionByName(deltas.withColumn("is_init", F.lit(0)))
+        .groupBy("segment")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum(F.when(F.col("is_init") == 0, F.col("n")).otherwise(0)).alias(
+                "n_from_delta"
+            ),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    return merged.select(
+        "segment",
+        "n_orders",
+        "n_from_delta",
+        (F.col("sum_cents").cast("double") / 10000).alias("total_price"),
+    ).orderBy("segment")

@@ -1159,3 +1159,56 @@ def test_hits_ranking_matches_normalized_hits_and_star_shape(spark):
     assert {r.node for r in got2 if r.kind == "authority"} == {
         f"s{i}" for i in range(5)
     }
+
+
+def test_mis_independent_maximal_and_invariant(spark):
+    """mis_luby (the twelfth graph pattern): the returned set is
+    INDEPENDENT (no edge joins two members), MAXIMAL (every non-member
+    has a member neighbor — no node can be added), deterministic under
+    partitioning, and on a known path graph equals the greedy
+    by-priority reference."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.graph import mis_luby_eager
+    from os_ex_3_map_reduce_spark.operators.sketch import portable_hash60
+
+    # path 0-1-2-...-19 plus a star 100-(101..110): both shapes in one
+    edges = [(f"n{i}", f"n{i+1}") for i in range(19)] + [
+        ("hub", f"leaf{j}") for j in range(10)
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    outs = []
+    for nparts in (1, 4):
+        mis = mis_luby_eager(e.repartition(nparts))
+        outs.append(sorted(r.node for r in mis.collect()))
+    assert outs[0] == outs[1]
+    members = set(outs[0])
+    # independence
+    for a, b in edges:
+        assert not (a in members and b in members), (a, b)
+    # maximality
+    nodes = {x for ab in edges for x in ab}
+    adj: dict[str, set] = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for n in nodes - members:
+        assert adj[n] & members, f"{n} could be added — not maximal"
+    # star: either the hub alone or all leaves are in the MIS
+    assert ("hub" in members) != ("leaf0" in members)
+    if "leaf0" in members:
+        assert all(f"leaf{j}" in members for j in range(10))
+    # greedy-by-fixed-priority reference on the same graph
+    prio = {
+        r.node: r.h
+        for r in spark.createDataFrame(
+            [(n,) for n in nodes], "node string"
+        ).withColumn("h", portable_hash60("node")).collect()
+    }
+    ref: set = set()
+    blocked: set = set()
+    for n in sorted(nodes, key=lambda x: prio[x]):
+        if n not in blocked:
+            ref.add(n)
+            blocked |= adj[n] | {n}
+    assert members == ref
