@@ -114,6 +114,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_stream_kmv_distinct",
     "q_incremental_join",
     "q_mis",
+    "q_mixture_waterfill",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1029,3 +1029,174 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_from_delta",
         (F.col("sum_cents").cast("double") / 10000).alias("total_price"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# q_mixture_waterfill — weighted domain mixture with cap redistribution
+# ---------------------------------------------------------------------------
+
+_WF_ROUNDS = 8  # measured water-filling convergence: 3-4 cap rounds
+                # at the three fixture scales (10 of 20 sources cap);
+                # 8 = ~2x margin, allocations are stable past fixpoint
+
+
+def _waterfill_oracle() -> str:
+    cte = [
+        """
+        WITH avail AS MATERIALIZED (
+            SELECT source,
+                   (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w,
+                   CAST(SUM(n_chars) AS BIGINT) AS avail
+            FROM documents GROUP BY source
+        ),
+        b AS (SELECT (SUM(avail) * 8) // 10 AS B FROM avail),
+        cap0 AS (SELECT source FROM avail WHERE 1 = 0)"""
+    ]
+    for i in range(_WF_ROUNDS):
+        cte.append(
+            f"""
+        a{i} AS MATERIALIZED (
+            SELECT v.source, v.avail, v.w,
+                   CASE WHEN c.source IS NOT NULL THEN v.avail
+                        ELSE ((SELECT B FROM b)
+                              - COALESCE((SELECT SUM(avail) FROM avail
+                                          WHERE source IN
+                                              (SELECT source FROM cap{i})), 0))
+                             * v.w
+                             // (SELECT SUM(w) FROM avail
+                                 WHERE source NOT IN
+                                     (SELECT source FROM cap{i}))
+                   END AS alloc,
+                   (c.source IS NOT NULL) AS was_capped
+            FROM avail v LEFT JOIN cap{i} c ON v.source = c.source
+        ),
+        cap{i + 1} AS MATERIALIZED (
+            SELECT source FROM cap{i}
+            UNION
+            SELECT source FROM a{i} WHERE alloc > avail
+        )"""
+        )
+    last = _WF_ROUNDS - 1
+    cte.append(
+        f"""
+        final AS (
+            SELECT a.source, a.w, a.avail,
+                   LEAST(a.alloc, a.avail) AS alloc,
+                   (a.alloc >= a.avail) AS capped
+            FROM a{last} a
+        ),
+        ranked AS (
+            SELECT d.source, d.doc_id, d.n_chars,
+                   SUM(d.n_chars) OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5(d.text), d.doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS csum
+            FROM documents d
+        )
+        SELECT f.source,
+               CAST(f.w AS BIGINT) AS w,
+               f.avail AS avail_chars,
+               CAST(f.alloc AS BIGINT) AS alloc_chars,
+               CAST(f.capped AS BIGINT) AS capped,
+               CAST(COUNT(CASE WHEN r.csum <= f.alloc THEN 1 END) AS BIGINT)
+                   AS n_picked,
+               CAST(COALESCE(SUM(CASE WHEN r.csum <= f.alloc
+                                      THEN r.n_chars END), 0) AS BIGINT)
+                   AS chars_picked
+        FROM final f JOIN ranked r ON f.source = r.source
+        GROUP BY f.source, f.w, f.avail, f.alloc, f.capped
+        ORDER BY f.source"""
+    )
+    return ",".join(cte)
+
+
+@register(
+    "q_mixture_waterfill",
+    oracle=_waterfill_oracle(),
+    doc="Weighted domain-mixture allocation with WATER-FILLING (the "
+    "dataset-recipe primitive behind DoReMi-style mixtures: 'build a "
+    "corpus at weights w_d, but no domain can give more than it "
+    "has'): target char budget B = 80% of the corpus, per-source "
+    "weights (idx % 4)+1, initial allocation B*w/W in exact integer "
+    "arithmetic; any source allocated past its supply is CAPPED at "
+    "supply and its surplus redistributes over the uncapped weights — "
+    "iterated to the fixpoint (monotone: capped stays capped). The "
+    "fixture cascades genuinely: 10 of 20 sources cap over 3-4 "
+    "rounds. The allocator runs driver-side over one 20-row collect "
+    "(the bounded-metadata pattern; asserts convergence under the "
+    "oracle's unroll margin), the oracle re-derives it as 8 unrolled "
+    "MATERIALIZED rounds of the identical algebra. Selection inside "
+    "each source is the deterministic greedy hash-order prefix whose "
+    "cumulative chars fit the allocation — exact budgets, not "
+    "expected-rate sampling (q_sample_budget's regime), and the "
+    "per-source window reuses the source partitioning. Every row "
+    "carries supply, allocation, cap flag, and picked totals.",
+)
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    avail_df = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("avail"),
+        (
+            (F.substring("source", 4, 10).cast("long") % 4) + 1
+        ).alias("w"),
+    )
+    rows = avail_df.collect()  # bounded: one row per source (20)
+    avail = {r.source: int(r.avail) for r in rows}
+    w = {r.source: int(r.w) for r in rows}
+    B = sum(avail.values()) * 8 // 10
+    capped: set[str] = set()
+    alloc: dict[str, int] = {}
+    for rnd in range(_WF_ROUNDS):
+        b_i = B - sum(avail[c] for c in capped)
+        w_i = sum(w[s] for s in avail if s not in capped)
+        alloc = {
+            s: (avail[s] if s in capped else b_i * w[s] // w_i)
+            for s in avail
+        }
+        new_caps = {
+            s for s in avail if s not in capped and alloc[s] > avail[s]
+        }
+        if not new_caps:
+            break
+        capped |= new_caps
+    else:
+        raise RuntimeError(
+            "water-filling did not converge within the oracle's "
+            f"{_WF_ROUNDS}-round unroll — widen _WF_ROUNDS"
+        )
+    final = spark.createDataFrame(
+        [
+            (s, w[s], avail[s], min(alloc[s], avail[s]), s in capped)
+            for s in sorted(avail)
+        ],
+        "source string, w long, avail_chars long, alloc_chars long, "
+        "capped boolean",
+    )
+    wsum = Window.partitionBy("source").orderBy(
+        F.md5("text"), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", F.sum("n_chars").over(wsum).alias("csum")
+    )
+    picked = F.col("csum") <= F.col("alloc_chars")
+    return (
+        ranked.join(F.broadcast(final), "source")
+        .groupBy("source", "w", "avail_chars", "alloc_chars", "capped")
+        .agg(
+            F.sum(picked.cast("long")).alias("n_picked"),
+            F.sum(F.when(picked, F.col("n_chars")).otherwise(0)).alias(
+                "chars_picked"
+            ),
+        )
+        .select(
+            "source",
+            "w",
+            "avail_chars",
+            "alloc_chars",
+            F.col("capped").cast("long").alias("capped"),
+            "n_picked",
+            "chars_picked",
+        )
+        .orderBy("source")
+    )
