@@ -115,6 +115,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_incremental_join",
     "q_mis",
     "q_mixture_waterfill",
+    "q_vt_schema_evolution",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1200,3 +1200,97 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_vt_schema_evolution — additive column evolution across snapshots
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_vt_schema_evolution",
+    oracle="""
+        WITH old_rows AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 2 = 0
+        ),
+        new_rows AS (
+            SELECT o_orderkey, o_totalprice,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+                       AS channel
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT 'v0_cols' AS item, 3 AS n, CAST(NULL AS VARCHAR) AS channel,
+               CAST((SELECT COUNT(*) FROM old_rows) AS BIGINT) AS n_rows
+        UNION ALL
+        SELECT 'v1_cols', 4, NULL,
+               (SELECT COUNT(*) FROM old_rows)
+                   + (SELECT COUNT(*) FROM new_rows)
+        UNION ALL
+        SELECT 'chan', 4, channel, COUNT(*)
+        FROM (
+            SELECT CAST(NULL AS VARCHAR) AS channel FROM old_rows
+            UNION ALL
+            SELECT channel FROM new_rows
+        ) GROUP BY channel
+    """,
+    doc="ADDITIVE schema evolution on the manifest-versioned table "
+    "(the Delta/Iceberg mergeSchema contract, sources/versioned.py): "
+    "v0 commits even orders WITHOUT the 'channel' column; an append "
+    "commits odd orders WITH it. The v0 snapshot still reads with its "
+    "own 3-column schema (time travel never sees columns from the "
+    "future), the current snapshot reads 4 columns with NULL channel "
+    "for pre-evolution rows (per-commit scans union "
+    "allowMissingColumns inside vt_read — no rewrite of old files), "
+    "and grouping by the evolved column puts every old row in the "
+    "NULL group. Output: column counts per snapshot (read from the "
+    "actual DataFrame schema, not assumed) + the channel histogram "
+    "over the evolved read; the oracle re-derives all of it from the "
+    "split. The bucket column is excluded from the column count "
+    "(layout metadata, not user schema). At 100 TB additive evolution "
+    "is the only sane contract: a new column costs ZERO bytes of "
+    "rewrite and old files upgrade lazily when CoW touches them.",
+)
+def q_vt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.versioned import vt_append, vt_read, vt_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old_rows = orders.where(F.pmod("o_orderkey", F.lit(2)) == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_rows = orders.where(F.pmod("o_orderkey", F.lit(2)) == 1).withColumn(
+        "channel",
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, F.lit("web")).otherwise(
+            F.lit("store")
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="osx3_vtevo_") + "/orders"
+    vt_write(old_rows, path, "o_custkey", nbuckets=4)
+    vt_append(new_rows, path)
+    v0 = vt_read(spark, path, 0)
+    v1 = vt_read(spark, path, 1)
+    ncols = lambda df: len([c for c in df.columns if c != "bucket"])  # noqa: E731
+
+    def snap_row(item: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(item).alias("item"),
+            F.lit(ncols(df)).cast("int").alias("n"),
+            F.lit(None).cast("string").alias("channel"),
+            "n_rows",
+        )
+
+    chan = (
+        v1.groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit("chan").alias("item"),
+            F.lit(ncols(v1)).cast("int").alias("n"),
+            "channel",
+            "n_rows",
+        )
+    )
+    return snap_row("v0_cols", v0).unionByName(snap_row("v1_cols", v1)).unionByName(chan)

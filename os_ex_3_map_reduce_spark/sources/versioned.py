@@ -158,7 +158,14 @@ def _read_entries(
     file, ``_dpos`` = ``_metadata.row_index``) — projected INSIDE each
     per-commit scan (the hidden ``_metadata`` column resolves against
     a file source, not a union). Returns None for an empty entry
-    list."""
+    list.
+
+    Schema evolution is ADDITIVE (the Delta/Iceberg contract): a later
+    commit may carry columns earlier files lack; the union fills the
+    missing columns with NULL, so old snapshots read with their own
+    schema and the current snapshot reads with the widest one. A CoW
+    rewrite of old files upgrades them to the current schema (NULLs
+    materialized) as a side effect."""
     by_commit: dict[str, list[str]] = {}
     for e in entries:
         by_commit.setdefault(e["commit"], []).append(f"{path}/{e['path']}")
@@ -178,7 +185,11 @@ def _read_entries(
                 ).alias("_dfile"),
                 F.col("_metadata.row_index").alias("_dpos"),
             )
-        out = part if out is None else out.unionByName(part)
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
     return out
 
 
@@ -536,7 +547,7 @@ def vt_upsert(
         survivors = old.join(
             ch.select(F.col(key)).distinct(), key, "left_anti"
         )
-        merged = survivors.unionByName(ch)
+        merged = survivors.unionByName(ch, allowMissingColumns=True)
     new_files = _stage_files(merged, path, f"c{new_version}", nb)
     _commit(
         path,

@@ -923,3 +923,40 @@ class TestVersionedTable:
         vt_vacuum(vt, keep_last=1)
         assert not _glob.glob(f"{vt}/deletes/d*/*.parquet")
         assert vt_read(spark, vt).count() == 90
+
+    def test_schema_evolution_additive_and_dml_safe(self, spark, vt):
+        """Additive evolution: an append may carry NEW columns; old
+        snapshots keep their own schema, the evolved read NULL-fills,
+        and CoW/MoR deletes over the mixed-schema table stay correct
+        (a CoW rewrite upgrades the files it touches)."""
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_append,
+            vt_delete,
+            vt_delete_mor,
+            vt_read,
+        )
+
+        extra = spark.range(100, 120).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("grp"),
+            (F.col("id") * 2).alias("val"),
+            F.lit("tagged").alias("note"),
+        )
+        vt_append(extra, vt)
+        cur = vt_read(spark, vt)
+        assert "note" in cur.columns
+        assert cur.where("note IS NULL").count() == 100
+        assert cur.where("note = 'tagged'").count() == 20
+        # time travel: v0 has no 'note' column at all
+        assert "note" not in vt_read(spark, vt, 0).columns
+        # MoR delete with a predicate over the evolved column
+        vt_delete_mor(spark, vt, "note = 'tagged' AND k < 105")
+        assert vt_read(spark, vt).count() == 115
+        # CoW delete over the original column: pending deletes folded,
+        # untouched evolved rows survive
+        vt_delete(spark, vt, "grp = 9")
+        cur = vt_read(spark, vt)
+        # grp 9: k in {9,...,99,109,119} minus already-MoR'd none ->
+        # 10 old + 2 new (109, 119) = 12 removed
+        assert cur.count() == 103
+        assert cur.where("note = 'tagged'").count() == 13
