@@ -1230,14 +1230,15 @@ def mis_luby(
                 .groupBy(F.col("a").alias("node"))
                 .agg(F.min("h").alias("mn"))
             )
+            # eager localCheckpoint: alive/sel lineage branches
+            # multiplicatively per round — truncate like the BFS op
             sel = (
                 alive.join(prio, "node")
                 .join(mn, "node", "left")
                 .where(F.col("mn").isNull() | (F.col("h") < F.col("mn")))
                 .select("node")
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            held.append(sel)
             n_sel = sel.count()
             rounds_run = r + 1
             if n_sel == 0:
@@ -1247,8 +1248,9 @@ def mis_luby(
                     F.col("b").alias("node")
                 )
             ).distinct()
-            new_alive = alive.join(dead, "node", "left_anti").persist()
-            held.append(new_alive)
+            new_alive = alive.join(dead, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
             n_alive = new_alive.count()
             alive = new_alive
             sel_parts.append(
@@ -1277,6 +1279,107 @@ def mis_luby_eager(edges: DataFrame, **kwargs) -> DataFrame:
     out = d.persist()
     out.count()
     out._osx3_rounds = d._osx3_rounds  # type: ignore[attr-defined]
+    for df in held:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    n_seeds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 8,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Batched multi-source BFS — the THIRTEENTH iterative graph
+    pattern: run BFS from ``n_seeds`` deterministically-sampled seeds
+    (the n smallest portable-hash nodes — a reproducible 'random'
+    sample) SIMULTANEOUSLY, one frontier relation keyed by seed, so a
+    hop costs ONE edge join for all seeds together instead of one
+    traversal per seed. This is the eccentricity-sampling /
+    diameter-lower-bound shape (and the mechanics under HyperANF-style
+    neighborhood functions): per hop, frontier ⋈ edges, dedup,
+    anti-join the visited set, append with dist+1. Returns per seed
+    (seed, ecc, n_reached) — max distance and reachable-set size.
+    Convergence = empty frontier (measured 2-4 hops on every fixture
+    scale); eager per round under the exchange-width clamp."""
+    from .sketch import portable_hash60
+
+    spark = edges.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(before), shuffle_partitions)),
+        )
+    try:
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+            F.col("a") != F.col("b")
+        )
+        e = (
+            und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .persist()
+        )
+        nodes = e.select(F.col("a").alias("node")).distinct()
+        seeds = (
+            nodes.withColumn("h", portable_hash60("node"))
+            .orderBy("h", "node")
+            .limit(n_seeds)
+            .select("node")
+        )
+        # localCheckpoint (eager) each round: the frontier/visited
+        # lineage branches multiplicatively per hop — without
+        # truncation the round-5 plan TREE alone OOMs the driver
+        # (observed in generateTreeString at sf0.01).
+        vis = seeds.select(
+            F.col("node").alias("seed"),
+            "node",
+            F.lit(0).cast("long").alias("dist"),
+        ).localCheckpoint(eager=True)
+        frontier = vis
+        held = [e]
+        for d in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.node == e.a)
+                .select("seed", F.col("b").alias("node"))
+                .distinct()
+                .join(vis.select("seed", "node"), ["seed", "node"], "left_anti")
+                .withColumn("dist", F.lit(d).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == 0:
+                break
+            vis = vis.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        out = (
+            vis.groupBy("seed")
+            .agg(
+                F.max("dist").alias("ecc"),
+                F.count(F.lit(1)).alias("n_reached"),
+            )
+            .coalesce(1)
+        )
+        if shuffle_partitions is not None:
+            out = out.persist()
+            out.count()
+        out._osx3_persists = held  # type: ignore[attr-defined]
+        return out
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def multi_source_bfs_eager(edges: DataFrame, **kwargs) -> DataFrame:
+    """:func:`multi_source_bfs`, materialized, intermediates freed."""
+    d = multi_source_bfs(edges, **kwargs)
+    held = d._osx3_persists  # type: ignore[attr-defined]
+    out = d.persist()
+    out.count()
     for df in held:
         try:
             df.unpersist()

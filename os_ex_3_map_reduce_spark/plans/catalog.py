@@ -116,6 +116,8 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_mis",
     "q_mixture_waterfill",
     "q_vt_schema_evolution",
+    "q_sketch_intersect",
+    "q_bfs_multi",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

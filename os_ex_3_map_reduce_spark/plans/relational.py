@@ -3236,3 +3236,149 @@ def q_sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(quantiles(direct, "DIRECT"))
         .orderBy("scope")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sketch_intersect — KMV set-intersection estimate (theta algebra)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sketch_intersect",
+    oracle=f"""
+        WITH a AS (
+            SELECT DISTINCT
+                ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        ),
+        b AS (
+            SELECT DISTINCT
+                ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        ),
+        ska AS (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk FROM a
+            QUALIFY rk <= {_KMV_K}
+        ),
+        skb AS (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk FROM b
+            QUALIFY rk <= {_KMV_K}
+        ),
+        mrg AS (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk
+            FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+            QUALIFY rk <= {_KMV_K}
+        ),
+        st AS (
+            SELECT COUNT(*) AS n_kept, MAX(h) AS kth_hash,
+                   SUM(CASE WHEN h IN (SELECT h FROM ska)
+                             AND h IN (SELECT h FROM skb)
+                            THEN 1 ELSE 0 END) AS n_both
+            FROM mrg
+        ),
+        ex AS (
+            SELECT
+                (SELECT COUNT(DISTINCT o_custkey) FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1997-01-01') AS exact_a,
+                (SELECT COUNT(DISTINCT o_custkey) FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01') AS exact_b,
+                (SELECT COUNT(*) FROM (
+                    SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+                    INTERSECT
+                    SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                )) AS exact_inter
+        )
+        SELECT CAST(n_kept AS BIGINT) AS n_kept,
+               CAST(n_both AS BIGINT) AS n_both,
+               CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                         * 1152921504606846976.0 / kth_hash
+               END AS union_est,
+               CASE WHEN n_kept < {_KMV_K} THEN CAST(n_both AS DOUBLE)
+                    ELSE (CAST({_KMV_K - 1} AS DOUBLE)
+                          * 1152921504606846976.0 / kth_hash)
+                         * n_both / {_KMV_K}
+               END AS inter_est,
+               CAST(exact_a AS BIGINT) AS exact_a,
+               CAST(exact_b AS BIGINT) AS exact_b,
+               CAST(exact_inter AS BIGINT) AS exact_inter
+        FROM st, ex
+    """,
+    doc="KMV set-INTERSECTION estimate — the other half of the theta "
+    "sketch algebra (q_sketch_theta_union is the union half): how "
+    "many customers ordered in BOTH date halves, estimated from two "
+    "k=64 sketches ALONE. Soundness of sketch-only membership: any "
+    "hash in bottom-k(A∪B) that belongs to A is necessarily in "
+    "bottom-k(A) (it is <= the union's k-th smallest, which is <= "
+    "A's), so testing against the sketches equals testing against "
+    "the full sets — no rescan, which is the point: a join-size "
+    "estimate between two 100 TB relations from two KB-sized "
+    "summaries. Estimator: rho x union (Beyer et al.); below-k "
+    "unions degrade to exact. Exact a/b/intersection counts ride "
+    "along as evidence; everything is the engine-portable md5 recipe "
+    "+ single IEEE-double ops, so the oracle rebuilds the estimate "
+    "bit-for-bit.",
+)
+def q_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_merge, kmv_sketch
+
+    k = _KMV_K
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    a = orders.where(F.col("o_orderdate") < cutoff)
+    b = orders.where(F.col("o_orderdate") >= cutoff)
+    ska = kmv_sketch(a, "o_custkey", k).select("h").persist()
+    skb = kmv_sketch(b, "o_custkey", k).select("h").persist()
+    mrg = kmv_merge(ska.unionByName(skb), k)
+    both = ska.join(skb, "h")  # hashes present in BOTH sketches
+    st = (
+        mrg.join(both.withColumn("in_both", F.lit(1)), "h", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("kth_hash"),
+            F.sum(F.coalesce("in_both", F.lit(0))).alias("n_both"),
+        )
+    )
+    m = 1152921504606846976.0  # 2^60, the portable-hash range
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(m) / F.col("kth_hash"))
+    inter_est = F.when(
+        F.col("n_kept") < k, F.col("n_both").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(m) / F.col("kth_hash"))
+        * F.col("n_both")
+        / F.lit(k)
+    )
+    exact = (
+        a.select(F.col("o_custkey").alias("ck"))
+        .distinct()
+        .withColumn("in_a", F.lit(1))
+        .join(
+            b.select(F.col("o_custkey").alias("ck"))
+            .distinct()
+            .withColumn("in_b", F.lit(1)),
+            "ck",
+            "full_outer",
+        )
+        .agg(
+            F.sum(F.coalesce("in_a", F.lit(0))).alias("exact_a"),
+            F.sum(F.coalesce("in_b", F.lit(0))).alias("exact_b"),
+            F.sum(
+                (
+                    F.coalesce("in_a", F.lit(0)) * F.coalesce("in_b", F.lit(0))
+                ).cast("long")
+            ).alias("exact_inter"),
+        )
+    )
+    return st.crossJoin(F.broadcast(exact)).select(
+        "n_kept",
+        "n_both",
+        union_est.alias("union_est"),
+        inter_est.alias("inter_est"),
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+    )
