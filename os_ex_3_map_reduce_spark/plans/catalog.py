@@ -118,6 +118,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_vt_schema_evolution",
     "q_sketch_intersect",
     "q_bfs_multi",
+    "q_join_interval",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -3382,3 +3382,94 @@ def q_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_b",
         "exact_inter",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_join_interval — interval-overlap join via grid bucketing
+# ---------------------------------------------------------------------------
+
+_IV_HOUR_US = 3_600_000_000
+_IV_DAY_US = 86_400_000_000
+
+
+@register(
+    "q_join_interval",
+    oracle=f"""
+        WITH a AS (
+            SELECT user_id, epoch_us(ts) // {_IV_HOUR_US} AS hr,
+                   MIN(epoch_us(ts)) AS a_lo, MAX(epoch_us(ts)) AS a_hi
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT event_type, epoch_us(ts) // {_IV_DAY_US} AS day,
+                   MIN(epoch_us(ts)) AS b_lo, MAX(epoch_us(ts)) AS b_hi
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               COUNT(*) AS n_pairs,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="INTERVAL-OVERLAP join with both sides large — the temporal/"
+    "genomics overlap-join family (distinct from q_join_range's "
+    "point-in-band broadcast NLJ and q_join_asof's nearest-match): "
+    "per-user hourly activity windows against per-type daily activity "
+    "windows, overlap = a_lo <= b_hi AND b_lo <= a_hi. A theta join "
+    "like this has NO equi-key, and a nested-loop over two large "
+    "sides is quadratic — so each interval is chunked onto a 1-hour "
+    "GRID (sequence + explode, bounded fan-out: <= 2 cells per hour "
+    "window, <= 25 per day window), the grid cell becomes the "
+    "shuffle equi-key, candidate pairs dedup on the interval ids, "
+    "and the exact overlap predicate filters residually — the "
+    "standard bucketize-dedup-refine reduction that keeps the 100 TB "
+    "plan a hash join with bounded amplification instead of a "
+    "cartesian. The oracle runs the direct theta join (fine at "
+    "fixture scale) — grid + dedup + refine must produce EXACTLY the "
+    "pairs the naive join does, which is the reduction's correctness "
+    "claim.",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts_utc)")
+    # bigint `div` throughout — double `/`+cast can round up at the
+    # 2^53 representation boundary where DuckDB's integer `//` floors
+    a = (
+        ev.groupBy(
+            "user_id",
+            F.expr(f"unix_micros(ts_utc) div {_IV_HOUR_US}").alias("hr"),
+        )
+        .agg(F.min(us).alias("a_lo"), F.max(us).alias("a_hi"))
+    )
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts_utc) div {_IV_DAY_US}").alias("day"),
+        )
+        .agg(F.min(us).alias("b_lo"), F.max(us).alias("b_hi"))
+    )
+    cell = lambda lo, hi: F.explode(  # noqa: E731
+        F.sequence(
+            F.expr(f"{lo} div {_IV_HOUR_US}"),
+            F.expr(f"{hi} div {_IV_HOUR_US}"),
+        )
+    ).alias("cell")
+    ae = a.select("user_id", "hr", "a_lo", "a_hi", cell("a_lo", "a_hi"))
+    be = b.select("event_type", "day", "b_lo", "b_hi", cell("b_lo", "b_hi"))
+    pairs = (
+        ae.join(be, "cell")
+        .where(
+            (F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi"))
+        )
+        .select("user_id", "hr", "event_type", "day")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -906,3 +906,14 @@ def test_quantile_merge_samples_before_sorting(spark, qs):
     plan = explain_str(qs["q_sketch_quantile_merge"](spark, SF))
     assert "MapInPandas" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_equi_on_grid_cell(spark, qs):
+    """q_join_interval: the overlap theta-join must reduce to an
+    EQUI-join on the grid cell (hash/sort-merge exchange on `cell`) —
+    a BroadcastNestedLoopJoin or CartesianProduct means the reduction
+    regressed to quadratic."""
+    plan = explain_str(qs["q_join_interval"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan and "cell" in plan, plan
