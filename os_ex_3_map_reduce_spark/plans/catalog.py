@@ -119,6 +119,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_sketch_intersect",
     "q_bfs_multi",
     "q_join_interval",
+    "q_vt_optimize",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

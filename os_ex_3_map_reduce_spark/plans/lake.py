@@ -1294,3 +1294,110 @@ def q_vt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snap_row("v0_cols", v0).unionByName(snap_row("v1_cols", v1)).unionByName(chan)
+
+
+# ---------------------------------------------------------------------------
+# q_vt_optimize — small-file bin-packing maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_vt_optimize",
+    oracle="""
+        WITH s AS (
+            SELECT o_orderkey % 4 AS slice, o_custkey % 4 AS bucket,
+                   o_totalprice
+            FROM orders
+        ),
+        fb AS (SELECT bucket, COUNT(DISTINCT slice) AS nf FROM s GROUP BY bucket),
+        v0s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sp,
+                   (SELECT COUNT(DISTINCT bucket) FROM s WHERE slice = 0)
+                       AS nf
+            FROM orders WHERE o_orderkey % 4 = 0
+        ),
+        alls AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sp
+            FROM orders
+        )
+        SELECT 0 AS version, n AS n_rows, sp AS sum_price,
+               CAST(nf AS INTEGER) AS n_files, 0 AS files_rewritten
+        FROM v0s
+        UNION ALL
+        SELECT 3, n, sp,
+               (SELECT CAST(SUM(nf) AS INTEGER) FROM fb), 0
+        FROM alls
+        UNION ALL
+        SELECT 4, n, sp,
+               (SELECT CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE nf END)
+                    AS INTEGER) FROM fb),
+               (SELECT CAST(SUM(CASE WHEN nf > 1 THEN nf ELSE 0 END)
+                    AS INTEGER) FROM fb)
+        FROM alls
+    """,
+    doc="Small-file OPTIMIZE on the versioned table (sources/"
+    "versioned.py vt_optimize — the Delta OPTIMIZE / Iceberg "
+    "rewrite-data-files bin-packing action): orders land as v0 plus "
+    "THREE append commits (slices by o_orderkey % 4), leaving every "
+    "bucket with up to 4 small files — the debris a streaming sink "
+    "accumulates; v4 rewrites each over-threshold bucket into ONE "
+    "file and carries the rest. Purely physical: v3 and v4 aggregate "
+    "identically (asserted by the shared `alls` CTE), and the oracle "
+    "re-derives every file count structurally from the data — files "
+    "per bucket after the appends = number of slices that hash >= 1 "
+    "row into it (appends stage one file per NON-EMPTY bucket only), "
+    "so the pinned arithmetic holds at every scale rather than "
+    "assuming 4x4. At 100 TB this is the nightly job that bounds "
+    "per-bucket file counts (scan task count, open-file overhead) no "
+    "matter how many micro-commits landed; n_files/files_rewritten "
+    "come from the commit manifests.",
+)
+def q_vt_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.versioned import (
+        vt_append,
+        vt_history,
+        vt_optimize,
+        vt_read,
+        vt_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="osx3_vtopt_") + "/orders"
+    sl = lambda i: orders.where(F.pmod("o_orderkey", F.lit(4)) == i)  # noqa: E731
+    vt_write(sl(0), path, "o_custkey", nbuckets=4)
+    for i in (1, 2, 3):
+        vt_append(sl(i), path)
+    vt_optimize(spark, path, max_files_per_bucket=1)
+    hist = {m["version"]: m for m in vt_history(path)}
+
+    def agg_version(v: int) -> DataFrame:
+        return (
+            vt_read(spark, path, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                "sum_price",
+                F.lit(hist[v]["n_files"]).cast("int").alias("n_files"),
+                F.lit(hist[v]["files_rewritten"])
+                .cast("int")
+                .alias("files_rewritten"),
+            )
+        )
+
+    return (
+        agg_version(0).unionByName(agg_version(3)).unionByName(agg_version(4))
+    )

@@ -565,3 +565,53 @@ def vt_upsert(
         },
     )
     return new_version
+
+
+def vt_optimize(
+    spark: SparkSession, path: str, max_files_per_bucket: int = 1
+) -> int:
+    """Bin-packing maintenance (the Delta OPTIMIZE / Iceberg
+    rewrite-data-files small-file compaction): every bucket whose file
+    count exceeds ``max_files_per_bucket`` — the debris appends leave
+    behind, one file per bucket per commit — has ALL its files
+    rewritten into one file per bucket; other buckets are carried by
+    reference. Pending position deletes are folded into the rewritten
+    buckets (same contract as CoW rewrites) and the delete files are
+    carried for the rest. Purely physical: the optimized snapshot must
+    read identically to its parent. At 100 TB this is the nightly
+    job that keeps per-bucket file counts (and therefore scan task
+    counts and open-file overhead) bounded no matter how many
+    streaming micro-commits landed. Returns the new version."""
+    cur = vt_current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, cur)
+    per_bucket: dict[int, int] = {}
+    for e in man["files"]:
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    hot = {b for b, n in per_bucket.items() if n > max_files_per_bucket}
+    carried = [e for e in man["files"] if e["bucket"] not in hot]
+    hit_entries = [e for e in man["files"] if e["bucket"] in hot]
+    new_version = cur + 1
+    new_files: list[dict] = []
+    if hit_entries:
+        kept = _snapshot(spark, path, man, hit_entries)
+        new_files = _stage_files(
+            kept, path, f"c{new_version}", man["nbuckets"]
+        )
+    _commit(
+        path,
+        new_version,
+        {
+            "version": new_version,
+            "parent": cur,
+            "op": "optimize",
+            "nbuckets": man["nbuckets"],
+            "bucket_key": man["bucket_key"],
+            "files": carried + new_files,
+            "delete_files": man.get("delete_files", []),
+            "files_rewritten": len(hit_entries),
+            "files_carried": len(carried),
+        },
+    )
+    return new_version

@@ -960,3 +960,36 @@ class TestVersionedTable:
         # 10 old + 2 new (109, 119) = 12 removed
         assert cur.count() == 103
         assert cur.where("note = 'tagged'").count() == 13
+
+    def test_optimize_binpacks_and_preserves_reads(self, spark, vt):
+        """vt_optimize rewrites only over-threshold buckets into one
+        file each, folds pending deletes for the buckets it touches,
+        and the optimized snapshot reads identically to its parent."""
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_append,
+            vt_delete_mor,
+            vt_history,
+            vt_optimize,
+            vt_read,
+        )
+
+        for lo in (100, 200, 300):
+            extra = spark.range(lo, lo + 40).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 10).alias("grp"),
+                (F.col("id") * 2).alias("val"),
+            )
+            vt_append(extra, vt)
+        vt_delete_mor(spark, vt, "grp = 3")      # v4: 22 positions
+        before = sorted(r.k for r in vt_read(spark, vt).collect())
+        v5 = vt_optimize(spark, vt, max_files_per_bucket=1)
+        after = sorted(r.k for r in vt_read(spark, vt).collect())
+        assert before == after and len(after) == 198  # 220 - 22 deleted
+        m = vt_history(vt)[-1]
+        assert m["op"] == "optimize"
+        # every bucket had 4 files -> all 16 rewritten into 4
+        assert m["files_rewritten"] == 16 and m["n_files"] == 4
+        # MoR-deleted rows folded out of rewritten buckets: the carried
+        # delete files now point at dead paths only, so a further
+        # compact has nothing to rewrite
+        assert vt_read(spark, vt, v5).where("grp = 3").count() == 0
