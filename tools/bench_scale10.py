@@ -870,6 +870,144 @@ def bench_round11c(spark, scaled: str) -> None:
     orders1.unpersist(); orders10.unpersist(); li1.unpersist(); li10.unpersist()
 
 
+def bench_round11d(spark, scaled: str) -> None:
+    """10x draws for the third round-11 continuation batch. The
+    interval join and incremental join run the catalog queries on the
+    staged 10x events / replicated orders; MIS and multi-source BFS
+    run on a 10x edge list (disjoint customer ids — 10x components of
+    the same shape, so rounds stay constant and work scales with E);
+    vt_optimize stages 4 commits at both scales and times the
+    bin-pack rewrite (bytes x10)."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.operators.graph import (
+        mis_luby_eager,
+        multi_source_bfs_eager,
+    )
+    from os_ex_3_map_reduce_spark.plans.graph_queries import _bipartite_edges
+    from os_ex_3_map_reduce_spark.sources.versioned import (
+        vt_append,
+        vt_optimize,
+        vt_write,
+    )
+
+    qs = all_queries()
+    res: dict[str, dict[str, float]] = {}
+
+    def rec(q: str, label: str, sec: float) -> None:
+        res.setdefault(q, {})[label] = round(sec, 3)
+
+    # catalog queries whose input tables the staged dir scales (events)
+    for name in ("q_join_interval",):
+        for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+            _materialize(qs[name](spark, path))
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, path))
+            rec(name, label, time.perf_counter() - t0)
+
+    # incremental join: orders replicated with disjoint keys; customer
+    # stays base-size (the dimension doesn't scale with the fact)
+    orders1 = (
+        spark.read.parquet(f"{BASE_SF}/orders.parquet")
+        .select("o_custkey", "o_orderdate", "o_totalprice", "o_orderkey")
+        .persist()
+    )
+    orders1.count()
+    copies = F.broadcast(spark.range(COPIES).select(F.col("id").alias("copy")))
+    orders10 = (
+        orders1.crossJoin(copies)
+        .select(
+            "o_custkey",  # same customers: the join fan-in scales
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("o_orderkey") + F.col("copy") * 10_000_000_000).alias(
+                "o_orderkey"
+            ),
+        )
+        .persist()
+    )
+    orders10.count()
+    cust = spark.read.parquet(f"{BASE_SF}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 10000).cast("long")
+
+    def ivm(o):
+        a_old = o.where(F.col("o_orderdate") < cutoff)
+        a_new = o.where(~(F.col("o_orderdate") < cutoff) | F.col("o_orderdate").isNull())
+        b_old = cust.where(F.pmod("c_custkey", F.lit(10)) < 8)
+        b_new = cust.where(~(F.pmod("c_custkey", F.lit(10)) < 8))
+
+        def state(oo, cc):
+            return (
+                oo.join(cc, oo.o_custkey == cc.c_custkey)
+                .groupBy(F.col("c_mktsegment").alias("segment"))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s"))
+            )
+
+        return (
+            state(a_old, b_old)
+            .unionByName(state(a_new, b_old))
+            .unionByName(state(a_old, b_new))
+            .unionByName(state(a_new, b_new))
+            .groupBy("segment")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        )
+
+    for label, o in (("base", orders1), (f"x{COPIES}", orders10)):
+        _materialize(ivm(o))
+        t0 = time.perf_counter()
+        _materialize(ivm(o))
+        rec("incremental_join", label, time.perf_counter() - t0)
+
+    # graph ops: base edges vs 10 disjoint copies
+    e1 = _bipartite_edges(spark, BASE_SF).persist()
+    e1.count()
+    e10 = (
+        e1.crossJoin(copies)
+        .select(
+            F.concat("src", F.lit("_"), F.col("copy")).alias("src"),
+            F.concat("dst", F.lit("_"), F.col("copy")).alias("dst"),
+        )
+        .persist()
+    )
+    e10.count()
+    for label, e in (("base", e1), (f"x{COPIES}", e10)):
+        t0 = time.perf_counter()
+        mis_luby_eager(e)
+        rec("mis_luby", label, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        multi_source_bfs_eager(e, n_seeds=4)
+        rec("multi_source_bfs", label, time.perf_counter() - t0)
+
+    # vt_optimize: 1 create + 3 appends, then bin-pack
+    for label, o in (("base", orders1), (f"x{COPIES}", orders10)):
+        path = tempfile.mkdtemp(prefix="osx3_b11d_") + "/t"
+        sl = lambda i: o.where(F.pmod("o_orderkey", F.lit(4)) == i)  # noqa: E731
+        vt_write(sl(0), path, "o_custkey", nbuckets=8)
+        for i in (1, 2, 3):
+            vt_append(sl(i), path)
+        t0 = time.perf_counter()
+        vt_optimize(spark, path, max_files_per_bucket=1)
+        rec("vt_optimize", label, time.perf_counter() - t0)
+
+    for q, d in res.items():
+        base_s, big_s = d["base"], d[f"x{COPIES}"]
+        print(
+            json.dumps(
+                {
+                    "query": q,
+                    "base_sec": base_s,
+                    f"x{COPIES}_sec": big_s,
+                    "ratio": round(big_s / base_s, 2) if base_s else None,
+                }
+            ),
+            flush=True,
+        )
+    orders1.unpersist(); orders10.unpersist(); e1.unpersist(); e10.unpersist()
+
+
 def bench_skew(spark, scaled: str) -> None:
     """Skew-stress draw: the salted-join primitive and AQE's skew-join
     split, measured against the naive plan at a genuinely hot key.
@@ -1215,6 +1353,7 @@ def main() -> None:
     bench_round11(spark, scaled)
     bench_round11b(spark, scaled)
     bench_round11c(spark, scaled)
+    bench_round11d(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
