@@ -120,6 +120,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_bfs_multi",
     "q_join_interval",
     "q_vt_optimize",
+    "q_vt_changes",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

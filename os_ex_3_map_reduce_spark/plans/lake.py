@@ -1401,3 +1401,77 @@ def q_vt_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg_version(0).unionByName(agg_version(3)).unionByName(agg_version(4))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_vt_changes — change data feed from the manifest diff
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_vt_changes",
+    oracle="""
+        SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE (o_orderstatus = 'F' AND o_custkey % 8 < 2)
+           OR o_orderkey % 3 = 1
+        UNION ALL
+        SELECT 'insert', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders
+        WHERE o_orderkey % 5 = 0
+          AND NOT ((o_orderkey + 10000000000) % 3 = 1)
+    """,
+    doc="CHANGE DATA FEED over the versioned table (sources/"
+    "versioned.py vt_changes — the Delta CDF shape): three commits "
+    "mutate orders (a CoW delete, an append of re-keyed rows, a "
+    "merge-on-read delete), then the v0 -> v3 row-level diff is "
+    "computed from the MANIFEST DIFF — only files present in exactly "
+    "one manifest, plus files targeted by delete rows added between "
+    "the versions, are read; carried files are immutable and "
+    "contribute zero cost. Within the affected set an exact multiset "
+    "exceptAll cancels rows the CoW rewrite merely MOVED between "
+    "files, so survivors of a rewritten bucket do NOT appear as "
+    "phantom delete+insert pairs — the correctness claim the oracle "
+    "checks by deriving the true change set from the predicates "
+    "alone (deletes = base rows matching either predicate; inserts = "
+    "appended rows the later MoR delete didn't remove; rows both "
+    "inserted and deleted between the versions cancel entirely). At "
+    "100 TB CDF cost is proportional to what changed, never to the "
+    "table.",
+)
+def q_vt_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.versioned import (
+        vt_append,
+        vt_changes,
+        vt_delete,
+        vt_delete_mor,
+        vt_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="osx3_vtcdf_") + "/orders"
+    vt_write(orders, path, "o_custkey", nbuckets=8)
+    vt_delete(spark, path, "o_orderstatus = 'F' AND pmod(o_custkey, 8) < 2")
+    appended = orders.where(F.pmod("o_orderkey", F.lit(5)) == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000_000)
+    )
+    vt_append(appended, path)
+    vt_delete_mor(spark, path, "pmod(o_orderkey, 3) = 1")
+    cdf = vt_changes(spark, path, 0, 3)
+    return (
+        cdf.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("change_type")
+    )

@@ -993,3 +993,51 @@ class TestVersionedTable:
         # delete files now point at dead paths only, so a further
         # compact has nothing to rewrite
         assert vt_read(spark, vt, v5).where("grp = 3").count() == 0
+
+    def test_changes_cdf_no_phantoms_and_cancellation(self, spark, vt):
+        """vt_changes: append-only diffs are pure inserts; a CoW
+        delete's rewritten survivors do NOT appear as phantom
+        delete+insert pairs; rows inserted then deleted between the
+        versions cancel; an upsert shows as delete+insert of the
+        changed row only."""
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_append,
+            vt_changes,
+            vt_delete,
+            vt_delete_mor,
+            vt_upsert,
+        )
+
+        extra = spark.range(100, 120).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("grp"),
+            (F.col("id") * 2).alias("val"),
+        )
+        vt_append(extra, vt)                      # v1
+        c01 = vt_changes(spark, vt, 0, 1)
+        got = c01.groupBy("_change_type").count().collect()
+        assert {(r._change_type, r["count"]) for r in got} == {("insert", 20)}
+        vt_delete(spark, vt, "grp = 3")           # v2: CoW, 12 rows
+        c12 = vt_changes(spark, vt, 1, 2)
+        rows = c12.collect()
+        assert all(r._change_type == "delete" for r in rows)
+        assert sorted(r.k for r in rows) == [
+            k for k in list(range(3, 100, 10)) + [103, 113]
+        ]
+        # v3: MoR — 9 live rows (113 already went with grp = 3)
+        vt_delete_mor(spark, vt, "k >= 110")
+        c23 = vt_changes(spark, vt, 2, 3)
+        assert c23.where("_change_type = 'delete'").count() == 9
+        assert c23.where("_change_type = 'insert'").count() == 0
+        # upsert: one changed row -> exactly one delete + one insert
+        ch = spark.createDataFrame([(5, 99, 999)], "k long, grp long, val long")
+        vt_upsert(spark, vt, ch, "k")             # v4
+        c34 = vt_changes(spark, vt, 3, 4).collect()
+        assert len(c34) == 2
+        d = [r for r in c34 if r._change_type == "delete"][0]
+        i = [r for r in c34 if r._change_type == "insert"][0]
+        assert (d.k, d.val) == (5, 10) and (i.k, i.val) == (5, 999)
+        # full-span diff: insert-then-delete rows (k in 110..119) cancel
+        c04 = vt_changes(spark, vt, 0, 4)
+        ins = {r.k for r in c04.where("_change_type = 'insert'").collect()}
+        assert ins == ({k for k in range(100, 110) if k % 10 != 3} | {5})
