@@ -121,6 +121,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_join_interval",
     "q_vt_optimize",
     "q_vt_changes",
+    "q_textrank",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -979,3 +979,110 @@ def q_bfs_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _cached_df(spark, ("bfs_multi", sf_dir), build)
+
+
+# ---------------------------------------------------------------------------
+# q_textrank — keyword extraction as PageRank on word co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def _textrank_oracle() -> str:
+    cte = [
+        """
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t FROM documents
+        ),
+        arcs AS MATERIALIZED (
+            SELECT DISTINCT p.s AS src, p.d AS dst
+            FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(t) - 1),
+                    i -> {'s': t[i], 'd': t[i + 1]})) AS p
+                FROM toks
+            )
+            WHERE p.s <> p.d
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM arcs
+            UNION SELECT dst AS src, src AS dst FROM arcs
+        ),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, ({SCALE} // nn.n) AS rank FROM nodes, nn
+        )""".replace("{SCALE}", str(SCALE))
+    ]
+    for i in range(_ITER):
+        cte.append(
+            f"""
+        c{i} AS MATERIALIZED (
+            SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+            FROM edges e
+            JOIN r{i} r ON e.src = r.node
+            JOIN outdeg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+            SELECT nodes.node,
+                   (15 * ({SCALE} // (SELECT n FROM nn))) // 100
+                     + (85 * COALESCE(c{i}.s, 0)) // 100 AS rank
+            FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+        )""".replace("{SCALE}", str(SCALE))
+        )
+    return (
+        ",".join(cte)
+        + f"""
+        SELECT node AS word, CAST(rank AS BIGINT) AS rank
+        FROM r{_ITER}
+        ORDER BY rank DESC, word
+        LIMIT 15
+    """
+    )
+
+
+@register(
+    "q_textrank",
+    oracle=_textrank_oracle(),
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004) — "
+    "PageRank over the word CO-OCCURRENCE graph instead of a link "
+    "graph (the E4 x E9 cross): adjacent-word pairs from the "
+    "documents corpus become distinct undirected edges, and the SAME "
+    "integer-exact pagerank operator the customer-supplier queries "
+    "use (operators/graph.py — 10^12-unit bigint mass, truncating "
+    "div, associative sums) scores every word; top-15 by rank with "
+    "word tiebreak are the corpus keywords. One operator, two "
+    "domains — the point of building graph primitives once. Graph "
+    "construction is one JVM transform+explode (no Python), edge "
+    "dedup is the only extra shuffle; the oracle is the pagerank "
+    "5-iteration CTE chain seeded with the word graph (MATERIALIZED "
+    "base CTEs).",
+)
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = (
+            docs.select(F.split("text", " ").alias("t"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(t) - 2), "
+                        "i -> struct(t[i] AS src, t[i + 1] AS dst))"
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        edges = pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        return pagerank_eager(edges, iterations=_ITER)
+
+    ranks = _cached_df(spark, ("textrank", sf_dir), build)
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(15)
+        .select(F.col("node").alias("word"), "rank")
+    )
