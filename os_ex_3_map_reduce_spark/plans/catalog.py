@@ -122,6 +122,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_vt_optimize",
     "q_vt_changes",
     "q_textrank",
+    "q_stream_cms_topk",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1082,3 +1082,96 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour", "n_kept", "kth_hash", "est_distinct", "exact_distinct")
         .orderBy("hour")
     )
+
+
+@register(
+    "q_stream_cms_topk",
+    # Zero-collision regime (q_sketch_heavyhitters sizing: depth 5 x
+    # width 16384, per-row load 0.09): estimates equal true counts, so
+    # the oracle recomputes exact counts — and because CMS merge is
+    # cell-wise sum (associative, commutative), the batch-incremental
+    # sketch provably equals the one-shot sketch regardless of how
+    # the stream was micro-batched.
+    oracle="""
+        WITH tc AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               true_cnt AS est,
+               true_cnt,
+               CAST(0 AS BIGINT) AS overcount
+        FROM tc
+        ORDER BY est DESC, user_id
+        LIMIT 10
+    """,
+    doc="STREAMING heavy hitters via a Count-Min sketch maintained "
+    "across micro-batches (the counts twin of q_stream_kmv_distinct's "
+    "distinct sketch): events arrive as a 4-file disjoint split, each "
+    "foreachBatch builds the batch's CMS and merges it into a "
+    "batch-id-versioned state relation by CELL-WISE SUM (state vN = "
+    "cms_merge(vN-1, sketch(batch N)) — the groupBy(row, bucket) sum; "
+    "replay overwrites the same vN, idempotent recovery). State is "
+    "bounded at depth x width cells (~640 KB) no matter the stream "
+    "volume. Candidates come from the full table (the documented "
+    "production substitution: a sample or prior batch); top-10 by "
+    "estimate with true counts and overcount = 0 in the "
+    "zero-collision regime, which is what lets the oracle recompute "
+    "everything exactly — merge associativity makes micro-batching "
+    "invisible BY CONSTRUCTION.",
+)
+def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ..operators.sketch import cms_build, cms_estimate, cms_merge
+    from ..sources.tables import load_table
+    from ..streaming.events import staged_events_split_dir
+
+    depth, width = 5, 16384
+    root = tempfile.mkdtemp(prefix="osx3_stream_cms_")
+    _cleanup_at_exit(root)
+    src = staged_events_split_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state_dir = f"{root}/state"
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        sess = bdf.sparkSession
+        sk = cms_build(bdf, "user_id", depth=depth, width=width)
+        prev_path = f"{state_dir}/v{batch_id - 1}"
+        if batch_id > 0 and os.path.exists(prev_path):
+            sk = cms_merge(sess.read.parquet(prev_path), sk)
+        sk.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = max(
+        int(os.path.basename(p)[1:]) for p in _glob.glob(f"{state_dir}/v*")
+    )
+    sketch = spark.read.parquet(f"{state_dir}/v{last}")
+    ev = load_table(spark, sf_dir, "events")
+    cands = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, cands, "user_id", depth=depth, width=width)
+    true = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    return (
+        est.join(true, "user_id")
+        .select(
+            "user_id",
+            "est",
+            "true_cnt",
+            (F.col("est") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("est"), F.asc("user_id"))
+        .limit(10)
+    )
