@@ -123,6 +123,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_vt_changes",
     "q_textrank",
     "q_stream_cms_topk",
+    "q_vt_fileskip",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

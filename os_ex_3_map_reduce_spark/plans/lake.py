@@ -1475,3 +1475,97 @@ def q_vt_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_vt_fileskip — manifest-stats file skipping
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_vt_fileskip",
+    oracle="""
+        WITH s AS (
+            SELECT o_custkey % 8 AS bucket, o_totalprice,
+                   CASE WHEN o_orderdate < TIMESTAMP '1994-01-01' THEN 0
+                        WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 1
+                        WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 2
+                        ELSE 3 END AS slice
+            FROM orders
+        ),
+        fb AS (SELECT slice, COUNT(DISTINCT bucket) AS nf FROM s GROUP BY slice)
+        SELECT (SELECT COUNT(*) FROM s WHERE slice = 2) AS n_rows,
+               CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FROM s WHERE slice = 2) AS DOUBLE) AS sum_price,
+               (SELECT CAST(nf AS INTEGER) FROM fb WHERE slice = 2)
+                   AS files_scanned,
+               (SELECT CAST(SUM(nf) AS INTEGER) FROM fb) AS files_total
+    """,
+    doc="MANIFEST-STATS FILE SKIPPING on the versioned table "
+    "(sources/versioned.py vt_scan — the Iceberg manifest min/max / "
+    "Delta file-stats planFiles step): orders land as four DATE-RANGE "
+    "commits (the streaming-ingest reality: commits correlate with "
+    "event time, so per-file date ranges are naturally narrow), each "
+    "file's o_orderdate MIN/MAX recorded in the manifest at stage "
+    "time (one per-bucket aggregate per commit — exact because one "
+    "file per bucket per commit). A 1996-only range scan then prunes "
+    "to the files of the one intersecting commit FROM THE MANIFEST "
+    "ALONE — zero opens for skipped files, the decision a 100 TB "
+    "reader must make before touching storage. Pruning is an "
+    "optimization, never a filter: the exact predicate still applies "
+    "residually, and the oracle re-derives files_scanned/files_total "
+    "structurally (files per commit = distinct non-empty buckets of "
+    "its slice). Bucket pruning (the hash key) and stats pruning "
+    "(the time axis) compose — orthogonal axes of the same manifest.",
+)
+def q_vt_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.versioned import vt_append, vt_scan, vt_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    d = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    slices = [
+        orders.where(F.col("o_orderdate") < d("1994-01-01")),
+        orders.where(
+            (F.col("o_orderdate") >= d("1994-01-01"))
+            & (F.col("o_orderdate") < d("1996-01-01"))
+        ),
+        orders.where(
+            (F.col("o_orderdate") >= d("1996-01-01"))
+            & (F.col("o_orderdate") < d("1997-01-01"))
+        ),
+        orders.where(
+            (F.col("o_orderdate") >= d("1997-01-01"))
+            | F.col("o_orderdate").isNull()
+        ),
+    ]
+    path = tempfile.mkdtemp(prefix="osx3_vtskip_") + "/orders"
+    vt_write(
+        slices[0], path, "o_custkey", nbuckets=8, stats_cols=["o_orderdate"]
+    )
+    for s in slices[1:]:
+        vt_append(s, path)
+    scan = vt_scan(spark, path, "o_orderdate", "1996-01-01", "1997-01-01")
+    files_scanned = scan._osx3_files_scanned  # type: ignore[attr-defined]
+    files_total = scan._osx3_files_total  # type: ignore[attr-defined]
+    return (
+        scan.where(
+            (F.col("o_orderdate") >= d("1996-01-01"))
+            & (F.col("o_orderdate") < d("1997-01-01"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "n_rows",
+            "sum_price",
+            F.lit(files_scanned).cast("int").alias("files_scanned"),
+            F.lit(files_total).cast("int").alias("files_total"),
+        )
+    )

@@ -100,34 +100,68 @@ def _commit(path: str, version: int, manifest: dict) -> None:
 
 
 def _stage_files(
-    df: DataFrame, path: str, commit_dir: str, nbuckets: int
+    df: DataFrame,
+    path: str,
+    commit_dir: str,
+    nbuckets: int,
+    stats_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` (which must carry an int ``bucket`` column) into
     ``data/{commit_dir}/bucket=K/`` with one file per bucket, and
-    return manifest entries for the files produced."""
+    return manifest entries for the files produced.
+
+    ``stats_cols``: record per-file MIN/MAX for these columns in the
+    manifest (the Iceberg manifest-stats / Delta file-stats shape) —
+    exact per file because a commit stages one file per bucket, so a
+    per-bucket aggregate (one tiny job, <= nbuckets rows collected) IS
+    the per-file stats. Values are stored stringified; timestamps
+    render ISO, which compares consistently with the stringified
+    probe bounds in :func:`vt_scan`."""
     out = f"{path}/data/{commit_dir}"
     df.repartition(nbuckets, "bucket").sortWithinPartitions(
         "bucket"
     ).write.partitionBy("bucket").parquet(out)
+    stats: dict[int, dict] = {}
+    if stats_cols:
+        aggs = []
+        for c in stats_cols:
+            aggs += [
+                F.min(c).cast("string").alias(f"min_{c}"),
+                F.max(c).cast("string").alias(f"max_{c}"),
+            ]
+        for r in df.groupBy("bucket").agg(*aggs).collect():
+            stats[r.bucket] = {
+                c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
+            }
     entries = []
     for f in sorted(glob.glob(f"{out}/bucket=*/*.parquet")):
         rel = os.path.relpath(f, path)
         bucket = int(rel.split("bucket=")[1].split("/")[0])
-        entries.append({"path": rel, "commit": commit_dir, "bucket": bucket})
+        e = {"path": rel, "commit": commit_dir, "bucket": bucket}
+        if bucket in stats:
+            e["stats"] = stats[bucket]
+        entries.append(e)
     return entries
 
 
 def vt_write(
-    df: DataFrame, path: str, bucket_key: str, nbuckets: int = 8
+    df: DataFrame,
+    path: str,
+    bucket_key: str,
+    nbuckets: int = 8,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Create the table: bucket rows by ``pmod(bucket_key, nbuckets)``,
-    stage the data files, commit manifest v0. Returns the version."""
+    stage the data files, commit manifest v0. ``stats_cols`` opts the
+    table into per-file MIN/MAX manifest stats (appends keep
+    recording them; :func:`vt_scan` prunes by them). Returns the
+    version."""
     if vt_current_version(path) is not None:
         raise FileExistsError(f"versioned table already exists at {path}")
     b = df.withColumn(
         "bucket", F.pmod(F.col(bucket_key), F.lit(nbuckets)).cast("int")
     )
-    files = _stage_files(b, path, "c0", nbuckets)
+    files = _stage_files(b, path, "c0", nbuckets, stats_cols)
     _commit(
         path,
         0,
@@ -137,6 +171,7 @@ def vt_write(
             "op": "create",
             "nbuckets": nbuckets,
             "bucket_key": bucket_key,
+            "stats_cols": stats_cols or [],
             "files": files,
             "files_rewritten": 0,
             "files_carried": 0,
@@ -276,7 +311,10 @@ def vt_append(df: DataFrame, path: str, tag: str | None = None) -> int:
         F.pmod(F.col(man["bucket_key"]), F.lit(man["nbuckets"])).cast("int"),
     )
     new_version = cur + 1
-    new_files = _stage_files(b, path, f"c{new_version}", man["nbuckets"])
+    new_files = _stage_files(
+        b, path, f"c{new_version}", man["nbuckets"],
+        man.get("stats_cols") or None,
+    )
     _commit(
         path,
         new_version,
@@ -287,6 +325,7 @@ def vt_append(df: DataFrame, path: str, tag: str | None = None) -> int:
             "tag": tag,
             "nbuckets": man["nbuckets"],
             "bucket_key": man["bucket_key"],
+            "stats_cols": man.get("stats_cols", []),
             "files": man["files"] + new_files,
             "delete_files": man.get("delete_files", []),
             "files_rewritten": 0,
@@ -670,3 +709,44 @@ def vt_changes(
     return deletes.withColumn("_change_type", F.lit("delete")).unionByName(
         inserts.withColumn("_change_type", F.lit("insert"))
     )
+
+
+def vt_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo: str,
+    hi: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned snapshot scan: read only the files whose manifest
+    MIN/MAX for ``col`` can intersect ``[lo, hi)`` — the Iceberg
+    manifest-stats / Delta file-skipping planFiles step, decided from
+    the manifest ALONE (zero file opens for skipped files). Bounds
+    compare as the manifest's stringified values, so the pruned
+    column's domain must be string-ordered (timestamps/dates render
+    ISO; plain strings work; NUMERICS would need typed stats and are
+    rejected by contract — document at the call site). Files without
+    stats (e.g. rewritten by an op that didn't recompute them) are
+    conservatively scanned. Pruning is an optimization, never a
+    filter: the caller still applies the exact predicate; the
+    returned frame carries ``_osx3_files_scanned`` /
+    ``_osx3_files_total`` evidence. Position deletes apply as in
+    :func:`vt_read`."""
+    v = vt_current_version(path) if version is None else version
+    if v is None or not os.path.exists(_manifest_file(path, v)):
+        raise FileNotFoundError(f"no version {version} at {path}")
+    man = _read_manifest(path, v)
+
+    def keep(e: dict) -> bool:
+        st = e.get("stats", {}).get(col)
+        if not st or st[0] is None or st[1] is None:
+            return True  # no stats -> conservative scan
+        mn, mx = st
+        return not (mx < lo or mn >= hi)
+
+    entries = [e for e in man["files"] if keep(e)]
+    out = _snapshot(spark, path, man, entries)
+    out._osx3_files_scanned = len(entries)  # type: ignore[attr-defined]
+    out._osx3_files_total = len(man["files"])  # type: ignore[attr-defined]
+    return out

@@ -1041,3 +1041,54 @@ class TestVersionedTable:
         c04 = vt_changes(spark, vt, 0, 4)
         ins = {r.k for r in c04.where("_change_type = 'insert'").collect()}
         assert ins == ({k for k in range(100, 110) if k % 10 != 3} | {5})
+
+    def test_vt_scan_stats_pruning_runtime_evidence(self, spark, tmp_path):
+        """vt_scan must hand Spark ONLY the stats-surviving files: the
+        executed plan's summed FileSourceScan numFiles equals the
+        pruned count, and the residually-filtered result equals the
+        unpruned read's — pruning is an optimization, never a filter."""
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_append,
+            vt_read,
+            vt_scan,
+            vt_write,
+        )
+
+        def part(lo, hi):
+            return (
+                spark.range(lo, hi)
+                .select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 10).alias("grp"),
+                )
+                .withColumn("t", F.lpad(F.col("k").cast("string"), 6, "0"))
+            )
+
+        path = str(tmp_path / "t")
+        vt_write(part(0, 100), path, "k", nbuckets=4, stats_cols=["t"])
+        vt_append(part(100, 200), path)
+        vt_append(part(200, 300), path)
+        scan = vt_scan(spark, path, "t", "000100", "000200")
+        assert scan._osx3_files_scanned == 4
+        assert scan._osx3_files_total == 12
+
+        plan = scan._jdf.queryExecution().executedPlan()
+        plan.executeCollect()
+        leaves = plan.collectLeaves()
+        n_files = sum(
+            int(leaves.apply(i).metrics().apply("numFiles").value())
+            for i in range(leaves.size())
+        )
+        assert n_files == 4, n_files
+        # residual filter over the pruned scan == filter over full read
+        got = sorted(
+            r.k
+            for r in scan.where("t >= '000100' AND t < '000200'").collect()
+        )
+        want = sorted(
+            r.k
+            for r in vt_read(spark, path)
+            .where("t >= '000100' AND t < '000200'")
+            .collect()
+        )
+        assert got == want == list(range(100, 200))
