@@ -124,6 +124,9 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_textrank",
     "q_stream_cms_topk",
     "q_vt_fileskip",
+    "q_attribution",
+    "q_window_distinct",
+    "q_join_not_in",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

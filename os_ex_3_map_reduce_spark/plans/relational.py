@@ -3473,3 +3473,219 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_attribution — last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type, value,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS touch
+            FROM events
+        )
+        SELECT COALESCE(touch, 'none') AS attributed,
+               COUNT(*) AS n_purchases,
+               {SQL_DSUM('value')} AS sum_value
+        FROM seq
+        WHERE event_type = 'purchase'
+        GROUP BY attributed
+        ORDER BY attributed
+    """,
+    doc="LAST-TOUCH conversion attribution (the marketing-analytics "
+    "staple): every purchase attributes its value to the user's most "
+    "recent click/view strictly before it — one window per user with "
+    "an IGNORE-NULLS last_value over (unbounded preceding, 1 "
+    "preceding), so the purchase row itself can never self-attribute "
+    "and purchases with no prior touch land in 'none'. Total "
+    "(event-time, event_id) ordering makes the attribution "
+    "deterministic under ties; sums are exact decimal. One shuffle "
+    "on user_id, narrow state — at 100 TB this is a single "
+    "hash-partitioned window pass, no self-join (the naive "
+    "purchase-x-touches formulation is quadratic per user).",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("unix_micros(ts_utc)"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("attributed"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("attributed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_window_distinct — running distinct count (the window-gap workaround)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_distinct",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) = 1
+                        THEN 1 ELSE 0 END AS first_seen
+            FROM events
+        ),
+        run AS (
+            SELECT user_id, us,
+                   SUM(first_seen) OVER (
+                       PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS n_seen
+            FROM seq
+        )
+        SELECT user_id,
+               CAST(MAX(n_seen) AS BIGINT) AS n_distinct_types,
+               CAST(MIN(CASE WHEN n_seen = 3 THEN us END)
+                    - MIN(us) AS BIGINT) AS us_to_third
+        FROM run
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="Running COUNT(DISTINCT) over a window — an operator Spark "
+    "(and ANSI SQL) does NOT support directly; the standard reduction "
+    "is first-occurrence flagging: row_number() = 1 within (user, "
+    "type) marks each type's first sighting, and a running SUM of the "
+    "flag over the user's (event-time, event_id) order IS the running "
+    "distinct count. Reported as the time-to-breadth metric: per "
+    "user, total distinct event types + microseconds from first event "
+    "to the THIRD distinct type (NULL when never reached) — the "
+    "activation-depth question product analytics actually asks. Two "
+    "windows but ONE exchange: both partition by user_id (the "
+    "(user, type) window is a finer partitioning of the same hash), "
+    "then one group-by. All integers, total tiebreaks, exact oracle.",
+)
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts_utc)")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        us, "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = seq.select(
+        "user_id", "us", F.sum("first_seen").over(w_run).alias("n_seen")
+    )
+    return (
+        run.groupBy("user_id")
+        .agg(
+            F.max("n_seen").cast("long").alias("n_distinct_types"),
+            (
+                F.min(F.when(F.col("n_seen") == 3, F.col("us")))
+                - F.min("us")
+            )
+            .cast("long")
+            .alias("us_to_third"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_join_not_in — null-aware anti join (NOT IN three-valued logic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_not_in",
+    oracle="""
+        WITH sub AS (
+            SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM orders
+        )
+        SELECT 'not_in_raw' AS variant,
+               (SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n
+        UNION ALL
+        SELECT 'not_in_guarded',
+               (SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN
+                    (SELECT k FROM sub WHERE k IS NOT NULL))
+        UNION ALL
+        SELECT 'anti_join',
+               (SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM sub s
+                                  WHERE s.k = c.c_custkey))
+        ORDER BY variant
+    """,
+    doc="NULL-AWARE anti join — the NOT IN three-valued-logic trap as "
+    "a first-class operator demo: against a subquery polluted with "
+    "NULLs (every 1000th orderkey, >= 2 at every fixture scale), raw "
+    "``NOT IN`` returns ZERO rows in both engines (x <> NULL is "
+    "UNKNOWN, so no row can prove membership-absence) — Spark plans "
+    "this as a null-aware BroadcastNestedLoopJoin precisely because "
+    "a hash anti join can't express the semantics; the IS-NOT-NULL "
+    "guard restores the hash-anti plan and the intended count, and "
+    "NOT EXISTS (null-safe by construction) equals the guarded "
+    "variant. The three counts side by side are the production "
+    "lesson: at 100 TB the difference between the guarded and raw "
+    "forms is a broadcastable hash anti join vs a nested loop AND a "
+    "silently-empty result.",
+)
+def q_join_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("nin_customer")
+    orders.selectExpr(
+        "CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE o_custkey END AS k"
+    ).createOrReplaceTempView("nin_sub")
+    return spark.sql(
+        """
+        SELECT 'not_in_raw' AS variant,
+               (SELECT COUNT(*) FROM nin_customer
+                WHERE c_custkey NOT IN (SELECT k FROM nin_sub)) AS n
+        UNION ALL
+        SELECT 'not_in_guarded',
+               (SELECT COUNT(*) FROM nin_customer
+                WHERE c_custkey NOT IN
+                    (SELECT k FROM nin_sub WHERE k IS NOT NULL))
+        UNION ALL
+        SELECT 'anti_join',
+               (SELECT COUNT(*) FROM nin_customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nin_sub s
+                                  WHERE s.k = c.c_custkey))
+        ORDER BY variant
+        """
+    )
