@@ -127,6 +127,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_attribution",
     "q_window_distinct",
     "q_join_not_in",
+    "q_stream_semi_join",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1175,3 +1175,40 @@ def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@register(
+    "q_stream_semi_join",
+    oracle="""
+        SELECT a.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_with_followup
+        FROM events a
+        WHERE EXISTS (SELECT 1 FROM events b
+                      WHERE b.user_id = a.user_id
+                        AND b.ts > a.ts
+                        AND b.ts <= a.ts + INTERVAL 5 MINUTE)
+        GROUP BY a.user_id
+    """,
+    doc="Stream-stream LEFT SEMI join — completes the watermarked "
+    "join family (inner / left / right / full outer are the four "
+    "q_stream_*join queries): each left event emits AT MOST ONCE when "
+    "its first follow-up arrives, regardless of how many follow-ups "
+    "exist — the EXISTS semantics the inner join cannot give without "
+    "a post-dedup (its per-user counts are pair multiplicities; this "
+    "query's are event counts, which is the in-band contrast with "
+    "q_stream_join's oracle). Matched-row state evicts by the same "
+    "two-sided time bound; unmatched rows never emit, so no sentinel "
+    "flush is needed. Oracle: the batch EXISTS per user.",
+)
+def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = events_stream(spark, sf_dir)
+    right = events_stream(spark, sf_dir)
+    joined = stream_stream_followup_join(
+        left, right, within="5 minutes", how="left_semi"
+    )
+    name = run_stream_to_memory(joined, mode="append")
+    return (
+        spark.table(name)
+        .groupBy(F.col("a_user").alias("user_id"))
+        .agg(F.count("*").cast("long").alias("n_with_followup"))
+    )
