@@ -128,6 +128,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_window_distinct",
     "q_join_not_in",
     "q_stream_semi_join",
+    "q_compress_quality",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -4224,3 +4224,88 @@ def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "piece string, piece_len int, count long, rank int"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_compress_quality — compression ratio as a corpus quality signal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_compress_quality",
+    # zlib has no DuckDB twin, so this is a pinned-expectation oracle
+    # (the seeded-ANN recipe): per-row compressed lengths are a pure
+    # function of the bytes (DEFLATE level 6), integer sums are
+    # associative, so the per-(scale, lang) totals are constants —
+    # measured identical under shuffle.partitions 32/7/13 before
+    # pinning. Pins keyed per scale by the orders row count.
+    oracle="""
+        SELECT lang, CAST(n AS BIGINT) AS n_docs,
+               CAST(rb AS BIGINT) AS raw_bytes,
+               CAST(cb AS BIGINT) AS comp_bytes,
+               CAST(cb AS DOUBLE) / rb AS ratio
+        FROM (VALUES
+            (1500, 'de', 71, 22200, 10915),
+            (1500, 'en', 193, 56684, 28313),
+            (1500, 'es', 80, 24806, 12213),
+            (1500, 'fr', 82, 27063, 13061),
+            (1500, 'zh', 74, 22403, 11096),
+            (15000, 'de', 70, 19525, 9968),
+            (15000, 'en', 218, 64437, 32209),
+            (15000, 'es', 73, 21756, 10854),
+            (15000, 'fr', 64, 20623, 9994),
+            (15000, 'zh', 75, 22833, 11324),
+            (150000, 'de', 702, 211203, 104784),
+            (150000, 'en', 2059, 614754, 305809),
+            (150000, 'es', 744, 224738, 111821),
+            (150000, 'fr', 742, 222271, 110604),
+            (150000, 'zh', 753, 212610, 107664)
+        ) t(sf, lang, n, rb, cb)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+        ORDER BY lang
+    """,
+    doc="COMPRESSION-RATIO quality scoring (the Gopher / CCNet-family "
+    "signal: highly compressible text is repetitive boilerplate, "
+    "incompressible text is noise; the ratio is a one-number "
+    "model-free quality proxy real pipelines gate on): per-document "
+    "DEFLATE-6 compressed length over an Arrow-batched pandas_udf "
+    "(zlib is C-speed and the kernel is a pure bytes->int map — "
+    "embarrassingly parallel, no shuffle before the per-language "
+    "aggregate), summed per language with exact integer totals and "
+    "one final ratio division. No SQL twin exists for DEFLATE, so "
+    "the oracle is the pinned-expectation kind (registration "
+    "comment); the ratio column derives from the pinned integers, "
+    "not a float pin. At 100 TB this is one scan + a 5-group "
+    "aggregate; the per-doc filter variant (ratio outside "
+    "[0.3, 0.9] -> drop, the Gopher rule) is the same kernel with a "
+    "WHERE.",
+)
+def q_compress_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def comp_len(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length("text")).alias("raw_bytes"),
+            F.sum(comp_len("text")).alias("comp_bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "raw_bytes",
+            "comp_bytes",
+            (F.col("comp_bytes").cast("double") / F.col("raw_bytes")).alias(
+                "ratio"
+            ),
+        )
+        .orderBy("lang")
+    )
