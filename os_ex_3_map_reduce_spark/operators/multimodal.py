@@ -427,3 +427,29 @@ def binaryfile_image_stats(spark, path: str) -> DataFrame:
         schema="doc_id long, byte_len long, height long, width long, "
         "mean_pixel double",
     )
+
+
+def image_dhash(
+    df: DataFrame, height: int = 4, width: int = 4
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    near-duplicate IMAGE fingerprint (krawetz's dHash; the E5 x E2
+    cross): integer grayscale = (R + G + B) // 3 per pixel, one bit
+    per horizontally-adjacent pixel pair (left < right), packed
+    row-major into a bigint. Structure-sensitive, brightness-shift
+    tolerant; images bucket by hash exactly like MinHash bands bucket
+    text. Arrow-batched over the payload column; all-integer, so the
+    SQL oracle rebuilds every bit from the fake decode's sha256
+    arithmetic. Returns (doc_id, phash)."""
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = fake_decode_image(bytes(payload), height, width)
+                gray = img.astype(np.int64).sum(axis=2) // 3
+                bits = (gray[:, :-1] < gray[:, 1:]).astype(np.int64).ravel()
+                h = int((bits << np.arange(bits.size)).sum())
+                out.append((int(doc_id), h))
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return df.mapInPandas(batch, "doc_id long, phash long")

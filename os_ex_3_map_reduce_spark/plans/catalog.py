@@ -129,6 +129,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_join_not_in",
     "q_stream_semi_join",
     "q_compress_quality",
+    "q_image_phash_dedup",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -4309,3 +4309,77 @@ def q_compress_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_image_phash_dedup — perceptual-hash image dedup (E5 x E2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_image_phash_dedup",
+    # Exact oracle: every dHash bit is integer arithmetic over the
+    # fake decode's tiled sha256 bytes (the q_multimodal_fake_image
+    # recipe) — gray(p) = (d[3p] + d[3p+1] + d[3p+2]) // 3 over the
+    # mod-32 tiled digest, bit k compares row k//3's columns k%3 and
+    # k%3+1.
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 31),
+                       i -> strpos('0123456789abcdef',
+                                   substr(sha256(text), 2*i + 1, 1)) * 16
+                          + strpos('0123456789abcdef',
+                                   substr(sha256(text), 2*i + 2, 1)) - 17) AS d
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 15),
+                       p -> (d[((3*p) % 32) + 1]
+                           + d[((3*p + 1) % 32) + 1]
+                           + d[((3*p + 2) % 32) + 1]) // 3) AS gray
+            FROM b
+        )
+        SELECT CAST(phash AS BIGINT) AS phash,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper
+        FROM (
+            SELECT doc_id,
+                   list_sum(list_transform(generate_series(0, 11),
+                       k -> CASE WHEN gray[(k // 3) * 4 + (k % 3) + 1]
+                                    < gray[(k // 3) * 4 + (k % 3) + 2]
+                                 THEN 1 << k ELSE 0 END)) AS phash
+            FROM g
+        )
+        GROUP BY phash
+        HAVING COUNT(*) >= 2
+        ORDER BY phash
+    """,
+    doc="Perceptual-hash IMAGE dedup (E5 x E2 — dHash buckets for the "
+    "media lake, exactly as MinHash bands bucket text): each "
+    "document's decoded image grayscales to integers, one bit per "
+    "horizontally-adjacent pixel pair packs into a 12-bit dHash "
+    "(operators/multimodal.py image_dhash, Arrow-batched), and "
+    "hash-equal groups >= 2 are perceptual-duplicate CLUSTERS with "
+    "min-id keepers — one map-side-combined groupBy, no pairwise "
+    "compare, which is the whole point at 100 TB (Hamming-near "
+    "matches would add the SimHash pigeonhole banding already built "
+    "for text). The hash is structure-sensitive and all-integer, so "
+    "the oracle rebuilds every bit from the fake decode's sha256 "
+    "arithmetic — an EXACT oracle for a perceptual fingerprint.",
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload, image_dhash
+
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    hashes = image_dhash(docs)
+    return (
+        hashes.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("phash")
+    )
