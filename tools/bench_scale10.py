@@ -1008,6 +1008,100 @@ def bench_round11d(spark, scaled: str) -> None:
     orders1.unpersist(); orders10.unpersist(); e1.unpersist(); e10.unpersist()
 
 
+def bench_round11e(spark, scaled: str) -> None:
+    """10x draws for the fourth round-11 continuation batch.
+    Catalog queries whose staged-10x inputs the stage() dir scales
+    (events for attribution/window-distinct, documents for
+    compression quality / perceptual hash / TextRank) run as-is; the
+    CDF draw holds the CHANGE constant while the table grows 10x —
+    the flat line IS the feature's claim (cost proportional to what
+    changed, never the table)."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.sources.versioned import (
+        vt_changes,
+        vt_delete_mor,
+        vt_write,
+    )
+
+    qs = all_queries()
+    res: dict[str, dict[str, float]] = {}
+
+    def rec(q: str, label: str, sec: float) -> None:
+        res.setdefault(q, {})[label] = round(sec, 3)
+
+    from os_ex_3_map_reduce_spark.plans.llm import _DF_CACHE
+
+    for name in (
+        "q_attribution",
+        "q_window_distinct",
+        "q_compress_quality",
+        "q_image_phash_dedup",
+        "q_textrank",
+    ):
+        for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+            _materialize(qs[name](spark, path))
+            if name == "q_textrank":
+                # _cached_df memo would otherwise serve the warm run's
+                # result and time a cache read instead of the pipeline
+                _DF_CACHE.clear()
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, path))
+            rec(name, label, time.perf_counter() - t0)
+
+    orders1 = (
+        spark.read.parquet(f"{BASE_SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .persist()
+    )
+    n1 = orders1.count()
+    copies = F.broadcast(spark.range(COPIES).select(F.col("id").alias("copy")))
+    orders10 = (
+        orders1.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") + F.col("copy") * 10_000_000_000).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("copy") * 10_000_000).alias(
+                "o_custkey"
+            ),
+            "o_totalprice",
+        )
+        .persist()
+    )
+    orders10.count()
+    # constant change: ~n1/100 rows MoR-deleted at BOTH scales
+    for label, o, pred in (
+        ("base", orders1, "pmod(o_orderkey, 100) = 7"),
+        (
+            f"x{COPIES}",
+            orders10,
+            f"pmod(o_orderkey, {100 * COPIES}) = 7",
+        ),
+    ):
+        path = tempfile.mkdtemp(prefix="osx3_b11e_") + "/t"
+        vt_write(o, path, "o_custkey", nbuckets=8)
+        vt_delete_mor(spark, path, pred)
+        t0 = time.perf_counter()
+        _materialize(vt_changes(spark, path, 0, 1))
+        rec("vt_changes_const_delta", label, time.perf_counter() - t0)
+
+    for q, d in res.items():
+        base_s, big_s = d["base"], d[f"x{COPIES}"]
+        print(
+            json.dumps(
+                {
+                    "query": q,
+                    "base_sec": base_s,
+                    f"x{COPIES}_sec": big_s,
+                    "ratio": round(big_s / base_s, 2) if base_s else None,
+                }
+            ),
+            flush=True,
+        )
+    orders1.unpersist(); orders10.unpersist()
+
+
 def bench_skew(spark, scaled: str) -> None:
     """Skew-stress draw: the salted-join primitive and AQE's skew-join
     split, measured against the naive plan at a genuinely hot key.
@@ -1354,6 +1448,7 @@ def main() -> None:
     bench_round11b(spark, scaled)
     bench_round11c(spark, scaled)
     bench_round11d(spark, scaled)
+    bench_round11e(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
