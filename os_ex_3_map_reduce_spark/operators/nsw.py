@@ -1,0 +1,358 @@
+"""Graph-based ANN: navigable small-world search (the HNSW/Vamana
+family's base layer) as pure DataFrame + Arrow operators.
+
+The faiss-style memory/scan ladder built in ``similarity.py`` / ``pq.py``
+(exact → LSH → IVF → SQ8 → PQ → IVF-PQ → residual → OPQ) covers the
+quantization axis; this module adds the GRAPH axis — the construction
+behind HNSW, NSG and DiskANN, where search walks a sparse neighbor
+graph greedily instead of scanning probed lists.
+
+**Build** (``nsw_build``): the distributed-friendly cluster-then-link
+construction (the DiskANN/Vamana shape): vectors are coarse-assigned to
+their top-2 IVF lists (the second assignment is what creates BRIDGES
+between clusters — without it greedy search cannot leave its entry
+cluster), each list's members form a group, and one Arrow kernel per
+group computes every member's top-``k_graph`` cosine neighbors inside
+the group. Per-vector global top-k over both memberships, symmetrized.
+Work is bounded by list size squared per group (never corpus²) — the
+documented applyInPandas group-must-fit constraint shared with the
+other grouped kernels; at 100 TB the same construction runs per
+partition with NN-descent refinement as the published upgrade path.
+
+**Search** (``nsw_search_batch``): batched greedy beam search — all Q
+queries walk simultaneously in ONE (query, node) frontier relation
+(the multi_source_bfs batching trick): per hop, frontier ⋈ edges
+proposes candidates, an Arrow kernel scores them against their query,
+and each query keeps its best ``beam`` nodes seen so far; newly
+admitted nodes become the next frontier; a query whose beam didn't
+change stops contributing. Deterministic end-to-end: sample-trained
+IVF centroids, half-away-from-zero rounded scores, vec_id tiebreaks,
+hop-capped — so results pin per scale exactly like the other seeded
+ANN paths.
+
+**Index maintenance** (``nsw_write`` / ``nsw_append`` /
+``nsw_graph_indexed``): the same incremental discipline as
+``ivf_append`` (VERDICT r9 #2), but for a GRAPH index the naive
+"append new edges" is wrong — a new vector can displace an old
+vector's top-``k_graph`` neighbor, so appended edges must be able to
+REPLACE old ones. The fix is to persist the index one level below the
+search graph: the per-list LINK relation (each list's members linked
+to their in-group top-k), partitioned by ``list_id``. Linking is a
+pure deterministic function of a list's member set, so appending a
+delta = recompute ONLY the lists that received a new member (dynamic
+partition overwrite of those ``list_id=`` directories; untouched
+lists keep their files byte-identical) and re-derive the pruned +
+symmetrized search graph from the full link relation. That makes
+``append(Δ) ∘ write(A)  ≡  write(A ∪ Δ)`` EXACT (property-tested),
+the invariant the quantization-ladder appends established.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import round_half_away
+
+
+def nsw_member(
+    emb_df: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-2-list coarse assignment: each vector becomes TWO
+    (vec_id, e, list_id) membership rows — its best and second-best
+    IVF list (the second membership creates the inter-cluster bridges
+    greedy search needs). Pure per-row function of (vector, centroids),
+    the property every incremental-append proof rests on."""
+    spark = emb_df.sparkSession
+    b_cent = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("array<int>")
+    def top2_lists(embs: pd.Series) -> pd.Series:
+        cents = b_cent.value
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms > 0, norms, 1.0)
+        scores = mat @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+        # top-2 lists, best first (argsort is deterministic with the
+        # stable kind; ties broken by list index)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :2]
+        return pd.Series(list(order.astype(np.int32)))
+
+    base = emb_df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+    ).withColumn("lists", top2_lists("e"))
+    return base.select("vec_id", "e", F.explode("lists").alias("list_id"))
+
+
+def _link_lists(member: DataFrame, k_graph: int) -> DataFrame:
+    """Per-list linking: one Arrow kernel per ``list_id`` group
+    computes every member's top-``k_graph`` in-group cosine neighbors
+    (rounded scores, id tiebreaks). Deterministic function of the
+    list's member SET — recomputing a list always yields identical
+    rows, which is what lets :func:`nsw_append` rewrite only the
+    lists a delta touched. Returns (src, dst, score, list_id)."""
+
+    def link_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        matn = mat / np.where(norms > 0, norms, 1.0)
+        sims = round_half_away(matn @ matn.T, 4)
+        np.fill_diagonal(sims, -2.0)
+        n = len(ids)
+        lid = int(pdf["list_id"].iloc[0])
+        kk = min(k_graph, n - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                columns=["src", "dst", "score", "list_id"]
+            )
+        out_src, out_dst, out_s = [], [], []
+        # per row: top-kk by (-score, dst_id) — lexsort gives the
+        # deterministic tiebreak the rounded scores need
+        for i in range(n):
+            order = np.lexsort((ids, -sims[i]))[:kk]
+            out_src.extend([ids[i]] * kk)
+            out_dst.extend(ids[order])
+            out_s.extend(sims[i][order])
+        return pd.DataFrame(
+            {
+                "src": out_src,
+                "dst": out_dst,
+                "score": out_s,
+                "list_id": lid,
+            }
+        )
+
+    return member.groupBy("list_id").applyInPandas(
+        link_group, "src long, dst long, score double, list_id int"
+    )
+
+
+def _prune_symmetrize(linked: DataFrame, k_graph: int) -> DataFrame:
+    """Derive the search graph from the link relation: per-src global
+    top-``k_graph`` over both memberships (dedup pairs the two shared
+    lists both emitted), then symmetrize — navigability needs the
+    reverse arcs too. Returns (src, dst, score)."""
+    w = Window.partitionBy("src").orderBy(F.desc("score"), "dst")
+    pruned = (
+        linked.groupBy("src", "dst")
+        .agg(F.max("score").alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k_graph)
+        .drop("rk")
+    )
+    return (
+        pruned.unionByName(
+            pruned.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "score",
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("score").alias("score"))
+    )
+
+
+def nsw_build(
+    emb_df: DataFrame,
+    centroids: "np.ndarray",
+    k_graph: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Build the symmetric kNN graph in one shot: top-2-list coarse
+    assignment, per-list Arrow top-k linking, per-vector global top-k
+    over both memberships, then symmetrize. Returns (src, dst, score).
+    The written-index twin is :func:`nsw_write` +
+    :func:`nsw_graph_indexed` (same three stages, link relation
+    persisted so appends can rewrite only affected lists)."""
+    member = nsw_member(emb_df, centroids, id_col, emb_col)
+    return _prune_symmetrize(
+        _link_lists(member, k_graph).drop("list_id"), k_graph
+    )
+
+
+def nsw_write(
+    emb_df: DataFrame,
+    centroids: "np.ndarray",
+    path: str,
+    k_graph: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize the NSW index: BOTH the membership relation and the
+    per-list link relation, each partitioned by ``list_id``. The link
+    relation (not the pruned search graph) is the unit of persistence
+    because it is per-list independent — the property that makes
+    :func:`nsw_append` a partition-local rewrite instead of a full
+    rebuild. ``members/`` exists so an append can re-link an affected
+    list without re-reading the original corpus table."""
+    member = nsw_member(emb_df, centroids, id_col, emb_col)
+    member.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/members")
+    spark = emb_df.sparkSession
+    saved = spark.read.parquet(f"{path}/members")
+    _link_lists(saved, k_graph).repartition("list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{path}/links")
+
+
+def nsw_graph_indexed(spark, path: str, k_graph: int = 8) -> DataFrame:
+    """The search graph derived from a written index
+    (:func:`nsw_write` / :func:`nsw_append`): read the link relation,
+    prune + symmetrize — byte-identical to what :func:`nsw_build`
+    returns on the same corpus (asserted by q_ann_nsw_append's
+    rebuild_match column and the append≡rebuild property test)."""
+    linked = spark.read.parquet(f"{path}/links").select(
+        "src", "dst", "score"
+    )
+    return _prune_symmetrize(linked, k_graph)
+
+
+def nsw_append(
+    new_df: DataFrame,
+    path: str,
+    centroids: "np.ndarray",
+    k_graph: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[int]:
+    """Incrementally grow a written NSW index: coarse-assign the delta
+    with the PERSISTED centroids, then re-link ONLY the lists that
+    received a new member (dynamic partition overwrite of those
+    ``list_id=`` directories in ``links/``; untouched lists keep their
+    files byte-identical — asserted from file listings in tests).
+
+    Why exact: :func:`nsw_member` is a pure per-row function of
+    (vector, centroids) and :func:`_link_lists` a pure per-list
+    function of the member set, so recomputing an affected list over
+    (old ∪ new) members reproduces exactly what a full rebuild would
+    emit for that list, and unaffected lists are already correct —
+    ``append(Δ) ∘ write(A) ≡ write(A ∪ Δ)`` with no approximation
+    (unlike the published incremental-HNSW inserts, which are
+    order-dependent). Cost is bounded by the affected lists' member
+    counts, never the corpus. Returns the affected list ids."""
+    spark = new_df.sparkSession
+    new_member = nsw_member(new_df, centroids, id_col, emb_col)
+    new_member.repartition("list_id").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/members")
+    # nlist is small (trainer caps it); the affected-list set is a
+    # bounded driver constant, like every probe-list pick
+    affected = sorted(
+        r.list_id
+        for r in new_member.select("list_id").distinct().collect()
+    )
+    members = spark.read.parquet(f"{path}/members").where(
+        F.col("list_id").isin([int(x) for x in affected])
+    )
+    relinked = _link_lists(members, k_graph)
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        relinked.repartition("list_id").write.mode(
+            "overwrite"
+        ).partitionBy("list_id").parquet(f"{path}/links")
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return [int(x) for x in affected]
+
+
+def nsw_search_batch(
+    emb_df: DataFrame,
+    edges: DataFrame,
+    query_vectors: list[list[float]],
+    k: int = 5,
+    beam: int = 8,
+    max_hops: int = 6,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Batched greedy beam search over the NSW graph. Entry point:
+    the smallest vec_id (deterministic). Returns per query the top-k
+    of its final beam: (query_id, vec_id, score, rank)."""
+    spark = emb_df.sparkSession
+    Q = np.asarray(query_vectors, dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    b_q = spark.sparkContext.broadcast(Qn)
+
+    rel = emb_df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+    )
+
+    @F.pandas_udf("double")
+    def score_q(qid: pd.Series, embs: pd.Series) -> pd.Series:
+        qs = b_q.value
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        matn = mat / np.where(norms > 0, norms, 1.0)
+        s = np.einsum("ij,ij->i", matn, qs[qid.to_numpy()])
+        return pd.Series(round_half_away(s, 4))
+
+    entry = rel.agg(F.min("vec_id").alias("v")).collect()[0].v
+    qids = spark.range(len(query_vectors)).select(
+        F.col("id").cast("int").alias("query_id")
+    )
+    # beam state: (query_id, vec_id, score); start = scored entry
+    beam_df = (
+        qids.crossJoin(rel.where(F.col("vec_id") == entry))
+        .select(
+            "query_id",
+            "vec_id",
+            score_q(F.col("query_id"), F.col("e")).alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = beam_df.select("query_id", "vec_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    for _ in range(max_hops):
+        cands = (
+            frontier.join(edges, frontier.vec_id == edges.src)
+            .select("query_id", F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(
+                beam_df.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_anti",
+            )
+        )
+        scored = cands.join(rel, "vec_id").select(
+            "query_id",
+            "vec_id",
+            score_q(F.col("query_id"), F.col("e")).alias("score"),
+        )
+        merged = (
+            beam_df.unionByName(scored)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= beam)
+            .drop("rk")
+            .localCheckpoint(eager=True)
+        )
+        # next frontier: nodes newly admitted to any beam
+        new_nodes = merged.join(
+            beam_df.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if new_nodes.count() == 0:
+            beam_df = merged
+            break
+        beam_df = merged
+        frontier = new_nodes.select("query_id", "vec_id")
+    return (
+        beam_df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

@@ -130,6 +130,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_stream_semi_join",
     "q_compress_quality",
     "q_image_phash_dedup",
+    "q_ann_nsw_topk",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

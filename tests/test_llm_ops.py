@@ -2821,3 +2821,132 @@ class TestKMVSketch:
         m = sorted((r.h, r.val) for r in merged.collect())
         d = sorted((r.h, r.val) for r in direct.collect())
         assert m == d and len(d) == 128
+
+
+class TestNSWGraphANN:
+    """operators/nsw.py: graph symmetry, self-retrieval, and the
+    beam-width recall dial."""
+
+    def _setup(self, spark, sf="/root/testdata/sf0.001"):
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.operators.nsw import nsw_build
+        from os_ex_3_map_reduce_spark.operators.similarity import (
+            train_centroids_sample,
+        )
+        from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf, "embeddings")
+        qvs = [
+            [float(x) for x in r.embedding]
+            for r in sorted(
+                emb.where(F.col("vec_id") < 3).collect(),
+                key=lambda r: r.vec_id,
+            )
+        ]
+        cents = train_centroids_sample(emb, 16)
+        edges = nsw_build(emb, cents, k_graph=8).persist()
+        return emb, edges, qvs
+
+    def test_graph_is_symmetric(self, spark):
+        emb, edges, _ = self._setup(spark)
+        fwd = {(r.src, r.dst) for r in edges.collect()}
+        assert all((b, a) in fwd for a, b in fwd)
+        # every vector participates in the graph
+        assert edges.select("src").distinct().count() == emb.count()
+        edges.unpersist()
+
+    def test_search_finds_self_and_beam_is_the_recall_dial(self, spark):
+        from os_ex_3_map_reduce_spark.operators.nsw import nsw_search_batch
+        from os_ex_3_map_reduce_spark.operators.similarity import (
+            topk_to_query_batch,
+        )
+
+        emb, edges, qvs = self._setup(spark)
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in topk_to_query_batch(emb, qvs, k=5).collect()
+        }
+
+        def recall(beam: int) -> float:
+            rows = nsw_search_batch(
+                emb, edges, qvs, k=5, beam=beam, max_hops=8
+            ).collect()
+            # a query's own vector is in the corpus: must be rank 1
+            for q in range(len(qvs)):
+                top = [r for r in rows if r.query_id == q and r.rank == 1][0]
+                assert top.vec_id == q and top.score == 1.0
+            return sum(
+                1 for r in rows if (r.query_id, r.vec_id) in exact
+            ) / (5 * len(qvs))
+
+        r4, r16 = recall(4), recall(16)
+        assert r16 >= r4, (r4, r16)
+        assert r16 >= 0.8  # measured 0.87 at sf0.001 with beam=16
+        edges.unpersist()
+
+    def test_append_equals_rebuild_and_rewrites_only_affected_lists(
+        self, spark, tmp_path
+    ):
+        """nsw_append's whole contract: (1) the derived search graph
+        after write(base)+append(delta) is EXACTLY nsw_build(full);
+        (2) only the lists the delta touched were rewritten (file
+        listings of untouched list_id= dirs byte-identical); (3) an
+        empty delta is a no-op."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.operators.nsw import (
+            nsw_append,
+            nsw_build,
+            nsw_graph_indexed,
+            nsw_write,
+        )
+        from os_ex_3_map_reduce_spark.operators.similarity import (
+            train_centroids_sample,
+        )
+        from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = train_centroids_sample(emb, 16)
+        base = emb.where(F.col("vec_id") >= 3)
+        delta = emb.where(F.col("vec_id") < 3)
+        path = str(tmp_path / "nsw_idx")
+        nsw_write(base, cents, path, k_graph=8)
+
+        def listing() -> dict[str, tuple[str, ...]]:
+            root = f"{path}/links"
+            return {
+                d: tuple(sorted(os.listdir(os.path.join(root, d))))
+                for d in sorted(os.listdir(root))
+                if d.startswith("list_id=")
+            }
+
+        before = listing()
+        affected = nsw_append(delta, path, cents, k_graph=8)
+        after = listing()
+        # 3 delta vectors x top-2 lists: at most 6 affected of 16
+        assert 0 < len(affected) <= 6
+        for d, files in before.items():
+            lid = int(d.split("=")[1])
+            if lid in affected:
+                assert after[d] != files, f"{d} not rewritten"
+            else:
+                assert after[d] == files, f"{d} touched"
+
+        got = sorted(
+            (r.src, r.dst, r.score)
+            for r in nsw_graph_indexed(spark, path, k_graph=8).collect()
+        )
+        want = sorted(
+            (r.src, r.dst, r.score)
+            for r in nsw_build(emb, cents, k_graph=8).collect()
+        )
+        assert got == want
+
+        # empty delta: no list rewritten, graph unchanged
+        assert nsw_append(
+            emb.where(F.col("vec_id") < 0), path, cents, k_graph=8
+        ) == []
+        assert listing() == after
