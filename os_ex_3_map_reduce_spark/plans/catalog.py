@@ -131,6 +131,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_compress_quality",
     "q_image_phash_dedup",
     "q_ann_nsw_topk",
+    "q_ann_nsw_append",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

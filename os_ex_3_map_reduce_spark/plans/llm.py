@@ -4507,3 +4507,153 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return _cached_df(spark, ("ann_nsw", sf_dir), build)
+
+
+@register(
+    "q_ann_nsw_append",
+    # Incremental GRAPH-index maintenance: same pinning discipline as
+    # the other deterministic ANN pipelines (quantizer = seeded
+    # trainer on the BASE half's id-ordered sample; linking / search
+    # = rounded scores with id tiebreaks; measured identical under
+    # shuffle.partitions 32/7/13 at every fixture scale before
+    # pinning — tools/pin_scales.py). rebuild_match = 1 on every row
+    # is computed IN the query (beam search over the appended index's
+    # derived graph joined against the same search over a from-scratch
+    # nsw_build of the full corpus), so the driver hash itself
+    # re-proves append ≡ rebuild each round, not just the pins.
+    oracle="""
+        SELECT CAST(q AS INTEGER) AS query_id, CAST(v AS BIGINT) AS vec_id,
+               CAST(s AS DOUBLE) AS score, CAST(r AS INTEGER) AS rank,
+               CAST(1 AS INTEGER) AS rebuild_match
+        FROM (VALUES
+            (1500, 0, 0, 1.0, 1),
+            (1500, 0, 12, 0.311, 4),
+            (1500, 0, 17, 0.3345, 2),
+            (1500, 0, 225, 0.3151, 3),
+            (1500, 0, 483, 0.3005, 5),
+            (1500, 1, 1, 1.0, 1),
+            (1500, 1, 129, 0.3515, 4),
+            (1500, 1, 209, 0.3815, 3),
+            (1500, 1, 257, 0.3918, 2),
+            (1500, 1, 376, 0.3048, 5),
+            (1500, 2, 2, 1.0, 1),
+            (1500, 2, 62, 0.29, 3),
+            (1500, 2, 185, 0.2829, 5),
+            (1500, 2, 246, 0.2898, 4),
+            (1500, 2, 443, 0.3576, 2),
+            (15000, 0, 0, 1.0, 1),
+            (15000, 0, 334, 0.3627, 3),
+            (15000, 0, 365, 0.37, 2),
+            (15000, 0, 387, 0.3311, 4),
+            (15000, 0, 423, 0.2969, 5),
+            (15000, 1, 1, 1.0, 1),
+            (15000, 1, 27, 0.3482, 3),
+            (15000, 1, 195, 0.3227, 5),
+            (15000, 1, 386, 0.3715, 2),
+            (15000, 1, 407, 0.327, 4),
+            (15000, 2, 2, 1.0, 1),
+            (15000, 2, 117, 0.3181, 2),
+            (15000, 2, 145, 0.2635, 4),
+            (15000, 2, 188, 0.2633, 5),
+            (15000, 2, 450, 0.2663, 3),
+            (150000, 0, 0, 1.0, 1),
+            (150000, 0, 291, 0.3919, 3),
+            (150000, 0, 510, 0.3445, 5),
+            (150000, 0, 1020, 0.376, 4),
+            (150000, 0, 1204, 0.4065, 2),
+            (150000, 1, 1, 1.0, 1),
+            (150000, 1, 260, 0.3467, 5),
+            (150000, 1, 1175, 0.3703, 3),
+            (150000, 1, 1580, 0.3668, 4),
+            (150000, 1, 1950, 0.3861, 2),
+            (150000, 2, 2, 1.0, 1),
+            (150000, 2, 123, 0.3172, 5),
+            (150000, 2, 953, 0.3691, 2),
+            (150000, 2, 990, 0.3337, 4),
+            (150000, 2, 1912, 0.3519, 3)
+        ) t(sf, q, v, s, r)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="GRAPH-ANN index maintenance (operators/nsw.py nsw_write / "
+    "nsw_append / nsw_graph_indexed): the NSW index persists the "
+    "per-list LINK relation partitioned by list_id — one level below "
+    "the search graph — because a new vector can displace an old "
+    "vector's top-k neighbor, so appended edges must be able to "
+    "REPLACE old ones (naive edge-append is wrong for graph indexes; "
+    "this is why the persistence unit differs from ivf_append's). "
+    "Appending the odd-vec_id half re-links ONLY the lists it "
+    "touches (dynamic partition overwrite; untouched list_id= dirs "
+    "byte-identical — file-listing-asserted in tests), and linking "
+    "is a pure per-list function of the member set, so append ≡ "
+    "rebuild EXACTLY — unlike published incremental-HNSW inserts, "
+    "which are insertion-order-dependent. Each result row carries "
+    "rebuild_match, the in-query proof (appended-index beam search "
+    "joined against a full-rebuild beam search). Bench note: a "
+    "build+maintain+verify PIPELINE (2 index writes + partition "
+    "rewrite + 2 graph derivations + 2 beam searches), not a read "
+    "query; the search itself is q_ann_nsw_topk.",
+)
+def q_ann_nsw_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.nsw import (
+        nsw_append,
+        nsw_build,
+        nsw_graph_indexed,
+        nsw_search_batch,
+        nsw_write,
+    )
+    from ..operators.similarity import (
+        load_centroids,
+        save_centroids,
+        train_centroids_sample,
+    )
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.where(F.col("vec_id") % 2 == 0)
+        delta = emb.where(F.col("vec_id") % 2 == 1)
+        # quantizer trained on the BASE only — append must not retrain
+        cents = train_centroids_sample(base, nlist=16)
+        root = tempfile.mkdtemp(prefix="osx3_nsw_append_")
+        save_centroids(spark, cents, f"{root}/centroids")
+        loaded = load_centroids(spark, f"{root}/centroids")
+        nsw_write(base, loaded, f"{root}/index", k_graph=8)
+        nsw_append(delta, f"{root}/index", loaded, k_graph=8)
+        qvs = [
+            [float(x) for x in r.embedding]
+            for r in sorted(
+                emb.where(F.col("vec_id") < 3).collect(),
+                key=lambda r: r.vec_id,
+            )
+        ]
+        g_inc = nsw_graph_indexed(spark, f"{root}/index", k_graph=8)
+        g_inc = g_inc.persist()
+        appended = nsw_search_batch(
+            emb, g_inc, qvs, k=5, beam=16, max_hops=8
+        )
+        g_full = nsw_build(emb, loaded, k_graph=8).persist()
+        rebuilt = nsw_search_batch(
+            emb, g_full, qvs, k=5, beam=16, max_hops=8
+        ).select(
+            "query_id", "vec_id", F.col("score").alias("score_rebuilt")
+        )
+        out = appended.join(
+            rebuilt, ["query_id", "vec_id"], "left"
+        ).select(
+            "query_id",
+            "vec_id",
+            "score",
+            "rank",
+            F.when(F.col("score_rebuilt") == F.col("score"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("rebuild_match"),
+        )
+        out = out.persist()
+        out.count()
+        g_inc.unpersist()
+        g_full.unpersist()
+        return out
+
+    return _cached_df(spark, ("ann_nsw_append", sf_dir), build)
