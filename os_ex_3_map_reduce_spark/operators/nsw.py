@@ -149,17 +149,25 @@ def _prune_symmetrize(linked: DataFrame, k_graph: int) -> DataFrame:
         .where(F.col("rk") <= k_graph)
         .drop("rk")
     )
-    return (
-        pruned.unionByName(
-            pruned.select(
-                F.col("dst").alias("src"),
-                F.col("src").alias("dst"),
-                "score",
+    # symmetrize by exploding both directions in ONE pass — a
+    # self-union here would duplicate the whole upstream subtree
+    # (the linking kernel would run twice; plan-pinned at 1 kernel)
+    sym = pruned.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("s"), F.col("dst").alias("d")
+                ),
+                F.struct(
+                    F.col("dst").alias("s"), F.col("src").alias("d")
+                ),
             )
-        )
-        .groupBy("src", "dst")
-        .agg(F.max("score").alias("score"))
+        ).alias("x"),
+        "score",
+    ).select(
+        F.col("x.s").alias("src"), F.col("x.d").alias("dst"), "score"
     )
+    return sym.groupBy("src", "dst").agg(F.max("score").alias("score"))
 
 
 def nsw_build(
@@ -306,8 +314,10 @@ def nsw_search_batch(
         F.col("id").cast("int").alias("query_id")
     )
     # beam state: (query_id, vec_id, score); start = scored entry
+    # 1-row entry relation broadcast (the repo-wide crossJoin rule:
+    # only ever against a broadcast tiny/aggregate relation)
     beam_df = (
-        qids.crossJoin(rel.where(F.col("vec_id") == entry))
+        qids.crossJoin(F.broadcast(rel.where(F.col("vec_id") == entry)))
         .select(
             "query_id",
             "vec_id",

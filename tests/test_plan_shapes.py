@@ -917,3 +917,63 @@ def test_interval_join_is_equi_on_grid_cell(spark, qs):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan and "cell" in plan, plan
+
+
+def test_nsw_build_is_one_link_kernel_one_scan(spark):
+    """nsw_build's scale contract: the per-list linking kernel runs
+    ONCE over ONE corpus scan (the symmetrize step explodes both edge
+    directions in a single pass — a self-union there would duplicate
+    the whole upstream subtree and run the linking twice), the global
+    per-src top-k rides the rank-limit pushdown (WindowGroupLimit on
+    both sides of its exchange), and nothing is cartesian."""
+    from os_ex_3_map_reduce_spark.operators.nsw import nsw_build
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        train_centroids_sample,
+    )
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = train_centroids_sample(emb, 16)
+    plan = explain_str(nsw_build(emb, cents, k_graph=8), "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    # list-group, pair-dedup, per-src window, symmetrized final dedup
+    n = plan.count("Exchange")
+    assert n == 4, f"expected 4 exchanges, saw {n}:\n{plan}"
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nsw_search_hop_is_joins_never_cartesian(spark):
+    """nsw_search_batch's per-hop contract: frontier expansion is an
+    equi-join on the edge src plus anti-joins against the beam — the
+    only cross join is the broadcast 1-row entry seed; the returned
+    relation is the hop-capped beam served off checkpoint-truncated
+    lineage (no plan growth with hops)."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.nsw import (
+        nsw_build,
+        nsw_search_batch,
+    )
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        train_centroids_sample,
+    )
+    from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_centroids_sample(emb, 16)
+    edges = nsw_build(emb, cents, k_graph=8).persist()
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 2).collect(), key=lambda r: r.vec_id
+        )
+    ]
+    res = nsw_search_batch(emb, edges, qvs, k=5, beam=8, max_hops=3)
+    plan = explain_str(res)
+    assert "CartesianProduct" not in plan, plan
+    # lineage truncation: the beam state is served from a checkpoint,
+    # not a 3-hop join tree
+    assert "Scan ExistingRDD" in plan, plan
+    edges.unpersist()
