@@ -132,6 +132,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_image_phash_dedup",
     "q_ann_nsw_topk",
     "q_ann_nsw_append",
+    "q_bm25_topk",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -2374,6 +2374,156 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bm25_topk",
+    # Float discipline (the q_lm_perplexity precedent): every
+    # per-(doc, term) score is computed in DOUBLE with IDENTICAL
+    # expression shape in both engines (all DuckDB literals cast to
+    # DOUBLE — bare 2.2 is DECIMAL there), rounded to the 1e-6 grid,
+    # cast DECIMAL(18,6), and summed EXACTLY; only the final sum
+    # converts back to double. Ranking ties break on doc_id.
+    oracle="""
+        WITH docs2 AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens
+            FROM docs2
+        ),
+        w AS (
+            SELECT doc_id, unnest(t) AS term FROM docs2
+        ),
+        qt AS (SELECT unnest(['dup', 'vector', 'scan']) AS term),
+        tf AS (
+            SELECT w.doc_id, w.term, COUNT(*) AS tf
+            FROM w JOIN qt USING (term)
+            GROUP BY w.doc_id, w.term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM w JOIN qt USING (term)
+            GROUP BY term
+        ),
+        dl AS (SELECT doc_id, len(t) AS dl FROM docs2),
+        terms AS (
+            SELECT tf.doc_id,
+                   CAST(round(
+                       ln(((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE))
+                           / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                          + CAST(1.0 AS DOUBLE))
+                       * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                       / (CAST(tf.tf AS DOUBLE)
+                          + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + CAST(0.75 AS DOUBLE)
+                                 * ((CAST(dl.dl AS DOUBLE)
+                                     * CAST(s.n_docs AS DOUBLE))
+                                    / CAST(s.total_tokens AS DOUBLE)))),
+                       6) AS DECIMAL(18,6)) AS term_score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, COUNT(*) AS n_terms_matched,
+                   SUM(term_score) AS s
+            FROM terms GROUP BY doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, n_terms_matched, CAST(s AS DOUBLE) AS bm25,
+                   ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+            FROM scored
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+               bm25, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 10
+    """,
+    doc="Okapi BM25 ranked retrieval (k1=1.2, b=0.75, Lucene-style "
+    "idf = ln(1 + (N-df+0.5)/(df+0.5))) — the keyword-retrieval "
+    "complement to the embedding search stack: real pipelines pair "
+    "sparse BM25 with dense ANN for hybrid retrieval, and BM25 is "
+    "also the standard relevance filter for contamination screens. "
+    "Pipeline: filter the posting relation to the 3 query terms "
+    "FIRST (the inverted-index discipline — tf/df aggregate over "
+    "matched postings only, never the full vocabulary), doc length "
+    "from size(tokens) with no extra shuffle, corpus stats as a "
+    "1-row broadcast. Per-term scores land on the 1e-6 grid and sum "
+    "as DECIMAL so the oracle comparison is exact (q_lm_perplexity "
+    "discipline); top-10 is TakeOrdered (no global sort), rank "
+    "attached by a 10-row window. At 100 TB: cost = matched postings "
+    "+ one bounded top-k, the classic term-at-a-time BM25 shape.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    QUERY = ["dup", "vector", "scan"]
+    docs = load_table(spark, sf_dir, "documents")
+    docs2 = docs.select("doc_id", tokens("text").alias("t"))
+    stats = docs2.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("t")).alias("total_tokens"),
+    )
+    w = docs2.select("doc_id", F.explode("t").alias("term"))
+    matched = w.where(F.col("term").isin(QUERY))
+    tf = matched.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = matched.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    dl = docs2.select("doc_id", F.size("t").alias("dl"))
+    terms = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.round(
+                F.log(
+                    (
+                        (
+                            F.col("n_docs").cast("double")
+                            - F.col("df").cast("double")
+                            + F.lit(0.5)
+                        )
+                        / (F.col("df").cast("double") + F.lit(0.5))
+                    )
+                    + F.lit(1.0)
+                )
+                * (F.col("tf").cast("double") * F.lit(2.2))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75)
+                        * (
+                            (
+                                F.col("dl").cast("double")
+                                * F.col("n_docs").cast("double")
+                            )
+                            / F.col("total_tokens").cast("double")
+                        )
+                    )
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_matched"),
+        F.sum("term_score").alias("s"),
+    )
+    top = scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
+    return top.select(
+        "doc_id",
+        "n_terms_matched",
+        F.col("s").cast("double").alias("bm25"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+
+
+@register(
     "q_lm_perplexity",
     oracle="""
         WITH toks AS (

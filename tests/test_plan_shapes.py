@@ -977,3 +977,13 @@ def test_nsw_search_hop_is_joins_never_cartesian(spark):
     # not a 3-hop join tree
     assert "Scan ExistingRDD" in plan, plan
     edges.unpersist()
+
+
+def test_bm25_is_takeordered_with_broadcast_stats(spark, qs):
+    """q_bm25_topk's scale contract: top-k is TakeOrdered (never a
+    global sort of the scored docs), the corpus-stats relation enters
+    as a broadcast 1-row nested-loop, and nothing is cartesian."""
+    plan = explain_str(qs["q_bm25_topk"](spark, SF), "simple")
+    assert "TakeOrdered" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
