@@ -1102,6 +1102,106 @@ def bench_round11e(spark, scaled: str) -> None:
     orders1.unpersist(); orders10.unpersist()
 
 
+def bench_round11f(spark, scaled: str) -> None:
+    """10x draws for the NSW graph-ANN family. The honest 100 TB
+    story for a cluster-then-link graph index is that nlist GROWS
+    with the corpus (faiss's sqrt(N) guidance) keeping list size
+    constant: per-list linking is O(|list|^2), so fixed nlist would
+    go quadratic while scaled nlist keeps the build linear-in-rows.
+    The draws therefore run nlist=16 at base and nlist=160 at 10x
+    (constant ~list size). Search cost = hops x beam x degree scored
+    candidates per query — corpus-independent by design. Append cost
+    = affected lists' member counts (a 3-vector delta touches <= 6
+    lists at either scale) — the flat line IS the partition-locality
+    claim."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.operators.nsw import (
+        nsw_append,
+        nsw_build,
+        nsw_search_batch,
+        nsw_write,
+    )
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        train_centroids_sample,
+    )
+
+    res: dict[str, dict[str, float]] = {}
+
+    def rec(q: str, label: str, sec: float) -> None:
+        res.setdefault(q, {})[label] = round(sec, 3)
+
+    # warm the Python workers / Arrow / UDF broadcast machinery on a
+    # tiny throwaway index first — without this the base draw eats all
+    # the first-run fixed costs and the ratios read backwards
+    warm_emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet").where(
+        F.col("vec_id") < 64
+    )
+    warm_c = train_centroids_sample(warm_emb, 4)
+    warm_edges = nsw_build(warm_emb, warm_c, k_graph=4).persist()
+    warm_edges.count()
+    warm_q = [
+        [float(x) for x in r.embedding]
+        for r in warm_emb.where(F.col("vec_id") < 1).collect()
+    ]
+    _materialize(
+        nsw_search_batch(warm_emb, warm_edges, warm_q, k=3, beam=4, max_hops=2)
+    )
+    warm_path = tempfile.mkdtemp(prefix="osx3_nswwarm_") + "/idx"
+    nsw_write(warm_emb.where(F.col("vec_id") >= 1), warm_c, warm_path, k_graph=4)
+    nsw_append(warm_emb.where(F.col("vec_id") < 1), warm_path, warm_c, k_graph=4)
+    warm_edges.unpersist()
+
+    for label, path, nlist in (
+        ("base", BASE_SF, 16),
+        (f"x{COPIES}", scaled, 160),
+    ):
+        emb = spark.read.parquet(f"{path}/embeddings.parquet")
+        qvs = [
+            [float(x) for x in r.embedding]
+            for r in sorted(
+                emb.where(F.col("vec_id") < 3).collect(),
+                key=lambda r: r.vec_id,
+            )
+        ]
+        cents = train_centroids_sample(emb, nlist)
+
+        t0 = time.perf_counter()
+        edges = nsw_build(emb, cents, k_graph=8).persist()
+        edges.count()
+        rec("nsw_build", label, time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        _materialize(
+            nsw_search_batch(emb, edges, qvs, k=5, beam=16, max_hops=8)
+        )
+        rec("nsw_search_batch", label, time.perf_counter() - t0)
+
+        # constant 3-vector delta at both scales: affected <= 6 lists
+        base_corpus = emb.where(F.col("vec_id") >= 3)
+        delta = emb.where(F.col("vec_id") < 3)
+        ipath = tempfile.mkdtemp(prefix="osx3_nsw10_") + "/idx"
+        nsw_write(base_corpus, cents, ipath, k_graph=8)
+        t0 = time.perf_counter()
+        nsw_append(delta, ipath, cents, k_graph=8)
+        rec("nsw_append_delta", label, time.perf_counter() - t0)
+        edges.unpersist()
+
+    for q, d in res.items():
+        base_s, big_s = d["base"], d[f"x{COPIES}"]
+        print(
+            json.dumps(
+                {
+                    "query": q,
+                    "base_sec": base_s,
+                    f"x{COPIES}_sec": big_s,
+                    "ratio": round(big_s / base_s, 2) if base_s else None,
+                }
+            ),
+            flush=True,
+        )
+
+
 def bench_skew(spark, scaled: str) -> None:
     """Skew-stress draw: the salted-join primitive and AQE's skew-join
     split, measured against the naive plan at a genuinely hot key.
@@ -1449,6 +1549,7 @@ def main() -> None:
     bench_round11c(spark, scaled)
     bench_round11d(spark, scaled)
     bench_round11e(spark, scaled)
+    bench_round11f(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
