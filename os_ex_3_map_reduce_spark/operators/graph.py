@@ -1386,3 +1386,142 @@ def multi_source_bfs_eager(edges: DataFrame, **kwargs) -> DataFrame:
         except Exception:
             pass
     return out
+
+
+def maximal_matching(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Deterministic EDGE-priority MAXIMAL MATCHING — the FOURTEENTH
+    iterative graph pattern: maximal matching is exactly a maximal
+    independent set on the LINE graph, so each round selects every
+    alive edge that carries the minimum fixed priority among ALL
+    alive edges incident to either endpoint (priority = the
+    engine-portable md5 hash of the canonical 'lo|hi' edge key, total
+    order with the (lo, hi) tiebreak — bit-replayable by the DuckDB
+    oracle); selected edges are matched and both endpoints leave the
+    alive set.
+
+    Edge priorities, not node priorities, on purpose: the node-
+    proposal handshake degenerates on dense graphs (on K_{n,m} every
+    customer proposes to the single global-min supplier → ONE pair
+    per round, measured 30+ rounds on the sf0.01 bipartite fixture),
+    while locally-min edges form a large independent set per round —
+    the Luby-on-the-line-graph analysis gives expected O(log E)
+    rounds (measured: single digits at every fixture scale). A
+    locally-min-everywhere edge always exists (the globally minimal
+    alive edge), so progress is guaranteed and the loop only ends
+    when no alive edge remains — which IS maximality.
+
+    Matching is the classic two-sided assignment primitive (dedup
+    pair collapse, one-to-one record linkage between two corpora,
+    conflict-free resource pairing). Per round: one double semi-join
+    (alive-induced subgraph), one min-struct aggregate per endpoint,
+    one slim equality join (is this edge its endpoints' minimum?).
+    Returns (a, b, match_round) with a < b."""
+    from .sketch import portable_hash60
+
+    spark = edges.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(before), shuffle_partitions)),
+        )
+    try:
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+            F.col("a") != F.col("b")
+        )
+        e = (
+            und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .withColumn("lo", F.least("a", "b"))
+            .withColumn("hi", F.greatest("a", "b"))
+            .withColumn(
+                "eh",
+                portable_hash60(F.concat("lo", F.lit("|"), "hi")),
+            )
+            .persist()
+        )
+        alive = e.select(F.col("a").alias("node")).distinct().persist()
+        held = [e, alive]
+        pair_parts: list[DataFrame] = []
+        rounds_run = 0
+        for r in range(max_rounds):
+            ae = e.join(alive.withColumnRenamed("node", "a"), "a").join(
+                alive.withColumnRenamed("node", "b"), "b"
+            )
+            # per node: its minimum alive incident edge — struct min
+            # over (eh, lo, hi) is the total-order argmin, no ties
+            me = ae.groupBy(F.col("a").alias("node")).agg(
+                F.min(F.struct("eh", "lo", "hi")).alias("m")
+            )
+            key = F.struct("eh", "lo", "hi")
+            pairs = (
+                ae.where(F.col("a") < F.col("b"))
+                .join(
+                    me.select(
+                        F.col("node").alias("a"), F.col("m").alias("ma")
+                    ),
+                    "a",
+                )
+                .join(
+                    me.select(
+                        F.col("node").alias("b"), F.col("m").alias("mb")
+                    ),
+                    "b",
+                )
+                .where((key == F.col("ma")) & (key == F.col("mb")))
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            n_pairs = pairs.count()
+            if n_pairs == 0:
+                break  # no alive edge left: the matching is maximal
+            rounds_run = r + 1
+            dead = pairs.select(F.col("a").alias("node")).unionByName(
+                pairs.select(F.col("b").alias("node"))
+            )
+            alive = alive.join(dead, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            pair_parts.append(
+                pairs.withColumn("match_round", F.lit(r).cast("long"))
+            )
+        if not pair_parts:
+            out = spark.createDataFrame(
+                [], "a string, b string, match_round long"
+            )
+        else:
+            out = pair_parts[0]
+            for p in pair_parts[1:]:
+                out = out.unionByName(p)
+            out = out.coalesce(1)
+        if shuffle_partitions is not None:
+            out = out.persist()
+            out.count()
+        out._osx3_persists = held  # type: ignore[attr-defined]
+        out._osx3_rounds = rounds_run  # type: ignore[attr-defined]
+        return out
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def maximal_matching_eager(edges: DataFrame, **kwargs) -> DataFrame:
+    """:func:`maximal_matching`, materialized, intermediates freed;
+    preserves the ``_osx3_rounds`` evidence attribute."""
+    d = maximal_matching(edges, **kwargs)
+    held = d._osx3_persists  # type: ignore[attr-defined]
+    out = d.persist()
+    out.count()
+    out._osx3_rounds = d._osx3_rounds  # type: ignore[attr-defined]
+    for df in held:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out

@@ -133,6 +133,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_nsw_topk",
     "q_ann_nsw_append",
     "q_bm25_topk",
+    "q_matching",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

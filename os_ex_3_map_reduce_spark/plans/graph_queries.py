@@ -890,6 +890,106 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_matching — deterministic maximal matching (fourteenth pattern)
+# ---------------------------------------------------------------------------
+
+_MATCH_ROUNDS = 9  # measured convergence: 2 / 2 / 3 rounds at the
+                   # three fixture scales; 9 = 3x margin, house rule
+
+
+def _matching_oracle() -> str:
+    cte = [
+        """
+        WITH arcs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS MATERIALIZED (
+            SELECT src AS a, dst AS b FROM arcs
+            UNION SELECT dst, src FROM arcs
+        ),
+        ee AS MATERIALIZED (
+            SELECT a, b, least(a, b) AS lo, greatest(a, b) AS hi,
+                   ('0x' || substr(md5(least(a, b) || '|' || greatest(a, b)),
+                                   1, 15))::BIGINT AS eh
+            FROM edges
+        ),
+        alive0 AS (SELECT DISTINCT a AS node FROM ee)"""
+    ]
+    for i in range(_MATCH_ROUNDS):
+        cte.append(
+            f"""
+        ae{i} AS MATERIALIZED (
+            SELECT e.a, e.b, e.lo, e.hi, e.eh FROM ee e
+            JOIN alive{i} x ON e.a = x.node
+            JOIN alive{i} y ON e.b = y.node
+        ),
+        me{i} AS MATERIALIZED (
+            SELECT node, eh, lo, hi FROM (
+                SELECT a AS node, eh, lo, hi,
+                       row_number() OVER (PARTITION BY a
+                                          ORDER BY eh, lo, hi) AS rk
+                FROM ae{i}
+            ) WHERE rk = 1
+        ),
+        m{i} AS MATERIALIZED (
+            SELECT e.lo AS a, e.hi AS b FROM ae{i} e
+            JOIN me{i} x ON e.a = x.node AND e.eh = x.eh
+                         AND e.lo = x.lo AND e.hi = x.hi
+            JOIN me{i} y ON e.b = y.node AND e.eh = y.eh
+                         AND e.lo = y.lo AND e.hi = y.hi
+            WHERE e.a < e.b
+        ),
+        dead{i} AS (
+            SELECT a AS node FROM m{i} UNION SELECT b FROM m{i}
+        ),
+        alive{i + 1} AS MATERIALIZED (
+            SELECT node FROM alive{i}
+            EXCEPT SELECT node FROM dead{i}
+        )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT a, b, CAST({i} AS BIGINT) AS match_round FROM m{i}"
+        for i in range(_MATCH_ROUNDS)
+    )
+    return ",".join(cte) + "\n" + selects
+
+
+@register(
+    "q_matching",
+    oracle=_matching_oracle(),
+    doc="Deterministic MAXIMAL MATCHING over the customer-supplier "
+    "graph — the FOURTEENTH iterative graph pattern "
+    "(operators/graph.py maximal_matching): maximal matching = MIS "
+    "on the LINE graph, so each round selects every alive edge whose "
+    "fixed engine-portable priority (md5 of the canonical lo|hi edge "
+    "key, total order) is minimal among all alive edges at BOTH "
+    "endpoints, then retires the matched endpoints. Edge priorities "
+    "on purpose: the node-proposal handshake degenerates to ~1 pair "
+    "per round on dense graphs (measured 30+ non-converging rounds "
+    "on this fixture), while locally-min edges land the "
+    "Luby-on-the-line-graph O(log E) bound — measured 2/2/3 rounds "
+    "at the three scales, finding a PERFECT matching of the supplier "
+    f"side (10/100/1000 pairs). The oracle unrolls {_MATCH_ROUNDS} "
+    "rounds of identical algebra (empty tail rounds contribute "
+    "nothing). Matching is the two-sided assignment primitive: dedup "
+    "pair collapse, one-to-one record linkage, conflict-free "
+    "pairing. Per round: one double semi-join, one min-struct "
+    "aggregate, one slim equality join; matching and maximality are "
+    "property-asserted in tests.",
+)
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import maximal_matching_eager
+
+    def build() -> DataFrame:
+        return maximal_matching_eager(
+            _bipartite_edges(spark, sf_dir), max_rounds=_MATCH_ROUNDS
+        )
+
+    return _cached_df(spark, ("matching", sf_dir), build)
+
+
+# ---------------------------------------------------------------------------
 # q_bfs_multi — batched multi-source BFS (thirteenth pattern)
 # ---------------------------------------------------------------------------
 

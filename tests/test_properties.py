@@ -1212,3 +1212,60 @@ def test_mis_independent_maximal_and_invariant(spark):
             ref.add(n)
             blocked |= adj[n] | {n}
     assert members == ref
+
+
+def test_matching_is_matching_maximal_and_invariant(spark):
+    """maximal_matching (the fourteenth graph pattern): the returned
+    pairs form a MATCHING (no node in two pairs), are MAXIMAL (every
+    remaining edge has a matched endpoint — no edge can be added),
+    are deterministic under partitioning, and equal the greedy
+    by-edge-priority reference on the same graph."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.graph import (
+        maximal_matching_eager,
+    )
+    from os_ex_3_map_reduce_spark.operators.sketch import portable_hash60
+
+    # path + star + a triangle (odd cycle: one node must stay single)
+    edges = (
+        [(f"n{i}", f"n{i+1}") for i in range(19)]
+        + [("hub", f"leaf{j}") for j in range(10)]
+        + [("t0", "t1"), ("t1", "t2"), ("t2", "t0")]
+    )
+    e = spark.createDataFrame(edges, "src string, dst string")
+    outs = []
+    for nparts in (1, 4):
+        m = maximal_matching_eager(e.repartition(nparts))
+        outs.append(sorted((r.a, r.b) for r in m.collect()))
+    assert outs[0] == outs[1]
+    pairs = outs[0]
+    # matching: each node in at most one pair
+    flat = [x for p in pairs for x in p]
+    assert len(flat) == len(set(flat))
+    matched = set(flat)
+    # the star contributes exactly one pair; the triangle exactly one
+    assert sum(1 for a, b in pairs if "hub" in (a, b)) == 1
+    assert sum(1 for a, b in pairs if a.startswith("t")) == 1
+    # maximality: every edge touches a matched node
+    for a, b in edges:
+        assert a in matched or b in matched, (a, b)
+    # greedy-by-fixed-edge-priority reference
+    eh = {
+        (r.lo, r.hi): r.h
+        for r in spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges],
+            "lo string, hi string",
+        )
+        .withColumn(
+            "h", portable_hash60(F.concat("lo", F.lit("|"), "hi"))
+        )
+        .collect()
+    }
+    ref: list = []
+    used: set = set()
+    for (lo, hi), _h in sorted(eh.items(), key=lambda kv: (kv[1], kv[0])):
+        if lo not in used and hi not in used:
+            ref.append((lo, hi))
+            used |= {lo, hi}
+    assert pairs == sorted(ref)
