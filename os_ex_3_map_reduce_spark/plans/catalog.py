@@ -134,6 +134,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_nsw_append",
     "q_bm25_topk",
     "q_matching",
+    "q_hybrid_rrf",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

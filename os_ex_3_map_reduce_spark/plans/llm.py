@@ -2373,6 +2373,71 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.col("rn") == 1).select("doc_id", "term", "tf", "df", "score")
 
 
+def _bm25_top(
+    docs: DataFrame, query_terms: list[str], k: int
+) -> DataFrame:
+    """The shared BM25 scoring pipeline (q_bm25_topk's registration
+    comment documents the float discipline): postings filtered to the
+    query terms before aggregation, corpus stats broadcast, per-term
+    scores on the 1e-6 grid summed as DECIMAL. Returns the top-``k``
+    docs as (doc_id, n_terms_matched, s DECIMAL) via TakeOrdered."""
+    docs2 = docs.select("doc_id", tokens("text").alias("t"))
+    stats = docs2.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("t")).alias("total_tokens"),
+    )
+    w = docs2.select("doc_id", F.explode("t").alias("term"))
+    matched = w.where(F.col("term").isin(query_terms))
+    tf = matched.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = matched.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    dl = docs2.select("doc_id", F.size("t").alias("dl"))
+    terms = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.round(
+                F.log(
+                    (
+                        (
+                            F.col("n_docs").cast("double")
+                            - F.col("df").cast("double")
+                            + F.lit(0.5)
+                        )
+                        / (F.col("df").cast("double") + F.lit(0.5))
+                    )
+                    + F.lit(1.0)
+                )
+                * (F.col("tf").cast("double") * F.lit(2.2))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75)
+                        * (
+                            (
+                                F.col("dl").cast("double")
+                                * F.col("n_docs").cast("double")
+                            )
+                            / F.col("total_tokens").cast("double")
+                        )
+                    )
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_matched"),
+        F.sum("term_score").alias("s"),
+    )
+    return scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(k)
+
+
 @register(
     "q_bm25_topk",
     # Float discipline (the q_lm_perplexity precedent): every
@@ -2456,63 +2521,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ one bounded top-k, the classic term-at-a-time BM25 shape.",
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    QUERY = ["dup", "vector", "scan"]
     docs = load_table(spark, sf_dir, "documents")
-    docs2 = docs.select("doc_id", tokens("text").alias("t"))
-    stats = docs2.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size("t")).alias("total_tokens"),
-    )
-    w = docs2.select("doc_id", F.explode("t").alias("term"))
-    matched = w.where(F.col("term").isin(QUERY))
-    tf = matched.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = matched.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    dl = docs2.select("doc_id", F.size("t").alias("dl"))
-    terms = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "term_score",
-            F.round(
-                F.log(
-                    (
-                        (
-                            F.col("n_docs").cast("double")
-                            - F.col("df").cast("double")
-                            + F.lit(0.5)
-                        )
-                        / (F.col("df").cast("double") + F.lit(0.5))
-                    )
-                    + F.lit(1.0)
-                )
-                * (F.col("tf").cast("double") * F.lit(2.2))
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(1.2)
-                    * (
-                        F.lit(0.25)
-                        + F.lit(0.75)
-                        * (
-                            (
-                                F.col("dl").cast("double")
-                                * F.col("n_docs").cast("double")
-                            )
-                            / F.col("total_tokens").cast("double")
-                        )
-                    )
-                ),
-                6,
-            ).cast("decimal(18,6)"),
-        )
-    )
-    scored = terms.groupBy("doc_id").agg(
-        F.count("*").alias("n_terms_matched"),
-        F.sum("term_score").alias("s"),
-    )
-    top = scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
+    top = _bm25_top(docs, ["dup", "vector", "scan"], 10)
     return top.select(
         "doc_id",
         "n_terms_matched",
@@ -2520,6 +2530,166 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
         .alias("rank"),
+    )
+
+
+@register(
+    "q_hybrid_rrf",
+    # Exact recomputing oracle: both rankings re-derive in SQL (BM25
+    # over doc 0's distinct terms; rounded cosine to vec 0) and the
+    # fusion is INTEGER arithmetic — 10^12 div (60 + rank) — so no
+    # pins and no float drift are possible in the fused score.
+    oracle="""
+        WITH docs2 AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens
+            FROM docs2
+        ),
+        qt AS (
+            SELECT DISTINCT unnest(t) AS term FROM docs2 WHERE doc_id = 0
+        ),
+        w AS (SELECT doc_id, unnest(t) AS term FROM docs2),
+        tf AS (
+            SELECT w.doc_id, w.term, COUNT(*) AS tf
+            FROM w JOIN qt USING (term)
+            GROUP BY w.doc_id, w.term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM w JOIN qt USING (term)
+            GROUP BY term
+        ),
+        dl AS (SELECT doc_id, len(t) AS dl FROM docs2),
+        terms AS (
+            SELECT tf.doc_id,
+                   CAST(round(
+                       ln(((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE))
+                           / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                          + CAST(1.0 AS DOUBLE))
+                       * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                       / (CAST(tf.tf AS DOUBLE)
+                          + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + CAST(0.75 AS DOUBLE)
+                                 * ((CAST(dl.dl AS DOUBLE)
+                                     * CAST(s.n_docs AS DOUBLE))
+                                    / CAST(s.total_tokens AS DOUBLE)))),
+                       6) AS DECIMAL(18,6)) AS term_score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats s
+        ),
+        sparse AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY SUM(term_score) DESC,
+                                      doc_id) AS r_s
+            FROM terms GROUP BY doc_id
+            ORDER BY SUM(term_score) DESC, doc_id LIMIT 20
+        ),
+        dense AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY c DESC, vec_id) AS r_d
+            FROM (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.embedding::DOUBLE[]),
+                           4) AS c
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ) ORDER BY c DESC, vec_id LIMIT 20
+        ),
+        fused AS (
+            SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                   CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END
+                       AS in_sparse,
+                   CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END
+                       AS in_dense,
+                   COALESCE(1000000000000 // (60 + s.r_s), 0)
+                   + COALESCE(1000000000000 // (60 + d.r_d), 0) AS rrf
+            FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(in_sparse AS INTEGER) AS in_sparse,
+               CAST(in_dense AS INTEGER) AS in_dense,
+               CAST(rrf AS BIGINT) AS rrf,
+               CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                    AS INTEGER) AS rank
+        FROM fused
+        ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="HYBRID retrieval via reciprocal rank fusion (Cormack et al. "
+    "2009, the standard sparse+dense fusion in production RAG "
+    "stacks): 'more like doc 0' answered BOTH ways — BM25 over doc "
+    "0's distinct terms (the shared _bm25_top pipeline) and exact "
+    "cosine to vec 0 (the shared topk_to_query kernel) — each side's "
+    "top-20 fused by rrf = sum over sides of 10^12 div (60 + rank). "
+    "The fusion is INTEGER arithmetic on ranks, so the combined "
+    "score is exactly oracle-able even though the two underlying "
+    "scores live on different scales (the reason RRF beats score "
+    "mixing in practice: it needs no calibration). in_sparse / "
+    "in_dense make the fusion's evidence driver-visible: rank-1 is "
+    "doc 0 itself, found by both sides. At 100 TB each side is its "
+    "own bounded top-k (TakeOrdered / postings-filtered BM25); the "
+    "fusion joins two 20-row relations — free.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import topk_to_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = sorted(
+        set(docs.where(F.col("doc_id") == 0).first()["text"].split())
+    )
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    sparse = _bm25_top(docs, qterms, 20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+        .alias("r_s"),
+    )
+    dense = topk_to_query(emb, qv, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("r_d"),
+    )
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("r_s").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("in_sparse"),
+            F.when(F.col("r_d").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("in_dense"),
+            (
+                F.coalesce(
+                    F.expr("1000000000000 div (60 + r_s)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("1000000000000 div (60 + r_d)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+        .cast("int"),
     )
 
 
