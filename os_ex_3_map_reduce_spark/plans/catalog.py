@@ -135,6 +135,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_bm25_topk",
     "q_matching",
     "q_hybrid_rrf",
+    "q_vt_branch",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

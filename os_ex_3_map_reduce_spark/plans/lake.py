@@ -1569,3 +1569,101 @@ def q_vt_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(files_total).cast("int").alias("files_total"),
         )
     )
+
+
+@register(
+    "q_vt_branch",
+    oracle="""
+        WITH n AS (
+            SELECT COUNT(*) AS all_n,
+                   COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+                   COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+                   COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+            FROM orders
+        )
+        SELECT s.snapshot, s.n_rows, s.merge_blocked FROM n, LATERAL (
+            VALUES
+                ('1_main_v0',            n.all_n,                 0),
+                ('2_branch_head',        n.all_n + n.n_o,         0),
+                ('3_main_v0_after_fork', n.all_n,                 0),
+                ('4_main_after_ff',      n.all_n + n.n_o,         0),
+                ('5_main_v0_travel',     n.all_n,                 0),
+                ('6_main_v2',            n.all_n + n.n_o + n.n_f, 0),
+                ('7_branch2_head',       n.all_n + n.n_o + n.n_p, 1)
+        ) s(snapshot, n_rows, merge_blocked)
+    """,
+    doc="Zero-copy BRANCHES on the versioned table (sources/"
+    "versioned.py vt_branch / vt_branch_append / vt_read_branch / "
+    "vt_merge_branch — Iceberg refs / Nessie branch semantics on the "
+    "same manifest mechanics): fork 'exp' at v0 (branch v0 = a copy "
+    "of the manifest, file references only, zero data movement), "
+    "append the O-status orders ON the branch, and prove two-way "
+    "isolation (main still reads v0's rows; the branch sees its "
+    "append) before FAST-FORWARD merging — which publishes the "
+    "branch head as main v1 by committing one JSON (the branch's "
+    "files already live under the shared data root). Then the "
+    "failure path, in-band: fork 'exp2' at v1, advance MAIN past the "
+    "fork point, append P-orders on the branch — vt_merge_branch now "
+    "refuses (diverged: merging would drop main's commit) and the "
+    "query records merge_blocked=1 with the branch head intact. The "
+    "oracle re-derives every snapshot count from orders status "
+    "arithmetic. At 100 TB: branch = one manifest write regardless "
+    "of table size — the what-if / staging-environment primitive "
+    "(run a cleaning experiment on a branch, merge if it validates, "
+    "drop it if not).",
+)
+def q_vt_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.versioned import (
+        vt_append,
+        vt_branch,
+        vt_branch_append,
+        vt_merge_branch,
+        vt_read,
+        vt_read_branch,
+        vt_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o_rows = orders.where(F.col("o_orderstatus") == "O")
+    f_rows = orders.where(F.col("o_orderstatus") == "F")
+    p_rows = orders.where(F.col("o_orderstatus") == "P")
+    path = tempfile.mkdtemp(prefix="osx3_vtbr_") + "/orders"
+    vt_write(orders, path, "o_custkey", nbuckets=8)
+
+    def snap(name: str, df: DataFrame, blocked: int = 0) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("snapshot"),
+            "n_rows",
+            F.lit(blocked).cast("int").alias("merge_blocked"),
+        )
+
+    parts = []
+    vt_branch(path, "exp")  # fork at v0
+    vt_branch_append(o_rows, path, "exp")
+    parts.append(snap("1_main_v0", vt_read(spark, path)))
+    parts.append(snap("2_branch_head", vt_read_branch(spark, path, "exp")))
+    parts.append(snap("3_main_v0_after_fork", vt_read(spark, path, 0)))
+    v1 = vt_merge_branch(spark, path, "exp")  # fast-forward: main at fork
+    parts.append(snap("4_main_after_ff", vt_read(spark, path, v1)))
+    parts.append(snap("5_main_v0_travel", vt_read(spark, path, 0)))
+    # divergence path: fork, then advance MAIN past the fork point
+    vt_branch(path, "exp2", version=v1)
+    vt_append(f_rows, path)  # main v2
+    vt_branch_append(p_rows, path, "exp2")
+    parts.append(snap("6_main_v2", vt_read(spark, path)))
+    blocked = 0
+    try:
+        vt_merge_branch(spark, path, "exp2")
+    except ValueError:
+        blocked = 1
+    parts.append(
+        snap("7_branch2_head", vt_read_branch(spark, path, "exp2"), blocked)
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -750,3 +750,168 @@ def vt_scan(
     out._osx3_files_scanned = len(entries)  # type: ignore[attr-defined]
     out._osx3_files_total = len(man["files"])  # type: ignore[attr-defined]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Branches: zero-copy forks of the version chain (Iceberg refs / Nessie
+# branch semantics, reduced to the same manifest mechanics)
+# ---------------------------------------------------------------------------
+
+_BRANCHES = "_branches"
+
+
+def _branch_manifest_file(path: str, name: str, bversion: int) -> str:
+    return f"{path}/{_BRANCHES}/{name}/v{bversion:06d}.json"
+
+
+def vt_branch_versions(path: str, name: str) -> list[int]:
+    return sorted(
+        int(os.path.basename(m)[1:7])
+        for m in glob.glob(f"{path}/{_BRANCHES}/{name}/v*.json")
+    )
+
+
+def vt_branch_current(path: str, name: str) -> int | None:
+    vs = vt_branch_versions(path, name)
+    return vs[-1] if vs else None
+
+
+def _commit_to(final: str, manifest: dict) -> None:
+    """The :func:`_commit` discipline (temp file + atomic rename,
+    refuse to clobber) against an explicit manifest path — shared by
+    main-chain and branch commits."""
+    if os.path.exists(final):
+        raise FileExistsError(
+            f"manifest {final} already committed — rebase on the "
+            "current version and retry"
+        )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.rename(tmp, final)
+
+
+def vt_branch(path: str, name: str, version: int | None = None) -> int:
+    """Create branch ``name`` at main ``version`` (default current) —
+    a ZERO-COPY fork: branch v0 is a copy of the main manifest (file
+    references only; not one data byte moves), exactly the Iceberg
+    ref / Delta shallow-clone shape. Branch commits stage data under
+    the shared ``data/`` root but their manifests live under
+    ``_branches/{name}/``, a separate chain the main-chain version
+    counter never sees — isolation by construction, both ways.
+    The fork point is recorded as ``base_version`` (what
+    :func:`vt_merge_branch` fast-forward checks against). Returns the
+    branch version (0)."""
+    v = vt_current_version(path) if version is None else version
+    if v is None or not os.path.exists(_manifest_file(path, v)):
+        raise FileNotFoundError(f"no version {version} at {path}")
+    if vt_branch_current(path, name) is not None:
+        raise FileExistsError(f"branch {name} already exists at {path}")
+    man = dict(_read_manifest(path, v))
+    man.update(
+        {
+            "op": "branch",
+            "branch": name,
+            "base_version": v,
+            "bversion": 0,
+            "parent": None,
+            "version": None,
+        }
+    )
+    _commit_to(_branch_manifest_file(path, name, 0), man)
+    return 0
+
+
+def vt_read_branch(
+    spark: SparkSession, path: str, name: str, bversion: int | None = None
+) -> DataFrame:
+    """Snapshot read of a branch (manifest entries resolve against the
+    shared table root; position deletes apply as on main)."""
+    bv = vt_branch_current(path, name) if bversion is None else bversion
+    if bv is None or not os.path.exists(
+        _branch_manifest_file(path, name, bv)
+    ):
+        raise FileNotFoundError(f"no branch {name} v{bversion} at {path}")
+    with open(_branch_manifest_file(path, name, bv)) as fh:
+        man = json.load(fh)
+    return _snapshot(spark, path, man)
+
+
+def vt_branch_append(
+    df: DataFrame, path: str, name: str, tag: str | None = None
+) -> int:
+    """Append-only commit ON the branch: same mechanics as
+    :func:`vt_append`, but files stage under ``data/b_{name}_c{K}/``
+    and the manifest commits to the branch chain — main's version
+    counter and manifests are untouched (writer isolation), and main
+    commits never appear on the branch (reader isolation)."""
+    bv = vt_branch_current(path, name)
+    if bv is None:
+        raise FileNotFoundError(f"no branch {name} at {path}")
+    with open(_branch_manifest_file(path, name, bv)) as fh:
+        man = json.load(fh)
+    b = df.withColumn(
+        "bucket",
+        F.pmod(F.col(man["bucket_key"]), F.lit(man["nbuckets"])).cast("int"),
+    )
+    nbv = bv + 1
+    new_files = _stage_files(
+        b,
+        path,
+        f"b_{name}_c{nbv}",
+        man["nbuckets"],
+        man.get("stats_cols") or None,
+    )
+    new_man = dict(man)
+    new_man.update(
+        {
+            "op": "branch_append",
+            "tag": tag,
+            "bversion": nbv,
+            "parent": bv,
+            "files": man["files"] + new_files,
+            "files_rewritten": 0,
+            "files_carried": len(man["files"]),
+        }
+    )
+    _commit_to(_branch_manifest_file(path, name, nbv), new_man)
+    return nbv
+
+
+def vt_merge_branch(spark: SparkSession, path: str, name: str) -> int:
+    """FAST-FORWARD merge: publish the branch head as main's next
+    version. Legal only when main still sits at the branch's fork
+    point (``base_version``) — the branch head's manifest then IS the
+    correct next main snapshot (its files already live under the
+    shared data root; the merge commits one JSON, no data moves).
+    If main advanced since the fork, raises ValueError: the branch
+    must rebase (re-fork + replay) first — the Nessie/Git contract;
+    silently merging diverged manifests would drop main's commits.
+    Returns the new main version. ``spark`` is unused today (no data
+    is read) but kept for signature parity with the other verbs and
+    for a future validating merge."""
+    bv = vt_branch_current(path, name)
+    if bv is None:
+        raise FileNotFoundError(f"no branch {name} at {path}")
+    with open(_branch_manifest_file(path, name, bv)) as fh:
+        man = json.load(fh)
+    cur = vt_current_version(path)
+    if cur != man["base_version"]:
+        raise ValueError(
+            f"branch {name} forked at v{man['base_version']} but main is "
+            f"at v{cur} — diverged; rebase the branch before merging"
+        )
+    new_version = cur + 1
+    merged = dict(man)
+    merged.update(
+        {
+            "op": "merge_branch",
+            "merged_branch": name,
+            "version": new_version,
+            "parent": cur,
+            "bversion": None,
+        }
+    )
+    _commit(path, new_version, merged)
+    return new_version

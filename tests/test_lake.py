@@ -38,3 +38,85 @@ def test_profile_approx_plan_has_no_expand(spark):
     docs = load_table(spark, SF_CORRECT, "documents")
     plan = explain_str(profile(docs, list(_PROFILE_COLS), approx=True))
     assert "Expand" not in plan, plan
+
+
+class TestVersionedBranch:
+    """sources/versioned.py branches: zero-copy fork, two-way
+    isolation, fast-forward merge, diverged-merge refusal."""
+
+    def test_branch_lifecycle(self, spark, tmp_path):
+        import glob as g
+
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_append,
+            vt_branch,
+            vt_branch_append,
+            vt_current_version,
+            vt_merge_branch,
+            vt_read,
+            vt_read_branch,
+            vt_write,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        path = str(tmp_path / "t")
+        vt_write(df, path, "k", nbuckets=4)
+        files_before = set(g.glob(f"{path}/data/**/*.parquet", recursive=True))
+
+        # zero-copy fork: no new data files
+        vt_branch(path, "exp")
+        assert (
+            set(g.glob(f"{path}/data/**/*.parquet", recursive=True))
+            == files_before
+        )
+        import pytest
+
+        with pytest.raises(FileExistsError):
+            vt_branch(path, "exp")  # double create refused
+
+        # branch append: invisible on main, visible on branch
+        delta = spark.range(100, 120).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        vt_branch_append(delta, path, "exp")
+        assert vt_read(spark, path).count() == 100
+        assert vt_read_branch(spark, path, "exp").count() == 120
+        assert vt_current_version(path) == 0  # main chain untouched
+
+        # main append: invisible on the branch (two-way isolation)...
+        # but it diverges main, so fork2 tests that path; here merge
+        # first while main still sits at the fork point
+        v1 = vt_merge_branch(spark, path, "exp")
+        assert v1 == 1
+        main_rows = sorted(
+            (r.k, r.v) for r in vt_read(spark, path, v1).collect()
+        )
+        br_rows = sorted(
+            (r.k, r.v) for r in vt_read_branch(spark, path, "exp").collect()
+        )
+        assert main_rows == br_rows and len(main_rows) == 120
+        assert vt_read(spark, path, 0).count() == 100  # time travel
+
+        # diverged merge refused, branch intact
+        vt_branch(path, "exp2", version=v1)
+        vt_append(
+            spark.range(200, 210).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            path,
+        )
+        vt_branch_append(
+            spark.range(300, 305).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            path,
+            "exp2",
+        )
+        with pytest.raises(ValueError, match="diverged"):
+            vt_merge_branch(spark, path, "exp2")
+        assert vt_read_branch(spark, path, "exp2").count() == 125
+        assert vt_read(spark, path).count() == 130
