@@ -136,6 +136,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_matching",
     "q_hybrid_rrf",
     "q_vt_branch",
+    "q_unigram_encode",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -4546,6 +4546,87 @@ def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_unigram_encode",
+    # Pinned-expectation exact oracle (the q_bpe_encode pattern): the
+    # training trajectory is partitioning-invariant (q_unigram_vocab's
+    # pin evidence) and the Viterbi encode of a fixed corpus under a
+    # fixed model is a pure function with the explicit
+    # longer-final-piece tie rule, so the top token table is a
+    # per-scale constant — measured identical under shuffle.partitions
+    # 32/7/13 at every scale before pinning (tools/pin_scales.py).
+    oracle="""
+        SELECT t AS token, CAST(c AS BIGINT) AS cnt,
+               CAST(r AS INTEGER) AS rank
+        FROM (VALUES
+            (1500, 'agg', 953, 7),    (1500, 'column', 978, 2),
+            (1500, 'key', 945, 10),   (1500, 'line', 946, 9),
+            (1500, 'order', 975, 4),  (1500, 'part', 963, 6),
+            (1500, 'scan', 984, 1),   (1500, 'sort', 974, 5),
+            (1500, 'value', 950, 8),  (1500, 'window', 976, 3),
+            (15000, 'batch', 937, 4), (15000, 'column', 934, 6),
+            (15000, 'custom', 934, 7),(15000, 'er', 934, 8),
+            (15000, 'filter', 933, 9),(15000, 'hash', 947, 2),
+            (15000, 'join', 964, 1),  (15000, 'row', 943, 3),
+            (15000, 'scan', 936, 5),  (15000, 'small', 928, 10),
+            (150000, 'column', 9127, 5),(150000, 'data', 9104, 9),
+            (150000, 'merge', 9157, 3), (150000, 'small', 9100, 10),
+            (150000, 'spark', 9182, 1), (150000, 'stream', 9117, 7),
+            (150000, 'table', 9144, 4), (150000, 'value', 9112, 8),
+            (150000, 'vector', 9119, 6),(150000, 'window', 9159, 2)
+        ) v(sf, t, c, r)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="Unigram-LM ENCODE — the apply side of the learned-tokenizer "
+    "pair (q_unigram_vocab trains the model, this runs it over the "
+    "corpus), completing the tokenizer story for BOTH mainstream "
+    "constructions (BPE: q_bpe_merges -> q_bpe_encode; unigram: "
+    "q_unigram_vocab -> this). The trained 256-piece model is "
+    "broadcast into one Arrow-batched Viterbi DP over the "
+    "DISTINCT-word relation (operators/unigram_lm.py "
+    "viterbi_counts — encoding IS one E-step under the frozen final "
+    "model), piece counts weight by word frequency and map-side "
+    "combine, top-10 multi-char tokens by corpus count. The corpus "
+    "is scanned once for the word histogram; encode cost is "
+    "vocab x distinct-words — the tokenize-and-count shape a "
+    "pretraining pipeline runs to budget tokens with the REAL "
+    "tokenizer rather than a regex proxy.",
+)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram_lm import (
+        _logprobs,
+        unigram_train,
+        viterbi_counts,
+        word_histogram,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        vocab = unigram_train(docs, iters=2, seed_max=512, keep=256)
+        logp = _logprobs(vocab)
+        max_len = int(vocab["piece"].str.len().max())
+        hist = word_histogram(docs)
+        counts = viterbi_counts(hist, logp, max_len)
+        out = (
+            counts.where(F.length("piece") >= 2)
+            .orderBy(F.desc("count"), F.asc("piece"))
+            .limit(10)
+            .select(
+                F.col("piece").alias("token"),
+                F.col("count").alias("cnt"),
+                F.row_number()
+                .over(Window.orderBy(F.desc("count"), F.asc("piece")))
+                .cast("int")
+                .alias("rank"),
+            )
+        )
+        out = out.persist()
+        out.count()
+        return out
+
+    return _cached_df(spark, ("unigram_encode", sf_dir), build)
+
+
 # ---------------------------------------------------------------------------
 # q_compress_quality — compression ratio as a corpus quality signal
 # ---------------------------------------------------------------------------

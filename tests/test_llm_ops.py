@@ -2950,3 +2950,36 @@ class TestNSWGraphANN:
             emb.where(F.col("vec_id") < 0), path, cents, k_graph=8
         ) == []
         assert listing() == after
+
+
+class TestUnigramEncode:
+    """q_unigram_encode: the frozen-model encode pass conserves
+    characters — sum(count x piece_len) over the emitted piece counts
+    equals the corpus's total word characters (every char lands in
+    exactly one piece of exactly one segmentation)."""
+
+    def test_encode_conserves_chars(self, spark):
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.operators.unigram_lm import (
+            _logprobs,
+            unigram_train,
+            viterbi_counts,
+            word_histogram,
+        )
+        from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        vocab = unigram_train(docs, iters=2, seed_max=512, keep=256)
+        logp = _logprobs(vocab)
+        max_len = int(vocab["piece"].str.len().max())
+        hist = word_histogram(docs).persist()
+        counts = viterbi_counts(hist, logp, max_len)
+        encoded_chars = counts.select(
+            F.sum(F.col("count") * F.length("piece")).alias("s")
+        ).first()["s"]
+        corpus_chars = hist.select(
+            F.sum(F.col("freq") * F.length("w")).alias("s")
+        ).first()["s"]
+        assert encoded_chars == corpus_chars
+        hist.unpersist()
