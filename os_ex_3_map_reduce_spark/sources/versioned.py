@@ -413,8 +413,14 @@ def vt_vacuum(path: str, keep_last: int = 2) -> dict:
     reader can no longer resolve the dropped versions), then the
     orphaned files — a crash between the two leaves unreferenced
     files (re-vacuumable garbage), never a readable version with
-    missing files. Returns {versions_dropped, files_deleted,
-    files_kept}."""
+    missing files. BRANCHES ARE GC ROOTS: every manifest under
+    ``_branches/`` keeps its files alive regardless of main's
+    retention window — a branch forked at a long-vacuumed main
+    version must stay readable until the branch itself is deleted
+    (the Iceberg expire-snapshots ref-retention rule; without this,
+    vacuuming main after a fork would tear files out from under the
+    branch — regression-tested). Returns {versions_dropped,
+    files_deleted, files_kept}."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -429,13 +435,23 @@ def vt_vacuum(path: str, keep_last: int = 2) -> dict:
         }
 
     referenced = set().union(*(_refs(v) for v in keep))
-    dropped_refs = set().union(*(_refs(v) for v in drop)) if drop else set()
+    for bman in glob.glob(f"{path}/{_BRANCHES}/*/v*.json"):
+        with open(bman) as fh:
+            m = json.load(fh)
+        referenced |= {e["path"] for e in m["files"]} | {
+            e["path"] for e in m.get("delete_files", [])
+        }
     for v in drop:
         os.remove(_manifest_file(path, v))
+    # full orphan sweep (not just the dropped manifests' refs): every
+    # data/delete file no surviving manifest references is garbage —
+    # this is what reclaims a DELETED branch's files and any crash
+    # debris from interrupted commits
     deleted = 0
-    for rel in sorted(dropped_refs - referenced):
-        f = f"{path}/{rel}"
-        if os.path.exists(f):
+    on_disk = glob.glob(f"{path}/data/**/*.parquet", recursive=True)
+    on_disk += glob.glob(f"{path}/deletes/**/*.parquet", recursive=True)
+    for f in sorted(on_disk):
+        if os.path.relpath(f, path) not in referenced:
             os.remove(f)
             deleted += 1
     return {

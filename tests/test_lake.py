@@ -120,3 +120,45 @@ class TestVersionedBranch:
             vt_merge_branch(spark, path, "exp2")
         assert vt_read_branch(spark, path, "exp2").count() == 125
         assert vt_read(spark, path).count() == 130
+
+    def test_vacuum_treats_branches_as_gc_roots(self, spark, tmp_path):
+        """vt_vacuum must not collect files a live branch references:
+        fork at v0, advance main past the retention window, vacuum —
+        the branch still reads; delete the branch dir, re-vacuum —
+        the fork's files are reclaimed."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_append,
+            vt_branch,
+            vt_read_branch,
+            vt_vacuum,
+            vt_write,
+        )
+
+        def rows(a, b):
+            return spark.range(a, b).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+            )
+
+        path = str(tmp_path / "t")
+        vt_write(rows(0, 50), path, "k", nbuckets=4)
+        vt_branch(path, "exp")
+        # CoW delete of EVERY v0 row on main: the new main manifest
+        # references NONE of the fork's files — only the branch keeps
+        # them alive through the vacuum
+        from os_ex_3_map_reduce_spark.sources.versioned import vt_delete
+
+        vt_delete(spark, path, "k < 50")
+        vt_append(rows(50, 60), path)
+        r1 = vt_vacuum(path, keep_last=1)
+        assert r1["versions_dropped"] == 2
+        # without branch GC roots these 50 rows' files would be gone
+        assert vt_read_branch(spark, path, "exp").count() == 50
+        # branch deleted -> its files become garbage -> reclaimed
+        shutil.rmtree(f"{path}/_branches/exp")
+        r2 = vt_vacuum(path, keep_last=1)
+        assert r2["files_deleted"] > 0
+        assert r2["files_kept"] < r1["files_kept"]

@@ -1202,6 +1202,113 @@ def bench_round11f(spark, scaled: str) -> None:
         )
 
 
+def bench_round11g(spark, scaled: str) -> None:
+    """10x draws for the fifth round-11 continuation batch: BM25 /
+    hybrid RRF / unigram encode run as catalog queries against the
+    staged 10x documents (disjoint per-copy token suffixes multiply
+    the vocabulary and the postings); maximal matching runs on 10
+    disjoint bipartite copies (rounds constant, per-round work scales
+    with E); the versioned-table branch draw holds the BRANCH DELTA
+    constant while the table grows 10x — branch + FF merge commit
+    manifests, not data, so the flat line IS the zero-copy claim."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.operators.graph import (
+        maximal_matching_eager,
+    )
+    from os_ex_3_map_reduce_spark.plans.graph_queries import (
+        _bipartite_edges,
+    )
+    from os_ex_3_map_reduce_spark.plans.llm import _DF_CACHE
+    from os_ex_3_map_reduce_spark.sources.versioned import (
+        vt_branch,
+        vt_branch_append,
+        vt_merge_branch,
+        vt_write,
+    )
+
+    qs = all_queries()
+    res: dict[str, dict[str, float]] = {}
+
+    def rec(q: str, label: str, sec: float) -> None:
+        res.setdefault(q, {})[label] = round(sec, 3)
+
+    for name in ("q_bm25_topk", "q_hybrid_rrf", "q_unigram_encode"):
+        for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+            _materialize(qs[name](spark, path))
+            if name == "q_unigram_encode":
+                _DF_CACHE.clear()  # _cached_df would serve the memo
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, path))
+            rec(name, label, time.perf_counter() - t0)
+
+    copies = F.broadcast(
+        spark.range(COPIES).select(F.col("id").alias("copy"))
+    )
+    e1 = _bipartite_edges(spark, BASE_SF).persist()
+    e1.count()
+    e10 = (
+        e1.crossJoin(copies)
+        .select(
+            F.concat("src", F.lit("_"), F.col("copy")).alias("src"),
+            F.concat("dst", F.lit("_"), F.col("copy")).alias("dst"),
+        )
+        .persist()
+    )
+    e10.count()
+    for label, e in (("base", e1), (f"x{COPIES}", e10)):
+        t0 = time.perf_counter()
+        maximal_matching_eager(e)
+        rec("maximal_matching", label, time.perf_counter() - t0)
+    e1.unpersist(); e10.unpersist()
+
+    # branch + FF merge with a CONSTANT delta on a 10x table
+    orders1 = (
+        spark.read.parquet(f"{BASE_SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .persist()
+    )
+    orders10 = (
+        orders1.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") + F.col("copy") * 10_000_000_000).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("copy") * 10_000_000).alias(
+                "o_custkey"
+            ),
+            "o_totalprice",
+        )
+        .persist()
+    )
+    orders1.count(); orders10.count()
+    delta = orders1.limit(1000).persist()
+    delta.count()
+    for label, o in (("base", orders1), (f"x{COPIES}", orders10)):
+        path = tempfile.mkdtemp(prefix="osx3_b11g_") + "/t"
+        vt_write(o, path, "o_custkey", nbuckets=8)
+        t0 = time.perf_counter()
+        vt_branch(path, "exp")
+        vt_branch_append(delta, path, "exp")
+        vt_merge_branch(spark, path, "exp")
+        rec("vt_branch_const_delta", label, time.perf_counter() - t0)
+    orders1.unpersist(); orders10.unpersist(); delta.unpersist()
+
+    for q, d in res.items():
+        base_s, big_s = d["base"], d[f"x{COPIES}"]
+        print(
+            json.dumps(
+                {
+                    "query": q,
+                    "base_sec": base_s,
+                    f"x{COPIES}_sec": big_s,
+                    "ratio": round(big_s / base_s, 2) if base_s else None,
+                }
+            ),
+            flush=True,
+        )
+
+
 def bench_skew(spark, scaled: str) -> None:
     """Skew-stress draw: the salted-join primitive and AQE's skew-join
     split, measured against the naive plan at a genuinely hot key.
@@ -1550,6 +1657,7 @@ def main() -> None:
     bench_round11d(spark, scaled)
     bench_round11e(spark, scaled)
     bench_round11f(spark, scaled)
+    bench_round11g(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
