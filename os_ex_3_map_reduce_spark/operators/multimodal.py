@@ -429,6 +429,56 @@ def binaryfile_image_stats(spark, path: str) -> DataFrame:
     )
 
 
+def augment_images(
+    df: DataFrame, height: int = 8, width: int = 6, crop: int = 4,
+    brightness: int = 17,
+) -> DataFrame:
+    """Deterministic image AUGMENTATION stage (E5): the three standard
+    training-data transforms — horizontal flip, center crop, additive
+    brightness with uint8 saturation — run as real numpy tensor ops
+    over the real BMP encode→decode roundtrip (the
+    ``bmp_image_features`` synthesis: pixel =
+    (doc_id*7 + x*3 + y*5 + c*11) mod 256, so every augmented pixel is
+    reproducible by pure arithmetic and the oracle re-derives the
+    whole pipeline including the saturation clip). Emits per doc the
+    augmented tensor's exact integer pixel sum and its saturated-pixel
+    count — the evidence pair: the sum catches any geometry mistake
+    (flip axis, crop offset), the clip count catches the saturation
+    rule. Arrow-batched; at scale the decode input arrives from the
+    media lake and the same kernel runs unchanged."""
+    from ..functions.codecs import decode_bmp, encode_bmp
+
+    r0 = (height - crop) // 2
+    c0 = (width - crop) // 2
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        x = np.arange(height)[:, None, None]
+        y = np.arange(width)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                img = (
+                    (int(doc_id) * 7 + x * 3 + y * 5 + c * 11) % 256
+                ).astype(np.uint8)
+                decoded = decode_bmp(encode_bmp(img))
+                aug = decoded[:, ::-1, :]  # horizontal flip
+                aug = aug[r0 : r0 + crop, c0 : c0 + crop, :]  # center crop
+                lifted = aug.astype(np.int64) + brightness
+                n_sat = int((lifted > 255).sum())
+                aug = np.minimum(lifted, 255)  # saturating brightness
+                rows.append(
+                    (int(doc_id), int(aug.sum(dtype=np.int64)), n_sat)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sum_aug", "n_saturated"]
+            )
+
+    return df.select("doc_id").mapInPandas(
+        batch, schema="doc_id long, sum_aug long, n_saturated long"
+    )
+
+
 def image_dhash(
     df: DataFrame, height: int = 4, width: int = 4
 ) -> DataFrame:

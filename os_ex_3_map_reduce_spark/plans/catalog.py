@@ -137,6 +137,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_hybrid_rrf",
     "q_vt_branch",
     "q_unigram_encode",
+    "q_image_augment",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -4547,6 +4547,51 @@ def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_image_augment",
+    # Exact recomputing oracle: the synthesized pixel formula, the
+    # flip/crop geometry (aug[i,j,c] = P[i+2, 4-j, c] for 8x6 -> flip
+    # -> center 4x4), and the saturating +17 are all integer
+    # arithmetic the SQL re-derives per (doc, i, j, c) — any BMP
+    # stride/channel bug or geometry mistake desynchronizes the sum.
+    oracle="""
+        WITH g AS (
+            SELECT d.doc_id, i.i, j.j, ch.c,
+                   ((d.doc_id * 7 + (i.i + 2) * 3 + (4 - j.j) * 5
+                     + ch.c * 11) % 256) AS p
+            FROM documents d,
+                 (SELECT unnest(generate_series(0, 3)) AS i) i,
+                 (SELECT unnest(generate_series(0, 3)) AS j) j,
+                 (SELECT unnest(generate_series(0, 2)) AS c) ch
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(SUM(least(p + 17, 255)) AS BIGINT) AS sum_aug,
+               CAST(COUNT(*) FILTER (p + 17 > 255) AS BIGINT)
+                   AS n_saturated
+        FROM g GROUP BY doc_id
+    """,
+    doc="Image AUGMENTATION pipeline stage (E5) — the three standard "
+    "training-data transforms (horizontal flip, center crop 8x6 -> "
+    "4x4, additive brightness +17 with uint8 saturation) as real "
+    "numpy tensor ops over the real BMP encode->decode roundtrip "
+    "(operators/multimodal.py augment_images). Per doc the augmented "
+    "tensor's exact pixel sum (catches any flip-axis/crop-offset/"
+    "stride/channel-order bug) and saturated-pixel count (catches "
+    "the clip rule) — both pure integer arithmetic the oracle "
+    "re-derives end-to-end. Arrow-batched kernel, no shuffle (one "
+    "mapInPandas over the doc relation); at 100 TB the decode input "
+    "arrives from the media lake via binaryFile (q_binaryfile_ingest "
+    "is the ingest half) and this same kernel augments next to the "
+    "data — the augment-on-read shape that avoids materializing a "
+    "second copy of the lake.",
+)
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import augment_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return augment_images(docs, height=8, width=6, crop=4, brightness=17)
+
+
+@register(
     "q_unigram_encode",
     # Pinned-expectation exact oracle (the q_bpe_encode pattern): the
     # training trajectory is partitioning-invariant (q_unigram_vocab's
