@@ -1394,6 +1394,7 @@ def maximal_matching(
     dst: str = "dst",
     max_rounds: int = 20,
     shuffle_partitions: int | None = 8,
+    weight: str | None = None,
 ) -> DataFrame:
     """Deterministic EDGE-priority MAXIMAL MATCHING — the FOURTEENTH
     iterative graph pattern: maximal matching is exactly a maximal
@@ -1421,7 +1422,16 @@ def maximal_matching(
     conflict-free resource pairing). Per round: one double semi-join
     (alive-induced subgraph), one min-struct aggregate per endpoint,
     one slim equality join (is this edge its endpoints' minimum?).
-    Returns (a, b, match_round) with a < b."""
+    Returns (a, b, match_round) with a < b.
+
+    ``weight``: name of an edge weight column — priorities become
+    (-weight, lo, hi) instead of the hash, turning the algorithm into
+    GREEDY MAXIMUM-WEIGHT-FIRST matching (each round matches every
+    edge that is the heaviest alive edge at both endpoints —
+    round-parallel greedy, equal to sequential greedy by descending
+    weight, the classic 1/2-approximation of max-weight matching).
+    The (lo, hi) tiebreak keeps the order total, so determinism is
+    unchanged."""
     from .sketch import portable_hash60
 
     spark = edges.sparkSession
@@ -1432,20 +1442,27 @@ def maximal_matching(
             str(min(int(before), shuffle_partitions)),
         )
     try:
-        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
-            F.col("a") != F.col("b")
+        cols = [F.col(src).alias("a"), F.col(dst).alias("b")]
+        if weight is not None:
+            cols.append(F.col(weight).cast("double").alias("w"))
+        und = edges.select(*cols).where(F.col("a") != F.col("b"))
+        rev = [F.col("b").alias("a"), F.col("a").alias("b")] + (
+            ["w"] if weight is not None else []
         )
-        e = (
-            und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .distinct()
-            .withColumn("lo", F.least("a", "b"))
-            .withColumn("hi", F.greatest("a", "b"))
-            .withColumn(
+        e = und.union(und.select(*rev)).distinct()
+        e = e.withColumn("lo", F.least("a", "b")).withColumn(
+            "hi", F.greatest("a", "b")
+        )
+        if weight is not None:
+            # heaviest-first: min over (-w, lo, hi) = max weight with
+            # a total-order tiebreak
+            e = e.withColumn("eh", -F.col("w")).drop("w")
+        else:
+            e = e.withColumn(
                 "eh",
                 portable_hash60(F.concat("lo", F.lit("|"), "hi")),
             )
-            .persist()
-        )
+        e = e.persist()
         alive = e.select(F.col("a").alias("node")).distinct().persist()
         held = [e, alive]
         pair_parts: list[DataFrame] = []

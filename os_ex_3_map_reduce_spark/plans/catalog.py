@@ -138,6 +138,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_vt_branch",
     "q_unigram_encode",
     "q_image_augment",
+    "q_neardup_linkage",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1269,3 +1269,41 @@ def test_matching_is_matching_maximal_and_invariant(spark):
             ref.append((lo, hi))
             used |= {lo, hi}
     assert pairs == sorted(ref)
+
+
+def test_weighted_matching_equals_sequential_greedy(spark):
+    """maximal_matching(weight=...): round-parallel heaviest-first
+    matching equals sequential greedy by (weight desc, lo, hi) — the
+    classic 1/2-approximation — and stays a valid matching."""
+    from os_ex_3_map_reduce_spark.operators.graph import (
+        maximal_matching_eager,
+    )
+
+    # weights engineered so greedy must skip the middle edge:
+    # a-b (0.9), b-c (0.95), c-d (0.8), plus a triangle with ties
+    edges = [
+        ("a", "b", 0.9),
+        ("b", "c", 0.95),
+        ("c", "d", 0.8),
+        ("x", "y", 0.5),
+        ("y", "z", 0.5),
+        ("z", "x", 0.5),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, w double")
+    m = maximal_matching_eager(e, weight="w")
+    got = sorted((r.a, r.b) for r in m.collect())
+    # sequential greedy reference
+    used: set = set()
+    ref = []
+    for lo, hi, _w in sorted(
+        ((min(a, b), max(a, b), w) for a, b, w in edges),
+        key=lambda t: (-t[2], t[0], t[1]),
+    ):
+        if lo not in used and hi not in used:
+            ref.append((lo, hi))
+            used |= {lo, hi}
+    assert got == sorted(ref)
+    # b-c won over a-b; a-b's loss forced a and d to stay single
+    assert ("b", "c") in got and ("c", "d") not in got
+    flat = [x for p in got for x in p]
+    assert len(flat) == len(set(flat))
