@@ -139,6 +139,8 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_unigram_encode",
     "q_image_augment",
     "q_neardup_linkage",
+    "q_ann_matryoshka",
+    "q_gdpr_erasure",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1667,3 +1667,77 @@ def q_vt_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "q_gdpr_erasure",
+    oracle="""
+        WITH n AS (
+            SELECT COUNT(*) AS all_n,
+                   COUNT(*) FILTER (o_custkey = 1) AS user_n
+            FROM orders
+        )
+        SELECT s.step, s.value FROM n, LATERAL (
+            VALUES
+                ('1_rows_before',       n.all_n),
+                ('2_user_rows_before',  n.user_n),
+                ('3_rows_after',        n.all_n - n.user_n),
+                ('4_user_rows_after',   0),
+                ('5_user_rows_on_disk', 0),
+                ('6_versions_readable', 1)
+        ) s(step, value)
+    """,
+    doc="GDPR ERASURE with physical-purge proof (right to be "
+    "forgotten over the versioned table — the compliance workflow "
+    "every lakehouse format documents: DELETE alone is NOT erasure, "
+    "because CoW keeps the old files readable via time travel until "
+    "retention expires): copy-on-write delete of customer 1's rows "
+    "(rewrites only the buckets containing them), then vt_vacuum "
+    "keep_last=1 expires every pre-deletion snapshot and physically "
+    "removes the files containing the subject's rows. The evidence "
+    "is IN-BAND and bypasses the table layer: user_rows_on_disk "
+    "re-scans every parquet file left under data/ DIRECTLY (no "
+    "manifest mediation — a stale file a buggy vacuum left behind "
+    "would surface here), and versions_readable proves time travel "
+    "to the pre-erasure snapshot is gone. The oracle re-derives all "
+    "counts from orders. At 100 TB: erasure cost = CoW rewrite of "
+    "the subject's buckets + a metadata-only expire; the bucketed "
+    "layout keeps the rewrite set small for key-local predicates — "
+    "the reason the table buckets by the erasure key.",
+)
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.versioned import vt_delete, vt_read, vt_vacuum, vt_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="osx3_gdpr_") + "/orders"
+    vt_write(orders, path, "o_custkey", nbuckets=8)
+    n_before = vt_read(spark, path).count()
+    user_before = (
+        vt_read(spark, path).where(F.col("o_custkey") == 1).count()
+    )
+    vt_delete(spark, path, "o_custkey = 1")
+    vt_vacuum(path, keep_last=1)
+    after = vt_read(spark, path)
+    n_after = after.count()
+    user_after = after.where(F.col("o_custkey") == 1).count()
+    # physical proof: scan the remaining files DIRECTLY, no manifests
+    on_disk = (
+        spark.read.parquet(f"{path}/data/*/bucket=*")
+        .where(F.col("o_custkey") == 1)
+        .count()
+    )
+    from ..sources.versioned import _versions
+
+    rows = [
+        ("1_rows_before", int(n_before)),
+        ("2_user_rows_before", int(user_before)),
+        ("3_rows_after", int(n_after)),
+        ("4_user_rows_after", int(user_after)),
+        ("5_user_rows_on_disk", int(on_disk)),
+        ("6_versions_readable", len(_versions(path))),
+    ]
+    return spark.createDataFrame(rows, "step string, value long")

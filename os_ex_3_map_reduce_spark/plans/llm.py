@@ -56,6 +56,7 @@ from ..operators.similarity import (
     topk_to_query_batch,
     train_centroids_sample,
 )
+from ..functions.vectors import cosine_to_query
 from ..operators.similarity import (
     lsh_bucketed_topk,
     threshold_pairs,
@@ -727,6 +728,120 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     return topk_to_query(emb, [float(x) for x in query], k=10)
+
+
+@register(
+    "q_ann_matryoshka",
+    # Pure SQL oracle, no pins: both stages are exact arithmetic on
+    # table rows (prefix-slice cosine, then full cosine on the
+    # survivors), the same construction as q_similarity_topk's
+    # recomputing oracle. Rounded scores + vec_id tiebreaks keep the
+    # stage-1 cut and both rankings deterministic in both engines.
+    oracle="""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        c AS (
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       e.embedding[1:16]::DOUBLE[],
+                       q.embedding[1:16]::DOUBLE[]), 4) AS c16
+            FROM embeddings e, q
+        ),
+        cand AS (
+            SELECT vec_id FROM c ORDER BY c16 DESC, vec_id LIMIT 50
+        ),
+        ref AS (
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]),
+                         4) AS cosine
+            FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+        ),
+        top AS (
+            SELECT vec_id, cosine,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id)
+                       AS rank
+            FROM ref ORDER BY cosine DESC, vec_id LIMIT 5
+        ),
+        exact AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY c DESC, vec_id)
+                       AS exact_rank
+            FROM (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(
+                           e.embedding::DOUBLE[],
+                           q.embedding::DOUBLE[]), 4) AS c
+                FROM embeddings e, q
+            ) ORDER BY c DESC, vec_id LIMIT 5
+        )
+        SELECT CAST(t.vec_id AS BIGINT) AS vec_id,
+               CAST(t.cosine AS DOUBLE) AS cosine,
+               CAST(t.rank AS INTEGER) AS rank,
+               CAST(x.exact_rank AS INTEGER) AS exact_rank,
+               CAST((SELECT COUNT(*) FROM top JOIN exact USING (vec_id))
+                    / 5.0 AS DOUBLE) AS recall_at_5
+        FROM top t LEFT JOIN exact x USING (vec_id)
+    """,
+    doc="MATRYOSHKA retrieval (Kusupati et al. 2022 — MRL-truncated "
+    "embeddings, the memory/speed dial modern embedding models ship "
+    "with): stage 1 scores the corpus on only the FIRST 16 of 64 "
+    "dimensions (4x less arithmetic and, on a column-pruned prefix "
+    "layout, 4x less I/O — the whole point of matryoshka training: "
+    "prefixes are themselves valid embeddings) and keeps top-50; "
+    "stage 2 re-scores only the survivors at full dimension for the "
+    "final top-5. Rows carry exact_rank (NULL = honest miss) and "
+    "recall_at_5 vs the full-dimension exact search — the same "
+    "in-band recall evidence the rest of the ANN ladder carries. "
+    "Complements the quantization axis (SQ8/PQ compress all dims; "
+    "matryoshka drops dims) with the third production trade, and "
+    "composes with it (prefix-then-ADC). Both stages TakeOrdered, no "
+    "shuffle; pure recomputing oracle, no pins.",
+)
+def q_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    coarse = (
+        emb.select(
+            "vec_id",
+            F.round(
+                cosine_to_query(F.slice("embedding", 1, 16), qv[:16]), 4
+            ).alias("c16"),
+        )
+        .orderBy(F.desc("c16"), F.asc("vec_id"))
+        .limit(50)
+    )
+    refined = (
+        coarse.select("vec_id")
+        .join(emb, "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine_to_query("embedding", qv), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+            .cast("int"),
+        )
+    )
+    exact = topk_to_query(emb, qv, k=5).select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .cast("int")
+        .alias("exact_rank"),
+    )
+    return refined.join(exact, "vec_id", "left").withColumn(
+        "recall_at_5",
+        (F.count("exact_rank").over(Window.partitionBy()) / 5.0).cast(
+            "double"
+        ),
+    )
 
 
 @register(
