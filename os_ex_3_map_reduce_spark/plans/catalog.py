@@ -141,6 +141,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_neardup_linkage",
     "q_ann_matryoshka",
     "q_gdpr_erasure",
+    "q_vt_restore",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1741,3 +1741,78 @@ def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("6_versions_readable", len(_versions(path))),
     ]
     return spark.createDataFrame(rows, "step string, value long")
+
+
+@register(
+    "q_vt_restore",
+    oracle="""
+        WITH n AS (
+            SELECT COUNT(*) AS all_n,
+                   COUNT(*) FILTER (o_orderstatus = 'F') AS n_f
+            FROM orders
+        )
+        SELECT s.step, s.value FROM n, LATERAL (
+            VALUES
+                ('1_v0_rows',                  n.all_n),
+                ('2_after_bad_delete',         n.all_n - n.n_f),
+                ('3_after_restore',            n.all_n),
+                ('4_bad_version_still_readable', n.all_n - n.n_f),
+                ('5_restore_metadata_only',    1),
+                ('6_restore_past_vacuum_blocked', 1)
+        ) s(step, value)
+    """,
+    doc="RESTORE — time-travel rollback as a commit (Delta RESTORE "
+    "TABLE / Iceberg rollback; sources/versioned.py vt_restore): a "
+    "'bad' CoW delete lands as v1, and the rollback commits v0's "
+    "FILE LIST as v2 — metadata only, no data moves (proved in-band: "
+    "the restored manifest's file set is byte-equal to v0's), while "
+    "the bad version STAYS readable between restore point and "
+    "restore commit (what distinguishes RESTORE from a destructive "
+    "reset — the audit trail survives). The failure path is also "
+    "in-band: after vacuum expires v0's manifest, restoring to it "
+    "refuses (a restore can never resurrect purged data — the GDPR "
+    "interaction: q_gdpr_erasure's purge stays final). All counts "
+    "re-derived by the oracle from order-status arithmetic.",
+)
+def q_vt_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.versioned import (
+        _read_manifest,
+        vt_delete,
+        vt_read,
+        vt_restore,
+        vt_vacuum,
+        vt_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="osx3_vtres_") + "/orders"
+    vt_write(orders, path, "o_custkey", nbuckets=8)
+    n0 = vt_read(spark, path, 0).count()
+    vt_delete(spark, path, "o_orderstatus = 'F'")  # the "bad" commit
+    n1 = vt_read(spark, path, 1).count()
+    v2 = vt_restore(path, 0)
+    n2 = vt_read(spark, path, v2).count()
+    n1_again = vt_read(spark, path, 1).count()  # audit trail intact
+    same_files = int(
+        [e["path"] for e in _read_manifest(path, v2)["files"]]
+        == [e["path"] for e in _read_manifest(path, 0)["files"]]
+    )
+    vt_vacuum(path, keep_last=1)
+    blocked = 0
+    try:
+        vt_restore(path, 0)
+    except FileNotFoundError:
+        blocked = 1
+    rows = [
+        ("1_v0_rows", int(n0)),
+        ("2_after_bad_delete", int(n1)),
+        ("3_after_restore", int(n2)),
+        ("4_bad_version_still_readable", int(n1_again)),
+        ("5_restore_metadata_only", same_files),
+        ("6_restore_past_vacuum_blocked", blocked),
+    ]
+    return spark.createDataFrame(rows, "step string, value long")

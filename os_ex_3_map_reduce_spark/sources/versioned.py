@@ -931,3 +931,33 @@ def vt_merge_branch(spark: SparkSession, path: str, name: str) -> int:
     )
     _commit(path, new_version, merged)
     return new_version
+
+
+def vt_restore(path: str, version: int) -> int:
+    """RESTORE (Delta's RESTORE TABLE / Iceberg rollback): commit the
+    file list of an OLD version as the table's next version — a
+    metadata-only rollback (no data moves; the old files are still on
+    disk as long as retention hasn't vacuumed them). History is
+    preserved: the bad version stays readable between the restore
+    point and the restore commit, which is what distinguishes RESTORE
+    from a destructive reset. Raises if the target manifest is gone
+    (vacuumed past) — a restore can never resurrect purged data.
+    Returns the new version."""
+    if not os.path.exists(_manifest_file(path, version)):
+        raise FileNotFoundError(
+            f"cannot restore: version {version} not readable at {path} "
+            "(vacuumed past or never committed)"
+        )
+    cur = vt_current_version(path)
+    man = dict(_read_manifest(path, version))
+    new_version = cur + 1
+    man.update(
+        {
+            "version": new_version,
+            "parent": cur,
+            "op": "restore",
+            "restored_from": version,
+        }
+    )
+    _commit(path, new_version, man)
+    return new_version

@@ -987,3 +987,12 @@ def test_bm25_is_takeordered_with_broadcast_stats(spark, qs):
     assert "TakeOrdered" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_matryoshka_both_stages_takeordered(spark, qs):
+    """q_ann_matryoshka's scale contract: coarse prefix stage and
+    full-dim rerank are both TakeOrdered (never a global sort), and
+    nothing is cartesian — the 50-candidate rerank join stays tiny."""
+    plan = explain_str(qs["q_ann_matryoshka"](spark, SF), "simple")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan, plan

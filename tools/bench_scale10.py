@@ -1309,6 +1309,85 @@ def bench_round11g(spark, scaled: str) -> None:
         )
 
 
+def bench_round11h(spark, scaled: str) -> None:
+    """10x draws for the sixth round-11 continuation batch: image
+    augmentation (documents x10 — pure per-row kernel, no shuffle),
+    matryoshka retrieval (embeddings x10 — two TakeOrdered scans),
+    near-dup linkage (pair relation scales with the dup clusters the
+    staging replicates), and GDPR erasure with a CONSTANT subject on
+    a 10x table (CoW rewrite of the subject's buckets scales with
+    bucket bytes; the vacuum sweep with file count — neither with
+    table rows beyond the bucket)."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.plans.llm import _DF_CACHE
+    from os_ex_3_map_reduce_spark.sources.versioned import (
+        vt_delete,
+        vt_vacuum,
+        vt_write,
+    )
+
+    qs = all_queries()
+    res: dict[str, dict[str, float]] = {}
+
+    def rec(q: str, label: str, sec: float) -> None:
+        res.setdefault(q, {})[label] = round(sec, 3)
+
+    for name in ("q_image_augment", "q_ann_matryoshka", "q_neardup_linkage"):
+        for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+            _materialize(qs[name](spark, path))
+            if name == "q_neardup_linkage":
+                _DF_CACHE.clear()  # _cached_df would serve the memo
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, path))
+            rec(name, label, time.perf_counter() - t0)
+
+    copies = F.broadcast(
+        spark.range(COPIES).select(F.col("id").alias("copy"))
+    )
+    orders1 = (
+        spark.read.parquet(f"{BASE_SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .persist()
+    )
+    orders10 = (
+        orders1.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") + F.col("copy") * 10_000_000_000).alias(
+                "o_orderkey"
+            ),
+            # SAME custkeys at both scales: the erasure subject's
+            # rows grow 10x but stay in the same bucket
+            "o_custkey",
+            "o_totalprice",
+        )
+        .persist()
+    )
+    orders1.count(); orders10.count()
+    for label, o in (("base", orders1), (f"x{COPIES}", orders10)):
+        path = tempfile.mkdtemp(prefix="osx3_b11h_") + "/t"
+        vt_write(o, path, "o_custkey", nbuckets=8)
+        t0 = time.perf_counter()
+        vt_delete(spark, path, "o_custkey = 1")
+        vt_vacuum(path, keep_last=1)
+        rec("gdpr_erasure", label, time.perf_counter() - t0)
+    orders1.unpersist(); orders10.unpersist()
+
+    for q, d in res.items():
+        base_s, big_s = d["base"], d[f"x{COPIES}"]
+        print(
+            json.dumps(
+                {
+                    "query": q,
+                    "base_sec": base_s,
+                    f"x{COPIES}_sec": big_s,
+                    "ratio": round(big_s / base_s, 2) if base_s else None,
+                }
+            ),
+            flush=True,
+        )
+
+
 def bench_skew(spark, scaled: str) -> None:
     """Skew-stress draw: the salted-join primitive and AQE's skew-join
     split, measured against the naive plan at a genuinely hot key.
@@ -1658,6 +1737,7 @@ def main() -> None:
     bench_round11e(spark, scaled)
     bench_round11f(spark, scaled)
     bench_round11g(spark, scaled)
+    bench_round11h(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
