@@ -142,6 +142,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_matryoshka",
     "q_gdpr_erasure",
     "q_vt_restore",
+    "q_regional_volume",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -984,6 +984,69 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_regional_volume",
+    oracle=f"""
+        SELECT n_name,
+               CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): the 6-way join — "
+    "lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region — "
+    "with the LOCAL-supplier correlation (c_nationkey = s_nationkey, "
+    "a cross-dimension predicate the optimizer can only apply after "
+    "both join paths meet) and a region + order-date selection. The "
+    "optimizer showcase of the relational set: region/nation/"
+    "supplier/customer all broadcast, the date filter pushes into "
+    "the orders scan, and the fact table shuffles at most once for "
+    "the final nation aggregate — join ORDER is Catalyst's choice, "
+    "not hand-scheduled. Revenue in exact DECIMAL (the shared "
+    "_SQL_REV cents discipline) cast to double only at output.",
+)
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
     "q_above_nation_avg",
     oracle="""
         WITH nat AS (

@@ -996,3 +996,14 @@ def test_matryoshka_both_stages_takeordered(spark, qs):
     plan = explain_str(qs["q_ann_matryoshka"](spark, SF), "simple")
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_regional_volume_broadcasts_all_dims(spark, qs):
+    """q_regional_volume (TPC-H Q5 shape): every dimension side
+    broadcasts (5 BroadcastHashJoins at fixture scale — at warehouse
+    scale orders/lineitem meet in a sort-merge, but the fact table
+    must never cartesian or double-shuffle), and the plan has no
+    cartesian product."""
+    plan = explain_str(qs["q_regional_volume"](spark, SF), "simple")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
