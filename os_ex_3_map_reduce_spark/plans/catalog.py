@@ -143,6 +143,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_gdpr_erasure",
     "q_vt_restore",
     "q_regional_volume",
+    "q_kcenter_sample",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -844,6 +844,149 @@ def q_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    # the selected vector enters as a 1-row cross join, never a
+    # correlated scalar subquery — outer references do not resolve
+    # inside DuckDB list lambdas (the q_kmeans_assign oracle pattern)
+    dist = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (e.v[i] - s.v[i]) * (e.v[i] - s.v[i])))"
+    )
+    cte = [
+        f"""
+        WITH emb AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                AS v
+            FROM embeddings
+        ),
+        sel0 AS (SELECT vec_id, v FROM emb WHERE vec_id = 0),
+        d1 AS MATERIALIZED (
+            SELECT e.vec_id, {dist} AS mind
+            FROM emb e, sel0 s WHERE e.vec_id <> 0
+        )"""
+    ]
+    for r in range(1, _KCENTER_K):
+        cte.append(
+            f"""
+        pick{r} AS MATERIALIZED (
+            SELECT vec_id, mind FROM d{r}
+            ORDER BY mind DESC, vec_id LIMIT 1
+        ),
+        sel{r} AS (
+            SELECT e.vec_id, e.v FROM emb e
+            JOIN pick{r} p ON e.vec_id = p.vec_id
+        )"""
+        )
+        if r < _KCENTER_K - 1:
+            cte.append(
+                f"""
+        d{r + 1} AS MATERIALIZED (
+            SELECT d.vec_id, LEAST(d.mind, {dist}) AS mind
+            FROM d{r} d
+            JOIN emb e ON d.vec_id = e.vec_id
+            CROSS JOIN sel{r} s
+            WHERE d.vec_id <> (SELECT vec_id FROM pick{r})
+        )"""
+            )
+    selects = ["SELECT 0 AS rank, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS min_dist"]
+    selects += [
+        f"SELECT {r} AS rank, CAST(vec_id AS BIGINT) AS vec_id, "
+        f"CAST(mind AS BIGINT) AS min_dist FROM pick{r}"
+        for r in range(1, _KCENTER_K)
+    ]
+    return ",".join(cte) + "\n" + " UNION ALL ".join(selects)
+
+
+@register(
+    "q_kcenter_sample",
+    oracle=_kcenter_oracle(),
+    doc="K-CENTER coreset sampling (farthest-point traversal, the "
+    "Gonzalez 2-approximation of the k-center objective) — the "
+    "coverage-MAXIMIZING selection a curation pipeline uses to pick "
+    "maximally-diverse exemplars (the complement of q_semdedup, "
+    "which REMOVES the redundant): start from vec 0, then 7 rounds "
+    "of 'pick the point farthest from everything selected so far'. "
+    "Distances are exact int64 fixed-point squared-L2 (the "
+    "q_kmeans_assign 1e6 half-away quantization), selection "
+    "tiebreaks on vec_id, so the whole trajectory is deterministic "
+    "and the oracle replays it as an unrolled CTE chain — no pins "
+    "on an iterative selection. Per round: ONE Arrow scan computing "
+    "min-dist-to-selected (selected set broadcast, k <= 8 vectors) "
+    "+ a TakeOrdered(1) argmax; rows never shuffle. At 100 TB the "
+    "same k scans run with the selected set still a driver constant "
+    "— the curation-time cost is k corpus passes, the known price "
+    "of farthest-point (vs the k-means++ sampling trade).",
+)
+def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def _fixpoint(arr: "np.ndarray") -> "np.ndarray":
+        scaled = arr * 1e6
+        return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+            np.int64
+        )
+
+    seed = _fixpoint(
+        np.array(
+            emb.where(F.col("vec_id") == 0).first()["embedding"],
+            dtype=np.float64,
+        )
+    )
+    selected_vecs = [seed]
+    selected_ids = [0]
+    out_rows = [(0, 0, 0)]
+    for r in range(1, _KCENTER_K):
+        S = np.stack(selected_vecs)
+        s_sq = (S * S).sum(axis=1)
+        ids = list(selected_ids)
+
+        def kernel(batches):
+            for pdf in batches:
+                pts = _fixpoint(
+                    np.array(list(pdf["embedding"]), dtype=np.float64)
+                )
+                p_sq = (pts * pts).sum(axis=1)
+                dists = p_sq[:, None] + s_sq[None, :] - 2 * (pts @ S.T)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "mind": dists.min(axis=1),
+                    }
+                )
+
+        pick = (
+            emb.where(~F.col("vec_id").isin(ids))
+            .mapInPandas(kernel, "vec_id long, mind long")
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        out_rows.append((r, int(pick.vec_id), int(pick.mind)))
+        selected_ids.append(int(pick.vec_id))
+        selected_vecs.append(
+            _fixpoint(
+                np.array(
+                    emb.where(F.col("vec_id") == int(pick.vec_id)).first()[
+                        "embedding"
+                    ],
+                    dtype=np.float64,
+                )
+            )
+        )
+    return spark.createDataFrame(
+        out_rows, "rank int, vec_id long, min_dist long"
+    )
+
+
 @register(
     "q_kmeans_assign",
     oracle="""
