@@ -435,7 +435,11 @@ def vt_vacuum(path: str, keep_last: int = 2) -> dict:
         }
 
     referenced = set().union(*(_refs(v) for v in keep))
-    for bman in glob.glob(f"{path}/{_BRANCHES}/*/v*.json"):
+    # branch AND tag manifests are GC roots (Iceberg ref retention)
+    roots = glob.glob(f"{path}/{_BRANCHES}/*/v*.json") + glob.glob(
+        f"{path}/{_TAGS}/*.json"
+    )
+    for bman in roots:
         with open(bman) as fh:
             m = json.load(fh)
         referenced |= {e["path"] for e in m["files"]} | {
@@ -961,3 +965,47 @@ def vt_restore(path: str, version: int) -> int:
     )
     _commit(path, new_version, man)
     return new_version
+
+
+# ---------------------------------------------------------------------------
+# Tags: immutable named snapshots (Iceberg tags) — the "dataset version
+# this model trained on" pin
+# ---------------------------------------------------------------------------
+
+_TAGS = "_tags"
+
+
+def vt_tag(path: str, name: str, version: int | None = None) -> int:
+    """TAG a snapshot: store an immutable named copy of the manifest
+    under ``_tags/{name}.json`` (the Iceberg tag / released-dataset
+    pin). Like a branch fork it is zero-copy and a vacuum GC root —
+    the tagged snapshot's files survive main-chain retention until
+    the tag is dropped — but unlike a branch it accepts no commits:
+    a tag IS the reproducibility contract for 'the exact bytes model
+    X trained on'. Returns the tagged version."""
+    v = vt_current_version(path) if version is None else version
+    if v is None or not os.path.exists(_manifest_file(path, v)):
+        raise FileNotFoundError(f"no version {version} at {path}")
+    final = f"{path}/{_TAGS}/{name}.json"
+    man = dict(_read_manifest(path, v))
+    man.update({"op": "tag", "tag_name": name, "tagged_version": v})
+    _commit_to(final, man)
+    return v
+
+
+def vt_read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Snapshot read of a tag (position deletes apply as on main)."""
+    final = f"{path}/{_TAGS}/{name}.json"
+    if not os.path.exists(final):
+        raise FileNotFoundError(f"no tag {name} at {path}")
+    with open(final) as fh:
+        return _snapshot(spark, path, json.load(fh))
+
+
+def vt_drop_tag(path: str, name: str) -> None:
+    """Release a tag; the next :func:`vt_vacuum` may reclaim files
+    only the tag referenced."""
+    final = f"{path}/{_TAGS}/{name}.json"
+    if not os.path.exists(final):
+        raise FileNotFoundError(f"no tag {name} at {path}")
+    os.remove(final)

@@ -162,3 +162,39 @@ class TestVersionedBranch:
         r2 = vt_vacuum(path, keep_last=1)
         assert r2["files_deleted"] > 0
         assert r2["files_kept"] < r1["files_kept"]
+
+    def test_tags_pin_snapshots_and_root_the_vacuum(self, spark, tmp_path):
+        """vt_tag: an immutable named snapshot that survives main-chain
+        retention (the released-dataset pin); dropping the tag frees
+        its files for the next vacuum; tags accept no commits by
+        construction (there is no tag-append API)."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_delete,
+            vt_drop_tag,
+            vt_read_tag,
+            vt_tag,
+            vt_vacuum,
+            vt_write,
+        )
+
+        def rows(a, b):
+            return spark.range(a, b).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+            )
+
+        path = str(tmp_path / "t")
+        vt_write(rows(0, 40), path, "k", nbuckets=4)
+        assert vt_tag(path, "train-v1") == 0
+        with pytest.raises(FileExistsError):
+            vt_tag(path, "train-v1")  # tags are immutable
+        # main rewrites everything, retention expires v0
+        vt_delete(spark, path, "k >= 0")
+        r1 = vt_vacuum(path, keep_last=1)
+        assert vt_read_tag(spark, path, "train-v1").count() == 40
+        vt_drop_tag(path, "train-v1")
+        r2 = vt_vacuum(path, keep_last=1)
+        assert r2["files_deleted"] > 0  # the tag's files reclaimed
+        assert r2["files_kept"] < r1["files_kept"]
