@@ -144,6 +144,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_vt_restore",
     "q_regional_volume",
     "q_kcenter_sample",
+    "q_ann_maxsim",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -844,6 +844,103 @@ def q_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ann_maxsim",
+    # Pure recomputing oracle (no pins): every slice-pair cosine is
+    # exact arithmetic on table rows, rounded to the 1e-4 grid, maxed
+    # per query slice, and summed as DECIMAL — the q_bm25_topk fixed-
+    # grid discipline, so the late-interaction score compares exactly.
+    oracle="""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        pairs AS (
+            SELECT e.vec_id, i.i, j.j,
+                   round(list_cosine_similarity(
+                       (e.embedding[(j.j * 16 + 1):((j.j + 1) * 16)])
+                           ::DOUBLE[],
+                       (q.qe[(i.i * 16 + 1):((i.i + 1) * 16)])
+                           ::DOUBLE[]), 4) AS c
+            FROM embeddings e, q,
+                 (SELECT unnest(generate_series(0, 3)) AS i) i,
+                 (SELECT unnest(generate_series(0, 3)) AS j) j
+        ),
+        best AS (
+            SELECT vec_id, i, MAX(c) AS m FROM pairs GROUP BY vec_id, i
+        ),
+        scored AS (
+            SELECT vec_id,
+                   SUM(CAST(m AS DECIMAL(10,4))) AS s
+            FROM best GROUP BY vec_id
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(s AS DOUBLE) AS maxsim,
+               CAST(row_number() OVER (ORDER BY s DESC, vec_id)
+                    AS INTEGER) AS rank
+        FROM scored ORDER BY s DESC, vec_id LIMIT 10
+    """,
+    doc="LATE-INTERACTION retrieval (the ColBERT/PLAID MaxSim "
+    "construction — the multi-vector scoring modern retrieval stacks "
+    "use when one pooled vector loses too much): each 64-d embedding "
+    "is treated as FOUR 16-d sub-vectors (the fixture's stand-in for "
+    "per-token vectors), and score(q, d) = sum over query "
+    "sub-vectors of the MAX cosine against any doc sub-vector — "
+    "query terms each find their best-matching doc term instead of "
+    "competing inside one dot product. One Arrow kernel computes the "
+    "4x4 slice-cosine matrix per doc (a single 4x4 matmul per row, "
+    "batched), rounds to the 1e-4 grid, maxes per query slice and "
+    "sums as exact decimal; top-10 via TakeOrdered. At 100 TB the "
+    "kernel shape is unchanged (t_q x t_d matmul per doc, Arrow-"
+    "batched, no shuffle) and the standard scale path — ANN-prune "
+    "candidates with the pooled vector, MaxSim-rerank survivors — "
+    "composes directly with q_ann_rerank's two-stage machinery.",
+)
+def q_ann_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import round_half_away
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).first()["embedding"],
+        dtype=np.float64,
+    )
+    Q = qv.reshape(4, 16)
+    Qn = Q / np.maximum(
+        np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
+    )
+    b_q = spark.sparkContext.broadcast(Qn)
+
+    def kernel(batches):
+        qn = b_q.value
+        for pdf in batches:
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            D = mat.reshape(len(mat), 4, 16)
+            norms = np.linalg.norm(D, axis=2, keepdims=True)
+            Dn = D / np.where(norms > 0, norms, 1.0)
+            # (n, 4q, 4d) slice-cosine tensor: one matmul per row
+            sims = round_half_away(np.einsum("qk,ndk->nqd", qn, Dn), 4)
+            # max over doc slices per query slice, sum on the 1e-4
+            # grid: scale to int to keep the 4-term sum exact
+            scores = (
+                np.round(sims.max(axis=2) * 10_000).astype(np.int64).sum(axis=1)
+                / 10_000.0
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "maxsim": scores}
+            )
+
+    scored = emb.mapInPandas(kernel, "vec_id long, maxsim double")
+    top = scored.orderBy(F.desc("maxsim"), F.asc("vec_id")).limit(10)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("maxsim"), F.asc("vec_id")))
+        .cast("int"),
+    )
+
+
 _KCENTER_K = 8
 
 
