@@ -1338,6 +1338,7 @@ def bench_round11h(spark, scaled: str) -> None:
         "q_ann_matryoshka",
         "q_neardup_linkage",
         "q_kcenter_sample",
+        "q_ann_maxsim",
     ):
         for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
             _materialize(qs[name](spark, path))
