@@ -94,7 +94,12 @@ DRIVER_WINDOW = 50
 #:   them).
 #: Queries registered late in round 11 park BELOW the window in
 #: DRIVER_R12_QUEUE (the established late-landing policy) so the
-#: stale-refresh breadth is preserved.
+#: stale-refresh breadth is preserved. The queue now spans all four
+#: round-11 continuation batches (through the third continuation's
+#: graph-ANN / retrieval / lakehouse-refs / matching additions) —
+#: every name in it was tri-scale driver-sim green at registration;
+#: r12 should front this queue right after whatever r11's
+#: CORRECTNESS window left unverified.
 DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_rerank",
     "q_dsir_select",
