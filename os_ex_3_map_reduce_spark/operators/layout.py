@@ -144,3 +144,67 @@ def file_zone_maps(path: str, cols: list[str]) -> list[dict]:
                 {"file": name, **{f"min_{c}": lo[c] for c in lo}, **{f"max_{c}": hi[c] for c in hi}}
             )
     return out
+
+
+def hilbert_d_table(bits: int = 4) -> list[int]:
+    """cell -> Hilbert-curve distance for the 2^bits x 2^bits grid
+    (the public xy->d bit algorithm, unrolled driver-side once);
+    ``cell = ix * 2^bits + iy``. The table is a 256-entry constant for
+    the default 4 bits — small enough to ship as a literal array into
+    whole-stage codegen AND as a VALUES lookup table into the oracle,
+    so BOTH engines share the identical mapping by construction (an
+    exact oracle, not a pin)."""
+    n = 1 << bits
+    out = []
+    for x0 in range(n):
+        for y0 in range(n):
+            x, y, d = x0, y0, 0
+            s = n // 2
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x = s - 1 - x
+                        y = s - 1 - y
+                    x, y = y, x
+                s //= 2
+            out.append(d)
+    return out
+
+
+def hilbert_value(
+    df: DataFrame, cols: list[str], bits: int = 4
+) -> tuple[DataFrame, Column]:
+    """Attach integer bucket indices and the HILBERT distance — the
+    space-filling-curve alternative to :func:`zorder_value` with
+    strictly better locality (every consecutive pair of Hilbert cells
+    is grid-adjacent; Morton jumps at power-of-two boundaries).
+    Bucketing arithmetic is shared with Z-order; the curve mapping is
+    a 2^(2*bits)-entry literal-array lookup, still fully JVM-side.
+    2-D only (the classic d2xy construction); for 3+ dims compose with
+    Morton on the remaining dims or raise ``bits``."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_value: exactly 2 cluster columns")
+    bounds = df.agg(
+        *[F.min(c).cast("long").alias(f"__min_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"__max_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    n_buckets = 1 << bits
+    idxs = []
+    for c in cols:
+        idx = F.expr(
+            f"((cast({c} as bigint) - __min_{c}) * {n_buckets}) "
+            f"div (__max_{c} - __min_{c} + 1)"
+        )
+        idxs.append(
+            F.least(F.greatest(idx, F.lit(0)), F.lit(n_buckets - 1))
+        )
+    table = hilbert_d_table(bits)
+    cell = idxs[0] * n_buckets + idxs[1]
+    h = F.element_at(
+        F.array(*[F.lit(int(v)) for v in table]), (cell + 1).cast("int")
+    ).cast("long")
+    return out, h

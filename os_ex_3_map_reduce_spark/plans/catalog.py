@@ -151,6 +151,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_kcenter_sample",
     "q_ann_maxsim",
     "q_ann_hnsw_topk",
+    "q_hilbert_layout",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1092,3 +1092,38 @@ class TestVersionedTable:
             .collect()
         )
         assert got == want == list(range(100, 200))
+
+
+def test_hilbert_table_is_bijective_unit_step_curve():
+    """hilbert_d_table: a true space-filling curve — bijection over
+    the 256 cells AND every consecutive pair of curve positions is
+    grid-adjacent (the locality property Morton lacks; Morton jumps
+    at power-of-two boundaries)."""
+    from os_ex_3_map_reduce_spark.operators.layout import hilbert_d_table
+
+    t = hilbert_d_table(4)
+    assert sorted(t) == list(range(256))
+    pos = {d: (i // 16, i % 16) for i, d in enumerate(t)}
+    for d in range(255):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+    # and morton does NOT have the unit-step property (the contrast
+    # the q_hilbert_layout comparison rests on)
+    def morton(x, y):
+        z = 0
+        for b in range(4):
+            z |= ((x >> b) & 1) << (2 * b + 1)
+            z |= ((y >> b) & 1) << (2 * b)
+        return z
+    mpos = {}
+    for x in range(16):
+        for y in range(16):
+            mpos[morton(x, y)] = (x, y)
+    jumps = sum(
+        1
+        for d in range(255)
+        if abs(mpos[d][0] - mpos[d + 1][0])
+        + abs(mpos[d][1] - mpos[d + 1][1])
+        > 1
+    )
+    assert jumps > 0
