@@ -451,3 +451,104 @@ def hnsw_search_batch(
         e2.unpersist()
         e1.unpersist()
         e0.unpersist()
+
+
+def score_pairs(
+    pairs: DataFrame,
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Rounded cosine for an arbitrary (src, dst) pair relation: two
+    embedding joins + one Arrow kernel over the paired vectors (the
+    pair analog of the batch query kernels). Returns
+    (src, dst, score)."""
+    rel = emb_df.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__e"),
+    )
+
+    @F.pandas_udf("double")
+    def cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        a = np.stack(ea.to_numpy()).astype(np.float64)
+        b = np.stack(eb.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(a, axis=1, keepdims=True)
+        nb = np.linalg.norm(b, axis=1, keepdims=True)
+        an = a / np.where(na > 0, na, 1.0)
+        bn = b / np.where(nb > 0, nb, 1.0)
+        return pd.Series(
+            round_half_away(np.einsum("ij,ij->i", an, bn), 4)
+        )
+
+    return (
+        pairs.join(
+            rel.select(
+                F.col("__id").alias("src"), F.col("__e").alias("__ea")
+            ),
+            "src",
+        )
+        .join(
+            rel.select(
+                F.col("__id").alias("dst"), F.col("__e").alias("__eb")
+            ),
+            "dst",
+        )
+        .select("src", "dst", cos("__ea", "__eb").alias("score"))
+    )
+
+
+def nn_descent(
+    emb_df: DataFrame,
+    edges: DataFrame,
+    k_graph: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """NN-DESCENT refinement (Dong et al. WWW'11 — the other published
+    kNN-graph construction, and the standard upgrade path the
+    cluster-then-link build documents): per round, every node
+    considers its NEIGHBORS' NEIGHBORS as candidates ("a neighbor of
+    my neighbor is probably my neighbor" — the triangle-inequality
+    heuristic that converges to the true kNN graph in a handful of
+    rounds without ever going corpus^2), scores the new candidates,
+    and keeps its top-``k_graph``. Deterministic: rounded scores with
+    (src, dst) tiebreaks, candidate set is a pure function of the
+    current graph. Per round: ONE graph self-join (bounded by
+    degree^2 per node), one pair-scoring Arrow kernel over the NEW
+    candidates only (old edges keep their scores), one per-src top-k
+    window. Returns the refined DIRECTED top-k graph (src, dst,
+    score); per-round edge counts on ``_osx3_round_edges``."""
+    w = Window.partitionBy("src").orderBy(F.desc("score"), "dst")
+    g = (
+        edges.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k_graph)
+        .drop("rk")
+        .localCheckpoint(eager=True)
+    )
+    counts = [g.count()]
+    for _ in range(rounds):
+        nb = g.select("src", "dst")
+        cand = (
+            nb.join(
+                nb.select(
+                    F.col("src").alias("dst"), F.col("dst").alias("dst2")
+                ),
+                "dst",
+            )
+            .select("src", F.col("dst2").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(nb, ["src", "dst"], "left_anti")
+        )
+        scored_new = score_pairs(cand, emb_df, id_col, emb_col)
+        g = (
+            g.unionByName(scored_new)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k_graph)
+            .drop("rk")
+            .localCheckpoint(eager=True)
+        )
+        counts.append(g.count())
+    g._osx3_round_edges = counts  # type: ignore[attr-defined]
+    return g

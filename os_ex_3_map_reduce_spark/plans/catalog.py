@@ -152,6 +152,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_maxsim",
     "q_ann_hnsw_topk",
     "q_hilbert_layout",
+    "q_nn_descent",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations
