@@ -1339,10 +1339,17 @@ def bench_round11h(spark, scaled: str) -> None:
         "q_neardup_linkage",
         "q_kcenter_sample",
         "q_ann_maxsim",
+        "q_hilbert_layout",
+        "q_ann_hnsw_topk",
+        "q_nn_descent",
     ):
         for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
             _materialize(qs[name](spark, path))
-            if name == "q_neardup_linkage":
+            if name in (
+                "q_neardup_linkage",
+                "q_ann_hnsw_topk",
+                "q_nn_descent",
+            ):
                 _DF_CACHE.clear()  # _cached_df would serve the memo
             t0 = time.perf_counter()
             _materialize(qs[name](spark, path))
