@@ -189,6 +189,31 @@ BREADTH = [
     "q_ann_opq_topk",
     "q_unigram_vocab",
     "q_stream_cdc_versioned",
+    # round-11 third continuation (graph ANN, retrieval stack,
+    # matching, lakehouse refs, compliance, tokenizer encode,
+    # augmentation, layout, refinement). The index/graph BUILD
+    # pipelines among these (q_ann_nsw_append, q_ann_hnsw_topk,
+    # q_nn_descent) are build+verify pipelines like
+    # q_ann_ivf_append — their registrations document that the
+    # builds, not the searches, are the timed cost.
+    "q_ann_nsw_topk",
+    "q_ann_nsw_append",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_matching",
+    "q_neardup_linkage",
+    "q_vt_branch",
+    "q_vt_restore",
+    "q_gdpr_erasure",
+    "q_unigram_encode",
+    "q_image_augment",
+    "q_ann_matryoshka",
+    "q_kcenter_sample",
+    "q_ann_maxsim",
+    "q_ann_hnsw_topk",
+    "q_hilbert_layout",
+    "q_nn_descent",
+    "q_regional_volume",
 ]
 
 
