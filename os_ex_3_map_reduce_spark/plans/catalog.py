@@ -153,6 +153,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_hnsw_topk",
     "q_hilbert_layout",
     "q_nn_descent",
+    "q_stream_standing_query",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1212,3 +1212,229 @@ def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_user").alias("user_id"))
         .agg(F.count("*").cast("long").alias("n_with_followup"))
     )
+
+
+@register(
+    "q_stream_standing_query",
+    # Batch-order-INDEPENDENT by construction: each doc's scores
+    # depend only on the doc itself and the FIXED offline model
+    # (full-corpus df/avgdl, the standing query's vector), never on
+    # which micro-batch delivered it — so the exact recomputing
+    # oracle needs no batching knowledge at all. Float discipline =
+    # q_bm25_topk's (1e-6-grid DECIMAL BM25 sums; 1e-4 cosine).
+    oracle="""
+        WITH docs2 AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens
+            FROM docs2
+        ),
+        w AS (SELECT doc_id, unnest(t) AS term FROM docs2),
+        qt AS (SELECT unnest(['dup', 'vector', 'scan']) AS term),
+        tf AS (
+            SELECT w.doc_id, w.term, COUNT(*) AS tf
+            FROM w JOIN qt USING (term)
+            WHERE w.doc_id % 2 = 1
+            GROUP BY w.doc_id, w.term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM w JOIN qt USING (term)
+            GROUP BY term
+        ),
+        dl AS (SELECT doc_id, len(t) AS dl FROM docs2),
+        terms AS (
+            SELECT tf.doc_id,
+                   CAST(round(
+                       ln(((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE))
+                           / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                          + CAST(1.0 AS DOUBLE))
+                       * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                       / (CAST(tf.tf AS DOUBLE)
+                          + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + CAST(0.75 AS DOUBLE)
+                                 * ((CAST(dl.dl AS DOUBLE)
+                                     * CAST(s.n_docs AS DOUBLE))
+                                    / CAST(s.total_tokens AS DOUBLE)))),
+                       6) AS DECIMAL(18,6)) AS term_score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats s
+        ),
+        sparse AS (
+            SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25
+            FROM terms GROUP BY doc_id
+        ),
+        dense AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], qv.embedding::DOUBLE[]),
+                       4) AS cosine
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) qv
+            WHERE e.vec_id % 2 = 1
+        ),
+        fused AS (
+            SELECT d.doc_id,
+                   COALESCE(s.bm25, CAST(0.0 AS DOUBLE)) AS bm25,
+                   d.cosine
+            FROM dense d LEFT JOIN sparse s USING (doc_id)
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, bm25, cosine,
+               CASE WHEN bm25 >= 2.0 AND cosine >= 0.28 THEN 'both'
+                    WHEN bm25 >= 2.0 THEN 'bm25'
+                    ELSE 'dense' END AS matched_by
+        FROM fused
+        WHERE bm25 >= 2.0 OR cosine >= 0.28
+    """,
+    doc="STANDING-QUERY alerting over a document stream (the E7 x "
+    "retrieval cross — the continuous-query shape behind saved-"
+    "search alerts, contamination tripwires, and routing-by-"
+    "relevance): the odd-doc_id half arrives as a 4-file delta "
+    "stream (maxFilesPerTrigger=1), and each micro-batch scores its "
+    "NEW docs against a FIXED standing query both ways — BM25 with "
+    "the OFFLINE model (df/avgdl/N frozen from the static corpus, "
+    "exactly how production standing queries precompute idf) and "
+    "cosine to the standing vector via a stream-static join on the "
+    "embeddings table — emitting alert rows above either threshold "
+    "into an idempotent batch_id-partitioned sink. Per-doc scores "
+    "depend only on (doc, frozen model), so output is provably "
+    "batch-order-independent and the oracle recomputes everything "
+    "with zero batching knowledge. At 100 TB/day the per-batch cost "
+    "is postings of the BATCH only against broadcast model "
+    "relations — the standing query never rescans the corpus.",
+)
+def q_stream_standing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..functions.text import tokens
+    from ..functions.vectors import cosine_to_query
+    from ..sources.tables import load_table
+    from ..streaming.events import staged_documents_delta_dir
+
+    QUERY = ["dup", "vector", "scan"]
+    docs_full = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    # frozen offline model: corpus stats + per-term df (tiny, reused
+    # by every micro-batch)
+    docs2 = docs_full.select("doc_id", tokens("text").alias("t"))
+    stats = docs2.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("t")).alias("total_tokens"),
+    ).persist()
+    dfrel = (
+        docs2.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin(QUERY))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .persist()
+    )
+    stats.count(); dfrel.count()
+
+    root = tempfile.mkdtemp(prefix="osx3_standing_")
+    _cleanup_at_exit(root)
+    src = staged_documents_delta_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_dir = f"{root}/alerts"
+    emb_slim = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_to_query("embedding", qv), 4).alias("cosine"),
+    )
+
+    def score_batch(bdf: DataFrame, batch_id: int) -> None:
+        b2 = bdf.select("doc_id", tokens("text").alias("t"))
+        tf = (
+            b2.select("doc_id", F.size("t").alias("dl"),
+                      F.explode("t").alias("term"))
+            .where(F.col("term").isin(QUERY))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        terms = (
+            tf.join(F.broadcast(dfrel), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "term_score",
+                F.round(
+                    F.log(
+                        (
+                            (
+                                F.col("n_docs").cast("double")
+                                - F.col("df").cast("double")
+                                + F.lit(0.5)
+                            )
+                            / (F.col("df").cast("double") + F.lit(0.5))
+                        )
+                        + F.lit(1.0)
+                    )
+                    * (F.col("tf").cast("double") * F.lit(2.2))
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + F.lit(0.75)
+                            * (
+                                (
+                                    F.col("dl").cast("double")
+                                    * F.col("n_docs").cast("double")
+                                )
+                                / F.col("total_tokens").cast("double")
+                            )
+                        )
+                    ),
+                    6,
+                ).cast("decimal(18,6)"),
+            )
+        )
+        sparse = terms.groupBy("doc_id").agg(
+            F.sum("term_score").cast("double").alias("bm25")
+        )
+        fused = (
+            bdf.select("doc_id")
+            .join(emb_slim, "doc_id")
+            .join(sparse, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
+                "cosine",
+            )
+            .where((F.col("bm25") >= 2.0) | (F.col("cosine") >= 0.28))
+            .withColumn(
+                "matched_by",
+                F.when(
+                    (F.col("bm25") >= 2.0) & (F.col("cosine") >= 0.28),
+                    "both",
+                )
+                .when(F.col("bm25") >= 2.0, "bm25")
+                .otherwise("dense"),
+            )
+        )
+        fused.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stats.unpersist(); dfrel.unpersist()
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "bm25", "cosine", "matched_by"
+    )
