@@ -214,6 +214,7 @@ BREADTH = [
     "q_hilbert_layout",
     "q_nn_descent",
     "q_regional_volume",
+    "q_stream_standing_query",
 ]
 
 
