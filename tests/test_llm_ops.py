@@ -2983,3 +2983,57 @@ class TestUnigramEncode:
         ).first()["s"]
         assert encoded_chars == corpus_chars
         hist.unpersist()
+
+
+class TestHNSWDescent:
+    """operators/nsw.py hnsw_search_batch: the descent finds each
+    query's own vector, recall stays at the flat walk's level, and
+    the base-layer hop count never exceeds the flat walk's (the
+    entry-quality property the hierarchy exists for)."""
+
+    def test_descent_recall_and_hops(self, spark):
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.operators.nsw import (
+            hnsw_search_batch,
+            nsw_build,
+            nsw_search_batch,
+        )
+        from os_ex_3_map_reduce_spark.operators.similarity import (
+            topk_to_query_batch,
+            train_centroids_sample,
+        )
+        from os_ex_3_map_reduce_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        qvs = [
+            [float(x) for x in r.embedding]
+            for r in sorted(
+                emb.where(F.col("vec_id") < 3).collect(),
+                key=lambda r: r.vec_id,
+            )
+        ]
+        cents = train_centroids_sample(emb, 16)
+        hier = hnsw_search_batch(
+            emb, cents, qvs, k=5, beam=16, k_graph=8, max_hops=8
+        )
+        rows = hier.collect()
+        # each query's own vector is rank 1
+        for q in range(3):
+            top = [r for r in rows if r.query_id == q and r.rank == 1][0]
+            assert top.vec_id == q and top.score == 1.0
+        # recall vs exact at least at the flat walk's measured level
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in topk_to_query_batch(emb, qvs, k=5).collect()
+        }
+        hits = sum(1 for r in rows if (r.query_id, r.vec_id) in exact)
+        assert hits / 15.0 >= 0.8  # flat measured 0.87 at this scale
+        # the descent's base walk never needs MORE hops than flat
+        h2, h1, h0 = hier._osx3_hops_levels
+        edges = nsw_build(emb, cents, k_graph=8).persist()
+        flat = nsw_search_batch(emb, edges, qvs, k=5, beam=16, max_hops=8)
+        flat.count()
+        assert h0 <= flat._osx3_hops
+        assert h2 > 0 and h1 > 0
+        edges.unpersist()
