@@ -552,3 +552,66 @@ def nn_descent(
         counts.append(g.count())
     g._osx3_round_edges = counts  # type: ignore[attr-defined]
     return g
+
+
+def robust_prune(
+    emb_df: DataFrame,
+    edges: DataFrame,
+    alpha: float = 1.2,
+    k_out: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """DiskANN/Vamana ROBUST PRUNE (Subramanya et al. NeurIPS'19) —
+    the edge-DIVERSIFICATION rule that lets graph search keep recall
+    at LOW out-degree (low degree = fewer I/Os per hop, the property
+    DiskANN's on-disk serving exists for): per node, walk candidates
+    closest-first and DROP any candidate v dominated by an already-
+    kept neighbor u (``alpha * d(u, v) <= d(p, v)`` in cosine
+    distance d = 1 - cos): a dominated edge is redundant because the
+    walk can reach v THROUGH u — keeping only un-dominated edges
+    spreads the survivors across directions instead of bunching them
+    in the nearest cluster. One Arrow kernel per node group (degree
+    <= k_graph, so per-node work is degree^2), embeddings joined in
+    once; deterministic: rounded distances, (d, dst) candidate order,
+    greedy keep is a pure function of the candidate list. Returns
+    the pruned DIRECTED graph (src, dst, score), out-degree <=
+    ``k_out``."""
+    rel = emb_df.select(
+        F.col(id_col).alias("dst"),
+        F.col(emb_col).cast("array<double>").alias("__ed"),
+    )
+    cand = edges.select("src", "dst", "score").join(rel, "dst")
+
+    def prune_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = int(pdf["src"].iloc[0])
+        # closest-first = highest cosine first, dst tiebreak
+        pdf = pdf.sort_values(
+            ["score", "dst"], ascending=[False, True]
+        ).reset_index(drop=True)
+        mat = np.stack(pdf["__ed"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        matn = mat / np.where(norms > 0, norms, 1.0)
+        pair_d = 1.0 - round_half_away(matn @ matn.T, 4)
+        d_p = 1.0 - pdf["score"].to_numpy()  # rounded upstream
+        kept: list[int] = []
+        for i in range(len(pdf)):
+            if len(kept) >= k_out:
+                break
+            dominated = any(
+                alpha * pair_d[u, i] <= d_p[i] for u in kept
+            )
+            if not dominated:
+                kept.append(i)
+        out = pdf.iloc[kept]
+        return pd.DataFrame(
+            {
+                "src": [src] * len(out),
+                "dst": out["dst"].to_numpy(),
+                "score": out["score"].to_numpy(),
+            }
+        )
+
+    return cand.groupBy("src").applyInPandas(
+        prune_group, "src long, dst long, score double"
+    )

@@ -154,6 +154,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_hilbert_layout",
     "q_nn_descent",
     "q_stream_standing_query",
+    "q_robust_prune",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -5544,6 +5544,126 @@ def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_robust_prune",
+    # Pinned tri-scale (pin_scales invariance before pinning): every
+    # stage is deterministic — the prune's greedy keep is a pure
+    # function of the (rounded-distance, dst)-ordered candidate list.
+    oracle="""
+        SELECT item, CAST(v AS BIGINT) AS value_x1000
+        FROM (VALUES
+            (1500, '1_deg_nearest8_x1000', 9640),
+            (1500, '2_recall_nearest8_x1000', 866),
+            (1500, '3_deg_diversified8_x1000', 9668),
+            (1500, '4_recall_diversified8_x1000', 866),
+            (1500, '5_deg_pruned4_x1000', 5084),
+            (1500, '6_recall_pruned4_x1000', 933),
+            (15000, '1_deg_nearest8_x1000', 9736),
+            (15000, '2_recall_nearest8_x1000', 1000),
+            (15000, '3_deg_diversified8_x1000', 9776),
+            (15000, '4_recall_diversified8_x1000', 1000),
+            (15000, '5_deg_pruned4_x1000', 5256),
+            (15000, '6_recall_pruned4_x1000', 866),
+            (150000, '1_deg_nearest8_x1000', 9694),
+            (150000, '2_recall_nearest8_x1000', 933),
+            (150000, '3_deg_diversified8_x1000', 9718),
+            (150000, '4_recall_diversified8_x1000', 933),
+            (150000, '5_deg_pruned4_x1000', 5142),
+            (150000, '6_recall_pruned4_x1000', 333)
+        ) t(sf, item, v)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="DiskANN ROBUST PRUNE (Subramanya et al. NeurIPS'19, "
+    "operators/nsw.py robust_prune) — the fourth stage of the "
+    "graph-ANN toolchain (cluster-then-link build -> NN-descent "
+    "refine -> robust prune -> HNSW hierarchy): alpha-domination "
+    "drops every edge reachable THROUGH an already-kept closer "
+    "neighbor, spreading survivors across directions. Evidence "
+    "IN-BAND (x1000 integers) across THREE graphs at beam 16: "
+    "(a) plain nearest-8, (b) DIVERSIFIED-8 — pruned alpha=1.2 from "
+    "a 16-candidate pool, the published fair comparison at EQUAL "
+    "degree, (c) aggressively pruned to out-4 — the fan-out dial. "
+    "Honest findings, measured: (b) matches (a) exactly at every "
+    "scale (equal recall at equal degree — on this fixture's "
+    "near-uniform geometry diversification is free but not better; "
+    "it pays on clustered real-world data), while (c) halves per-hop "
+    "fan-out with a scale-dependent recall price: at sf0.001 the "
+    "diversified out-4 graph actually BEATS nearest-8 (933 vs 866 — "
+    "diversification winning where the walk is entry-limited), at "
+    "sf0.1 it collapses to 333 — low-degree graphs at scale need the "
+    "full Vamana search-based candidate build and medoid entry, the "
+    "documented upgrade path. One Arrow "
+    "kernel per node group (degree^2 work); pruned graphs "
+    "re-symmetrize before search exactly like the build path.",
+)
+def q_robust_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.nsw import (
+        nsw_build,
+        nsw_search_batch,
+        robust_prune,
+    )
+    from ..operators.similarity import train_centroids_sample
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvs = [
+            [float(x) for x in r.embedding]
+            for r in sorted(
+                emb.where(F.col("vec_id") < 3).collect(),
+                key=lambda r: r.vec_id,
+            )
+        ]
+        cents = train_centroids_sample(emb, 16)
+        n_nodes = emb.count()
+        g8 = nsw_build(emb, cents, k_graph=8).persist()
+        g16 = nsw_build(emb, cents, k_graph=16).persist()
+        g16.count()
+
+        def sym(p: DataFrame) -> DataFrame:
+            return (
+                p.select("src", "dst", "score")
+                .unionByName(
+                    p.select(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        "score",
+                    )
+                )
+                .groupBy("src", "dst")
+                .agg(F.max("score").alias("score"))
+            )
+
+        div8 = sym(robust_prune(emb, g16, alpha=1.2, k_out=8)).persist()
+        low4 = sym(robust_prune(emb, g8, alpha=1.2, k_out=4)).persist()
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in topk_to_query_batch(emb, qvs, k=5).collect()
+        }
+
+        def recall(edges) -> int:
+            rows = nsw_search_batch(
+                emb, edges, qvs, k=5, beam=16, max_hops=16
+            ).collect()
+            hits = sum(
+                1 for r in rows if (r.query_id, r.vec_id) in exact
+            )
+            return (1000 * hits) // (5 * len(qvs))
+
+        rows = [
+            ("1_deg_nearest8_x1000", (1000 * g8.count()) // n_nodes),
+            ("2_recall_nearest8_x1000", recall(g8)),
+            ("3_deg_diversified8_x1000", (1000 * div8.count()) // n_nodes),
+            ("4_recall_diversified8_x1000", recall(div8)),
+            ("5_deg_pruned4_x1000", (1000 * low4.count()) // n_nodes),
+            ("6_recall_pruned4_x1000", recall(low4)),
+        ]
+        for d in (g8, g16, div8, low4):
+            d.unpersist()
+        return spark.createDataFrame(rows, "item string, value_x1000 long")
+
+    return _cached_df(spark, ("robust_prune", sf_dir), build)
+
+
+@register(
     "q_nn_descent",
     # Pinned tri-scale (pin_scales invariance check before pinning):
     # the trajectory is deterministic — rounded scores, (src, dst)
