@@ -215,6 +215,7 @@ BREADTH = [
     "q_nn_descent",
     "q_regional_volume",
     "q_stream_standing_query",
+    "q_robust_prune",
 ]
 
 
