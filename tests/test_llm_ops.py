@@ -3037,3 +3037,58 @@ class TestHNSWDescent:
         assert h0 <= flat._osx3_hops
         assert h2 > 0 and h1 > 0
         edges.unpersist()
+
+
+class TestRobustPrune:
+    """operators/nsw.py robust_prune: the alpha-domination rule on a
+    hand-checkable geometry — collinear near-duplicates collapse to
+    one kept edge, orthogonal directions all survive."""
+
+    def test_domination_and_direction_spread(self, spark):
+        import numpy as np
+
+        from os_ex_3_map_reduce_spark.operators.nsw import robust_prune
+
+        # node 0 at origin-ish; neighbors: two near-duplicate close
+        # vectors in direction A (the closer dominates the other),
+        # one in direction B — expect {closest-A, B} kept, dup-A
+        # pruned, under k_out=3 (so the cap is NOT the reason)
+        vecs = {
+            0: [1.0, 0.0, 0.0, 0.0],
+            1: [0.99, 0.14, 0.0, 0.0],   # direction A, closest
+            2: [0.98, 0.19, 0.0, 0.0],   # direction A, dominated by 1
+            3: [0.70, 0.0, 0.71, 0.0],   # direction B
+        }
+        emb = spark.createDataFrame(
+            [(k, [float(x) for x in v]) for k, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+
+        def cos(a, b):
+            a, b = np.array(vecs[a]), np.array(vecs[b])
+            return round(
+                float(
+                    a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+                ),
+                4,
+            )
+
+        edges = spark.createDataFrame(
+            [(0, d, cos(0, d)) for d in (1, 2, 3)],
+            "src long, dst long, score double",
+        )
+        kept = sorted(
+            r.dst
+            for r in robust_prune(
+                emb, edges, alpha=1.2, k_out=3
+            ).collect()
+        )
+        assert kept == [1, 3], kept  # 2 dominated by 1; 3 kept (new direction)
+        # with alpha huge, domination never fires -> all 3 survive
+        kept_all = sorted(
+            r.dst
+            for r in robust_prune(
+                emb, edges, alpha=100.0, k_out=3
+            ).collect()
+        )
+        assert kept_all == [1, 2, 3]
