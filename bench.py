@@ -216,6 +216,7 @@ BREADTH = [
     "q_regional_volume",
     "q_stream_standing_query",
     "q_robust_prune",
+    "q_ann_diskann",
 ]
 
 

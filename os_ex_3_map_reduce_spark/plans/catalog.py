@@ -155,6 +155,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_nn_descent",
     "q_stream_standing_query",
     "q_robust_prune",
+    "q_ann_diskann",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

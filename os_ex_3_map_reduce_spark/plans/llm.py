@@ -5932,3 +5932,131 @@ def q_ann_nsw_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return _cached_df(spark, ("ann_nsw_append", sf_dir), build)
+
+
+@register(
+    "q_ann_diskann",
+    # Pinned tri-scale (determinism: rounded scores, id tiebreaks,
+    # sorted frontier picks, hop cap, decimal-exact medoid — verified
+    # by fresh-session driver-sim sweeps at each scale before pinning).
+    oracle="""
+        SELECT item, CAST(v AS BIGINT) AS value
+        FROM (VALUES
+            (1500, '1_corpus_nodes', 500),
+            (1500, '2_hops_w1', 16),
+            (1500, '2_hops_w4', 10),
+            (1500, '3_files_read_w1', 42),
+            (1500, '3_files_read_w4', 62),
+            (1500, '4_nodes_read_w1', 46),
+            (1500, '4_nodes_read_w4', 81),
+            (1500, '5_recall_w1_x1000', 466),
+            (1500, '5_recall_w4_x1000', 866),
+            (15000, '1_corpus_nodes', 500),
+            (15000, '2_hops_w1', 16),
+            (15000, '2_hops_w4', 15),
+            (15000, '3_files_read_w1', 44),
+            (15000, '3_files_read_w4', 64),
+            (15000, '4_nodes_read_w1', 46),
+            (15000, '4_nodes_read_w4', 74),
+            (15000, '5_recall_w1_x1000', 800),
+            (15000, '5_recall_w4_x1000', 866),
+            (150000, '1_corpus_nodes', 2000),
+            (150000, '2_hops_w1', 16),
+            (150000, '2_hops_w4', 10),
+            (150000, '3_files_read_w1', 42),
+            (150000, '3_files_read_w4', 61),
+            (150000, '4_nodes_read_w1', 45),
+            (150000, '4_nodes_read_w4', 76),
+            (150000, '5_recall_w1_x1000', 533),
+            (150000, '5_recall_w4_x1000', 733)
+        ) t(sf, item, v)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="DiskANN ON-DISK serving (Subramanya et al. NeurIPS'19, "
+    "operators/diskann.py) — the architecture the robust-prune stage "
+    "exists for, completing the graph toolchain with its I/O story: "
+    "a TWO-TIER index (disk tier = per-node blocks with the full "
+    "vector + robust-pruned adjacency, partitioned blk=vec_id%16 "
+    "with ONE file per block dir so files-read == blocks-visited, "
+    "executed-plan numFiles-asserted in tests; RAM tier = the 16x "
+    "PQ code relation, persisted) searched by a batched beam walk "
+    "that promotes only each query's best `width` in-RAM-ADC "
+    "candidates to a DISK read per round, then reranks the visited "
+    "set by exact full-vector cosine — free, because every visited "
+    "vector was already paid for by its block read. Evidence "
+    "IN-BAND: the corpus size next to each dial's (hops, files "
+    "read, nodes read, recall@5 x1000) at width 1 (greedy minimum-"
+    "I/O; rides the 16-hop cap) vs width 4 (DiskANN's beam W: more "
+    "reads per round, fewer rounds, higher recall). The headline "
+    "scale property is MEASURED across the pins: nodes-read is "
+    "bounded by hops x width x Q — ~45 (w1) / ~75 (w4) rows at "
+    "EVERY scale while the corpus grows 4x, so the read fraction "
+    "falls from 16% toward 3.8% and keeps falling at 100 TB, vs "
+    "100% for every exact scan. Walk state (Q x beam ids) is a "
+    "driver constant like every probe pick; the corpus-side tiers "
+    "stay partitioned and every hop's two lookups are pruned scans.",
+)
+def q_ann_diskann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.diskann import diskann_search_batch, diskann_write
+    from ..operators.pq import pq_train
+    from ..operators.similarity import (
+        topk_to_query_batch,
+        train_centroids_sample,
+    )
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        qvs = [
+            [float(x) for x in r.embedding]
+            for r in sorted(
+                emb.where(F.col("vec_id") < 3).collect(),
+                key=lambda r: r.vec_id,
+            )
+        ]
+        cents = train_centroids_sample(emb, 16)
+        cbs = pq_train(emb, m=32, ksub=16)
+        root = tempfile.mkdtemp(prefix="osx3_diskann_")
+        diskann_write(emb, cents, cbs, f"{root}/idx")
+        codes = spark.read.parquet(f"{root}/idx/codes").persist()
+        codes.count()
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in topk_to_query_batch(emb, qvs, k=5).collect()
+        }
+        rows = [("1_corpus_nodes", emb.count())]
+        for w in (1, 4):
+            res = diskann_search_batch(
+                spark,
+                f"{root}/idx",
+                cbs,
+                qvs,
+                k=5,
+                beam=16,
+                width=w,
+                max_hops=16,
+                codes_df=codes,
+            )
+            got = res.collect()
+            hits = sum(
+                1 for r in got if (r.query_id, r.vec_id) in exact
+            )
+            io = res._osx3_io  # type: ignore[attr-defined]
+            rows.extend(
+                [
+                    (f"2_hops_w{w}", io["hops"]),
+                    (f"3_files_read_w{w}", io["files_read"]),
+                    (f"4_nodes_read_w{w}", io["nodes_read"]),
+                    (
+                        f"5_recall_w{w}_x1000",
+                        (1000 * hits) // (5 * len(qvs)),
+                    ),
+                ]
+            )
+        codes.unpersist()
+        return spark.createDataFrame(rows, "item string, value long")
+
+    return _cached_df(spark, ("ann_diskann", sf_dir), build)
