@@ -217,6 +217,7 @@ BREADTH = [
     "q_stream_standing_query",
     "q_robust_prune",
     "q_ann_diskann",
+    "q_stream_maxsim",
 ]
 
 

@@ -156,6 +156,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_stream_standing_query",
     "q_robust_prune",
     "q_ann_diskann",
+    "q_stream_maxsim",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1438,3 +1438,130 @@ def q_stream_standing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "doc_id", "bm25", "cosine", "matched_by"
     )
+
+
+@register(
+    "q_stream_maxsim",
+    # Batch-order-INDEPENDENT by construction (the standing-query
+    # discipline): each vector's MaxSim score depends only on itself
+    # and the FROZEN standing query slices, never on which micro-batch
+    # delivered it — the exact recomputing oracle needs no batching
+    # knowledge. Float discipline = q_ann_maxsim's: slice cosines
+    # rounded to the 1e-4 grid, the 4-term sum carried as exact
+    # integers on that grid.
+    oracle="""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        pairs AS (
+            SELECT e.vec_id, i.i, j.j,
+                   round(list_cosine_similarity(
+                       (e.embedding[(j.j * 16 + 1):((j.j + 1) * 16)])
+                           ::DOUBLE[],
+                       (q.qe[(i.i * 16 + 1):((i.i + 1) * 16)])
+                           ::DOUBLE[]), 4) AS c
+            FROM embeddings e, q,
+                 (SELECT unnest(generate_series(0, 3)) AS i) i,
+                 (SELECT unnest(generate_series(0, 3)) AS j) j
+            WHERE e.vec_id % 2 = 1
+        ),
+        best AS (
+            SELECT vec_id, i, MAX(c) AS m FROM pairs GROUP BY vec_id, i
+        ),
+        scored AS (
+            SELECT vec_id, SUM(CAST(m AS DECIMAL(10,4))) AS s
+            FROM best GROUP BY vec_id
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(s AS DOUBLE) AS maxsim
+        FROM scored WHERE s >= 1.5
+    """,
+    doc="STREAMING LATE-INTERACTION retrieval (the E7 x ColBERT cross "
+    "— q_stream_standing_query's saved-search shape upgraded to "
+    "multi-vector scoring): the odd-vec_id half of the embeddings "
+    "table arrives as a 4-file vector-delta stream "
+    "(maxFilesPerTrigger=1), and each micro-batch runs q_ann_maxsim's "
+    "Arrow kernel — 4x16 slice reshape, one 4x4 slice-cosine matmul "
+    "per NEW vector against the FROZEN standing query (vec_id 0), "
+    "1e-4-grid max-then-sum — emitting vectors with MaxSim >= 1.5 "
+    "(the measured ~p90 of the fixture distribution) into an "
+    "idempotent batch_id-partitioned alert sink. Scores depend only "
+    "on (vector, frozen query), so output is provably batch-order-"
+    "independent and the oracle recomputes everything with zero "
+    "batching knowledge. At 100 TB/day each batch costs one bounded "
+    "Arrow pass over the BATCH only — the standing query never "
+    "rescans the corpus, and the kernel is byte-identical to the "
+    "batch q_ann_maxsim path, so offline and online scoring cannot "
+    "drift (the Lambda-architecture failure mode this design "
+    "removes).",
+)
+def q_stream_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import round_half_away
+    from ..sources.tables import load_table
+    from ..streaming.events import staged_embeddings_delta_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).first()["embedding"],
+        dtype=np.float64,
+    )
+    Q = qv.reshape(4, 16)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    b_q = spark.sparkContext.broadcast(Qn)
+
+    root = tempfile.mkdtemp(prefix="osx3_stream_maxsim_")
+    _cleanup_at_exit(root)
+    src = staged_embeddings_delta_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_dir = f"{root}/alerts"
+
+    def kernel(batches):
+        qn = b_q.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series(dtype="int64"),
+                        "maxsim": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            D = mat.reshape(len(mat), 4, 16)
+            norms = np.linalg.norm(D, axis=2, keepdims=True)
+            Dn = D / np.where(norms > 0, norms, 1.0)
+            sims = round_half_away(np.einsum("qk,ndk->nqd", qn, Dn), 4)
+            scores = (
+                np.round(sims.max(axis=2) * 10_000)
+                .astype(np.int64)
+                .sum(axis=1)
+                / 10_000.0
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "maxsim": scores}
+            )
+
+    def score_batch(bdf: DataFrame, batch_id: int) -> None:
+        alerts = bdf.select("vec_id", "embedding").mapInPandas(
+            kernel, "vec_id long, maxsim double"
+        ).where(F.col("maxsim") >= 1.5)
+        alerts.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("vec_id", "maxsim")

@@ -132,6 +132,37 @@ def staged_documents_delta_dir(
     return _STAGED_CACHE[key]
 
 
+def staged_embeddings_delta_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """The odd-vec_id half of the embeddings table staged as
+    ``n_files`` parquet files — the vector-delta side of a streaming
+    retrieval pipeline (one micro-batch per file under
+    ``maxFilesPerTrigger=1``), mirroring
+    :func:`staged_documents_delta_dir`. Deterministic
+    ``(vec_id // 2) % n_files`` split: each vector lands in exactly
+    one file, so per-vector alert rows are emitted exactly once
+    without stream-side dedup state."""
+    key = (f"{sf_dir}::emb_delta", n_files)
+    if key not in _STAGED_CACHE:
+        ensure_session_confs(spark)
+        d = Path(tempfile.mkdtemp(prefix="osx3_emb_delta_"))
+        _cleanup_at_exit(str(d))
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+            F.col("vec_id") % 2 == 1
+        )
+        for i in range(n_files):
+            stage = d / f"_stage{i}"
+            emb.where(
+                (F.col("vec_id") / 2).cast("long") % n_files == i
+            ).coalesce(1).write.parquet(str(stage))
+            part = next(stage.glob("part-*.parquet"))
+            shutil.move(str(part), d / f"part-{i}.parquet")
+            shutil.rmtree(stage)
+        _STAGED_CACHE[key] = str(d)
+    return _STAGED_CACHE[key]
+
+
 def sentinel_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Events staging dir plus one far-future sentinel event in its own,
     later-modified file.

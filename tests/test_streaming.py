@@ -964,3 +964,45 @@ def test_stream_right_outer_join_ties_to_full_outer(spark):
     for u, (np_, no_) in right.items():
         assert (np_, no_) == full[u], (u, (np_, no_), full[u])
         assert no_ >= 1  # every user opens at least one session
+
+
+def test_stream_maxsim_equals_batch_kernel(spark):
+    """The streaming standing-MaxSim path must emit exactly the rows
+    the batch q_ann_maxsim kernel would score >= threshold over the
+    same (odd-vec_id) population — the no-drift claim — with each
+    alert appearing exactly once across batch partitions."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        round_half_away,
+    )
+    from os_ex_3_map_reduce_spark.plans import all_queries
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = all_queries()["q_stream_maxsim"](spark, sf).collect()
+    assert len(got) == len({r.vec_id for r in got})  # exactly-once
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).first()["embedding"],
+        dtype=np.float64,
+    )
+    Qn = qv.reshape(4, 16)
+    Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
+    rows = emb.where(F.col("vec_id") % 2 == 1).collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    D = mat.reshape(len(mat), 4, 16)
+    n = np.linalg.norm(D, axis=2, keepdims=True)
+    Dn = D / np.where(n > 0, n, 1.0)
+    sims = round_half_away(np.einsum("qk,ndk->nqd", Qn, Dn), 4)
+    sc = (
+        np.round(sims.max(axis=2) * 10_000).astype(np.int64).sum(axis=1)
+        / 10_000.0
+    )
+    expect = {
+        int(r.vec_id): float(s)
+        for r, s in zip(rows, sc)
+        if s >= 1.5
+    }
+    assert {int(r.vec_id): float(r.maxsim) for r in got} == expect
