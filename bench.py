@@ -218,6 +218,7 @@ BREADTH = [
     "q_robust_prune",
     "q_ann_diskann",
     "q_stream_maxsim",
+    "q_rank_metrics",
 ]
 
 

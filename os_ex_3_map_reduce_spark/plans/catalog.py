@@ -157,6 +157,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_robust_prune",
     "q_ann_diskann",
     "q_stream_maxsim",
+    "q_rank_metrics",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -6060,3 +6060,159 @@ def q_ann_diskann(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "item string, value long")
 
     return _cached_df(spark, ("ann_diskann", sf_dir), build)
+
+
+# Shared integer discount table for q_rank_metrics: both engines use
+# G[i] = round(1e6 / log2(1+i)) so rank-discounted sums are exact
+# int64 arithmetic (the Hilbert-table shared-constant pattern) —
+# float log2/divide never enters either engine's aggregation.
+_NDCG_GAINS = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+#: ideal DCG for graded relevance (10, 9, ..., 1) at ranks 1..10
+_NDCG_IDEAL = sum((10 - i) * g for i, g in enumerate(_NDCG_GAINS))
+
+
+def rank_metrics(scored: DataFrame) -> DataFrame:
+    """nDCG@10 / MRR / recall@10 from a (query_id, vec_id, c_eval,
+    c_true) score relation — integer-exact via the shared literal gain
+    table. Split out of q_rank_metrics so the arithmetic's invariants
+    (perfect ranking -> ndcg == mrr == 1e6, recall == 1000) are
+    testable on synthetic rankings."""
+    w_eval = Window.partitionBy("query_id").orderBy(
+        F.desc("c_eval"), F.asc("vec_id")
+    )
+    w_true = Window.partitionBy("query_id").orderBy(
+        F.desc("c_true"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn(
+        "rk_eval", F.row_number().over(w_eval)
+    ).withColumn("rk_true", F.row_number().over(w_true))
+    gains = F.array(*[F.lit(g) for g in _NDCG_GAINS])
+    hits = ranked.where(F.col("rk_eval") <= 10).select(
+        "query_id",
+        "rk_eval",
+        F.element_at(gains, F.col("rk_eval")).cast("long").alias("gain"),
+        F.when(F.col("rk_true") <= 10, 11 - F.col("rk_true"))
+        .otherwise(0)
+        .cast("long")
+        .alias("rel"),
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.col("gain")).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rk_eval"))).alias(
+            "first_hit"
+        ),
+        F.sum((F.col("rel") > 0).cast("long")).alias("n_hits"),
+    )
+    return per_q.select(
+        "query_id",
+        F.col("dcg").cast("long"),
+        F.expr(f"dcg * 1000000 div {_NDCG_IDEAL}")
+        .cast("long")
+        .alias("ndcg_x1e6"),
+        F.coalesce(
+            F.expr("1000000 div first_hit"), F.lit(0)
+        )
+        .cast("long")
+        .alias("mrr_x1e6"),
+        (F.col("n_hits") * 100).cast("long").alias("recall_at10_x1000"),
+    )
+
+
+@register(
+    "q_rank_metrics",
+    # Exact recomputing oracle (no pins): both rankings are pure
+    # rounded-cosine + id-tiebreak windows, and every metric is exact
+    # integer arithmetic on the shared literal gain table.
+    oracle=f"""
+        WITH qs AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 3
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       (e.embedding[1:16])::DOUBLE[],
+                       (q.qe[1:16])::DOUBLE[]), 4) AS c16,
+                   round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS c64
+            FROM embeddings e CROSS JOIN qs q
+        ),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c16 DESC, vec_id) AS rk_eval,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c64 DESC, vec_id) AS rk_true
+            FROM scored
+        ),
+        g(rk, gain) AS (VALUES
+            (1, 1000000), (2, 630930), (3, 500000), (4, 430677),
+            (5, 386853), (6, 356207), (7, 333333), (8, 315465),
+            (9, 301030), (10, 289065)
+        ),
+        hits AS (
+            SELECT r.query_id, r.rk_eval, g.gain,
+                   CASE WHEN r.rk_true <= 10
+                        THEN 11 - r.rk_true ELSE 0 END AS rel
+            FROM ranked r JOIN g ON r.rk_eval = g.rk
+        ),
+        per_q AS (
+            SELECT query_id,
+                   SUM(CAST(rel AS BIGINT) * gain) AS dcg,
+                   MIN(CASE WHEN rel > 0 THEN rk_eval END) AS first_hit,
+                   SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits
+            FROM hits GROUP BY query_id
+        )
+        SELECT CAST(query_id AS INTEGER) AS query_id,
+               CAST(dcg AS BIGINT) AS dcg,
+               CAST(dcg * 1000000 // {_NDCG_IDEAL} AS BIGINT)
+                   AS ndcg_x1e6,
+               CAST(COALESCE(1000000 // first_hit, 0) AS BIGINT)
+                   AS mrr_x1e6,
+               CAST(n_hits * 100 AS BIGINT) AS recall_at10_x1000
+        FROM per_q
+    """,
+    doc="RETRIEVAL-QUALITY METRICS as a first-class relational "
+    "operator — the eval harness every production ANN/rerank stack "
+    "runs next to its indexes (recall alone hides rank position; "
+    "nDCG and MRR are what retrieval dashboards actually track): "
+    "evaluates the matryoshka 16-dim-prefix ranking (q_ann_"
+    "matryoshka's stage 1) against the full-dimension exact ranking "
+    "as graded ground truth (rel = 11 - exact_rank for the true "
+    "top-10). INTEGER-EXACT by the shared-literal-table discipline: "
+    "rank discounts use G[i] = round(1e6/log2(1+i)) shipped as the "
+    "same 10-entry constant table to codegen and to the oracle (the "
+    "Hilbert-map pattern), so DCG/IDCG/nDCG/MRR are pure int64 "
+    "sums and integer divisions in BOTH engines — no float "
+    "aggregation anywhere. Per standing query: dcg, ndcg_x1e6, "
+    "mrr_x1e6, recall@10 x1000. Brute-force scoring is the point "
+    "(an eval harness runs on a golden set, not the 100 TB corpus); "
+    "the two rankings shuffle only (query x corpus) score pairs "
+    "already bounded by the golden set's size.",
+)
+def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qrows = sorted(
+        emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+    )
+    parts = []
+    for r in qrows:
+        qv = [float(x) for x in r.embedding]
+        parts.append(
+            emb.select(
+                F.lit(int(r.vec_id)).cast("int").alias("query_id"),
+                "vec_id",
+                F.round(
+                    cosine_to_query(F.slice("embedding", 1, 16), qv[:16]), 4
+                ).alias("c_eval"),
+                F.round(cosine_to_query("embedding", qv), 4).alias("c_true"),
+            )
+        )
+    return rank_metrics(reduce(lambda a, b: a.unionByName(b), parts))

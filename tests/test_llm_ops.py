@@ -3092,3 +3092,54 @@ class TestRobustPrune:
             ).collect()
         )
         assert kept_all == [1, 2, 3]
+
+
+def test_rank_metrics_invariants(spark):
+    """The eval arithmetic's fixed points: a PERFECT ranking scores
+    ndcg == mrr == 1e6 and recall 1000; a ranking whose top-10 misses
+    every true top-10 scores all zeros; a single swap of ranks 1 and 2
+    produces the exact closed-form nDCG drop."""
+    from os_ex_3_map_reduce_spark.plans.llm import (
+        _NDCG_GAINS,
+        _NDCG_IDEAL,
+        rank_metrics,
+    )
+
+    # perfect: eval scores identical to truth scores
+    rows = [(0, i, float(100 - i), float(100 - i)) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "query_id int, vec_id long, c_eval double, c_true double"
+    )
+    m = rank_metrics(df).collect()[0]
+    assert (m.ndcg_x1e6, m.mrr_x1e6, m.recall_at10_x1000) == (
+        1000000,
+        1000000,
+        1000,
+    )
+
+    # total miss: eval prefers exactly the non-relevant tail
+    rows = [
+        (0, i, float(i), float(100 - i)) for i in range(30)
+    ]  # eval ranks 29..0, truth ranks 0..29
+    df = spark.createDataFrame(
+        rows, "query_id int, vec_id long, c_eval double, c_true double"
+    )
+    m = rank_metrics(df).collect()[0]
+    assert (m.dcg, m.ndcg_x1e6, m.mrr_x1e6, m.recall_at10_x1000) == (
+        0,
+        0,
+        0,
+        0,
+    )
+
+    # swap ranks 1 and 2: dcg = ideal - (10-9)*(G1-G2)
+    rows = [(0, i, float(100 - i), float(100 - i)) for i in range(30)]
+    rows[0] = (0, 0, 98.5, 100.0)  # vec 0 drops to eval rank 2
+    df = spark.createDataFrame(
+        rows, "query_id int, vec_id long, c_eval double, c_true double"
+    )
+    m = rank_metrics(df).collect()[0]
+    expect_dcg = _NDCG_IDEAL - (_NDCG_GAINS[0] - _NDCG_GAINS[1])
+    assert m.dcg == expect_dcg
+    assert m.ndcg_x1e6 == expect_dcg * 1000000 // _NDCG_IDEAL
+    assert m.mrr_x1e6 == 1000000  # rank 1 still relevant (rel=9)
