@@ -219,6 +219,7 @@ BREADTH = [
     "q_ann_diskann",
     "q_stream_maxsim",
     "q_rank_metrics",
+    "q_hilbert3d",
 ]
 
 

@@ -158,6 +158,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_diskann",
     "q_stream_maxsim",
     "q_rank_metrics",
+    "q_hilbert3d",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1127,3 +1127,44 @@ def test_hilbert_table_is_bijective_unit_step_curve():
         > 1
     )
     assert jumps > 0
+
+
+def test_hilbert3_table_is_bijective_unit_step_curve():
+    """hilbert3_d_table (Skilling transform): bijection over the 512
+    cells of the 8x8x8 cube AND the unit-step property — every
+    consecutive pair of curve positions grid-adjacent in exactly one
+    axis — at BOTH shipped bit widths, plus the 3-D Morton contrast
+    (it jumps, which is what q_hilbert3d measures the cost of)."""
+    from os_ex_3_map_reduce_spark.operators.layout import hilbert3_d_table
+
+    for bits in (2, 3):
+        n = 1 << bits
+        t = hilbert3_d_table(bits)
+        assert sorted(t) == list(range(n**3))
+        pos = {
+            d: (i // (n * n), (i // n) % n, i % n)
+            for i, d in enumerate(t)
+        }
+        for d in range(n**3 - 1):
+            a, b = pos[d], pos[d + 1]
+            assert sum(abs(a[i] - b[i]) for i in range(3)) == 1, (bits, d)
+
+    def morton3(x, y, z):
+        m = 0
+        for b in range(3):
+            m |= ((x >> b) & 1) << (3 * b + 2)
+            m |= ((y >> b) & 1) << (3 * b + 1)
+            m |= ((z >> b) & 1) << (3 * b)
+        return m
+
+    mpos = {}
+    for x in range(8):
+        for y in range(8):
+            for z in range(8):
+                mpos[morton3(x, y, z)] = (x, y, z)
+    jumps = sum(
+        1
+        for d in range(511)
+        if sum(abs(mpos[d][i] - mpos[d + 1][i]) for i in range(3)) > 1
+    )
+    assert jumps > 0
