@@ -220,6 +220,7 @@ BREADTH = [
     "q_stream_maxsim",
     "q_rank_metrics",
     "q_hilbert3d",
+    "q_containment",
 ]
 
 

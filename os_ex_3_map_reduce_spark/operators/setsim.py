@@ -145,3 +145,88 @@ def prefix_filter_pairs_eager(docs: DataFrame, **kwargs) -> DataFrame:
     for df in held:
         df.unpersist()
     return out
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All DIRECTED pairs with shingle CONTAINMENT >= ``threshold`` —
+    exactly. Containment C(a -> b) = |A ∩ B| / |A| is the ASYMMETRIC
+    near-dup relation Jaccard cannot express: a short document quoted
+    wholesale inside a long one scores near-zero Jaccard (the union is
+    dominated by B) but containment ~1 — the quote/boilerplate/
+    subset-inclusion case a training-data dedup pipeline needs next to
+    symmetric near-dup.
+
+    Probe-prefix / filtered-index construction (the asymmetric member
+    of the PPJoin family): only the PROBE side (A) prefix-filters —
+    if ``|A ∩ B| >= ceil(t*|A|)`` then by pigeonhole A's
+    ``n - ceil(t*n) + 1`` rarest tokens must hit the intersection
+    (else the intersection fits inside A's ceil(t*n)-1 suffix), and
+    the index side carries EVERY token of B, so the pair collides.
+    The index's hot tokens never explode the join: the distinct probe-
+    prefix token set (rare tokens by construction) semi-prunes the
+    index BEFORE the equi-join, so hot posting lists ship nowhere
+    unless some probe actually needs them. Verification is one JVM
+    ``array_intersect`` over pre-sorted arrays, like the symmetric
+    path. Returns (doc_a, doc_b, inter, n_a, containment) meaning
+    doc_a's shingle set is >= t contained in doc_b's; both directions
+    of a pair can appear, each verified independently."""
+    sh = shingle_sets(docs, id_col, text_col)
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    per_doc = (
+        sh.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df_s", "s"))).alias(
+                "toks"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("toks.s").alias("toks"),
+            F.size("toks").alias("n"),
+        )
+        .persist()
+    )
+    plen = (
+        F.col("n") - F.ceil(F.col("n") * F.lit(float(threshold))) + 1
+    ).cast("int")
+    probes = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(F.slice("toks", 1, plen)).alias("s"),
+    )
+    probe_tokens = probes.select("s").distinct()
+    index = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.explode("toks").alias("s")
+    ).join(probe_tokens, "s")
+    cand = (
+        probes.join(index, "s")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    docs_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    docs_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.join(docs_a, "doc_a")
+        .join(docs_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            "n_a",
+            (inter * F.lit(1.0) / F.col("n_a")).alias("containment"),
+        )
+        .where(F.col("containment") >= F.lit(float(threshold)))
+    )

@@ -159,6 +159,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_stream_maxsim",
     "q_rank_metrics",
     "q_hilbert3d",
+    "q_containment",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

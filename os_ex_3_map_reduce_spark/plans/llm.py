@@ -6216,3 +6216,59 @@ def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rank_metrics(reduce(lambda a, b: a.unionByName(b), parts))
+
+
+@register(
+    "q_containment",
+    # Exact all-pairs recomputing oracle (directed intersection; the
+    # _SHINGLE_SQL CTEs with a <> b instead of a < b).
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, len(t) - 2),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+            FROM toks WHERE len(t) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter, sa.n AS n_a,
+               (inter * 1.0 / sa.n) AS containment
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        WHERE inter * 1.0 / sa.n >= 0.8
+    """,
+    doc="EXACT containment join (operators/setsim.py "
+    "containment_pairs) — the ASYMMETRIC near-dup relation the "
+    "symmetric E2 stack cannot express: containment "
+    "C(a->b) = |A n B| / |A| flags a short document quoted wholesale "
+    "inside a long one (Jaccard ~0 because the union is dominated by "
+    "B; containment ~1) — the quote / boilerplate / subset-inclusion "
+    "case, and the same construction contamination screens use when "
+    "the benchmark doc is much shorter than the training doc. "
+    "Probe-prefix / filtered-index shape (the asymmetric PPJoin "
+    "member): only the probe side prefix-filters (pigeonhole on its "
+    "rarest n-ceil(t*n)+1 tokens), the index side holds every token "
+    "but is semi-pruned by the DISTINCT probe-prefix token set — "
+    "rare by construction — before the equi-join, so hot posting "
+    "lists never ship. Completeness is a theorem (directed pairs "
+    "verified independently per direction via one JVM "
+    "array_intersect); exact all-pairs oracle, no pins.",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setsim import containment_pairs
+
+    def build() -> DataFrame:
+        out = containment_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.8
+        ).persist()
+        out.count()
+        return out
+
+    return _cached_df(spark, ("containment", sf_dir), build)

