@@ -221,6 +221,7 @@ BREADTH = [
     "q_rank_metrics",
     "q_hilbert3d",
     "q_containment",
+    "q_volume_shipping",
 ]
 
 

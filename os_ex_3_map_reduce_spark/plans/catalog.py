@@ -160,6 +160,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_rank_metrics",
     "q_hilbert3d",
     "q_containment",
+    "q_volume_shipping",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -3752,3 +3752,90 @@ def q_join_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY variant
         """
     )
+
+
+@register(
+    "q_volume_shipping",
+    oracle=f"""
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+            OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping between two nations): the "
+    "join topology Q5 does NOT have — the nation dimension joins in "
+    "TWICE under different roles (supplier's nation vs customer's "
+    "nation, a self-alias the planner must keep distinct), with a "
+    "DISJUNCTIVE cross-dimension predicate selecting the two "
+    "directed nation pairings and a ship-date range on the fact "
+    "scan. Catalyst broadcasts both nation aliases + supplier + "
+    "customer, pushes the date range into the lineitem scan, and "
+    "the disjunction prunes after both role joins meet; grouped by "
+    "(supp_nation, cust_nation, ship year) so both trade directions "
+    "report per year — the classic bilateral-flow report. Revenue "
+    "in exact DECIMAL (shared _SQL_REV cents discipline), cast to "
+    "double only at output.",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    ns = nat.select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    nc = nat.select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+        .join(nc, F.col("c_nationkey") == F.col("nc_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_8")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_8")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
