@@ -222,6 +222,7 @@ BREADTH = [
     "q_hilbert3d",
     "q_containment",
     "q_volume_shipping",
+    "q_hard_negatives",
 ]
 
 

@@ -161,6 +161,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_hilbert3d",
     "q_containment",
     "q_volume_shipping",
+    "q_hard_negatives",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

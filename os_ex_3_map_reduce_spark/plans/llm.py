@@ -6272,3 +6272,94 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return _cached_df(spark, ("containment", sf_dir), build)
+
+
+@register(
+    "q_hard_negatives",
+    # Exact recomputing oracle (no pins): ranks are rounded-cosine +
+    # id-tiebreak windows, the margin is a subtraction of two values
+    # already on the 1e-4 grid.
+    oracle="""
+        WITH qs AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 3
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS cosine
+            FROM embeddings e CROSS JOIN qs q
+            WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ),
+        floor_pos AS (
+            SELECT query_id, cosine AS pos_floor FROM ranked WHERE rank = 5
+        )
+        SELECT r.query_id, r.vec_id, r.cosine,
+               CAST(r.rank AS INTEGER) AS rank,
+               round(f.pos_floor - r.cosine, 4) AS margin
+        FROM ranked r JOIN floor_pos f USING (query_id)
+        WHERE r.rank > 5 AND r.rank <= 15
+    """,
+    doc="HARD-NEGATIVE MINING for contrastive training (the SBERT / "
+    "DPR / FaceNet data-prep step: a bi-encoder trained on random "
+    "negatives learns nothing once it separates easy pairs — the "
+    "informative negatives are the ones the CURRENT embedding space "
+    "ranks just below the true neighbors): with the exact top-5 as "
+    "positives (self excluded), emit ranks 6-15 as the semi-hard "
+    "negative band, each with its MARGIN below the weakest positive "
+    "— the quantity triplet losses threshold on. Pure composition "
+    "of the established scoring discipline (rounded cosine, id "
+    "tiebreaks, margins as subtractions on the 1e-4 grid), so the "
+    "oracle recomputes everything exactly — no pins. At 100 TB the "
+    "exact scan becomes the ANN batch kernel (mine from the top-50 "
+    "of q_ann_ivf_batch and rerank, the q_ann_rerank composition); "
+    "the band definition is unchanged.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qrows = sorted(
+        emb.where(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
+    )
+    parts = []
+    for r in qrows:
+        qv = [float(x) for x in r.embedding]
+        parts.append(
+            emb.where(F.col("vec_id") != int(r.vec_id)).select(
+                F.lit(int(r.vec_id)).cast("long").alias("query_id"),
+                "vec_id",
+                F.round(cosine_to_query("embedding", qv), 4).alias(
+                    "cosine"
+                ),
+            )
+        )
+    scored = reduce(lambda a, b: a.unionByName(b), parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    floor_pos = ranked.where(F.col("rank") == 5).select(
+        "query_id", F.col("cosine").alias("pos_floor")
+    )
+    return (
+        ranked.where((F.col("rank") > 5) & (F.col("rank") <= 15))
+        .join(F.broadcast(floor_pos), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cosine",
+            F.col("rank").cast("int"),
+            F.round(F.col("pos_floor") - F.col("cosine"), 4).alias(
+                "margin"
+            ),
+        )
+    )

@@ -1759,9 +1759,115 @@ def bench_round11b(spark, scaled: str) -> None:
         )
 
 
+def _stage_rel10(spark) -> str:
+    """Fact-x10 staging (shared with bench_round11h): orders/lineitem
+    replicated with offset orderkeys, SAME custkeys/partkeys/suppkeys,
+    dims symlinked — a pure fact-side scale-up."""
+    rel10 = f"{STAGE}_rel10"
+    if os.path.exists(os.path.join(rel10, "_STAGED")):
+        return rel10
+    shutil.rmtree(rel10, ignore_errors=True)
+    os.makedirs(rel10, exist_ok=True)
+    copies_l = F.broadcast(
+        spark.range(COPIES).select(F.col("id").alias("copy"))
+    )
+    o = spark.read.parquet(f"{BASE_SF}/orders.parquet")
+    li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+    o.crossJoin(copies_l).select(
+        (F.col("o_orderkey") + F.col("copy") * 10_000_000_000).alias(
+            "o_orderkey"
+        ),
+        *[c for c in o.columns if c != "o_orderkey"],
+    ).write.mode("overwrite").parquet(f"{rel10}/orders.parquet")
+    li.crossJoin(copies_l).select(
+        (F.col("l_orderkey") + F.col("copy") * 10_000_000_000).alias(
+            "l_orderkey"
+        ),
+        *[c for c in li.columns if c != "l_orderkey"],
+    ).write.mode("overwrite").parquet(f"{rel10}/lineitem.parquet")
+    for t in TABLES:
+        if t in ("orders", "lineitem"):
+            continue
+        dst = f"{rel10}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE_SF}/{t}.parquet", dst)
+    open(os.path.join(rel10, "_STAGED"), "w").write("ok")
+    return rel10
+
+
+def bench_round12(spark, scaled: str) -> None:
+    """10x draws for the round-12 session additions plus the two
+    late-r11 queued leftovers: robust prune + standing query (their
+    draws were queued when they landed after the last sweep), DiskANN
+    two-tier serving (the nodes-read-is-scale-constant claim measured
+    directly), streaming MaxSim, rank metrics (brute eval scan),
+    containment join (disjoint shingle spaces per copy), and — on the
+    fact-x10 staging — the 3-D Hilbert comparison and the Q7 shape.
+    NOTE the pinned catalog queries verify their pinned expectations
+    at the CATALOG scale only; on the x10 staging the pin relation is
+    keyed by the orders row count, which the embeddings-side staging
+    leaves untouched (orders symlinked), so the pipelines execute
+    identically with the same pins."""
+    from os_ex_3_map_reduce_spark.plans.llm import _DF_CACHE
+
+    qs = all_queries()
+    res: dict[str, dict[str, float]] = {}
+
+    def rec(q: str, label: str, sec: float) -> None:
+        res.setdefault(q, {})[label] = round(sec, 3)
+
+    cached = {"q_ann_diskann", "q_containment", "q_robust_prune"}
+    for name in (
+        "q_robust_prune",
+        "q_stream_standing_query",
+        "q_ann_diskann",
+        "q_stream_maxsim",
+        "q_rank_metrics",
+        "q_containment",
+    ):
+        for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+            _materialize(qs[name](spark, path))
+            if name in cached:
+                _DF_CACHE.clear()  # _cached_df would serve the memo
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, path))
+            rec(name, label, time.perf_counter() - t0)
+
+    rel10 = _stage_rel10(spark)
+    for name in ("q_hilbert3d", "q_volume_shipping"):
+        for label, path in (("base", BASE_SF), (f"x{COPIES}", rel10)):
+            _materialize(qs[name](spark, path))
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, path))
+            rec(name, label, time.perf_counter() - t0)
+
+    for q, d in res.items():
+        base_s, big_s = d["base"], d[f"x{COPIES}"]
+        print(
+            json.dumps(
+                {
+                    "query": q,
+                    "base_sec": base_s,
+                    f"x{COPIES}_sec": big_s,
+                    "ratio": round(big_s / base_s, 2) if base_s else None,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     spark = get_spark(app_name="bench_scale10")
     scaled = stage(spark)
+    # subset mode: name bench_* functions on argv to run only those
+    import sys as _sys
+
+    if len(_sys.argv) > 1:
+        for fname in _sys.argv[1:]:
+            fn = globals()[fname]
+            fn(spark) if fname == "bench_graph10" else fn(spark, scaled)
+        spark.stop()
+        return
     qs = all_queries()
     for name in QUERIES:
         base = time_query(qs[name], spark, BASE_SF)
@@ -1791,6 +1897,7 @@ def main() -> None:
     bench_round11f(spark, scaled)
     bench_round11g(spark, scaled)
     bench_round11h(spark, scaled)
+    bench_round12(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
