@@ -223,6 +223,7 @@ BREADTH = [
     "q_containment",
     "q_volume_shipping",
     "q_hard_negatives",
+    "q_ktruss",
 ]
 
 

@@ -1542,3 +1542,117 @@ def maximal_matching_eager(edges: DataFrame, **kwargs) -> DataFrame:
         except Exception:
             pass
     return out
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """k-TRUSS decomposition — the EDGE-level density filter next to
+    the vertex-level k-core (operators/graph.py kcore): the maximal
+    subgraph in which every edge closes at least ``k - 2`` triangles
+    WITH SURVIVING EDGES. A k-core keeps a star hub (degree alone);
+    a k-truss does not — edges must sit in dense, triangle-closed
+    neighborhoods, which is why community-detection and spam-farm
+    filters peel trusses, not cores.
+
+    Per round, on the canonical (u < v) surviving edge set: orient
+    every edge from its lower-(degree, id) endpoint (the
+    triangle_counts skew defense — a hub's oriented out-degree is
+    capped by the number of higher-degree nodes; the naive u < v
+    orientation turns low-ID parts into quadratic hubs and OOMed the
+    sf0.1 wedge join, measured this round), enumerate each surviving
+    triangle exactly once as a wedge at its minimum-(degree, id)
+    vertex plus one canonical closing-edge join, explode each
+    triangle onto its three canonical edges + groupBy support count,
+    then drop edges with support < k-2. Monotone peeling -> the
+    edge-count fixed point is THE k-truss (standard peel argument);
+    iteration is localCheckpoint-pinned like every fixed-point
+    operator here. Support counts are orientation-INDEPENDENT pure
+    set algebra, so the SQL oracle enumerates with the simple
+    u < v < w order instead and still matches exactly — the Spark
+    side owns the skew defense, the oracle owns readability.
+
+    Returns the truss edges (u, v, support) at the fixed point, with
+    the rounds executed on ``_osx3_rounds``."""
+    cur = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = cur.count()
+    rounds = 0
+    sup = None
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionByName(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        e = cur.join(
+            deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+        ).join(
+            deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v"
+        )
+        lower_u = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        o = e.select(
+            F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        wedges = (
+            o.select("a", F.col("b").alias("b1"))
+            .join(o.select("a", F.col("b").alias("b2")), "a")
+            .where(F.col("b1") < F.col("b2"))
+        )
+        tris = wedges.join(
+            cur.select(F.col("u").alias("b1"), F.col("v").alias("b2")),
+            ["b1", "b2"],
+        )
+        sup = (
+            tris.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("a", "b1").alias("x"),
+                            F.greatest("a", "b1").alias("y"),
+                        ),
+                        F.struct(
+                            F.least("a", "b2").alias("x"),
+                            F.greatest("a", "b2").alias("y"),
+                        ),
+                        F.struct(
+                            F.col("b1").alias("x"), F.col("b2").alias("y")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .groupBy("e.x", "e.y")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        nxt = (
+            cur.join(
+                sup,
+                (cur.u == sup.x) & (cur.v == sup.y),
+            )
+            .where(F.col("support") >= k - 2)
+            .select("u", "v", "support")
+            .localCheckpoint(eager=True)
+        )
+        m = nxt.count()
+        rounds += 1
+        if m == n:
+            out = nxt
+            break
+        cur = nxt.select("u", "v").localCheckpoint(eager=True)
+        n = m
+    else:
+        out = nxt
+    out._osx3_rounds = rounds  # type: ignore[attr-defined]
+    return out

@@ -162,6 +162,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_containment",
     "q_volume_shipping",
     "q_hard_negatives",
+    "q_ktruss",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1186,3 +1186,100 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select(F.col("node").alias("word"), "rank")
     )
+
+
+_KTRUSS_K = 12
+_KTRUSS_ROUNDS = 7  # measured fixpoint: 1/5/3 peel rounds at
+                    # sf0.001/0.01/0.1 — 7 gives 1.4x the worst
+
+
+def _ktruss_oracle() -> str:
+    """Unrolled peel rounds of the exact k-truss algebra (the kcore
+    oracle pattern): per round enumerate each surviving triangle once
+    as u < v < w, count per-edge support, keep support >= k-2."""
+    cte = [
+        """
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        alive0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )"""
+    ]
+    for i in range(_KTRUSS_ROUNDS):
+        cte.append(
+            f"""
+        tris{i} AS MATERIALIZED (
+            SELECT e1.u, e1.v AS v, e2.v AS w
+            FROM alive{i} e1
+            JOIN alive{i} e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN alive{i} c ON c.u = e1.v AND c.v = e2.v
+        ),
+        sup{i} AS MATERIALIZED (
+            SELECT u, v, COUNT(*) AS s FROM (
+                SELECT u, v FROM tris{i}
+                UNION ALL SELECT u, w FROM tris{i}
+                UNION ALL SELECT v, w FROM tris{i}
+            ) GROUP BY u, v
+        ),
+        alive{i + 1} AS MATERIALIZED (
+            SELECT a.u, a.v FROM alive{i} a
+            JOIN sup{i} s ON a.u = s.u AND a.v = s.v
+            WHERE s.s >= {_KTRUSS_K - 2}
+        )"""
+        )
+    last = _KTRUSS_ROUNDS
+    return (
+        ",".join(cte)
+        + f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(COUNT(*) AS BIGINT) AS n_truss_edges
+        FROM (
+            SELECT u AS node FROM alive{last}
+            UNION ALL SELECT v FROM alive{last}
+        ) GROUP BY node
+    """
+    )
+
+
+@register(
+    "q_ktruss",
+    oracle=_ktruss_oracle(),
+    doc=f"k-TRUSS decomposition (k={_KTRUSS_K}, operators/graph.py "
+    "ktruss) of the part co-occurrence graph — the EDGE-level density "
+    "filter completing the cohesion ladder next to q_kcore (vertex "
+    "degree) and q_triangles (closure counts): every surviving edge "
+    "closes >= k-2 triangles WITH surviving edges, so star hubs that "
+    "sail through a k-core peel out here — the property community "
+    "and spam-farm filters rely on. Per round: one canonical-order "
+    "wedge self-join + closing-edge join enumerates each triangle "
+    "exactly once, one explode-to-3-edges support count, one "
+    "support-threshold filter; monotone peeling makes the edge-count "
+    "fixed point THE truss. Measured cascade depth 1/5/3 rounds at "
+    "the three scales (the sf0.01 draw peels 115.7k -> 69.6k -> "
+    "22.3k -> 2.6k -> 1.1k edges — a real cascade, not one cliff); "
+    f"the oracle unrolls {_KTRUSS_ROUNDS} rounds of the identical "
+    "algebra. Output: per-node incident truss-edge counts. Exact "
+    "integer set algebra end-to-end, deterministic under any "
+    "partitioning.",
+)
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import ktruss
+
+    def build() -> DataFrame:
+        edges = _part_cooccur_edges(spark, sf_dir).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        t = ktruss(edges, k=_KTRUSS_K, max_rounds=_KTRUSS_ROUNDS + 1)
+        nodes = t.select(F.col("u").alias("node")).unionByName(
+            t.select(F.col("v").alias("node"))
+        )
+        out = (
+            nodes.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_truss_edges"))
+            .persist()
+        )
+        out.count()
+        return out
+
+    return _cached_df(spark, ("ktruss", sf_dir), build)
