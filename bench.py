@@ -224,6 +224,7 @@ BREADTH = [
     "q_volume_shipping",
     "q_hard_negatives",
     "q_ktruss",
+    "q_mmr_rerank",
 ]
 
 

@@ -1319,3 +1319,100 @@ def ivf_index_compact(spark, path: str) -> dict:
     shutil.rmtree(path, ignore_errors=True)
     shutil.move(stage, path)
     return {"files_before": before, "files_after": after, "rows": rows}
+
+
+def mmr_select(
+    emb_df: DataFrame,
+    query_vec: "np.ndarray",
+    k: int = 5,
+    lam: float = 0.7,
+    exclude_ids: Iterable[int] = (),
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE greedy selection (Carbonell &
+    Goldstein SIGIR'98): per round one Arrow kernel over the remaining
+    candidates computes rel-to-query and max-sim-to-selected (selected
+    vectors broadcast, <= k rows) and one TakeOrdered(1) picks the
+    argmax of ``lam*rel - (1-lam)*maxsim`` — the q_kcenter_sample
+    iteration shape with a relevance term (lam=0 IS farthest-point in
+    cosine space). Deterministic: pair cosines rounded to the 1e-4
+    grid before the max, the objective re-rounded after the constant
+    arithmetic, id tiebreaks. Returns one row per round:
+    (round, vec_id, rel, maxsim, mmr)."""
+    import pandas as pd
+
+    spark = emb_df.sparkSession
+    qn = np.asarray(query_vec, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    mu = round(1.0 - lam, 4)
+    rel_df = emb_df.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    selected_ids: list[int] = []
+    selected_vecs: list["np.ndarray"] = []
+    out_rows = []
+    excl = [int(x) for x in exclude_ids]
+    for r in range(1, k + 1):
+        S = (
+            np.stack(selected_vecs)
+            if selected_vecs
+            else np.zeros((0, len(qn)))
+        )
+        b_state = spark.sparkContext.broadcast((qn, S))
+
+        def kernel(batches):
+            q_, S_ = b_state.value
+            for pdf in batches:
+                mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                matn = mat / np.where(norms > 0, norms, 1.0)
+                rel = round_half_away(matn @ q_, 4)
+                if len(S_):
+                    ms = round_half_away(matn @ S_.T, 4).max(axis=1)
+                else:
+                    ms = np.zeros(len(mat))
+                mmr = round_half_away(lam * rel - mu * ms, 4)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "rel": rel,
+                        "maxsim": ms,
+                        "mmr": mmr,
+                    }
+                )
+
+        picked = (
+            rel_df.where(~F.col("vec_id").isin(excl + selected_ids))
+            .mapInPandas(
+                kernel,
+                "vec_id long, rel double, maxsim double, mmr double",
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not picked:
+            break
+        pick = picked[0]
+        out_rows.append(
+            (
+                r,
+                int(pick.vec_id),
+                float(pick.rel),
+                float(pick.maxsim),
+                float(pick.mmr),
+            )
+        )
+        selected_ids.append(int(pick.vec_id))
+        v = np.array(
+            rel_df.where(F.col("vec_id") == int(pick.vec_id)).first()[
+                "embedding"
+            ],
+            dtype=np.float64,
+        )
+        selected_vecs.append(v / np.linalg.norm(v))
+    return spark.createDataFrame(
+        out_rows,
+        "round int, vec_id long, rel double, maxsim double, mmr double",
+    )

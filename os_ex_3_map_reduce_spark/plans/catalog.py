@@ -163,6 +163,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_volume_shipping",
     "q_hard_negatives",
     "q_ktruss",
+    "q_mmr_rerank",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

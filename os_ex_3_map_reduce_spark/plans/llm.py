@@ -6363,3 +6363,119 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    # selected vectors accumulate via unrolled MATERIALIZED CTEs (the
+    # q_kcenter_sample oracle pattern); every pair cosine is rounded
+    # to the 1e-4 grid BEFORE the max, matching the Arrow kernel
+    lam, mu = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 4)
+    cte = [
+        """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        rel AS MATERIALIZED (
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS rel
+            FROM embeddings e, q WHERE e.vec_id <> 0
+        ),
+        pick1 AS MATERIALIZED (
+            SELECT 1 AS r, vec_id, rel,
+                   CAST(0.0 AS DOUBLE) AS maxsim,
+                   round(0.7 * rel, 4) AS mmr
+            FROM rel ORDER BY round(0.7 * rel, 4) DESC, vec_id LIMIT 1
+        ),
+        sel1 AS (SELECT vec_id FROM pick1)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        cte.append(
+            f"""
+        ms{r} AS MATERIALIZED (
+            SELECT c.vec_id, c.rel,
+                   MAX(round(list_cosine_similarity(
+                       ce.embedding::DOUBLE[], se.embedding::DOUBLE[]),
+                       4)) AS maxsim
+            FROM rel c
+            JOIN embeddings ce ON c.vec_id = ce.vec_id
+            CROSS JOIN (
+                SELECT e2.embedding FROM sel{r - 1} p
+                JOIN embeddings e2 ON p.vec_id = e2.vec_id
+            ) se
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+            GROUP BY c.vec_id, c.rel
+        ),
+        pick{r} AS MATERIALIZED (
+            SELECT {r} AS r, vec_id, rel, maxsim,
+                   round({lam} * rel - {mu} * maxsim, 4) AS mmr
+            FROM ms{r}
+            ORDER BY round({lam} * rel - {mu} * maxsim, 4) DESC, vec_id
+            LIMIT 1
+        ),
+        sel{r} AS (
+            SELECT vec_id FROM sel{r - 1} UNION SELECT vec_id FROM pick{r}
+        )"""
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM pick{r}" for r in range(1, _MMR_K + 1)
+    )
+    return (
+        ",".join(cte)
+        + f"""
+        SELECT CAST(r AS INTEGER) AS round, vec_id, rel, maxsim, mmr
+        FROM ({picks})
+    """
+    )
+
+
+@register(
+    "q_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc="MAXIMAL MARGINAL RELEVANCE diversified retrieval (Carbonell "
+    "& Goldstein SIGIR'98 — the diversity rerank production search "
+    "stacks run after ANN: plain top-k returns five copies of the "
+    "same near-dup cluster; MMR's greedy objective "
+    "lambda*rel(d) - (1-lambda)*max_sim(d, selected) forces each "
+    "pick away from what is already shown): per round ONE Arrow "
+    "kernel over the remaining candidates computes rel-to-query and "
+    "max-sim-to-selected (selected vectors broadcast, <= k of them) "
+    "and one TakeOrdered(1) picks the argmax — the exact "
+    "q_kcenter_sample iteration shape (MMR with lambda=0 IS "
+    "farthest-point in cosine space; lambda dials the "
+    "relevance/diversity trade, 0.7 here). Determinism: every pair "
+    "cosine rounded to the 1e-4 grid BEFORE the max, the objective "
+    "re-rounded after the fixed-constant arithmetic, id tiebreaks — "
+    "so the greedy trajectory is exactly replayed by the unrolled "
+    "MATERIALIZED-CTE oracle, no pins. Output per round: pick, its "
+    "relevance, its max similarity to prior picks (watch it fall "
+    "as diversity kicks in), and the objective value. At 100 TB the "
+    "candidate relation is the ANN batch top-N, not the corpus — "
+    "the per-round kernel shape is unchanged.",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).first()["embedding"],
+        dtype=np.float64,
+    )
+
+    return _cached_df(
+        spark,
+        ("mmr_rerank", sf_dir),
+        lambda: mmr_select(
+            emb,
+            qv,
+            k=_MMR_K,
+            lam=_MMR_LAMBDA,
+            exclude_ids=[0],
+        ),
+    )

@@ -3182,3 +3182,46 @@ def test_containment_asymmetric_quote_detection(spark):
     )  # quote fully contained in host
     assert (2, 1) not in got  # host NOT contained in quote
     assert not any(3 in p for p in got)  # half-overlap below threshold
+
+
+def test_mmr_alternates_clusters_where_topk_does_not(spark):
+    """The reason MMR exists, on constructed geometry: two tight
+    clusters, one slightly closer to the query. Plain top-3 stays
+    inside the closer cluster; MMR's second pick JUMPS to the other
+    cluster (its maxsim-to-selected penalty outweighs the relevance
+    gap), and lam=1.0 degenerates back to exactly the plain top-k
+    order."""
+    import numpy as np
+
+    from os_ex_3_map_reduce_spark.operators.similarity import mmr_select
+
+    rng = np.random.default_rng(7)
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    # both clusters near the query but on OPPOSITE sides: rel 0.98 vs
+    # 0.95 (small relevance gap), cross-cluster cosine ~0.87 — the
+    # regime where 0.3*(1 - cross_sim) > 0.7*(rel gap), i.e. where
+    # diversity should win round 2
+    c1 = np.array([0.98, 0.199, 0.0, 0.0])
+    c2 = np.array([0.95, -0.312, 0.0, 0.0])
+    rows = []
+    for i in range(3):  # ids 1..3: cluster 1
+        rows.append((i + 1, [float(x) for x in c1 + rng.normal(0, 0.005, 4)]))
+    for i in range(3):  # ids 11..13: cluster 2
+        rows.append((i + 11, [float(x) for x in c2 + rng.normal(0, 0.005, 4)]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = sorted(
+        mmr_select(emb, q, k=3, lam=0.7).collect(), key=lambda r: r.round
+    )
+    picks = [r.vec_id for r in out]
+    assert picks[0] in (1, 2, 3)  # most relevant: closer cluster
+    assert picks[1] in (11, 12, 13), picks  # diversity jump
+    assert out[1].maxsim < 0.9  # cross-cluster, not a near-dup
+
+    plain = sorted(
+        mmr_select(emb, q, k=3, lam=1.0).collect(), key=lambda r: r.round
+    )
+    assert all(p.vec_id in (1, 2, 3) for p in plain)  # top-k stays
+    rels = [p.rel for p in plain]
+    assert rels == sorted(rels, reverse=True)
