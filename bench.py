@@ -225,6 +225,7 @@ BREADTH = [
     "q_hard_negatives",
     "q_ktruss",
     "q_mmr_rerank",
+    "q_chunk_overlap",
 ]
 
 

@@ -164,6 +164,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_hard_negatives",
     "q_ktruss",
     "q_mmr_rerank",
+    "q_chunk_overlap",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

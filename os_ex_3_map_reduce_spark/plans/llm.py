@@ -6479,3 +6479,66 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             exclude_ids=[0],
         ),
     )
+
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@register(
+    "q_chunk_overlap",
+    # Exact recomputing oracle: both engines slice the identical token
+    # array at the identical window starts and fingerprint the chunk
+    # text with md5 — content equality proven without shipping text.
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, unnest(generate_series(1, len(t),
+                                                  {_CHUNK_S})) AS start,
+                   t
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST((start - 1) / {_CHUNK_S} AS INTEGER) AS chunk_id,
+               CAST(start AS INTEGER) AS start_tok,
+               CAST(len(t[start:start + {_CHUNK_W} - 1]) AS INTEGER)
+                   AS n_tokens,
+               md5(array_to_string(t[start:start + {_CHUNK_W} - 1], ' '))
+                   AS chunk_md5
+        FROM chunks
+    """,
+    doc="OVERLAPPING document chunking — the RAG/embedding-prep "
+    "windowing step (LangChain/LlamaIndex text-splitter shape) that "
+    f"complements q_pack_chunks' inverse: packing JOINS docs into "
+    f"fixed windows, chunking SPLITS each doc into {_CHUNK_W}-token "
+    f"windows at stride {_CHUNK_S} (8-token overlap so no sentence "
+    "straddles a boundary unseen — the retrieval-recall insurance "
+    "every RAG pipeline buys). Entirely JVM-side: one "
+    "sequence+transform per doc (window starts), slice + concat_ws "
+    "inside codegen, no explode-then-window shuffle — each doc's "
+    "chunks materialize in its own scan partition, embarrassingly "
+    "parallel at any corpus size. Chunks are emitted as (doc_id, "
+    "chunk_id, start, n_tokens, md5 fingerprint): the fingerprint "
+    "proves exact chunk CONTENT equality against the oracle without "
+    "shipping chunk text through the compare.",
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t), {_CHUNK_S}), "
+                f"s -> struct(s as start, slice(t, s, {_CHUNK_W}) as ck))"
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        ((F.col("c.start") - 1) / _CHUNK_S).cast("int").alias("chunk_id"),
+        F.col("c.start").cast("int").alias("start_tok"),
+        F.size("c.ck").cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("c.ck"))).alias("chunk_md5"),
+    )
