@@ -226,6 +226,7 @@ BREADTH = [
     "q_ktruss",
     "q_mmr_rerank",
     "q_chunk_overlap",
+    "q_bm25_indexed",
 ]
 
 

@@ -157,3 +157,36 @@ def winnow(hashes: list[int], window: int = 4) -> list[int]:
         if not out or out[-1] != m:
             out.append(m)
     return out
+
+
+def bm25_term_score(tf, df, dl, n_docs, total_tokens):
+    """The engine's single BM25 per-(doc, term) score expression
+    (k1=1.2, b=0.75, the Lucene-style +1 idf floor): computed in
+    DOUBLE, rounded to the 1e-6 grid, cast DECIMAL(18,6) for exact
+    summation. ONE definition shared by the live pipeline
+    (plans/llm._bm25_top), the standing-query stream, and the written
+    postings index (operators/postings.py), so offline scoring,
+    online scoring, and index serving cannot drift — any caller
+    passes its own column/literal operands."""
+    from pyspark.sql import functions as F
+
+    tf_d = tf.cast("double")
+    df_d = df.cast("double")
+    n_d = n_docs.cast("double")
+    return F.round(
+        F.log(
+            ((n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5)))
+            + F.lit(1.0)
+        )
+        * (tf_d * F.lit(2.2))
+        / (
+            tf_d
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75)
+                * ((dl.cast("double") * n_d) / total_tokens.cast("double"))
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")

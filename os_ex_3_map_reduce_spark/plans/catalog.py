@@ -165,6 +165,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ktruss",
     "q_mmr_rerank",
     "q_chunk_overlap",
+    "q_bm25_indexed",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from ..functions.text import (
     STOPWORDS,
+    bm25_term_score,
     predicted_lang,
     shingles,
     sql_predicted_lang,
@@ -2857,36 +2858,13 @@ def _bm25_top(
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "term_score",
-            F.round(
-                F.log(
-                    (
-                        (
-                            F.col("n_docs").cast("double")
-                            - F.col("df").cast("double")
-                            + F.lit(0.5)
-                        )
-                        / (F.col("df").cast("double") + F.lit(0.5))
-                    )
-                    + F.lit(1.0)
-                )
-                * (F.col("tf").cast("double") * F.lit(2.2))
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(1.2)
-                    * (
-                        F.lit(0.25)
-                        + F.lit(0.75)
-                        * (
-                            (
-                                F.col("dl").cast("double")
-                                * F.col("n_docs").cast("double")
-                            )
-                            / F.col("total_tokens").cast("double")
-                        )
-                    )
-                ),
-                6,
-            ).cast("decimal(18,6)"),
+            bm25_term_score(
+                F.col("tf"),
+                F.col("df"),
+                F.col("dl"),
+                F.col("n_docs"),
+                F.col("total_tokens"),
+            ),
         )
     )
     scored = terms.groupBy("doc_id").agg(
@@ -6542,3 +6520,128 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("c.ck").cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("c.ck"))).alias("chunk_md5"),
     )
+
+
+@register(
+    "q_bm25_indexed",
+    # Exact recomputing oracle — q_bm25_topk's SQL verbatim (the
+    # written index must return byte-identical results to the live
+    # pipeline) plus the in-band live_match claim.
+    oracle="""
+        WITH docs2 AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens
+            FROM docs2
+        ),
+        w AS (
+            SELECT doc_id, unnest(t) AS term FROM docs2
+        ),
+        qt AS (SELECT unnest(['dup', 'vector', 'scan']) AS term),
+        tf AS (
+            SELECT w.doc_id, w.term, COUNT(*) AS tf
+            FROM w JOIN qt USING (term)
+            GROUP BY w.doc_id, w.term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM w JOIN qt USING (term)
+            GROUP BY term
+        ),
+        dl AS (SELECT doc_id, len(t) AS dl FROM docs2),
+        terms AS (
+            SELECT tf.doc_id,
+                   CAST(round(
+                       ln(((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE))
+                           / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                          + CAST(1.0 AS DOUBLE))
+                       * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                       / (CAST(tf.tf AS DOUBLE)
+                          + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + CAST(0.75 AS DOUBLE)
+                                 * ((CAST(dl.dl AS DOUBLE)
+                                     * CAST(s.n_docs AS DOUBLE))
+                                    / CAST(s.total_tokens AS DOUBLE)))),
+                       6) AS DECIMAL(18,6)) AS term_score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, COUNT(*) AS n_terms_matched,
+                   SUM(term_score) AS s
+            FROM terms GROUP BY doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, n_terms_matched, CAST(s AS DOUBLE) AS bm25,
+                   ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+            FROM scored
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+               bm25, CAST(rank AS INTEGER) AS rank,
+               CAST(1 AS INTEGER) AS live_match
+        FROM ranked WHERE rank <= 10
+    """,
+    doc="BM25 against a WRITTEN inverted index "
+    "(operators/postings.py) — the text axis joining the "
+    "written-index discipline the vector side established "
+    "(ivf_write/nsw_write): postings (term, doc, tf, df-denormalized) "
+    "partitioned by pmod(xxhash64(term), 16) with one sorted file "
+    "per bucket dir, doc lengths + frozen (n_docs, avgdl) meta "
+    "beside them — the same frozen-offline-model semantics as the "
+    "standing query. A query reads ONLY its terms' bucket files "
+    "(executed-plan numFiles asserted in tests; the term predicate "
+    "prunes row groups inside them via the sorted term column) — at "
+    "100 TB a 3-term query touches 3 posting lists, never the "
+    "corpus. Scoring is the ONE shared bm25_term_score expression "
+    "(functions/text.py), so index serving cannot drift from the "
+    "live pipeline: the in-band live_match column joins this result "
+    "against the live _bm25_top run and must be all-1s, and the "
+    "oracle is q_bm25_topk's SQL verbatim.",
+)
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.postings import bm25_search_indexed, postings_write
+
+    QUERY = ["dup", "vector", "scan"]
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        root = tempfile.mkdtemp(prefix="osx3_postings_")
+        postings_write(docs, f"{root}/idx")
+        got = bm25_search_indexed(spark, f"{root}/idx", QUERY, k=10)
+        live = _bm25_top(docs, QUERY, 10).select(
+            "doc_id",
+            F.col("n_terms_matched").alias("n_live"),
+            F.col("s").alias("s_live"),
+        )
+        out = (
+            got.join(live, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_terms_matched",
+                F.col("s").cast("double").alias("bm25"),
+                F.row_number()
+                .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+                .alias("rank"),
+                F.when(
+                    (F.col("n_live") == F.col("n_terms_matched"))
+                    & (F.col("s_live") == F.col("s")),
+                    1,
+                )
+                .otherwise(0)
+                .cast("int")
+                .alias("live_match"),
+            )
+            .persist()
+        )
+        out.count()
+        return out
+
+    return _cached_df(spark, ("bm25_indexed", sf_dir), build)

@@ -3225,3 +3225,71 @@ def test_mmr_alternates_clusters_where_topk_does_not(spark):
     assert all(p.vec_id in (1, 2, 3) for p in plain)  # top-k stays
     rels = [p.rel for p in plain]
     assert rels == sorted(rels, reverse=True)
+
+
+def test_postings_index_prunes_and_matches_live(spark, tmp_path):
+    """The written inverted index: one file per term-hash bucket dir,
+    a query reads only its terms' buckets (executed numFiles), and
+    index serving returns byte-identical rows to the live pipeline
+    (the shared-expression no-drift claim)."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.postings import (
+        bm25_search_indexed,
+        postings_write,
+        term_buckets,
+    )
+    from os_ex_3_map_reduce_spark.plans.llm import _bm25_top
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "idx")
+    postings_write(docs, path)
+
+    post = spark.read.parquet(f"{path}/postings")
+    per_dir = (
+        post.select(F.input_file_name().alias("f"), "tb")
+        .distinct()
+        .groupBy("tb")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in per_dir)
+
+    terms = ["dup", "vector", "scan"]
+    buckets = term_buckets(spark, terms, 16)
+    pruned = post.where(
+        F.col("tb").isin(buckets) & F.col("term").isin(terms)
+    )
+
+    def scanned_files(df):
+        plan = df._jdf.queryExecution().executedPlan()
+        plan.executeCollect()
+
+        def find_scan(node):
+            if node.metrics().contains("numFiles"):
+                return node
+            if node.nodeName() == "AdaptiveSparkPlan":
+                return find_scan(node.executedPlan())
+            if "QueryStage" in node.getClass().getSimpleName():
+                return find_scan(node.plan())
+            kids = node.children()
+            for i in range(kids.size()):
+                hit = find_scan(kids.apply(i))
+                if hit is not None:
+                    return hit
+            return None
+
+        scan = find_scan(plan)
+        assert scan is not None
+        return int(scan.metrics().apply("numFiles").value())
+
+    assert scanned_files(pruned) == len(buckets) < scanned_files(post)
+
+    got = sorted(
+        tuple(r)
+        for r in bm25_search_indexed(spark, path, terms, k=10).collect()
+    )
+    live = sorted(
+        tuple(r) for r in _bm25_top(docs, terms, 10).collect()
+    )
+    assert got == live
