@@ -227,6 +227,7 @@ BREADTH = [
     "q_mmr_rerank",
     "q_chunk_overlap",
     "q_bm25_indexed",
+    "q_bm25_append",
 ]
 
 

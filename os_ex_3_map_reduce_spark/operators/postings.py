@@ -1,4 +1,5 @@
-"""WRITTEN inverted index — BM25 serving with pruned term lookup.
+"""WRITTEN inverted index — BM25 serving with pruned term lookup and
+Lucene-style segment appends.
 
 The live BM25 pipeline (plans/llm._bm25_top) re-tokenizes the corpus on
 every query. Production search serving inverts that once: postings
@@ -6,18 +7,28 @@ every query. Production search serving inverts that once: postings
 posting lists of its terms. This module brings the engine's written-
 index discipline (ivf_write / nsw_write: partition the relation by the
 lookup key's bucket, one file per bucket dir, prune asserted from
-executed numFiles) to the TEXT axis:
+executed numFiles) to the TEXT axis.
 
-- ``postings/`` — (term, doc_id, tf, df) rows, df denormalized in at
-  write time so a lookup never needs a second relation, partitioned by
-  ``tb = pmod(xxhash64(term), n_buckets)``. A query touching b
-  distinct term buckets reads b files; the per-term parquet filter
-  prunes further inside them (dictionary/stats on the sorted term
-  column).
-- ``lengths/`` — (doc_id, dl) for the BM25 length normalization.
-- ``meta/``   — one row: (n_docs, total_tokens, n_buckets), the
-  FROZEN offline model (exactly the standing-query precedent: idf and
-  avgdl freeze at index-build time; refresh = rebuild).
+**Why appends need segments.** The vector indexes append partition-
+locally (ivf_append / nsw_append rewrite only touched lists) because
+assignment/linking is a pure local function. A text index is NOT like
+that: df and avgdl are GLOBAL statistics — one new document changes
+the idf of every existing posting of its terms, so an in-place append
+would have to rewrite every affected bucket. The published answer is
+Lucene's: the index is a sequence of IMMUTABLE segments, each carrying
+its own postings + lengths + stats, and queries merge statistics at
+read time. The merge is exact, not approximate, because every global
+statistic is ADDITIVE over disjoint doc sets: ``df = Σ df_seg``,
+``n_docs = Σ``, ``total_tokens = Σ`` — so
+``append(Δ) ∘ write(A) ≡ write(A ∪ Δ)`` is a theorem here too
+(property-tested), reached through segment algebra instead of
+partition rewrites.
+
+Layout at ``path``::
+
+    segments/<i>/postings/tb=<b>/...   one sorted file per term bucket
+    segments/<i>/lengths/              (doc_id, dl)
+    segments/<i>/meta/                 (n_docs, total_tokens, n_buckets)
 
 Scoring uses the ONE shared expression
 :func:`~..functions.text.bm25_term_score`, so the live pipeline and
@@ -27,24 +38,21 @@ q_bm25_indexed's live_match column and in tests.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import bm25_term_score, tokens
 
 
-def postings_write(
+def _write_segment(
     docs: DataFrame,
-    path: str,
-    n_buckets: int = 16,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    seg_path: str,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
 ) -> None:
-    """Materialize the inverted index at ``path`` (see module doc).
-    The pre-write ``repartition("tb")`` + per-partition term sort give
-    one file per bucket dir with a sorted term column — files-read ==
-    buckets-probed, and the term predicate prunes row groups inside
-    each file."""
     docs2 = docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
     )
@@ -65,16 +73,75 @@ def postings_write(
         .sortWithinPartitions("term", "doc_id")
     )
     post.write.mode("overwrite").partitionBy("tb").parquet(
-        f"{path}/postings"
+        f"{seg_path}/postings"
     )
     docs2.select("doc_id", F.size("t").alias("dl")).write.mode(
         "overwrite"
-    ).parquet(f"{path}/lengths")
+    ).parquet(f"{seg_path}/lengths")
     spark = docs.sparkSession
     spark.createDataFrame(
-        [(int(stats.n_docs), int(stats.total_tokens), int(n_buckets))],
+        [
+            (
+                int(stats.n_docs),
+                int(stats.total_tokens or 0),
+                int(n_buckets),
+            )
+        ],
         "n_docs long, total_tokens long, n_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{seg_path}/meta")
+
+
+def postings_write(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the inverted index at ``path`` as segment 0 (see
+    module doc). The pre-write ``repartition("tb")`` + per-partition
+    term sort give one file per bucket dir with a sorted term column —
+    files-read == buckets-probed per segment, and the term predicate
+    prunes row groups inside each file."""
+    _write_segment(
+        docs, f"{path}/segments/0", n_buckets, id_col, text_col
+    )
+
+
+def segment_ids(path: str) -> list[int]:
+    root = f"{path}/segments"
+    return sorted(
+        int(d) for d in os.listdir(root) if d.isdigit()
+    )
+
+
+def postings_append(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append a delta batch as a NEW immutable segment — existing
+    segment files are untouched (byte-identical, file-listing-asserted
+    in tests), exactly Lucene's ingestion path. Returns the new
+    segment id. Statistics merge exactly at read time (module doc);
+    what append does NOT do is merge small segments — production
+    Lucene background-merges to bound per-query segment count, the
+    documented follow-on knob."""
+    spark = new_docs.sparkSession
+    segs = segment_ids(path)
+    meta0 = spark.read.parquet(
+        f"{path}/segments/{segs[0]}/meta"
+    ).collect()[0]
+    new_id = segs[-1] + 1
+    _write_segment(
+        new_docs,
+        f"{path}/segments/{new_id}",
+        int(meta0.n_buckets),
+        id_col,
+        text_col,
+    )
+    return new_id
 
 
 def term_buckets(spark, terms: list[str], n_buckets: int) -> list[int]:
@@ -99,27 +166,64 @@ def bm25_search_indexed(
     query_terms: list[str],
     k: int = 10,
 ) -> DataFrame:
-    """BM25 top-k against a written index: read ONLY the query terms'
-    bucket files (scan pruning numFiles-asserted in tests), join doc
-    lengths, score with the shared expression against the FROZEN meta
-    stats, exact-decimal sum, TakeOrdered. Byte-equal to the live
-    pipeline on the same corpus (the no-drift claim q_bm25_indexed
-    proves in-band)."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    buckets = term_buckets(spark, query_terms, int(meta.n_buckets))
-    post = spark.read.parquet(f"{path}/postings").where(
-        F.col("tb").isin(buckets) & F.col("term").isin(query_terms)
+    """BM25 top-k against a written (possibly multi-segment) index:
+    per segment, read ONLY the query terms' bucket files (scan pruning
+    numFiles-asserted in tests); merge statistics exactly across
+    segments (df = sum of per-segment dfs over the PRUNED rows only —
+    disjoint doc sets make every statistic additive); score with the
+    shared expression; exact-decimal sum; TakeOrdered. Byte-equal to
+    the live pipeline on the union corpus (the no-drift + the
+    append-equals-rebuild claims, proven in-band and in tests)."""
+    segs = segment_ids(path)
+    metas = [
+        spark.read.parquet(f"{path}/segments/{i}/meta").collect()[0]
+        for i in segs
+    ]
+    n_buckets = int(metas[0].n_buckets)
+    n_docs = sum(int(m.n_docs) for m in metas)
+    total_tokens = sum(int(m.total_tokens) for m in metas)
+    buckets = term_buckets(spark, query_terms, n_buckets)
+
+    def pruned(i: int) -> DataFrame:
+        return (
+            spark.read.parquet(f"{path}/segments/{i}/postings")
+            .where(
+                F.col("tb").isin(buckets)
+                & F.col("term").isin(query_terms)
+            )
+            .withColumn("seg", F.lit(i))
+        )
+
+    post = pruned(segs[0])
+    for i in segs[1:]:
+        post = post.unionByName(pruned(i))
+    # exact global df from the pruned rows: per-segment df is constant
+    # across a segment's rows for a term, and doc sets are disjoint
+    df_g = (
+        post.select("seg", "term", "df")
+        .distinct()
+        .groupBy("term")
+        .agg(F.sum("df").alias("df_g"))
     )
-    dl = spark.read.parquet(f"{path}/lengths")
-    terms = post.join(dl, "doc_id").withColumn(
-        "term_score",
-        bm25_term_score(
-            F.col("tf"),
-            F.col("df"),
-            F.col("dl"),
-            F.lit(int(meta.n_docs)),
-            F.lit(int(meta.total_tokens)),
-        ),
+    dl = spark.read.parquet(f"{path}/segments/{segs[0]}/lengths")
+    for i in segs[1:]:
+        dl = dl.unionByName(
+            spark.read.parquet(f"{path}/segments/{i}/lengths")
+        )
+    terms = (
+        post.drop("df")
+        .join(F.broadcast(df_g), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "term_score",
+            bm25_term_score(
+                F.col("tf"),
+                F.col("df_g"),
+                F.col("dl"),
+                F.lit(n_docs),
+                F.lit(total_tokens),
+            ),
+        )
     )
     scored = terms.groupBy("doc_id").agg(
         F.count("*").alias("n_terms_matched"),

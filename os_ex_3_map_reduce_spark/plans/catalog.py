@@ -166,6 +166,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_mmr_rerank",
     "q_chunk_overlap",
     "q_bm25_indexed",
+    "q_bm25_append",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -3245,7 +3245,7 @@ def test_postings_index_prunes_and_matches_live(spark, tmp_path):
     path = str(tmp_path / "idx")
     postings_write(docs, path)
 
-    post = spark.read.parquet(f"{path}/postings")
+    post = spark.read.parquet(f"{path}/segments/0/postings")
     per_dir = (
         post.select(F.input_file_name().alias("f"), "tb")
         .distinct()
@@ -3293,3 +3293,51 @@ def test_postings_index_prunes_and_matches_live(spark, tmp_path):
         tuple(r) for r in _bm25_top(docs, terms, 10).collect()
     )
     assert got == live
+
+
+def test_postings_segment_append_equals_rebuild(spark, tmp_path):
+    """The Lucene-segment theorem: append(odd) after write(even) must
+    return byte-identical BM25 results to write(all) — df/n_docs/
+    avgdl merge exactly because every statistic is additive over
+    disjoint doc sets — and the append must leave segment 0's files
+    byte-identical on disk."""
+    import hashlib
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.postings import (
+        bm25_search_indexed,
+        postings_append,
+        postings_write,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["dup", "vector", "scan"]
+
+    inc = str(tmp_path / "inc")
+    postings_write(docs.where(F.col("doc_id") % 2 == 0), inc)
+
+    def seg0_digest() -> dict:
+        out = {}
+        for f in pathlib.Path(f"{inc}/segments/0").rglob("*"):
+            if f.is_file():
+                out[str(f)] = hashlib.md5(f.read_bytes()).hexdigest()
+        return out
+
+    before = seg0_digest()
+    new_id = postings_append(docs.where(F.col("doc_id") % 2 == 1), inc)
+    assert new_id == 1
+    assert seg0_digest() == before  # immutable segment, byte-for-byte
+
+    full = str(tmp_path / "full")
+    postings_write(docs, full)
+    got_inc = sorted(
+        tuple(r)
+        for r in bm25_search_indexed(spark, inc, terms, k=10).collect()
+    )
+    got_full = sorted(
+        tuple(r)
+        for r in bm25_search_indexed(spark, full, terms, k=10).collect()
+    )
+    assert got_inc == got_full
