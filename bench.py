@@ -228,6 +228,7 @@ BREADTH = [
     "q_chunk_overlap",
     "q_bm25_indexed",
     "q_bm25_append",
+    "q_stream_bm25_ingest",
 ]
 
 

@@ -230,3 +230,73 @@ def bm25_search_indexed(
         F.sum("term_score").alias("s"),
     )
     return scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(k)
+
+
+def postings_merge(spark, path: str) -> int:
+    """Background SEGMENT MERGE — the knob that bounds per-query
+    segment count (Lucene's tiered merge, one tier): compact ALL
+    segments into a fresh single segment WITHOUT re-tokenizing any
+    document — tf rows and lengths union as-is, df re-aggregates by
+    the same additivity that makes segmented search exact, and the
+    merged meta is the sum of the parts. The merged segment replaces
+    the old ones atomically-enough for this engine's single-writer
+    model: it is written under the next segment id first, then the
+    old segment dirs are removed. Search results are IDENTICAL before
+    and after (the same theorem as append-equals-rebuild, tested).
+    Returns the merged segment id."""
+    import shutil
+
+    segs = segment_ids(path)
+    metas = [
+        spark.read.parquet(f"{path}/segments/{i}/meta").collect()[0]
+        for i in segs
+    ]
+    n_buckets = int(metas[0].n_buckets)
+    new_id = segs[-1] + 1
+    post = spark.read.parquet(f"{path}/segments/{segs[0]}/postings")
+    dl = spark.read.parquet(f"{path}/segments/{segs[0]}/lengths")
+    for i in segs[1:]:
+        post = post.unionByName(
+            spark.read.parquet(f"{path}/segments/{i}/postings")
+        )
+        dl = dl.unionByName(
+            spark.read.parquet(f"{path}/segments/{i}/lengths")
+        )
+    # df re-derivation: per (term) count distinct docs across the
+    # union — equivalent to summing per-segment dfs, computed directly
+    merged = (
+        post.select("term", "doc_id", "tf")
+        .join(
+            post.groupBy("term").agg(
+                F.countDistinct("doc_id").alias("df")
+            ),
+            "term",
+        )
+        .withColumn(
+            "tb",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition("tb")
+        .sortWithinPartitions("term", "doc_id")
+    )
+    merged.write.mode("overwrite").partitionBy("tb").parquet(
+        f"{path}/segments/{new_id}/postings"
+    )
+    dl.write.mode("overwrite").parquet(
+        f"{path}/segments/{new_id}/lengths"
+    )
+    spark.createDataFrame(
+        [
+            (
+                sum(int(m.n_docs) for m in metas),
+                sum(int(m.total_tokens) for m in metas),
+                n_buckets,
+            )
+        ],
+        "n_docs long, total_tokens long, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/segments/{new_id}/meta"
+    )
+    for i in segs:
+        shutil.rmtree(f"{path}/segments/{i}")
+    return new_id

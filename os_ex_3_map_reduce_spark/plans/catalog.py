@@ -167,6 +167,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_chunk_overlap",
     "q_bm25_indexed",
     "q_bm25_append",
+    "q_stream_bm25_ingest",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -3341,3 +3341,42 @@ def test_postings_segment_append_equals_rebuild(spark, tmp_path):
         for r in bm25_search_indexed(spark, full, terms, k=10).collect()
     )
     assert got_inc == got_full
+
+
+def test_postings_merge_preserves_results(spark, tmp_path):
+    """Segment merge (the Lucene background-merge tier): after
+    write + two appends, merging compacts to ONE segment with
+    identical search results and the correct summed meta — without
+    re-tokenizing any document."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.postings import (
+        bm25_search_indexed,
+        postings_append,
+        postings_merge,
+        postings_write,
+        segment_ids,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["dup", "vector", "scan"]
+    path = str(tmp_path / "idx")
+    postings_write(docs.where(F.col("doc_id") % 3 == 0), path)
+    postings_append(docs.where(F.col("doc_id") % 3 == 1), path)
+    postings_append(docs.where(F.col("doc_id") % 3 == 2), path)
+    assert segment_ids(path) == [0, 1, 2]
+    before = sorted(
+        tuple(r)
+        for r in bm25_search_indexed(spark, path, terms, k=10).collect()
+    )
+    merged_id = postings_merge(spark, path)
+    assert segment_ids(path) == [merged_id]
+    after = sorted(
+        tuple(r)
+        for r in bm25_search_indexed(spark, path, terms, k=10).collect()
+    )
+    assert before == after
+    meta = spark.read.parquet(
+        f"{path}/segments/{merged_id}/meta"
+    ).collect()[0]
+    assert meta.n_docs == docs.count()
