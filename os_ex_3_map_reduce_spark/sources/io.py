@@ -236,9 +236,21 @@ def compact_table(
     df = read_table(spark, path, fmt, schema=schema)
 
     # byte-target → record-target for maxRecordsPerFile (listing + one
-    # cheap count; for parquet the count is satisfied from footers)
+    # cheap count; for parquet the count is satisfied from footers).
+    # 25% headroom on purpose: maxRecordsPerFile is a BACKSTOP against
+    # genuinely oversized tasks, not an exact splitter — without slack
+    # it sits exactly at the average rows-per-task, and ordinary range-
+    # sampling imbalance tips borderline tasks into writing two files
+    # each (the doubled-file-count flake the clustering-preservation
+    # test caught: repartitionByRange's sample seed is session-state
+    # dependent, so the tip-over came and went with test order)
     n_records = df.count()
-    max_records = max(1, math.floor(n_records * target_file_bytes / max(total, 1)))
+    max_records = max(
+        1,
+        math.floor(
+            n_records * target_file_bytes * 1.25 / max(total, 1)
+        ),
+    )
 
     if partition_by and cluster_by:
         # Both layouts at once (hive dirs + clustered files): range-
