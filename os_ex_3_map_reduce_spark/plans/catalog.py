@@ -100,6 +100,14 @@ DRIVER_WINDOW = 50
 #: every name in it was tri-scale driver-sim green at registration;
 #: r12 should front this queue right after whatever r11's
 #: CORRECTNESS window left unverified.
+#: The FOURTH continuation appended 13 more (q_ann_diskann ..
+#: q_stream_bm25_ingest at the queue tail): DiskANN two-tier serving,
+#: streaming MaxSim, integer-exact rank metrics, 3-D Hilbert,
+#: containment join, TPC-H Q7, hard negatives, k-truss, MMR rerank,
+#: RAG chunking, and the written text index trio (indexed BM25 /
+#: segment append / streaming ingestion) — all tri-scale driver-sim
+#: green at registration, same rotation priority as the rest of the
+#: queue.
 DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_rerank",
     "q_dsir_select",
