@@ -229,6 +229,11 @@ BREADTH = [
     "q_bm25_indexed",
     "q_bm25_append",
     "q_stream_bm25_ingest",
+    "q_cust_order_distribution",
+    "q_small_qty_revenue",
+    "q_large_orders",
+    "q_waiting_suppliers",
+    "q_dormant_balance",
 ]
 
 

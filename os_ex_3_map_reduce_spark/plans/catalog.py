@@ -54,7 +54,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def _load_all() -> None:
     # Import for registration side effects; late import avoids cycles.
-    from . import graph_queries, lake, llm, mapreduce_queries, relational, streaming_queries  # noqa: F401
+    from . import (  # noqa: F401
+        graph_queries,
+        lake,
+        llm,
+        mapreduce_queries,
+        relational,
+        streaming_queries,
+        subqueries,
+    )
 
 
 #: External verification reads the catalog in iteration order and checks a
@@ -176,6 +184,15 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_bm25_indexed",
     "q_bm25_append",
     "q_stream_bm25_ingest",
+    # fifth continuation: correlated-subquery / decorrelation family
+    # (plans/subqueries.py) — tri-scale driver-sim green at
+    # registration, parked below the window per the late-landing
+    # policy
+    "q_cust_order_distribution",
+    "q_small_qty_revenue",
+    "q_large_orders",
+    "q_waiting_suppliers",
+    "q_dormant_balance",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

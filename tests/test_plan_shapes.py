@@ -1007,3 +1007,50 @@ def test_regional_volume_broadcasts_all_dims(spark, qs):
     plan = explain_str(qs["q_regional_volume"](spark, SF), "simple")
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --- correlated-subquery / decorrelation family (plans/subqueries.py) ----
+
+
+def test_small_qty_subquery_is_decorrelated(spark, qs):
+    """q_small_qty_revenue (TPC-H Q17 shape): the correlated scalar
+    subqueries must NOT survive to the physical plan — Catalyst
+    rewrites them into a per-partkey aggregate joined back, so the
+    plan shows partial aggregation and l_partkey joins but no
+    ScalarSubquery node (which would mean per-row re-execution)."""
+    plan = explain_str(qs["q_small_qty_revenue"](spark, SF), "simple")
+    assert "ScalarSubquery" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_large_orders_in_plans_as_semi_join(spark, qs):
+    """q_large_orders (Q18): the IN + grouped-HAVING subquery must
+    plan as a LeftSemi join against the post-HAVING aggregate, not a
+    nested-loop membership probe."""
+    plan = explain_str(qs["q_large_orders"](spark, SF), "simple")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_waiting_suppliers_exists_pair_is_semi_plus_anti(spark, qs):
+    """q_waiting_suppliers (Q21): EXISTS → LeftSemi, NOT EXISTS →
+    LeftAnti, both shuffling on the same l_orderkey key — never a
+    per-row subquery loop."""
+    plan = explain_str(qs["q_waiting_suppliers"](spark, SF), "simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dormant_balance_gate_and_anti_join(spark, qs):
+    """q_dormant_balance (Q22): the uncorrelated scalar average stays
+    a one-row Subquery gate (computed once, broadcast into the
+    filter), the NOT EXISTS becomes a LeftAnti join, and the date
+    filter is pushed into the orders scan feeding it."""
+    df = qs["q_dormant_balance"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "Subquery" in plan, plan
+    assert "LeftAnti" in plan, plan
+    pf = pushed_filters(df)
+    assert "o_orderdate" in pf, pf
