@@ -234,6 +234,7 @@ BREADTH = [
     "q_large_orders",
     "q_waiting_suppliers",
     "q_dormant_balance",
+    "q_modularity",
 ]
 
 

@@ -193,6 +193,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_large_orders",
     "q_waiting_suppliers",
     "q_dormant_balance",
+    "q_modularity",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1054,3 +1054,14 @@ def test_dormant_balance_gate_and_anti_join(spark, qs):
     assert "LeftAnti" in plan, plan
     pf = pushed_filters(df)
     assert "o_orderdate" in pf, pf
+
+
+def test_modularity_broadcasts_labels_no_cartesian(spark, qs):
+    """q_modularity: the part label dimension broadcasts onto the edge
+    list (never shuffles the edges on a label key), the only
+    nested-loop is the 1-row m broadcast, and both community roll-ups
+    are partial-aggregated before their 25-key shuffle."""
+    plan = explain_str(qs["q_modularity"](spark, SF), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
