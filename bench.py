@@ -235,6 +235,8 @@ BREADTH = [
     "q_waiting_suppliers",
     "q_dormant_balance",
     "q_modularity",
+    "q_phrase_search",
+    "q_prf_expand",
 ]
 
 

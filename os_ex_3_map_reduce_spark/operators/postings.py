@@ -300,3 +300,43 @@ def postings_merge(spark, path: str) -> int:
     for i in segs:
         shutil.rmtree(f"{path}/segments/{i}")
     return new_id
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact PHRASE matching via positional postings — the capability
+    tf-bag retrieval (BM25) cannot express: "hash join" must match the
+    two terms ADJACENT and IN ORDER, not merely co-present. The
+    Lucene construction: each term's postings carry token positions;
+    a phrase [t0..tn] matches at position p iff ti sits at p+i for
+    every i, i.e. the intersection of the i-shifted position lists.
+
+    Distributed shape: one posexplode produces the positional posting
+    relation, filtered to the PHRASE TERMS ONLY before anything
+    shuffles (the inverted-index discipline — at 100 TB the filter
+    prunes the vocabulary to n terms); the n-way intersection is a
+    fold of inner joins all keyed on (doc, shifted position), so
+    every join after the first reuses the same hash partitioning —
+    one exchange lineage, no re-shuffle per term. Returns
+    (id_col, n_occ) with one row per matching doc. The written-index
+    extension path is positions-in-postings (Lucene's proximity
+    data, ~2x index size, same segment algebra as postings_write);
+    the live pipeline here shares its semantics exactly.
+    """
+    if not terms:
+        raise ValueError("phrase must have at least one term")
+    w = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    ).where(F.col("term").isin(terms))
+    cur = w.where(F.col("term") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        wi = w.where(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(wi, [id_col, "pos"])
+    return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occ"))

@@ -194,6 +194,8 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_waiting_suppliers",
     "q_dormant_balance",
     "q_modularity",
+    "q_phrase_search",
+    "q_prf_expand",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -6781,3 +6781,224 @@ def q_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return _cached_df(spark, ("bm25_append", sf_dir), build)
+
+
+@register(
+    "q_phrase_search",
+    oracle="""
+        WITH docs2 AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        w AS (
+            SELECT doc_id, unnest(t) AS term,
+                   generate_subscripts(t, 1) AS pos
+            FROM docs2
+        ),
+        hj AS (
+            SELECT 'hash join' AS phrase, p0.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM (SELECT doc_id, pos FROM w WHERE term = 'hash') p0
+            JOIN (SELECT doc_id, pos - 1 AS pos FROM w
+                  WHERE term = 'join') p1 USING (doc_id, pos)
+            GROUP BY p0.doc_id
+        ),
+        tsm AS (
+            SELECT 'table scan merge' AS phrase, p0.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM (SELECT doc_id, pos FROM w WHERE term = 'table') p0
+            JOIN (SELECT doc_id, pos - 1 AS pos FROM w
+                  WHERE term = 'scan') p1 USING (doc_id, pos)
+            JOIN (SELECT doc_id, pos - 2 AS pos FROM w
+                  WHERE term = 'merge') p2 USING (doc_id, pos)
+            GROUP BY p0.doc_id
+        ),
+        uni AS (SELECT * FROM hj UNION ALL SELECT * FROM tsm),
+        ranked AS (
+            SELECT phrase, doc_id, n_occ,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY phrase
+                       ORDER BY n_occ DESC, doc_id) AS rank
+            FROM uni
+        )
+        SELECT phrase, CAST(doc_id AS BIGINT) AS doc_id, n_occ,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY phrase, rank
+    """,
+    doc="Exact PHRASE search via positional postings "
+    "(operators/postings.py phrase_occurrences) — the proximity "
+    "capability the tf-bag BM25 stack cannot express: 'hash join' "
+    "matches only where the terms are adjacent IN ORDER, so a doc "
+    "full of scattered 'hash ... join' never qualifies. Lucene's "
+    "construction: the positional posting relation (one posexplode), "
+    "filtered to the phrase terms BEFORE any shuffle, then the "
+    "i-shifted position lists intersect through a fold of inner "
+    "joins all keyed on (doc_id, shifted pos) — every join after "
+    "the first reuses the same hash partitioning, one exchange "
+    "lineage. Demonstrated on a 2-term and a 3-term phrase in one "
+    "query (both non-empty at every fixture scale; the 3-term fold "
+    "exercises the n-way intersection); per-phrase occurrence "
+    "counts, top-10 each with the doc_id tiebreak. Integer counts "
+    "end-to-end — no float discipline needed. Positions-in-postings "
+    "is the documented written-index extension (same segment "
+    "algebra as postings_write, ~2x size — Lucene's proximity "
+    "data); the live pipeline here fixes the semantics it must "
+    "serve.",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.postings import phrase_occurrences
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = None
+    for phrase in ("hash join", "table scan merge"):
+        occ = phrase_occurrences(docs, phrase.split()).select(
+            F.lit(phrase).alias("phrase"), "doc_id", "n_occ"
+        )
+        out = occ if out is None else out.unionByName(occ)
+    ranked = out.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("phrase").orderBy(
+                F.desc("n_occ"), F.asc("doc_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= 10).orderBy("phrase", "rank")
+
+
+def _bm25_sql_block(p: str, qt: str) -> str:
+    """One BM25 scoring round as prefixed CTEs (``{p}tf`` ..
+    ``{p}ranked``) over the shared ``docs2``/``stats``/``w`` CTEs and
+    the query-term CTE ``qt`` — the q_bm25_topk oracle expression
+    verbatim, factored so q_prf_expand can run TWO rounds (seed and
+    expanded) in one oracle without drift between the copies."""
+    return f"""
+        {p}tf AS (
+            SELECT w.doc_id, w.term, COUNT(*) AS tf
+            FROM w JOIN {qt} USING (term)
+            GROUP BY w.doc_id, w.term
+        ),
+        {p}df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM w JOIN {qt} USING (term)
+            GROUP BY term
+        ),
+        {p}terms AS (
+            SELECT {p}tf.doc_id,
+                   CAST(round(
+                       ln(((CAST(s.n_docs AS DOUBLE) - CAST({p}df.df AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE))
+                           / (CAST({p}df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                          + CAST(1.0 AS DOUBLE))
+                       * (CAST({p}tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                       / (CAST({p}tf.tf AS DOUBLE)
+                          + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + CAST(0.75 AS DOUBLE)
+                                 * ((CAST(dl.dl AS DOUBLE)
+                                     * CAST(s.n_docs AS DOUBLE))
+                                    / CAST(s.total_tokens AS DOUBLE)))),
+                       6) AS DECIMAL(18,6)) AS term_score
+            FROM {p}tf
+            JOIN {p}df USING (term)
+            JOIN dl ON {p}tf.doc_id = dl.doc_id
+            CROSS JOIN stats s
+        ),
+        {p}scored AS (
+            SELECT doc_id, COUNT(*) AS n_terms_matched,
+                   SUM(term_score) AS s
+            FROM {p}terms GROUP BY doc_id
+        ),
+        {p}ranked AS (
+            SELECT doc_id, n_terms_matched, CAST(s AS DOUBLE) AS bm25,
+                   ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+            FROM {p}scored
+        )"""
+
+
+_PRF_SEED = ["dup", "vector", "scan"]
+_PRF_FB_K = 10   # feedback depth: round-1 docs mined for terms
+_PRF_N_EXP = 5   # expansion terms appended to the seed query
+
+
+@register(
+    "q_prf_expand",
+    oracle=f"""
+        WITH docs2 AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens
+            FROM docs2
+        ),
+        w AS (SELECT doc_id, unnest(t) AS term FROM docs2),
+        dl AS (SELECT doc_id, len(t) AS dl FROM docs2),
+        qt1 AS (SELECT unnest(['dup', 'vector', 'scan']) AS term),
+        {_bm25_sql_block('r1_', 'qt1')},
+        fb AS (SELECT doc_id FROM r1_ranked WHERE rank <= {_PRF_FB_K}),
+        expand AS (
+            SELECT term FROM w JOIN fb USING (doc_id)
+            WHERE term NOT IN ('dup', 'vector', 'scan')
+            GROUP BY term
+            ORDER BY COUNT(*) DESC, term
+            LIMIT {_PRF_N_EXP}
+        ),
+        qt2 AS (
+            SELECT term FROM expand
+            UNION ALL SELECT unnest(['dup', 'vector', 'scan'])
+        ),
+        {_bm25_sql_block('r2_', 'qt2')}
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+               bm25, CAST(rank AS INTEGER) AS rank,
+               (doc_id IN (SELECT doc_id FROM fb)) AS in_seed_top10
+        FROM r2_ranked WHERE rank <= 10
+        ORDER BY rank
+    """,
+    doc="PSEUDO-RELEVANCE FEEDBACK query expansion (the RM3 / "
+    "Rocchio shape): run the seed BM25 query, ASSUME its top-10 are "
+    "relevant, mine the most frequent non-seed terms from that "
+    "feedback set (top-5 by total occurrences, term tiebreak — "
+    "deterministic integer counts, no relevance-model smoothing "
+    "float to drift), append them to the seed, re-run BM25 with the "
+    "expanded query. The two rounds share ONE scoring definition: "
+    "Spark runs _bm25_top twice (the q_bm25_topk pipeline "
+    "unchanged), the oracle instantiates the same SQL block twice "
+    "via _bm25_sql_block — neither round can drift from "
+    "q_bm25_topk. The 10 feedback ids and 5 expansion terms are "
+    "bounded driver constants (the query-vector precedent); "
+    "everything corpus-sized stays distributed — feedback-term "
+    "mining is a semi join of the posting relation against the "
+    "10-doc feedback set, then a 5-row TakeOrdered. Output: the "
+    "expanded-query top-10 with in_seed_top10 flagging survivors "
+    "vs newly-surfaced docs — the recall lift PRF exists for, "
+    "visible in-band. At 100 TB both rounds are term-at-a-time "
+    "BM25 over matched postings only; the expansion adds "
+    f"{_PRF_N_EXP} posting lists to round 2.",
+)
+def q_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    r1 = _bm25_top(docs, _PRF_SEED, _PRF_FB_K)
+    fb_ids = sorted(int(r.doc_id) for r in r1.collect())
+    docs2 = docs.select("doc_id", tokens("text").alias("t"))
+    exp_rows = (
+        docs2.where(F.col("doc_id").isin(fb_ids))
+        .select(F.explode("t").alias("term"))
+        .where(~F.col("term").isin(_PRF_SEED))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(_PRF_N_EXP)
+        .collect()
+    )
+    expanded = _PRF_SEED + [r.term for r in exp_rows]
+    r2 = _bm25_top(docs, expanded, 10)
+    return r2.select(
+        "doc_id",
+        "n_terms_matched",
+        F.col("s").cast("double").alias("bm25"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+        .alias("rank"),
+        F.col("doc_id").isin(fb_ids).alias("in_seed_top10"),
+    ).orderBy("rank")

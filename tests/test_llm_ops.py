@@ -3380,3 +3380,35 @@ def test_postings_merge_preserves_results(spark, tmp_path):
         f"{path}/segments/{merged_id}/meta"
     ).collect()[0]
     assert meta.n_docs == docs.count()
+
+
+def test_phrase_occurrences_adjacency_and_order(spark):
+    """Phrase matching is positional: co-presence is not enough, order
+    matters, overlapping occurrences all count, and the n-way fold
+    handles 3-term phrases."""
+    from os_ex_3_map_reduce_spark.operators.postings import (
+        phrase_occurrences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # 'a b' twice, 'b a' twice
+            (2, "x a y b z"),      # co-present, never adjacent
+            (3, "a b c a b c"),    # 'a b c' twice
+            (4, "b a"),            # reverse order only
+        ],
+        "doc_id long, text string",
+    )
+
+    def occ(phrase):
+        return {
+            (r.doc_id, r.n_occ)
+            for r in phrase_occurrences(docs, phrase.split()).collect()
+        }
+
+    assert occ("a b") == {(1, 2), (3, 2)}
+    assert occ("b a") == {(1, 2), (4, 1)}
+    assert occ("a b c") == {(3, 2)}
+    assert occ("c a b") == {(3, 1)}
+    assert occ("y b z") == {(2, 1)}
+    assert occ("b y") == set()
