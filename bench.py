@@ -237,6 +237,7 @@ BREADTH = [
     "q_modularity",
     "q_phrase_search",
     "q_prf_expand",
+    "q_corr_matrix",
 ]
 
 

@@ -196,6 +196,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_modularity",
     "q_phrase_search",
     "q_prf_expand",
+    "q_corr_matrix",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -7002,3 +7002,113 @@ def q_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
         F.col("doc_id").isin(fb_ids).alias("in_seed_top10"),
     ).orderBy("rank")
+
+
+@register(
+    "q_corr_matrix",
+    # Exact-input oracle: every operand of the final divide is an
+    # exact integer (HUGEINT in DuckDB, DECIMAL(38,0) in Spark) cast
+    # to double once — correctly-rounded nearest in both engines — so
+    # the IEEE quotient and its 1e-6 rounding are bit-identical with
+    # no pins.
+    oracle="""
+        WITH emb AS (
+            SELECT list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM emb),
+        dims AS (SELECT unnest(range(1, 65)) AS i),
+        colsum AS (
+            SELECT d.i AS d, SUM(e.v[d.i]) AS s
+            FROM emb e, dims d GROUP BY d.i
+        ),
+        diag AS (
+            SELECT d.i AS d, SUM(e.v[d.i] * e.v[d.i]) AS g2
+            FROM emb e, dims d GROUP BY d.i
+        ),
+        tri AS (SELECT d1.i AS i, d2.i AS j
+                FROM dims d1, dims d2 WHERE d1.i < d2.i),
+        gram AS (
+            SELECT t.i, t.j, SUM(e.v[t.i] * e.v[t.j]) AS gij
+            FROM emb e, tri t GROUP BY t.i, t.j
+        )
+        SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j,
+               round(
+                   CAST(nn.n * g.gij - si.s * sj.s AS DOUBLE)
+                   / (sqrt(CAST(nn.n * di.g2 - si.s * si.s AS DOUBLE))
+                      * sqrt(CAST(nn.n * dj.g2 - sj.s * sj.s AS DOUBLE))),
+                   6) AS corr
+        FROM gram g
+        CROSS JOIN nn
+        JOIN colsum si ON si.d = g.i
+        JOIN colsum sj ON sj.d = g.j
+        JOIN diag di ON di.d = g.i
+        JOIN diag dj ON dj.d = g.j
+        ORDER BY i, j
+    """,
+    doc="Full PEARSON CORRELATION MATRIX of the 64 embedding "
+    "dimensions — the feature-diagnostics pass (redundant-dimension "
+    "detection, whitening decisions) run as pure algebra over the "
+    "ONE-PASS exact Gram aggregate (q_gram_matrix's kernel: per "
+    "batch one local matmul, d(d+1)/2+d integer partials, nothing "
+    "per-row shuffles — the data is read ONCE for all 2016 pairs, "
+    "vs 2016 corr() calls re-scanning). Cross-multiplied moments: "
+    "r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) with "
+    "every numerator/denominator an exact DECIMAL(38,0) integer on "
+    "the shared 1e-6 grid (quantities reach ~2.5e21 at sf0.1 — past "
+    "int64, inside decimal38/HUGEINT); the only floats are two "
+    "correctly-rounded int->double casts, two sqrts, one divide — "
+    "all IEEE-deterministic, so the oracle recomputes with no pins. "
+    "The 64-row colsum/diag relations broadcast onto the 2016-row "
+    "pair relation; n is a 1-row broadcast. Output rounded to the "
+    "1e-6 grid.",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import gram_matrix_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build() -> DataFrame:
+        g = gram_matrix_int(emb).persist()
+        g.count()
+        return g
+
+    g = _cached_df(spark, ("gram", sf_dir), build)
+    dec = "decimal(38,0)"
+    n_df = emb.agg(F.count(F.lit(1)).cast(dec).alias("n"))
+    colsum = g.where(F.col("i") == 0).select(
+        F.col("j").alias("d"), F.col("gram").cast(dec).alias("s")
+    )
+    diag = g.where((F.col("i") >= 1) & (F.col("i") == F.col("j"))).select(
+        F.col("i").alias("d"), F.col("gram").cast(dec).alias("g2")
+    )
+    pairs = g.where((F.col("i") >= 1) & (F.col("i") < F.col("j"))).select(
+        "i", "j", F.col("gram").cast(dec).alias("gij")
+    )
+    si = colsum.select(F.col("d").alias("i"), F.col("s").alias("s_i"))
+    sj = colsum.select(F.col("d").alias("j"), F.col("s").alias("s_j"))
+    di = diag.select(F.col("d").alias("i"), F.col("g2").alias("g2_i"))
+    dj = diag.select(F.col("d").alias("j"), F.col("g2").alias("g2_j"))
+    num = (F.col("n") * F.col("gij") - F.col("s_i") * F.col("s_j")).cast(
+        "double"
+    )
+    den_i = (F.col("n") * F.col("g2_i") - F.col("s_i") * F.col("s_i")).cast(
+        "double"
+    )
+    den_j = (F.col("n") * F.col("g2_j") - F.col("s_j") * F.col("s_j")).cast(
+        "double"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_df))
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(num / (F.sqrt(den_i) * F.sqrt(den_j)), 6).alias("corr"),
+        )
+        .orderBy("i", "j")
+    )
