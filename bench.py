@@ -238,6 +238,7 @@ BREADTH = [
     "q_phrase_search",
     "q_prf_expand",
     "q_corr_matrix",
+    "q_skyline_parts",
 ]
 
 

@@ -197,6 +197,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_phrase_search",
     "q_prf_expand",
     "q_corr_matrix",
+    "q_skyline_parts",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -3839,3 +3839,80 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@register(
+    "q_skyline_parts",
+    oracle="""
+        WITH m AS (
+            SELECT l_partkey AS pk,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+                       AS rev_u,
+                   SUM(CAST(l_quantity AS BIGINT)) AS qty,
+                   SUM(CAST(round(l_discount * 10000) AS BIGINT))
+                       AS disc_sum,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(a.pk AS BIGINT) AS p_partkey,
+               CAST(a.rev_u AS DOUBLE) / 1000000.0 AS revenue,
+               CAST(a.qty AS BIGINT) AS total_qty,
+               CAST(a.n AS BIGINT) AS n_lineitems,
+               CAST(a.disc_sum AS DOUBLE) / CAST(a.n AS DOUBLE)
+                   AS avg_disc_bp
+        FROM m a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM m b
+            WHERE b.rev_u >= a.rev_u AND b.qty >= a.qty
+              AND b.disc_sum * a.n <= a.disc_sum * b.n
+              AND (b.rev_u > a.rev_u OR b.qty > a.qty
+                   OR b.disc_sum * a.n < a.disc_sum * b.n)
+        )
+        ORDER BY p_partkey
+    """,
+    doc="SKYLINE query (Pareto frontier, the ICDE'01 SKYLINE OF "
+    "operator — absent from Spark AND the reference): parts no "
+    "other part beats on ALL of (revenue MAX, total quantity MAX, "
+    "average discount MIN) — the 'best trade-offs' set multi-"
+    "criteria product/supplier selection runs, deliberately mixing "
+    "directions so the frontier is non-trivial (3/22/47 parts "
+    "across the fixture scales). Two-phase distributed plan "
+    "(operators/skyline.py): per-partition LOCAL skylines drop "
+    "dominated rows in one Arrow kernel with NO shuffle (dominance "
+    "is transitive, so no global-skyline row is ever lost), then "
+    "the small survivor union pays the exact O(k^2) via one "
+    "broadcast nested-loop anti join — never the O(n^2) self-join "
+    "the naive SQL spelling (the oracle) runs. All three criteria "
+    "are exact integers: revenue in price-cents x discount-basis-"
+    "point units, the average-discount comparison CROSS-MULTIPLIED "
+    "(disc_sum_b * n_a <= disc_sum_a * n_b) so dominance never "
+    "divides; the only floats are output renderings of exact ints. "
+    "At 100 TB: one map-side-combined aggregate shuffle on "
+    "l_partkey, the local-skyline kernel, k^2 over survivors.",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ext_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    m = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(ext_cents * (F.lit(10000) - disc_bp)).alias("rev_u"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.sum(disc_bp).alias("disc_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sky = skyline(
+        m, larger_better=["rev_u", "qty"],
+        ratio_smaller_better=[("disc_sum", "n")],
+    )
+    return sky.select(
+        F.col("pk").alias("p_partkey"),
+        (F.col("rev_u").cast("double") / F.lit(1000000.0)).alias("revenue"),
+        F.col("qty").alias("total_qty"),
+        F.col("n").alias("n_lineitems"),
+        (F.col("disc_sum").cast("double") / F.col("n").cast("double")).alias(
+            "avg_disc_bp"
+        ),
+    ).orderBy("p_partkey")

@@ -1307,3 +1307,38 @@ def test_weighted_matching_equals_sequential_greedy(spark):
     assert ("b", "c") in got and ("c", "d") not in got
     flat = [x for p in got for x in p]
     assert len(flat) == len(set(flat))
+
+
+def test_skyline_partitioning_invariant_and_hand_checkable(spark):
+    """The two-phase skyline must be exact regardless of partitioning
+    (the local-skyline phase can only DROP dominated rows — by
+    transitivity it can never lose a global-frontier row), and must
+    handle ties: duplicate points do not dominate each other, so both
+    copies survive; a strictly-worse point never survives."""
+    from os_ex_3_map_reduce_spark.operators.skyline import skyline
+
+    rows = [
+        # (id, a_max, b_max, num_min, den)
+        (1, 10, 1, 5, 1),   # frontier (best a)
+        (2, 1, 10, 5, 1),   # frontier (best b)
+        (3, 5, 5, 1, 1),    # frontier (best ratio)
+        (4, 5, 5, 1, 1),    # duplicate of 3 -> both survive
+        (5, 4, 4, 2, 1),    # dominated by 3 on all criteria
+        (6, 10, 1, 6, 1),   # dominated by 1 (equal a/b, worse ratio)
+        (7, 6, 4, 2, 2),    # frontier: a beats 3's but b is worse, and
+                            # the 2/2 ratio TIES 3's 1/1 cross-multiplied
+    ]
+    expected = {1, 2, 3, 4, 7}
+    df = spark.createDataFrame(
+        rows, "id long, a long, b long, num long, den long"
+    )
+    for parts in (1, 4, 13):
+        got = {
+            r.id
+            for r in skyline(
+                df.repartition(parts),
+                larger_better=["a", "b"],
+                ratio_smaller_better=[("num", "den")],
+            ).collect()
+        }
+        assert got == expected, (parts, got)
