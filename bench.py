@@ -239,6 +239,7 @@ BREADTH = [
     "q_prf_expand",
     "q_corr_matrix",
     "q_skyline_parts",
+    "q_louvain_sweep",
 ]
 
 

@@ -1656,3 +1656,89 @@ def ktruss(
         out = nxt
     out._osx3_rounds = rounds  # type: ignore[attr-defined]
     return out
+
+
+def louvain_move_sweep(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous Louvain local-move sweep: for every node of the
+    undirected graph ``und`` (src < dst, distinct), evaluate the
+    modularity gain of joining each NEIGHBORING community (plus
+    staying in its own) against the same label snapshot ``labels``
+    (node, comm), and return the argmax assignment as
+    ``(u, cur_comm, new_comm)``.
+
+    Gain is cross-multiplied onto the integer grid so no float ever
+    enters: score(v→C) = 2·m·k_{v,C} − k_v·tot_C, with k_v removed
+    from tot_C when C is v's current community (the remove-first
+    rule); ties break on the community label, so the sweep is a pure
+    function of the graph + labels — deterministic under any
+    partitioning, exactly replayable in SQL (q_louvain_sweep's
+    oracle). Published sequential Louvain is order-dependent; the
+    synchronous variant IS what a distributed round computes.
+
+    Cost: two map-side-combined aggregates over the arc relation
+    (degrees; per-(node, neighbor-community) counts), a broadcast of
+    the |C|-row community totals + 1-row m, one per-node window.
+    """
+    from pyspark.sql import Window
+
+    arcs = und.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        und.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    m_df = und.agg(F.count(F.lit(1)).alias("m"))
+    deg = arcs.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
+    lab = labels.select("node", "comm")
+    tot = (
+        deg.join(F.broadcast(lab), deg.u == lab.node)
+        .groupBy("comm")
+        .agg(F.sum("k").alias("tot"))
+    )
+    lv = lab.select(F.col("node").alias("v"), F.col("comm"))
+    kvc = (
+        arcs.join(F.broadcast(lv), "v")
+        .groupBy("u", "comm")
+        .agg(F.count(F.lit(1)).alias("kin"))
+    )
+    stay0 = (
+        deg.select("u")
+        .join(F.broadcast(lab.select(F.col("node").alias("u"), "comm")), "u")
+        .select("u", "comm", F.lit(0).cast("bigint").alias("kin"))
+    )
+    cand = (
+        kvc.unionByName(stay0)
+        .groupBy("u", "comm")
+        .agg(F.max("kin").alias("kin"))
+    )
+    cur = lab.select(F.col("node").alias("u"), F.col("comm").alias("cur_comm"))
+    scored = (
+        cand.join(F.broadcast(cur), "u")
+        .join(deg, "u")
+        .join(F.broadcast(tot), "comm")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "u",
+            "cur_comm",
+            F.col("comm").alias("cand_comm"),
+            (
+                2 * F.col("m") * F.col("kin")
+                - F.col("k")
+                * (
+                    F.col("tot")
+                    - F.when(
+                        F.col("comm") == F.col("cur_comm"), F.col("k")
+                    ).otherwise(F.lit(0))
+                )
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("u").orderBy(
+                    F.desc("score"), F.asc("cand_comm")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("u", "cur_comm", F.col("cand_comm").alias("new_comm"))
+    )

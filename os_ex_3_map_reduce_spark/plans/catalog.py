@@ -198,6 +198,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_prf_expand",
     "q_corr_matrix",
     "q_skyline_parts",
+    "q_louvain_sweep",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1395,3 +1395,107 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+@register(
+    "q_louvain_sweep",
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        und AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        arcs AS (
+            SELECT src AS u, dst AS v FROM und
+            UNION ALL SELECT dst, src FROM und
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS k FROM arcs GROUP BY u),
+        lab AS (SELECT p_partkey AS node, p_brand AS comm FROM part),
+        tot AS (
+            SELECT comm, CAST(SUM(k) AS BIGINT) AS tot
+            FROM deg JOIN lab ON u = node GROUP BY comm
+        ),
+        kvc AS (
+            SELECT a.u, lv.comm, CAST(COUNT(*) AS BIGINT) AS kin
+            FROM arcs a JOIN lab lv ON a.v = lv.node
+            GROUP BY a.u, lv.comm
+        ),
+        cand0 AS (
+            SELECT u, comm, kin FROM kvc
+            UNION ALL
+            SELECT node AS u, comm, 0 AS kin FROM lab
+            WHERE node IN (SELECT u FROM deg)
+        ),
+        cand AS (
+            SELECT u, comm, MAX(kin) AS kin FROM cand0 GROUP BY u, comm
+        ),
+        scored AS (
+            SELECT c.u,
+                   lu.comm AS cur_comm,
+                   c.comm AS cand_comm,
+                   2 * m.m * c.kin
+                   - deg.k * (tot.tot
+                              - CASE WHEN c.comm = lu.comm
+                                     THEN deg.k ELSE 0 END) AS score
+            FROM cand c
+            JOIN lab lu ON c.u = lu.node
+            JOIN deg ON c.u = deg.u
+            JOIN tot ON c.comm = tot.comm
+            CROSS JOIN m
+        ),
+        best AS (
+            SELECT u, cur_comm, cand_comm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u
+                       ORDER BY score DESC, cand_comm) AS rn
+            FROM scored
+        )
+        SELECT cur_comm AS from_comm, cand_comm AS to_comm,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM best WHERE rn = 1
+        GROUP BY from_comm, to_comm
+        ORDER BY from_comm, to_comm
+    """,
+    doc="One SYNCHRONOUS Louvain local-move sweep over the part "
+    "co-occurrence graph, seeded with the brand partition "
+    "(q_modularity's communities): every node evaluates the "
+    "modularity GAIN of joining each NEIGHBORING community (plus "
+    "staying) and adopts the argmax — the inner loop of "
+    "Louvain/Leiden community detection. Published sequential "
+    "Louvain is order-dependent (each move sees earlier moves); the "
+    "synchronous variant here moves all nodes against the SAME "
+    "snapshot, which is what a distributed implementation actually "
+    "computes per round — deterministic under any partitioning, and "
+    "exactly SQL-replayable. Gain is cross-multiplied onto the "
+    "integer grid (the q_modularity discipline): score(v->C) = "
+    "2m*k_{v,C} - k_v*tot_C (tot less k_v when C is v's own "
+    "community — the remove-first rule), argmax with the community-"
+    "label tiebreak, so no float ever enters. Shape: degree + "
+    "per-(node, neighbor-community) counts are two map-side-"
+    "combined aggregates; the 25-row tot and 1-row m broadcast; "
+    "the argmax is one per-node window. Output: the from->to "
+    "transition matrix of the sweep (diagonal = stayers) — the "
+    "full sweep result in 25x25-bounded rows. At 100 TB per round: "
+    "two shuffles of the arc relation + one window, the documented "
+    "cost of every distributed Louvain round; iterating sweeps and "
+    "collapsing communities into supernodes is the standard "
+    "follow-on (the q_cc_starcontract contraction machinery).",
+)
+def q_louvain_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import louvain_move_sweep
+
+    und = _part_cooccur_edges(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("comm")
+    )
+    best = louvain_move_sweep(und, lab)
+    return (
+        best.groupBy(
+            F.col("cur_comm").alias("from_comm"),
+            F.col("new_comm").alias("to_comm"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("from_comm", "to_comm")
+    )

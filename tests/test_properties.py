@@ -1342,3 +1342,37 @@ def test_skyline_partitioning_invariant_and_hand_checkable(spark):
             ).collect()
         }
         assert got == expected, (parts, got)
+
+
+def test_louvain_sweep_resolves_two_cliques(spark):
+    """One synchronous local-move sweep on two triangles joined by a
+    bridge, seeded with deliberately-wrong labels: the triangle
+    members keep their majority label and the two misfits (3 seeded
+    B inside the A-triangle, 6 seeded A inside the B-triangle) move —
+    hand-computed integer gains, invariant under partitioning."""
+    from os_ex_3_map_reduce_spark.operators.graph import louvain_move_sweep
+
+    und = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (2, 3),                          # A-triangle
+            (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7),  # B-4-clique
+            (3, 4),                                          # bridge
+        ],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "B"), (6, "A"),
+         (7, "B")],
+        "node long, comm string",
+    )
+    # hand-computed strict gains (2m=20, tot_A=7, tot_B=13): the two
+    # misfits move (3: 19 > -10; 6: 21 > -12), everyone else stays.
+    expected = {1: "A", 2: "A", 3: "A", 4: "B", 5: "B", 6: "B", 7: "B"}
+    for parts in (1, 5):
+        got = {
+            r.u: r.new_comm
+            for r in louvain_move_sweep(
+                und.repartition(parts), labels
+            ).collect()
+        }
+        assert got == expected, (parts, got)
