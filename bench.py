@@ -240,6 +240,8 @@ BREADTH = [
     "q_corr_matrix",
     "q_skyline_parts",
     "q_louvain_sweep",
+    "q_cusum_changepoint",
+    "q_mahalanobis",
 ]
 
 

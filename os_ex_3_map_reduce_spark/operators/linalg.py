@@ -124,3 +124,67 @@ def pca_topk(
     return spark.createDataFrame(
         out, "component int, eigenvalue double, explained_ratio double"
     )
+
+
+def mahalanobis_topk(
+    emb_df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` MAHALANOBIS outliers: the covariance-aware distance
+    d²(x) = (x-μ)ᵀ Σ⁻¹ (x-μ) that q_outlier_zscore's per-dimension
+    z-scores cannot express — a point can be unremarkable in every
+    coordinate yet far from the data cloud once dimension correlations
+    are accounted for (d² is also affine-invariant, so feature scaling
+    never changes the ranking).
+
+    Same two-tier shape as :func:`pca_topk`: the exact integer Gram +
+    column sums aggregate in ONE distributed pass (nothing per-row
+    shuffles), the d×d covariance assembles and inverts on the DRIVER
+    (d² numbers; LAPACK inverse of an exactly-determined matrix —
+    partitioning-invariant, asserted at pin time), and the quadratic
+    form evaluates executor-side in one Arrow kernel per batch
+    ((X-μ) @ Σ⁻¹ contracted against itself — two d×d matmuls per
+    batch, no Python per row). d² is unit-free, so the 1e-6 grid
+    cancels. Scores round to 1e-4 half-away; top-k via TakeOrdered
+    with the id tiebreak. Catalog registration pins expected values
+    per scale (the eigvalsh/pca ledger argument: SQL cannot invert a
+    matrix, and a BLAS change would surface as a pin mismatch)."""
+    rows = gram_matrix_int(emb_df, emb_col).collect()
+    d = max(r.j for r in rows)
+    G = np.zeros((d, d), dtype=np.float64)
+    colsum = np.zeros(d, dtype=np.float64)
+    for r in rows:
+        if r.i == 0:
+            colsum[r.j - 1] = r.gram
+        else:
+            G[r.i - 1, r.j - 1] = r.gram
+            G[r.j - 1, r.i - 1] = r.gram
+    n = emb_df.count()
+    if n <= d:
+        raise ValueError("mahalanobis_topk: need n > d rows")
+    mean = colsum / n
+    cov = G / n - np.outer(mean, mean)  # grid² units; d² is unit-free
+    inv = np.linalg.inv(cov)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _lloyd_fixpoint(
+                np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            ).astype(np.float64)
+            D = X - mean[None, :]
+            d2 = np.einsum("ij,ij->i", D @ inv, D)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(np.int64),
+                    "d2": round_half_away(d2, 4),
+                }
+            )
+
+    scored = emb_df.select(id_col, emb_col).mapInPandas(
+        kernel, "vec_id long, d2 double"
+    )
+    return scored.orderBy(F.desc("d2"), F.asc("vec_id")).limit(k)

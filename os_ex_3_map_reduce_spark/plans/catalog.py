@@ -199,6 +199,8 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_corr_matrix",
     "q_skyline_parts",
     "q_louvain_sweep",
+    "q_cusum_changepoint",
+    "q_mahalanobis",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -7112,3 +7112,53 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+@register(
+    "q_mahalanobis",
+    # Pinned per scale (tools/pin_scales.py, invariant under
+    # shuffle.partitions 32/7/13 at every sf), keyed by the orders row
+    # count — same ledger as q_pca_topk.
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(d2 AS DOUBLE) AS d2
+        FROM (VALUES
+            (1500,   15,   75.1777), (1500,   72,   72.7738),
+            (1500,   143,  72.3889), (1500,   180,  72.3585),
+            (1500,   210,  72.177),  (1500,   212,  72.2034),
+            (1500,   220,  72.7318), (1500,   283,  72.1633),
+            (1500,   284,  74.5823), (1500,   386,  72.3261),
+            (15000,  22,   75.7091), (15000,  37,   75.724),
+            (15000,  99,   73.825),  (15000,  113,  73.0132),
+            (15000,  226,  74.4003), (15000,  273,  75.0454),
+            (15000,  293,  75.8475), (15000,  303,  77.2374),
+            (15000,  351,  73.6),    (15000,  367,  72.3996),
+            (150000, 62,   70.0283), (150000, 153,  69.4189),
+            (150000, 417,  69.3426), (150000, 577,  70.1792),
+            (150000, 590,  70.7538), (150000, 637,  69.997),
+            (150000, 872,  70.5141), (150000, 928,  69.4626),
+            (150000, 1650, 69.5465), (150000, 1777, 69.6189)
+        ) t(sf, vec_id, d2)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="Top-10 MAHALANOBIS outliers over the embedding corpus "
+    "(operators/linalg.py mahalanobis_topk) — covariance-aware "
+    "anomaly scoring: d^2 = (x-mu)' Sigma^-1 (x-mu), the affine-"
+    "invariant distance that flags points unremarkable per-dimension "
+    "but far from the data cloud once correlations count (the "
+    "multivariate upgrade of q_outlier_zscore). Two-tier Gramian "
+    "shape shared with q_pca_topk: ONE distributed pass aggregates "
+    "the exact integer Gram + column sums (nothing per-row "
+    "shuffles), the 64x64 covariance assembles and INVERTS on the "
+    "driver, and the quadratic form runs executor-side as one Arrow "
+    "kernel per batch (two dxd matmuls, no Python per row); top-10 "
+    "via TakeOrdered with the vec_id tiebreak. Scores on the 1e-4 "
+    "half-away grid. Pinned per scale (SQL cannot invert a matrix; "
+    "partitioning-invariance asserted by the pin tool at 32/7/13, "
+    "and a BLAS change surfaces as a pin mismatch — the eigvalsh "
+    "ledger argument).",
+)
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import mahalanobis_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mahalanobis_topk(emb, k=10)
