@@ -242,6 +242,7 @@ BREADTH = [
     "q_louvain_sweep",
     "q_cusum_changepoint",
     "q_mahalanobis",
+    "q_assortativity",
 ]
 
 

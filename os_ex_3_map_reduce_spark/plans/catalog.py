@@ -201,6 +201,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_louvain_sweep",
     "q_cusum_changepoint",
     "q_mahalanobis",
+    "q_assortativity",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1499,3 +1499,82 @@ def q_louvain_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("from_comm", "to_comm")
     )
+
+
+@register(
+    "q_assortativity",
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        und AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        arcs AS (
+            SELECT src AS u, dst AS v FROM und
+            UNION ALL SELECT dst, src FROM und
+        ),
+        deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS k FROM arcs GROUP BY u),
+        ed AS (
+            SELECT du.k AS x, dv.k AS y
+            FROM arcs a JOIN deg du ON a.u = du.u JOIN deg dv ON a.v = dv.u
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS m2,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(x * x) AS HUGEINT) AS sxx
+            FROM ed
+        )
+        SELECT CAST(m2 AS BIGINT) AS n_arcs,
+               CAST(m2 * sxy - sx * sx AS DOUBLE) AS r_num,
+               CAST(m2 * sxx - sx * sx AS DOUBLE) AS r_den,
+               round(CAST(m2 * sxy - sx * sx AS DOUBLE)
+                     / CAST(m2 * sxx - sx * sx AS DOUBLE), 6) AS r
+        FROM s
+    """,
+    doc="Newman DEGREE ASSORTATIVITY of the part co-occurrence graph "
+    "— do high-degree parts co-occur with other high-degree parts "
+    "(r>0, social-network-like) or with low-degree ones (r<0, "
+    "hub-and-spoke)? The edge-sample Pearson correlation of endpoint "
+    "degrees over the symmetrized arc relation (each edge counted in "
+    "both orientations, so sum(x)=sum(y) and one moment set "
+    "suffices): r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2). Exact "
+    "cross-multiplied moments (the q_corr_matrix discipline): all "
+    "sums are int64, the M* products run in DECIMAL(38,0)/HUGEINT "
+    "(M*Sxx ~ 6e19 at sf0.1, past int64), and the only float is the "
+    "final quotient of two correctly-rounded exact casts. Shape: "
+    "degree count (one groupBy), degrees joined back onto arcs "
+    "(shuffle on the node key both sides), one global moment "
+    "aggregate — map-side combined, 4 numbers to the driver. "
+    "Numerator and denominator emitted alongside r so a 100 TB run "
+    "that outgrows double precision still has the exact integers.",
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _part_cooccur_edges(spark, sf_dir)
+    arcs = und.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        und.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = arcs.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
+    du = deg.select(F.col("u"), F.col("k").alias("x"))
+    dv = deg.select(F.col("u").alias("v"), F.col("k").alias("y"))
+    ed = arcs.join(du, "u").join(dv, "v")
+    dec = "decimal(38,0)"
+    s = ed.agg(
+        F.count(F.lit(1)).cast(dec).alias("m2"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+    )
+    num = (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den = (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("m2").cast("bigint").alias("n_arcs"),
+        num.alias("r_num"),
+        den.alias("r_den"),
+        F.round(num / den, 6).alias("r"),
+    )
