@@ -243,6 +243,7 @@ BREADTH = [
     "q_cusum_changepoint",
     "q_mahalanobis",
     "q_assortativity",
+    "q_bloom_fileskip",
 ]
 
 

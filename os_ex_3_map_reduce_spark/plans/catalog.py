@@ -202,6 +202,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_cusum_changepoint",
     "q_mahalanobis",
     "q_assortativity",
+    "q_bloom_fileskip",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

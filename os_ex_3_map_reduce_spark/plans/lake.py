@@ -2088,3 +2088,124 @@ def q_hilbert3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     hpart = per_curve(hb.withColumn("__c", h), "hilbert3")
     mpart = per_curve(zb.withColumn("__c", z), "morton3")
     return hpart.unionByName(mpart).orderBy("curve")
+
+
+# ---------------------------------------------------------------------------
+# q_bloom_fileskip — persisted per-file bloom index, point-lookup pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_KEYS = (7, 423, 1117, 1399)  # orderkeys present at every scale
+
+
+def _bloom_oracle() -> str:
+    """Exact recomputing oracle: the bloom's hash family is pure int64
+    arithmetic (operators/bloomindex.py constants, inlined here), so
+    DuckDB re-derives the candidate-file count INCLUDING false
+    positives — a file is a candidate iff every probe position of the
+    key appears among the positions its rows set."""
+    keys = ", ".join(f"({k})" for k in _BLOOM_KEYS)
+    return f"""
+        WITH s AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   o_custkey % 32 AS fb
+            FROM orders
+        ),
+        pos AS (
+            SELECT DISTINCT fb, p FROM (
+                SELECT fb, ((o_orderkey * 2654435761 + 104729)
+                            % 479001599) % 65536 AS p FROM s
+                UNION ALL
+                SELECT fb, ((o_orderkey * 2246822519 + 12582917)
+                            % 479001599) % 65536 FROM s
+            )
+        ),
+        k(key) AS (VALUES {keys}),
+        probe AS (
+            SELECT key, ((key * 2654435761 + 104729)
+                         % 479001599) % 65536 AS p FROM k
+            UNION ALL
+            SELECT key, ((key * 2246822519 + 12582917)
+                         % 479001599) % 65536 FROM k
+        ),
+        np AS (SELECT key, COUNT(DISTINCT p) AS n_probe
+               FROM probe GROUP BY key),
+        cand AS (
+            SELECT probe.key, pos.fb,
+                   COUNT(DISTINCT pos.p) AS nhit
+            FROM probe JOIN pos USING (p)
+            GROUP BY probe.key, pos.fb
+        ),
+        nc AS (
+            SELECT cand.key, COUNT(*) AS files_scanned
+            FROM cand JOIN np USING (key)
+            WHERE cand.nhit = np.n_probe
+            GROUP BY cand.key
+        )
+        SELECT k.key AS o_orderkey,
+               s.o_custkey,
+               s.o_totalprice AS totalprice,
+               CAST(nc.files_scanned AS INTEGER) AS files_scanned,
+               (SELECT CAST(COUNT(DISTINCT fb) AS INTEGER) FROM s)
+                   AS files_total
+        FROM k
+        JOIN s ON s.o_orderkey = k.key
+        JOIN nc ON nc.key = k.key
+        ORDER BY o_orderkey
+    """
+
+
+@register(
+    "q_bloom_fileskip",
+    oracle=_bloom_oracle(),
+    doc="Persisted per-file BLOOM INDEX point lookup "
+    "(operators/bloomindex.py — the Delta/Iceberg bloom-filter-index "
+    "/ Parquet bloom-page capability): orders land as one file per "
+    "o_custkey%32 bucket, and the index relation records each "
+    "file's DISTINCT k=2 hash positions over o_orderkey — the "
+    "high-cardinality column the layout does NOT organize: bucket "
+    "pruning keys on custkey, and orderkeys spread uniformly so "
+    "every file's min/max zone spans everything (zone maps prune "
+    "ZERO files here — this index is the only thing standing "
+    "between a point lookup and 32 file opens). Four lookups run "
+    "via planner-side candidate selection (one tiny index read; "
+    "zero opens for pruned files, numFiles-asserted in tests) plus "
+    "the exact residual predicate. The hash family is pure int64 "
+    "arithmetic — multiplicative hashing, NOT xxhash64 — precisely "
+    "so the oracle can recompute candidates INCLUDING false "
+    "positives; files_scanned is therefore exact-oracled, not "
+    "pinned (measured: every key reads 1 of 32 files at sf0.01 — "
+    "no false positive fires at fixture load factors; the ~2% "
+    "per-file fp rate at sf0.1 load is the documented price). At "
+    "100 TB the index is ~65k rows/file read once by the planner — "
+    "the planFiles step — while the data scan is 1-2 files "
+    "regardless of table size.",
+)
+def q_bloom_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.bloomindex import (
+        bloom_candidates,
+        bloom_lookup,
+        bloom_table_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="osx3_bloom_") + "/orders"
+    bloom_table_write(orders, path, "o_custkey", "o_orderkey", nbuckets=32)
+    files_total = (
+        spark.read.parquet(f"{path}/data").select("fb").distinct().count()
+    )
+    cands = bloom_candidates(spark, path, list(_BLOOM_KEYS))
+    out = None
+    for k in _BLOOM_KEYS:
+        hit = bloom_lookup(spark, path, "o_orderkey", k, cands[k]).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.lit(len(cands[k])).cast("int").alias("files_scanned"),
+            F.lit(files_total).cast("int").alias("files_total"),
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out.orderBy("o_orderkey")

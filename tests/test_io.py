@@ -1168,3 +1168,65 @@ def test_hilbert3_table_is_bijective_unit_step_curve():
         if sum(abs(mpos[d][i] - mpos[d + 1][i]) for i in range(3)) > 1
     )
     assert jumps > 0
+
+
+def test_bloom_index_prunes_to_candidate_files(spark, tmp_path):
+    """The bloom point-lookup contract, asserted from EXECUTED plan
+    metrics: (1) one file per bucket dir; (2) the lookup's
+    FileSourceScan reads exactly len(candidates) files — zero opens
+    for pruned files; (3) no false negatives: every key's own bucket
+    is always a candidate and the row is found; (4) a key absent from
+    the table yields candidates (possibly empty) but zero rows."""
+    from os_ex_3_map_reduce_spark.operators.bloomindex import (
+        bloom_candidates,
+        bloom_lookup,
+        bloom_table_write,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("b")
+    )
+    path = str(tmp_path / "tbl")
+    bloom_table_write(df, path, "b", "k", nbuckets=16)
+
+    files = (
+        spark.read.parquet(f"{path}/data")
+        .select(F.input_file_name().alias("f"), "fb")
+        .distinct()
+        .groupBy("fb")
+        .count()
+        .collect()
+    )
+    assert len(files) == 16 and all(r["count"] == 1 for r in files)
+
+    keys = [0, 17, 999, 1999, 5555]  # 5555 not in the table
+    cands = bloom_candidates(spark, path, keys)
+    for k in keys[:-1]:
+        own_bucket = (k * 7 % 100) % 16
+        assert own_bucket in cands[k], (k, cands[k])
+        got = bloom_lookup(spark, path, "k", k, cands[k])
+        plan = got._jdf.queryExecution().executedPlan()
+        plan.executeCollect()
+
+        def find_scan(node):
+            if node.metrics().contains("numFiles"):
+                return node
+            if node.nodeName() == "AdaptiveSparkPlan":
+                return find_scan(node.executedPlan())
+            if "QueryStage" in node.getClass().getSimpleName():
+                return find_scan(node.plan())
+            kids = node.children()
+            for i in range(kids.size()):
+                hit = find_scan(kids.apply(i))
+                if hit is not None:
+                    return hit
+            return None
+
+        scan = find_scan(plan)
+        assert scan is not None
+        assert int(scan.metrics().apply("numFiles").value()) == len(
+            cands[k]
+        ), k
+        assert got.count() == 1 and got.collect()[0].k == k
+    missing = bloom_lookup(spark, path, "k", 5555, cands[5555])
+    assert missing.count() == 0

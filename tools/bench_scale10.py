@@ -1856,6 +1856,118 @@ def bench_round12(spark, scaled: str) -> None:
         )
 
 
+def bench_round12b(spark, scaled: str) -> None:
+    """10x draws for the fifth-continuation additions. Three stagings,
+    matched to what each operator actually scales over:
+
+    - docs/events/embeddings x10 (``scaled``): q_phrase_search (the
+      positional posting filter — copy suffixes keep match counts
+      constant while the corpus grows, so the draw isolates the
+      prune), q_prf_expand (two full BM25 rounds + feedback mining),
+      q_cusum_changepoint (hourly rollup 10x taller, same window
+      count), q_mahalanobis (the one-pass Gram + Arrow quadratic
+      form; the driver inverse is scale-constant).
+    - fact x10 (``_stage_rel10``): q_skyline_parts (the per-part
+      aggregate eats 10x lineitems onto the same 20k parts; the
+      skyline phases see the SAME relation — the draw shows the agg
+      dominates) and the two heaviest decorrelation shapes,
+      q_small_qty_revenue (three lineitem shuffles on l_partkey) and
+      q_waiting_suppliers (semi+anti pair on l_orderkey).
+    - disjoint-copy EDGES staged inline: louvain_move_sweep over 10
+      id-shifted copies of the part co-occurrence graph with node%25
+      labels (the rel10 fixture would densify the graph
+      quadratically — a fixture artifact, not an operator cost — so
+      the graph draw replicates the EDGE relation itself; same
+      argument as the doc-suffix staging). Assortativity rides the
+      same staging via its arc/degree moments.
+    """
+    from os_ex_3_map_reduce_spark.operators.graph import louvain_move_sweep
+    from os_ex_3_map_reduce_spark.plans.graph_queries import (
+        _part_cooccur_edges,
+    )
+
+    qs = all_queries()
+
+    def draw(name: str, path_base: str, path_big: str) -> None:
+        base = time_query(qs[name], spark, path_base)
+        big = time_query(qs[name], spark, path_big)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf0.1_sec": round(base, 3),
+                    f"x{COPIES}_sec": round(big, 3),
+                    "ratio": round(big / base, 2) if base else None,
+                }
+            ),
+            flush=True,
+        )
+
+    for name in (
+        "q_phrase_search",
+        "q_prf_expand",
+        "q_cusum_changepoint",
+        "q_mahalanobis",
+    ):
+        draw(name, BASE_SF, scaled)
+
+    rel10 = _stage_rel10(spark)
+    for name in (
+        "q_skyline_parts",
+        "q_small_qty_revenue",
+        "q_waiting_suppliers",
+    ):
+        draw(name, BASE_SF, rel10)
+
+    # disjoint-copy edge staging for the graph pair
+    edges = _part_cooccur_edges(spark, BASE_SF).persist()
+    n_edges = edges.count()
+    copies_l = F.broadcast(
+        spark.range(COPIES).select(F.col("id").alias("copy"))
+    )
+    edges10 = (
+        edges.crossJoin(copies_l)
+        .select(
+            (F.col("src") + F.col("copy") * 10_000_000).alias("src"),
+            (F.col("dst") + F.col("copy") * 10_000_000).alias("dst"),
+        )
+        .persist()
+    )
+    edges10.count()
+
+    def labels_for(e):
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        return nodes.select(
+            "node", (F.col("node") % 25).cast("string").alias("comm")
+        )
+
+    for label, e in (("base", edges), (f"x{COPIES}", edges10)):
+        lab = labels_for(e).persist()
+        lab.count()
+        _materialize(louvain_move_sweep(e, lab))
+        t0 = time.perf_counter()
+        _materialize(louvain_move_sweep(e, lab))
+        print(
+            json.dumps(
+                {
+                    "query": "louvain_move_sweep",
+                    "staging": label,
+                    "n_edges": int(e.count()),
+                    "sec": round(time.perf_counter() - t0, 3),
+                }
+            ),
+            flush=True,
+        )
+        lab.unpersist()
+    edges.unpersist()
+    edges10.unpersist()
+    assert n_edges > 0
+
+
 def main() -> None:
     spark = get_spark(app_name="bench_scale10")
     scaled = stage(spark)
@@ -1898,6 +2010,7 @@ def main() -> None:
     bench_round11g(spark, scaled)
     bench_round11h(spark, scaled)
     bench_round12(spark, scaled)
+    bench_round12b(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
