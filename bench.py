@@ -244,6 +244,8 @@ BREADTH = [
     "q_mahalanobis",
     "q_assortativity",
     "q_bloom_fileskip",
+    "q_isotonic_calibration",
+    "q_auc_ranks",
 ]
 
 

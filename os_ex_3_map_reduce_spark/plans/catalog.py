@@ -203,6 +203,8 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_mahalanobis",
     "q_assortativity",
     "q_bloom_fileskip",
+    "q_isotonic_calibration",
+    "q_auc_ranks",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -4016,3 +4016,171 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("down"))
         .alias("shift_direction"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_isotonic_calibration",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(floor(o_totalprice / 20000) AS INTEGER) AS bucket,
+                   COUNT(*) AS w,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s
+            FROM orders GROUP BY bucket
+        ),
+        p AS (
+            SELECT bucket, w, s,
+                   SUM(w) OVER (ORDER BY bucket) AS pw,
+                   SUM(s) OVER (ORDER BY bucket) AS ps
+            FROM b
+        ),
+        intervals AS (
+            SELECT j.bucket AS bj, k.bucket AS bk,
+                   CAST(k.ps - j.ps + j.s AS DOUBLE)
+                   / CAST(k.pw - j.pw + j.w AS DOUBLE) AS a
+            FROM p j JOIN p k ON j.bucket <= k.bucket
+        ),
+        mins AS (
+            SELECT i.bucket, iv.bj, MIN(iv.a) AS mn
+            FROM b i JOIN intervals iv
+              ON iv.bj <= i.bucket AND iv.bk >= i.bucket
+            GROUP BY i.bucket, iv.bj
+        ),
+        fit AS (SELECT bucket, MAX(mn) AS f FROM mins GROUP BY bucket)
+        SELECT b.bucket,
+               CAST(b.w AS BIGINT) AS n,
+               CAST(b.s AS BIGINT) AS n_pos,
+               round(CAST(b.s AS DOUBLE) / b.w, 9) AS rate_raw,
+               round(f, 9) AS rate_iso
+        FROM b JOIN fit USING (bucket)
+        ORDER BY bucket
+    """,
+    doc="ISOTONIC REGRESSION calibration (operators/isotonic.py): the "
+    "best MONOTONE fit to the per-price-bucket 'F'-status rate — the "
+    "calibration step of probability/ranking pipelines (a score is "
+    "useful when bigger reliably means likelier; isotonic is the "
+    "standard distribution-free way to enforce that). Distributed "
+    "part: one map-side-combined aggregate to 25 (weight, positives) "
+    "buckets; PAVA then runs on the DRIVER over that bounded "
+    "relation (the planner-constant rule — buckets are a design "
+    "constant like centroids) with every pooling decision compared "
+    "CROSS-MULTIPLIED, so the fit is an exact function of the "
+    "integer aggregates; each fitted value is one IEEE divide of a "
+    "pooled-block (sum, weight) pair. The oracle evaluates the "
+    "Robertson-Wright-Dykstra minimax identity fit_i = max_{j<=i} "
+    "min_{k>=i} avg[j..k] directly in SQL (O(n^3) is nothing at "
+    "n=25) — the property test pins pava() == minimax on random "
+    "integer blocks, so the two spellings cannot drift. Rates "
+    "rounded to 1e-9: denominators <= 150k cannot produce a "
+    "half-boundary at that grid, so the rounding is "
+    "engine-agnostic.",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.isotonic import pava
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 20000)
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("s"),
+        )
+        .orderBy("bucket")
+    )
+    rows = agg.collect()
+    fit = pava([(int(r.w), int(r.s)) for r in rows])
+    out = [
+        (
+            int(r.bucket),
+            int(r.w),
+            int(r.s),
+            round(int(r.s) / int(r.w), 9),
+            round(f, 9),
+        )
+        for r, f in zip(rows, fit)
+    ]
+    return spark.createDataFrame(
+        out,
+        "bucket int, n long, n_pos long, rate_raw double, rate_iso double",
+    ).orderBy("bucket")
+
+
+@register(
+    "q_auc_ranks",
+    oracle="""
+        WITH byv AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                   COUNT(*) AS cnt,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                       AS npos
+            FROM orders GROUP BY v
+        ),
+        c AS (
+            SELECT v, cnt, npos, SUM(cnt) OVER (ORDER BY v) AS cum
+            FROM byv
+        ),
+        t AS (SELECT SUM(npos) AS np, SUM(cnt) - SUM(npos) AS nn FROM byv),
+        s AS (SELECT SUM(npos * (2 * cum - cnt + 1)) AS s2 FROM c)
+        SELECT CAST(t.np AS BIGINT) AS n_pos,
+               CAST(t.nn AS BIGINT) AS n_neg,
+               CAST(s.s2 - t.np * (t.np + 1) AS BIGINT) AS auc_num,
+               CAST(2 * t.np * t.nn AS BIGINT) AS auc_den,
+               round(CAST(s.s2 - t.np * (t.np + 1) AS DOUBLE)
+                     / CAST(2 * t.np * t.nn AS DOUBLE), 9) AS auc
+        FROM t, s
+    """,
+    doc="EXACT AUC (ROC area) via the Mann-Whitney rank identity — "
+    "the classifier-evaluation metric computed the way a 100 TB "
+    "eval job must: no curve materialization, no threshold sweep, "
+    "just AUC = (sum of positive ranks - np(np+1)/2) / (np*nn) with "
+    "midrank TIE handling kept integer-exact by doubling (2r = "
+    "2*cum - cnt + 1 per tied value-group, so no /2 ever happens; "
+    "numerator and denominator ship exact alongside the rounded "
+    "quotient). Scores group by exact cent value first (one "
+    "map-side-combined aggregate), then the global rank prefix runs "
+    "through the engine's DISTRIBUTED two-level prefix sum "
+    "(operators/prefix_sum.py — never a single-task global window; "
+    "the oracle, free of scale concerns, uses a plain SQL window). "
+    "Evaluated for o_totalprice predicting 'F' status — AUC ~0.5 on "
+    "the synthetic fixture, and the exactness, not the signal, is "
+    "the point.",
+)
+def q_auc_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix_sum import prefix_sums
+
+    orders = load_table(spark, sf_dir, "orders")
+    byv = orders.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("npos"),
+    )
+    c = prefix_sums(byv, "v", ["cnt"], bucket_width=1 << 20)
+    t = byv.agg(
+        F.sum("npos").alias("np"),
+        (F.sum("cnt") - F.sum("npos")).alias("nn"),
+    )
+    s = c.agg(
+        F.sum(
+            F.col("npos") * (2 * F.col("cum_cnt") - F.col("cnt") + 1)
+        ).alias("s2")
+    )
+    num = (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("long")
+    den = (2 * F.col("np") * F.col("nn")).cast("long")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            F.col("np").cast("long").alias("n_pos"),
+            F.col("nn").cast("long").alias("n_neg"),
+            num.alias("auc_num"),
+            den.alias("auc_den"),
+            F.round(num.cast("double") / den.cast("double"), 9).alias("auc"),
+        )
+    )

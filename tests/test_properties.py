@@ -1376,3 +1376,29 @@ def test_louvain_sweep_resolves_two_cliques(spark):
             ).collect()
         }
         assert got == expected, (parts, got)
+
+
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_pava_equals_minimax_identity(blocks):
+    """PAVA must equal the Robertson-Wright-Dykstra minimax formula
+    (the SQL-oracle form) on arbitrary integer blocks, and the fit
+    must be monotone non-decreasing."""
+    from os_ex_3_map_reduce_spark.operators.isotonic import (
+        minimax_reference,
+        pava,
+    )
+
+    got = pava(blocks)
+    want = minimax_reference(blocks)
+    assert got == want
+    assert all(a <= b for a, b in zip(got, got[1:]))
