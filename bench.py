@@ -246,6 +246,7 @@ BREADTH = [
     "q_bloom_fileskip",
     "q_isotonic_calibration",
     "q_auc_ranks",
+    "q_txn_multitable",
 ]
 
 

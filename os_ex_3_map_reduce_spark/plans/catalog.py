@@ -205,6 +205,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_bloom_fileskip",
     "q_isotonic_calibration",
     "q_auc_ranks",
+    "q_txn_multitable",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

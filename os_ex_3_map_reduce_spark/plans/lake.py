@@ -2209,3 +2209,136 @@ def q_bloom_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hit if out is None else out.unionByName(hit)
     return out.orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q_txn_multitable — atomic multi-table transactions via a catalog log
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_txn_multitable",
+    oracle="""
+        WITH n AS (
+            SELECT
+                (SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey % 4 <> 0) AS o_init,
+                (SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey % 4 <> 0) AS l_init,
+                (SELECT COUNT(*) FROM orders) AS o_all,
+                (SELECT COUNT(*) FROM lineitem) AS l_all,
+                (SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey % 4 = 0) AS l_torn
+        )
+        SELECT s.snapshot,
+               CAST(s.orders_rows AS BIGINT) AS orders_rows,
+               CAST(s.lineitem_rows AS BIGINT) AS lineitem_rows,
+               CAST(s.orphan_lineitems AS BIGINT) AS orphan_lineitems
+        FROM n, LATERAL (VALUES
+            ('1_initial',           n.o_init, n.l_init,            0),
+            ('2_after_txn',         n.o_all,  n.l_all,             0),
+            ('3_torn_catalog_view', n.o_all,  n.l_all,             0),
+            ('4_torn_table_head',   n.o_all,  n.l_all + n.l_torn,  n.l_torn)
+        ) s(snapshot, orders_rows, lineitem_rows, orphan_lineitems)
+        ORDER BY snapshot
+    """,
+    doc="MULTI-TABLE ATOMIC TRANSACTIONS (sources/catalog_txn.py — "
+    "the Nessie / Iceberg-REST catalog-commit model): a CATALOG "
+    "commit log pins (table -> version) pairs, and a transaction "
+    "publishes its per-table commits first, then flips ONE catalog "
+    "manifest rename — so orders and their lineitems become visible "
+    "TOGETHER, never one without the other. Proven in-band with the "
+    "foreign-key invariant a torn reader would violate: "
+    "orphan_lineitems (lineitems whose order is missing, a "
+    "distributed anti-join per snapshot) is 0 at every "
+    "catalog-resolved snapshot. The torn-write case is staged "
+    "deliberately: a lineitem-only batch with shifted keys (orders "
+    "that do not exist) is vt_append-published WITHOUT a catalog "
+    "commit — row 3 shows the catalog view bit-identical to row 2 "
+    "(the crash-between-commits state is invisible; the orphaned "
+    "table version is vacuum fodder, same lifecycle as staged data "
+    "files), while row 4 reads the table's own HEAD directly and "
+    "SEES the violation — exactly why catalog readers must resolve "
+    "through the pin. At 100 TB the catalog commit is one small "
+    "JSON rename regardless of transaction size; concurrency is "
+    "the same optimistic version-clobber refusal as the table "
+    "manifests, one level up.",
+)
+def q_txn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.catalog_txn import ct_init, ct_read, ct_txn
+    from ..sources.versioned import vt_append, vt_read, vt_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    base = tempfile.mkdtemp(prefix="osx3_txn_")
+    op, lp = f"{base}/orders", f"{base}/lineitem"
+    vt_write(orders.where(F.col("o_orderkey") % 4 != 0), op, "o_orderkey")
+    vt_write(li.where(F.col("l_orderkey") % 4 != 0), lp, "l_orderkey")
+    cat = f"{base}/cat"
+    ct_init(cat, {"orders": (op, 0), "lineitem": (lp, 0)})
+
+    def snap(label: str, o, l) -> DataFrame:
+        orphans = l.join(
+            o.select("o_orderkey"),
+            l.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ).count()
+        return spark.createDataFrame(
+            [(label, o.count(), l.count(), orphans)],
+            "snapshot string, orders_rows long, lineitem_rows long,"
+            " orphan_lineitems long",
+        )
+
+    rows = [
+        snap(
+            "1_initial",
+            ct_read(spark, cat, "orders"),
+            ct_read(spark, cat, "lineitem"),
+        )
+    ]
+    ct_txn(
+        cat,
+        {
+            "orders": orders.where(F.col("o_orderkey") % 4 == 0),
+            "lineitem": li.where(F.col("l_orderkey") % 4 == 0),
+        },
+    )
+    rows.append(
+        snap(
+            "2_after_txn",
+            ct_read(spark, cat, "orders"),
+            ct_read(spark, cat, "lineitem"),
+        )
+    )
+    # torn write: a lineitem-only batch whose orders don't exist,
+    # published at table level but NEVER catalog-committed
+    vt_append(
+        li.where(F.col("l_orderkey") % 4 == 0).withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(10_000_000)
+        ),
+        lp,
+    )
+    rows.append(
+        snap(
+            "3_torn_catalog_view",
+            ct_read(spark, cat, "orders"),
+            ct_read(spark, cat, "lineitem"),
+        )
+    )
+    rows.append(
+        snap(
+            "4_torn_table_head",
+            ct_read(spark, cat, "orders"),
+            vt_read(spark, lp),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("snapshot")

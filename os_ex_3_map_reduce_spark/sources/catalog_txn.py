@@ -1,0 +1,133 @@
+"""Multi-table ATOMIC transactions — a catalog commit log over
+versioned tables.
+
+Single-table lakehouse commits are atomic (versioned.py's manifest
+rename), but a pipeline that appends an order batch AND its line
+items needs both tables to flip TOGETHER: a reader who sees the new
+orders but not their lineitems observes a foreign-key violation that
+never existed. The published answer (the Nessie / Iceberg-REST
+multi-table transaction model) lifts the same
+stage-then-atomically-publish mechanics one level up:
+
+- a CATALOG is a directory of commit manifests ``_catalog/v{N}.json``,
+  each mapping table name → (table path, pinned table version);
+- a transaction first publishes its per-table commits (those versions
+  exist but are UNREFERENCED — exactly like staged data files before
+  a manifest rename), then writes ONE catalog manifest via temp-file
+  + ``os.rename``: the atomic point at which every table's new
+  version becomes visible at once;
+- catalog readers resolve a table through the pinned version
+  (``vt_read(path, version=...)``), never through the table's own
+  HEAD — so a crash between per-table commits and the catalog commit
+  leaves the catalog state bit-identical (the torn write is invisible;
+  the orphaned table version is vacuum fodder, the same lifecycle as
+  orphaned data files).
+
+Concurrency inherits versioned.py's optimistic rule: the catalog
+commit refuses to clobber an existing version; the loser rebases —
+re-pins its transaction on the winner's catalog version — and
+retries. At 100 TB a catalog commit is one small JSON rename
+regardless of how many tables or bytes the transaction touched.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .versioned import vt_append, vt_read
+
+_CAT = "_catalog"
+
+
+def _cat_file(cat_path: str, version: int) -> str:
+    return os.path.join(cat_path, _CAT, f"v{version}.json")
+
+
+def ct_versions(cat_path: str) -> list[int]:
+    return sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(os.path.join(cat_path, _CAT, "v*.json"))
+    )
+
+
+def ct_current(cat_path: str) -> int | None:
+    vs = ct_versions(cat_path)
+    return vs[-1] if vs else None
+
+
+def _ct_commit(cat_path: str, version: int, manifest: dict) -> None:
+    final = _cat_file(cat_path, version)
+    if os.path.exists(final):
+        raise FileExistsError(
+            f"catalog version {version} already committed — rebase and retry"
+        )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.rename(tmp, final)
+
+
+def _ct_manifest(cat_path: str, version: int) -> dict:
+    with open(_cat_file(cat_path, version)) as fh:
+        return json.load(fh)
+
+
+def ct_init(cat_path: str, tables: dict[str, tuple[str, int]]) -> int:
+    """Create the catalog at version 0 pinning ``tables`` =
+    {name: (table_path, table_version)}."""
+    if ct_current(cat_path) is not None:
+        raise FileExistsError(f"catalog already exists at {cat_path}")
+    _ct_commit(
+        cat_path,
+        0,
+        {
+            "version": 0,
+            "parent": None,
+            "tables": {
+                n: {"path": p, "version": v} for n, (p, v) in tables.items()
+            },
+        },
+    )
+    return 0
+
+
+def ct_txn(cat_path: str, appends: dict[str, DataFrame]) -> int:
+    """Atomically append a batch to EVERY named table: per-table
+    commits publish first (unreferenced until the catalog flips),
+    then one catalog manifest rename makes all of them visible
+    together. Returns the new catalog version."""
+    cur = ct_current(cat_path)
+    if cur is None:
+        raise FileNotFoundError(f"no catalog at {cat_path}")
+    man = _ct_manifest(cat_path, cur)
+    tables = {n: dict(t) for n, t in man["tables"].items()}
+    for name, df in appends.items():
+        if name not in tables:
+            raise KeyError(f"table {name!r} not in catalog")
+        tables[name]["version"] = vt_append(df, tables[name]["path"])
+    new_v = cur + 1
+    _ct_commit(
+        cat_path,
+        new_v,
+        {"version": new_v, "parent": cur, "tables": tables},
+    )
+    return new_v
+
+
+def ct_read(
+    spark: SparkSession,
+    cat_path: str,
+    name: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read ``name`` at the version the catalog pins (HEAD catalog
+    version by default) — never the table's own head, which may hold
+    torn (uncommitted-at-catalog-level) appends."""
+    v = ct_current(cat_path) if version is None else version
+    t = _ct_manifest(cat_path, v)["tables"][name]
+    return vt_read(spark, t["path"], version=t["version"])

@@ -198,3 +198,46 @@ class TestVersionedBranch:
         r2 = vt_vacuum(path, keep_last=1)
         assert r2["files_deleted"] > 0  # the tag's files reclaimed
         assert r2["files_kept"] < r1["files_kept"]
+
+
+def test_catalog_txn_atomicity_and_optimistic_concurrency(spark, tmp_path):
+    """Catalog-level guarantees beyond what q_txn_multitable shows
+    in-band: (1) reading an OLD catalog version time-travels both
+    tables consistently; (2) a second committer at the same catalog
+    version is refused (optimistic concurrency, the versioned.py rule
+    one level up)."""
+    import pytest as _pytest
+
+    from os_ex_3_map_reduce_spark.sources.catalog_txn import (
+        _ct_commit,
+        ct_current,
+        ct_init,
+        ct_read,
+        ct_txn,
+    )
+    from os_ex_3_map_reduce_spark.sources.versioned import vt_write
+
+    a = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+    b = spark.range(20).selectExpr("id AS k", "id * 3 AS w")
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    vt_write(a, pa, "k")
+    vt_write(b, pb, "k")
+    cat = str(tmp_path / "cat")
+    ct_init(cat, {"a": (pa, 0), "b": (pb, 0)})
+
+    ct_txn(
+        cat,
+        {
+            "a": spark.range(10, 15).selectExpr("id AS k", "id * 2 AS v"),
+            "b": spark.range(20, 25).selectExpr("id AS k", "id * 3 AS w"),
+        },
+    )
+    assert ct_current(cat) == 1
+    assert ct_read(spark, cat, "a").count() == 15
+    assert ct_read(spark, cat, "b").count() == 25
+    # time travel: version 0 shows BOTH tables pre-txn
+    assert ct_read(spark, cat, "a", version=0).count() == 10
+    assert ct_read(spark, cat, "b", version=0).count() == 20
+    # optimistic concurrency: committing catalog v1 again is refused
+    with _pytest.raises(FileExistsError):
+        _ct_commit(cat, 1, {"version": 1, "parent": 0, "tables": {}})
