@@ -247,6 +247,7 @@ BREADTH = [
     "q_isotonic_calibration",
     "q_auc_ranks",
     "q_txn_multitable",
+    "q_landmark_distance",
 ]
 
 

@@ -1294,6 +1294,9 @@ def multi_source_bfs(
     dst: str = "dst",
     max_hops: int = 8,
     shuffle_partitions: int | None = 8,
+    seed_strategy: str = "hash",
+    extra_seeds: list[str] | None = None,
+    return_distances: bool = False,
 ) -> DataFrame:
     """Batched multi-source BFS — the THIRTEENTH iterative graph
     pattern: run BFS from ``n_seeds`` deterministically-sampled seeds
@@ -1304,9 +1307,19 @@ def multi_source_bfs(
     diameter-lower-bound shape (and the mechanics under HyperANF-style
     neighborhood functions): per hop, frontier ⋈ edges, dedup,
     anti-join the visited set, append with dist+1. Returns per seed
-    (seed, ecc, n_reached) — max distance and reachable-set size.
-    Convergence = empty frontier (measured 2-4 hops on every fixture
-    scale); eager per round under the exchange-width clamp."""
+    (seed, ecc, n_reached) — max distance and reachable-set size — or,
+    with ``return_distances=True``, the full (seed, node, dist)
+    visited relation (what a landmark index stores). ``seed_strategy``:
+    'hash' = the n smallest portable-hash nodes (reproducible random
+    sample, the eccentricity-sampling choice); 'degree' = the n
+    highest-degree nodes with the node tiebreak (the LANDMARK choice —
+    hubs sit on many shortest paths, so they give the tightest
+    d(u,l)+d(l,v) bounds). ``extra_seeds`` rides additional named
+    sources in the SAME frontier relation — how landmark estimation
+    gets exact pair distances for free (pair endpoints traverse in
+    the same hops as the landmarks). Convergence = empty frontier
+    (measured 2-4 hops on every fixture scale); eager per round under
+    the exchange-width clamp."""
     from .sketch import portable_hash60
 
     spark = edges.sparkSession
@@ -1326,12 +1339,26 @@ def multi_source_bfs(
             .persist()
         )
         nodes = e.select(F.col("a").alias("node")).distinct()
-        seeds = (
-            nodes.withColumn("h", portable_hash60("node"))
-            .orderBy("h", "node")
-            .limit(n_seeds)
-            .select("node")
-        )
+        if seed_strategy == "degree":
+            seeds = (
+                e.groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .orderBy(F.desc("deg"), F.asc("node"))
+                .limit(n_seeds)
+                .select("node")
+            )
+        else:
+            seeds = (
+                nodes.withColumn("h", portable_hash60("node"))
+                .orderBy("h", "node")
+                .limit(n_seeds)
+                .select("node")
+            )
+        if extra_seeds:
+            extra = edges.sparkSession.createDataFrame(
+                [(s,) for s in extra_seeds], "node string"
+            )
+            seeds = seeds.unionByName(extra).distinct()
         # localCheckpoint (eager) each round: the frontier/visited
         # lineage branches multiplicatively per hop — without
         # truncation the round-5 plan TREE alone OOMs the driver
@@ -1356,14 +1383,17 @@ def multi_source_bfs(
                 break
             vis = vis.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
-        out = (
-            vis.groupBy("seed")
-            .agg(
-                F.max("dist").alias("ecc"),
-                F.count(F.lit(1)).alias("n_reached"),
+        if return_distances:
+            out = vis
+        else:
+            out = (
+                vis.groupBy("seed")
+                .agg(
+                    F.max("dist").alias("ecc"),
+                    F.count(F.lit(1)).alias("n_reached"),
+                )
+                .coalesce(1)
             )
-            .coalesce(1)
-        )
         if shuffle_partitions is not None:
             out = out.persist()
             out.count()

@@ -206,6 +206,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_isotonic_calibration",
     "q_auc_ranks",
     "q_txn_multitable",
+    "q_landmark_distance",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -1578,3 +1578,219 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("r_den"),
         F.round(num / den, 6).alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_landmark_distance — landmark index distance estimation + exact check
+# ---------------------------------------------------------------------------
+
+_LM_N = 4
+_LM_HOPS = 8
+
+
+def _landmark_oracle() -> str:
+    cte = [
+        f"""
+        WITH arcs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS MATERIALIZED (
+            SELECT src AS a, dst AS b FROM arcs
+            UNION SELECT dst, src FROM arcs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a),
+        lm AS (
+            SELECT node FROM (
+                SELECT node,
+                       row_number() OVER (ORDER BY deg DESC, node) AS rk
+                FROM deg
+            ) WHERE rk <= {_LM_N}
+        ),
+        ep AS (
+            SELECT node FROM (
+                SELECT n.node,
+                       row_number() OVER (ORDER BY
+                           ('0x' || substr(md5(n.node), 1, 15))::BIGINT,
+                           n.node) AS rk
+                FROM nodes n
+                WHERE n.node NOT IN (SELECT node FROM lm)
+            ) WHERE rk <= {_LM_N}
+        ),
+        seeds AS (SELECT node FROM lm UNION SELECT node FROM ep),
+        vis0 AS MATERIALIZED (
+            SELECT node AS seed, node, 0 AS dist FROM seeds
+        ),
+        f0 AS (SELECT seed, node FROM vis0)"""
+    ]
+    for i in range(_LM_HOPS):
+        cte.append(
+            f"""
+        nxt{i} AS MATERIALIZED (
+            SELECT DISTINCT f.seed, e.b AS node
+            FROM f{i} f JOIN edges e ON f.node = e.a
+            EXCEPT SELECT seed, node FROM vis{i}
+        ),
+        vis{i + 1} AS MATERIALIZED (
+            SELECT seed, node, dist FROM vis{i}
+            UNION ALL
+            SELECT seed, node, {i + 1} AS dist FROM nxt{i}
+        ),
+        f{i + 1} AS (SELECT seed, node FROM nxt{i})"""
+        )
+    v = f"vis{_LM_HOPS}"
+    cte.append(
+        f"""
+        pairs AS (
+            SELECT a.node AS u, b.node AS v
+            FROM ep a JOIN ep b ON a.node < b.node
+        ),
+        du AS (
+            SELECT seed AS l, node, dist FROM {v}
+            WHERE seed IN (SELECT node FROM lm)
+        ),
+        est AS (
+            SELECT p.u, p.v,
+                   MIN(x.dist + y.dist) AS up,
+                   MAX(abs(x.dist - y.dist)) AS lo,
+                   COUNT(*) AS nl
+            FROM pairs p
+            JOIN du x ON x.node = p.u
+            JOIN du y ON y.l = x.l AND y.node = p.v
+            GROUP BY p.u, p.v
+        ),
+        ex AS (SELECT seed AS u, node AS v, dist FROM {v})
+        SELECT p.u AS u, p.v AS v,
+               CAST(ex.dist AS BIGINT) AS exact_d,
+               CAST(est.lo AS BIGINT) AS lower_d,
+               CAST(est.up AS BIGINT) AS upper_d,
+               (est.lo <= ex.dist AND ex.dist <= est.up) AS bounds_ok,
+               CAST(est.nl AS BIGINT) AS n_landmarks
+        FROM pairs p
+        JOIN est ON est.u = p.u AND est.v = p.v
+        JOIN ex ON ex.u = p.u AND ex.v = p.v
+        ORDER BY p.u, p.v"""
+    )
+    return ",".join(cte)
+
+
+@register(
+    "q_landmark_distance",
+    oracle=_landmark_oracle(),
+    doc="LANDMARK DISTANCE INDEX (the ALT / landmark-labeling shape "
+    "behind every production shortest-path SERVING system): "
+    f"precompute BFS distances from {_LM_N} TOP-DEGREE landmarks "
+    "(hubs sit on many shortest paths — the published landmark "
+    "selection heuristic, vs the eccentricity sampler's random "
+    "hash pick), store the (landmark, node, dist) relation, and "
+    "answer pair queries WITHOUT traversal: upper bound = min over "
+    "landmarks of d(u,l)+d(l,v) (triangle inequality), lower bound "
+    "= max of |d(u,l)-d(l,v)|. One batched frontier computes "
+    "everything — the pair endpoints ride the SAME multi-source "
+    "BFS as extra seeds (operators/graph.py multi_source_bfs: "
+    "seed_strategy='degree', extra_seeds, return_distances), so "
+    "the exact distances that grade the bounds cost zero extra "
+    "hops. Output: 6 evaluation pairs with exact vs bounds and the "
+    "in-band sandwich check (bounds_ok — the triangle inequality "
+    "made a column). At 100 TB: the index is |L|x|V| rows built in "
+    "ecc(G) hops; each online query is a 2x|L|-row lookup, no graph "
+    "touch — the precompute-vs-traverse trade every routing/"
+    "reachability service makes. Oracle unrolls the identical "
+    "frontier algebra.",
+)
+def q_landmark_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import multi_source_bfs
+    from ..operators.sketch import portable_hash60
+
+    def build() -> DataFrame:
+        edges = _bipartite_edges(spark, sf_dir)
+        und = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        e = und.union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        lm = [
+            r.node
+            for r in e.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .orderBy(F.desc("deg"), F.asc("node"))
+            .limit(_LM_N)
+            .collect()
+        ]
+        ep = [
+            r.node
+            for r in e.select(F.col("src").alias("node"))
+            .distinct()
+            .where(~F.col("node").isin(lm))
+            .withColumn("h", portable_hash60("node"))
+            .orderBy("h", "node")
+            .limit(_LM_N)
+            .collect()
+        ]
+        d = multi_source_bfs(
+            edges,
+            n_seeds=_LM_N,
+            max_hops=_LM_HOPS,
+            seed_strategy="degree",
+            extra_seeds=ep,
+            return_distances=True,
+        )
+        vis = d.persist()
+        vis.count()
+        for held in getattr(d, "_osx3_persists", ()):
+            try:
+                held.unpersist()
+            except Exception:
+                pass
+
+        pairs = spark.createDataFrame(
+            [
+                (min(u, v), max(u, v))
+                for i, u in enumerate(ep)
+                for v in ep[i + 1 :]
+            ],
+            "u string, v string",
+        )
+        du = vis.where(F.col("seed").isin(lm)).select(
+            F.col("seed").alias("l"), "node", "dist"
+        )
+        x = du.select("l", F.col("node").alias("u"), F.col("dist").alias("dul"))
+        y = du.select("l", F.col("node").alias("v"), F.col("dist").alias("dlv"))
+        est = (
+            pairs.join(x, "u")
+            .join(y, ["l", "v"])
+            .groupBy("u", "v")
+            .agg(
+                F.min(F.col("dul") + F.col("dlv")).alias("up"),
+                F.max(F.abs(F.col("dul") - F.col("dlv"))).alias("lo"),
+                F.count(F.lit(1)).alias("nl"),
+            )
+        )
+        ex = vis.select(
+            F.col("seed").alias("u"),
+            F.col("node").alias("v"),
+            F.col("dist").alias("exact_d"),
+        )
+        out = (
+            pairs.join(est, ["u", "v"])
+            .join(ex, ["u", "v"])
+            .select(
+                "u",
+                "v",
+                F.col("exact_d").cast("long").alias("exact_d"),
+                F.col("lo").cast("long").alias("lower_d"),
+                F.col("up").cast("long").alias("upper_d"),
+                (
+                    (F.col("lo") <= F.col("exact_d"))
+                    & (F.col("exact_d") <= F.col("up"))
+                ).alias("bounds_ok"),
+                F.col("nl").cast("long").alias("n_landmarks"),
+            )
+            .orderBy("u", "v")
+            .persist()
+        )
+        out.count()
+        vis.unpersist()
+        return out
+
+    return _cached_df(spark, ("landmark_distance", sf_dir), build)
