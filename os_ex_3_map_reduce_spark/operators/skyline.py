@@ -77,19 +77,49 @@ def skyline(
     lb = list(larger_better)
     rb = [tuple(p) for p in ratio_smaller_better]
 
+    # Aggregate inputs often arrive AQE-coalesced to ONE partition
+    # (20k slim rows look "small" to the coalescer) — which would hand
+    # the kernel a single huge batch AND serialize phase 1. One
+    # exchange of the slim relation buys full parallelism (measured
+    # at sf0.1: 13.2 s -> 1.4 s end-to-end).
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism)
+
+    #: pairwise-matrix cap: the dominance mask is O(chunk²) memory, so
+    #: batches fold through the running survivor set chunk by chunk
+    #: (block-nested-loop skyline). Cost per chunk is
+    #: (|survivors| + CHUNK)² — bounded while skylines stay small,
+    #: degrading only on adversarially anti-correlated data (module
+    #: doc: the space-filling-curve pre-partition is the mitigation).
+    chunk_rows = 2048
+
     def local_skyline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
             larger = [pdf[c].to_numpy(np.int64) for c in lb]
             ratios = [
-                (pdf[n].to_numpy(np.int64), pdf[d].to_numpy(np.int64))
-                for n, d in rb
+                (pdf[c_n].to_numpy(np.int64), pdf[c_d].to_numpy(np.int64))
+                for c_n, c_d in rb
             ]
-            dominated = _dominates_mask(larger, ratios).any(axis=0)
-            yield pdf.loc[~dominated]
+            keep = np.empty(0, dtype=np.int64)
+            for lo in range(0, n, chunk_rows):
+                idx = np.concatenate(
+                    [keep, np.arange(lo, min(lo + chunk_rows, n))]
+                )
+                sub_l = [c[idx] for c in larger]
+                sub_r = [(num[idx], den[idx]) for num, den in ratios]
+                dominated = _dominates_mask(sub_l, sub_r).any(axis=0)
+                keep = idx[~dominated]
+            yield pdf.iloc[keep]
 
-    survivors = df.mapInPandas(local_skyline, df.schema)
+    # persist the survivor union: the phase-2 self-join references it
+    # on BOTH sides, and without materialization Spark recomputes the
+    # whole aggregate+kernel subtree twice (measured at sf0.1:
+    # 2.9 s -> 1.6 s). Exposed via _osx3_persists for callers to free.
+    survivors = df.mapInPandas(local_skyline, df.schema).persist()
+    survivors.count()
 
     # phase 2: exact global frontier over the small survivor union —
     # a broadcast nested-loop LEFT ANTI join on the dominance
@@ -110,6 +140,8 @@ def skyline(
         rhs = col("a", n_c) * col("b", d_c)
         geq = geq & (lhs <= rhs)
         strict = strict | (lhs < rhs)
-    return a.join(F.broadcast(b), geq & strict, "left_anti").select(
+    out = a.join(F.broadcast(b), geq & strict, "left_anti").select(
         *[F.col(c) for c in cols]
     )
+    out._osx3_persists = [survivors]  # type: ignore[attr-defined]
+    return out
