@@ -248,6 +248,8 @@ BREADTH = [
     "q_auc_ranks",
     "q_txn_multitable",
     "q_landmark_distance",
+    "q_harmonic_centrality",
+    "q_pmi_collocations",
 ]
 
 

@@ -207,6 +207,8 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_auc_ranks",
     "q_txn_multitable",
     "q_landmark_distance",
+    "q_harmonic_centrality",
+    "q_pmi_collocations",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

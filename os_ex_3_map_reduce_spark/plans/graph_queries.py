@@ -1794,3 +1794,139 @@ def q_landmark_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return _cached_df(spark, ("landmark_distance", sf_dir), build)
+
+
+# ---------------------------------------------------------------------------
+# q_harmonic_centrality — sampled harmonic centrality, integer-exact
+# ---------------------------------------------------------------------------
+
+_HC_SEEDS = 8
+_HC_HOPS = 8
+_HC_LCM = 840  # lcm(1..8): every 1/d term becomes an exact integer
+
+
+def _harmonic_oracle() -> str:
+    cte = [
+        f"""
+        WITH arcs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS MATERIALIZED (
+            SELECT src AS a, dst AS b FROM arcs
+            UNION SELECT dst, src FROM arcs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        seeds AS (
+            SELECT node FROM (
+                SELECT node,
+                       row_number() OVER (ORDER BY
+                           ('0x' || substr(md5(node), 1, 15))::BIGINT,
+                           node) AS rk
+                FROM nodes
+            ) WHERE rk <= {_HC_SEEDS}
+        ),
+        vis0 AS MATERIALIZED (
+            SELECT node AS seed, node, 0 AS dist FROM seeds
+        ),
+        f0 AS (SELECT seed, node FROM vis0)"""
+    ]
+    for i in range(_HC_HOPS):
+        cte.append(
+            f"""
+        nxt{i} AS MATERIALIZED (
+            SELECT DISTINCT f.seed, e.b AS node
+            FROM f{i} f JOIN edges e ON f.node = e.a
+            EXCEPT SELECT seed, node FROM vis{i}
+        ),
+        vis{i + 1} AS MATERIALIZED (
+            SELECT seed, node, dist FROM vis{i}
+            UNION ALL
+            SELECT seed, node, {i + 1} AS dist FROM nxt{i}
+        ),
+        f{i + 1} AS (SELECT seed, node FROM nxt{i})"""
+        )
+    cte.append(
+        f"""
+        h AS (
+            SELECT node,
+                   CAST(SUM({_HC_LCM} / dist) AS BIGINT) AS h840,
+                   CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching
+            FROM vis{_HC_HOPS}
+            WHERE dist > 0
+            GROUP BY node
+        )
+        SELECT node, h840, n_seeds_reaching,
+               CAST(h840 AS DOUBLE) / {_HC_LCM}.0 AS harmonic
+        FROM h
+        ORDER BY h840 DESC, node
+        LIMIT 20"""
+    )
+    return ",".join(cte)
+
+
+@register(
+    "q_harmonic_centrality",
+    oracle=_harmonic_oracle(),
+    doc="SAMPLED HARMONIC CENTRALITY — the closeness variant that "
+    "handles disconnection gracefully (unreachable pairs contribute "
+    "0 instead of poisoning the mean, which is why Boldi-Vigna "
+    "recommend it over classic closeness): H(v) = sum over sampled "
+    f"sources u of 1/d(u,v), here {_HC_SEEDS} hash-sampled seeds "
+    "(the eccentricity sampler's reproducible pick) — the standard "
+    "estimator shape, since exact all-sources centrality is "
+    "O(V*E). INTEGER-EXACT: every 1/d term is scaled by "
+    f"lcm(1..{_HC_HOPS}) = {_HC_LCM}, so {_HC_LCM}/d is an exact "
+    "small integer for every possible BFS distance — the engines' "
+    "double division is exact on these values and the per-node sums "
+    "(<= seeds x 840, far inside 2^53) are order-independent, then "
+    "land as BIGINTs (the rendered harmonic column is one exact-int "
+    "divide). Rides the SAME "
+    "batched multi-source frontier as the eccentricity/landmark "
+    "queries (operators/graph.py multi_source_bfs, "
+    "return_distances); top-20 with the h840-then-node tiebreak. "
+    "At 100 TB: one frontier relation, ecc(G) hops, one "
+    "map-side-combined aggregate — and the seed count is the "
+    "precision dial, not a cost cliff.",
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import multi_source_bfs
+
+    def build() -> DataFrame:
+        d = multi_source_bfs(
+            _bipartite_edges(spark, sf_dir),
+            n_seeds=_HC_SEEDS,
+            max_hops=_HC_HOPS,
+            return_distances=True,
+        )
+        vis = d.persist()
+        vis.count()
+        for held in getattr(d, "_osx3_persists", ()):
+            try:
+                held.unpersist()
+            except Exception:
+                pass
+        out = (
+            vis.where(F.col("dist") > 0)
+            .groupBy("node")
+            .agg(
+                F.sum(F.lit(_HC_LCM) / F.col("dist"))
+                .cast("bigint")
+                .alias("h840"),
+                F.count(F.lit(1)).alias("n_seeds_reaching"),
+            )
+            .select(
+                "node",
+                "h840",
+                "n_seeds_reaching",
+                (F.col("h840").cast("double") / _HC_LCM).alias("harmonic"),
+            )
+            .orderBy(F.desc("h840"), F.asc("node"))
+            .limit(20)
+            .persist()
+        )
+        out.count()
+        vis.unpersist()
+        return out
+
+    return _cached_df(spark, ("harmonic", sf_dir), build)

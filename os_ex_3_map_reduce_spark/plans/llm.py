@@ -7162,3 +7162,113 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mahalanobis_topk(emb, k=10)
+
+
+@register(
+    "q_pmi_collocations",
+    oracle="""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t FROM documents
+        ),
+        bg AS (
+            SELECT p.a, p.b, COUNT(*) AS c_ab
+            FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(t) - 1),
+                    i -> {'a': t[i], 'b': t[i + 1]})) AS p
+                FROM toks
+            )
+            GROUP BY p.a, p.b
+        ),
+        ug AS (
+            SELECT w, COUNT(*) AS c FROM (
+                SELECT unnest(t) AS w FROM toks
+            ) GROUP BY w
+        ),
+        n AS (
+            SELECT (SELECT SUM(c) FROM ug) AS nu,
+                   (SELECT SUM(c_ab) FROM bg) AS nb
+        ),
+        scored AS (
+            SELECT bg.a, bg.b,
+                   CAST(bg.c_ab AS BIGINT) AS c_ab,
+                   round(ln(CAST(bg.c_ab * n.nu * n.nu AS DOUBLE)
+                            / CAST(n.nb * ua.c * ub.c AS DOUBLE)), 6)
+                       AS pmi
+            FROM bg
+            JOIN ug ua ON bg.a = ua.w
+            JOIN ug ub ON bg.b = ub.w
+            CROSS JOIN n
+            WHERE bg.c_ab >= 10
+        )
+        SELECT a, b, c_ab, pmi
+        FROM scored
+        ORDER BY pmi DESC, a, b
+        LIMIT 20
+    """,
+    doc="PMI COLLOCATION extraction — pointwise mutual information "
+    "over adjacent token pairs, the classic lexical-association "
+    "statistic (Church-Hanks) behind phrase mining and tokenizer-"
+    "merge scoring (BPE picks pair FREQUENCY; PMI is the "
+    "association-strength alternative — this query next to "
+    "q_bpe_merges shows both selection rules over the same corpus): "
+    "PMI(a,b) = ln(c_ab * Nu^2 / (Nb * c_a * c_b)), computed as ONE "
+    "ln over a ratio of exact integer products (every operand far "
+    "inside 2^53, so both engines see identical doubles; rounded to "
+    "the 1e-6 grid BEFORE the top-k tiebreak per the catalog rule). "
+    "The c_ab >= 10 support floor is the standard guard against "
+    "PMI's rare-pair bias. Shape: bigram and unigram counts are two "
+    "map-side-combined aggregates over one JVM-side transform (no "
+    "UDF — adjacent pairs via array slice zip); corpus totals are a "
+    "1-row broadcast; unigram counts broadcast onto the bigram "
+    "relation; top-20 via TakeOrdered. At 100 TB this is the "
+    "wordcount shuffle twice — nothing quadratic anywhere.",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("t"))
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS a, t[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ug = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = bg.agg(F.sum("c_ab").alias("nb")).crossJoin(
+        ug.agg(F.sum("c").alias("nu"))
+    )
+    ua = ug.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = ug.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    return (
+        bg.where(F.col("c_ab") >= 10)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("nu") * F.col("nu")).cast("double")
+                    / (F.col("nb") * F.col("c_a") * F.col("c_b")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
