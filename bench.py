@@ -250,6 +250,7 @@ BREADTH = [
     "q_landmark_distance",
     "q_harmonic_centrality",
     "q_pmi_collocations",
+    "q_stream_txn_ingest",
 ]
 
 

@@ -209,6 +209,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_landmark_distance",
     "q_harmonic_centrality",
     "q_pmi_collocations",
+    "q_stream_txn_ingest",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

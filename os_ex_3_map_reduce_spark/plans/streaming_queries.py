@@ -1724,3 +1724,159 @@ def q_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rebuild_match"),
         )
     )
+
+
+@register(
+    "q_stream_txn_ingest",
+    # Batch-order-independent: snapshot aggregates are set-determined
+    # (v0 = even-orderkey halves; final = everything), the FK and
+    # replay facts are structural.
+    oracle="""
+        SELECT '1_v0' AS item,
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+                   AS orders_rows,
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 2 = 0)
+                   AS lineitem_rows,
+               0 AS orphan_lineitems
+        UNION ALL
+        SELECT '2_vfinal',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM lineitem),
+               0
+        UNION ALL
+        SELECT '3_n_catalog_versions', 5, NULL, NULL
+        UNION ALL
+        SELECT '4_replay_skipped', 1, NULL, NULL
+        UNION ALL
+        SELECT '5_fk_ok_all_versions', 1, NULL, NULL
+        ORDER BY item
+    """,
+    doc="STREAMING ingest with MULTI-TABLE atomicity (the E7 x "
+    "catalog-txn cross — q_stream_versioned_ingest's exactly-once "
+    "sink upgraded to the two-table problem q_txn_multitable "
+    "poses): the even-orderkey halves of orders AND lineitem are "
+    "catalog v0; the odd ORDER batches arrive as a 4-file stream "
+    "(maxFilesPerTrigger=1) and each micro-batch commits its "
+    "orders PLUS their lineitems (a semi-join against the batch's "
+    "keys) through ONE ct_txn — both tables flip together at the "
+    "catalog rename, so no reader snapshot ever shows an order "
+    "batch without its lineitems or vice versa. Exactly-once "
+    "across BOTH tables comes from the catalog-level tag "
+    "(ct_has_tag — one probe guards the pair; per-table tags "
+    "cannot do this: a crash between two tagged vt_appends would "
+    "replay half a transaction). Proven in-band: the FK invariant "
+    "(orphan lineitems = 0) holds at EVERY catalog version — "
+    "checked by reading all snapshots back — and a deliberate "
+    "replay of batch 0 is skipped (catalog version count "
+    "unchanged). At 100 TB each micro-batch costs its own files "
+    "plus two manifest writes and one catalog rename.",
+)
+def q_stream_txn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.catalog_txn import (
+        ct_current,
+        ct_has_tag,
+        ct_init,
+        ct_read,
+        ct_txn,
+    )
+    from ..sources.tables import load_table
+    from ..sources.versioned import vt_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="osx3_ct_stream_")
+    _cleanup_at_exit(root)
+    op, lp = f"{root}/orders", f"{root}/lineitem"
+    vt_write(orders.where(F.col("o_orderkey") % 2 == 0), op, "o_orderkey")
+    vt_write(li.where(F.col("l_orderkey") % 2 == 0), lp, "l_orderkey")
+    cat = f"{root}/cat"
+    ct_init(cat, {"orders": (op, 0), "lineitem": (lp, 0)})
+
+    src = Path(root) / "delta"
+    src.mkdir()
+    odd = orders.where(F.col("o_orderkey") % 2 == 1)
+    for i in range(4):
+        stage = Path(root) / f"_stage{i}"
+        odd.where(
+            (F.col("o_orderkey") / 2).cast("long") % 4 == i
+        ).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), src / f"part-{i}.parquet")
+        shutil.rmtree(stage)
+
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    def txn_batch(bdf: DataFrame, batch_id: int) -> None:
+        tag = f"batch-{batch_id}"
+        if ct_has_tag(cat, tag):
+            return  # replayed: the PAIR already committed atomically
+        keys = bdf.select(F.col("o_orderkey").alias("k")).distinct()
+        batch_li = li.join(
+            keys, li.l_orderkey == F.col("k"), "left_semi"
+        )
+        ct_txn(cat, {"orders": bdf, "lineitem": batch_li}, tag=tag)
+
+    q = (
+        stream.writeStream.foreachBatch(txn_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    before = ct_current(cat)
+    txn_batch(spark.read.parquet(str(src / "part-0.parquet")), 0)
+    replay_skipped = int(ct_current(cat) == before)
+    n_versions = ct_current(cat) + 1
+
+    def orphans(v: int) -> int:
+        o = ct_read(spark, cat, "orders", version=v)
+        l = ct_read(spark, cat, "lineitem", version=v)
+        return l.join(
+            o.select("o_orderkey"),
+            l.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ).count()
+
+    fk_ok = int(all(orphans(v) == 0 for v in range(n_versions)))
+
+    def snap(item: str, v: int | None) -> DataFrame:
+        o = ct_read(spark, cat, "orders", version=v)
+        l = ct_read(spark, cat, "lineitem", version=v)
+        return spark.createDataFrame(
+            [(item, o.count(), l.count(), 0)],
+            "item string, orders_rows long, lineitem_rows long,"
+            " orphan_lineitems long",
+        )
+
+    facts = spark.createDataFrame(
+        [
+            ("3_n_catalog_versions", n_versions),
+            ("4_replay_skipped", replay_skipped),
+            ("5_fk_ok_all_versions", fk_ok),
+        ],
+        "item string, orders_rows long",
+    ).select(
+        "item",
+        "orders_rows",
+        F.lit(None).cast("long").alias("lineitem_rows"),
+        F.lit(None).cast("long").alias("orphan_lineitems"),
+    )
+    return (
+        snap("1_v0", 0)
+        .unionByName(snap("2_vfinal", None))
+        .unionByName(facts)
+        .orderBy("item")
+    )

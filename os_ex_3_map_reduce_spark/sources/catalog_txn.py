@@ -96,11 +96,29 @@ def ct_init(cat_path: str, tables: dict[str, tuple[str, int]]) -> int:
     return 0
 
 
-def ct_txn(cat_path: str, appends: dict[str, DataFrame]) -> int:
+def ct_has_tag(cat_path: str, tag: str) -> bool:
+    """True iff some catalog commit carries ``tag`` — the multi-table
+    idempotency probe (the vt_has_tag contract one level up): a
+    streaming sink checks the tag BEFORE re-running a replayed batch,
+    so exactly-once holds across BOTH tables at once."""
+    return any(
+        _ct_manifest(cat_path, v).get("tag") == tag
+        for v in ct_versions(cat_path)
+    )
+
+
+def ct_txn(
+    cat_path: str, appends: dict[str, DataFrame], tag: str | None = None
+) -> int:
     """Atomically append a batch to EVERY named table: per-table
     commits publish first (unreferenced until the catalog flips),
     then one catalog manifest rename makes all of them visible
-    together. Returns the new catalog version."""
+    together. ``tag`` (stored in the catalog manifest) makes the
+    transaction idempotent via :func:`ct_has_tag`. A crash BETWEEN
+    the per-table commits and the catalog commit leaves orphan table
+    versions (vacuum fodder) but a bit-identical catalog state — the
+    retry simply publishes fresh table versions and commits; the
+    orphans are never referenced. Returns the new catalog version."""
     cur = ct_current(cat_path)
     if cur is None:
         raise FileNotFoundError(f"no catalog at {cat_path}")
@@ -111,11 +129,10 @@ def ct_txn(cat_path: str, appends: dict[str, DataFrame]) -> int:
             raise KeyError(f"table {name!r} not in catalog")
         tables[name]["version"] = vt_append(df, tables[name]["path"])
     new_v = cur + 1
-    _ct_commit(
-        cat_path,
-        new_v,
-        {"version": new_v, "parent": cur, "tables": tables},
-    )
+    manifest = {"version": new_v, "parent": cur, "tables": tables}
+    if tag is not None:
+        manifest["tag"] = tag
+    _ct_commit(cat_path, new_v, manifest)
     return new_v
 
 
