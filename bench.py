@@ -251,6 +251,7 @@ BREADTH = [
     "q_harmonic_centrality",
     "q_pmi_collocations",
     "q_stream_txn_ingest",
+    "q_apriori_itemsets",
 ]
 
 

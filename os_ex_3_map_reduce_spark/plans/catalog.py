@@ -210,6 +210,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_harmonic_centrality",
     "q_pmi_collocations",
     "q_stream_txn_ingest",
+    "q_apriori_itemsets",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

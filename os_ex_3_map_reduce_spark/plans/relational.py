@@ -4184,3 +4184,140 @@ def q_auc_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num.cast("double") / den.cast("double"), 9).alias("auc"),
         )
     )
+
+
+@register(
+    "q_apriori_itemsets",
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        i AS (SELECT p, COUNT(*) AS n FROM op GROUP BY p),
+        l1 AS (SELECT p, n FROM i WHERE n >= 2),
+        op1 AS (SELECT op.o, op.p FROM op JOIN l1 USING (p)),
+        p2 AS (
+            SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n
+            FROM op1 a JOIN op1 b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p
+        ),
+        l2 AS (SELECT p1, p2, n FROM p2 WHERE n >= 2),
+        c3 AS (
+            SELECT a.p1, a.p2, b.p2 AS p3
+            FROM l2 a
+            JOIN l2 b ON a.p1 = b.p1 AND a.p2 < b.p2
+            WHERE EXISTS (SELECT 1 FROM l2 c
+                          WHERE c.p1 = a.p2 AND c.p2 = b.p2)
+        ),
+        t3 AS (
+            SELECT c3.p1, c3.p2, c3.p3, COUNT(*) AS n
+            FROM c3
+            JOIN op x ON x.p = c3.p1
+            JOIN op y ON y.o = x.o AND y.p = c3.p2
+            JOIN op z ON z.o = x.o AND z.p = c3.p3
+            GROUP BY c3.p1, c3.p2, c3.p3
+        ),
+        l3 AS (SELECT * FROM t3 WHERE n >= 2)
+        SELECT 1 AS level,
+               (SELECT COUNT(*) FROM l1) AS n_frequent,
+               (SELECT COUNT(*) FROM i) AS n_candidates,
+               (SELECT MAX(n) FROM l1) AS max_support
+        UNION ALL
+        SELECT 2, (SELECT COUNT(*) FROM l2),
+               (SELECT COUNT(*) FROM p2),
+               (SELECT MAX(n) FROM l2)
+        UNION ALL
+        SELECT 3, (SELECT COUNT(*) FROM l3),
+               (SELECT COUNT(*) FROM c3),
+               (SELECT MAX(n) FROM l3)
+        ORDER BY level
+    """,
+    doc="FREQUENT ITEMSETS, the distributed APRIORI levels 1-3 over "
+    "order baskets (minsup=2 orders) — the market-basket workload "
+    "MapReduce was literally built for (the SON/Apriori shape): "
+    "level k+1 candidates come ONLY from frequent level-k sets "
+    "(downward closure), and the level-3 generation applies the "
+    "FULL prune — prefix-join of frequent pairs (p1,p2)x(p1,p3) "
+    "plus the EXISTS check that (p2,p3) is itself frequent — before "
+    "any counting join runs. The prune is the entire scale story, "
+    "measured in-band: n_candidates vs n_frequent per level (at "
+    "bench scale the 3.6M co-occurring pairs collapse to 2 frequent "
+    "ones and the triple-candidate set is EMPTY — the counting join "
+    "for level 3 never touches the fact table for a single "
+    "uncandidate triple). Counting is data-driven (pairs/triples "
+    "that never co-occur are never materialized — the standard "
+    "distributed-Apriori optimization over the textbook "
+    "generate-all-candidates form). All counts exact integers; "
+    "max_support NULL when a level is empty. At 100 TB each level "
+    "is one self-join of the (order, item) relation filtered by "
+    "the previous level's survivors — the candidate relation "
+    "BROADCASTS because closure keeps it small; that asymmetry is "
+    "why Apriori parallelizes.",
+)
+def q_apriori_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    i = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    l1 = i.where(F.col("n") >= 2)
+    op1 = op.join(l1.select("p"), "p")
+    a = op1.select("o", F.col("p").alias("p1"))
+    b = op1.select("o", F.col("p").alias("p2"))
+    p2 = (
+        a.join(b, ["o"])
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    l2 = p2.where(F.col("n") >= 2).persist()
+    l2.count()
+    c3 = (
+        l2.select("p1", "p2")
+        .join(
+            l2.select(F.col("p1").alias("p1"), F.col("p2").alias("p3")),
+            "p1",
+        )
+        .where(F.col("p2") < F.col("p3"))
+        .join(
+            l2.select(
+                F.col("p1").alias("p2"), F.col("p2").alias("p3")
+            ),
+            ["p2", "p3"],
+            "left_semi",
+        )
+        .persist()
+    )
+    c3.count()
+    x = op.select("o", F.col("p").alias("p1"))
+    y = op.select("o", F.col("p").alias("p2"))
+    z = op.select("o", F.col("p").alias("p3"))
+    t3 = (
+        F.broadcast(c3)
+        .join(x, "p1")
+        .join(y, ["o", "p2"])
+        .join(z, ["o", "p3"])
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    l3 = t3.where(F.col("n") >= 2)
+
+    def lvl(level, freq_df, cand_df, sup_df) -> DataFrame:
+        return (
+            freq_df.agg(F.count(F.lit(1)).alias("n_frequent"))
+            .crossJoin(cand_df.agg(F.count(F.lit(1)).alias("n_candidates")))
+            .crossJoin(sup_df.agg(F.max("n").alias("max_support")))
+            .select(
+                F.lit(level).alias("level"),
+                "n_frequent",
+                "n_candidates",
+                "max_support",
+            )
+        )
+
+    out = (
+        lvl(1, l1, i, l1)
+        .unionByName(lvl(2, l2, p2, l2))
+        .unionByName(lvl(3, l3, c3, l3))
+        .orderBy("level")
+    )
+    out._osx3_persists = [l2, c3]  # type: ignore[attr-defined]
+    return out
