@@ -252,6 +252,7 @@ BREADTH = [
     "q_pmi_collocations",
     "q_stream_txn_ingest",
     "q_apriori_itemsets",
+    "q_anova_hourofday",
 ]
 
 

@@ -211,6 +211,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_pmi_collocations",
     "q_stream_txn_ingest",
     "q_apriori_itemsets",
+    "q_anova_hourofday",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -4321,3 +4321,114 @@ def q_apriori_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._osx3_persists = [l2, c3]  # type: ignore[attr-defined]
     return out
+
+
+@register(
+    "q_anova_hourofday",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d') AS d,
+                   CAST(hour(ts) AS INTEGER) AS g,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, d, g
+        ),
+        tot AS (
+            SELECT event_type,
+                   COUNT(*) AS nn, SUM(x) AS t, SUM(x * x) AS q
+            FROM hourly GROUP BY event_type
+        ),
+        grp AS (
+            SELECT event_type, g, COUNT(*) AS ng, SUM(x) AS tg
+            FROM hourly GROUP BY event_type, g
+        ),
+        s AS (
+            SELECT event_type,
+                   SUM(CAST(round(CAST(tg * tg AS DOUBLE)
+                                  / CAST(ng AS DOUBLE), 6)
+                       AS DECIMAL(18,6))) AS sgrp,
+                   COUNT(*) AS k
+            FROM grp GROUP BY event_type
+        )
+        SELECT tot.event_type,
+               CAST(tot.nn AS BIGINT) AS n_obs,
+               CAST(s.k AS BIGINT) AS n_groups,
+               round(CAST(s.sgrp AS DOUBLE)
+                     - CAST(tot.t * tot.t AS DOUBLE)
+                       / CAST(tot.nn AS DOUBLE), 4) AS ss_between,
+               round(CAST(tot.q AS DOUBLE)
+                     - CAST(s.sgrp AS DOUBLE), 4) AS ss_within,
+               round(((CAST(s.sgrp AS DOUBLE)
+                       - CAST(tot.t * tot.t AS DOUBLE)
+                         / CAST(tot.nn AS DOUBLE))
+                      / (s.k - 1))
+                     / ((CAST(tot.q AS DOUBLE) - CAST(s.sgrp AS DOUBLE))
+                        / (tot.nn - s.k)), 4) AS f_stat
+        FROM tot JOIN s USING (event_type)
+        ORDER BY event_type
+    """,
+    doc="Exact distributed ONE-WAY ANOVA — is event load hour-of-day "
+    "dependent? Per event type, the F statistic of hourly counts "
+    "grouped by hour-of-day (k=24 groups, one (type, date, hour) "
+    "observation each), via the computational sum-of-squares "
+    "identities: SSB = sum_g t_g^2/n_g - T^2/N, SSW = Q - sum_g "
+    "t_g^2/n_g, with N/T/Q/n_g/t_g all EXACT integer aggregates "
+    "(map-side combined). The one order-sensitive float reduction — "
+    "the 24-term sum of t_g^2/n_g, where group sizes differ because "
+    "small fixtures have empty hours — goes through the engine's "
+    "round-to-1e-6-then-DECIMAL-sum discipline, so it is "
+    "associative and engine-identical; every remaining operation is "
+    "scalar IEEE on exact operands (t_g^2 <= ~4e10, far inside "
+    "2^53). The fixture's uniform generator should show F near 1 "
+    "(no hour effect) — the magnitude IS the diagnostic, and the "
+    "exactness, not the verdict, is the engineering point. At 100 "
+    "TB: two grouped aggregates over the hourly rollup and a 24-row "
+    "decimal sum per type — nothing data-sized leaves the "
+    "executors.",
+)
+def q_anova_hourofday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_format("ts_utc", "yyyy-MM-dd").alias("d"),
+        F.hour("ts_utc").alias("g"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("x").alias("t"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    grp = hourly.groupBy("event_type", "g").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("x").alias("tg")
+    )
+    s = grp.groupBy("event_type").agg(
+        F.sum(
+            F.round(
+                (F.col("tg") * F.col("tg")).cast("double")
+                / F.col("ng").cast("double"),
+                6,
+            ).cast("decimal(18,6)")
+        ).alias("sgrp"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    sgrp_d = F.col("sgrp").cast("double")
+    t2n = (F.col("t") * F.col("t")).cast("double") / F.col("nn").cast(
+        "double"
+    )
+    ssb = sgrp_d - t2n
+    ssw = F.col("q").cast("double") - sgrp_d
+    return (
+        tot.join(s, "event_type")
+        .select(
+            "event_type",
+            F.col("nn").cast("long").alias("n_obs"),
+            F.col("k").cast("long").alias("n_groups"),
+            F.round(ssb, 4).alias("ss_between"),
+            F.round(ssw, 4).alias("ss_within"),
+            F.round(
+                (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))),
+                4,
+            ).alias("f_stat"),
+        )
+        .orderBy("event_type")
+    )
