@@ -253,6 +253,7 @@ BREADTH = [
     "q_stream_txn_ingest",
     "q_apriori_itemsets",
     "q_anova_hourofday",
+    "q_bitemporal",
 ]
 
 

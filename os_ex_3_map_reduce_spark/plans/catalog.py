@@ -212,6 +212,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_stream_txn_ingest",
     "q_apriori_itemsets",
     "q_anova_hourofday",
+    "q_bitemporal",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

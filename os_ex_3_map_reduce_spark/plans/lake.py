@@ -2342,3 +2342,129 @@ def q_txn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("snapshot")
+
+
+# ---------------------------------------------------------------------------
+# q_bitemporal — transaction-time x valid-time queries on one table
+# ---------------------------------------------------------------------------
+
+
+def _tier_sql(src: str) -> str:
+    """Tier rule shared by both oracle belief states: yearly order
+    count bucketed 1 (1-2), 2 (3-4), 3 (5+)."""
+    return f"""
+        SELECT o_custkey AS c, CAST(year(o_orderdate) AS INTEGER) AS y,
+               CASE WHEN COUNT(*) >= 5 THEN 3
+                    WHEN COUNT(*) >= 3 THEN 2
+                    ELSE 1 END AS tier
+        FROM {src}
+        GROUP BY o_custkey, y
+    """
+
+
+@register(
+    "q_bitemporal",
+    oracle=f"""
+        WITH v0 AS ({_tier_sql('orders')}),
+        good AS ({_tier_sql("(SELECT * FROM orders WHERE o_orderstatus <> 'P')")}),
+        v1 AS (
+            SELECT v0.c, v0.y, COALESCE(good.tier, 0) AS tier
+            FROM v0 LEFT JOIN good ON v0.c = good.c AND v0.y = good.y
+        ),
+        grid AS (
+            SELECT 0 AS sys_version, c, y, tier FROM v0
+            UNION ALL
+            SELECT 1, c, y, tier FROM v1
+        )
+        SELECT sys_version, y AS valid_year, tier,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM grid
+        WHERE y IN (1996, 2000)
+        GROUP BY sys_version, valid_year, tier
+        ORDER BY sys_version, valid_year, tier
+    """,
+    doc="BITEMPORAL queries — TRANSACTION time (which table version, "
+    "i.e. what we BELIEVED) crossed with VALID time (which business "
+    "period the row describes): 'what did we think in v0 the 1996 "
+    "tiers were?' vs 'what do we think now?' — the two-axis "
+    "capability (Snodgrass; SQL:2011 system+application time) that "
+    "time travel alone (q_time_travel: one axis) cannot express. "
+    "Built on the versioned table: v0 commits the per-(customer, "
+    "year) order tiers from everything we had; a CORRECTION then "
+    "vt_upserts only the rows whose tier changes once 'P'-status "
+    "orders are invalidated (retracted cust-years become tier 0 — "
+    "an explicit tombstone, since history must record the "
+    "retraction, not silently lose the row). Copy-on-write rewrites "
+    "only the touched buckets; v0 stays bit-readable — corrections "
+    "REWRITE OUR BELIEF about the past without destroying the "
+    "prior belief, which is the audit property bitemporal models "
+    "exist for. Output: the (sys_version x valid_year) grid of "
+    "tier counts for 1996 and 2000 — differing exactly where the "
+    "correction touched. Oracle re-derives both belief states from "
+    "order-status arithmetic. At 100 TB: the correction costs the "
+    "touched buckets; each grid cell is a snapshot read + "
+    "aggregate.",
+)
+def q_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.versioned import vt_read, vt_upsert, vt_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderstatus"
+    )
+
+    def tiers(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_custkey").alias("c"),
+            F.year("o_orderdate").cast("int").alias("y"),
+        ).agg(
+            F.when(F.count(F.lit(1)) >= 5, 3)
+            .when(F.count(F.lit(1)) >= 3, 2)
+            .otherwise(1)
+            .alias("tier")
+        )
+
+    v0 = tiers(orders).withColumn(
+        "ck", F.col("c") * 10000 + F.col("y")
+    )
+    path = tempfile.mkdtemp(prefix="osx3_bitemporal_") + "/tiers"
+    vt_write(v0, path, "ck")
+
+    good = tiers(orders.where(F.col("o_orderstatus") != "P"))
+    corrected = (
+        v0.alias("a")
+        .join(
+            good.alias("g"),
+            (F.col("a.c") == F.col("g.c")) & (F.col("a.y") == F.col("g.y")),
+            "left",
+        )
+        .select(
+            F.col("a.ck").alias("ck"),
+            F.col("a.c").alias("c"),
+            F.col("a.y").alias("y"),
+            F.coalesce(F.col("g.tier"), F.lit(0)).alias("tier"),
+            F.col("a.tier").alias("old_tier"),
+        )
+        .where(F.col("tier") != F.col("old_tier"))
+        .select("c", "y", "tier", "ck")
+    )
+    vt_upsert(spark, path, corrected, "ck")
+
+    def cells(sys_v: int) -> DataFrame:
+        snap = vt_read(spark, path, version=sys_v)
+        return (
+            snap.where(F.col("y").isin(1996, 2000))
+            .groupBy(
+                F.lit(sys_v).alias("sys_version"),
+                F.col("y").alias("valid_year"),
+                "tier",
+            )
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+        )
+
+    return (
+        cells(0)
+        .unionByName(cells(1))
+        .orderBy("sys_version", "valid_year", "tier")
+    )
