@@ -254,6 +254,7 @@ BREADTH = [
     "q_apriori_itemsets",
     "q_anova_hourofday",
     "q_bitemporal",
+    "q_cuped",
 ]
 
 

@@ -213,6 +213,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_apriori_itemsets",
     "q_anova_hourofday",
     "q_bitemporal",
+    "q_cuped",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -4432,3 +4432,99 @@ def q_anova_hourofday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_cuped",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   SUM(CASE WHEN year(o_orderdate) IN (1996, 1997)
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS x,
+                   SUM(CASE WHEN year(o_orderdate) = 1998
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS y
+            FROM orders GROUP BY o_custkey
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                   CAST(SUM(y * y) AS HUGEINT) AS syy
+            FROM per_cust
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+               round(CAST(n * syy - sy * sy AS DOUBLE)
+                     / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1e8, 4)
+                   AS var_y,
+               round((CAST(n * syy - sy * sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        * CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1e8, 4)
+                   AS var_adj,
+               round(1.0 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                            * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS var_ratio
+        FROM m
+    """,
+    doc="CUPED variance reduction (Deng et al. WSDM'13 — the "
+    "experimentation-platform standard): adjust the experiment "
+    "metric y (1998 customer spend) by the pre-period covariate x "
+    "(1996-97 spend) with theta = cov(x,y)/var(x); the adjusted "
+    "variance is var_y*(1 - rho^2), so the in-band var_ratio IS the "
+    "fraction of metric variance the covariate removes — the number "
+    "that decides how much smaller an A/B test can be. All five "
+    "moments are one map-side-combined pass over the per-customer "
+    "relation in exact integer cents (cross-products reach ~4e20 at "
+    "bench scale — past int64, carried in DECIMAL(38,0)/HUGEINT); "
+    "theta/variances are scalar IEEE on exact operands, rounded on "
+    "the catalog grid. Pre-period values are deterministic "
+    "(pre-experiment by construction), so this composes with "
+    "q_group_split's leakage-safe assignment for a full "
+    "experiment-analysis pipeline. At 100 TB: one per-customer "
+    "aggregate + a 6-number driver scalar — nothing else moves.",
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    yr = F.year("o_orderdate")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(yr.isin(1996, 1997), cents).otherwise(0)).alias("x"),
+        F.sum(F.when(yr == 1998, cents).otherwise(0)).alias("y"),
+    )
+    # products cast to DECIMAL *before* multiplying: x*y ~ 6e16 per
+    # row fits long, but the running long SUM overflows at bench
+    # scale (ANSI mode surfaced it) — the whole moment pipeline stays
+    # decimal end-to-end instead.
+    dec = "decimal(38,0)"
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
+    m = per_cust.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = (n * F.col("sxy") - sx * sy).cast("double")
+    vx = (n * F.col("sxx") - sx * sx).cast("double")
+    vy = (n * F.col("syy") - sy * sy).cast("double")
+    nd = n.cast("double")
+    return m.select(
+        n.cast("bigint").alias("n"),
+        F.round(cov / vx, 6).alias("theta"),
+        F.round(vy / nd / nd / F.lit(1e8), 4).alias("var_y"),
+        F.round((vy - cov * cov / vx) / nd / nd / F.lit(1e8), 4).alias(
+            "var_adj"
+        ),
+        F.round(F.lit(1.0) - (cov * cov) / (vx * vy), 6).alias("var_ratio"),
+    )
