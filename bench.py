@@ -255,6 +255,7 @@ BREADTH = [
     "q_anova_hourofday",
     "q_bitemporal",
     "q_cuped",
+    "q_kaplan_meier",
 ]
 
 

@@ -214,6 +214,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_anova_hourofday",
     "q_bitemporal",
     "q_cuped",
+    "q_kaplan_meier",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -4528,3 +4528,133 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.lit(1.0) - (cov * cov) / (vx * vy), 6).alias("var_ratio"),
     )
+
+
+@register(
+    "q_kaplan_meier",
+    oracle="""
+        WITH dd AS (
+            SELECT datediff('day', o_orderdate, l_shipdate) AS t
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE datediff('day', o_orderdate, l_shipdate) >= 0
+        ),
+        n AS (SELECT COUNT(*) AS total FROM dd),
+        ev AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS d
+            FROM dd WHERE t <= 365 GROUP BY t
+        ),
+        km1 AS (
+            SELECT t, d,
+                   n.total - COALESCE(SUM(d) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_risk
+            FROM ev CROSS JOIN n
+        ),
+        km2 AS (
+            SELECT t, d, n_risk,
+                   CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)), 9)
+                        AS DECIMAL(18,9)) AS lnterm
+            FROM km1
+        ),
+        km AS (
+            SELECT t, d, n_risk,
+                   SUM(lnterm) OVER (
+                       ORDER BY t ROWS UNBOUNDED PRECEDING) AS cumln,
+                   SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                       AS cum_events
+            FROM km2
+        )
+        SELECT r.t AS horizon_days,
+               CAST(k.n_risk AS BIGINT) AS n_at_risk,
+               CAST(k.cum_events AS BIGINT) AS cum_events,
+               round(exp(CAST(k.cumln AS DOUBLE)), 6) AS survival
+        FROM (VALUES (30), (60), (90), (180), (365)) r(t)
+        JOIN km k ON k.t = (SELECT MAX(t) FROM km WHERE t <= r.t)
+        ORDER BY horizon_days
+    """,
+    doc="KAPLAN-MEIER survival estimation with right censoring — the "
+    "time-to-event statistic (fulfillment SLAs, churn, failure "
+    "analysis) naive averaging gets WRONG when observation windows "
+    "truncate: shipments slower than 365 days are CENSORED "
+    "(administrative type-I censoring at the horizon), and KM's "
+    "product-limit S(t) = prod(1 - d_s/n_s) uses them correctly in "
+    "the at-risk denominators without counting them as events. "
+    "Determinism for a running PRODUCT of rationals (a new shape "
+    "for the catalog): each factor's ln is computed on exact "
+    "integer operands — (n_s-d_s)/n_s as one IEEE divide both "
+    "engines share — rounded to the 1e-9 grid, summed as DECIMAL "
+    "(associative, order-free), and exponentiated once per report "
+    "row; the day-indexed windows run over a BOUNDED <=366-row "
+    "relation (a design constant, not data-sized — the same "
+    "planner-constant rule as bucket PAVA). Fixture honesty: the "
+    "synthetic ship dates scatter on both sides of the order date; "
+    "negative gaps (an artifact, not right-censoring) are excluded "
+    "with the population size reported via n_at_risk at day 0+. "
+    "Output: survival, at-risk and cumulative events at 5 SLA "
+    "horizons. At 100 TB: one map-side-combined per-day event "
+    "count, then constant-size window algebra.",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    dd = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.datediff("l_shipdate", "o_orderdate").alias("t"))
+        .where(F.col("t") >= 0)
+    )
+    total = dd.agg(F.count(F.lit(1)).alias("total"))
+    ev = dd.where(F.col("t") <= 365).groupBy("t").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_incl = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = (
+        ev.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("total") - F.coalesce(F.sum("d").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "lnterm",
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+                9,
+            ).cast("decimal(18,9)"),
+        )
+        .withColumn("cumln", F.sum("lnterm").over(w_incl))
+        .withColumn("cum_events", F.sum("d").over(w_incl))
+    )
+    report = spark.createDataFrame(
+        [(30,), (60,), (90,), (180,), (365,)], "horizon_days int"
+    )
+    kmt = km.select("t", "n_risk", "cum_events", "cumln")
+    best = (
+        report.join(
+            F.broadcast(kmt), F.col("t") <= F.col("horizon_days"), "left"
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("horizon_days").orderBy(F.desc("t"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return best.select(
+        "horizon_days",
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("cum_events").cast("long").alias("cum_events"),
+        F.round(F.exp(F.col("cumln").cast("double")), 6).alias("survival"),
+    ).orderBy("horizon_days")
