@@ -256,6 +256,7 @@ BREADTH = [
     "q_bitemporal",
     "q_cuped",
     "q_kaplan_meier",
+    "q_lift_deciles",
 ]
 
 

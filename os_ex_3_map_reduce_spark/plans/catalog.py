@@ -215,6 +215,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_bitemporal",
     "q_cuped",
     "q_kaplan_meier",
+    "q_lift_deciles",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -4658,3 +4658,124 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_events").cast("long").alias("cum_events"),
         F.round(F.exp(F.col("cumln").cast("double")), 6).alias("survival"),
     ).orderBy("horizon_days")
+
+
+@register(
+    "q_lift_deciles",
+    oracle="""
+        WITH byv AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                   COUNT(*) AS cnt,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                       AS npos
+            FROM orders GROUP BY v
+        ),
+        c AS (
+            SELECT v, cnt, npos,
+                   SUM(cnt) OVER (ORDER BY v DESC) AS cum
+            FROM byv
+        ),
+        t AS (SELECT SUM(cnt) AS n, SUM(npos) AS p FROM byv),
+        dec AS (
+            SELECT LEAST(9, CAST(floor(10.0 * (c.cum - c.cnt) / t.n)
+                                 AS BIGINT)) AS decile,
+                   c.cnt, c.npos
+            FROM c CROSS JOIN t
+        ),
+        g AS (
+            SELECT decile, SUM(cnt) AS n, SUM(npos) AS npos
+            FROM dec GROUP BY decile
+        ),
+        cg AS (
+            SELECT decile, n, npos,
+                   SUM(n) OVER (ORDER BY decile) AS cum_n,
+                   SUM(npos) OVER (ORDER BY decile) AS cum_pos
+            FROM g
+        )
+        SELECT CAST(decile AS INTEGER) AS decile,
+               CAST(n AS BIGINT) AS n,
+               CAST(npos AS BIGINT) AS n_pos,
+               round(CAST(npos AS DOUBLE) / n, 6) AS rate,
+               round((CAST(cum_pos AS DOUBLE) / cum_n)
+                     / ((SELECT CAST(p AS DOUBLE) FROM t)
+                        / (SELECT CAST(n AS DOUBLE) FROM t)), 6)
+                   AS cum_lift
+        FROM cg
+        ORDER BY decile
+    """,
+    doc="GAIN/LIFT table — the model-evaluation companion to "
+    "q_auc_ranks: rank orders by score (o_totalprice, DESCENDING — "
+    "decile 0 = highest scores), cut into 10 population deciles, "
+    "and report each decile's response rate plus the CUMULATIVE "
+    "lift over the base rate — the 'how much better than random is "
+    "my top 10/20/30%' curve campaign targeting reads. Built "
+    "WITHOUT a global ntile window (a single-task sort at scale): "
+    "scores group by exact cent value, the engine's distributed "
+    "two-level prefix sum ranks the value groups, and each GROUP "
+    "maps to the decile of its first row (ties never straddle a "
+    "cut — deterministic, with the documented consequence that "
+    "deciles are equal-sized only up to tie-group granularity). "
+    "Rates and lifts are IEEE quotients of exact integers, rounded "
+    "on the catalog grid. At 100 TB: one value-group aggregate, "
+    "the bounded prefix machinery, a 10-row report.",
+)
+def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix_sum import prefix_sums
+
+    orders = load_table(spark, sf_dir, "orders")
+    byv = orders.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("npos"),
+    )
+    # rank DESC by negating the integer key (prefix_sums orders ASC)
+    c = prefix_sums(
+        byv.withColumn("nv", -F.col("v")), "nv", ["cnt"], bucket_width=1 << 20
+    )
+    t = byv.agg(F.sum("cnt").alias("n_tot"), F.sum("npos").alias("p_tot"))
+    dec = (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(
+                    10.0
+                    * (F.col("cum_cnt") - F.col("cnt"))
+                    / F.col("n_tot")
+                ),
+            ).alias("decile"),
+            "cnt",
+            "npos",
+        )
+    )
+    g = dec.groupBy("decile").agg(
+        F.sum("cnt").alias("n"), F.sum("npos").alias("n_pos")
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+                "rate"
+            ),
+            F.round(
+                (F.col("cum_pos").cast("double") / F.col("cum_n"))
+                / (
+                    F.col("p_tot").cast("double")
+                    / F.col("n_tot").cast("double")
+                ),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
