@@ -257,6 +257,7 @@ BREADTH = [
     "q_cuped",
     "q_kaplan_meier",
     "q_lift_deciles",
+    "q_ivm_join_agg",
 ]
 
 

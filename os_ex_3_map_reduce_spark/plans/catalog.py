@@ -216,6 +216,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_cuped",
     "q_kaplan_meier",
     "q_lift_deciles",
+    "q_ivm_join_agg",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations
