@@ -258,6 +258,7 @@ BREADTH = [
     "q_kaplan_meier",
     "q_lift_deciles",
     "q_ivm_join_agg",
+    "q_pattern_match",
 ]
 
 

@@ -217,6 +217,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_kaplan_meier",
     "q_lift_deciles",
     "q_ivm_join_agg",
+    "q_pattern_match",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -4937,3 +4937,129 @@ def q_ivm_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q_pattern_match",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) AS t, event_id,
+                   substr(event_type, 1, 1) AS init
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, t, event_id, init,
+                   CASE WHEN t - LAG(t) OVER (
+                            PARTITION BY user_id ORDER BY t, event_id)
+                            > {28800000000}
+                         OR LAG(t) OVER (
+                            PARTITION BY user_id ORDER BY t, event_id)
+                            IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM ev
+        ),
+        numbered AS (
+            SELECT user_id, t, event_id, init,
+                   SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        ),
+        sessions AS (
+            SELECT user_id, session_seq,
+                   string_agg(init, '' ORDER BY t, event_id) AS s
+            FROM numbered GROUP BY user_id, session_seq
+        ),
+        pats(pattern, rx) AS (VALUES
+            ('clean_view_to_purchase', 'v[^e]*p'),
+            ('double_error_no_purchase', 'e[^p]*e'),
+            ('full_funnel_in_order', 's.*v.*c.*p')
+        )
+        SELECT p.pattern,
+               CAST(COUNT(*) FILTER (regexp_matches(s.s, p.rx))
+                    AS BIGINT) AS n_matched,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM pats p CROSS JOIN sessions s
+        GROUP BY p.pattern
+        ORDER BY p.pattern
+    """,
+    doc="EVENT-PATTERN MATCHING over sessions — the MATCH_RECOGNIZE "
+    "/ CEP capability ordered funnels cannot express, because two "
+    "of the three patterns need NEGATION: 'a purchase after a view "
+    "with NO error between' (v[^e]*p) and 'two errors with no "
+    "purchase between' (e[^p]*e) — q_funnel's conditional-MIN "
+    "timeline can say 'A before B' but never 'nothing bad "
+    "between'. Sessions reuse q_sessionize's exact construction "
+    "(8 h gap, (t, event_id) total order), then each session "
+    "RENDERS AS A STRING of event-type initials — bounded by "
+    "session length, so the regex engine runs per session row, "
+    "JVM-side, embarrassingly parallel — and the three patterns "
+    "evaluate as regexp predicates counted per pattern. "
+    "Determinism: the session string is a pure function of the "
+    "total order; both engines' regex dialects agree on this "
+    "character-class subset (no lookaround — deliberately, since "
+    "lookbehind semantics differ across engines). At 100 TB: two "
+    "windows + one aggregate on ONE user_id partitioning, then a "
+    "per-row regex — the CEP-on-a-lakehouse shape, vs running a "
+    "streaming CEP engine over history.",
+)
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts_utc").alias("t"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("init"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            (F.lag("t").over(w).isNull())
+            | (F.col("t") - F.lag("t").over(w) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("t", "event_id", "init"))
+                    ),
+                    lambda x: x["init"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    pats = spark.createDataFrame(
+        [
+            ("clean_view_to_purchase", "v[^e]*p"),
+            ("double_error_no_purchase", "e[^p]*e"),
+            ("full_funnel_in_order", "s.*v.*c.*p"),
+        ],
+        "pattern string, rx string",
+    )
+    return (
+        sessions.crossJoin(F.broadcast(pats))
+        .groupBy("pattern")
+        .agg(
+            F.sum(
+                F.when(F.expr("s RLIKE rx"), 1).otherwise(0)
+            ).alias("n_matched"),
+            F.count(F.lit(1)).alias("n_sessions"),
+        )
+        .select(
+            "pattern",
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+        )
+        .orderBy("pattern")
+    )
