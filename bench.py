@@ -259,6 +259,7 @@ BREADTH = [
     "q_lift_deciles",
     "q_ivm_join_agg",
     "q_pattern_match",
+    "q_k_anonymity",
 ]
 
 

@@ -218,6 +218,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_lift_deciles",
     "q_ivm_join_agg",
     "q_pattern_match",
+    "q_k_anonymity",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -2468,3 +2468,103 @@ def q_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cells(1))
         .orderBy("sys_version", "valid_year", "tier")
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+        WITH base AS (
+            SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                   CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_fine,
+                   CAST(floor(c_acctbal / 4000) AS INTEGER) AS bal_coarse
+            FROM customer
+        ),
+        lvl AS (
+            SELECT 'L0_nat_seg_bal1000' AS level, nat, seg,
+                   bal_fine AS bal FROM base
+            UNION ALL
+            SELECT 'L1_nat_seg_bal4000', nat, seg, bal_coarse FROM base
+            UNION ALL
+            SELECT 'L2_nat_seg', nat, seg, 0 FROM base
+        ),
+        g AS (
+            SELECT level, nat, seg, bal, COUNT(*) AS k
+            FROM lvl GROUP BY level, nat, seg, bal
+        )
+        SELECT level,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk,
+               CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_groups_below_5
+        FROM g
+        GROUP BY level
+        ORDER BY level
+    """,
+    doc="K-ANONYMITY risk report — the re-identification audit "
+    "(Sweeney) that complements q_pii_redact's masking: direct "
+    "identifiers can be scrubbed and a row still be unique on its "
+    "QUASI-identifiers (nation x market segment x balance band); "
+    "k-anonymity = the smallest equivalence-class size, and rows "
+    "in classes below k are linkable. Evaluated across a "
+    "GENERALIZATION LADDER (balance binned at 1000, at 4000, then "
+    "suppressed) — the lattice walk every anonymization pipeline "
+    "makes, with the measured trade in-band: each coarsening "
+    "raises min_k and shrinks n_rows_at_risk while destroying "
+    "analytic resolution; pick the first level meeting policy k. "
+    "All counts exact integers (bin edges via explicit floor — "
+    "the cast-rounding trap q_lift_deciles documents); one "
+    "map-side-combined aggregate per level, three levels unioned "
+    "BEFORE the shuffle so the ladder costs one pass. At 100 TB "
+    "this is the pre-release gate on every published dataset.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_fine"),
+        F.floor(F.col("c_acctbal") / 4000).cast("int").alias("bal_coarse"),
+    )
+    lvl = (
+        base.select(
+            F.lit("L0_nat_seg_bal1000").alias("level"),
+            "nat",
+            "seg",
+            F.col("bal_fine").alias("bal"),
+        )
+        .unionByName(
+            base.select(
+                F.lit("L1_nat_seg_bal4000").alias("level"),
+                "nat",
+                "seg",
+                F.col("bal_coarse").alias("bal"),
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit("L2_nat_seg").alias("level"),
+                "nat",
+                "seg",
+                F.lit(0).alias("bal"),
+            )
+        )
+    )
+    g = lvl.groupBy("level", "nat", "seg", "bal").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        g.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("k").alias("min_k"),
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).alias(
+                "n_rows_at_risk"
+            ),
+            F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).alias(
+                "n_groups_below_5"
+            ),
+        )
+        .orderBy("level")
+    )
