@@ -260,6 +260,7 @@ BREADTH = [
     "q_ivm_join_agg",
     "q_pattern_match",
     "q_k_anonymity",
+    "q_theil_sen",
 ]
 
 

@@ -219,6 +219,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ivm_join_agg",
     "q_pattern_match",
     "q_k_anonymity",
+    "q_theil_sen",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -5063,3 +5063,90 @@ def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+@register(
+    "q_theil_sen",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(datediff('day', TIMESTAMP '1995-01-01',
+                                 o_orderdate) AS BIGINT) AS x,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM orders GROUP BY x
+        ),
+        slopes AS (
+            SELECT b.y - a.y AS dy, b.x - a.x AS dx,
+                   CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                       AS m
+            FROM daily a JOIN daily b ON a.x < b.x
+        ),
+        ranked AS (
+            SELECT dy, dx, m,
+                   ROW_NUMBER() OVER (ORDER BY m, dy, dx) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM slopes
+        )
+        SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+               CAST(n AS BIGINT) AS n_pairs,
+               CAST(dy AS BIGINT) AS med_dy,
+               CAST(dx AS BIGINT) AS med_dx,
+               round(m, 9) AS slope_per_day
+        FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    doc="THEIL-SEN robust slope — the median of all pairwise slopes, "
+    "the 29.3%-breakdown-point regression q_trend_ols's least "
+    "squares cannot match (one corrupted day drags OLS arbitrarily; "
+    "Theil-Sen shrugs): fitted to daily order counts over the day "
+    "index. The pair relation is the honest O(n^2) the estimator "
+    "DEFINES (n = distinct days, a bounded calendar dimension — "
+    "~2.4k days -> ~2.9M slope pairs at every fixture scale, "
+    "independent of row count; the fact table only feeds the daily "
+    "aggregate), built as one self-join a < b. Median selection is "
+    "exact: each slope is the rational dy/dx, ordered by its IEEE "
+    "quotient (identical in both engines) with the (dy, dx) total "
+    "tiebreak, lower-median rank (n+1)//2 — and the OUTPUT carries "
+    "the exact (med_dy, med_dx) pair alongside the rounded quotient "
+    "so the chosen rational is auditable. At 100 TB the calendar "
+    "stays a calendar: the pair join is a constant-sized corner "
+    "regardless of data volume.",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            "o_orderdate", F.lit("1995-01-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("x")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .select(
+            (F.col("yb") - F.col("ya")).alias("dy"),
+            (F.col("xb") - F.col("xa")).alias("dx"),
+        )
+        .withColumn(
+            "m", F.col("dy").cast("double") / F.col("dx").cast("double")
+        )
+    )
+    ranked = slopes.select(
+        "dy",
+        "dx",
+        "m",
+        F.row_number().over(Window.orderBy("m", "dy", "dx")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        ranked.where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.col("dy").cast("bigint").alias("med_dy"),
+            F.col("dx").cast("bigint").alias("med_dx"),
+            F.round("m", 9).alias("slope_per_day"),
+        )
+    )
