@@ -503,3 +503,64 @@ def image_dhash(
             yield pd.DataFrame(out, columns=["doc_id", "phash"])
 
     return df.mapInPandas(batch, "doc_id long, phash long")
+
+
+def _synth_pcm(doc_id: int, n_samples: int) -> np.ndarray:
+    """The fixture PCM generator shared by every WAV path (see
+    wav_audio_features): sample_i = ((doc_id*31 + i*17) mod 4096) -
+    2048."""
+    i = np.arange(n_samples, dtype=np.int64)
+    return (((int(doc_id) * 31 + i * 17) % 4096) - 2048).astype(np.int16)
+
+
+def _peak_shingles(
+    samples: np.ndarray, frame: int, hop: int
+) -> list[tuple[int, int]]:
+    """(fingerprint, frame_idx) pairs: per frame the dominant rfft bin
+    (DC excluded; magnitude argmax, lowest-bin tiebreak via argmax's
+    first-occurrence rule), then every 3 consecutive peaks pack into
+    one integer shingle — the landmark/constellation idea (Wang 2003)
+    reduced to its deterministic core. Magnitudes are floats; the
+    PINNED-oracle ledger covers the FFT like it covers eigvalsh: an
+    FFT-implementation change surfaces as a pin mismatch."""
+    from ..functions.codecs import decode_wav_pcm16, encode_wav_pcm16
+
+    decoded, _ = decode_wav_pcm16(encode_wav_pcm16(samples, 16000))
+    x = decoded.astype(np.float64)
+    peaks = []
+    for start in range(0, len(x) - frame + 1, hop):
+        mag = np.abs(np.fft.rfft(x[start : start + frame]))
+        peaks.append(int(np.argmax(mag[1:]) + 1))  # DC excluded
+    nbin = frame // 2 + 1
+    return [
+        (peaks[j] * nbin * nbin + peaks[j + 1] * nbin + peaks[j + 2], j)
+        for j in range(len(peaks) - 2)
+    ]
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    n_samples: int = 2048,
+    frame: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """Constellation-style audio fingerprints over the synthesized WAV
+    lake: one Arrow batch kernel per partition encodes+decodes the
+    real RIFF bytes and emits (doc_id, fp, frame_idx) shingle rows —
+    the searchable relation audio copy-detection joins on. Corpus
+    work is per-doc-linear; nothing ever compares audio to audio
+    directly."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                for fp, j in _peak_shingles(
+                    _synth_pcm(int(doc_id), n_samples), frame, hop
+                ):
+                    rows.append((int(doc_id), fp, j))
+            yield pd.DataFrame(rows, columns=["doc_id", "fp", "frame_idx"])
+
+    return df.select("doc_id").mapInPandas(
+        batch, schema="doc_id long, fp long, frame_idx long"
+    )

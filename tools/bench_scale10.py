@@ -1968,6 +1968,47 @@ def bench_round12b(spark, scaled: str) -> None:
     assert n_edges > 0
 
 
+def bench_round12c(spark, scaled: str) -> None:
+    """10x draws for the fifth continuation's late batch. Fact-side
+    ops draw against the rel10 staging (orders/lineitem x10, dims and
+    the calendar unchanged); event-side ops against the events x10
+    staging. q_bitemporal / q_txn_multitable / q_stream_txn_ingest /
+    q_bloom_fileskip are table-BUILD pipelines (tempdir writes
+    dominate — the registrations document the build cost); the
+    analytic draws here are the scale claims worth checking."""
+    qs = all_queries()
+
+    def draw(name: str, path_big: str) -> None:
+        base = time_query(qs[name], spark, BASE_SF)
+        big = time_query(qs[name], spark, path_big)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf0.1_sec": round(base, 3),
+                    f"x{COPIES}_sec": round(big, 3),
+                    "ratio": round(big / base, 2) if base else None,
+                }
+            ),
+            flush=True,
+        )
+
+    rel10 = _stage_rel10(spark)
+    for name in (
+        "q_apriori_itemsets",
+        "q_cuped",
+        "q_kaplan_meier",
+        "q_lift_deciles",
+        "q_auc_ranks",
+        "q_ivm_join_agg",
+        "q_isotonic_calibration",
+        "q_theil_sen",
+    ):
+        draw(name, rel10)
+    for name in ("q_anova_hourofday", "q_pattern_match", "q_cusum_changepoint"):
+        draw(name, scaled)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench_scale10")
     scaled = stage(spark)
@@ -2011,6 +2052,7 @@ def main() -> None:
     bench_round11h(spark, scaled)
     bench_round12(spark, scaled)
     bench_round12b(spark, scaled)
+    bench_round12c(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
