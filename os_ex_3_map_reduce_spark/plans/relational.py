@@ -4250,7 +4250,11 @@ def q_auc_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is one self-join of the (order, item) relation filtered by "
     "the previous level's survivors — the candidate relation "
     "BROADCASTS because closure keeps it small; that asymmetry is "
-    "why Apriori parallelizes.",
+    "why Apriori parallelizes. Scale lesson (measured, PLANS.md): "
+    "minsup must be RELATIVE (a fraction of baskets) at scale - an "
+    "absolute threshold lets corpus growth inflate every support "
+    "past it and the frequent-pair set explodes (replicated-basket "
+    "10x draw: 18.4x; disjoint-basket draw: 3.2x, linear).",
 )
 def q_apriori_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
