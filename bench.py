@@ -261,6 +261,7 @@ BREADTH = [
     "q_pattern_match",
     "q_k_anonymity",
     "q_theil_sen",
+    "q_audio_fingerprint",
 ]
 
 

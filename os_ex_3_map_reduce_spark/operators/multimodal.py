@@ -505,30 +505,54 @@ def image_dhash(
     return df.mapInPandas(batch, "doc_id long, phash long")
 
 
-def _synth_pcm(doc_id: int, n_samples: int) -> np.ndarray:
-    """The fixture PCM generator shared by every WAV path (see
-    wav_audio_features): sample_i = ((doc_id*31 + i*17) mod 4096) -
-    2048."""
-    i = np.arange(n_samples, dtype=np.int64)
-    return (((int(doc_id) * 31 + i * 17) % 4096) - 2048).astype(np.int16)
+def melody_tone_bin(doc_id: int, seg: int) -> int:
+    """The per-segment dominant frequency (in whole cycles per
+    256-sample window, i.e. the rfft bin) of a doc's synthetic
+    "melody": a NON-LINEAR portable hash (md5, the repo's oracle-"
+    "replayable standard) picks each segment's tone, so two docs'
+    melodies never align by arithmetic accident. (Two measured dead
+    ends recorded here: the shared sawtooth fixture is useless for
+    spectral work — every doc is a PHASE SHIFT of one periodic
+    source and magnitude spectra are phase-blind, so every doc
+    fingerprinted identically; and a multiplicative LINEAR hash
+    produced exact shifted-melody collisions between unrelated docs
+    — h(k+Δ) tracks h(k) linearly, so some pair always aligns.)"""
+    import hashlib
+
+    h = hashlib.md5(f"{doc_id}:{seg}".encode()).hexdigest()
+    return 5 + int(h[:8], 16) % 97
+
+
+def _synth_melody(doc_id: int, n_segments: int, frame: int) -> np.ndarray:
+    """Piecewise pure tones, one per ``frame``-sample segment, each an
+    INTEGER number of cycles per segment (so the segment's rfft peak
+    is exactly its bin — robustly deterministic argmax)."""
+    out = np.empty(n_segments * frame, dtype=np.int16)
+    t = np.arange(frame, dtype=np.float64) / frame
+    for seg in range(n_segments):
+        b = melody_tone_bin(int(doc_id), seg)
+        tone = np.sin(2.0 * np.pi * b * t) * 12000.0
+        out[seg * frame : (seg + 1) * frame] = tone.astype(np.int16)
+    return out
 
 
 def _peak_shingles(
-    samples: np.ndarray, frame: int, hop: int
+    samples: np.ndarray, frame: int
 ) -> list[tuple[int, int]]:
-    """(fingerprint, frame_idx) pairs: per frame the dominant rfft bin
-    (DC excluded; magnitude argmax, lowest-bin tiebreak via argmax's
-    first-occurrence rule), then every 3 consecutive peaks pack into
-    one integer shingle — the landmark/constellation idea (Wang 2003)
-    reduced to its deterministic core. Magnitudes are floats; the
-    PINNED-oracle ledger covers the FFT like it covers eigvalsh: an
-    FFT-implementation change surfaces as a pin mismatch."""
+    """(fingerprint, frame_idx) pairs: per non-overlapping frame the
+    dominant rfft bin (DC excluded; magnitude argmax, lowest-bin
+    tiebreak via argmax's first-occurrence rule), then every 3
+    consecutive peaks pack into one integer shingle — the landmark/
+    constellation idea (Wang 2003) reduced to its deterministic core.
+    Magnitudes are floats; the PINNED-oracle ledger covers the FFT
+    like it covers eigvalsh: an implementation change surfaces as a
+    pin mismatch."""
     from ..functions.codecs import decode_wav_pcm16, encode_wav_pcm16
 
     decoded, _ = decode_wav_pcm16(encode_wav_pcm16(samples, 16000))
     x = decoded.astype(np.float64)
     peaks = []
-    for start in range(0, len(x) - frame + 1, hop):
+    for start in range(0, len(x) - frame + 1, frame):
         mag = np.abs(np.fft.rfft(x[start : start + frame]))
         peaks.append(int(np.argmax(mag[1:]) + 1))  # DC excluded
     nbin = frame // 2 + 1
@@ -540,9 +564,8 @@ def _peak_shingles(
 
 def audio_fingerprints(
     df: DataFrame,
-    n_samples: int = 2048,
+    n_segments: int = 15,
     frame: int = 256,
-    hop: int = 128,
 ) -> DataFrame:
     """Constellation-style audio fingerprints over the synthesized WAV
     lake: one Arrow batch kernel per partition encodes+decodes the
@@ -556,7 +579,7 @@ def audio_fingerprints(
             rows = []
             for doc_id in pdf["doc_id"]:
                 for fp, j in _peak_shingles(
-                    _synth_pcm(int(doc_id), n_samples), frame, hop
+                    _synth_melody(int(doc_id), n_segments, frame), frame
                 ):
                     rows.append((int(doc_id), fp, j))
             yield pd.DataFrame(rows, columns=["doc_id", "fp", "frame_idx"])

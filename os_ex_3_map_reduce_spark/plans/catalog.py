@@ -220,6 +220,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_pattern_match",
     "q_k_anonymity",
     "q_theil_sen",
+    "q_audio_fingerprint",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

@@ -7272,3 +7272,127 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+@register(
+    "q_audio_fingerprint",
+    # Pinned per scale (tools/pin_scales.py, invariant under
+    # shuffle.partitions 32/7/13 at every sf): the delayed copy
+    # resolves to doc 0 at offset -1 with 12/13 shingles aligned at
+    # EVERY scale; the 5000-doc corpus adds 2 collision-candidate
+    # docs (3 vs 1) that the alignment vote rejects; the unrelated
+    # query matches nothing anywhere.
+    oracle="""
+        SELECT query,
+               CAST(best_doc AS BIGINT) AS best_doc,
+               CAST(frame_offset AS BIGINT) AS frame_offset,
+               CAST(n_aligned AS BIGINT) AS n_aligned,
+               CAST(n_candidate_docs AS BIGINT) AS n_candidate_docs,
+               CAST(n_shingle_hits AS BIGINT) AS n_shingle_hits
+        FROM (VALUES
+            (1500,   '1_delayed_copy', 0,    -1,   12, 1, 12),
+            (1500,   '2_unrelated',    NULL, NULL, 0,  0, 0),
+            (15000,  '1_delayed_copy', 0,    -1,   12, 1, 12),
+            (15000,  '2_unrelated',    NULL, NULL, 0,  0, 0),
+            (150000, '1_delayed_copy', 0,    -1,   12, 3, 14),
+            (150000, '2_unrelated',    NULL, NULL, 0,  0, 0)
+        ) t(sf, query, best_doc, frame_offset, n_aligned, n_candidate_docs,
+            n_shingle_hits)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+        ORDER BY query
+    """,
+    doc="AUDIO COPY DETECTION via constellation fingerprints "
+    "(operators/multimodal.py audio_fingerprints — the Wang 2003 "
+    "landmark-hash construction reduced to its deterministic core): "
+    "each corpus WAV (real RIFF encode/decode round trip over the "
+    "shared fixture PCM) frames at 256/128, takes the dominant rfft "
+    "bin per frame (DC excluded, first-occurrence tiebreak), and "
+    "packs every 3 consecutive peaks into one integer shingle; a "
+    "query matches by EQUI-JOINING its shingles against the corpus "
+    "relation and voting on the (doc, frame-offset) histogram — "
+    "alignment, not similarity, so a DELAYED copy (doc 0's signal "
+    "entering 3 hops late behind foreign audio) resolves to doc 0 "
+    "at mode offset -3 while an unrelated query collects no aligned "
+    "run. The audio-to-audio comparison never happens: corpus work "
+    "is one per-doc kernel pass, matching is a broadcast hash join "
+    "on the shingle int — the scale shape that lets 100 TB of audio "
+    "serve copy lookups. Pinned per scale (FFT magnitudes are "
+    "floats; the pin ledger covers the FFT exactly like eigvalsh — "
+    "an implementation change surfaces as a pin mismatch; "
+    "partitioning invariance asserted at pin time).",
+)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.multimodal import (
+        _peak_shingles,
+        _synth_melody,
+        audio_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = audio_fingerprints(docs)
+
+    # delayed copy: one foreign segment, then doc 0's melody -> every
+    # query frame k >= 1 equals doc 0's frame k-1 (offset -1)
+    segs, frame = 15, 256
+    delayed = np.concatenate(
+        [
+            _synth_melody(10_000_019, 1, frame),
+            _synth_melody(0, segs - 1, frame),
+        ]
+    ).astype("int16")
+    unrelated = _synth_melody(10_000_019, segs, frame)
+    qrows = []
+    for qname, samples in (
+        ("1_delayed_copy", delayed),
+        ("2_unrelated", unrelated),
+    ):
+        for fp, j in _peak_shingles(samples, frame):
+            qrows.append((qname, fp, j))
+    qdf = spark.createDataFrame(
+        qrows, "query string, fp long, q_frame long"
+    )
+    votes = (
+        corpus.join(F.broadcast(qdf), "fp")
+        .groupBy(
+            "query",
+            "doc_id",
+            (F.col("frame_idx") - F.col("q_frame")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_aligned"))
+    )
+    best = votes.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query").orderBy(
+                F.desc("n_aligned"), F.asc("doc_id"), F.asc("offset")
+            )
+        ),
+    ).where(F.col("rn") == 1)
+    stats = votes.groupBy("query").agg(
+        F.countDistinct("doc_id").alias("n_candidate_docs"),
+        F.sum("n_aligned").alias("n_shingle_hits"),
+    )
+    all_q = spark.createDataFrame(
+        [("1_delayed_copy",), ("2_unrelated",)], "query string"
+    )
+    return (
+        all_q.join(best.drop("rn"), "query", "left")
+        .join(stats, "query", "left")
+        .select(
+            "query",
+            F.col("doc_id").cast("long").alias("best_doc"),
+            F.col("offset").cast("long").alias("frame_offset"),
+            F.coalesce(F.col("n_aligned"), F.lit(0))
+            .cast("long")
+            .alias("n_aligned"),
+            F.coalesce(F.col("n_candidate_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_candidate_docs"),
+            F.coalesce(F.col("n_shingle_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_shingle_hits"),
+        )
+        .orderBy("query")
+    )
