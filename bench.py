@@ -262,6 +262,7 @@ BREADTH = [
     "q_k_anonymity",
     "q_theil_sen",
     "q_audio_fingerprint",
+    "q_lsh_pr",
 ]
 
 

@@ -221,6 +221,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_k_anonymity",
     "q_theil_sen",
     "q_audio_fingerprint",
+    "q_lsh_pr",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

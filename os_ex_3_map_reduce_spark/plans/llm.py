@@ -7396,3 +7396,122 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query")
     )
+
+
+@register(
+    "q_lsh_pr",
+    # Pinned per scale (tools/pin_scales.py, invariant under
+    # shuffle.partitions 32/7/13): recall 1.0 at EVERY scale (the
+    # fixture's planted dups are near-identical, where banding recall
+    # is 1 - ~4e-20), precision falling 0.80 -> 0.69 -> 0.24 as the
+    # corpus grows — the measured cost the verification stage exists
+    # to pay.
+    oracle="""
+        SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_true AS BIGINT) AS n_true,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CAST(prec AS DOUBLE) AS precision,
+               CAST(rec AS DOUBLE) AS recall
+        FROM (VALUES
+            (1500,   35,   28,  28,  0.8,      1.0),
+            (15000,  36,   25,  25,  0.694444, 1.0),
+            (150000, 1069, 256, 256, 0.239476, 1.0)
+        ) t(sf, n_candidates, n_true, n_hit, prec, rec)
+        WHERE sf = (SELECT COUNT(*) FROM orders)
+    """,
+    doc="MEASURED MinHash-LSH candidate PRECISION/RECALL against "
+    "exact-Jaccard truth — the empirical companion to the S-curve "
+    "theory the E2 registrations cite (b=8, r=2: P[candidate] = "
+    "1-(1-J^2)^8, so J=0.5 should surface ~90% of true pairs while "
+    "dragging in low-J noise the verifier must reject): candidates "
+    "= the raw band-bucket pairs BEFORE verification (the shared "
+    "_band_bucket_expr, so these are exactly the pairs the "
+    "production pipeline would verify), truth = all pairs with "
+    "exact shingle-set Jaccard >= 0.5 (computed from the SAME "
+    "stored shingle hashes via one hash-equijoin — docs sharing no "
+    "shingle can't reach 0.5 and are never materialized). Output: "
+    "candidate/truth/hit counts plus precision and recall as "
+    "quotients of exact integers. Pinned per scale: the blake2b "
+    "signature kernel is deliberately not SQL-replayable (the "
+    "minhash registrations document why) — the pin tool asserts "
+    "partitioning invariance instead. At 100 TB both relations are "
+    "the engine's standard banded/bucketed shapes; nothing "
+    "all-pairs ever runs.",
+)
+def q_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _band_bucket_expr, minhash_signatures
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        sigs = minhash_signatures(docs).persist()
+        sigs.count()
+        bk = sigs.select(
+            "doc_id", F.explode(_band_bucket_expr(16, 8)).alias("bucket")
+        ).distinct()
+        a = bk.select(F.col("bucket"), F.col("doc_id").alias("a"))
+        b = bk.select(F.col("bucket"), F.col("doc_id").alias("b"))
+        cand = (
+            a.join(b, "bucket")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .persist()
+        )
+        cand.count()
+        sh = sigs.select(
+            "doc_id", F.explode("shingle_hashes").alias("h")
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        ia = sh.select(F.col("doc_id").alias("a"), "h")
+        ib = sh.select(F.col("doc_id").alias("b"), "h")
+        inter = (
+            ia.join(ib, "h")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_int"))
+        )
+        truth = (
+            inter.join(
+                F.broadcast(sizes.select(F.col("doc_id").alias("a"),
+                                         F.col("sz").alias("sza"))), "a"
+            )
+            .join(
+                F.broadcast(sizes.select(F.col("doc_id").alias("b"),
+                                         F.col("sz").alias("szb"))), "b"
+            )
+            # J >= 0.5  <=>  2*|I| >= |A|+|B|-|I|  (cross-multiplied)
+            .where(
+                2 * F.col("n_int")
+                >= F.col("sza") + F.col("szb") - F.col("n_int")
+            )
+            .select("a", "b")
+            .persist()
+        )
+        truth.count()
+        hit = cand.join(truth, ["a", "b"], "left_semi")
+        out = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                "n_candidates",
+                "n_true",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_candidates"),
+                    6,
+                ).alias("precision"),
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_true"), 6
+                ).alias("recall"),
+            )
+            .persist()
+        )
+        out.count()
+        for d in (sigs, cand, truth):
+            d.unpersist()
+        return out
+
+    return _cached_df(spark, ("lsh_pr", sf_dir), build)
