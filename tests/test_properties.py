@@ -1402,3 +1402,70 @@ def test_pava_equals_minimax_identity(blocks):
     want = minimax_reference(blocks)
     assert got == want
     assert all(a <= b for a, b in zip(got, got[1:]))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # score (few values => ties)
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_auc_rank_identity_equals_brute_force(rows):
+    """q_auc_ranks' doubled-midrank algebra must equal the brute-force
+    AUC definition (P[score_pos > score_neg] + 0.5 P[tie]) on any
+    score/label multiset with both classes present."""
+    if not any(l for _, l in rows) or all(l for _, l in rows):
+        return
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    brute_num = sum(
+        2 * (p > q) + (p == q) for p in pos for q in neg
+    )  # 2*AUC*np*nn
+    # the query's formula: group by value, cumulative counts, 2r sums
+    from collections import Counter
+
+    cnt = Counter(s for s, _ in rows)
+    npos = Counter(s for s, l in rows if l)
+    cum = 0
+    s2 = 0
+    for v in sorted(cnt):
+        cum += cnt[v]
+        s2 += npos[v] * (2 * cum - cnt[v] + 1)
+    np_, nn_ = len(pos), len(neg)
+    formula_num = s2 - np_ * (np_ + 1)
+    assert formula_num == brute_num
+    assert 0 <= formula_num <= 2 * np_ * nn_
+
+
+@given(
+    a=st.integers(min_value=0, max_value=10**7),
+    b=st.integers(min_value=0, max_value=10**7),
+)
+@settings(max_examples=300, deadline=None)
+def test_melody_shingles_never_alias_across_docs(a, b):
+    """The audio-fingerprint melody hash must be shift-collision-free
+    in practice: two distinct docs must not share a 3-tone shingle
+    (the multiplicative-linear-hash failure this md5 version
+    replaced — unrelated docs aligned EXACTLY). Probabilistic bound:
+    97^3 ~ 1e6 shingle space, 13 shingles/doc; hypothesis hammers
+    random pairs."""
+    from os_ex_3_map_reduce_spark.operators.multimodal import (
+        melody_tone_bin,
+    )
+
+    if a == b:
+        return
+    sh_a = {
+        tuple(melody_tone_bin(a, s + k) for k in range(3))
+        for s in range(13)
+    }
+    sh_b = {
+        tuple(melody_tone_bin(b, s + k) for k in range(3))
+        for s in range(13)
+    }
+    assert not (sh_a & sh_b), (a, b)
