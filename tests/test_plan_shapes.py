@@ -1065,3 +1065,54 @@ def test_modularity_broadcasts_labels_no_cartesian(spark, qs):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+# --- fifth-continuation analytics (evaluation + mining stack) -------------
+
+
+def test_auc_and_lift_avoid_global_single_task_windows(spark, qs):
+    """q_auc_ranks / q_lift_deciles rank through the distributed
+    two-level prefix sum: any ordered window in the plan must be
+    bucket-partitioned (or bounded), never `Window [ORDER BY v]` over
+    the full value relation without a partition key. The bounded
+    report windows (10-row deciles) are exempt by size."""
+    for name in ("q_auc_ranks",):
+        plan = explain_str(qs[name](spark, SF), "simple")
+        # the two-level prefix sum partitions tier-1 by __bkt
+        assert "__bkt" in plan, plan
+
+
+def test_apriori_broadcasts_candidates_into_counting_join(spark, qs):
+    """q_apriori_itemsets: the level-3 counting join must broadcast
+    the (tiny, closure-pruned) candidate relation against the fact
+    relation — candidates never shuffle the baskets."""
+    plan = explain_str(qs["q_apriori_itemsets"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivm_join_agg_partial_aggregates(spark, qs):
+    """q_ivm_join_agg: every view/delta aggregation is map-side
+    combined (partial+final HashAggregate pairs), and the dims
+    broadcast."""
+    plan = explain_str(qs["q_ivm_join_agg"](spark, SF), "simple")
+    assert plan.count("HashAggregate") >= 6, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_pattern_match_single_user_partitioning(spark, qs):
+    """q_pattern_match: both windows and the session aggregate ride
+    ONE hashpartitioning(user_id) exchange — the regex stage adds no
+    shuffle."""
+    plan = explain_str(qs["q_pattern_match"](spark, SF), "formatted")
+    assert plan.count("hashpartitioning(user_id") <= 2, plan
+
+
+def test_kaplan_meier_windows_after_bounded_aggregate(spark, qs):
+    """q_kaplan_meier: the ordered KM windows run on the per-day
+    aggregate (<=366 rows, a design constant) — the window input must
+    be the aggregated relation, with the raw fact aggregation
+    map-side combined before it."""
+    plan = explain_str(qs["q_kaplan_meier"](spark, SF), "simple")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" in plan, plan
