@@ -263,6 +263,7 @@ BREADTH = [
     "q_theil_sen",
     "q_audio_fingerprint",
     "q_lsh_pr",
+    "q_value_concentration",
 ]
 
 

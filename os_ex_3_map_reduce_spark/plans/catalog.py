@@ -232,6 +232,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_theil_sen",
     "q_audio_fingerprint",
     "q_lsh_pr",
+    "q_value_concentration",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

