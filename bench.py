@@ -264,6 +264,7 @@ BREADTH = [
     "q_audio_fingerprint",
     "q_lsh_pr",
     "q_value_concentration",
+    "q_priority_late_orders",
 ]
 
 

@@ -116,16 +116,16 @@ DRIVER_WINDOW = 50
 #: segment append / streaming ingestion) — all tri-scale driver-sim
 #: green at registration, same rotation priority as the rest of the
 #: queue.
-#: The FIFTH continuation appended 35 more (q_cust_order_distribution
-#: .. q_value_concentration): the TPC-H decorrelation family, modularity +
+#: The FIFTH continuation appended 36 more (q_cust_order_distribution
+#: .. q_priority_late_orders): the TPC-H decorrelation family, modularity +
 #: synchronous Louvain + assortativity + harmonic centrality +
 #: landmark distances, positional phrase search + PRF + PMI,
 #: correlation matrix + Mahalanobis + ANOVA + CUPED + Kaplan-Meier +
 #: AUC + lift + isotonic + Theil-Sen + CUSUM, skyline + Apriori +
 #: IVM-over-join + CEP pattern match, bloom file index + multi-table
 #: catalog transactions (+ streaming) + bitemporal + k-anonymity,
-#: audio fingerprints, the LSH precision/recall pin, and the Q11
-#: scalar-HAVING shape. All
+#: audio fingerprints, the LSH precision/recall pin, and the Q11/Q4
+#: scalar-HAVING and correlated-non-equi-EXISTS shapes. All
 #: tri-scale driver-sim green at registration; same queue priority.
 DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_ann_rerank",
@@ -234,6 +234,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_audio_fingerprint",
     "q_lsh_pr",
     "q_value_concentration",
+    "q_priority_late_orders",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations

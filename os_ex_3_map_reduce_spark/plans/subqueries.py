@@ -426,3 +426,57 @@ def q_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "q_priority_late_orders",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND datediff('day', o_orderdate, l_shipdate) > 90)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking): per priority, the "
+    "count of one quarter's orders with AT LEAST ONE late lineitem "
+    "(shipped >90 days after the order date — the fixture has no "
+    "commit/receipt dates). The EXISTS correlates on the join key "
+    "AND references the outer o_orderdate inside its predicate — "
+    "the correlated-non-equi-condition case RewritePredicateSubquery "
+    "must carry into the LeftSemi join condition (a shape the "
+    "Q21 pair, correlated on equality only, does not exercise). "
+    "The quarter filter pushes into the orders scan BEFORE the semi "
+    "join, so the probe side is ~1/26th of the table; the EXISTS "
+    "semantics mean multiplicity-free counting — at most one "
+    "contribution per order no matter how many lineitems are late. "
+    "At 100 TB: one pruned orders scan, one semi join on "
+    "l_orderkey, one 5-key aggregate.",
+)
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sq4_orders"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sq4_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM sq4_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM sq4_lineitem
+              WHERE l_orderkey = o_orderkey
+                AND datediff(l_shipdate, o_orderdate) > 90)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
