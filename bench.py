@@ -265,6 +265,7 @@ BREADTH = [
     "q_lsh_pr",
     "q_value_concentration",
     "q_priority_late_orders",
+    "q_kendall_tau",
 ]
 
 

@@ -116,8 +116,8 @@ DRIVER_WINDOW = 50
 #: segment append / streaming ingestion) — all tri-scale driver-sim
 #: green at registration, same rotation priority as the rest of the
 #: queue.
-#: The FIFTH continuation appended 36 more (q_cust_order_distribution
-#: .. q_priority_late_orders): the TPC-H decorrelation family, modularity +
+#: The FIFTH continuation appended 37 more (q_cust_order_distribution
+#: .. q_kendall_tau): the TPC-H decorrelation family, modularity +
 #: synchronous Louvain + assortativity + harmonic centrality +
 #: landmark distances, positional phrase search + PRF + PMI,
 #: correlation matrix + Mahalanobis + ANOVA + CUPED + Kaplan-Meier +
@@ -235,6 +235,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_lsh_pr",
     "q_value_concentration",
     "q_priority_late_orders",
+    "q_kendall_tau",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-verified: late-r9 registrations
