@@ -75,225 +75,136 @@ def _load_all() -> None:
 DRIVER_WINDOW = 50
 
 #: Round-11 priority prefix (exactly DRIVER_WINDOW names). History as
-#: of round-11 start: CORRECTNESS_r10 was NEVER produced — the round-10
-#: driver session (and its two continuations) registered 26 new queries
-#: and re-fronted 20 changed/unverified names, but no external
-#: verification ran. tools/rotation.py therefore reports 34
-#: never-verified names at HEAD. Composition (34 + 7 + 9 = 50):
-#: - the 34 NEVER-driver-verified names, oldest registration first:
-#:   the 8 late-r9 registrations (judge-verified ALL MATCH in the r9
-#:   session, external row still outstanding), the 5 r10 main-session
-#:   additions (ivf_append / cc_starcontract / ivfpq_topk /
-#:   dedup_ingest / stream_dedup_ingest), then the 21 r10
-#:   late/continuation registrations (residual IVF-PQ + append, shard
-#:   shuffle, quality upsample, k-core + corenumbers, range search x2,
-#:   Lloyd k-means, link prediction, stream right-outer, BPE train +
-#:   encode, Gram matrix, PCA, SQ8, PPR, SemDeDup, substring dupes,
-#:   SCD2, LM perplexity). Each was tri-scale driver-sim green at
-#:   registration.
-#: - 7 whose scoring kernels changed in round 10 (half-away-from-zero
-#:   rounding, NULL-embedding guard) whose last green verdict predates
-#:   that change: q_similarity_topk, q_embedding_topk_pairs,
-#:   q_embedding_neardup, q_ann_lsh_topk, q_ann_lsh_recall,
-#:   q_ann_ivf_topk, q_ann_ivf_batch (fixture values unchanged —
-#:   measured rounding margins >= 1e-5 vs the 5e-5 boundary).
-#: - 9 oldest r7-stale names, tool order. The 32 r7-stale left for
-#:   r12: q_date_parts .. q_window_misc (tools/rotation.py prints
-#:   them).
-#: Queries registered late in round 11 park BELOW the window in
-#: DRIVER_R12_QUEUE (the established late-landing policy) so the
-#: stale-refresh breadth is preserved. The queue now spans all four
-#: round-11 continuation batches (through the third continuation's
-#: graph-ANN / retrieval / lakehouse-refs / matching additions) —
-#: every name in it was tri-scale driver-sim green at registration;
-#: r12 should front this queue right after whatever r11's
-#: CORRECTNESS window left unverified.
-#: The FOURTH continuation appended 13 more (q_ann_diskann ..
-#: q_stream_bm25_ingest at the queue tail): DiskANN two-tier serving,
-#: streaming MaxSim, integer-exact rank metrics, 3-D Hilbert,
-#: containment join, TPC-H Q7, hard negatives, k-truss, MMR rerank,
-#: RAG chunking, and the written text index trio (indexed BM25 /
-#: segment append / streaming ingestion) — all tri-scale driver-sim
-#: green at registration, same rotation priority as the rest of the
-#: queue.
-#: The FIFTH continuation appended 37 more (q_cust_order_distribution
-#: .. q_kendall_tau): the TPC-H decorrelation family, modularity +
-#: synchronous Louvain + assortativity + harmonic centrality +
-#: landmark distances, positional phrase search + PRF + PMI,
-#: correlation matrix + Mahalanobis + ANOVA + CUPED + Kaplan-Meier +
-#: AUC + lift + isotonic + Theil-Sen + CUSUM, skyline + Apriori +
-#: IVM-over-join + CEP pattern match, bloom file index + multi-table
-#: catalog transactions (+ streaming) + bitemporal + k-anonymity,
-#: audio fingerprints, the LSH precision/recall pin, and the Q11/Q4
-#: scalar-HAVING and correlated-non-equi-EXISTS shapes. All
-#: tri-scale driver-sim green at registration; same queue priority.
+#: of round-11 start: CORRECTNESS_r10 verified 50/50 green (the entire
+#: r10 window), bringing the external-green union to 176 of 280.
+#: tools/rotation.py reports 104 never-driver-verified names — all
+#: registered during the r10 continuation sessions below the window.
+#: Per the r10 verdict directives #1/#2, this round ROTATES instead of
+#: growing: no new registrations; the window takes the never-verified
+#: backlog in tools/rotation.py order, with the five names whose code
+#: changes THIS round fronted:
+#: - q_bloom_fileskip: bloom_candidates n_probe false-negative fix
+#:   (ADVICE r10 high — COUNT vs COUNT(DISTINCT) on colliding probes).
+#: - q_theil_sen: median selection rewritten from the single-partition
+#:   row_number window to the two-level prefix-sum rank (VERDICT #4).
+#: - q_stream_bm25_ingest: in-query full-rebuild evidence twin moved
+#:   to the test suite; postings_merge made manifest-atomic and
+#:   triggered as the background merge policy (VERDICT #3/#7,
+#:   ADVICE medium).
+#: - q_stream_txn_ingest / q_txn_multitable: FK read-back proof capped
+#:   at the last 2 versions in the timed query; full depth stays in
+#:   tests (VERDICT #6).
+#: Then the first 45 of the 99 remaining never-verified names
+#: (rotation order). The 54 left over sit in DRIVER_R12_QUEUE below,
+#: already in fronting order for round 12; the 34 r7-stale greens
+#: rotate in after the backlog clears (r13+).
 DRIVER_R12_QUEUE: tuple[str, ...] = (
-    "q_ann_rerank",
-    "q_dsir_select",
-    "q_hits",
-    "q_time_travel",
-    "q_mapreduce_secondary_sort",
-    "q_entropy_quality",
-    "q_group_split",
-    "q_ann_filtered",
-    "q_stream_versioned_ingest",
-    "q_ann_opq_topk",
-    "q_unigram_vocab",
-    "q_stream_cdc_versioned",
+    "q_assortativity",
+    "q_landmark_distance",
+    "q_harmonic_centrality",
     "q_mor_delete",
-    "q_sketch_theta_union",
-    "q_sketch_quantile_merge",
-    "q_stream_kmv_distinct",
+    "q_time_travel",
     "q_incremental_join",
-    "q_mis",
     "q_mixture_waterfill",
     "q_vt_schema_evolution",
-    "q_sketch_intersect",
-    "q_bfs_multi",
-    "q_join_interval",
     "q_vt_optimize",
     "q_vt_changes",
-    "q_textrank",
-    "q_stream_cms_topk",
     "q_vt_fileskip",
+    "q_vt_branch",
+    "q_gdpr_erasure",
+    "q_vt_restore",
+    "q_hilbert_layout",
+    "q_hilbert3d",
+    "q_bitemporal",
+    "q_k_anonymity",
+    "q_mapreduce_secondary_sort",
+    "q_regional_volume",
+    "q_sketch_theta_union",
+    "q_sketch_quantile_merge",
+    "q_sketch_intersect",
+    "q_join_interval",
     "q_attribution",
     "q_window_distinct",
     "q_join_not_in",
-    "q_stream_semi_join",
-    "q_compress_quality",
-    "q_image_phash_dedup",
-    "q_ann_nsw_topk",
-    "q_ann_nsw_append",
-    "q_bm25_topk",
-    "q_matching",
-    "q_hybrid_rrf",
-    "q_vt_branch",
-    "q_unigram_encode",
-    "q_image_augment",
-    "q_neardup_linkage",
-    "q_ann_matryoshka",
-    "q_gdpr_erasure",
-    "q_vt_restore",
-    "q_regional_volume",
-    "q_kcenter_sample",
-    "q_ann_maxsim",
-    "q_ann_hnsw_topk",
-    "q_hilbert_layout",
-    "q_nn_descent",
-    "q_stream_standing_query",
-    "q_robust_prune",
-    "q_ann_diskann",
-    "q_stream_maxsim",
-    "q_rank_metrics",
-    "q_hilbert3d",
-    "q_containment",
     "q_volume_shipping",
-    "q_hard_negatives",
-    "q_ktruss",
-    "q_mmr_rerank",
-    "q_chunk_overlap",
-    "q_bm25_indexed",
-    "q_bm25_append",
-    "q_stream_bm25_ingest",
-    # fifth continuation: correlated-subquery / decorrelation family
-    # (plans/subqueries.py) — tri-scale driver-sim green at
-    # registration, parked below the window per the late-landing
-    # policy
-    "q_cust_order_distribution",
-    "q_small_qty_revenue",
-    "q_large_orders",
-    "q_waiting_suppliers",
-    "q_dormant_balance",
-    "q_modularity",
-    "q_phrase_search",
-    "q_prf_expand",
-    "q_corr_matrix",
     "q_skyline_parts",
-    "q_louvain_sweep",
     "q_cusum_changepoint",
-    "q_mahalanobis",
-    "q_assortativity",
-    "q_bloom_fileskip",
     "q_isotonic_calibration",
     "q_auc_ranks",
-    "q_txn_multitable",
-    "q_landmark_distance",
-    "q_harmonic_centrality",
-    "q_pmi_collocations",
-    "q_stream_txn_ingest",
     "q_apriori_itemsets",
     "q_anova_hourofday",
-    "q_bitemporal",
     "q_cuped",
     "q_kaplan_meier",
     "q_lift_deciles",
     "q_ivm_join_agg",
     "q_pattern_match",
-    "q_k_anonymity",
-    "q_theil_sen",
-    "q_audio_fingerprint",
-    "q_lsh_pr",
+    "q_kendall_tau",
+    "q_stream_versioned_ingest",
+    "q_stream_cdc_versioned",
+    "q_stream_kmv_distinct",
+    "q_stream_cms_topk",
+    "q_stream_semi_join",
+    "q_stream_standing_query",
+    "q_stream_maxsim",
+    "q_cust_order_distribution",
+    "q_small_qty_revenue",
+    "q_large_orders",
+    "q_waiting_suppliers",
+    "q_dormant_balance",
     "q_value_concentration",
     "q_priority_late_orders",
-    "q_kendall_tau",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-verified: late-r9 registrations
-    "q_similarity_topk_batch",
-    "q_ann_lsh_batch",
-    "q_ann_pq_topk",
-    "q_ann_pq_recall",
-    "q_sssp_weighted",
-    "q_labelprop",
-    "q_triangles",
-    "q_stream_full_outer_join",
-    # never driver-verified: round-10 main session
-    "q_ann_ivf_append",
-    "q_cc_starcontract",
-    "q_ann_ivfpq_topk",
-    "q_dedup_ingest",
-    "q_stream_dedup_ingest",
-    # never driver-verified: round-10 late + continuation sessions
-    "q_ann_ivfpq_residual",
-    "q_shard_shuffle",
-    "q_upsample_quality",
-    "q_kcore",
-    "q_ann_ivfpq_append",
-    "q_corenumbers",
-    "q_range_search_batch",
-    "q_ann_ivf_range",
-    "q_kmeans_lloyd",
-    "q_linkpred",
-    "q_stream_right_outer_join",
-    "q_bpe_merges",
-    "q_gram_matrix",
-    "q_pca_topk",
-    "q_ann_sq_topk",
-    "q_ppr",
-    "q_semdedup",
-    "q_substring_dupes",
-    "q_scd2_history",
-    "q_lm_perplexity",
-    "q_bpe_encode",
-    # scoring-kernel rounding / null-guard changed in round 10,
-    # last green verdict predates the change
-    "q_similarity_topk",
-    "q_embedding_topk_pairs",
-    "q_embedding_neardup",
-    "q_ann_lsh_topk",
-    "q_ann_lsh_recall",
-    "q_ann_ivf_topk",
-    "q_ann_ivf_batch",
-    # oldest r7-stale names (9 of 41, tools/rotation.py order)
-    "q_above_nation_avg",
-    "q_agg_filtered",
-    "q_array_fns",
-    "q_bloom_semijoin",
-    "q_case_when",
-    "q_chargram_jaccard",
-    "q_chi2_terms",
-    "q_cohort_retention",
-    "q_data_contract",
+    "q_bloom_fileskip",
+    "q_theil_sen",
+    "q_stream_bm25_ingest",
+    "q_stream_txn_ingest",
+    "q_txn_multitable",
+    "q_neardup_linkage",
+    "q_ann_matryoshka",
+    "q_ann_maxsim",
+    "q_kcenter_sample",
+    "q_ann_rerank",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_dsir_select",
+    "q_entropy_quality",
+    "q_group_split",
+    "q_ann_filtered",
+    "q_ann_opq_topk",
+    "q_unigram_vocab",
+    "q_image_augment",
+    "q_unigram_encode",
+    "q_compress_quality",
+    "q_image_phash_dedup",
+    "q_ann_nsw_topk",
+    "q_ann_hnsw_topk",
+    "q_robust_prune",
+    "q_nn_descent",
+    "q_ann_nsw_append",
+    "q_ann_diskann",
+    "q_rank_metrics",
+    "q_containment",
+    "q_hard_negatives",
+    "q_mmr_rerank",
+    "q_chunk_overlap",
+    "q_bm25_indexed",
+    "q_bm25_append",
+    "q_phrase_search",
+    "q_prf_expand",
+    "q_corr_matrix",
+    "q_mahalanobis",
+    "q_pmi_collocations",
+    "q_audio_fingerprint",
+    "q_lsh_pr",
+    "q_hits",
+    "q_mis",
+    "q_matching",
+    "q_bfs_multi",
+    "q_textrank",
+    "q_ktruss",
+    "q_modularity",
+    "q_louvain_sweep",
 )
 
 

@@ -12,58 +12,19 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
 )
 
 # Queries that MUST be inside the verification window this round
-# (round 11: CORRECTNESS_r10 never ran, so every name that was
-# unverified or changed going into round 10 is STILL unverified —
-# all 34 never-verified names plus the 7 kernel-changed ones must
-# hold window slots; the r7-stale rotation fill is policy, not a
-# hard requirement, so it is not pinned here).
+# (round 11: CORRECTNESS_r10 came back 50/50 green, so the old window
+# rotates out wholesale. The only hard pins are the five names whose
+# implementation CHANGES this round — bloom n_probe false-negative
+# fix, Theil-Sen prefix-sum median, BM25-ingest evidence trim +
+# manifest-atomic merge, and the catalog-txn FK read-back cap. The
+# other 45 slots are never-verified backlog fill in tools/rotation.py
+# order — policy, not a hard requirement, so not pinned here.)
 MUST_BE_IN_WINDOW = {
-    # never driver-verified (late-r9 registrations)
-    "q_similarity_topk_batch",
-    "q_ann_lsh_batch",
-    "q_ann_pq_topk",
-    "q_ann_pq_recall",
-    "q_sssp_weighted",
-    "q_labelprop",
-    "q_triangles",
-    "q_stream_full_outer_join",
-    # never driver-verified (round-10 main session)
-    "q_ann_ivf_append",
-    "q_cc_starcontract",
-    "q_ann_ivfpq_topk",
-    "q_dedup_ingest",
-    "q_stream_dedup_ingest",
-    # never driver-verified (round-10 late + continuation sessions)
-    "q_ann_ivfpq_residual",
-    "q_shard_shuffle",
-    "q_upsample_quality",
-    "q_kcore",
-    "q_ann_ivfpq_append",
-    "q_corenumbers",
-    "q_range_search_batch",
-    "q_ann_ivf_range",
-    "q_kmeans_lloyd",
-    "q_linkpred",
-    "q_stream_right_outer_join",
-    "q_bpe_merges",
-    "q_gram_matrix",
-    "q_pca_topk",
-    "q_ann_sq_topk",
-    "q_ppr",
-    "q_semdedup",
-    "q_substring_dupes",
-    "q_scd2_history",
-    "q_lm_perplexity",
-    "q_bpe_encode",
-    # rounding / null-guard kernel changes in round 10, last green
-    # verdict predates the change
-    "q_similarity_topk",
-    "q_embedding_topk_pairs",
-    "q_embedding_neardup",
-    "q_ann_lsh_topk",
-    "q_ann_lsh_recall",
-    "q_ann_ivf_topk",
-    "q_ann_ivf_batch",
+    "q_bloom_fileskip",
+    "q_theil_sen",
+    "q_stream_bm25_ingest",
+    "q_stream_txn_ingest",
+    "q_txn_multitable",
 }
 
 
