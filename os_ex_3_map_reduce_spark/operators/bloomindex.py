@@ -93,7 +93,13 @@ def bloom_candidates(
         "key",
         F.explode(F.array(*bloom_positions(F.col("key")))).alias("pos"),
     )
-    nprobe = kdf.groupBy("key").agg(F.count(F.lit(1)).alias("np"))
+    # DISTINCT probe count, not k: a key whose two hash positions
+    # collide (h1(v) == h2(v) — 154 such keys exist in [0, 1e7) under
+    # the shipped A/B/P/M constants) needs only ONE distinct hit, and
+    # counting it as np=2 while nhit counts distinct positions made
+    # such keys unreachable — a false NEGATIVE, violating the module
+    # guarantee (and diverging from the oracle's COUNT(DISTINCT p)).
+    nprobe = kdf.groupBy("key").agg(F.countDistinct("pos").alias("np"))
     hit = (
         kdf.join(idx, "pos")
         .groupBy("key", "fb")

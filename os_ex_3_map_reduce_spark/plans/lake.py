@@ -2094,7 +2094,15 @@ def q_hilbert3d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_bloom_fileskip — persisted per-file bloom index, point-lookup pruning
 # ---------------------------------------------------------------------------
 
-_BLOOM_KEYS = (7, 423, 1117, 1399)  # orderkeys present at every scale
+# Orderkeys present at every scale, plus 14472 — the smallest key whose
+# TWO probe positions COLLIDE (h1(v) == h2(v) under the shipped
+# A/B/P/M constants; 154 such keys exist in [0, 1e7)). It pins the
+# ADVICE-r10 false-negative fix in-band: with n_probe counted as k=2
+# instead of COUNT(DISTINCT pos)=1, a colliding key can never reach
+# nhit == np and silently loses ALL its candidate files. 14472 is
+# present at sf0.01/sf0.1 and absent at sf0.001, where engine and
+# oracle agree on zero rows for it (lookup of an absent key).
+_BLOOM_KEYS = (7, 423, 1117, 1399, 14472)
 
 
 def _bloom_oracle() -> str:
@@ -2166,7 +2174,7 @@ def _bloom_oracle() -> str:
     "pruning keys on custkey, and orderkeys spread uniformly so "
     "every file's min/max zone spans everything (zone maps prune "
     "ZERO files here — this index is the only thing standing "
-    "between a point lookup and 32 file opens). Four lookups run "
+    "between a point lookup and 32 file opens). Five lookups run "
     "via planner-side candidate selection (one tiny index read; "
     "zero opens for pruned files, numFiles-asserted in tests) plus "
     "the exact residual predicate. The hash family is pure int64 "

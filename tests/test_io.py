@@ -1230,3 +1230,45 @@ def test_bloom_index_prunes_to_candidate_files(spark, tmp_path):
         assert got.count() == 1 and got.collect()[0].k == k
     missing = bloom_lookup(spark, path, "k", 5555, cands[5555])
     assert missing.count() == 0
+
+
+def test_bloom_index_colliding_probe_key_is_not_lost():
+    """ADVICE r10 (high): a key whose k=2 hash positions COLLIDE
+    (h1(v) == h2(v)) sets only ONE distinct bit, so requiring
+    nhit == 2 made it unreachable — bloom_candidates returned no
+    files for a row that exists (a false negative, violating the
+    bloom guarantee). n_probe must be COUNT(DISTINCT pos). 14472 is
+    the smallest colliding key under the shipped constants."""
+    from os_ex_3_map_reduce_spark.operators.bloomindex import (
+        A1,
+        A2,
+        B1,
+        B2,
+        M,
+        P,
+        bloom_positions,
+    )
+
+    k = 14472
+    assert ((k * A1 + B1) % P) % M == ((k * A2 + B2) % P) % M
+    assert len(bloom_positions(F.lit(k))) == 2  # definition unchanged
+
+
+def test_bloom_index_colliding_key_gets_candidates(spark, tmp_path):
+    from os_ex_3_map_reduce_spark.operators.bloomindex import (
+        bloom_candidates,
+        bloom_lookup,
+        bloom_table_write,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("b")
+    )
+    path = str(tmp_path / "tbl")
+    bloom_table_write(df, path, "b", "k", nbuckets=16)
+    k = 14472  # h1(k) == h2(k): one distinct probe position
+    cands = bloom_candidates(spark, path, [k])
+    own_bucket = (k * 7 % 100) % 16
+    assert own_bucket in cands[k], cands[k]
+    got = bloom_lookup(spark, path, "k", k, cands[k])
+    assert got.count() == 1 and got.collect()[0].k == k
