@@ -5110,9 +5110,16 @@ def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quotient (identical in both engines) with the (dy, dx) total "
     "tiebreak, lower-median rank (n+1)//2 — and the OUTPUT carries "
     "the exact (med_dy, med_dx) pair alongside the rounded quotient "
-    "so the chosen rational is auditable. At 100 TB the calendar "
-    "stays a calendar: the pair join is a constant-sized corner "
-    "regardless of data volume.",
+    "so the chosen rational is auditable. Selection is DISTRIBUTED "
+    "(VERDICT r10 #4 — the previous global row_number window "
+    "shuffled all pairs to one task): slopes bucket on the monotone "
+    "key floor(m*4096), the per-bucket counts prefix-scan on the "
+    "tiny bucket tier (the q_sample_weighted two-level discipline), "
+    "the ONE bucket straddling rank (n+1)//2 is found by "
+    "count-below-boundary, and only that bucket's rows sort — a "
+    "bucket-partitioned window, never the full pair relation. At "
+    "100 TB the calendar stays a calendar: the pair join is a "
+    "constant-sized corner regardless of data volume.",
 )
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -5125,6 +5132,16 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("y"))
     a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    # __bkt = floor(m * 4096) is monotone in m, so bucket order + the
+    # within-bucket (m, dy, dx) sort reproduce the global sort order
+    # exactly: the global rank-r row is the (r - count_below_bucket)-th
+    # row of the unique bucket whose cumulative count straddles r.
+    # try_divide, not /: Catalyst may reorder the (xa < xb) conjunct
+    # after the derived __bkt equality of the downstream broadcast
+    # join, evaluating the quotient on dx == 0 pairs — a hard ANSI
+    # error with plain division. try_divide is bit-identical for
+    # every surviving row (dx >= 1) and NULL (never equal, never
+    # grouped with a real bucket into the target) for the doomed ones.
     slopes = (
         a.join(b, F.col("xa") < F.col("xb"))
         .select(
@@ -5132,27 +5149,45 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("xb") - F.col("xa")).alias("dx"),
         )
         .withColumn(
-            "m", F.col("dy").cast("double") / F.col("dx").cast("double")
+            "m",
+            F.try_divide(
+                F.col("dy").cast("double"), F.col("dx").cast("double")
+            ),
+        )
+        .withColumn("__bkt", F.floor(F.col("m") * 4096).cast("long"))
+    )
+    counts = slopes.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    # tier 2: tiny (one row per non-empty bucket) — the only
+    # unpartitioned window, same allowance as prefix_sums' bucket tier
+    w_bkt = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+    target = (
+        counts.withColumn("cum", F.sum("cnt").over(w_bkt))
+        .crossJoin(F.broadcast(total))
+        .withColumn("r", F.floor((F.col("n") + 1) / 2))
+        .where(
+            (F.col("cum") >= F.col("r"))
+            & (F.col("cum") - F.col("cnt") < F.col("r"))
+        )
+        .select(
+            "__bkt", (F.col("r") - F.col("cum") + F.col("cnt")).alias("rk"), "n"
         )
     )
-    ranked = slopes.select(
-        "dy",
-        "dx",
-        "m",
-        F.row_number().over(Window.orderBy("m", "dy", "dx")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    w_in = Window.partitionBy("__bkt").orderBy("m", "dy", "dx")
+    med = (
+        slopes.join(F.broadcast(target), "__bkt")
+        .withColumn("rn", F.row_number().over(w_in))
+        .where(F.col("rn") == F.col("rk"))
     )
     n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
-    return (
-        ranked.where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        .crossJoin(F.broadcast(n_days))
-        .select(
-            F.col("n_days").cast("bigint").alias("n_days"),
-            F.col("n").cast("bigint").alias("n_pairs"),
-            F.col("dy").cast("bigint").alias("med_dy"),
-            F.col("dx").cast("bigint").alias("med_dx"),
-            F.round("m", 9).alias("slope_per_day"),
-        )
+    return med.crossJoin(F.broadcast(n_days)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("dy").cast("bigint").alias("med_dy"),
+        F.col("dx").cast("bigint").alias("med_dx"),
+        F.round("m", 9).alias("slope_per_day"),
     )
 
 

@@ -1082,6 +1082,24 @@ def test_auc_and_lift_avoid_global_single_task_windows(spark, qs):
         assert "__bkt" in plan, plan
 
 
+def test_theil_sen_median_selection_is_bucket_partitioned(spark, qs):
+    """VERDICT r10 #4: the old q_theil_sen ranked ALL O(days^2) slope
+    pairs through one `row_number() OVER (ORDER BY m, ...)` global
+    window — a single-task shuffle of ~2.9M rows. The rewrite selects
+    the median by count-below-boundary: the only row_number window
+    must partition by the slope bucket (__bkt), and the data-bearing
+    relation must never sort under an unpartitioned window. The tiny
+    per-bucket-totals tier (one row per bucket) keeps the same
+    allowance as q_sample_weighted's two-level scan."""
+    plan = explain_str(qs["q_theil_sen"](spark, SF), "simple")
+    assert "__bkt" in plan, plan
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            # the rank window's spec must lead with the bucket key,
+            # not an ORDER BY over the whole relation
+            assert "windowspecdefinition(__bkt" in line, line
+
+
 def test_apriori_broadcasts_candidates_into_counting_join(spark, qs):
     """q_apriori_itemsets: the level-3 counting join must broadcast
     the (tiny, closure-pruned) candidate relation against the fact
