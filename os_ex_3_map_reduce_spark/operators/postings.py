@@ -26,9 +26,23 @@ partition rewrites.
 
 Layout at ``path``::
 
+    MANIFEST                           JSON {"segments": [ids]} — the
+                                       single source of truth for
+                                       which segments are live
     segments/<i>/postings/tb=<b>/...   one sorted file per term bucket
     segments/<i>/lengths/              (doc_id, dl)
     segments/<i>/meta/                 (n_docs, total_tokens, n_buckets)
+
+**Atomic publication.** Readers never ``listdir``: they consult the
+MANIFEST, which every mutation (write/append/merge) swaps into place
+via the repo's tmp-then-``os.rename`` discipline (the same commit
+point as sources/versioned.py:99 and sources/catalog_txn.py:72). A
+segment directory is written FIRST and is unreferenced garbage until
+the manifest rename lands, so a crash at any point leaves readers
+seeing either the old or the new segment set — never both (the
+double-count window a listdir-based reader would have during a
+merge), never a partial one. Orphan segment dirs from crashed
+mutations are invisible and swept by :func:`postings_vacuum`.
 
 Scoring uses the ONE shared expression
 :func:`~..functions.text.bm25_term_score`, so the live pipeline and
@@ -38,6 +52,7 @@ q_bm25_indexed's live_match column and in tests.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
@@ -53,31 +68,41 @@ def _write_segment(
     id_col: str,
     text_col: str,
 ) -> None:
+    # tokenize ONCE: stats, postings, and lengths all read the cached
+    # tokenized relation instead of re-running the tokenizer 3x over
+    # the batch (at ingest rates the tokenizer IS the batch cost)
     docs2 = docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
-    )
-    stats = docs2.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size("t")).alias("total_tokens"),
-    ).collect()[0]
-    w = docs2.select("doc_id", F.explode("t").alias("term"))
-    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    post = (
-        tf.join(df, "term")
-        .withColumn(
-            "tb",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+    ).persist()
+    try:
+        stats = docs2.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("t")).alias("total_tokens"),
+        ).collect()[0]
+        w = docs2.select("doc_id", F.explode("t").alias("term"))
+        tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        df = w.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
         )
-        .repartition("tb")
-        .sortWithinPartitions("term", "doc_id")
-    )
-    post.write.mode("overwrite").partitionBy("tb").parquet(
-        f"{seg_path}/postings"
-    )
-    docs2.select("doc_id", F.size("t").alias("dl")).write.mode(
-        "overwrite"
-    ).parquet(f"{seg_path}/lengths")
+        post = (
+            tf.join(df, "term")
+            .withColumn(
+                "tb",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast(
+                    "int"
+                ),
+            )
+            .repartition("tb")
+            .sortWithinPartitions("term", "doc_id")
+        )
+        post.write.mode("overwrite").partitionBy("tb").parquet(
+            f"{seg_path}/postings"
+        )
+        docs2.select("doc_id", F.size("t").alias("dl")).write.mode(
+            "overwrite"
+        ).parquet(f"{seg_path}/lengths")
+    finally:
+        docs2.unpersist()
     spark = docs.sparkSession
     spark.createDataFrame(
         [
@@ -88,7 +113,20 @@ def _write_segment(
             )
         ],
         "n_docs long, total_tokens long, n_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{seg_path}/meta")
+    ).repartition(1).write.mode(  # not coalesce: serial-split tax
+        "overwrite"
+    ).parquet(f"{seg_path}/meta")
+
+
+def _publish(path: str, seg_ids: list[int]) -> None:
+    """Swap the live-segment manifest atomically: write to a tmp name
+    in the same directory, then one ``os.rename`` — the commit point.
+    Everything before the rename is unreferenced; everything after is
+    the complete new view."""
+    tmp = f"{path}/MANIFEST.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"segments": sorted(seg_ids)}, f)
+    os.rename(tmp, f"{path}/MANIFEST")
 
 
 def postings_write(
@@ -99,20 +137,30 @@ def postings_write(
     text_col: str = "text",
 ) -> None:
     """Materialize the inverted index at ``path`` as segment 0 (see
-    module doc). The pre-write ``repartition("tb")`` + per-partition
-    term sort give one file per bucket dir with a sorted term column —
-    files-read == buckets-probed per segment, and the term predicate
-    prunes row groups inside each file."""
+    module doc) and publish the manifest. The pre-write
+    ``repartition("tb")`` + per-partition term sort give one file per
+    bucket dir with a sorted term column — files-read ==
+    buckets-probed per segment, and the term predicate prunes row
+    groups inside each file."""
+    os.makedirs(path, exist_ok=True)
     _write_segment(
         docs, f"{path}/segments/0", n_buckets, id_col, text_col
     )
+    _publish(path, [0])
 
 
 def segment_ids(path: str) -> list[int]:
-    root = f"{path}/segments"
-    return sorted(
-        int(d) for d in os.listdir(root) if d.isdigit()
-    )
+    """The LIVE segment ids — read from the MANIFEST (module doc), so
+    a reader racing a merge sees old-or-new, never both. Legacy
+    manifest-less indexes fall back to the directory listing."""
+    try:
+        with open(f"{path}/MANIFEST") as f:
+            return sorted(json.load(f)["segments"])
+    except FileNotFoundError:
+        root = f"{path}/segments"
+        return sorted(
+            int(d) for d in os.listdir(root) if d.isdigit()
+        )
 
 
 def postings_append(
@@ -125,9 +173,11 @@ def postings_append(
     segment files are untouched (byte-identical, file-listing-asserted
     in tests), exactly Lucene's ingestion path. Returns the new
     segment id. Statistics merge exactly at read time (module doc);
-    what append does NOT do is merge small segments — production
-    Lucene background-merges to bound per-query segment count, the
-    documented follow-on knob."""
+    what append does NOT do is merge small segments — that is
+    :func:`postings_merge`'s ``max_segments`` policy, Lucene's
+    background merge. The new segment dir is fully written BEFORE the
+    manifest rename publishes it: a crash mid-append leaves an
+    invisible orphan, never a half-visible segment."""
     spark = new_docs.sparkSession
     segs = segment_ids(path)
     meta0 = spark.read.parquet(
@@ -141,6 +191,7 @@ def postings_append(
         id_col,
         text_col,
     )
+    _publish(path, segs + [new_id])
     return new_id
 
 
@@ -232,46 +283,70 @@ def bm25_search_indexed(
     return scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(k)
 
 
-def postings_merge(spark, path: str) -> int:
+def postings_merge(spark, path: str, max_segments: int = 1) -> int:
     """Background SEGMENT MERGE — the knob that bounds per-query
     segment count (Lucene's tiered merge, one tier): compact ALL
     segments into a fresh single segment WITHOUT re-tokenizing any
     document — tf rows and lengths union as-is, df re-aggregates by
     the same additivity that makes segmented search exact, and the
-    merged meta is the sum of the parts. The merged segment replaces
-    the old ones atomically-enough for this engine's single-writer
-    model: it is written under the next segment id first, then the
-    old segment dirs are removed. Search results are IDENTICAL before
-    and after (the same theorem as append-equals-rebuild, tested).
-    Returns the merged segment id."""
+    merged meta is the sum of the parts.
+
+    ``max_segments`` is the MERGE POLICY: a no-op (returns -1) while
+    the live segment count is <= max_segments, so a streaming
+    foreachBatch can call this after every append and pay the compact
+    cost only when the count actually exceeds the bound — per-query
+    segment count stays bounded under an unbounded stream (proven
+    under a 10-batch stream in tests).
+
+    Publication is ATOMIC via the manifest: the merged segment is
+    fully written under the next id (unreferenced), ONE manifest
+    rename flips readers from the old segment set to the merged one,
+    and only then are the old dirs removed. A reader never sees old
+    and merged segments together (the double-count hazard of a
+    listdir-based view), and a crash mid-removal leaves only
+    invisible orphans for :func:`postings_vacuum`. Search results are
+    IDENTICAL before and after (the same theorem as
+    append-equals-rebuild, tested). Returns the merged segment id."""
     import shutil
 
     segs = segment_ids(path)
+    if len(segs) <= max_segments:
+        return -1
     metas = [
         spark.read.parquet(f"{path}/segments/{i}/meta").collect()[0]
         for i in segs
     ]
     n_buckets = int(metas[0].n_buckets)
     new_id = segs[-1] + 1
-    post = spark.read.parquet(f"{path}/segments/{segs[0]}/postings")
+
+    def seg_post(i: int) -> DataFrame:
+        return spark.read.parquet(
+            f"{path}/segments/{i}/postings"
+        ).withColumn("seg", F.lit(i))
+
+    post = seg_post(segs[0])
     dl = spark.read.parquet(f"{path}/segments/{segs[0]}/lengths")
     for i in segs[1:]:
-        post = post.unionByName(
-            spark.read.parquet(f"{path}/segments/{i}/postings")
-        )
+        post = post.unionByName(seg_post(i))
         dl = dl.unionByName(
             spark.read.parquet(f"{path}/segments/{i}/lengths")
         )
-    # df re-derivation: per (term) count distinct docs across the
-    # union — equivalent to summing per-segment dfs, computed directly
+    # df re-derivation by ADDITIVITY (the same trick the search path
+    # uses): per-segment df is constant across a segment's rows for a
+    # term and doc sets are disjoint, so distinct (seg, term, df)
+    # rows — which collapse map-side to ~vocab size because each
+    # segment file is term-sorted — sum to the global df. A
+    # countDistinct(doc_id) over the union would shuffle every
+    # (term, doc_id) pair with zero map-side collapse.
+    df_g = (
+        post.select("seg", "term", "df")
+        .distinct()
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
     merged = (
         post.select("term", "doc_id", "tf")
-        .join(
-            post.groupBy("term").agg(
-                F.countDistinct("doc_id").alias("df")
-            ),
-            "term",
-        )
+        .join(df_g, "term")
         .withColumn(
             "tb",
             F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
@@ -294,12 +369,33 @@ def postings_merge(spark, path: str) -> int:
             )
         ],
         "n_docs long, total_tokens long, n_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).repartition(1).write.mode("overwrite").parquet(
         f"{path}/segments/{new_id}/meta"
     )
+    _publish(path, [new_id])  # the commit point: old -> merged view
     for i in segs:
         shutil.rmtree(f"{path}/segments/{i}")
     return new_id
+
+
+def postings_vacuum(path: str) -> list[int]:
+    """Sweep ORPHAN segment dirs — ones present on disk but absent
+    from the MANIFEST (left by a crash between a segment write and
+    its manifest publish, or between a merge's publish and its
+    old-dir removals). Safe because readers only ever see manifest
+    segments. Returns the swept ids."""
+    import shutil
+
+    live = set(segment_ids(path))
+    root = f"{path}/segments"
+    orphans = sorted(
+        int(d)
+        for d in os.listdir(root)
+        if d.isdigit() and int(d) not in live
+    )
+    for i in orphans:
+        shutil.rmtree(f"{root}/{i}")
+    return orphans
 
 
 def phrase_occurrences(

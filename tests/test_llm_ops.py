@@ -3382,6 +3382,90 @@ def test_postings_merge_preserves_results(spark, tmp_path):
     assert meta.n_docs == docs.count()
 
 
+def test_postings_merge_policy_bounds_segments_over_10_batches(
+    spark, tmp_path
+):
+    """The background-merge POLICY (postings_merge(max_segments=N))
+    run the way a streaming foreachBatch runs it — after every append
+    — keeps the live segment count bounded under a 10-batch ingest,
+    and the final index searches identically to batch-indexing the
+    full corpus (merge never changes results, only layout)."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.postings import (
+        bm25_search_indexed,
+        postings_append,
+        postings_merge,
+        postings_write,
+        segment_ids,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["dup", "vector", "scan"]
+    path = str(tmp_path / "idx")
+    max_segments = 3
+    postings_write(docs.where(F.col("doc_id") % 11 == 0), path)
+    merges = 0
+    for b in range(1, 11):  # ten delta batches
+        postings_append(docs.where(F.col("doc_id") % 11 == b), path)
+        if postings_merge(spark, path, max_segments=max_segments) >= 0:
+            merges += 1
+        # the bound holds AFTER every batch, not just at the end
+        assert len(segment_ids(path)) <= max_segments
+    assert merges >= 2  # the policy actually fired under 10 batches
+    got = sorted(
+        tuple(r)
+        for r in bm25_search_indexed(spark, path, terms, k=10).collect()
+    )
+    full = str(tmp_path / "full")
+    postings_write(docs, full)
+    want = sorted(
+        tuple(r)
+        for r in bm25_search_indexed(spark, full, terms, k=10).collect()
+    )
+    assert got == want
+    # below the bound the policy is a no-op, not a forced compact
+    assert postings_merge(spark, path, max_segments=max_segments) == -1
+
+
+def test_postings_manifest_atomicity_orphans_invisible(spark, tmp_path):
+    """Readers consult the MANIFEST, never the directory listing: a
+    segment dir without a manifest entry (what a crash between a
+    segment write and its publish leaves behind) is invisible to
+    segment_ids AND to search, and postings_vacuum sweeps exactly
+    those orphans."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.operators.postings import (
+        bm25_search_indexed,
+        postings_vacuum,
+        postings_write,
+        segment_ids,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["dup", "vector"]
+    path = str(tmp_path / "idx")
+    postings_write(docs.where(F.col("doc_id") % 2 == 0), path)
+    before = sorted(
+        tuple(r)
+        for r in bm25_search_indexed(spark, path, terms, k=5).collect()
+    )
+    # simulate the crash: a fully-written segment dir, no publish
+    shutil.copytree(f"{path}/segments/0", f"{path}/segments/7")
+    assert segment_ids(path) == [0]  # orphan invisible to the reader
+    after = sorted(
+        tuple(r)
+        for r in bm25_search_indexed(spark, path, terms, k=5).collect()
+    )
+    assert before == after  # no double-counted stats or dup docs
+    assert postings_vacuum(path) == [7]
+    assert not (tmp_path / "idx" / "segments" / "7").exists()
+    assert segment_ids(path) == [0]
+
+
 def test_phrase_occurrences_adjacency_and_order(spark):
     """Phrase matching is positional: co-presence is not enough, order
     matters, overlapping occurrences all count, and the n-way fold
