@@ -1570,9 +1570,15 @@ def q_stream_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_bm25_ingest",
     # Exact recomputing oracle: the full-corpus BM25 SQL — streaming
-    # segment ingestion followed by a merge must be indistinguishable
-    # from batch-indexing the whole corpus (the q_bm25_append theorem,
-    # reached through the E7 ingest path). rebuild_match rides in-band.
+    # segment ingestion (with the in-stream merge policy) followed by
+    # a final merge must be indistinguishable from batch-indexing the
+    # whole corpus. The oracle IS the rebuild comparison (DuckDB
+    # recomputes BM25 over the full corpus from scratch); the former
+    # in-band rebuild_match twin duplicated it at full bench cost
+    # (234 s of the sf0.1 breadth run) and now lives where the
+    # equality is property-tested:
+    # tests/test_llm_ops.py::test_postings_segment_append_equals_rebuild
+    # and ::test_postings_merge_policy_bounds_segments_over_10_batches.
     oracle="""
         WITH docs2 AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1630,10 +1636,9 @@ def q_stream_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
                bm25, CAST(rank AS INTEGER) AS rank,
-               CAST(n_segments_before_merge AS INTEGER)
-                   AS n_segments_before_merge,
-               CAST(1 AS INTEGER) AS rebuild_match
-        FROM ranked, (SELECT 5 AS n_segments_before_merge)
+               CAST(2 AS INTEGER) AS n_segments_after_stream,
+               CAST(1 AS INTEGER) AS in_stream_merges
+        FROM ranked
         WHERE rank <= 10
     """,
     doc="STREAMING SEARCH-INDEX INGESTION (E7 x the written text "
@@ -1643,15 +1648,20 @@ def q_stream_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "4-file delta stream and foreachBatch runs postings_append — "
     "each micro-batch becomes one immutable Lucene-style segment "
     "(exactly-once per doc by the deterministic file split; an "
-    "append is re-runnable because segments are self-contained). "
-    "After the bounded replay, ONE postings_merge compacts the 5 "
-    "segments (count carried in-band) and the final search must "
-    "equal batch-indexing the full corpus — the additive-statistics "
-    "theorem surviving the streaming path, proven by the in-band "
-    "rebuild_match AND the full-corpus oracle. At 100 TB/day each "
-    "batch's cost is tokenizing THE BATCH; the background merge "
-    "amortizes segment-count growth, exactly the production "
-    "ingestion architecture.",
+    "append is re-runnable because segments are self-contained), "
+    "with the BACKGROUND MERGE POLICY live in the hot path: each "
+    "batch calls postings_merge(max_segments=3), a manifest-atomic "
+    "no-op until the live segment count exceeds the bound — under "
+    "the 4-batch replay it fires exactly once (in_stream_merges=1, "
+    "n_segments_after_stream=2, both carried in-band). The final "
+    "merged search must equal batch-indexing the full corpus — the "
+    "additive-statistics theorem surviving the streaming path, "
+    "proven by the full-corpus oracle (DuckDB recomputes BM25 from "
+    "raw text, so the external check IS the rebuild comparison). At "
+    "100 TB/day each batch's cost is tokenizing THE BATCH; the "
+    "bounded-segment merge policy is exactly the production "
+    "ingestion architecture (proven under a 10-batch stream in "
+    "tests).",
 )
 def q_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -1669,6 +1679,7 @@ def q_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import staged_documents_delta_dir
 
     QUERY = ["dup", "vector", "scan"]
+    MAX_SEGMENTS = 3  # the in-stream background-merge policy bound
     docs = load_table(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="osx3_stream_bm25_")
     _cleanup_at_exit(root)
@@ -1683,8 +1694,15 @@ def q_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
 
+    merges: list[int] = []
+
     def ingest(bdf: DataFrame, batch_id: int) -> None:
         postings_append(bdf, idx)
+        # Lucene's background merge, in-band: compact only when the
+        # live segment count exceeds the policy bound, so steady-state
+        # batch cost is tokenize-the-batch, not rewrite-the-index.
+        if postings_merge(spark, idx, max_segments=MAX_SEGMENTS) >= 0:
+            merges.append(batch_id)
 
     q = (
         stream.writeStream.foreachBatch(ingest)
@@ -1693,36 +1711,21 @@ def q_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    n_before = len(segment_ids(idx))
+    # deterministic under maxFilesPerTrigger=1 over the 4 staged
+    # files: [0]+4 appends trips the >3 bound exactly once -> (2, 1)
+    n_after_stream = len(segment_ids(idx))
     postings_merge(spark, idx)
 
     seg = bm25_search_indexed(spark, idx, QUERY, k=10)
-    full = f"{root}/full"
-    postings_write(docs, full)
-    reb = bm25_search_indexed(spark, full, QUERY, k=10).select(
+    return seg.select(
         "doc_id",
-        F.col("n_terms_matched").alias("n_reb"),
-        F.col("s").alias("s_reb"),
-    )
-    return (
-        seg.join(reb, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_terms_matched",
-            F.col("s").cast("double").alias("bm25"),
-            F.row_number()
-            .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
-            .alias("rank"),
-            F.lit(n_before).cast("int").alias("n_segments_before_merge"),
-            F.when(
-                (F.col("n_reb") == F.col("n_terms_matched"))
-                & (F.col("s_reb") == F.col("s")),
-                1,
-            )
-            .otherwise(0)
-            .cast("int")
-            .alias("rebuild_match"),
-        )
+        "n_terms_matched",
+        F.col("s").cast("double").alias("bm25"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+        .alias("rank"),
+        F.lit(n_after_stream).cast("int").alias("n_segments_after_stream"),
+        F.lit(len(merges)).cast("int").alias("in_stream_merges"),
     )
 
 
@@ -1766,10 +1769,14 @@ def q_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cannot do this: a crash between two tagged vt_appends would "
     "replay half a transaction). Proven in-band: the FK invariant "
     "(orphan lineitems = 0) holds at EVERY catalog version — "
-    "checked by reading all snapshots back — and a deliberate "
-    "replay of batch 0 is skipped (catalog version count "
-    "unchanged). At 100 TB each micro-batch costs its own files "
-    "plus two manifest writes and one catalog rename.",
+    "verified in ONE pass over the per-version manifest-diff "
+    "deltas (append-only tables make 'covered at every version' "
+    "equivalent to 'each lineitem delta's order arrived at the "
+    "same or an earlier version'; each file read once, not once "
+    "per version) — and a deliberate replay of batch 0 is skipped "
+    "(catalog version count unchanged). At 100 TB each micro-batch "
+    "costs its own files plus two manifest writes and one catalog "
+    "rename.",
 )
 def q_stream_txn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -1841,16 +1848,50 @@ def q_stream_txn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_skipped = int(ct_current(cat) == before)
     n_versions = ct_current(cat) + 1
 
-    def orphans(v: int) -> int:
-        o = ct_read(spark, cat, "orders", version=v)
-        l = ct_read(spark, cat, "lineitem", version=v)
-        return l.join(
-            o.select("o_orderkey"),
-            l.l_orderkey == F.col("o_orderkey"),
-            "left_anti",
-        ).count()
+    # FK-at-EVERY-version in ONE pass (VERDICT r10 #6 — the old proof
+    # read every snapshot back: 5 versions x 2 tables x anti-join, so
+    # v0's rows were read 5x). Both tables are append-only here, so
+    # "lineitem keys ⊆ orders keys at every catalog version" is
+    # EQUIVALENT to "every lineitem delta's key is covered by an
+    # orders delta at the same or an earlier catalog version": a
+    # violation at some version is exactly a lineitem row whose order
+    # arrives strictly later or never, and orders only grow. Each
+    # data file is therefore read ONCE (base + manifest-diff deltas),
+    # keeping the proof all-versions exact at 1/n_versions the I/O.
+    from ..sources.catalog_txn import ct_table_version
+    from ..sources.versioned import vt_changes
 
-    fk_ok = int(all(orphans(v) == 0 for v in range(n_versions)))
+    def keys_by_version(name: str, key: str) -> DataFrame:
+        path, prev_tv = ct_table_version(cat, name, 0)
+        out = (
+            ct_read(spark, cat, name, version=0)
+            .select(F.col(key).alias("k"))
+            .withColumn("v", F.lit(0))
+        )
+        for v in range(1, n_versions):
+            _, tv = ct_table_version(cat, name, v)
+            if tv != prev_tv:
+                out = out.unionByName(
+                    vt_changes(spark, path, prev_tv, tv)
+                    .where(F.col("_change_type") == "insert")
+                    .select(F.col(key).alias("k"))
+                    .withColumn("v", F.lit(v))
+                )
+            prev_tv = tv
+        return out
+
+    o_first = keys_by_version("orders", "o_orderkey").groupBy("k").agg(
+        F.min("v").alias("vo")
+    )
+    l_vers = keys_by_version("lineitem", "l_orderkey").select(
+        "k", F.col("v").alias("vl")
+    ).distinct()
+    uncovered = (
+        l_vers.join(o_first, "k", "left")
+        .where(F.col("vo").isNull() | (F.col("vo") > F.col("vl")))
+        .count()
+    )
+    fk_ok = int(uncovered == 0)
 
     def snap(item: str, v: int | None) -> DataFrame:
         o = ct_read(spark, cat, "orders", version=v)
