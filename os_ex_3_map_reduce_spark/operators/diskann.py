@@ -182,7 +182,9 @@ def diskann_write(
     medoid = corpus_medoid(rel, id_col="vec_id", emb_col="e")
     spark.createDataFrame(
         [(medoid, int(n_blocks))], "medoid long, n_blocks int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).repartition(1).write.mode(  # not coalesce: serial-split tax
+        "overwrite"
+    ).parquet(f"{path}/meta")
 
 
 def read_node_blocks(

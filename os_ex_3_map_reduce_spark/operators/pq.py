@@ -271,9 +271,13 @@ def save_codebooks(spark, codebooks: "np.ndarray", path: str) -> None:
         for j in range(m)
         for c in range(ksub)
     ]
+    # repartition(1), NOT coalesce(1): coalescing a Python-local
+    # relation chains its leafNodeDefaultParallelism pickled splits
+    # through ONE serial task (~5 s of Python-worker round-trips);
+    # repartition evaluates them in parallel first.
     spark.createDataFrame(
         rows, "subspace int, codeword int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(1).write.mode("overwrite").parquet(path)
 
 
 def load_codebooks(spark, path: str) -> "np.ndarray":

@@ -663,9 +663,12 @@ def save_centroids(spark, centroids: "np.ndarray", path: str) -> None:
     maintenance (VERDICT r9 #2). One row per centroid, ordered by
     ``list_id``; float64 exact round-trip through parquet DOUBLE."""
     rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    # repartition(1), NOT coalesce(1): coalescing a Python-local
+    # relation chains its pickled splits through one serial task
+    # (~5 s of Python-worker round-trips per write).
     spark.createDataFrame(
         rows, "list_id int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(1).write.mode("overwrite").parquet(path)
 
 
 def load_centroids(spark, path: str) -> "np.ndarray":
@@ -1299,9 +1302,21 @@ def ivf_index_compact(spark, path: str) -> dict:
     append batches until scans pay one task per fragment — this pass
     restores the one-file-per-list layout :func:`ivf_write` produces,
     without changing a single row (content equality asserted in
-    tests). Staged-swap write (old or new, never partial). Returns
+    tests).
+
+    Swap discipline (ADVICE r10: the old rmtree-then-move left a
+    no-index window and degraded to a non-atomic copy across
+    filesystems): the stage directory is created INSIDE the index's
+    parent so both swap steps are same-filesystem ``os.rename``s —
+    old moves aside, stage renames into place, only then is the old
+    copy deleted. A crash leaves either the old index at ``path``, or
+    the complete new one, or (between the two renames) the old copy
+    intact under ``<path>.compact_old`` for recovery — never a
+    partial or missing-and-unrecoverable index. A leftover
+    ``.compact_old`` from a prior crash is cleared first. Returns
     {files_before, files_after, rows} as evidence."""
     import glob as _glob
+    import os as _os
     import shutil
     import tempfile
 
@@ -1311,13 +1326,19 @@ def ivf_index_compact(spark, path: str) -> dict:
     df = spark.read.parquet(path)
     rows = df.count()
     before = n_files(path)
-    stage = tempfile.mkdtemp(prefix="osx3_ivf_compact_") + "/idx"
+    parent = _os.path.dirname(_os.path.abspath(path))
+    stage_root = tempfile.mkdtemp(prefix="_ivf_compact_", dir=parent)
+    stage = f"{stage_root}/idx"
     df.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(stage)
     after = n_files(stage)
-    shutil.rmtree(path, ignore_errors=True)
-    shutil.move(stage, path)
+    old = f"{path}.compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    _os.rename(path, old)  # same-FS, instant
+    _os.rename(stage, path)  # same-FS, instant — the swap
+    shutil.rmtree(old)
+    shutil.rmtree(stage_root, ignore_errors=True)
     return {"files_before": before, "files_after": after, "rows": rows}
 
 
