@@ -136,6 +136,20 @@ def ct_txn(
     return new_v
 
 
+def ct_table_version(
+    cat_path: str, name: str, version: int | None = None
+) -> tuple[str, int]:
+    """The (table path, table version) pair the catalog pins for
+    ``name`` at catalog ``version`` (HEAD by default) — the structural
+    view a reader resolves through. Two catalog versions whose pins
+    are equal are bit-identical views by construction (manifests are
+    immutable), so pin equality substitutes for re-reading the data
+    when proving a torn write stayed invisible."""
+    v = ct_current(cat_path) if version is None else version
+    t = _ct_manifest(cat_path, v)["tables"][name]
+    return t["path"], t["version"]
+
+
 def ct_read(
     spark: SparkSession,
     cat_path: str,
