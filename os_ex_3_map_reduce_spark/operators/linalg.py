@@ -16,8 +16,16 @@ sum is an exact integer — the Gram relation is reproducible in ANSI
 SQL with no pins. Per-batch partials stay far inside int64 (|coord| ≤
 10⁶ → |product| ≤ 10¹², batch ≤ 10⁴ rows → partial ≤ 10¹⁶); the
 CROSS-batch sum is what grows with n, so it runs as DECIMAL(38,0) in
-the aggregate — overflow-safe to n ≈ 10²⁶ rows — and DuckDB's BIGINT
-SUM widens to HUGEINT the same way.
+the aggregate, and DuckDB's BIGINT SUM widens to HUGEINT the same
+way. The RETURNED column, however, is cast back to BIGINT — that is
+the cross-engine compare contract with the oracle's CAST(... AS
+BIGINT) — so the output (not the aggregate) bounds the operator at
+|gram| < 2⁶³, i.e. n ≲ 9·10⁶ rows at the grid's 10¹² per-row product
+ceiling (ADVICE r10: the earlier "n ≈ 10²⁶" claim described only the
+internal decimal). Past that, keep the DECIMAL(38,0) ``gram_dec``
+(good to n ≈ 10²⁶) by taking :func:`gram_matrix_int`'s pre-cast
+aggregate; under Spark's default ANSI mode the overflow is a loud
+cast error, never a silent wrap.
 """
 
 from __future__ import annotations
