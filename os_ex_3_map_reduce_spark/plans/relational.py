@@ -179,7 +179,15 @@ def _SQL_CENTS(expr: str) -> str:
     "(sum qty, avg price, count); this computes the full 7-aggregate "
     "TPC-H Q1 set over two extra columns with exact fixed-point "
     "arithmetic — the ~1.15x headline ratio buys roughly double the "
-    "aggregate work plus bit-exact reproducibility.",
+    "aggregate work plus bit-exact reproducibility. r11 A/B verdict "
+    "(the r10 directive: BENCH_r10 read +21% normalized vs r9 on an "
+    "untouched path): three interleaved idle-host median-of-5 pairs, "
+    "canary recorded per run — r9 tree medians 0.859/0.909/0.849 s "
+    "vs HEAD 1.041/0.918/0.923 s at sf0.1, +7.4% raw / +5.6% "
+    "canary-normalized, inside the recorded 10.5% noise half-spread: "
+    "AMBIENT, not a regression (the r10 number was an unfavorable "
+    "draw with the canary clock-normalization stretched across a "
+    "2100-vs-2700 MHz boot).",
 )
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
