@@ -241,3 +241,40 @@ def test_catalog_txn_atomicity_and_optimistic_concurrency(spark, tmp_path):
     # optimistic concurrency: committing catalog v1 again is refused
     with _pytest.raises(FileExistsError):
         _ct_commit(cat, 1, {"version": 1, "parent": 0, "tables": {}})
+
+
+def test_ct_table_version_pins_unmoved_by_uncommitted_append(
+    spark, tmp_path
+):
+    """The pin-equality contract q_txn_multitable's torn-write proof
+    rests on: ct_table_version reports the catalog's (path, version)
+    pin, an uncommitted table-level vt_append does NOT move it (only
+    ct_txn does), and equal pins read back the identical row set."""
+    from os_ex_3_map_reduce_spark.sources.catalog_txn import (
+        ct_init,
+        ct_read,
+        ct_table_version,
+        ct_txn,
+    )
+    from os_ex_3_map_reduce_spark.sources.versioned import (
+        vt_append,
+        vt_write,
+    )
+
+    a = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+    pa = str(tmp_path / "a")
+    vt_write(a, pa, "k")
+    cat = str(tmp_path / "cat")
+    ct_init(cat, {"a": (pa, 0)})
+    pin0 = ct_table_version(cat, "a")
+    assert pin0 == (pa, 0)
+    before = sorted(tuple(r) for r in ct_read(spark, cat, "a").collect())
+    # torn write: table-level publish without a catalog commit
+    vt_append(spark.range(100, 105).selectExpr("id AS k", "id AS v"), pa)
+    assert ct_table_version(cat, "a") == pin0  # pin unmoved
+    after = sorted(tuple(r) for r in ct_read(spark, cat, "a").collect())
+    assert after == before  # equal pins == identical view
+    # a real commit is what moves the pin
+    ct_txn(cat, {"a": spark.range(200, 202).selectExpr("id AS k", "id AS v")})
+    assert ct_table_version(cat, "a") != pin0
+    assert ct_table_version(cat, "a", version=0) == pin0  # history intact
