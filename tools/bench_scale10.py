@@ -1968,6 +1968,71 @@ def bench_round12b(spark, scaled: str) -> None:
     assert n_edges > 0
 
 
+def bench_round13(spark, scaled: str) -> None:
+    """10x draw for the round-11 text-index INGEST path (the
+    manifest-atomic segment algebra + the postings_merge
+    max_segments policy): base segment build (even doc_ids), then
+    TEN delta appends each followed by postings_merge(max_segments=3)
+    — the exact foreachBatch discipline q_stream_bm25_ingest runs —
+    then one indexed search. Claims under test: (a) build and the
+    append train scale with the TOKENS WRITTEN (linear in corpus),
+    (b) the merge policy keeps live segments <= 3 at both scales with
+    the same number of policy firings per batch count, and (c) search
+    is bucket-pruned: the staging's copy-suffixed tokens keep the
+    query terms' postings CONSTANT while the corpus grows 10x, so a
+    flat search draw isolates the prune (same device as the phrase
+    -search draw)."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.operators.postings import (
+        bm25_search_indexed,
+        postings_append,
+        postings_merge,
+        postings_write,
+        segment_ids,
+    )
+
+    for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+        docs = spark.read.parquet(f"{path}/documents.parquet")
+        idx = tempfile.mkdtemp(prefix="osx3_postings10_") + "/idx"
+        t0 = time.perf_counter()
+        postings_write(docs.where(F.col("doc_id") % 2 == 0), idx)
+        build_sec = time.perf_counter() - t0
+        odd = docs.where(F.col("doc_id") % 2 == 1)
+        merges = 0
+        max_live = 0
+        t0 = time.perf_counter()
+        for b in range(10):
+            batch = odd.where(
+                (F.col("doc_id") / 2).cast("long") % 10 == b
+            )
+            postings_append(batch, idx)
+            if postings_merge(spark, idx, max_segments=3) >= 0:
+                merges += 1
+            max_live = max(max_live, len(segment_ids(idx)))
+        ingest_sec = time.perf_counter() - t0
+        q = ["dup", "vector", "scan"]
+        bm25_search_indexed(spark, idx, q, k=10).collect()  # warm
+        t0 = time.perf_counter()
+        bm25_search_indexed(spark, idx, q, k=10).collect()
+        search_sec = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "query": "postings_ingest10",
+                    "label": label,
+                    "build_sec": round(build_sec, 3),
+                    "ingest10_sec": round(ingest_sec, 3),
+                    "search_sec": round(search_sec, 3),
+                    "merges": merges,
+                    "max_live_segments": max_live,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+
+
 def bench_round12c(spark, scaled: str) -> None:
     """10x draws for the fifth continuation's late batch. Fact-side
     ops draw against the rel10 staging (orders/lineitem x10, dims and
@@ -2053,6 +2118,7 @@ def main() -> None:
     bench_round12(spark, scaled)
     bench_round12b(spark, scaled)
     bench_round12c(spark, scaled)
+    bench_round13(spark, scaled)
     bench_skew(spark, scaled)
     spark.stop()
 
