@@ -1718,6 +1718,23 @@ def test_index_compaction_restores_caps_and_file_layout(spark, tmp_path):
     assert after == before
     assert spark.read.parquet(ipath).count() == stats2["rows"]
 
+    # swap hygiene (ADVICE r10): a second compaction with a STALE
+    # .compact_old leftover (what a crash between the two renames
+    # leaves) must clear it, swap cleanly, and leave no stage dirs
+    import os as _os
+    import pathlib as _pl
+
+    _os.makedirs(f"{ipath}.compact_old/list_id=0", exist_ok=True)
+    stats3 = ivf_index_compact(spark, ipath)
+    assert not _os.path.exists(f"{ipath}.compact_old")
+    assert stats3["rows"] == stats2["rows"]
+    parent = _pl.Path(ipath).parent
+    assert not list(parent.glob("_ivf_compact_*")), list(parent.iterdir())
+    again = sorted(
+        map(tuple, ivf_search_indexed(spark, ipath, cents, qv, k=10).collect())
+    )
+    assert again == before
+
 
 def test_core_numbers_match_independent_peel(spark):
     """The h-index-fixpoint core numbers must equal an INDEPENDENT
