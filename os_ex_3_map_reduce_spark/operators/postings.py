@@ -26,9 +26,14 @@ partition rewrites.
 
 Layout at ``path``::
 
-    MANIFEST                           JSON {"segments": [ids]} — the
-                                       single source of truth for
-                                       which segments are live
+    MANIFEST                           JSON {"segments": [ids],
+                                       "n_buckets": B, "stats":
+                                       {id: [n_docs, total_tokens]}}
+                                       — the single source of truth
+                                       for which segments are live,
+                                       plus the denormalized reader
+                                       constants (zero meta-read
+                                       Spark jobs per search/append)
     segments/<i>/postings/tb=<b>/...   one sorted file per term bucket
     segments/<i>/lengths/              (doc_id, dl)
     segments/<i>/meta/                 (n_docs, total_tokens, n_buckets)
@@ -67,7 +72,7 @@ def _write_segment(
     n_buckets: int,
     id_col: str,
     text_col: str,
-) -> None:
+) -> tuple[int, int]:
     # tokenize ONCE: stats, postings, and lengths all read the cached
     # tokenized relation instead of re-running the tokenizer 3x over
     # the batch (at ingest rates the tokenizer IS the batch cost)
@@ -116,17 +121,68 @@ def _write_segment(
     ).repartition(1).write.mode(  # not coalesce: serial-split tax
         "overwrite"
     ).parquet(f"{seg_path}/meta")
+    return int(stats.n_docs), int(stats.total_tokens or 0)
 
 
-def _publish(path: str, seg_ids: list[int]) -> None:
+def _publish(
+    path: str,
+    seg_ids: list[int],
+    n_buckets: int,
+    stats: dict[int, tuple[int, int]],
+) -> None:
     """Swap the live-segment manifest atomically: write to a tmp name
     in the same directory, then one ``os.rename`` — the commit point.
     Everything before the rename is unreferenced; everything after is
-    the complete new view."""
+    the complete new view. Besides the live segment ids, the manifest
+    denormalizes the GLOBAL constants every reader needs before it can
+    plan (n_buckets) and each segment's (n_docs, total_tokens) — so an
+    append or a search costs ZERO driver-side meta-read jobs (the
+    per-segment meta parquet stays as the durable/inspectable copy;
+    readers fall back to it for legacy manifest-less indexes)."""
     tmp = f"{path}/MANIFEST.tmp"
     with open(tmp, "w") as f:
-        json.dump({"segments": sorted(seg_ids)}, f)
+        json.dump(
+            {
+                "segments": sorted(seg_ids),
+                "n_buckets": int(n_buckets),
+                "stats": {
+                    str(i): [int(a), int(b)]
+                    for i, (a, b) in stats.items()
+                },
+            },
+            f,
+        )
     os.rename(tmp, f"{path}/MANIFEST")
+
+
+def _manifest(path: str) -> dict | None:
+    try:
+        with open(f"{path}/MANIFEST") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _seg_meta(spark, path: str, seg_ids: list[int]) -> tuple[int, dict]:
+    """(n_buckets, {seg_id: (n_docs, total_tokens)}) — from the
+    manifest when present (no Spark jobs), else from the per-segment
+    meta parquet (legacy indexes)."""
+    man = _manifest(path) or {}
+    stats = {
+        int(k): (int(v[0]), int(v[1]))
+        for k, v in man.get("stats", {}).items()
+    }
+    n_buckets = man.get("n_buckets")
+    missing = [i for i in seg_ids if i not in stats]
+    if n_buckets is None or missing:
+        for i in missing or seg_ids:
+            m = spark.read.parquet(
+                f"{path}/segments/{i}/meta"
+            ).collect()[0]
+            stats[i] = (int(m.n_docs), int(m.total_tokens))
+            if n_buckets is None:
+                n_buckets = int(m.n_buckets)
+    return int(n_buckets), stats
 
 
 def postings_write(
@@ -143,10 +199,10 @@ def postings_write(
     buckets-probed per segment, and the term predicate prunes row
     groups inside each file."""
     os.makedirs(path, exist_ok=True)
-    _write_segment(
+    st = _write_segment(
         docs, f"{path}/segments/0", n_buckets, id_col, text_col
     )
-    _publish(path, [0])
+    _publish(path, [0], n_buckets, {0: st})
 
 
 def segment_ids(path: str) -> list[int]:
@@ -180,18 +236,16 @@ def postings_append(
     invisible orphan, never a half-visible segment."""
     spark = new_docs.sparkSession
     segs = segment_ids(path)
-    meta0 = spark.read.parquet(
-        f"{path}/segments/{segs[0]}/meta"
-    ).collect()[0]
+    n_buckets, stats = _seg_meta(spark, path, segs)
     new_id = segs[-1] + 1
-    _write_segment(
+    stats[new_id] = _write_segment(
         new_docs,
         f"{path}/segments/{new_id}",
-        int(meta0.n_buckets),
+        n_buckets,
         id_col,
         text_col,
     )
-    _publish(path, segs + [new_id])
+    _publish(path, segs + [new_id], n_buckets, stats)
     return new_id
 
 
@@ -226,13 +280,9 @@ def bm25_search_indexed(
     the live pipeline on the union corpus (the no-drift + the
     append-equals-rebuild claims, proven in-band and in tests)."""
     segs = segment_ids(path)
-    metas = [
-        spark.read.parquet(f"{path}/segments/{i}/meta").collect()[0]
-        for i in segs
-    ]
-    n_buckets = int(metas[0].n_buckets)
-    n_docs = sum(int(m.n_docs) for m in metas)
-    total_tokens = sum(int(m.total_tokens) for m in metas)
+    n_buckets, stats = _seg_meta(spark, path, segs)
+    n_docs = sum(stats[i][0] for i in segs)
+    total_tokens = sum(stats[i][1] for i in segs)
     buckets = term_buckets(spark, query_terms, n_buckets)
 
     def pruned(i: int) -> DataFrame:
@@ -312,11 +362,7 @@ def postings_merge(spark, path: str, max_segments: int = 1) -> int:
     segs = segment_ids(path)
     if len(segs) <= max_segments:
         return -1
-    metas = [
-        spark.read.parquet(f"{path}/segments/{i}/meta").collect()[0]
-        for i in segs
-    ]
-    n_buckets = int(metas[0].n_buckets)
+    n_buckets, stats = _seg_meta(spark, path, segs)
     new_id = segs[-1] + 1
 
     def seg_post(i: int) -> DataFrame:
@@ -360,19 +406,18 @@ def postings_merge(spark, path: str, max_segments: int = 1) -> int:
     dl.write.mode("overwrite").parquet(
         f"{path}/segments/{new_id}/lengths"
     )
+    merged_stats = (
+        sum(stats[i][0] for i in segs),
+        sum(stats[i][1] for i in segs),
+    )
     spark.createDataFrame(
-        [
-            (
-                sum(int(m.n_docs) for m in metas),
-                sum(int(m.total_tokens) for m in metas),
-                n_buckets,
-            )
-        ],
+        [(merged_stats[0], merged_stats[1], n_buckets)],
         "n_docs long, total_tokens long, n_buckets int",
     ).repartition(1).write.mode("overwrite").parquet(
         f"{path}/segments/{new_id}/meta"
     )
-    _publish(path, [new_id])  # the commit point: old -> merged view
+    # the commit point: old -> merged view
+    _publish(path, [new_id], n_buckets, {new_id: merged_stats})
     for i in segs:
         shutil.rmtree(f"{path}/segments/{i}")
     return new_id
