@@ -1850,48 +1850,18 @@ def q_stream_txn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # FK-at-EVERY-version in ONE pass (VERDICT r10 #6 — the old proof
     # read every snapshot back: 5 versions x 2 tables x anti-join, so
-    # v0's rows were read 5x). Both tables are append-only here, so
-    # "lineitem keys ⊆ orders keys at every catalog version" is
-    # EQUIVALENT to "every lineitem delta's key is covered by an
-    # orders delta at the same or an earlier catalog version": a
-    # violation at some version is exactly a lineitem row whose order
-    # arrives strictly later or never, and orders only grow. Each
-    # data file is therefore read ONCE (base + manifest-diff deltas),
-    # keeping the proof all-versions exact at 1/n_versions the I/O.
-    from ..sources.catalog_txn import ct_table_version
-    from ..sources.versioned import vt_changes
+    # v0's rows were read 5x). ct_fk_uncovered's append-only
+    # equivalence reads each data file ONCE (v0 base + manifest-diff
+    # deltas); the equivalence itself is property-tested against
+    # late-parent and never-parent histories in tests/test_lake.py.
+    from ..sources.catalog_txn import ct_fk_uncovered
 
-    def keys_by_version(name: str, key: str) -> DataFrame:
-        path, prev_tv = ct_table_version(cat, name, 0)
-        out = (
-            ct_read(spark, cat, name, version=0)
-            .select(F.col(key).alias("k"))
-            .withColumn("v", F.lit(0))
+    fk_ok = int(
+        ct_fk_uncovered(
+            spark, cat, "lineitem", "orders", "l_orderkey", "o_orderkey"
         )
-        for v in range(1, n_versions):
-            _, tv = ct_table_version(cat, name, v)
-            if tv != prev_tv:
-                out = out.unionByName(
-                    vt_changes(spark, path, prev_tv, tv)
-                    .where(F.col("_change_type") == "insert")
-                    .select(F.col(key).alias("k"))
-                    .withColumn("v", F.lit(v))
-                )
-            prev_tv = tv
-        return out
-
-    o_first = keys_by_version("orders", "o_orderkey").groupBy("k").agg(
-        F.min("v").alias("vo")
+        == 0
     )
-    l_vers = keys_by_version("lineitem", "l_orderkey").select(
-        "k", F.col("v").alias("vl")
-    ).distinct()
-    uncovered = (
-        l_vers.join(o_first, "k", "left")
-        .where(F.col("vo").isNull() | (F.col("vo") > F.col("vl")))
-        .count()
-    )
-    fk_ok = int(uncovered == 0)
 
     def snap(item: str, v: int | None) -> DataFrame:
         o = ct_read(spark, cat, "orders", version=v)

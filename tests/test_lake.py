@@ -278,3 +278,81 @@ def test_ct_table_version_pins_unmoved_by_uncommitted_append(
     ct_txn(cat, {"a": spark.range(200, 202).selectExpr("id AS k", "id AS v")})
     assert ct_table_version(cat, "a") != pin0
     assert ct_table_version(cat, "a", version=0) == pin0  # history intact
+
+
+def test_ct_fk_uncovered_equals_per_version_audit(spark, tmp_path):
+    """The append-only equivalence behind q_stream_txn_ingest's
+    one-pass FK proof, checked against the DEFINING per-version audit
+    on three adversarial histories: (good) children always arrive
+    with or after their parent -> 0; (late parent) a child at v1 whose
+    parent only lands at v2 -> flagged, exactly like the brute check
+    that re-reads every snapshot; (never parent) -> flagged. The
+    one-pass count is 0 IFF every snapshot's anti-join is empty."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.sources.catalog_txn import (
+        ct_current,
+        ct_fk_uncovered,
+        ct_init,
+        ct_read,
+        ct_txn,
+    )
+    from os_ex_3_map_reduce_spark.sources.versioned import vt_write
+
+    def parent_df(*keys):
+        return spark.createDataFrame(
+            [(int(k), f"p{k}") for k in keys], "pk long, pv string"
+        )
+
+    def child_df(*keys):
+        return spark.createDataFrame(
+            [(int(k), f"c{k}") for k in keys], "ck long, cv string"
+        )
+
+    def brute(cat):
+        # the defining audit: anti-join at EVERY catalog version
+        for v in range(ct_current(cat) + 1):
+            p = ct_read(spark, cat, "p", version=v)
+            c = ct_read(spark, cat, "c", version=v)
+            n = c.join(
+                p.select("pk"), c.ck == F.col("pk"), "left_anti"
+            ).count()
+            if n:
+                return False
+        return True
+
+    def history(label, commits):
+        base = str(tmp_path / label)
+        pp, cp = f"{base}/p", f"{base}/c"
+        vt_write(parent_df(1, 2), pp, "pk")
+        vt_write(child_df(1), cp, "ck")
+        cat = f"{base}/cat"
+        ct_init(cat, {"p": (pp, 0), "c": (cp, 0)})
+        for appends in commits:
+            ct_txn(cat, appends)
+        return cat
+
+    good = history(
+        "good",
+        [
+            {"p": parent_df(3), "c": child_df(2, 3)},
+            {"c": child_df(1, 3)},
+        ],
+    )
+    assert brute(good) and ct_fk_uncovered(
+        spark, good, "c", "p", "ck", "pk"
+    ) == 0
+
+    late = history(
+        "late",
+        [
+            {"c": child_df(9)},  # v1: child 9, parent missing
+            {"p": parent_df(9)},  # v2: parent arrives — too late
+        ],
+    )
+    assert not brute(late)
+    assert ct_fk_uncovered(spark, late, "c", "p", "ck", "pk") > 0
+
+    never = history("never", [{"c": child_df(7)}])
+    assert not brute(never)
+    assert ct_fk_uncovered(spark, never, "c", "p", "ck", "pk") > 0
