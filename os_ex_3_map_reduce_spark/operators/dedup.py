@@ -699,10 +699,19 @@ def minhash_index_compact(
     keeps serving quadratic candidates until this maintenance pass —
     the documented compaction-time fix, as a runnable op.
 
-    Staged-swap write (write new, then replace) so readers mid-compact
-    see the old or the new index, never a partial one. Returns counts
-    {buckets_before, buckets_after, hot_buckets_dropped} as evidence.
-    """
+    Swap discipline (the ivf_index_compact fix, same ADVICE-r10
+    class: the old rmtree-then-move left a no-index window and could
+    degrade to a non-atomic cross-filesystem copy): the stage lives
+    INSIDE the index directory so each relation swaps by two same-FS
+    ``os.rename``s — old aside, stage in — and the old copy is
+    deleted only after the new one is in place. A crash leaves each
+    relation whole (old, new, or old recoverable under ``.old``),
+    never partial; a reader can at worst pair new buckets with old
+    sigs, which is semantically identical (compaction never changes
+    sig content, only drops hot-bucket rows and coalesces files).
+    Returns counts {buckets_before, buckets_after,
+    hot_buckets_dropped} as evidence."""
+    import os as _os
     import shutil
     import tempfile
 
@@ -712,16 +721,18 @@ def minhash_index_compact(
     n_before = buckets.count()
     n_hot = hot.count()
     kept = buckets.join(hot.select("bucket"), "bucket", "left_anti")
-    stage = tempfile.mkdtemp(prefix="osx3_idx_compact_")
+    stage = tempfile.mkdtemp(prefix="_idx_compact_", dir=path)
     kept.coalesce(8).write.mode("overwrite").parquet(f"{stage}/buckets")
     spark.read.parquet(f"{path}/sigs").coalesce(8).write.mode(
         "overwrite"
     ).parquet(f"{stage}/sigs")
     n_after = spark.read.parquet(f"{stage}/buckets").count()
     for rel in ("buckets", "sigs"):
-        old = f"{path}/{rel}"
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.move(f"{stage}/{rel}", old)
+        old = f"{path}/{rel}.old"
+        shutil.rmtree(old, ignore_errors=True)  # prior-crash leftover
+        _os.rename(f"{path}/{rel}", old)  # same-FS, instant
+        _os.rename(f"{stage}/{rel}", f"{path}/{rel}")  # the swap
+        shutil.rmtree(old)
     shutil.rmtree(stage, ignore_errors=True)
     return {
         "bucket_rows_before": n_before,
