@@ -334,35 +334,42 @@ def bm25_search_indexed(
 
 
 def postings_merge(spark, path: str, max_segments: int = 1) -> int:
-    """Background SEGMENT MERGE — the knob that bounds per-query
-    segment count (Lucene's tiered merge, one tier): compact ALL
-    segments into a fresh single segment WITHOUT re-tokenizing any
+    """Background SEGMENT MERGE (Lucene's tiered merge, one tier):
+    compact segments into a fresh one WITHOUT re-tokenizing any
     document — tf rows and lengths union as-is, df re-aggregates by
     the same additivity that makes segmented search exact, and the
     merged meta is the sum of the parts.
 
     ``max_segments`` is the MERGE POLICY: a no-op (returns -1) while
-    the live segment count is <= max_segments, so a streaming
-    foreachBatch can call this after every append and pay the compact
-    cost only when the count actually exceeds the bound — per-query
-    segment count stays bounded under an unbounded stream (proven
-    under a 10-batch stream in tests).
+    the live segment count is <= max_segments. When it fires, it
+    merges only the SMALLEST ``count - max_segments + 1`` segments
+    (by n_docs, id tiebreak — both read job-free from the manifest),
+    leaving exactly max_segments live. That victim selection is the
+    load-bearing scale property: a streaming foreachBatch calling
+    this after every append pays O(recent deltas) per firing, and the
+    big base segment is NEVER rewritten by routine firings (asserted
+    byte-for-byte in tests) — merge-all would rewrite the whole
+    100 TB corpus every few batches. ``max_segments=1`` degenerates
+    to full compaction (every segment is a victim).
 
     Publication is ATOMIC via the manifest: the merged segment is
     fully written under the next id (unreferenced), ONE manifest
-    rename flips readers from the old segment set to the merged one,
-    and only then are the old dirs removed. A reader never sees old
-    and merged segments together (the double-count hazard of a
-    listdir-based view), and a crash mid-removal leaves only
-    invisible orphans for :func:`postings_vacuum`. Search results are
-    IDENTICAL before and after (the same theorem as
-    append-equals-rebuild, tested). Returns the merged segment id."""
+    rename flips readers from victims to the merged view, and only
+    then are the victim dirs removed. A reader never sees victims and
+    their merge together (the double-count hazard of a listdir-based
+    view), and a crash mid-removal leaves only invisible orphans for
+    :func:`postings_vacuum`. Search results are IDENTICAL before and
+    after (the same theorem as append-equals-rebuild, tested).
+    Returns the merged segment id."""
     import shutil
 
     segs = segment_ids(path)
     if len(segs) <= max_segments:
         return -1
     n_buckets, stats = _seg_meta(spark, path, segs)
+    k = len(segs) - max_segments + 1
+    victims = sorted(segs, key=lambda i: (stats[i][0], i))[:k]
+    survivors = [i for i in segs if i not in victims]
     new_id = segs[-1] + 1
 
     def seg_post(i: int) -> DataFrame:
@@ -370,9 +377,9 @@ def postings_merge(spark, path: str, max_segments: int = 1) -> int:
             f"{path}/segments/{i}/postings"
         ).withColumn("seg", F.lit(i))
 
-    post = seg_post(segs[0])
-    dl = spark.read.parquet(f"{path}/segments/{segs[0]}/lengths")
-    for i in segs[1:]:
+    post = seg_post(victims[0])
+    dl = spark.read.parquet(f"{path}/segments/{victims[0]}/lengths")
+    for i in victims[1:]:
         post = post.unionByName(seg_post(i))
         dl = dl.unionByName(
             spark.read.parquet(f"{path}/segments/{i}/lengths")
@@ -407,8 +414,8 @@ def postings_merge(spark, path: str, max_segments: int = 1) -> int:
         f"{path}/segments/{new_id}/lengths"
     )
     merged_stats = (
-        sum(stats[i][0] for i in segs),
-        sum(stats[i][1] for i in segs),
+        sum(stats[i][0] for i in victims),
+        sum(stats[i][1] for i in victims),
     )
     spark.createDataFrame(
         [(merged_stats[0], merged_stats[1], n_buckets)],
@@ -416,9 +423,14 @@ def postings_merge(spark, path: str, max_segments: int = 1) -> int:
     ).repartition(1).write.mode("overwrite").parquet(
         f"{path}/segments/{new_id}/meta"
     )
-    # the commit point: old -> merged view
-    _publish(path, [new_id], n_buckets, {new_id: merged_stats})
-    for i in segs:
+    # the commit point: victims -> merged view, survivors untouched
+    _publish(
+        path,
+        survivors + [new_id],
+        n_buckets,
+        {**{i: stats[i] for i in survivors}, new_id: merged_stats},
+    )
+    for i in victims:
         shutil.rmtree(f"{path}/segments/{i}")
     return new_id
 

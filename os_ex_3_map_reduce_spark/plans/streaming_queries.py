@@ -1636,8 +1636,8 @@ def q_stream_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
                bm25, CAST(rank AS INTEGER) AS rank,
-               CAST(2 AS INTEGER) AS n_segments_after_stream,
-               CAST(1 AS INTEGER) AS in_stream_merges
+               CAST(3 AS INTEGER) AS n_segments_after_stream,
+               CAST(2 AS INTEGER) AS in_stream_merges
         FROM ranked
         WHERE rank <= 10
     """,
@@ -1651,9 +1651,13 @@ def q_stream_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "append is re-runnable because segments are self-contained), "
     "with the BACKGROUND MERGE POLICY live in the hot path: each "
     "batch calls postings_merge(max_segments=3), a manifest-atomic "
-    "no-op until the live segment count exceeds the bound — under "
-    "the 4-batch replay it fires exactly once (in_stream_merges=1, "
-    "n_segments_after_stream=2, both carried in-band). The final "
+    "no-op until the live segment count exceeds the bound, and each "
+    "firing TIERS — it merges only the smallest segments (manifest "
+    "stats pick the victims job-free), so the base segment is never "
+    "rewritten in-stream and each firing costs O(recent deltas), "
+    "not O(corpus). Under the 4-batch replay it fires at batches 2 "
+    "and 3 (in_stream_merges=2, n_segments_after_stream=3, both "
+    "carried in-band). The final "
     "merged search must equal batch-indexing the full corpus — the "
     "additive-statistics theorem surviving the streaming path, "
     "proven by the full-corpus oracle (DuckDB recomputes BM25 from "
@@ -1712,7 +1716,10 @@ def q_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     # deterministic under maxFilesPerTrigger=1 over the 4 staged
-    # files: [0]+4 appends trips the >3 bound exactly once -> (2, 1)
+    # files: [0]+4 appends trips the >3 bound at batches 2 and 3;
+    # each tiered firing merges the two smallest segments and leaves
+    # exactly 3 live — the big base segment is never rewritten
+    # in-stream -> (n_after_stream, merges) = (3, 2)
     n_after_stream = len(segment_ids(idx))
     postings_merge(spark, idx)
 

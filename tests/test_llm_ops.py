@@ -3405,8 +3405,13 @@ def test_postings_merge_policy_bounds_segments_over_10_batches(
     """The background-merge POLICY (postings_merge(max_segments=N))
     run the way a streaming foreachBatch runs it — after every append
     — keeps the live segment count bounded under a 10-batch ingest,
-    and the final index searches identically to batch-indexing the
-    full corpus (merge never changes results, only layout)."""
+    TIERS its firings (only the smallest segments merge, so the big
+    base segment is never rewritten — byte-for-byte), and the final
+    index searches identically to batch-indexing the full corpus
+    (merge never changes results, only layout)."""
+    import hashlib
+    import pathlib
+
     from pyspark.sql import functions as F
 
     from os_ex_3_map_reduce_spark.operators.postings import (
@@ -3421,15 +3426,32 @@ def test_postings_merge_policy_bounds_segments_over_10_batches(
     terms = ["dup", "vector", "scan"]
     path = str(tmp_path / "idx")
     max_segments = 3
-    postings_write(docs.where(F.col("doc_id") % 11 == 0), path)
+    # big base (even half) + ten small deltas (odd half split 10 ways)
+    postings_write(docs.where(F.col("doc_id") % 2 == 0), path)
+
+    def base_digest() -> str:
+        h = hashlib.sha256()
+        for f in sorted(pathlib.Path(f"{path}/segments/0").rglob("*")):
+            if f.is_file():
+                h.update(f.name.encode())
+                h.update(f.read_bytes())
+        return h.hexdigest()
+
+    before_base = base_digest()
+    odd = docs.where(F.col("doc_id") % 2 == 1)
     merges = 0
-    for b in range(1, 11):  # ten delta batches
-        postings_append(docs.where(F.col("doc_id") % 11 == b), path)
+    for b in range(10):  # ten delta batches
+        postings_append(
+            odd.where((F.col("doc_id") / 2).cast("long") % 10 == b), path
+        )
         if postings_merge(spark, path, max_segments=max_segments) >= 0:
             merges += 1
         # the bound holds AFTER every batch, not just at the end
         assert len(segment_ids(path)) <= max_segments
     assert merges >= 2  # the policy actually fired under 10 batches
+    # tiered firings never touched the (largest) base segment
+    assert 0 in segment_ids(path)
+    assert base_digest() == before_base
     got = sorted(
         tuple(r)
         for r in bm25_search_indexed(spark, path, terms, k=10).collect()
