@@ -2033,6 +2033,57 @@ def bench_round13(spark, scaled: str) -> None:
         shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
 
 
+def bench_second_decade(spark, scaled: str) -> None:
+    """SECOND-DECADE draws — run with ``SCALE_COPIES=100``. A single
+    10x draw cannot separate 'linear with amortizing fixed costs'
+    from 'superlinear but shallow': both can read ratio 2-5 over one
+    decade. The claims that ARE the 100 TB architecture must hold
+    through a second decade, so this curated set re-draws them at
+    100x (the largest staging this box absorbs comfortably):
+
+    - the shuffle-heavy text paths (wordcount, tfidf, simhash
+      banding, LSH topk): linear budget = COPIES, so any quadratic
+      term reads >= 10x over its 10x draw;
+    - IVF fused batch search + PQ ADC search with the BUILD EXCLUDED
+      (bench_ann_batch10 at this COPIES): the probe-union bound says
+      search cost tracks the probed subset, not the corpus — across
+      two decades the draw should stay near-FLAT;
+    - dedup-at-ingest lookup (bench_ingest10 at this COPIES): the
+      delta pays its own shingling plus a slim bucket equi-join —
+      flat-in-corpus is the written-index claim;
+    - the tiered text-index ingest train (bench_round13 at this
+      COPIES): policy firings are batch-count-driven, so merges and
+      max_live_segments must be IDENTICAL at 100x, and per-batch cost
+      linear in batch bytes.
+
+    Record results next to the 10x tables in PLANS.md's epilogue so
+    the two decades read side by side."""
+    qs = all_queries()
+    for name in (
+        "q_mapreduce_wordcount",
+        "q_tfidf_top_terms",
+        "q_simhash_neardup",
+        "q_ann_lsh_topk",
+    ):
+        base = time_query(qs[name], spark, BASE_SF)
+        big = time_query(qs[name], spark, scaled)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf0.1_sec": round(base, 3),
+                    f"x{COPIES}_sec": round(big, 3),
+                    "ratio": round(big / base, 2) if base else None,
+                    "linear_budget": COPIES,
+                }
+            ),
+            flush=True,
+        )
+    bench_ann_batch10(spark, scaled)
+    bench_ingest10(spark, scaled)
+    bench_round13(spark, scaled)
+
+
 def bench_round12c(spark, scaled: str) -> None:
     """10x draws for the fifth continuation's late batch. Fact-side
     ops draw against the rel10 staging (orders/lineitem x10, dims and
