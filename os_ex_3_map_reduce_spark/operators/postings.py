@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -139,7 +140,11 @@ def _publish(
     append or a search costs ZERO driver-side meta-read jobs (the
     per-segment meta parquet stays as the durable/inspectable copy;
     readers fall back to it for legacy manifest-less indexes)."""
-    tmp = f"{path}/MANIFEST.tmp"
+    # unique per attempt: a fixed tmp name would let two overlapping
+    # maintenance runs interleave writes into one staging file (the
+    # swap itself is last-writer-wins by design — single-writer
+    # maintenance — but the staging must never mix two writers' bytes)
+    tmp = f"{path}/MANIFEST.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(
             {
@@ -452,6 +457,11 @@ def postings_vacuum(path: str) -> list[int]:
     )
     for i in orphans:
         shutil.rmtree(f"{root}/{i}")
+    # manifest stagings a crash left behind (invisible to readers —
+    # the live MANIFEST is a different name — but sweepable garbage)
+    for f in os.listdir(path):
+        if f.startswith("MANIFEST.tmp."):
+            os.unlink(os.path.join(path, f))
     return orphans
 
 

@@ -13,9 +13,10 @@ stage-then-atomically-publish mechanics one level up:
   each mapping table name → (table path, pinned table version);
 - a transaction first publishes its per-table commits (those versions
   exist but are UNREFERENCED — exactly like staged data files before
-  a manifest rename), then writes ONE catalog manifest via temp-file
-  + ``os.rename``: the atomic point at which every table's new
-  version becomes visible at once;
+  a manifest publish), then publishes ONE catalog manifest via
+  temp-file + ``os.link`` (atomic AND no-clobber; see
+  ``versioned._publish_exclusive``): the point at which every table's
+  new version becomes visible at once;
 - catalog readers resolve a table through the pinned version
   (``vt_read(path, version=...)``), never through the table's own
   HEAD — so a crash between per-table commits and the catalog commit
@@ -38,7 +39,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .versioned import vt_append, vt_read
+from .versioned import _publish_exclusive, vt_append, vt_read
 
 _CAT = "_catalog"
 
@@ -60,16 +61,16 @@ def ct_current(cat_path: str) -> int | None:
 
 
 def _ct_commit(cat_path: str, version: int, manifest: dict) -> None:
-    final = _cat_file(cat_path, version)
-    if os.path.exists(final):
-        raise FileExistsError(
-            f"catalog version {version} already committed — rebase and retry"
-        )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    tmp = f"{final}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.rename(tmp, final)
+    """Publish one catalog manifest via the shared atomic no-clobber
+    primitive (``os.link``, not rename — rename would silently replace
+    a racing committer's manifest; ``versioned._publish_exclusive``
+    documents the full analysis). Exactly one racer per catalog
+    version wins; the loser rebases and retries."""
+    _publish_exclusive(
+        _cat_file(cat_path, version),
+        manifest,
+        f"catalog version {version} already committed — rebase and retry",
+    )
 
 
 def _ct_manifest(cat_path: str, version: int) -> dict:

@@ -10,12 +10,15 @@ over plain parquet:
   the data files visible at version N (each with its commit dir and
   bucket). Reading a version = reading precisely that file list —
   nothing else, regardless of what later commits added.
-- **Manifest rename is the commit point.** Commits stage data files
-  first, then write the manifest to a temp name and ``os.rename`` it
-  into place — atomic on POSIX, so a reader either sees the complete
-  new version or the previous one, never partial state. Creating a
-  version that already exists raises (optimistic concurrency: the
-  loser of a race must retry on top of the winner's version).
+- **Manifest publication is the commit point.** Commits stage data
+  files first, then publish the manifest via temp-file +
+  ``os.link`` — atomic on POSIX AND refusing to replace, so a reader
+  either sees the complete new version or the previous one (never
+  partial state), and creating a version that already exists raises
+  even under a racing committer (optimistic concurrency: the loser
+  must retry on top of the winner's version; see
+  :func:`_publish_exclusive` for why rename alone cannot give both
+  properties).
 - **Deletes are COPY-ON-WRITE.** A delete rewrites only the files that
   contain matching rows (without the matches) and carries every
   untouched file BY REFERENCE into the new manifest — the Delta/
@@ -51,6 +54,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,21 +86,52 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _commit(path: str, version: int, manifest: dict) -> None:
-    """Write the manifest via temp-file + rename — the atomic commit
-    point. Refuses to clobber an existing version (lost-update guard:
-    a concurrent committer must rebase and retry)."""
-    final = _manifest_file(path, version)
+def _publish_exclusive(final: str, manifest: dict, errmsg: str) -> None:
+    """Publish one immutable manifest at ``final``, failing (never
+    clobbering) if it already exists — the atomic commit point every
+    versioned chain here rests on.
+
+    ``os.link`` — not ``os.rename`` — is what makes the refusal
+    atomic: rename silently REPLACES an existing destination, so the
+    naive exists-check-then-rename has a window where two committers
+    racing the same version both pass the check and the later rename
+    overwrites the earlier commit (a lost update the winner never
+    learns about). link(2) fails with EEXIST instead of replacing, so
+    exactly one racer publishes no matter how the schedules
+    interleave; readers still see only complete manifests (the inode
+    is fully written before it gains the final name). The early
+    exists() check is kept as a fast path for the common sequential
+    conflict. Requires a filesystem with hard links (POSIX local FS;
+    on object stores the committer must use the store's own
+    if-none-match / conditional-put primitive instead)."""
     if os.path.exists(final):
-        raise FileExistsError(
-            f"version {version} already committed at {path} — rebase on "
-            "the current version and retry"
-        )
+        raise FileExistsError(errmsg)
     os.makedirs(os.path.dirname(final), exist_ok=True)
-    tmp = f"{final}.tmp.{os.getpid()}"
+    # unique per ATTEMPT, not per process: two threads of one driver
+    # (e.g. concurrent streaming queries) sharing a pid-keyed temp
+    # name would interleave writes into the same staging file
+    tmp = f"{final}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(errmsg) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _commit(path: str, version: int, manifest: dict) -> None:
+    """Publish the manifest for ``version`` via
+    :func:`_publish_exclusive` — refuses to clobber an existing
+    version (lost-update guard: a concurrent committer must rebase
+    and retry)."""
+    _publish_exclusive(
+        _manifest_file(path, version),
+        manifest,
+        f"version {version} already committed at {path} — rebase on "
+        "the current version and retry",
+    )
 
 
 def _stage_files(
@@ -458,6 +493,12 @@ def vt_vacuum(path: str, keep_last: int = 2) -> dict:
         if os.path.relpath(f, path) not in referenced:
             os.remove(f)
             deleted += 1
+    # manifest stagings a crashed commit left behind (invisible to
+    # readers — _versions() only matches v*.json — but sweepable)
+    for t in glob.glob(f"{path}/{_MANIFESTS}/*.tmp.*") + glob.glob(
+        f"{path}/{_BRANCHES}/*/*.tmp.*"
+    ):
+        os.remove(t)
     return {
         "versions_dropped": len(drop),
         "files_deleted": deleted,
@@ -797,19 +838,15 @@ def vt_branch_current(path: str, name: str) -> int | None:
 
 
 def _commit_to(final: str, manifest: dict) -> None:
-    """The :func:`_commit` discipline (temp file + atomic rename,
-    refuse to clobber) against an explicit manifest path — shared by
-    main-chain and branch commits."""
-    if os.path.exists(final):
-        raise FileExistsError(
-            f"manifest {final} already committed — rebase on the "
-            "current version and retry"
-        )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    tmp = f"{final}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.rename(tmp, final)
+    """The :func:`_commit` discipline against an explicit manifest
+    path — shared by main-chain and branch commits; same atomic
+    no-clobber publish (see :func:`_publish_exclusive`)."""
+    _publish_exclusive(
+        final,
+        manifest,
+        f"manifest {final} already committed — rebase on the "
+        "current version and retry",
+    )
 
 
 def vt_branch(path: str, name: str, version: int | None = None) -> int:

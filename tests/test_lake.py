@@ -356,3 +356,93 @@ def test_ct_fk_uncovered_equals_per_version_audit(spark, tmp_path):
     never = history("never", [{"c": child_df(7)}])
     assert not brute(never)
     assert ct_fk_uncovered(spark, never, "c", "p", "ck", "pk") > 0
+
+
+def test_manifest_commit_race_exactly_one_winner(tmp_path):
+    """The commit point under a REAL same-version race: 16 threads
+    release through a barrier and publish DIFFERENT manifests as the
+    same version. Exactly one must win, every loser must raise
+    FileExistsError, the surviving manifest must be the winner's —
+    complete and unmixed — and no staging temp files may leak.
+
+    This is the test the previous exists-check + os.rename discipline
+    FAILS two ways: rename silently replaces, so a slow loser would
+    overwrite the winner's committed manifest (a lost update the
+    winner never learns about), and the pid-keyed temp name shared by
+    sibling threads lets two stagings interleave writes into one
+    file. The os.link publish (versioned._publish_exclusive) plus
+    per-attempt temp names close both."""
+    import threading
+
+    from os_ex_3_map_reduce_spark.sources.versioned import (
+        _commit,
+        _read_manifest,
+    )
+
+    n = 16
+    rounds = 5  # a racy bug is probabilistic: give it chances to fire
+    for version in range(1, rounds + 1):
+        barrier = threading.Barrier(n)
+        results: list[str | None] = [None] * n
+
+        def run(i: int, v: int = version) -> None:
+            barrier.wait()
+            try:
+                _commit(str(tmp_path), v, {"version": v, "writer": i})
+                results[i] = "won"
+            except FileExistsError:
+                results[i] = "lost"
+
+        threads = [
+            threading.Thread(target=run, args=(i,)) for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results.count("won") == 1, results
+        winner = results.index("won")
+        # the surviving manifest is the WINNER's, byte-complete
+        assert _read_manifest(str(tmp_path), version) == {
+            "version": version,
+            "writer": winner,
+        }
+    leftovers = list((tmp_path / "_manifests").glob("*.tmp.*"))
+    assert leftovers == []
+
+
+def test_catalog_commit_race_exactly_one_winner(tmp_path):
+    """The same race one level up: _ct_commit routes through the same
+    exclusive-publish primitive, so concurrent multi-table
+    transactions racing one catalog version resolve to exactly one
+    winner (the loser rebases per the documented optimistic rule)."""
+    import json
+    import threading
+
+    from os_ex_3_map_reduce_spark.sources.catalog_txn import (
+        _cat_file,
+        _ct_commit,
+    )
+
+    n = 8
+    barrier = threading.Barrier(n)
+    results: list[str | None] = [None] * n
+
+    def run(i: int) -> None:
+        barrier.wait()
+        try:
+            _ct_commit(
+                str(tmp_path), 1, {"version": 1, "parent": 0, "writer": i}
+            )
+            results[i] = "won"
+        except FileExistsError:
+            results[i] = "lost"
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("won") == 1, results
+    with open(_cat_file(str(tmp_path), 1)) as fh:
+        assert json.load(fh)["writer"] == results.index("won")
