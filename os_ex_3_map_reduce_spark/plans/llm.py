@@ -1539,7 +1539,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "HEAD 1.10/1.20/1.47 s: the r7 CODE itself runs ~1.5x its "
     "r7-recorded value on this host, and HEAD matches the r7 tree "
     "within run-to-run spread. Plan unchanged since r7 except the "
-    "pinned oracle registration.",
+    "pinned oracle registration. SECOND-DECADE finding (r11 "
+    "bench_lsh_second_decade, the one over-budget x100 draw): at the "
+    "default 4 planes/table the table has 16 buckets regardless of "
+    "corpus size, so occupancy grows linearly with N and the "
+    "per-bucket O(|bucket|^2) scoring matmul quadratically, until "
+    "max_bucket drops oversized buckets. At 100 TB callers must grow "
+    "planes_per_table by log2(corpus growth) to hold occupancy "
+    "constant — the nlist-grows-with-corpus rule — and buy the "
+    "recall back with more tables or multiprobe (q_ann_lsh_batch's "
+    "dial). Defaults stay fixture-tuned because the pinned oracle "
+    "keys on them.",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -2084,6 +2084,83 @@ def bench_second_decade(spark, scaled: str) -> None:
     bench_round13(spark, scaled)
 
 
+def bench_lsh_second_decade(spark, scaled: str) -> None:
+    """Decompose q_ann_lsh_topk's second-decade blowup (ratio 304 vs
+    the linear budget of 100 on the id-shift staging) into its two
+    causes, separately measurable:
+
+    (a) FIXTURE: the shared staging only shifts vec_ids, so 100
+        copies of IDENTICAL vectors share every sign pattern and
+        collapse into the same buckets — the replicated-basket
+        Apriori artifact in vector form. This re-draw stages DISJOINT
+        copies instead: each copy is multiplied by a deterministic
+        per-copy ±1 diagonal (an orthogonal transform, so every
+        within-copy cosine — and therefore each copy's true top-k
+        pair set — is preserved EXACTLY) which decorrelates the sign
+        hashes across copies.
+    (b) OPERATOR: at the default 4 planes/table a table has 16
+        buckets REGARDLESS of corpus size, so occupancy grows
+        linearly with N and the per-bucket O(|bucket|^2) scoring
+        matmul grows quadratically until ``max_bucket`` starts
+        dropping buckets wholesale. The production discipline is the
+        same rule the NSW/IVF draws document as nlist-grows-with-
+        corpus: planes/table += log2(growth) keeps occupancy
+        constant (at the recall price more tables or multiprobe must
+        buy back — the q_ann_lsh_batch dial). The disjoint staging is
+        drawn at BOTH plane counts so the quadratic-occupancy term
+        and its fix are both on the record."""
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    base_emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    copies = F.broadcast(
+        spark.range(COPIES).select(F.col("id").alias("copy"))
+    )
+    # per-copy ±1 diagonal from the copy's low bits: copy 0 keeps the
+    # original vectors; any two copies differ on >= 9 of 64 dims
+    big = (
+        base_emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, j) -> x * CAST("
+                "1 - 2 * ((copy >> (j % 7)) & 1) AS DOUBLE))"
+            ).alias("embedding"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="osx3_lsh2dec_")
+    big.write.parquet(f"{d}/emb")
+    big_emb = spark.read.parquet(f"{d}/emb")
+
+    def draw(label: str, emb, **kw) -> None:
+        _materialize(lsh_bucketed_topk(emb, k=20, **kw))  # warm
+        t0 = time.perf_counter()
+        out = lsh_bucketed_topk(emb, k=20, **kw)
+        _materialize(out)
+        print(
+            json.dumps(
+                {
+                    "query": "lsh_second_decade",
+                    "label": label,
+                    "sec": round(time.perf_counter() - t0, 3),
+                    "corpus_rows": emb.count(),
+                }
+            ),
+            flush=True,
+        )
+
+    draw("base_planes4", base_emb)
+    draw(f"x{COPIES}_disjoint_planes4", big_emb)
+    # occupancy-constant: 4 + ceil(log2(COPIES)) planes/table
+    import math
+
+    grown = 4 + math.ceil(math.log2(COPIES))
+    draw(f"x{COPIES}_disjoint_planes{grown}", big_emb, planes_per_table=grown)
+
+
 def bench_round12c(spark, scaled: str) -> None:
     """10x draws for the fifth continuation's late batch. Fact-side
     ops draw against the rel10 staging (orders/lineitem x10, dims and
