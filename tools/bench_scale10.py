@@ -2064,6 +2064,7 @@ def bench_second_decade(spark, scaled: str) -> None:
         "q_tfidf_top_terms",
         "q_simhash_neardup",
         "q_ann_lsh_topk",
+        "q_sessionize",  # the events-side representative
     ):
         base = time_query(qs[name], spark, BASE_SF)
         big = time_query(qs[name], spark, scaled)
@@ -2082,6 +2083,7 @@ def bench_second_decade(spark, scaled: str) -> None:
     bench_ann_batch10(spark, scaled)
     bench_ingest10(spark, scaled)
     bench_round13(spark, scaled)
+    bench_graph10(spark)  # 10M-node iterative-graph decade
 
 
 def bench_lsh_second_decade(spark, scaled: str) -> None:
