@@ -454,7 +454,12 @@ def vt_vacuum(path: str, keep_last: int = 2) -> dict:
     version must stay readable until the branch itself is deleted
     (the Iceberg expire-snapshots ref-retention rule; without this,
     vacuuming main after a fork would tear files out from under the
-    branch — regression-tested). Returns {versions_dropped,
+    branch — regression-tested). NOT safe concurrently with WRITERS
+    (the same hazard Delta mitigates with its retention window): an
+    in-flight commit's staged data files are unreferenced until its
+    manifest publishes, so a simultaneous vacuum would sweep them —
+    run vacuum in a maintenance window, or add an age floor before
+    deleting in multi-writer deployments. Returns {versions_dropped,
     files_deleted, files_kept}."""
     vs = _versions(path)
     if not vs:
