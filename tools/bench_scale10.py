@@ -2086,6 +2086,51 @@ def bench_second_decade(spark, scaled: str) -> None:
     bench_graph10(spark)  # 10M-node iterative-graph decade
 
 
+def bench_text_models_second_decade(spark, scaled: str) -> None:
+    """Second-decade draws (run with ``SCALE_COPIES=100``) for the
+    operators whose MODEL term genuinely scales with the corpus —
+    the heaviest honest ratios of the 10x sweep, so the most likely
+    to hide a shallow superlinear term one decade up. The staging's
+    per-copy token suffixes grow the vocabulary x100 along with the
+    corpus (the worst case): bigram-LM scoring (model build + join
+    both x100; 10x ratio 4.96), the BPE encode pipeline (training
+    loop on the x100 distinct-word relation; 10x ratio 2.31), the
+    frozen-model unigram Viterbi encode (vocab x distinct-words; 10x
+    ratio 3.13), and substring-span dedup (span space x100; 10x
+    ratio 2.01). Linear budget = COPIES."""
+    from os_ex_3_map_reduce_spark.plans.llm import _DF_CACHE
+
+    qs = all_queries()
+    for name in (
+        "q_lm_perplexity",
+        "q_bpe_encode",
+        "q_unigram_encode",
+        "q_substring_dupes",
+    ):
+        out = {}
+        for label, path in (("base", BASE_SF), (f"x{COPIES}", scaled)):
+            _materialize(qs[name](spark, path))
+            _DF_CACHE.clear()  # never time a memo read
+            t0 = time.perf_counter()
+            _materialize(qs[name](spark, path))
+            out[label] = round(time.perf_counter() - t0, 3)
+            _DF_CACHE.clear()
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf0.1_sec": out["base"],
+                    f"x{COPIES}_sec": out[f"x{COPIES}"],
+                    "ratio": round(out[f"x{COPIES}"] / out["base"], 2)
+                    if out["base"]
+                    else None,
+                    "linear_budget": COPIES,
+                }
+            ),
+            flush=True,
+        )
+
+
 def bench_lsh_second_decade(spark, scaled: str) -> None:
     """Decompose q_ann_lsh_topk's second-decade blowup (ratio 304 vs
     the linear budget of 100 on the id-shift staging) into its two
