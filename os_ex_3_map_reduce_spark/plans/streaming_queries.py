@@ -905,22 +905,12 @@ def q_stream_cdc_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag = f"cdc-{batch_id}"
         if vt_has_tag(table, tag):
             return
-        v = vt_upsert(spark, table, bdf, "o_orderkey")
-        # stamp the tag into the committed manifest (vt_upsert is
-        # op-agnostic; the sink owns idempotency bookkeeping)
-        import json as _json
-
-        from ..sources.versioned import _manifest_file
-
-        mf = _manifest_file(table, v)
-        man = _json.load(open(mf))
-        man["tag"] = tag
-        tmp = mf + ".tag"
-        with open(tmp, "w") as fh:
-            _json.dump(man, fh, indent=1, sort_keys=True)
-        import os as _os
-
-        _os.replace(tmp, mf)
+        # tag rides the commit (vt_append's contract): committed
+        # manifests are immutable — the earlier design patched the tag
+        # into the manifest after the fact, a read-modify-replace of
+        # live catalog state that broke the immutability the
+        # pin-equality proofs rest on
+        vt_upsert(spark, table, bdf, "o_orderkey", tag=tag)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -614,7 +614,11 @@ def vt_compact_mor(spark: SparkSession, path: str) -> int:
 
 
 def vt_upsert(
-    spark: SparkSession, path: str, changes: DataFrame, key: str
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    tag: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (the Delta ``MERGE INTO`` / upsert shape):
     rows in ``changes`` REPLACE current rows with the same ``key``;
@@ -631,7 +635,11 @@ def vt_upsert(
     an update must not CHANGE the bucket-key value: the old row is
     only removed from buckets the change row hashes to. Same
     constraint every bucketed/partitioned table format places on its
-    layout key. Returns the new version."""
+    layout key. ``tag`` (stored in the manifest AT COMMIT TIME, the
+    vt_append contract) lets a streaming CDC sink make the merge
+    idempotent via :func:`vt_has_tag` — committed manifests are
+    immutable, so sink bookkeeping must ride the commit, never be
+    patched in afterward. Returns the new version."""
     cur = vt_current_version(path)
     if cur is None:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -661,6 +669,7 @@ def vt_upsert(
             "version": new_version,
             "parent": cur,
             "op": "upsert",
+            "tag": tag,
             "nbuckets": nb,
             "bucket_key": man["bucket_key"],
             "files": carried + new_files,
