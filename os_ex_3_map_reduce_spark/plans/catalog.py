@@ -140,7 +140,8 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_pattern_match",
     "q_kendall_tau",
     "q_stream_versioned_ingest",
-    "q_stream_cdc_versioned",
+    "q_louvain_sweep",  # swapped below-window when the r11
+    # continuation's vt_upsert tag change fronted q_stream_cdc_versioned
     "q_stream_kmv_distinct",
     "q_stream_cms_topk",
     "q_stream_semi_join",
@@ -160,6 +161,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_bm25_ingest",
     "q_stream_txn_ingest",
     "q_txn_multitable",
+    "q_stream_cdc_versioned",  # r11 continuation: vt_upsert tag change
     "q_neardup_linkage",
     "q_ann_matryoshka",
     "q_ann_maxsim",
@@ -204,7 +206,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_textrank",
     "q_ktruss",
     "q_modularity",
-    "q_louvain_sweep",
 )
 
 
