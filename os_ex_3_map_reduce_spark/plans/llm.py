@@ -4469,46 +4469,85 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_audio_features(docs)
 
 
+# Shared literal ln-table for q_entropy_quality: the r11 driver run
+# proved the old round(c*ln(c), 6) recipe is NOT portable — a 1-ulp
+# libm difference between Spark's JVM log and the driver's DuckDB ln
+# flips a 6th decimal at a rounding knife-edge and the hash with it.
+# Fix (the q_rank_metrics gain-table pattern): both engines read the
+# SAME integer table LNT[k] = round(ln(k)*1e6), KLNT[k] =
+# round(k*ln(k)*1e6) for k in 1.._ENTROPY_LN_MAX, so libm never runs
+# inside either engine. Domain: per-doc token counts are <= 100 at
+# every test scale (measured sf0.001/0.01/0.1); 1024 is a 10x margin,
+# asserted by test_entropy_ln_table_covers_corpus.
+_ENTROPY_LN_MAX = 1024
+
+
+def _entropy_ln_tables() -> tuple[list[int], list[int]]:
+    import math
+
+    ln_mu = [round(math.log(k) * 1e6) for k in range(1, _ENTROPY_LN_MAX + 1)]
+    kln_mu = [
+        round(k * math.log(k) * 1e6) for k in range(1, _ENTROPY_LN_MAX + 1)
+    ]
+    return ln_mu, kln_mu
+
+
+def _entropy_table_sql() -> str:
+    ln_mu, kln_mu = _entropy_ln_tables()
+    rows = ",".join(
+        f"({k + 1},{ln_mu[k]},{kln_mu[k]})" for k in range(_ENTROPY_LN_MAX)
+    )
+    return f"lnt(k, ln_mu, kln_mu) AS (VALUES {rows})"
+
+
 @register(
     "q_entropy_quality",
-    oracle="""
-        WITH w AS (
+    oracle=f"""
+        WITH {_entropy_table_sql()},
+        w AS (
             SELECT doc_id, unnest(list_filter(string_split(text, ' '),
                                               x -> x <> '')) AS w
             FROM documents
         ),
         wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
         terms AS (
-            SELECT doc_id, c,
-                   CAST(round(c * ln(c), 6) AS DECIMAL(18,6)) AS term
-            FROM wc
+            SELECT wc.doc_id, wc.c, lnt.kln_mu
+            FROM wc JOIN lnt ON wc.c = lnt.k
         ),
         agg AS (
             SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
-                   SUM(term) AS s
+                   SUM(kln_mu) AS s_mu
             FROM terms GROUP BY doc_id
         )
-        SELECT doc_id, n_tokens, n_distinct,
-               CAST(CAST(round(ln(n_tokens), 6) AS DECIMAL(18,6)) AS DOUBLE)
-                   - CAST(s AS DOUBLE) / n_tokens AS entropy
-        FROM agg
+        SELECT a.doc_id, a.n_tokens, a.n_distinct,
+               CAST(lnt.ln_mu AS DOUBLE) / 1000000.0
+                   - (CAST(a.s_mu AS DOUBLE) / 1000000.0) / a.n_tokens
+                   AS entropy
+        FROM agg a JOIN lnt ON a.n_tokens = lnt.k
     """,
     doc="Token-distribution Shannon entropy per document — the "
     "classic repetitiveness/quality signal (low entropy = boilerplate "
     "or keyword stuffing, used alongside the Gopher-style ratio rules "
     "in corpus cleaning): H = ln(n) - (1/n) * sum_w c_w ln(c_w), "
     "computed from per-(doc, word) counts in one explode + two "
-    "map-side-combined groupBys, no UDF anywhere. Determinism: each "
-    "c*ln(c) term (and ln(n)) is rounded half-away to 6dp ONCE per "
-    "integer count then summed exactly in DECIMAL(18,6) — the "
-    "q_lm_perplexity ln-ledger recipe (margins measured in tests); "
-    "the final expression is IEEE double arithmetic on identical "
-    "inputs, bit-equal across engines.",
+    "map-side-combined groupBys, no UDF anywhere. Determinism: libm "
+    "never runs in either engine — both read the shared literal "
+    "integer table KLNT[c] = round(c*ln(c)*1e6) / LNT[n] = "
+    "round(ln(n)*1e6) (the q_rank_metrics gain-table pattern, adopted "
+    "after the r11 driver proved the old 6dp-rounding recipe "
+    "non-portable across DuckDB libm builds); sums are exact int64 "
+    "and the final expression is IEEE double arithmetic on identical "
+    "integer inputs, bit-equal across engines.",
 )
 def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    ln_mu, kln_mu = _entropy_ln_tables()
+    # kln_mu spans int32/int64 literals — cast each so the array is
+    # uniformly array<long> (F.array rejects mixed element types).
+    kln_arr = F.array(*[F.lit(v).cast("long") for v in kln_mu])
+    ln_arr = F.array(*[F.lit(v).cast("long") for v in ln_mu])
     toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
     wc = (
         docs.select("doc_id", F.explode(toks).alias("w"))
@@ -4518,20 +4557,24 @@ def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = wc.select(
         "doc_id",
         "c",
-        F.round(F.col("c") * F.log("c"), 6).cast("decimal(18,6)").alias("term"),
+        F.element_at(kln_arr, F.col("c").cast("int"))
+        .cast("long")
+        .alias("kln_mu"),
     )
     agg = terms.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct"),
-        F.sum("term").alias("s"),
+        F.sum("kln_mu").alias("s_mu"),
     )
     return agg.select(
         "doc_id",
         "n_tokens",
         "n_distinct",
         (
-            F.round(F.log("n_tokens"), 6).cast("decimal(18,6)").cast("double")
-            - F.col("s").cast("double") / F.col("n_tokens")
+            F.element_at(ln_arr, F.col("n_tokens").cast("int")).cast("double")
+            / F.lit(1000000.0)
+            - (F.col("s_mu").cast("double") / F.lit(1000000.0))
+            / F.col("n_tokens")
         ).alias("entropy"),
     )
 
