@@ -1150,16 +1150,57 @@ def lsh_search_batch(
     return _batch_score_topk(pruned, Qn, probes, 1 << planes, k, id_col)
 
 
+#: Occupancy-discipline anchors for lsh_bucketed_topk's auto sizing:
+#: at the base corpus size the base geometry (8 tables x 4 planes)
+#: is the measured fixture-recall sweet spot; every doubling of the
+#: corpus beyond the anchor adds one plane per table (holding expected
+#: bucket occupancy CONSTANT, so per-bucket O(occ^2) scoring stays
+#: flat) and adds two tables (recall compensation; see
+#: lsh_auto_geometry for the measured sizing evidence).
+_LSH_BASE_CORPUS = 500
+_LSH_BASE_PLANES = 4
+_LSH_BASE_TABLES = 8
+_LSH_TABLES_PER_PLANE = 2
+_LSH_MAX_PLANES = 24
+
+
+def lsh_auto_geometry(n: int) -> tuple[int, int]:
+    """(num_tables, planes_per_table) for an ``n``-vector corpus under
+    the occupancy-constant discipline recorded by the r11 second-decade
+    draws (bench_lsh_second_decade): fixed bucket counts make occupancy
+    linear in N and the per-bucket matmul quadratic (measured ratio 130
+    at x100); growing planes by log2(N/N0) holds the x100 draw inside
+    the linear budget (measured ratio 3.5, 37x better).
+
+    Table growth is ARITHMETIC (+2 per added plane), not the geometric
+    (3/2)^g the theta~60deg rho-math suggests: measured at sf0.1
+    (n=2000, g=2), recall@20 of the exact top-20 is 9/20 at 8 tables,
+    16/20 at 12, and saturates (16/20) at 18 — the global top pairs
+    get MORE extreme as the corpus grows (max order statistics over
+    ~n^2/2 pair cosines), so per-pair collision probability at the
+    top-k rises with n and geometric table growth overshoots.
+    Arithmetic growth keeps total bucketing work n*(8+2g) within the
+    linear budget at x100 while holding the measured recall."""
+    import math
+
+    g = max(0, int(round(math.log2(max(n, 1) / _LSH_BASE_CORPUS))))
+    g = min(g, _LSH_MAX_PLANES - _LSH_BASE_PLANES)
+    planes = _LSH_BASE_PLANES + g
+    tables = _LSH_BASE_TABLES + _LSH_TABLES_PER_PLANE * g
+    return tables, planes
+
+
 def lsh_bucketed_topk(
     emb_df: DataFrame,
     k: int = 20,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    num_tables: int = 8,
-    planes_per_table: int = 4,
+    num_tables: int | None = None,
+    planes_per_table: int | None = None,
     seed: int = 42,
     dim: int = 64,
     max_bucket: int = 10000,
+    n_estimate: int | None = None,
 ) -> DataFrame:
     """Approximate top-k pairs: multi-table random-hyperplane LSH.
 
@@ -1169,11 +1210,25 @@ def lsh_bucketed_topk(
     ~4% recall — multiple small tables are the correct construction.
     Recall vs :func:`topk_pairs` is measured in tests, not assumed.
 
+    ``num_tables`` / ``planes_per_table`` default to AUTO (r11 verdict
+    #4): :func:`lsh_auto_geometry` derives them from the corpus count
+    (``n_estimate`` if given, else one metadata-cheap ``count()``), so
+    bucket occupancy stays constant as the corpus grows instead of the
+    fixture-tuned fixed geometry that scaled quadratically in the x100
+    draw. Pass both explicitly to freeze a geometry.
+
     Same plan shape as MinHash-LSH (operators/candidates.py): bucket
     ids from one Arrow-batched matmul; only (table, bucket, id) is
     shuffled; pairs generated per bucket; embeddings join back against
     survivors only and are scored by a vectorized cosine kernel.
     """
+    if num_tables is None or planes_per_table is None:
+        n = n_estimate if n_estimate is not None else emb_df.count()
+        auto_tables, auto_planes = lsh_auto_geometry(n)
+        if num_tables is None:
+            num_tables = auto_tables
+        if planes_per_table is None:
+            planes_per_table = auto_planes
     rng = np.random.RandomState(seed)
     planes = rng.randn(num_tables * planes_per_table, dim)
     spark = emb_df.sparkSession

@@ -2156,11 +2156,17 @@ def bench_lsh_second_decade(spark, scaled: str) -> None:
         buy back — the q_ann_lsh_batch dial). The disjoint staging is
         drawn at BOTH plane counts so the quadratic-occupancy term
         and its fix are both on the record."""
+    import shutil
     import tempfile
 
     from os_ex_3_map_reduce_spark.operators.similarity import (
         lsh_bucketed_topk,
     )
+
+    # the ±1 diagonal below uses only the low 7 bits of `copy`: past
+    # 128 copies the sign patterns alias and identical-diagonal copies
+    # silently reintroduce the bucket-collapse artifact (ADVICE r11)
+    assert COPIES <= 128, "diagonal device aliases beyond 128 copies"
 
     base_emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
     copies = F.broadcast(
@@ -2179,8 +2185,6 @@ def bench_lsh_second_decade(spark, scaled: str) -> None:
         )
     )
     d = tempfile.mkdtemp(prefix="osx3_lsh2dec_")
-    big.write.parquet(f"{d}/emb")
-    big_emb = spark.read.parquet(f"{d}/emb")
 
     def draw(label: str, emb, **kw) -> None:
         _materialize(lsh_bucketed_topk(emb, k=20, **kw))  # warm
@@ -2199,13 +2203,34 @@ def bench_lsh_second_decade(spark, scaled: str) -> None:
             flush=True,
         )
 
-    draw("base_planes4", base_emb)
-    draw(f"x{COPIES}_disjoint_planes4", big_emb)
-    # occupancy-constant: 4 + ceil(log2(COPIES)) planes/table
-    import math
+    try:
+        big.write.parquet(f"{d}/emb")
+        big_emb = spark.read.parquet(f"{d}/emb")
 
-    grown = 4 + math.ceil(math.log2(COPIES))
-    draw(f"x{COPIES}_disjoint_planes{grown}", big_emb, planes_per_table=grown)
+        draw("base_planes4", base_emb, num_tables=8, planes_per_table=4)
+        draw(
+            f"x{COPIES}_disjoint_planes4",
+            big_emb,
+            num_tables=8,
+            planes_per_table=4,
+        )
+        # occupancy-constant: 4 + ceil(log2(COPIES)) planes/table,
+        # tables held at 8 (the r11-recorded pure-discipline draw)
+        import math
+
+        grown = 4 + math.ceil(math.log2(COPIES))
+        draw(
+            f"x{COPIES}_disjoint_planes{grown}",
+            big_emb,
+            num_tables=8,
+            planes_per_table=grown,
+        )
+        # r12: the shipped AUTO default (lsh_auto_geometry — planes
+        # grow with log2(n/500), +2 tables per plane) at both scales
+        draw("base_auto", base_emb)
+        draw(f"x{COPIES}_disjoint_auto", big_emb)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def bench_round12c(spark, scaled: str) -> None:
