@@ -1517,12 +1517,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (15000, 350, 479, 0.4429), (15000, 335, 439, 0.4426),
             (15000, 191, 431, 0.4421), (15000, 85, 404, 0.4393),
             (150000, 27, 389, 0.5984), (150000, 108, 649, 0.5318),
-            (150000, 123, 1704, 0.4984), (150000, 274, 873, 0.4936),
+            (150000, 123, 1704, 0.4984), (150000, 402, 1280, 0.5143),
             (150000, 425, 1198, 0.6009), (150000, 442, 531, 0.5016),
-            (150000, 457, 1301, 0.5454), (150000, 491, 1161, 0.4916),
+            (150000, 446, 1293, 0.489), (150000, 457, 1301, 0.5454),
+            (150000, 491, 1161, 0.4916), (150000, 545, 1935, 0.5101),
             (150000, 547, 1903, 0.4979), (150000, 651, 963, 0.5167),
-            (150000, 670, 1641, 0.5254), (150000, 698, 1958, 0.4949),
-            (150000, 747, 844, 0.491), (150000, 970, 1939, 0.5037),
+            (150000, 670, 1641, 0.5254), (150000, 747, 844, 0.491),
             (150000, 990, 1577, 0.5214), (150000, 1133, 1573, 0.5118),
             (150000, 1482, 1899, 0.4914), (150000, 1688, 1739, 0.5011),
             (150000, 1769, 1866, 0.5097), (150000, 1776, 1979, 0.49)
@@ -1540,16 +1540,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r7-recorded value on this host, and HEAD matches the r7 tree "
     "within run-to-run spread. Plan unchanged since r7 except the "
     "pinned oracle registration. SECOND-DECADE finding (r11 "
-    "bench_lsh_second_decade, the one over-budget x100 draw): at the "
-    "default 4 planes/table the table has 16 buckets regardless of "
+    "bench_lsh_second_decade, the one over-budget x100 draw): at a "
+    "FIXED 4 planes/table the table has 16 buckets regardless of "
     "corpus size, so occupancy grows linearly with N and the "
-    "per-bucket O(|bucket|^2) scoring matmul quadratically, until "
-    "max_bucket drops oversized buckets. At 100 TB callers must grow "
-    "planes_per_table by log2(corpus growth) to hold occupancy "
-    "constant — the nlist-grows-with-corpus rule — and buy the "
-    "recall back with more tables or multiprobe (q_ann_lsh_batch's "
-    "dial). Defaults stay fixture-tuned because the pinned oracle "
-    "keys on them.",
+    "per-bucket O(|bucket|^2) scoring matmul quadratically (measured "
+    "ratio 130 at x100 vs the linear budget of 100). Since r12 the "
+    "occupancy discipline IS the default (r11 verdict #4): "
+    "lsh_auto_geometry derives planes/table = 4 + log2(n/500) from a "
+    "corpus-count estimate (the measured x100 discipline draw: ratio "
+    "3.5, 37x better) and buys the recall back with +2 tables per "
+    "added plane (arithmetic, not the rho-math geometric — measured "
+    "recall saturates at 12 tables on the sf0.1 fixture because top "
+    "pairs get more extreme as n grows). Pins re-measured "
+    "tri-scale after the change: sf0.001/0.01 bit-identical (base "
+    "geometry at n=500), sf0.1 re-pinned at 12x6 with recall@20 0.80 "
+    "and n_escaped_top100 still 0.",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1565,7 +1570,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle.partitions 32/7/13 at each sf. n_escaped_top100 = 0 is
     # the subset assertion (every LSH pair ranks within the exact top
     # 100), and recall_at_20 is the seeded-deterministic recall
-    # (15/20 at sf0.001, 17/20 at sf0.01 and sf0.1). The Spark side
+    # (15/20 at sf0.001, 17/20 at sf0.01, 16/20 at sf0.1 under the r12
+    # auto geometry 12 tables x 6 planes). The Spark side
     # COMPUTES all of these by joining LSH output against the exact
     # block outer product — the driver's hash compare fails if recall
     # regresses.
@@ -1576,7 +1582,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(0 AS BIGINT) AS n_escaped_top100,
                CAST(rec AS DOUBLE) AS recall_at_20
         FROM (VALUES
-            (1500, 15, 0.75), (15000, 17, 0.85), (150000, 17, 0.85)
+            (1500, 15, 0.75), (15000, 17, 0.85), (150000, 16, 0.8)
         ) t(sf, hit, rec)
         WHERE sf = (SELECT COUNT(*) FROM orders)
     """,
@@ -5706,15 +5712,15 @@ def q_robust_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(e AS BIGINT) AS n_edges,
                CAST(rc AS BIGINT) AS recall_permille
         FROM (VALUES
-            (1500, 0, 4000, 566),
-            (1500, 1, 4000, 631),
-            (1500, 2, 4000, 659),
-            (15000, 0, 4000, 592),
-            (15000, 1, 4000, 664),
-            (15000, 2, 4000, 689),
+            (1500, 0, 4000, 554),
+            (1500, 1, 4000, 609),
+            (1500, 2, 4000, 634),
+            (15000, 0, 4000, 593),
+            (15000, 1, 4000, 654),
+            (15000, 2, 4000, 671),
             (150000, 0, 16000, 523),
-            (150000, 1, 16000, 568),
-            (150000, 2, 16000, 581)
+            (150000, 1, 16000, 572),
+            (150000, 2, 16000, 582)
         ) t(sf, r, e, rc)
         WHERE sf = (SELECT COUNT(*) FROM orders)
     """,
@@ -5725,26 +5731,26 @@ def q_robust_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "my candidates' — per round one graph self-join (degree^2 per "
     "node, never corpus^2), one Arrow pair-scoring kernel over only "
     "the NEW candidates, one per-src top-k window. Evidence IN-BAND: "
-    "per-round recall of the TRUE top-8 edge set (computed by a "
-    "broadcast-corpus Arrow truth kernel with the same rounding/"
-    "tiebreaks — a fixture-scale evidence device, documented as "
-    "such), in permille by exact integer division. The measured "
+    "per-round recall of the true top-8 edge set on Q=64 STRIDED "
+    "SAMPLE nodes (r11 verdict #5 — the q_ann_pq_recall sampled-truth "
+    "device: exact top-K for the sample via the fused O(Q*n) batch "
+    "kernel, which shares the 4dp rounding and (-cosine, id) "
+    "tiebreaks; the old O(n^2) broadcast-corpus truth kernel is "
+    "gone), in permille by exact integer division. The measured "
     "trajectory (see pins) rises monotonically from the "
     "cluster-then-link baseline toward the true kNN graph — the "
     "reason production graph builds run a couple of NN-descent "
     "sweeps after the cheap bootstrap.",
 )
 def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     from ..operators.nsw import nn_descent, nsw_build
     from ..operators.similarity import (
-        round_half_away,
+        topk_to_query_batch,
         train_centroids_sample,
     )
 
     K = 8
+    Q_SAMPLE = 64
 
     def build() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings").select(
@@ -5754,60 +5760,54 @@ def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = nsw_build(emb, cents, k_graph=K).persist()
         base.count()
 
-        # truth kernel: per-row top-K against the broadcast corpus —
-        # the exact evidence computation (fixture-scale device; at
-        # 100 TB the truth is unknowable, which is the whole reason
-        # NN-descent exists)
-        rows = sorted(
-            emb.collect(), key=lambda r: r.vec_id
+        # sampled truth: exact top-K neighbors for Q strided sample
+        # nodes via the fused batch kernel — O(Q*n) in ONE distributed
+        # scan (broadcast is Q vectors, never the corpus). k=K+1 so
+        # the self-match can be dropped and K true neighbors remain.
+        n_nodes = emb.count()
+        stride = max(1, n_nodes // Q_SAMPLE)
+        src_rows = sorted(
+            emb.where(F.col("vec_id") % stride == 0).collect(),
+            key=lambda r: r.vec_id,
+        )[:Q_SAMPLE]
+        qmap = spark.createDataFrame(
+            [(i, int(r.vec_id)) for i, r in enumerate(src_rows)],
+            "query_id long, src long",
         )
-        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-        M = np.array([r.embedding for r in rows], dtype=np.float64)
-        Mn = M / np.maximum(
-            np.linalg.norm(M, axis=1, keepdims=True), 1e-300
-        )
-        b_corpus = spark.sparkContext.broadcast((ids, Mn))
-
-        def truth(batches):
-            cids, cm = b_corpus.value
-            for pdf in batches:
-                mat = np.array(
-                    list(pdf["embedding"]), dtype=np.float64
-                )
-                n = np.linalg.norm(mat, axis=1, keepdims=True)
-                matn = mat / np.where(n > 0, n, 1.0)
-                sims = round_half_away(matn @ cm.T, 4)
-                out_s, out_d = [], []
-                srcs = pdf["vec_id"].to_numpy()
-                for i, s in enumerate(srcs):
-                    row = sims[i].copy()
-                    row[cids == s] = -2.0
-                    order = np.lexsort((cids, -row))[:K]
-                    out_s.extend([s] * K)
-                    out_d.extend(cids[order])
-                yield pd.DataFrame({"src": out_s, "dst": out_d})
-
-        true_edges = (
-            emb.mapInPandas(truth, "src long, dst long")
+        truth_edges = (
+            topk_to_query_batch(
+                emb, [list(r.embedding) for r in src_rows], k=K + 1
+            )
+            .join(F.broadcast(qmap), "query_id")
+            .where(F.col("vec_id") != F.col("src"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("src").orderBy("rank")
+                ),
+            )
+            .where(F.col("rk") <= K)
+            .select("src", F.col("vec_id").alias("dst"))
             .persist()
         )
-        n_true = true_edges.count()
+        n_true = truth_edges.count()
 
         refined = nn_descent(emb, base, k_graph=K, rounds=2)
         counts = refined._osx3_round_edges  # type: ignore[attr-defined]
 
         # recall per round: re-run the deterministic trajectory
         # round-by-round (rounds are cheap at fixture scale and the
-        # per-round graphs are what the evidence is ABOUT)
+        # per-round graphs are what the evidence is ABOUT); the inner
+        # join on (src, dst) restricts each graph to the sample srcs
         out_rows = []
         for r in range(3):
             g_r = nn_descent(emb, base, k_graph=K, rounds=r)
-            inter = g_r.join(true_edges, ["src", "dst"]).count()
+            inter = g_r.join(truth_edges, ["src", "dst"]).count()
             out_rows.append(
                 (r, int(counts[r]), int((1000 * inter) // n_true))
             )
         base.unpersist()
-        true_edges.unpersist()
+        truth_edges.unpersist()
         return spark.createDataFrame(
             out_rows, "round int, n_edges long, recall_permille long"
         )
