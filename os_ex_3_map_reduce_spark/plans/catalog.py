@@ -74,38 +74,48 @@ def _load_all() -> None:
 #: first, ~30 swaps per round so the stale tail keeps refreshing.
 DRIVER_WINDOW = 50
 
-#: Round-11 priority prefix (exactly DRIVER_WINDOW names). History as
-#: of round-11 start: CORRECTNESS_r10 verified 50/50 green (the entire
-#: r10 window), bringing the external-green union to 176 of 280.
-#: tools/rotation.py reports 104 never-driver-verified names — all
-#: registered during the r10 continuation sessions below the window.
-#: Per the r10 verdict directives #1/#2, this round ROTATES instead of
-#: growing: no new registrations; the window takes the never-verified
-#: backlog in tools/rotation.py order, with the five names whose code
-#: changes THIS round fronted:
-#: - q_bloom_fileskip: bloom_candidates n_probe false-negative fix
-#:   (ADVICE r10 high — COUNT vs COUNT(DISTINCT) on colliding probes).
-#: - q_theil_sen: median selection rewritten from the single-partition
-#:   row_number window to the two-level prefix-sum rank (VERDICT #4).
-#: - q_stream_bm25_ingest: in-query full-rebuild evidence twin moved
-#:   to the test suite; postings_merge made manifest-atomic and
-#:   triggered as the background merge policy (VERDICT #3/#7,
-#:   ADVICE medium).
-#: - q_stream_txn_ingest / q_txn_multitable: FK read-back proof capped
-#:   at the last 2 versions in the timed query; full depth stays in
-#:   tests (VERDICT #6).
-#: Then the first 45 of the 99 remaining never-verified names
-#: (rotation order). The 54 left over sit in DRIVER_R12_QUEUE below,
-#: already in fronting order for round 12; the 34 r7-stale greens
-#: rotate in after the backlog clears (r13+).
-DRIVER_R12_QUEUE: tuple[str, ...] = (
+#: Round-12 priority prefix (exactly DRIVER_WINDOW names). History as
+#: of round-12 start: CORRECTNESS_r11 verified 49/50 green (the one
+#: red, q_entropy_quality, was a hash-only mismatch traced to a
+#: non-portable libm rounding in its oracle — fixed this round with a
+#: shared literal ln-table). Cumulative external-green union: 225 of
+#: 280; 54 names had never had a driver row. Per the r11 verdict
+#: directives #1/#3/#4/#5, this window fronts the four names whose
+#: code or oracle CHANGES this round, then fills with the
+#: never-verified backlog:
+#: - q_entropy_quality: libm removed from the oracle contract (the
+#:   round's red row — lead name per verdict #1).
+#: - q_ann_lsh_topk / q_ann_lsh_recall: lsh_bucketed_topk now defaults
+#:   to the occupancy-constant auto geometry (verdict #4); sf0.1 pins
+#:   re-measured (sf0.001/0.01 bit-identical at the base geometry).
+#: - q_nn_descent: O(n^2) broadcast-corpus truth kernel replaced with
+#:   the sampled-truth device (verdict #5); pins re-measured.
+#: Then 46 of the 54 never-verified names (rotation order, covering
+#: the full versioned-table DML family, the sketch algebra, the six
+#: streaming names, the TPC-H decorrelation family, the graph-stat
+#: and evaluation stacks). The 8 deferred names sit in
+#: DRIVER_R13_QUEUE; the r7-stale greens rotate in after the backlog
+#: clears (r13+).
+DRIVER_R13_QUEUE: tuple[str, ...] = (
+    "q_incremental_join",
+    "q_mixture_waterfill",
+    "q_join_interval",
+    "q_attribution",
+    "q_window_distinct",
+    "q_join_not_in",
+    "q_volume_shipping",
+    "q_skyline_parts",
+)
+DRIVER_PRIORITY: tuple[str, ...] = (
+    "q_entropy_quality",
+    "q_ann_lsh_topk",
+    "q_ann_lsh_recall",
+    "q_nn_descent",
     "q_assortativity",
     "q_landmark_distance",
     "q_harmonic_centrality",
     "q_mor_delete",
     "q_time_travel",
-    "q_incremental_join",
-    "q_mixture_waterfill",
     "q_vt_schema_evolution",
     "q_vt_optimize",
     "q_vt_changes",
@@ -122,12 +132,6 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_sketch_theta_union",
     "q_sketch_quantile_merge",
     "q_sketch_intersect",
-    "q_join_interval",
-    "q_attribution",
-    "q_window_distinct",
-    "q_join_not_in",
-    "q_volume_shipping",
-    "q_skyline_parts",
     "q_cusum_changepoint",
     "q_isotonic_calibration",
     "q_auc_ranks",
@@ -140,8 +144,7 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_pattern_match",
     "q_kendall_tau",
     "q_stream_versioned_ingest",
-    "q_louvain_sweep",  # swapped below-window when the r11
-    # continuation's vt_upsert tag change fronted q_stream_cdc_versioned
+    "q_louvain_sweep",
     "q_stream_kmv_distinct",
     "q_stream_cms_topk",
     "q_stream_semi_join",
@@ -154,58 +157,6 @@ DRIVER_R12_QUEUE: tuple[str, ...] = (
     "q_dormant_balance",
     "q_value_concentration",
     "q_priority_late_orders",
-)
-DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_bloom_fileskip",
-    "q_theil_sen",
-    "q_stream_bm25_ingest",
-    "q_stream_txn_ingest",
-    "q_txn_multitable",
-    "q_stream_cdc_versioned",  # r11 continuation: vt_upsert tag change
-    "q_neardup_linkage",
-    "q_ann_matryoshka",
-    "q_ann_maxsim",
-    "q_kcenter_sample",
-    "q_ann_rerank",
-    "q_bm25_topk",
-    "q_hybrid_rrf",
-    "q_dsir_select",
-    "q_entropy_quality",
-    "q_group_split",
-    "q_ann_filtered",
-    "q_ann_opq_topk",
-    "q_unigram_vocab",
-    "q_image_augment",
-    "q_unigram_encode",
-    "q_compress_quality",
-    "q_image_phash_dedup",
-    "q_ann_nsw_topk",
-    "q_ann_hnsw_topk",
-    "q_robust_prune",
-    "q_nn_descent",
-    "q_ann_nsw_append",
-    "q_ann_diskann",
-    "q_rank_metrics",
-    "q_containment",
-    "q_hard_negatives",
-    "q_mmr_rerank",
-    "q_chunk_overlap",
-    "q_bm25_indexed",
-    "q_bm25_append",
-    "q_phrase_search",
-    "q_prf_expand",
-    "q_corr_matrix",
-    "q_mahalanobis",
-    "q_pmi_collocations",
-    "q_audio_fingerprint",
-    "q_lsh_pr",
-    "q_hits",
-    "q_mis",
-    "q_matching",
-    "q_bfs_multi",
-    "q_textrank",
-    "q_ktruss",
-    "q_modularity",
 )
 
 

@@ -12,19 +12,19 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
 )
 
 # Queries that MUST be inside the verification window this round
-# (round 11: CORRECTNESS_r10 came back 50/50 green, so the old window
-# rotates out wholesale. The only hard pins are the five names whose
-# implementation CHANGES this round — bloom n_probe false-negative
-# fix, Theil-Sen prefix-sum median, BM25-ingest evidence trim +
-# manifest-atomic merge, and the catalog-txn FK read-back cap. The
-# other 45 slots are never-verified backlog fill in tools/rotation.py
-# order — policy, not a hard requirement, so not pinned here.)
+# (round 12: CORRECTNESS_r11 came back 49/50 — the hard pins are the
+# round's red row, fixed this round with the libm-free literal-table
+# oracle, plus the three names whose implementation or pins CHANGE
+# this round: the LSH auto-geometry default re-pinned the sf0.1 rows
+# of both LSH queries, and nn_descent's truth kernel moved to the
+# sampled-truth device. The other 46 slots are never-verified backlog
+# fill in tools/rotation.py order — policy, not a hard requirement,
+# so not pinned here.)
 MUST_BE_IN_WINDOW = {
-    "q_bloom_fileskip",
-    "q_theil_sen",
-    "q_stream_bm25_ingest",
-    "q_stream_txn_ingest",
-    "q_txn_multitable",
+    "q_entropy_quality",
+    "q_ann_lsh_topk",
+    "q_ann_lsh_recall",
+    "q_nn_descent",
 }
 
 
@@ -74,13 +74,13 @@ def test_generated_docs_in_sync_with_registry():
         assert phrase in readme, f"README.md stale: expected {phrase!r}"
 
 
-def test_r12_queue_names_registered_and_below_window():
-    """Late-round registrations parked below the verification window
-    (the r9 precedent) must exist in the registry and must NOT occupy
-    window slots — they are queued for fronting next rotation."""
-    from os_ex_3_map_reduce_spark.plans.catalog import DRIVER_R12_QUEUE
+def test_r13_queue_names_registered_and_below_window():
+    """Names deferred below the verification window (the r9 precedent)
+    must exist in the registry and must NOT occupy window slots — they
+    are queued for fronting next rotation."""
+    from os_ex_3_map_reduce_spark.plans.catalog import DRIVER_R13_QUEUE
 
     qs = set(all_queries())
-    for name in DRIVER_R12_QUEUE:
+    for name in DRIVER_R13_QUEUE:
         assert name in qs, name
         assert name not in DRIVER_PRIORITY, name
