@@ -444,9 +444,19 @@ def postings_vacuum(path: str) -> list[int]:
     """Sweep ORPHAN segment dirs — ones present on disk but absent
     from the MANIFEST (left by a crash between a segment write and
     its manifest publish, or between a merge's publish and its
-    old-dir removals). Safe because readers only ever see manifest
-    segments. Returns the swept ids."""
+    old-dir removals). Safe for READERS because they only ever see
+    manifest segments; NOT safe concurrently with WRITERS (ADVICE
+    r11, same constraint vt_vacuum documents): an in-flight
+    postings_write/merge's freshly written segment dir is an "orphan"
+    until its manifest publishes, so a simultaneous vacuum would
+    sweep it out from under the committer — run in a maintenance
+    window. Manifest STAGINGS get an mtime age floor as a second
+    guard (a live publisher's staging is seconds old; crash debris is
+    not). Returns the swept segment ids."""
     import shutil
+    import time as _time
+
+    from ..sources.versioned import _STAGING_AGE_FLOOR_SEC
 
     live = set(segment_ids(path))
     root = f"{path}/segments"
@@ -459,9 +469,15 @@ def postings_vacuum(path: str) -> list[int]:
         shutil.rmtree(f"{root}/{i}")
     # manifest stagings a crash left behind (invisible to readers —
     # the live MANIFEST is a different name — but sweepable garbage)
+    now = _time.time()
     for f in os.listdir(path):
         if f.startswith("MANIFEST.tmp."):
-            os.unlink(os.path.join(path, f))
+            fp = os.path.join(path, f)
+            try:
+                if now - os.path.getmtime(fp) >= _STAGING_AGE_FLOOR_SEC:
+                    os.unlink(fp)
+            except FileNotFoundError:
+                pass  # another maintenance pass got there first
     return orphans
 
 

@@ -54,12 +54,19 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFESTS = "_manifests"
+#: vt_vacuum only collects commit stagings at least this old: a
+#: younger *.tmp.* may be a LIVE in-flight commit's staging (sweeping
+#: it would crash the committer mid-publish instead of giving it a
+#: clean conflict); crashed commits stop touching theirs, so age is
+#: the discriminator (the Delta retention-window idea, scaled down).
+_STAGING_AGE_FLOOR_SEC = 300
 
 
 def _manifest_file(path: str, version: int) -> str:
@@ -499,11 +506,25 @@ def vt_vacuum(path: str, keep_last: int = 2) -> dict:
             os.remove(f)
             deleted += 1
     # manifest stagings a crashed commit left behind (invisible to
-    # readers — _versions() only matches v*.json — but sweepable)
-    for t in glob.glob(f"{path}/{_MANIFESTS}/*.tmp.*") + glob.glob(
-        f"{path}/{_BRANCHES}/*/*.tmp.*"
+    # readers — _versions() only matches v*.json — but sweepable).
+    # All three publish roots are swept, including _tags (vt_tag also
+    # stages via _commit_to — ADVICE r11). An AGE FLOOR guards each
+    # unlink: a staging younger than the floor may belong to a LIVE
+    # in-flight commit, and sweeping it would make that committer's
+    # os.link publish fail with FileNotFoundError instead of a clean
+    # conflict — only stale debris (crashed commits by definition
+    # stopped touching their staging) is old enough to collect.
+    now = time.time()
+    for t in (
+        glob.glob(f"{path}/{_MANIFESTS}/*.tmp.*")
+        + glob.glob(f"{path}/{_BRANCHES}/*/*.tmp.*")
+        + glob.glob(f"{path}/{_TAGS}/*.tmp.*")
     ):
-        os.remove(t)
+        try:
+            if now - os.path.getmtime(t) >= _STAGING_AGE_FLOOR_SEC:
+                os.remove(t)
+        except FileNotFoundError:
+            pass  # another maintenance pass got there first
     return {
         "versions_dropped": len(drop),
         "files_deleted": deleted,

@@ -163,6 +163,55 @@ class TestVersionedBranch:
         assert r2["files_deleted"] > 0
         assert r2["files_kept"] < r1["files_kept"]
 
+    def test_vacuum_staging_sweep_age_floor(self, spark, tmp_path):
+        """ADVICE r11: the crashed-staging sweep must cover all THREE
+        publish roots (_manifests, _branches, _tags — vt_tag stages
+        through the same _commit_to) and must NOT unlink a FRESH
+        staging, which may belong to a live in-flight commit whose
+        os.link publish would then die with FileNotFoundError instead
+        of a clean version conflict."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            _STAGING_AGE_FLOOR_SEC,
+            vt_branch,
+            vt_tag,
+            vt_vacuum,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark.range(0, 20).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+            ),
+            path,
+            "k",
+            nbuckets=2,
+        )
+        vt_branch(path, "exp")
+        vt_tag(path, "rel1")
+
+        stale, fresh = [], []
+        for d in ("_manifests", "_branches/exp", "_tags"):
+            s = f"{path}/{d}/v000009.json.tmp.deadbeef"
+            open(s, "w").write("{}")
+            old = __import__("time").time() - _STAGING_AGE_FLOOR_SEC - 60
+            os.utime(s, (old, old))
+            stale.append(s)
+            fr = f"{path}/{d}/v000010.json.tmp.cafe"
+            open(fr, "w").write("{}")
+            fresh.append(fr)
+
+        vt_vacuum(path, keep_last=1)
+        for s in stale:
+            assert not os.path.exists(s), f"stale staging kept: {s}"
+        for fr in fresh:
+            assert os.path.exists(fr), f"live staging swept: {fr}"
+            os.remove(fr)
+
     def test_tags_pin_snapshots_and_root_the_vacuum(self, spark, tmp_path):
         """vt_tag: an immutable named snapshot that survives main-chain
         retention (the released-dataset pin); dropping the tag frees

@@ -3504,6 +3504,25 @@ def test_postings_manifest_atomicity_orphans_invisible(spark, tmp_path):
     assert not (tmp_path / "idx" / "segments" / "7").exists()
     assert segment_ids(path) == [0]
 
+    # staging sweep honors the age floor (ADVICE r11): stale crash
+    # debris goes, a fresh staging (possibly a live publisher's) stays
+    import os
+    import time
+
+    from os_ex_3_map_reduce_spark.sources.versioned import (
+        _STAGING_AGE_FLOOR_SEC,
+    )
+
+    stale = f"{path}/MANIFEST.tmp.dead"
+    fresh = f"{path}/MANIFEST.tmp.cafe"
+    open(stale, "w").write("{}")
+    open(fresh, "w").write("{}")
+    old = time.time() - _STAGING_AGE_FLOOR_SEC - 60
+    os.utime(stale, (old, old))
+    postings_vacuum(path)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+
 
 def test_phrase_occurrences_adjacency_and_order(spark):
     """Phrase matching is positional: co-presence is not enough, order
