@@ -85,6 +85,30 @@ def test_lsh_topk_recall_measured(spark):
     assert recall >= 0.5, f"LSH top-k recall {recall:.2f} below floor"
 
 
+def test_lsh_auto_geometry_discipline():
+    """The r12 default (r11 verdict #4): geometry derives from the
+    corpus count — base 8x4 at the anchor, one plane per corpus
+    doubling (occupancy held constant), +2 tables per added plane
+    (measured recall compensation), clamped at 24 planes."""
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        lsh_auto_geometry,
+    )
+
+    assert lsh_auto_geometry(500) == (8, 4)  # anchor: base geometry
+    assert lsh_auto_geometry(1) == (8, 4)  # tiny corpora never shrink
+    assert lsh_auto_geometry(2000) == (12, 6)  # sf0.1: the pinned run
+    tables, planes = lsh_auto_geometry(500 * 2**9)
+    assert planes == 4 + 9 and tables == 8 + 18
+    # clamp: planes cap at 24, tables cap with them
+    assert lsh_auto_geometry(10**12) == (8 + 2 * 20, 24)
+    # monotone non-decreasing in n
+    prev = (0, 0)
+    for n in (100, 500, 1000, 4000, 64_000, 10**6, 10**9):
+        g = lsh_auto_geometry(n)
+        assert g >= prev
+        prev = g
+
+
 def test_block_pairs_survive_empty_blocks(spark):
     """n < num_blocks guarantees empty blocks under pmod(xxhash64(id), B);
     empty-sided block-pair groups must be filtered out, not crash the
