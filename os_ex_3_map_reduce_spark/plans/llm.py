@@ -4550,10 +4550,13 @@ def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     ln_mu, kln_mu = _entropy_ln_tables()
-    # kln_mu spans int32/int64 literals — cast each so the array is
-    # uniformly array<long> (F.array rejects mixed element types).
-    kln_arr = F.array(*[F.lit(v).cast("long") for v in kln_mu])
-    ln_arr = F.array(*[F.lit(v).cast("long") for v in ln_mu])
+    # F.lit(list) — ONE ArrayType Literal, not F.array(*1024 lits):
+    # CreateArray of 1024 elements is rebuilt per row in codegen and
+    # measured 2.5x slower on the sf0.1 corpus (12.8/5.4/4.6 s vs
+    # 2.0/1.9/2.0 s warm); a Literal is a true constant. The cast
+    # unifies the int32/int64 literal split in kln_mu.
+    kln_arr = F.lit([int(v) for v in kln_mu]).cast("array<bigint>")
+    ln_arr = F.lit([int(v) for v in ln_mu]).cast("array<bigint>")
     toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
     wc = (
         docs.select("doc_id", F.explode(toks).alias("w"))
