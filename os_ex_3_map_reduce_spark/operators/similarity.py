@@ -354,16 +354,24 @@ def train_centroids_sample(
             )
     X = X / norms
     rng = np.random.RandomState(seed)
-    # seeded k-means++ init (D² sampling over the ordered sample)
+    # seeded k-means++ init (D² sampling over the ordered sample).
+    # d2 is maintained INCREMENTALLY — np.minimum against the newest
+    # centroid only — which is bit-identical to re-minimizing over all
+    # centroids (elementwise float min is associative) but O(k·n·d)
+    # instead of the O(k²·n·d) rescan-everything form: at nlist=1600
+    # (the x100 occupancy-constant geometry) the rescan was ~1e15
+    # driver flops — the r12 HNSW second-decade draw hung on it.
     cents = [X[rng.randint(len(X))]]
+    d2 = ((X - cents[0]) ** 2).sum(axis=1)
     for _ in range(nlist - 1):
-        d2 = np.min(np.stack([((X - c) ** 2).sum(axis=1) for c in cents]), axis=0)
         tot = d2.sum()
         # tot == 0 once every distinct point is already a centroid
         # (sample smaller than nlist): fall back to a uniform draw —
         # duplicate seeds, surplus lists stay empty, assignment total
         p = d2 / tot if tot > 0 else None
-        cents.append(X[rng.choice(len(X), p=p)])
+        c = X[rng.choice(len(X), p=p)]
+        cents.append(c)
+        d2 = np.minimum(d2, ((X - c) ** 2).sum(axis=1))
     C = np.stack(cents)
     for _ in range(max_iter):
         a = (X @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)

@@ -2233,6 +2233,117 @@ def bench_lsh_second_decade(spark, scaled: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bench_hnsw_second_decade(spark, scaled: str) -> None:
+    """x100 draw for the NSW/HNSW build+search under the
+    nlist-grows-with-corpus discipline (run with SCALE_COPIES=100).
+
+    PLANS.md's round-11h row carries a standing caveat: the HNSW
+    pipeline's 10x ratio (1.59-1.64) includes a fixed-nlist quadratic
+    build term because the CATALOG query pins nlist=16 — 'production
+    scales nlist with the corpus', asserted but never measured. This
+    draw measures it, mirroring the LSH decomposition: disjoint
+    ±1-diagonal staging (within-copy cosines exact), base at the
+    fixture geometry, x100 at occupancy-constant nlist = 16 x COPIES.
+
+    The fixed-nlist x100 draw is NOT taken, by arithmetic rather than
+    cowardice: top-2-list membership puts ~2n/nlist members per list,
+    so at 200k vectors and nlist=16 the per-list link kernel holds a
+    25k x 25k double matrix (~5 GB per task, 16 concurrent) and
+    ~6e14 flops — the quadratic is the reason the discipline exists.
+    A JSON line records the skipped draw's arithmetic instead."""
+    import shutil
+    import tempfile
+
+    from os_ex_3_map_reduce_spark.operators.nsw import (
+        nsw_build,
+        nsw_search_batch,
+    )
+    from os_ex_3_map_reduce_spark.operators.similarity import (
+        train_centroids_sample,
+    )
+
+    assert COPIES <= 128, "diagonal device aliases beyond 128 copies"
+
+    base_emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    copies = F.broadcast(
+        spark.range(COPIES).select(F.col("id").alias("copy"))
+    )
+    big = base_emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, j) -> x * CAST("
+            "1 - 2 * ((copy >> (j % 7)) & 1) AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    d = tempfile.mkdtemp(prefix="osx3_hnsw2dec_")
+
+    def draw(label: str, emb, nlist: int, sample_n: int) -> None:
+        qvs = [
+            [float(x) for x in r.embedding]
+            for r in sorted(
+                emb.where(F.col("vec_id") < 3).collect(),
+                key=lambda r: r.vec_id,
+            )
+        ]
+        for timed in (False, True):  # warm run then timed run
+            t0 = time.perf_counter()
+            cents = train_centroids_sample(emb, nlist, sample_n=sample_n)
+            graph = nsw_build(emb, cents, k_graph=8).persist()
+            graph.count()
+            t_build = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = nsw_search_batch(emb, graph, qvs, k=5, beam=16, max_hops=8)
+            _materialize(out)
+            t_search = time.perf_counter() - t0
+            hops = out._osx3_hops
+            graph.unpersist()
+            if timed:
+                print(
+                    json.dumps(
+                        {
+                            "query": "hnsw_second_decade",
+                            "label": label,
+                            "nlist": nlist,
+                            "build_sec": round(t_build, 3),
+                            "search_sec": round(t_search, 3),
+                            "hops": int(hops),
+                            "corpus_rows": emb.count(),
+                        }
+                    ),
+                    flush=True,
+                )
+
+    try:
+        big.write.parquet(f"{d}/emb")
+        big_emb = spark.read.parquet(f"{d}/emb")
+        n_big = big_emb.count()
+        occ = 2 * n_big // 16
+        print(
+            json.dumps(
+                {
+                    "query": "hnsw_second_decade",
+                    "label": f"x{COPIES}_nlist16_SKIPPED",
+                    "why": "fixed nlist=16 at x100: per-list link "
+                    f"matrix {occ}x{occ} doubles ~"
+                    f"{occ * occ * 8 / 2**30:.1f} GiB/task x16 tasks, "
+                    f"~{16 * occ * occ * 64:.1e} flops — the quadratic "
+                    "the discipline removes",
+                }
+            ),
+            flush=True,
+        )
+        draw("base_nlist16", base_emb, nlist=16, sample_n=512)
+        grown = 16 * COPIES
+        draw(
+            f"x{COPIES}_nlist{grown}",
+            big_emb,
+            nlist=grown,
+            sample_n=4 * grown,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def bench_round12c(spark, scaled: str) -> None:
     """10x draws for the fifth continuation's late batch. Fact-side
     ops draw against the rel10 staging (orders/lineitem x10, dims and
