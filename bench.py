@@ -266,6 +266,19 @@ BREADTH = [
     "q_value_concentration",
     "q_priority_late_orders",
     "q_kendall_tau",
+    # round-12 window completion: every DRIVER_PRIORITY name is timed
+    # so BENCH_r12 carries the rotated backlog's evidence
+    "q_mor_delete",
+    "q_vt_schema_evolution",
+    "q_vt_optimize",
+    "q_vt_changes",
+    "q_vt_fileskip",
+    "q_sketch_theta_union",
+    "q_sketch_quantile_merge",
+    "q_sketch_intersect",
+    "q_stream_kmv_distinct",
+    "q_stream_cms_topk",
+    "q_stream_semi_join",
 ]
 
 
