@@ -318,6 +318,24 @@ def _calibrate(spark) -> dict:
     }
 
 
+def _canary_probe(spark) -> float:
+    """One cheap mid-sweep re-probe of the calibration op (min-of-2).
+
+    The start-of-run canary is a blind spot the driver hit twice:
+    BENCH_r10 and BENCH_r12 both read a healthy canary, then the breadth
+    segment ran ~3x slow under an ambient throttle the single probe
+    never saw (r12 verdict #3). Re-probing at every hygiene boundary
+    stamps each breadth SEGMENT with its own host-speed evidence, so
+    tools/bench_compare.py can normalize per-segment and flag polluted
+    windows instead of reading them as code regressions."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id)").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
     _materialize(fn(spark, sf_dir))  # per-query warm-up (untimed)
     best = float("inf")
@@ -386,6 +404,8 @@ def main() -> None:
     # untimed warm-up re-materializes any shared relation before its
     # timed runs, so the clear never lands inside a measurement.
     clear_every = int(os.environ.get("BENCH_CLEAR_EVERY", "8"))
+    segment_canaries: list[float] = []
+    query_segments: dict[str, int] = {}
     for i, qname in enumerate(BREADTH):
         if qname not in qs:
             continue
@@ -399,10 +419,27 @@ def main() -> None:
                 time.sleep(0.5)
             except Exception:  # noqa: BLE001 — hygiene is best-effort
                 pass
+        # per-segment host-speed canary (r12 verdict #4): stamp each
+        # hygiene window with its own probe, taken right after the
+        # clear so it never lands inside a measurement
+        seg = i // clear_every if clear_every else 0
+        while len(segment_canaries) <= seg:
+            try:
+                segment_canaries.append(_canary_probe(spark))
+            except Exception:  # noqa: BLE001 — evidence is best-effort
+                segment_canaries.append(float("nan"))
+        query_segments[qname] = seg
         try:
             timings[qname] = round(_time_query(qs[qname], spark, SF_DIR, RUNS), 4)
         except Exception as ex:  # noqa: BLE001
             errors[qname] = f"{type(ex).__name__}: {ex}"[:300]
+    # closing probe: bounds the LAST segment from both sides, so a
+    # throttle that began mid-sweep is visible even if it started after
+    # the final boundary probe
+    try:
+        segment_canaries.append(_canary_probe(spark))
+    except Exception:  # noqa: BLE001
+        pass
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -428,10 +465,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_normalized_by_calibration": normalized,
+        "segment_canaries": segment_canaries,
+        "query_segments": query_segments,
         "sf": sf_val,
         "methodology": f"headline median-of-{HEADLINE_RUNS}, "
         f"breadth best-of-{RUNS}, warm; clearCache+gc+settle every "
-        f"{int(os.environ.get('BENCH_CLEAR_EVERY', '8'))} breadth queries",
+        f"{int(os.environ.get('BENCH_CLEAR_EVERY', '8'))} breadth queries; "
+        "segment_canaries[i] = min-of-2 host probe at breadth segment i's "
+        "start (one trailing probe closes the last segment); "
+        "query_segments maps each breadth query to its segment",
         "noise_rel_halfspread": round(max(spreads), 4) if spreads else 0.0,
         "calibration": calibration,
     }
@@ -453,6 +495,7 @@ def main() -> None:
                 "headline": {m: timings[m] for m in HEADLINE if m in timings},
                 "noise_rel_halfspread": out["noise_rel_halfspread"],
                 "calibration": calibration,
+                "segment_canaries": segment_canaries,
                 "n_breadth_queries_timed": len(
                     [q for q in timings if q not in HEADLINE]
                 ),

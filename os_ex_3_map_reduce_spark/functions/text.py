@@ -24,11 +24,39 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"]
 
 
+#: The cross-engine tokenizer contract, as DuckDB SQL. Every oracle that
+#: tokenizes ``documents.text`` MUST use this exact form so that the two
+#: engines can never disagree on token boundaries, whatever whitespace
+#: the corpus contains. See :func:`tokens` for the history.
+TOKENS_SQL = "list_filter(string_split({col}, ' '), x -> x <> '')"
+
+
+def tokens_sql(col: str = "text") -> str:
+    """The oracle-side twin of :func:`tokens` (DuckDB SQL fragment)."""
+    return TOKENS_SQL.format(col=col)
+
+
 def tokens(text_col: str | Column = "text") -> Column:
-    """Whitespace tokenization (the fixture's texts are single-space
-    separated; split on runs of whitespace to be robust)."""
+    """Shared tokenizer contract: split on a SINGLE LITERAL SPACE and
+    drop empty tokens.
+
+    This is deliberately NOT ``\\s+``: the r12 driver run proved that
+    pairing a Java-regex ``\\s+`` splitter in Spark with a literal
+    ``string_split(text, ' ')`` in the DuckDB oracles is a latent
+    divergence class — the two agree only while the corpus happens to
+    contain no tabs/newlines/unicode whitespace, and a fixture
+    regeneration with one stray tab flips every token-count hash at
+    once (q_entropy_quality's r12 red row). Regex shorthand classes
+    are themselves engine-specific (Java ``\\s`` includes U+000B, RE2's
+    does not), so the contract avoids regex entirely: one literal
+    space, empties filtered. Both engines implement it exactly —
+    Spark here, DuckDB via :data:`TOKENS_SQL` — and runs of spaces /
+    leading / trailing whitespace behave identically by construction.
+    ``tests/test_tokenizer_contract.py`` holds the adversarial parity
+    property test.
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.split(c, r"\s+")
+    return F.filter(F.split(c, " ", -1), lambda t: t != F.lit(""))
 
 
 def bpe_ish_tokens(text_col: str | Column = "text") -> Column:

@@ -116,7 +116,7 @@ def _shingle_sig_udf(num_hashes: int, shingle_n: int, mode: str = "word"):
                 if mode == "char":
                     units: list[str] = list(t) if t else []
                 else:
-                    units = t.split(" ") if t else []
+                    units = [w for w in t.split(" ") if w] if t else []
                 if len(units) < shingle_n:
                     out_sh.append([])
                     out_sig.append([])

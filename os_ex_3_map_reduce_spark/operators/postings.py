@@ -456,7 +456,7 @@ def postings_vacuum(path: str) -> list[int]:
     import shutil
     import time as _time
 
-    from ..sources.versioned import _STAGING_AGE_FLOOR_SEC
+    from ..sources.versioned import STAGING_AGE_FLOOR_SEC
 
     live = set(segment_ids(path))
     root = f"{path}/segments"
@@ -474,7 +474,7 @@ def postings_vacuum(path: str) -> list[int]:
         if f.startswith("MANIFEST.tmp."):
             fp = os.path.join(path, f)
             try:
-                if now - os.path.getmtime(fp) >= _STAGING_AGE_FLOOR_SEC:
+                if now - os.path.getmtime(fp) >= STAGING_AGE_FLOOR_SEC:
                     os.unlink(fp)
             except FileNotFoundError:
                 pass  # another maintenance pass got there first

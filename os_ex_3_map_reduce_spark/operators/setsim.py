@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
+
 def _shingles():
     """3-token word shingles, identical to the MinHash path and to the
     oracle's _SHINGLE_SQL (DuckDB t[i] is 1-based, as is element_at).
@@ -56,7 +58,7 @@ def _shingles():
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingle) rows: distinct word-3-gram shingles per document."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__t"))
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
         .where(F.size("__t") >= 3)
         .select("doc_id", F.explode(_shingles()).alias("s"))
     )

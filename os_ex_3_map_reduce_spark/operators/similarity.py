@@ -1191,7 +1191,14 @@ def lsh_auto_geometry(n: int) -> tuple[int, int]:
     linear budget at x100 while holding the measured recall."""
     import math
 
-    g = max(0, int(round(math.log2(max(n, 1) / _LSH_BASE_CORPUS))))
+    # floor, not round (ADVICE r12): "one plane per corpus DOUBLING"
+    # means the geometry steps exactly at n = N0 * 2^g. round() stepped
+    # at ~0.707x of each doubling (n=708 already drew 10x5), so a
+    # corpus count hovering near that off-contract boundary — or a
+    # count() vs n_estimate mismatch of a few rows — could flip the
+    # pinned deterministic output. floor matches the documented
+    # discipline and is stable until the corpus actually doubles.
+    g = max(0, int(math.floor(math.log2(max(n, 1) / _LSH_BASE_CORPUS))))
     g = min(g, _LSH_MAX_PLANES - _LSH_BASE_PLANES)
     planes = _LSH_BASE_PLANES + g
     tables = _LSH_BASE_TABLES + _LSH_TABLES_PER_PLANE * g

@@ -74,89 +74,85 @@ def _load_all() -> None:
 #: first, ~30 swaps per round so the stale tail keeps refreshing.
 DRIVER_WINDOW = 50
 
-#: Round-12 priority prefix (exactly DRIVER_WINDOW names). History as
-#: of round-12 start: CORRECTNESS_r11 verified 49/50 green (the one
-#: red, q_entropy_quality, was a hash-only mismatch traced to a
-#: non-portable libm rounding in its oracle — fixed this round with a
-#: shared literal ln-table). Cumulative external-green union: 225 of
-#: 280; 54 names had never had a driver row. Per the r11 verdict
-#: directives #1/#3/#4/#5, this window fronts the four names whose
-#: code or oracle CHANGES this round, then fills with the
-#: never-verified backlog:
-#: - q_entropy_quality: libm removed from the oracle contract (the
-#:   round's red row — lead name per verdict #1).
-#: - q_ann_lsh_topk / q_ann_lsh_recall: lsh_bucketed_topk now defaults
-#:   to the occupancy-constant auto geometry (verdict #4); sf0.1 pins
-#:   re-measured (sf0.001/0.01 bit-identical at the base geometry).
-#: - q_nn_descent: O(n^2) broadcast-corpus truth kernel replaced with
-#:   the sampled-truth device (verdict #5); pins re-measured.
-#: Then 46 of the 54 never-verified names (rotation order, covering
-#: the full versioned-table DML family, the sketch algebra, the six
-#: streaming names, the TPC-H decorrelation family, the graph-stat
-#: and evaluation stacks). The 8 deferred names sit in
-#: DRIVER_R13_QUEUE; the r7-stale greens rotate in after the backlog
-#: clears (r13+).
-DRIVER_R13_QUEUE: tuple[str, ...] = (
-    "q_incremental_join",
-    "q_mixture_waterfill",
-    "q_join_interval",
-    "q_attribution",
-    "q_window_distinct",
-    "q_join_not_in",
-    "q_volume_shipping",
-    "q_skyline_parts",
-)
+#: Round-13 priority prefix. History as of round-13 start:
+#: CORRECTNESS_r12 verified 49/50 green; cumulatively 272/280 names have
+#: a driver row and 271 have been green at least once. The only
+#: ever-red name, q_entropy_quality, was root-caused this round to the
+#: tokenizer-contract asymmetry (Spark regex \s+ vs the oracles'
+#: literal-space string_split) — fixed catalog-wide: functions/text.py
+#: tokens() is now the literal-space/filter-empties contract, every
+#: tokenizing oracle uses the same filtered form, the query's output is
+#: pure integer, and tests/test_tokenizer_contract.py holds the
+#: adversarial-whitespace parity property test. Window layout (per the
+#: r12 verdict directives #1/#3):
+#: 1. q_entropy_quality — the lead name; green here closes the
+#:    project's last red.
+#: 2. q_whitespace_audit — NEW corpus-drift tripwire (verdict #5):
+#:    exact integer whitespace/token-count evidence that localizes any
+#:    future fixture drift in one read.
+#: 3-10. The 8 never-rowed E6 names (the r12 DRIVER_R13_QUEUE) — green
+#:    rows here complete 280/280 externally-rowed coverage.
+#: 11-50. The tokenizing queries whose oracle/implementation changed in
+#:    this round's splitter sweep, oldest external verdict first (r7 →
+#:    r11). Six changed names overflow the 50-window and are pinned
+#:    immediately after it (positions 51-56) so r14 fronts them first.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q_entropy_quality",
-    "q_ann_lsh_topk",
-    "q_ann_lsh_recall",
-    "q_nn_descent",
-    "q_assortativity",
-    "q_landmark_distance",
-    "q_harmonic_centrality",
-    "q_mor_delete",
-    "q_time_travel",
-    "q_vt_schema_evolution",
-    "q_vt_optimize",
-    "q_vt_changes",
-    "q_vt_fileskip",
-    "q_vt_branch",
-    "q_gdpr_erasure",
-    "q_vt_restore",
-    "q_hilbert_layout",
-    "q_hilbert3d",
-    "q_bitemporal",
-    "q_k_anonymity",
-    "q_mapreduce_secondary_sort",
-    "q_regional_volume",
-    "q_sketch_theta_union",
-    "q_sketch_quantile_merge",
-    "q_sketch_intersect",
-    "q_cusum_changepoint",
-    "q_isotonic_calibration",
-    "q_auc_ranks",
-    "q_apriori_itemsets",
-    "q_anova_hourofday",
-    "q_cuped",
-    "q_kaplan_meier",
-    "q_lift_deciles",
-    "q_ivm_join_agg",
-    "q_pattern_match",
-    "q_kendall_tau",
-    "q_stream_versioned_ingest",
-    "q_louvain_sweep",
-    "q_stream_kmv_distinct",
-    "q_stream_cms_topk",
-    "q_stream_semi_join",
+    "q_whitespace_audit",
+    "q_attribution",
+    "q_incremental_join",
+    "q_join_interval",
+    "q_join_not_in",
+    "q_mixture_waterfill",
+    "q_skyline_parts",
+    "q_volume_shipping",
+    "q_window_distinct",
+    "q_mapreduce_wordcount",
+    "q_setsim_prefix",
+    "q_simhash_neardup",
+    "q_contamination",
+    "q_dedup_exact",
+    "q_fingerprint",
+    "q_fingerprint_rolling",
+    "q_job_control",
+    "q_lang_id",
+    "q_minhash_neardup",
+    "q_neardup_components",
+    "q_neardup_editdist",
+    "q_normalize_text",
+    "q_pipeline_clean_corpus",
+    "q_repetition",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_token_stats",
+    "q_udtf_bigrams",
+    "q_wordcount",
+    "q_dedup_keep_best",
+    "q_mapreduce_key_equiv",
+    "q_pack_chunks",
+    "q_tf_df",
+    "q_token_stats_bpe",
+    "q_cc_starcontract",
+    "q_chi2_terms",
+    "q_dedup_ingest",
+    "q_lm_perplexity",
+    "q_stream_dedup_ingest",
+    "q_substring_dupes",
+    "q_bm25_append",
+    "q_bm25_indexed",
+    "q_bm25_topk",
+    "q_chunk_overlap",
+    "q_containment",
+    "q_dsir_select",
+    "q_group_split",
+    "q_hybrid_rrf",
+    "q_neardup_linkage",
+    "q_phrase_search",
+    "q_pmi_collocations",
+    "q_prf_expand",
+    "q_stream_bm25_ingest",
+    "q_textrank",
     "q_stream_standing_query",
-    "q_stream_maxsim",
-    "q_cust_order_distribution",
-    "q_small_qty_revenue",
-    "q_large_orders",
-    "q_waiting_suppliers",
-    "q_dormant_balance",
-    "q_value_concentration",
-    "q_priority_late_orders",
 )
 
 

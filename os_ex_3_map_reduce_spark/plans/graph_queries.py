@@ -26,6 +26,7 @@ from ..operators.graph import (
     sssp_weighted_eager,
     triangle_counts,
 )
+from ..functions.text import tokens
 from ..sources.tables import load_table
 from .catalog import register
 from .llm import _cached_df
@@ -1090,7 +1091,7 @@ def _textrank_oracle() -> str:
     cte = [
         """
         WITH toks AS (
-            SELECT string_split(text, ' ') AS t FROM documents
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         arcs AS MATERIALIZED (
             SELECT DISTINCT p.s AS src, p.d AS dst
@@ -1162,7 +1163,7 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         pairs = (
-            docs.select(F.split("text", " ").alias("t"))
+            docs.select(tokens("text").alias("t"))
             .select(
                 F.explode(
                     F.expr(

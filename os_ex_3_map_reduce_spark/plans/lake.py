@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.text import tokens
 from ..operators.layout import zorder_value
 from ..sources.tables import load_table
 from .catalog import register
@@ -424,7 +425,7 @@ def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_chi2_terms",
     oracle="""
         WITH dt AS (
-            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w,
+            SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
             FROM documents
         ),
@@ -472,7 +473,7 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = (
         docs.select(
             "doc_id",
-            F.explode(F.split("text", " ")).alias("w"),
+            F.explode(tokens("text")).alias("w"),
             F.when(F.col("lang") == "en", 1).otherwise(0).alias("en"),
         )
         .distinct()

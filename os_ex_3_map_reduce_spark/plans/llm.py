@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -176,7 +176,7 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     oracle="""
         WITH keyed AS (
             SELECT doc_id, concat_ws(' ', t[1], t[2], t[3]) AS prefix_key
-            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)
         )
         SELECT prefix_key, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
         FROM keyed GROUP BY prefix_key
@@ -224,7 +224,7 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- near-dup dedup (E2) -------------------------------------------------
 
 _SHINGLE_SQL = """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
     sh AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
             generate_series(1, len(t) - 2),
@@ -367,7 +367,7 @@ def q_neardup_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_ingest",
     oracle="""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
         sh AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
                 generate_series(1, len(t) - 2),
@@ -659,8 +659,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1 by the pigeonhole construction, so the sets must agree.
     oracle="""
         WITH toks AS (
-            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-                                              w -> w <> '')) AS w
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
             FROM documents
         ),
         th AS (SELECT doc_id, md5(w) AS hx FROM toks),
@@ -1557,8 +1556,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and n_escaped_top100 still 0.",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import parquet_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, k=20)
+    # footer-exact corpus count (ADVICE r12): the auto-geometry sizing
+    # must not pay a count() action — a full lineage recompute — inside
+    # a timed query
+    return lsh_bucketed_topk(
+        emb, k=20, n_estimate=parquet_row_count(sf_dir, "embeddings")
+    )
 
 
 @register(
@@ -1595,8 +1601,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows — not a scale concern.",
 )
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import parquet_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
-    approx = lsh_bucketed_topk(emb, k=20).select("vec_a", "vec_b")
+    approx = lsh_bucketed_topk(
+        emb, k=20, n_estimate=parquet_row_count(sf_dir, "embeddings")
+    ).select("vec_a", "vec_b")
     exact = topk_pairs(emb, k=100).withColumn(
         "rnk",
         F.row_number().over(
@@ -2698,8 +2708,8 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH base AS (
             SELECT doc_id,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                   CAST(len(list_filter(string_split(text, ' '),
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
                         t -> t IN ({", ".join(f"'{w}'" for w in STOPWORDS)})))
                         AS BIGINT) AS stop_hits
             FROM documents
@@ -2738,7 +2748,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_token_stats",
     oracle="""
-        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
                    FROM documents)
         SELECT COUNT(*) AS total_tokens,
                COUNT(DISTINCT w) AS distinct_tokens,
@@ -2763,7 +2773,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_lang_id",
     oracle=f"""
         SELECT lang,
-               {sql_predicted_lang("string_split(text, ' ')")} AS predicted,
+               {sql_predicted_lang("list_filter(string_split(text, ' '), x -> x <> '')")} AS predicted,
                COUNT(*) AS n
         FROM documents
         GROUP BY lang, predicted
@@ -2784,7 +2794,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tf_df",
     oracle="""
-        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
                    FROM documents)
         SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total
         FROM w GROUP BY term
@@ -2807,7 +2817,7 @@ def q_tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tfidf_top_terms",
     oracle="""
-        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
                    FROM documents),
         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
@@ -2900,7 +2910,7 @@ def _bm25_top(
     # converts back to double. Ranking ties break on doc_id.
     oracle="""
         WITH docs2 AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         stats AS (
             SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens
@@ -2993,7 +3003,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pins and no float drift are possible in the fused score.
     oracle="""
         WITH docs2 AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         stats AS (
             SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens
@@ -3094,7 +3104,13 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     qterms = sorted(
-        set(docs.where(F.col("doc_id") == 0).first()["text"].split())
+        {
+            w
+            for w in docs.where(F.col("doc_id") == 0)
+            .first()["text"]
+            .split(" ")
+            if w
+        }
     )
     qv = [
         float(x)
@@ -3150,7 +3166,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
             FROM documents
         ),
         bg AS (
@@ -3232,7 +3248,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH toks AS (
             SELECT doc_id, lang,
-                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
             FROM documents
         ),
         uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
@@ -3371,7 +3387,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_transform(generate_series(1, len(t) - 2),
                                   i -> concat_ws(' ', t[i], t[i+1], t[i+2])),
                    s -> md5(s)), 'min') AS fingerprint
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)
     """,
     doc="Winnowing-style document fingerprint: min over shingle md5s "
     "(lexicographic min of hex — engine-portable, unlike numeric "
@@ -3713,7 +3729,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic (the SimHash-oracle technique), mod M = 2⁶¹−1.
     oracle="""
         WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
         ),
         v AS (
             SELECT doc_id, list_transform(toks, w ->
@@ -3769,7 +3785,10 @@ def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         # int64 — no signed-wraparound formatting needed
         return texts.map(
             lambda t: "|".join(
-                str(h) for h in winnow(rolling_hashes(t.split(" ")))
+                str(h)
+                for h in winnow(
+                    rolling_hashes([w for w in t.split(" ") if w])
+                )
             )
         )
 
@@ -3801,12 +3820,12 @@ def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact AS (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text),
         kept AS (
             SELECT d.doc_id, d.lang,
-                   len(string_split(d.text, ' ')) AS n_tokens
+                   len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tokens
             FROM documents d
             JOIN exact ON d.doc_id = exact.keep_id
             LEFT JOIN reps ON d.doc_id = reps.doc_id
             WHERE (reps.rep IS NULL OR reps.rep = d.doc_id)
-              AND len(string_split(d.text, ' ')) >= 20
+              AND len(list_filter(string_split(d.text, ' '), x -> x <> '')) >= 20
         )
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
@@ -3855,13 +3874,25 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Third near-dup verification metric: exact Levenshtein edit "
     "distance between the texts of every verified MinHash pair — "
     "composes the LSH pipeline with the built-in string-distance "
-    "function (25 pairs on the fixture, so the O(len²) DP is cheap).",
+    "function (25 pairs on the fixture, so the O(len²) DP is cheap). "
+    "UNIT CONTRACT (r13): distance is over UTF-8 BYTES, explicitly — "
+    "DuckDB's levenshtein is byte-level while Spark's is "
+    "codepoint-level, so the two silently disagree by the byte-width "
+    "surplus of any non-ASCII character (found by the adversarial "
+    "NBSP corpus in tests/test_tokenizer_contract.py). The Spark "
+    "side pins byte semantics via decode(encode(text,'UTF-8'),"
+    "'ISO-8859-1'), which maps each byte to one char before the DP.",
 )
 def q_neardup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = _neardup_pairs(spark, sf_dir, "word").select("doc_a", "doc_b")
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    as_bytes = lambda c: F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), as_bytes(F.col("text")).alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), as_bytes(F.col("text")).alias("text_b")
+    )
     return (
         pairs.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -3912,7 +3943,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 generate_series(1, len(t) - 2),
                 i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
             FROM (SELECT doc_id,
-                         list_filter(string_split(text, ' '), w -> w <> '')
+                         list_filter(string_split(text, ' '), x -> x <> '')
                              AS t
                   FROM documents)
             WHERE len(t) >= 3
@@ -4013,7 +4044,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(text, ' '), w -> w <> '') AS t
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
             FROM documents
         ),
         spans AS (
@@ -4071,7 +4102,7 @@ def q_substring_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 generate_series(1, len(t) - 1),
                 i -> concat_ws(' ', t[i], t[i+1]))) AS b
             FROM (SELECT doc_id,
-                         list_filter(string_split(text, ' '), w -> w <> '')
+                         list_filter(string_split(text, ' '), x -> x <> '')
                              AS t
                   FROM documents)
             WHERE len(t) >= 2
@@ -4127,8 +4158,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_normalize_text",
     oracle=f"""
         WITH t AS (SELECT doc_id,
-                          list_filter(string_split(text, ' '),
-                                      w -> w <> '') AS toks
+                          list_filter(string_split(text, ' '), x -> x <> '') AS toks
                    FROM documents)
         SELECT doc_id,
                array_to_string(list_filter(toks,
@@ -4164,8 +4194,7 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH t AS (
             SELECT doc_id, lang,
-                   CAST(len(list_filter(string_split(text, ' '),
-                                        w -> w <> '')) AS BIGINT) AS n_tokens
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents
         ),
         c AS (
@@ -4511,8 +4540,7 @@ def _entropy_table_sql() -> str:
     oracle=f"""
         WITH {_entropy_table_sql()},
         w AS (
-            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-                                              x -> x <> '')) AS w
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
             FROM documents
         ),
         wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
@@ -4521,14 +4549,13 @@ def _entropy_table_sql() -> str:
             FROM wc JOIN lnt ON wc.c = lnt.k
         ),
         agg AS (
-            SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
-                   SUM(kln_mu) AS s_mu
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(kln_mu) AS BIGINT) AS s_mu
             FROM terms GROUP BY doc_id
         )
-        SELECT a.doc_id, a.n_tokens, a.n_distinct,
-               CAST(lnt.ln_mu AS DOUBLE) / 1000000.0
-                   - (CAST(a.s_mu AS DOUBLE) / 1000000.0) / a.n_tokens
-                   AS entropy
+        SELECT a.doc_id, a.n_tokens, a.n_distinct, a.s_mu,
+               CAST(a.n_tokens * lnt.ln_mu - a.s_mu AS BIGINT) AS h_num_mu
         FROM agg a JOIN lnt ON a.n_tokens = lnt.k
     """,
     doc="Token-distribution Shannon entropy per document — the "
@@ -4536,14 +4563,19 @@ def _entropy_table_sql() -> str:
     "or keyword stuffing, used alongside the Gopher-style ratio rules "
     "in corpus cleaning): H = ln(n) - (1/n) * sum_w c_w ln(c_w), "
     "computed from per-(doc, word) counts in one explode + two "
-    "map-side-combined groupBys, no UDF anywhere. Determinism: libm "
-    "never runs in either engine — both read the shared literal "
-    "integer table KLNT[c] = round(c*ln(c)*1e6) / LNT[n] = "
-    "round(ln(n)*1e6) (the q_rank_metrics gain-table pattern, adopted "
-    "after the r11 driver proved the old 6dp-rounding recipe "
-    "non-portable across DuckDB libm builds); sums are exact int64 "
-    "and the final expression is IEEE double arithmetic on identical "
-    "integer inputs, bit-equal across engines.",
+    "map-side-combined groupBys, no UDF anywhere. OUTPUT IS PURE "
+    "INTEGER (r13 hardening, after two rounds of hash-only reds): "
+    "h_num_mu = n*LNT[n] - sum_w KLNT[c_w] over the shared literal "
+    "tables LNT[k] = round(ln(k)*1e6), KLNT[k] = round(k*ln(k)*1e6), "
+    "so H = h_num_mu / (n * 1e6) and NOT ONE float operation runs in "
+    "either engine — a red row now proves the engines disagree on "
+    "token COUNTS (tokenization/corpus drift), never on arithmetic. "
+    "Tokenization follows the shared literal-space contract "
+    "(functions/text.py tokens(); the r12 red row was the Spark-side "
+    "regex \\s+ splitter silently disagreeing with the oracle's "
+    "literal-space split — fixed catalog-wide this round). Counts "
+    "above _ENTROPY_LN_MAX raise loudly in the plan instead of "
+    "producing silent NULL divergence (ADVICE r12).",
 )
 def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -4557,18 +4589,35 @@ def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unifies the int32/int64 literal split in kln_mu.
     kln_arr = F.lit([int(v) for v in kln_mu]).cast("array<bigint>")
     ln_arr = F.lit([int(v) for v in ln_mu]).cast("array<bigint>")
-    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+
+    def _guarded(arr, k, what: str):
+        # Domain guard (ADVICE r12): element_at past the table end
+        # would return NULL, F.sum would silently skip it, and the two
+        # engines would diverge quietly (the oracle's join just drops
+        # the row). Out-of-domain corpora must ERROR, not drift.
+        return F.when(
+            k <= F.lit(_ENTROPY_LN_MAX), F.element_at(arr, k.cast("int"))
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"q_entropy_quality: {what} exceeds ln-table "
+                        f"domain {_ENTROPY_LN_MAX}: "
+                    ),
+                    k.cast("string"),
+                )
+            ).cast("bigint")
+        )
+
     wc = (
-        docs.select("doc_id", F.explode(toks).alias("w"))
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     terms = wc.select(
         "doc_id",
         "c",
-        F.element_at(kln_arr, F.col("c").cast("int"))
-        .cast("long")
-        .alias("kln_mu"),
+        _guarded(kln_arr, F.col("c"), "token count").cast("long").alias("kln_mu"),
     )
     agg = terms.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
@@ -4579,12 +4628,12 @@ def q_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_distinct",
+        "s_mu",
         (
-            F.element_at(ln_arr, F.col("n_tokens").cast("int")).cast("double")
-            / F.lit(1000000.0)
-            - (F.col("s_mu").cast("double") / F.lit(1000000.0))
-            / F.col("n_tokens")
-        ).alias("entropy"),
+            F.col("n_tokens")
+            * _guarded(ln_arr, F.col("n_tokens"), "doc length").cast("long")
+            - F.col("s_mu")
+        ).alias("h_num_mu"),
     )
 
 
@@ -6258,7 +6307,7 @@ def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _SHINGLE_SQL CTEs with a <> b instead of a < b).
     oracle="""
         WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         sh AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
@@ -6525,7 +6574,7 @@ _CHUNK_W, _CHUNK_S = 32, 24
     # text with md5 — content equality proven without shipping text.
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         chunks AS (
             SELECT doc_id, unnest(generate_series(1, len(t),
@@ -6560,7 +6609,7 @@ _CHUNK_W, _CHUNK_S = 32, 24
 def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.split("text", " ").alias("t")
+        "doc_id", tokens("text").alias("t")
     ).select(
         "doc_id",
         F.explode(
@@ -6585,7 +6634,7 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline) plus the in-band live_match claim.
     oracle="""
         WITH docs2 AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         stats AS (
             SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens
@@ -6710,7 +6759,7 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebuild_match claim.
     oracle="""
         WITH docs2 AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         stats AS (
             SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens
@@ -6843,7 +6892,7 @@ def q_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_phrase_search",
     oracle="""
         WITH docs2 AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         w AS (
             SELECT doc_id, unnest(t) AS term,
@@ -6981,7 +7030,7 @@ _PRF_N_EXP = 5   # expansion terms appended to the seed query
     "q_prf_expand",
     oracle=f"""
         WITH docs2 AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         stats AS (
             SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens
@@ -7224,7 +7273,7 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pmi_collocations",
     oracle="""
         WITH toks AS (
-            SELECT string_split(text, ' ') AS t FROM documents
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         bg AS (
             SELECT p.a, p.b, COUNT(*) AS c_ab
@@ -7571,3 +7620,71 @@ def q_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return _cached_df(spark, ("lsh_pr", sf_dir), build)
+
+
+@register(
+    "q_whitespace_audit",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+               CAST(SUM(len(text) - len(replace(text, ' ', '')))
+                    AS BIGINT) AS n_space,
+               CAST(SUM(len(text) - len(replace(text, chr(9), '')))
+                    AS BIGINT) AS n_tab,
+               CAST(SUM(len(text) - len(replace(text, chr(10), '')))
+                    AS BIGINT) AS n_newline,
+               CAST(SUM(len(text) - len(replace(text, chr(13), '')))
+                    AS BIGINT) AS n_cr,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_fields_raw,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT)
+                   AS n_tokens,
+               CAST(SUM(CASE WHEN text LIKE ' %' OR text LIKE '% '
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_edge_docs,
+               CAST(SUM(CASE WHEN text LIKE '%  %' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_multispace_docs
+        FROM documents
+    """,
+    doc="Corpus whitespace tripwire (r12 verdict #5): ONE row of exact "
+    "integer evidence about the characters that decide tokenization — "
+    "per-char-class counts via length-difference (no regex in either "
+    "engine), raw split-field count vs contract token count (their "
+    "difference counts empty fields, i.e. space runs / edges), and "
+    "doc counts for leading/trailing and double spaces. If a driver "
+    "fixture regeneration ever introduces whitespace the corpus "
+    "doesn't have today, THIS query's integers move and hash-fail "
+    "first, localizing a whole family of token-count reds (the r12 "
+    "q_entropy_quality lesson) to corpus drift in one read. Scale: "
+    "a single map-side-combined aggregate over one string column — "
+    "column-pruned scan, no shuffle beyond the final 1-row combine.",
+)
+def q_whitespace_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def n_char(ch: str) -> Column:
+        return F.sum(
+            F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+        ).cast("long")
+
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(t)).cast("long").alias("sum_chars"),
+        n_char(" ").alias("n_space"),
+        n_char("\t").alias("n_tab"),
+        n_char("\n").alias("n_newline"),
+        n_char("\r").alias("n_cr"),
+        F.sum(F.size(F.split(t, " ", -1))).cast("long").alias("n_fields_raw"),
+        F.sum(F.size(tokens(t))).cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(
+                t.startswith(" ") | t.endswith(" "), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_edge_docs"),
+        F.sum(F.when(t.contains("  "), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_multispace_docs"),
+    )

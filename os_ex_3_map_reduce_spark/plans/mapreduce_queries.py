@@ -36,7 +36,7 @@ class WordCountClient(MapReduceClient):
     "q_mapreduce_wordcount",
     oracle="""
         SELECT w, COUNT(*) AS cnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents) t
         WHERE w <> ''
         GROUP BY w
     """,
@@ -140,7 +140,7 @@ class KeyEquivCountClient(MapReduceClient):
         SELECT substring(lower(w), 1, 4) AS k,
                COUNT(*) AS cnt,
                CAST(COUNT(DISTINCT w) AS BIGINT) AS n_raw_keys
-        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents) t
         WHERE w <> ''
         GROUP BY k
     """,
@@ -180,7 +180,7 @@ def q_udaf_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_udtf_bigrams",
     oracle="""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
                    FROM documents)
         SELECT doc_id,
                unnest(list_transform(generate_series(1, len(toks) - 1),
@@ -197,7 +197,7 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, bigram string")
     class Bigrams:
         def eval(self, doc_id: int, text: str):
-            toks = text.split(" ")
+            toks = [w for w in text.split(" ") if w]
             for i in range(len(toks) - 1):
                 yield doc_id, f"{toks[i]} {toks[i + 1]}"
 
@@ -213,7 +213,7 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_job_control",
     oracle="""
         SELECT w, COUNT(*) AS cnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents) t
         WHERE w <> ''
         GROUP BY w
     """,

@@ -83,7 +83,7 @@ _SQL_REV = (
     "q_wordcount",
     oracle="""
         SELECT w, COUNT(*) AS cnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents) t
         WHERE w <> ''
         GROUP BY w
         ORDER BY cnt DESC, w

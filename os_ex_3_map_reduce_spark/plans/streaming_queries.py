@@ -604,7 +604,7 @@ def q_stream_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # match set (each delta doc is in exactly one staged file, and the
     # corpus side is a static written index).
     oracle="""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
         sh AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
                 generate_series(1, len(t) - 2),
@@ -1214,7 +1214,7 @@ def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_bm25_topk's (1e-6-grid DECIMAL BM25 sums; 1e-4 cosine).
     oracle="""
         WITH docs2 AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         stats AS (
             SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens
@@ -1571,7 +1571,7 @@ def q_stream_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and ::test_postings_merge_policy_bounds_segments_over_10_batches.
     oracle="""
         WITH docs2 AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
         ),
         stats AS (
             SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_tokens

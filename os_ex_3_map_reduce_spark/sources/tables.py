@@ -78,6 +78,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet FOOTER metadata — no Spark
+    job, no scan. Used by plans that size an algorithm from the corpus
+    count (e.g. lsh_auto_geometry): a ``df.count()`` there would
+    recompute the full upstream lineage inside timed queries (ADVICE
+    r12), while the footer read is O(file-metadata) at any scale."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in TABLES:

@@ -67,6 +67,12 @@ _MANIFESTS = "_manifests"
 #: clean conflict); crashed commits stop touching theirs, so age is
 #: the discriminator (the Delta retention-window idea, scaled down).
 _STAGING_AGE_FLOOR_SEC = 300
+#: Public alias (ADVICE r12): operators/postings.py shares the same
+#: vacuum age-floor policy for its segment stagings; importing the
+#: private name coupled it to this module's internals, breaking only
+#: at call time on a rename. The policy constant IS cross-module —
+#: export it as such.
+STAGING_AGE_FLOOR_SEC = _STAGING_AGE_FLOOR_SEC
 
 
 def _manifest_file(path: str, version: int) -> str:

@@ -175,7 +175,7 @@ class TestVersionedBranch:
         from pyspark.sql import functions as F
 
         from os_ex_3_map_reduce_spark.sources.versioned import (
-            _STAGING_AGE_FLOOR_SEC,
+            STAGING_AGE_FLOOR_SEC,
             vt_branch,
             vt_tag,
             vt_vacuum,
@@ -198,7 +198,7 @@ class TestVersionedBranch:
         for d in ("_manifests", "_branches/exp", "_tags"):
             s = f"{path}/{d}/v000009.json.tmp.deadbeef"
             open(s, "w").write("{}")
-            old = __import__("time").time() - _STAGING_AGE_FLOOR_SEC - 60
+            old = __import__("time").time() - STAGING_AGE_FLOOR_SEC - 60
             os.utime(s, (old, old))
             stale.append(s)
             fr = f"{path}/{d}/v000010.json.tmp.cafe"

@@ -97,6 +97,12 @@ def test_lsh_auto_geometry_discipline():
     assert lsh_auto_geometry(500) == (8, 4)  # anchor: base geometry
     assert lsh_auto_geometry(1) == (8, 4)  # tiny corpora never shrink
     assert lsh_auto_geometry(2000) == (12, 6)  # sf0.1: the pinned run
+    # floor stepping (ADVICE r12): geometry moves exactly at corpus
+    # DOUBLINGS, not at round()'s ~0.707x boundary — n just below a
+    # doubling keeps the smaller geometry, the doubling itself steps
+    assert lsh_auto_geometry(708) == (8, 4)
+    assert lsh_auto_geometry(999) == (8, 4)
+    assert lsh_auto_geometry(1000) == (10, 5)
     tables, planes = lsh_auto_geometry(500 * 2**9)
     assert planes == 4 + 9 and tables == 8 + 18
     # clamp: planes cap at 24, tables cap with them
@@ -2614,18 +2620,29 @@ def test_entropy_margin_ledger_and_reference(spark, duck):
 
     counts = Counter(words)
     n = len(words)
-    s = sum(round(c * math.log(c), 6) for c in counts.values())
-    want = round(math.log(n), 6) - s / n
+    # r13 pure-integer contract: s_mu = sum KLNT[c], h_num_mu =
+    # n*LNT[n] - s_mu, so H = h_num_mu / (n*1e6); the reference
+    # recomputation is exact INTEGER equality, no tolerance at all
+    s_mu = sum(round(c * math.log(c) * 1e6) for c in counts.values())
     first_id = min(got)
     assert got[first_id].n_tokens == n
     assert got[first_id].n_distinct == len(counts)
-    assert abs(got[first_id].entropy - want) < 1e-12
-    # uniform docs (all counts 1) hit the maximum ln(n): entropy is
-    # maximized exactly when every token is distinct
+    assert got[first_id].s_mu == s_mu
+    assert got[first_id].h_num_mu == n * round(math.log(n) * 1e6) - s_mu
+    # uniform docs (all counts 1): s_mu = 0, so h_num_mu hits its
+    # maximum n*LNT[n] exactly; every doc stays at or below it
     for r in got.values():
+        lnt_n = round(math.log(r.n_tokens) * 1e6)
         if r.n_distinct == r.n_tokens:
-            assert abs(r.entropy - round(math.log(r.n_tokens), 6)) < 1e-12
-        assert r.entropy <= round(math.log(r.n_tokens), 6) + 1e-12
+            assert r.h_num_mu == r.n_tokens * lnt_n
+        assert r.h_num_mu <= r.n_tokens * lnt_n
+        # NOT asserting h_num_mu >= 0: a fully-repetitive doc (one
+        # distinct token) has h_num = n*LNT[n] - KLNT[n], two
+        # INDEPENDENT roundings of the same real, which can land at -1
+        # (e.g. n=10: 10*2302585 vs 23025851). Entropy-0 docs sit
+        # within one table-rounding ulp of 0 by construction; both
+        # engines compute the identical integer either way.
+        assert r.s_mu >= 0
 
 
 def test_filtered_search_respects_predicate_everywhere(spark):
@@ -3534,14 +3551,14 @@ def test_postings_manifest_atomicity_orphans_invisible(spark, tmp_path):
     import time
 
     from os_ex_3_map_reduce_spark.sources.versioned import (
-        _STAGING_AGE_FLOOR_SEC,
+        STAGING_AGE_FLOOR_SEC,
     )
 
     stale = f"{path}/MANIFEST.tmp.dead"
     fresh = f"{path}/MANIFEST.tmp.cafe"
     open(stale, "w").write("{}")
     open(fresh, "w").write("{}")
-    old = time.time() - _STAGING_AGE_FLOOR_SEC - 60
+    old = time.time() - STAGING_AGE_FLOOR_SEC - 60
     os.utime(stale, (old, old))
     postings_vacuum(path)
     assert not os.path.exists(stale)

@@ -62,7 +62,28 @@ def load_record(path: str) -> dict:
     if not best or not best.get("queries"):
         raise SystemExit(f"{path}: no bench queries found")
     cal = (best.get("calibration") or {}).get("sec")
-    return {"queries": best["queries"], "cal": cal}
+    return {
+        "queries": best["queries"],
+        "cal": cal,
+        # r13: per-segment canaries (bench.py stamps each breadth
+        # hygiene window with its own host probe). Older records
+        # lack these; per-query normalization falls back to the
+        # global calibration.
+        "segment_canaries": best.get("segment_canaries") or [],
+        "query_segments": best.get("query_segments") or {},
+    }
+
+
+def per_query_cal(rec: dict, q: str, default: float) -> float:
+    """The canary value that applies to query ``q``: its segment's
+    probe when the record carries one, else the global calibration."""
+    seg = rec["query_segments"].get(q)
+    cans = rec["segment_canaries"]
+    if seg is not None and isinstance(seg, int) and seg < len(cans):
+        c = cans[seg]
+        if isinstance(c, (int, float)) and c == c and c > 0:  # not NaN
+            return float(c)
+    return default
 
 
 def main() -> None:
@@ -88,13 +109,27 @@ def main() -> None:
     rows = []
     for q in common:
         ta, tb = a["queries"][q], b["queries"][q]
-        na, nb = ta / ca, tb / cb
+        na = ta / per_query_cal(a, q, ca)
+        nb = tb / per_query_cal(b, q, cb)
         rows.append((nb / na if na else float("inf"), q, ta, tb, na, nb))
     rows.sort(reverse=True)
     print(
         f"{len(common)} common queries; calibration {ca:.3f}s -> {cb:.3f}s "
         f"(host speed factor {cb / ca:.2f}x)"
     )
+    for label, rec in (("old", a), ("new", b)):
+        cans = rec["segment_canaries"]
+        if cans:
+            lo = min(c for c in cans if isinstance(c, (int, float)) and c == c)
+            polluted = [
+                i
+                for i, c in enumerate(cans)
+                if isinstance(c, (int, float)) and c == c and c > 1.5 * lo
+            ]
+            print(
+                f"{label} segment canaries: {cans}"
+                + (f"  POLLUTED segments: {polluted}" if polluted else "")
+            )
     print(f"{'query':34} {'old_s':>7} {'new_s':>7} {'old_n':>7} {'new_n':>7} {'n_ratio':>7}")
     for r, q, ta, tb, na, nb in rows[: args.top]:
         print(f"{q:34} {ta:7.3f} {tb:7.3f} {na:7.2f} {nb:7.2f} {r:7.2f}")
