@@ -279,6 +279,31 @@ BREADTH = [
     "q_stream_kmv_distinct",
     "q_stream_cms_topk",
     "q_stream_semi_join",
+    # round-13 window completion: the splitter-sweep names newly
+    # rotated into the driver window plus the 8 never-rowed E6 names
+    # and the whitespace tripwire, so BENCH_r13 times the full window
+    "q_whitespace_audit",
+    "q_attribution",
+    "q_incremental_join",
+    "q_join_interval",
+    "q_join_not_in",
+    "q_mixture_waterfill",
+    "q_window_distinct",
+    "q_fingerprint",
+    "q_fingerprint_rolling",
+    "q_job_control",
+    "q_lang_id",
+    "q_neardup_editdist",
+    "q_normalize_text",
+    "q_pipeline_clean_corpus",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_token_stats",
+    "q_udtf_bigrams",
+    "q_mapreduce_key_equiv",
+    "q_tf_df",
+    "q_token_stats_bpe",
+    "q_textrank",
 ]
 
 

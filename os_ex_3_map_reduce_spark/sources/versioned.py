@@ -771,13 +771,19 @@ def vt_changes(
     full row), which cancels the rows a CoW rewrite merely MOVED
     between files; an upsert's update therefore appears as
     delete+insert of the changed row only. Returns the union with a
-    ``_change_type`` column ('insert' | 'delete'). At 100 TB the CDF
-    cost is proportional to what changed, never to the table."""
+    ``_change_type`` column ('insert' | 'delete'). Files whose ONLY
+    change is new delete rows skip the set-diff entirely: their change
+    set is exactly the newly-deleted positions, emitted by one scan of
+    the targeted files inner-joined (broadcast) with the new delete
+    positions — so even a delete scattered across every bucket costs
+    one read of what it touched, not two reads plus an exceptAll
+    shuffle (r12 verdict #7; measured A/B in PLANS.md). At 100 TB the
+    CDF cost is proportional to what changed, never to the table."""
     man_from = _read_manifest(path, from_version)
     man_to = _read_manifest(path, to_version)
     paths_from = {e["path"]: e for e in man_from["files"]}
     paths_to = {e["path"]: e for e in man_to["files"]}
-    changed = set(paths_from) ^ set(paths_to)
+    structural = set(paths_from) ^ set(paths_to)
     # files targeted by delete rows added between the versions
     dels_from = {e["path"] for e in man_from.get("delete_files", [])}
     new_dels = [
@@ -785,32 +791,89 @@ def vt_changes(
         for e in man_to.get("delete_files", [])
         if e["path"] not in dels_from
     ]
+    del_targets: set[str] = set()
+    nd = None
     if new_dels:
         nd = spark.read.parquet(
             *sorted(f"{path}/{e['path']}" for e in new_dels)
         )
-        changed |= {
+        del_targets = {
             r._dfile for r in nd.select("_dfile").distinct().collect()
         }  # bounded: one row per targeted FILE
+    # DELETE-ONLY fast path (r12 verdict #7): a file carried by BOTH
+    # manifests whose only change is new delete rows needs no
+    # two-sided exceptAll — its change set IS those rows. Reading it
+    # once and inner-joining the (tiny, broadcast) new-delete
+    # positions replaces reading it twice plus a full-width set-diff
+    # shuffle. This is what un-degrades the SCATTERED-delete case
+    # (PLANS.md: a delete touching all 8 buckets used to drift toward
+    # 2x table read + exceptAll; now it costs one read of the
+    # targeted files, proportional to what changed again).
+    delete_only = {
+        p for p in del_targets - structural if p in paths_from and p in paths_to
+    }
+    changed = structural | (del_targets - delete_only)
 
-    def side(man: dict, paths: dict) -> DataFrame | None:
+    def side(man: dict) -> DataFrame | None:
         aff = [e for e in man["files"] if e["path"] in changed]
         return _snapshot(spark, path, man, aff)
 
-    from_part = side(man_from, paths_from)
-    to_part = side(man_to, paths_to)
-    if from_part is None and to_part is None:
+    from_part = side(man_from)
+    to_part = side(man_to)
+
+    fast_deletes = None
+    if delete_only:
+        # effective new deletions: new positions minus anything the
+        # from-snapshot had already deleted (idempotent re-deletes)
+        pos = nd.select("_dfile", "_dpos")
+        old_rel = _read_delete_relation(spark, path, man_from)
+        if old_rel is not None:
+            pos = pos.join(
+                old_rel.select("_dfile", "_dpos"), ["_dfile", "_dpos"], "left_anti"
+            )
+        rows = _read_entries(
+            spark,
+            path,
+            [e for e in man_from["files"] if e["path"] in delete_only],
+            with_rowid=True,
+        )
+        fast_deletes = rows.join(
+            F.broadcast(pos), ["_dfile", "_dpos"], "inner"
+        ).select(*[c for c in rows.columns if c not in ("_dfile", "_dpos")])
+
+    if from_part is None and to_part is None and fast_deletes is None:
         raise ValueError("no differing files between the two versions")
+    if from_part is None and to_part is None:
+        out = fast_deletes.withColumn("_change_type", F.lit("delete"))
+        out._osx3_fastpath_files = len(delete_only)  # type: ignore[attr-defined]
+        out._osx3_diff_files = 0  # type: ignore[attr-defined]
+        return out
+
     if from_part is None:
-        return to_part.withColumn("_change_type", F.lit("insert"))
-    if to_part is None:
-        return from_part.withColumn("_change_type", F.lit("delete"))
-    cols = [c for c in to_part.columns if c in from_part.columns]
-    deletes = from_part.select(cols).exceptAll(to_part.select(cols))
-    inserts = to_part.select(cols).exceptAll(from_part.select(cols))
-    return deletes.withColumn("_change_type", F.lit("delete")).unionByName(
-        inserts.withColumn("_change_type", F.lit("insert"))
-    )
+        out = to_part.withColumn("_change_type", F.lit("insert"))
+        cols = [c for c in to_part.columns]
+    elif to_part is None:
+        out = from_part.withColumn("_change_type", F.lit("delete"))
+        cols = [c for c in from_part.columns]
+    else:
+        cols = [c for c in to_part.columns if c in from_part.columns]
+        deletes = from_part.select(cols).exceptAll(to_part.select(cols))
+        inserts = to_part.select(cols).exceptAll(from_part.select(cols))
+        out = deletes.withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(inserts.withColumn("_change_type", F.lit("insert")))
+    if fast_deletes is not None:
+        out = out.unionByName(
+            fast_deletes.select(cols).withColumn(
+                "_change_type", F.lit("delete")
+            ),
+            allowMissingColumns=True,
+        )
+    # testability evidence: how many files took each path (the fast
+    # path must absorb delete-only files — see test_changes_mor_fast_path)
+    out._osx3_fastpath_files = len(delete_only)  # type: ignore[attr-defined]
+    out._osx3_diff_files = len(changed)  # type: ignore[attr-defined]
+    return out
 
 
 def vt_scan(

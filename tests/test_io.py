@@ -994,6 +994,41 @@ class TestVersionedTable:
         # compact has nothing to rewrite
         assert vt_read(spark, vt, v5).where("grp = 3").count() == 0
 
+    def test_changes_mor_fast_path(self, spark, vt):
+        """A delta that is ONLY new position-delete rows must take the
+        delete-only fast path for every targeted file (one scan +
+        broadcast position join), never the two-sided exceptAll — this
+        is what keeps a SCATTERED MoR delete's CDF cost proportional
+        to the rows it touched (r12 verdict #7; the x100 A/B read
+        ~8.8 s exceptAll vs ~1.7 s fast path on 15M rows). Output must
+        be exactly the newly-dead rows, and a second identical delete
+        (idempotent re-delete) must contribute nothing."""
+        from os_ex_3_map_reduce_spark.sources.versioned import (
+            vt_changes,
+            vt_delete_mor,
+        )
+
+        # scattered predicate: k in {3,4,5,6} covers all 4 k-mod-4
+        # buckets, so the old path would have read the WHOLE table twice
+        vt_delete_mor(spark, vt, "k >= 3 AND k <= 6")  # v1
+        ch = vt_changes(spark, vt, 0, 1)
+        assert ch._osx3_fastpath_files == 4          # all buckets, fast
+        assert ch._osx3_diff_files == 0              # exceptAll saw none
+        rows = ch.collect()
+        assert all(r._change_type == "delete" for r in rows)
+        assert sorted(r.k for r in rows) == [3, 4, 5, 6]
+        # re-delete mixing already-dead rows with one live row: only
+        # the live row is a change (vt_delete_mor's live-rows-only
+        # projection plus the fast path's anti-join against the from-
+        # version's pending deletes both enforce it), and only its one
+        # bucket takes the fast path
+        vt_delete_mor(spark, vt, "k = 4 OR k = 5 OR k = 10")  # v2
+        ch2 = vt_changes(spark, vt, 1, 2)
+        assert ch2._osx3_fastpath_files == 1
+        assert ch2._osx3_diff_files == 0
+        rows2 = ch2.collect()
+        assert [(r.k, r._change_type) for r in rows2] == [(10, "delete")]
+
     def test_changes_cdf_no_phantoms_and_cancellation(self, spark, vt):
         """vt_changes: append-only diffs are pure inserts; a CoW
         delete's rewritten survivors do NOT appear as phantom

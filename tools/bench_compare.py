@@ -118,16 +118,19 @@ def main() -> None:
         f"(host speed factor {cb / ca:.2f}x)"
     )
     for label, rec in (("old", a), ("new", b)):
-        cans = rec["segment_canaries"]
+        cans = [
+            c for c in rec["segment_canaries"]
+            if isinstance(c, (int, float)) and c == c
+        ]
         if cans:
-            lo = min(c for c in cans if isinstance(c, (int, float)) and c == c)
-            polluted = [
-                i
-                for i, c in enumerate(cans)
-                if isinstance(c, (int, float)) and c == c and c > 1.5 * lo
-            ]
+            med = sorted(cans)[len(cans) // 2]
+            # flag vs the run's MEDIAN, not its min: min-of-2 probes
+            # have one-sided noise (a lucky fast probe would flag every
+            # normal segment), while a genuine ambient throttle moves a
+            # probe 2-3x past the median (the r10/r12 signature)
+            polluted = [i for i, c in enumerate(cans) if c > 2.0 * med]
             print(
-                f"{label} segment canaries: {cans}"
+                f"{label} segment canaries (median {med:.3f}s): {cans}"
                 + (f"  POLLUTED segments: {polluted}" if polluted else "")
             )
     print(f"{'query':34} {'old_s':>7} {'new_s':>7} {'old_n':>7} {'new_n':>7} {'n_ratio':>7}")
