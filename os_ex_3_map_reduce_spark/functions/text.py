@@ -36,6 +36,30 @@ def tokens_sql(col: str = "text") -> str:
     return TOKENS_SQL.format(col=col)
 
 
+#: ASCII-only case folding, the cross-engine contract for every case-
+#: insensitive key in the catalog. Unicode case mapping is ENGINE-
+#: SPECIFIC the same way libm and \s were: measured on this container,
+#: Spark/Java lower('\u0130') = 'i' + combining dot (2 codepoints)
+#: while DuckDB returns 'i', and Spark applies the Greek final-sigma
+#: context rule ('\u03a3' -> '\u03c2' word-finally) while DuckDB maps
+#: every sigma to '\u03c3'. translate() over the 26 ASCII letters is
+#: bit-identical everywhere and leaves non-ASCII untouched in BOTH
+#: engines — deterministic by construction, no locale anywhere.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_fold(col: str | Column) -> Column:
+    """Lower-case the 26 ASCII letters only (see :data:`ASCII_UPPER`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ASCII_UPPER, ASCII_LOWER)
+
+
+def ascii_fold_sql(expr: str) -> str:
+    """The oracle-side twin of :func:`ascii_fold` (DuckDB SQL)."""
+    return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
 def tokens(text_col: str | Column = "text") -> Column:
     """Shared tokenizer contract: split on a SINGLE LITERAL SPACE and
     drop empty tokens.

@@ -71,7 +71,13 @@ def normalized_key(
     if trim:
         c = F.trim(c)
     if fold_case:
-        c = F.lower(c)
+        # ASCII-only by contract: engine-specific unicode case rules
+        # (Java's combining-dot 0130, final sigma) would make the
+        # normalized key corpus-dependent across engines — see
+        # functions/text.py ascii_fold.
+        from ..functions.text import ascii_fold
+
+        c = ascii_fold(c)
     if prefix_len is not None:
         c = F.substring(c, 1, prefix_len)
     return c

@@ -137,7 +137,7 @@ class KeyEquivCountClient(MapReduceClient):
 @register(
     "q_mapreduce_key_equiv",
     oracle="""
-        SELECT substring(lower(w), 1, 4) AS k,
+        SELECT substring(translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 1, 4) AS k,
                COUNT(*) AS cnt,
                CAST(COUNT(DISTINCT w) AS BIGINT) AS n_raw_keys
         FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents) t

@@ -747,7 +747,8 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_string_fns",
     oracle="""
         SELECT p_partkey,
-               upper(p_brand) AS brand_upper,
+               translate(p_brand, 'abcdefghijklmnopqrstuvwxyz',
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS brand_upper,
                CAST(length(p_name) AS BIGINT) AS name_len,
                substr(p_type, 1, 5) AS type_prefix,
                concat_ws('-', p_brand, p_type) AS brand_type
@@ -759,7 +760,14 @@ def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
-        F.upper("p_brand").alias("brand_upper"),
+        # ASCII-only by contract (functions/text.py ascii_fold): unicode
+        # case mapping is engine-specific (Java combining-dot 0130 /
+        # final sigma vs DuckDB), so case ops never use locale rules
+        F.translate(
+            "p_brand",
+            "abcdefghijklmnopqrstuvwxyz",
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        ).alias("brand_upper"),
         F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_type", 1, 5).alias("type_prefix"),
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),

@@ -72,6 +72,31 @@ def staged_events_dir(sf_dir: str, copies: int = 1) -> str:
     return _STAGED_CACHE[key]
 
 
+def _stage_split_one_pass(
+    df, d: Path, split_expr, n_files: int
+) -> None:
+    """Write ``df`` as ``part-0..n-1.parquet`` under ``d``, one file
+    per value of ``split_expr``, in ONE job: tag each row with its
+    split id, hash-repartition on it (each id lives in exactly one
+    task), and ``partitionBy`` so every id directory receives exactly
+    one file — then lift the files out of the ``_split=i`` dirs. The
+    previous per-split loop scanned the source ``n_files`` times with
+    a coalesce(1) write each (measured 5.5 s cold for the events split
+    at sf0.1 vs ~1.5 s one-pass); at any real scale the n-scans shape
+    is the bug, not the constant."""
+    stage = d / "_stage"
+    (
+        df.withColumn("_split", split_expr.cast("int"))
+        .repartition(n_files, F.col("_split"))
+        .write.partitionBy("_split")
+        .parquet(str(stage))
+    )
+    for i in range(n_files):
+        part = next((stage / f"_split={i}").glob("part-*.parquet"))
+        shutil.move(str(part), d / f"part-{i}.parquet")
+    shutil.rmtree(stage)
+
+
 def staged_events_split_dir(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> str:
@@ -87,14 +112,9 @@ def staged_events_split_dir(
         d = Path(tempfile.mkdtemp(prefix="osx3_events_split_"))
         _cleanup_at_exit(str(d))
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        for i in range(n_files):
-            stage = d / f"_stage{i}"
-            ev.where(F.col("event_id") % n_files == i).coalesce(1).write.parquet(
-                str(stage)
-            )
-            part = next(stage.glob("part-*.parquet"))
-            shutil.move(str(part), d / f"part-{i}.parquet")
-            shutil.rmtree(stage)
+        _stage_split_one_pass(
+            ev, d, F.col("event_id") % n_files, n_files
+        )
         _STAGED_CACHE[key] = str(d)
     return _STAGED_CACHE[key]
 
@@ -120,14 +140,9 @@ def staged_documents_delta_dir(
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
             F.col("doc_id") % 2 == 1
         )
-        for i in range(n_files):
-            stage = d / f"_stage{i}"
-            docs.where((F.col("doc_id") / 2).cast("long") % n_files == i).coalesce(
-                1
-            ).write.parquet(str(stage))
-            part = next(stage.glob("part-*.parquet"))
-            shutil.move(str(part), d / f"part-{i}.parquet")
-            shutil.rmtree(stage)
+        _stage_split_one_pass(
+            docs, d, (F.col("doc_id") / 2).cast("long") % n_files, n_files
+        )
         _STAGED_CACHE[key] = str(d)
     return _STAGED_CACHE[key]
 
@@ -151,14 +166,9 @@ def staged_embeddings_delta_dir(
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
             F.col("vec_id") % 2 == 1
         )
-        for i in range(n_files):
-            stage = d / f"_stage{i}"
-            emb.where(
-                (F.col("vec_id") / 2).cast("long") % n_files == i
-            ).coalesce(1).write.parquet(str(stage))
-            part = next(stage.glob("part-*.parquet"))
-            shutil.move(str(part), d / f"part-{i}.parquet")
-            shutil.rmtree(stage)
+        _stage_split_one_pass(
+            emb, d, (F.col("vec_id") / 2).cast("long") % n_files, n_files
+        )
         _STAGED_CACHE[key] = str(d)
     return _STAGED_CACHE[key]
 

@@ -52,9 +52,9 @@ ADVERSARIAL = [
 
 
 def _adversarial_text(doc_id: int, text: str) -> str:
-    """Deterministic whitespace pollution, varied by doc_id."""
+    """Deterministic whitespace + case pollution, varied by doc_id."""
     words = text.split(" ")
-    mode = doc_id % 7
+    mode = doc_id % 8
     if mode == 0:
         return " " + text
     if mode == 1:
