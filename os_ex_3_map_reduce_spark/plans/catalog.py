@@ -153,6 +153,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_bm25_ingest",
     "q_textrank",
     "q_stream_standing_query",
+    # changed-this-round names that are output-invariant on the current
+    # fixtures (ascii_fold == lower/upper on ASCII; one-pass staging is
+    # batching-invariant by design, all verified vs oracles) — pinned
+    # behind the spill so r14 still re-verifies them externally:
+    "q_string_fns",
+    "q_stream_kmv_distinct",
+    "q_stream_cms_topk",
+    "q_stream_semi_join",
+    "q_stream_maxsim",
 )
 
 

@@ -74,15 +74,24 @@ def load_record(path: str) -> dict:
     }
 
 
-def per_query_cal(rec: dict, q: str, default: float) -> float:
-    """The canary value that applies to query ``q``: its segment's
-    probe when the record carries one, else the global calibration."""
-    seg = rec["query_segments"].get(q)
-    cans = rec["segment_canaries"]
-    if seg is not None and isinstance(seg, int) and seg < len(cans):
-        c = cans[seg]
-        if isinstance(c, (int, float)) and c == c and c > 0:  # not NaN
-            return float(c)
+def per_query_cal(rec: dict, q: str, default: float, use_segments: bool = True) -> float:
+    """The canary that applies to query ``q``: the MEDIAN of the run's
+    segment probes when the record carries them, else the global
+    calibration. Median, not the query's own segment probe: a single
+    min-of-2 probe can catch a transient spike that never touched the
+    neighbouring queries (observed r13: one 0.53 s probe in an
+    otherwise 0.13 s run made every query in that segment look 4x
+    faster than it was), while a genuine sustained throttle — the
+    r10/r12 failure mode — moves most probes and therefore the
+    median. Per-segment values stay in the record as pollution FLAGS
+    (see the summary line), not as divisors."""
+    cans = [
+        c
+        for c in rec["segment_canaries"]
+        if isinstance(c, (int, float)) and c == c and c > 0
+    ]
+    if cans and use_segments:
+        return float(sorted(cans)[len(cans) // 2])
     return default
 
 
@@ -106,11 +115,16 @@ def main() -> None:
         )
         ca = cb = 1.0
     common = sorted(set(a["queries"]) & set(b["queries"]))
+    # Segment canaries are min-of-2 probes, systematically lower than
+    # the start-of-run median-of-3 calibration (same op, warmer JVM) —
+    # the two styles must never be mixed across the pair, or the
+    # record that has segments looks uniformly "slower" normalized.
+    use_seg = bool(a["segment_canaries"]) and bool(b["segment_canaries"])
     rows = []
     for q in common:
         ta, tb = a["queries"][q], b["queries"][q]
-        na = ta / per_query_cal(a, q, ca)
-        nb = tb / per_query_cal(b, q, cb)
+        na = ta / per_query_cal(a, q, ca, use_seg)
+        nb = tb / per_query_cal(b, q, cb, use_seg)
         rows.append((nb / na if na else float("inf"), q, ta, tb, na, nb))
     rows.sort(reverse=True)
     print(
