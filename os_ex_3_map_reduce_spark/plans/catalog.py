@@ -17,6 +17,16 @@ meaningful rather than flaky):
    between Spark runs!), decimal is associative and exact.
 3. **Top-k always carries a total tiebreak** on a key column, applied
    *after* any float rounding, so the selected set is identical.
+4. **Order-sensitive sort keys must be provably non-null** (inner-join
+   / aggregate / coalesce construction): Spark's bare ASC default is
+   NULLS FIRST, DuckDB's is NULLS LAST (r14 probe,
+   tools/divergence_probe.py), which silently flips rank()/
+   row_number()/running-frame/top-k values the order-insensitive hash
+   can't forgive. A nullable key must spell NULLS FIRST|LAST on BOTH
+   sides. (DESC defaults agree; NaN > +Infinity in both engines.)
+5. **No string reverse() on text columns**: Spark reverses codepoints,
+   DuckDB reverses grapheme clusters — combining marks detach in one
+   engine only. Pinned in tests/test_ordering_contract.py.
 """
 
 from __future__ import annotations
@@ -74,94 +84,76 @@ def _load_all() -> None:
 #: first, ~30 swaps per round so the stale tail keeps refreshing.
 DRIVER_WINDOW = 50
 
-#: Round-13 priority prefix. History as of round-13 start:
-#: CORRECTNESS_r12 verified 49/50 green; cumulatively 272/280 names have
-#: a driver row and 271 have been green at least once. The only
-#: ever-red name, q_entropy_quality, was root-caused this round to the
-#: tokenizer-contract asymmetry (Spark regex \s+ vs the oracles'
-#: literal-space string_split) — fixed catalog-wide: functions/text.py
-#: tokens() is now the literal-space/filter-empties contract, every
-#: tokenizing oracle uses the same filtered form, the query's output is
-#: pure integer, and tests/test_tokenizer_contract.py holds the
-#: adversarial-whitespace parity property test. Window layout (per the
-#: r12 verdict directives #1/#3):
-#: 1. q_entropy_quality — the lead name; green here closes the
-#:    project's last red.
-#: 2. q_whitespace_audit — NEW corpus-drift tripwire (verdict #5):
-#:    exact integer whitespace/token-count evidence that localizes any
-#:    future fixture drift in one read.
-#: 3-10. The 8 never-rowed E6 names (the r12 DRIVER_R13_QUEUE) — green
-#:    rows here complete 280/280 externally-rowed coverage.
-#: 11-50. The tokenizing queries whose oracle/implementation changed in
-#:    this round's splitter sweep, oldest external verdict first (r7 →
-#:    r11). Six changed names overflow the 50-window and are pinned
-#:    immediately after it (positions 51-56) so r14 fronts them first.
+#: Round-14 priority prefix. History as of round-14 start:
+#: CORRECTNESS_r13 = 50/50 green — the project's first fully-closed
+#: round (281/281 names rowed, zero ever-red remaining). Window layout
+#: (per the r13 verdict directive #1):
+#: 1-11. The r13 spill — the 11 names whose implementation/oracle
+#:    changed in round 13 but which sat at positions 51-61, so no
+#:    post-change driver row exists (all 11 are judge-sim ALL MATCH on
+#:    the r13 tree; this is pure external confirmation): the 6
+#:    tokenizer-sweep names then the 5 output-invariant changed names.
+#: 12-50. Stale-green refresh per tools/rotation.py: the oldest
+#:    external verdicts first — the 30 remaining r7-era greens, then
+#:    9 r8-era greens (alphabetical within round).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_entropy_quality",
-    "q_whitespace_audit",
-    "q_attribution",
-    "q_incremental_join",
-    "q_join_interval",
-    "q_join_not_in",
-    "q_mixture_waterfill",
-    "q_skyline_parts",
-    "q_volume_shipping",
-    "q_window_distinct",
-    "q_mapreduce_wordcount",
-    "q_setsim_prefix",
-    "q_simhash_neardup",
-    "q_contamination",
-    "q_dedup_exact",
-    "q_fingerprint",
-    "q_fingerprint_rolling",
-    "q_job_control",
-    "q_lang_id",
-    "q_minhash_neardup",
-    "q_neardup_components",
-    "q_neardup_editdist",
-    "q_normalize_text",
-    "q_pipeline_clean_corpus",
-    "q_repetition",
-    "q_text_quality",
-    "q_tfidf_top_terms",
-    "q_token_stats",
-    "q_udtf_bigrams",
-    "q_wordcount",
-    "q_dedup_keep_best",
-    "q_mapreduce_key_equiv",
-    "q_pack_chunks",
-    "q_tf_df",
-    "q_token_stats_bpe",
-    "q_cc_starcontract",
-    "q_chi2_terms",
-    "q_dedup_ingest",
-    "q_lm_perplexity",
-    "q_stream_dedup_ingest",
-    "q_substring_dupes",
-    "q_bm25_append",
-    "q_bm25_indexed",
-    "q_bm25_topk",
-    "q_chunk_overlap",
-    "q_containment",
-    "q_dsir_select",
-    "q_group_split",
-    "q_hybrid_rrf",
-    "q_neardup_linkage",
     "q_phrase_search",
     "q_pmi_collocations",
     "q_prf_expand",
     "q_stream_bm25_ingest",
     "q_textrank",
     "q_stream_standing_query",
-    # changed-this-round names that are output-invariant on the current
-    # fixtures (ascii_fold == lower/upper on ASCII; one-pass staging is
-    # batching-invariant by design, all verified vs oracles) — pinned
-    # behind the spill so r14 still re-verifies them externally:
     "q_string_fns",
     "q_stream_kmv_distinct",
     "q_stream_cms_topk",
     "q_stream_semi_join",
     "q_stream_maxsim",
+    # 12-13. NEW this round (never verified, so they must sit inside
+    # the window; their arrival pushes q_join_broadcast and q_join_semi
+    # to positions 51-52 — the r15 spill): the case+levenshtein drift
+    # tripwire, and exact tree betweenness (the sparse-fixture answer
+    # to the r11/r12 betweenness rejection).
+    "q_case_edit_audit",
+    "q_betweenness_tree",
+    "q_date_parts",
+    "q_date_trunc",
+    "q_drift_ks",
+    "q_event_transitions",
+    "q_funnel",
+    "q_gini",
+    "q_histogram_equidepth",
+    "q_hof_fns",
+    "q_incremental_agg",
+    "q_join_cross",
+    "q_join_nullsafe",
+    "q_mad_robust",
+    "q_map_fns",
+    "q_math_fns",
+    "q_multimodal_audio_frames",
+    "q_outlier_zscore",
+    "q_percentiles",
+    "q_pii_redact",
+    "q_profile_stats",
+    "q_regexp_fns",
+    "q_sample_budget",
+    "q_sessionize",
+    "q_set_ops_all",
+    "q_shipping_priority",
+    "q_time_interpolate",
+    "q_trend_ols",
+    "q_unpivot",
+    "q_window_misc",
+    "q_window_range_frame",
+    "q_zorder_cluster",
+    "q_agg_distinct",
+    "q_agg_pricing_summary",
+    "q_cube",
+    "q_dedup_stats",
+    "q_filter_project",
+    "q_grouping_sets",
+    "q_having",
+    "q_join_broadcast",
+    "q_join_semi",
 )
 
 

@@ -1931,3 +1931,131 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return _cached_df(spark, ("harmonic", sf_dir), build)
+
+
+@register(
+    "q_betweenness_tree",
+    oracle="""
+        WITH cpn AS (
+            SELECT n_nationkey, n_regionkey,
+                   CAST(COUNT(c_custkey) AS BIGINT) AS n_cust
+            FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+            GROUP BY n_nationkey, n_regionkey
+        ),
+        tot AS (
+            SELECT 1 + (SELECT COUNT(*) FROM region)
+                     + (SELECT COUNT(*) FROM nation)
+                     + (SELECT SUM(n_cust) FROM cpn) AS n
+        ),
+        nation_b AS (
+            SELECT 'n' || n_nationkey AS node,
+                   ((n - 1)::HUGEINT * (n - 1)
+                    - n_cust::HUGEINT
+                    - (n - 1 - n_cust)::HUGEINT * (n - 1 - n_cust)) / 2 AS b
+            FROM cpn, tot
+        ),
+        rsub AS (
+            SELECT n_regionkey,
+                   CAST(SUM(1 + n_cust) AS BIGINT) AS sub_n,
+                   SUM((1 + n_cust)::HUGEINT * (1 + n_cust)) AS sumsq
+            FROM cpn GROUP BY n_regionkey
+        ),
+        region_b AS (
+            SELECT 'r' || n_regionkey AS node,
+                   ((n - 1)::HUGEINT * (n - 1) - sumsq
+                    - (n - 1 - sub_n)::HUGEINT * (n - 1 - sub_n)) / 2 AS b
+            FROM rsub, tot
+        ),
+        root_b AS (
+            SELECT 'root' AS node,
+                   ((n - 1)::HUGEINT * (n - 1)
+                    - SUM((1 + sub_n)::HUGEINT * (1 + sub_n))) / 2 AS b
+            FROM rsub, tot GROUP BY n
+        )
+        SELECT node, CAST(b AS BIGINT) AS betweenness
+        FROM (SELECT * FROM nation_b UNION ALL
+              SELECT * FROM region_b UNION ALL
+              SELECT * FROM root_b)
+        ORDER BY betweenness DESC, node
+    """,
+    doc="EXACT betweenness centrality on the fixtures' natural tree "
+    "(virtual root -> region -> nation -> customer) — the sparse-"
+    "fixture answer to the r11/r12 betweenness rejection: on a tree "
+    "every shortest path is unique (Brandes sigma = 1 for all pairs), "
+    "so the dependency accumulation collapses to the integer "
+    "subtree-size decomposition B(v) = ((n-1)^2 - sum_i a_i^2)/2 over "
+    "the component sizes a_i of T minus v — no path counting, no "
+    "fixed-point fractions, no int64 overflow (the dense bipartite "
+    "graph's sigma ~ 1e11 by hop 3 is exactly what made general exact "
+    "Brandes infeasible; documented r12). Quadratic terms are computed "
+    "in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), exact far past any "
+    "bigint node count, then cast to BIGINT for the hash. Output: the "
+    "31 interior nodes (leaves are 0 by definition) with unnormalized "
+    "pair counts, total-ordered. Scale path: two grouped integer "
+    "aggregations plus broadcast-sized totals — O(1) shuffles for this "
+    "fixed 3-level hierarchy, O(depth) bottom-up aggregation rounds "
+    "for a general tree; never touches pairs, so it holds at any "
+    "customer count.",
+)
+def q_betweenness_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey")
+
+    dec = lambda c: c.cast("decimal(19,0)")
+    sq = lambda c: (dec(c) * dec(c)).cast("decimal(38,0)")
+
+    # per-nation leaf counts (LEFT join: a nation with zero customers
+    # still sits in the tree)
+    cpn = (
+        nat.join(
+            cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust")),
+            nat.n_nationkey == F.col("c_nationkey"),
+            "left",
+        )
+        .select("n_nationkey", "n_regionkey", F.coalesce("n_cust", F.lit(0)).alias("n_cust"))
+    )
+    # broadcast-sized total node count: 1 + |region| + |nation| + |customer|
+    tot = (
+        reg.agg(F.count(F.lit(1)).alias("n_reg"))
+        .crossJoin(nat.agg(F.count(F.lit(1)).alias("n_nat")))
+        .crossJoin(cust.agg(F.count(F.lit(1)).alias("n_cust_total")))
+        .select((F.lit(1) + F.col("n_reg") + F.col("n_nat") + F.col("n_cust_total")).alias("n"))
+    )
+    n1 = F.col("n") - 1
+
+    # nation v: components of T\v = n_cust singleton leaves + the rest
+    nation_b = (
+        cpn.crossJoin(F.broadcast(tot))
+        .select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("node"),
+            ((sq(n1) - dec(F.col("n_cust")).cast("decimal(38,0)")
+              - sq(n1 - F.col("n_cust"))) / 2).alias("b"),
+        )
+    )
+    # region v: components = each child nation subtree (1 + its leaves)
+    # + the rest above
+    rsub = cpn.groupBy("n_regionkey").agg(
+        F.sum(F.lit(1) + F.col("n_cust")).alias("sub_n"),
+        F.sum(sq(F.lit(1) + F.col("n_cust"))).alias("sumsq"),
+    )
+    region_b = (
+        rsub.crossJoin(F.broadcast(tot))
+        .select(
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("node"),
+            ((sq(n1) - F.col("sumsq") - sq(n1 - F.col("sub_n"))) / 2).alias("b"),
+        )
+    )
+    # root: components = the region subtrees, nothing above
+    root_b = (
+        rsub.select(sq(F.lit(1) + F.col("sub_n")).alias("rsq"))
+        .agg(F.sum("rsq").alias("sumsq"))
+        .crossJoin(F.broadcast(tot))
+        .select(F.lit("root").alias("node"), ((sq(n1) - F.col("sumsq")) / 2).alias("b"))
+    )
+    return (
+        nation_b.unionByName(region_b)
+        .unionByName(root_b)
+        .select("node", F.col("b").cast("long").alias("betweenness"))
+        .orderBy(F.desc("betweenness"), F.asc("node"))
+    )

@@ -7688,3 +7688,83 @@ def q_whitespace_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_multispace_docs"),
     )
+
+
+_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+@register(
+    "q_case_edit_audit",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN strlen(text) <> len(text)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_multibyte_docs,
+               CAST(SUM(strlen(text) - len(text)) AS BIGINT)
+                   AS byte_surplus,
+               CAST(SUM(len(text) - len(translate(text, '{_UP}', '')))
+                    AS BIGINT) AS n_upper_ascii,
+               CAST(SUM(len(text) - len(translate(text, '{_LO}', '')))
+                    AS BIGINT) AS n_lower_ascii,
+               CAST(SUM(CASE WHEN strpos(text, 'İ') > 0
+                              OR strpos(text, 'ı') > 0
+                              OR strpos(text, 'ẞ') > 0
+                              OR strpos(text, 'ß') > 0
+                              OR strpos(text, 'Σ') > 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_case_danger_docs,
+               CAST(SUM(levenshtein(substring(text, 1, 256),
+                                    translate(substring(text, 1, 256),
+                                              '{_UP}', '{_LO}')))
+                    AS BIGINT) AS lev_fold_prefix
+        FROM documents
+    """,
+    doc="Case + edit-distance drift tripwire (VERDICT r13 #7, the "
+    "q_whitespace_audit pattern applied to the OTHER two pinned "
+    "contracts): ONE row of exact integers that move — and hash-fail "
+    "first — if a fixture regeneration ever introduces the character "
+    "classes those contracts exist for. n_multibyte_docs/byte_surplus "
+    "measure exactly the quantity by which byte-level (DuckDB) and "
+    "codepoint-level (Spark) levenshtein can disagree; "
+    "n_case_danger_docs counts docs holding the literal case-bomb "
+    "chars (Turkish İ/ı, ß/ẞ, Σ) that make unicode lower()/upper() "
+    "engine-specific (why ascii_fold exists); lev_fold_prefix runs the "
+    "pinned byte-levenshtein contract in-band on every doc (distance "
+    "between a 256-char prefix and its ASCII case fold = its ASCII "
+    "uppercase count — any drift in either engine's levenshtein or in "
+    "the byte pin breaks the equality with n_upper_ascii on ASCII "
+    "corpora). The prefix cap bounds the O(len^2) DP per doc, so the "
+    "audit stays O(rows) at any scale. Plan: one column-pruned scan, "
+    "map-side-combined aggregate to a single row — no shuffle beyond "
+    "the 1-row combine; everything JVM-side codegen.",
+)
+def q_case_edit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    as_bytes = lambda c: F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+    prefix = F.substring(t, 1, 256)
+    danger = (
+        (F.instr(t, "İ") > 0)
+        | (F.instr(t, "ı") > 0)
+        | (F.instr(t, "ẞ") > 0)
+        | (F.instr(t, "ß") > 0)
+        | (F.instr(t, "Σ") > 0)
+    )
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.octet_length(t) != F.length(t)).cast("long"))
+        .cast("long")
+        .alias("n_multibyte_docs"),
+        F.sum(F.octet_length(t) - F.length(t)).cast("long").alias("byte_surplus"),
+        F.sum(F.length(t) - F.length(F.translate(t, _UP, "")))
+        .cast("long")
+        .alias("n_upper_ascii"),
+        F.sum(F.length(t) - F.length(F.translate(t, _LO, "")))
+        .cast("long")
+        .alias("n_lower_ascii"),
+        F.sum(danger.cast("long")).cast("long").alias("n_case_danger_docs"),
+        F.sum(F.levenshtein(as_bytes(prefix), as_bytes(F.translate(prefix, _UP, _LO))))
+        .cast("long")
+        .alias("lev_fold_prefix"),
+    )

@@ -12,23 +12,26 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
 )
 
 # Queries that MUST be inside the verification window this round
-# (round 13: the only ever-red name, root-caused and fixed via the
-# shared tokenizer contract + pure-integer output; the new
-# whitespace-drift tripwire; and the 8 never-rowed E6 names whose
-# green rows complete 280/280 external coverage. The remaining 40
-# slots are the splitter-sweep changed names, oldest verdict first —
-# policy via tools/rotation.py, not pinned here.)
+# (round 14: the 11 r13-changed names that spilled past position 50
+# and therefore have no post-change driver row — external confirmation
+# of the tokenizer sweep + output-invariant changes. The remaining 39
+# slots are the oldest-stale greens, r7 era first — policy via
+# tools/rotation.py, not pinned here.)
 MUST_BE_IN_WINDOW = {
-    "q_entropy_quality",
-    "q_whitespace_audit",
-    "q_attribution",
-    "q_incremental_join",
-    "q_join_interval",
-    "q_join_not_in",
-    "q_mixture_waterfill",
-    "q_skyline_parts",
-    "q_volume_shipping",
-    "q_window_distinct",
+    "q_phrase_search",
+    "q_pmi_collocations",
+    "q_prf_expand",
+    "q_stream_bm25_ingest",
+    "q_textrank",
+    "q_stream_standing_query",
+    "q_string_fns",
+    "q_stream_kmv_distinct",
+    "q_stream_cms_topk",
+    "q_stream_semi_join",
+    "q_stream_maxsim",
+    # new this round — never verified, must be windowed
+    "q_case_edit_audit",
+    "q_betweenness_tree",
 }
 
 

@@ -1,0 +1,151 @@
+"""Cross-engine ordering/string contract pins (round-14 probe series).
+
+tools/divergence_probe.py (VERDICT r13 #5) swept the remaining
+multibyte-string and ordering surfaces after the three retired classes
+(libm rounding r12, whitespace tokenization r13, unicode case mapping
++ byte-level levenshtein r13). Probe results on this container:
+
+MATCH:   length, substring (pos/neg), md5, strpos/instr, lpad with a
+         multibyte pad char, array_join/array_to_string (NULL elements
+         and multibyte separators), binary ORDER BY on mixed-script
+         strings, DESC NULL placement, RANGE frames over doubles,
+         GROUP BY NaN / signed zero (both engines group NaN with NaN
+         and normalize -0.0 = 0.0; the probe's tuple-compare flags it
+         only because nan != nan in Python).
+
+DIVERGE (the two new latent classes, pinned here):
+
+1. **ASC NULL placement** — Spark default = NULLS FIRST, DuckDB
+   default = NULLS LAST. Invisible to the driver's order-insensitive
+   hash EXCEPT where order feeds values: rank()/row_number()/ntile,
+   running ROWS frames, LIMIT/top-k. CONTRACT: every
+   order-sensitive computation's sort key must be provably
+   non-null (built from inner joins / aggregates / coalesce) — all 36
+   current window ORDER BYs qualify — and any future nullable key
+   must spell NULLS FIRST|LAST on BOTH sides. (DESC defaults agree:
+   NULLS LAST both.)
+
+2. **reverse() on non-ASCII** — Spark reverses codepoints, DuckDB
+   reverses grapheme clusters ('e'+combining-acute flips order in
+   Spark, stays attached in DuckDB). CONTRACT: never use string
+   reverse on text columns in an oracle-checked query (currently
+   unused; this test keeps the reason on record).
+
+These tests pin the ENGINE behaviors, so if a pyspark/duckdb upgrade
+ever converges (or further diverges) the defaults, the contract gets
+re-evaluated instead of silently rotting.
+"""
+
+from __future__ import annotations
+
+# session-scoped ``spark`` and ``duck`` fixtures come from conftest.py
+
+NUMS_SPARK = (
+    "VALUES (1, CAST(1.5 AS DOUBLE)), (2, CAST('NaN' AS DOUBLE)), "
+    "(3, CAST(NULL AS DOUBLE)), (4, CAST(0.5 AS DOUBLE)), "
+    "(5, CAST('Infinity' AS DOUBLE)) t(k, v)"
+)
+NUMS_DUCK = (
+    "VALUES (1, 1.5), (2, 'NaN'::DOUBLE), (3, NULL::DOUBLE), "
+    "(4, 0.5), (5, 'Infinity'::DOUBLE)"
+)
+
+
+def test_asc_null_placement_defaults_diverge(spark, duck):
+    """The hazard itself: bare ASC puts NULL first in Spark, last in
+    DuckDB. If this ever starts matching, the contract note in
+    plans/catalog.py can be relaxed."""
+    s = [r[0] for r in spark.sql(f"SELECT k FROM {NUMS_SPARK} ORDER BY v ASC").collect()]
+    d = [r[0] for r in duck.execute(f"SELECT k FROM ({NUMS_DUCK}) t(k, v) ORDER BY v ASC").fetchall()]
+    assert s[0] == 3, "Spark ASC default is NULLS FIRST"
+    assert d[-1] == 3, "DuckDB ASC default is NULLS LAST"
+    assert s != d
+
+
+def test_explicit_nulls_clause_converges(spark, duck):
+    """The contract form: spelling NULLS LAST (or FIRST) on both sides
+    makes ASC identical — including NaN > Infinity, which both engines
+    agree on."""
+    for clause in ("NULLS LAST", "NULLS FIRST"):
+        s = [r[0] for r in spark.sql(
+            f"SELECT k FROM {NUMS_SPARK} ORDER BY v ASC {clause}").collect()]
+        d = [r[0] for r in duck.execute(
+            f"SELECT k FROM ({NUMS_DUCK}) t(k, v) ORDER BY v ASC {clause}").fetchall()]
+        assert s == d, clause
+    # NaN sorts above +Infinity in both engines (k=2 after k=5)
+    assert s.index(2) > s.index(5)
+
+
+def test_desc_defaults_agree(spark, duck):
+    s = [r[0] for r in spark.sql(f"SELECT k FROM {NUMS_SPARK} ORDER BY v DESC").collect()]
+    d = [r[0] for r in duck.execute(f"SELECT k FROM ({NUMS_DUCK}) t(k, v) ORDER BY v DESC").fetchall()]
+    assert s == d == [2, 5, 1, 4, 3]  # NaN, inf, 1.5, 0.5, NULL
+
+
+def test_rank_over_nonnull_key_converges(spark, duck):
+    """The discipline every catalog window follows: a non-null sort key
+    (coalesce'd here) makes rank() identical across engines."""
+    s = spark.sql(
+        f"SELECT k, rank() OVER (ORDER BY coalesce(v, -1e308) DESC, k) r "
+        f"FROM {NUMS_SPARK} ORDER BY k"
+    ).collect()
+    d = duck.execute(
+        f"SELECT k, rank() OVER (ORDER BY coalesce(v, -1e308) DESC, k) r "
+        f"FROM ({NUMS_DUCK}) t(k, v) ORDER BY k"
+    ).fetchall()
+    assert [tuple(r) for r in s] == [tuple(r) for r in d]
+
+
+def test_nan_groups_and_signed_zero_agree(spark, duck):
+    """GROUP BY semantics both engines share: NaN == NaN for grouping,
+    -0.0 and 0.0 collapse. (The driver canonicalizer additionally maps
+    NaN -> 'NULL' in hashes, so NaN-keyed outputs stay hash-safe.)"""
+    q_s = (
+        "SELECT count(*) AS c FROM (SELECT CAST('NaN' AS DOUBLE) v UNION ALL "
+        "SELECT CAST('NaN' AS DOUBLE) UNION ALL SELECT CAST(-0.0 AS DOUBLE) "
+        "UNION ALL SELECT CAST(0.0 AS DOUBLE)) GROUP BY v ORDER BY c"
+    )
+    q_d = (
+        "SELECT count(*) AS c FROM (SELECT 'NaN'::DOUBLE v UNION ALL "
+        "SELECT 'NaN'::DOUBLE UNION ALL SELECT -0.0::DOUBLE "
+        "UNION ALL SELECT 0.0::DOUBLE) GROUP BY v ORDER BY c"
+    )
+    assert [r[0] for r in spark.sql(q_s).collect()] == [2, 2]
+    assert [r[0] for r in duck.execute(q_d).fetchall()] == [2, 2]
+
+
+def test_reverse_diverges_on_combining_marks(spark, duck):
+    """Why reverse() is banned from oracle-checked text paths: Spark
+    flips codepoints (detaching combining marks), DuckDB flips grapheme
+    clusters (keeping them attached)."""
+    s = spark.sql("SELECT reverse('café')").collect()[0][0]
+    d = duck.execute("SELECT reverse('café')").fetchone()[0]
+    assert s == "́efac"  # combining acute detached, leads the string
+    assert d == "éfac"  # grapheme kept intact
+    assert s != d
+
+
+def test_multibyte_string_surfaces_match(spark, duck):
+    """The surfaces that PROBED CLEAN and are used by oracles today —
+    pinned so an engine upgrade that breaks one fails here first:
+    length / substring / md5 / instr-strpos / array_join with NULLs."""
+    corpus = ["plain", "café", "café", "\U0001f600 emoji",
+              "你好", "İstanbul"]
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)], "i int, s string")
+    sdf.createOrReplaceTempView("probe_m")
+    duck.execute("CREATE OR REPLACE TABLE probe_m AS SELECT * FROM (VALUES "
+                 + ",".join(f"({i}, ?)" for i in range(len(corpus)))
+                 + ") t(i, s)", corpus)
+    pairs = [
+        ("SELECT i, length(s) FROM probe_m ORDER BY i",) * 2,
+        ("SELECT i, substring(s, 2, 3) FROM probe_m ORDER BY i",) * 2,
+        ("SELECT i, md5(s) FROM probe_m ORDER BY i",) * 2,
+        ("SELECT i, instr(s, 'é') FROM probe_m ORDER BY i",
+         "SELECT i, strpos(s, 'é') FROM probe_m ORDER BY i"),
+        ("SELECT array_join(array('a', CAST(NULL AS STRING), 'b'), ',')",
+         "SELECT array_to_string(['a', NULL, 'b'], ',')"),
+    ]
+    for q_s, q_d in pairs:
+        s = [tuple(r) for r in spark.sql(q_s).collect()]
+        d = [tuple(r) for r in duck.execute(q_d).fetchall()]
+        assert s == d, q_s

@@ -1,0 +1,99 @@
+"""Round-14 additions: exact tree betweenness + the case/edit-distance
+drift tripwire. The oracles are hash-verified by the driver sim; these
+tests pin the MATH independently — brute-force BFS betweenness, and
+pure-python recomputation of the audit integers — so a future refactor
+that changes both engine sides in the same wrong way still fails CI."""
+
+from __future__ import annotations
+
+import collections
+
+from os_ex_3_map_reduce_spark.plans.catalog import get_query
+
+SF = "/root/testdata/sf0.001"  # smallest fixture: brute force stays cheap
+
+
+def test_betweenness_tree_matches_bruteforce_bfs(spark, duck):
+    """B(v) from the subtree-size decomposition == literal Brandes on
+    the explicit tree: BFS from every source, walk every (s, t) pair's
+    unique path, count interior visits."""
+    nat = duck.execute("SELECT n_nationkey, n_regionkey FROM "
+                       f"read_parquet('{SF}/nation.parquet')").fetchall()
+    cust = duck.execute("SELECT c_custkey, c_nationkey FROM "
+                        f"read_parquet('{SF}/customer.parquet')").fetchall()
+    reg = duck.execute("SELECT r_regionkey FROM "
+                       f"read_parquet('{SF}/region.parquet')").fetchall()
+    adj: dict[str, set[str]] = collections.defaultdict(set)
+    for (r,) in reg:
+        adj["root"].add(f"r{r}")
+        adj[f"r{r}"].add("root")
+    for n, r in nat:
+        adj[f"r{r}"].add(f"n{n}")
+        adj[f"n{n}"].add(f"r{r}")
+    for c, n in cust:
+        adj[f"n{n}"].add(f"c{c}")
+        adj[f"c{c}"].add(f"n{n}")
+    nodes = sorted(adj)
+    brute: collections.Counter[str] = collections.Counter()
+    for s in nodes:
+        parent: dict[str, str | None] = {s: None}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in parent:
+                    parent[v] = u
+                    q.append(v)
+        for t in nodes:
+            if t <= s:
+                continue
+            u = parent[t]
+            while u is not None and u != s:
+                brute[u] += 1
+                u = parent[u]  # type: ignore[assignment]
+
+    got = {
+        r.node: r.betweenness
+        for r in get_query("q_betweenness_tree").fn(spark, SF).collect()
+    }
+    want = {k: v for k, v in brute.items() if v > 0}
+    assert got == want
+    # structural invariants: only interior nodes appear, root dominates
+    assert len(got) == 1 + len(reg) + len(nat)
+    assert max(got, key=got.get) == "root" or got["root"] == max(got.values())
+
+
+def test_case_edit_audit_integers_recompute(spark, duck):
+    """Recompute every audit integer in pure python over the raw
+    corpus; on this (ASCII) corpus lev_fold_prefix must equal the
+    uppercase count of each 256-char prefix — the in-band proof the
+    byte-levenshtein pin computes the same DP as an independent
+    character count."""
+    texts = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT text FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    ]
+    row = get_query("q_case_edit_audit").fn(spark, SF).collect()[0]
+    assert row.n_docs == len(texts)
+    assert row.n_multibyte_docs == sum(
+        1 for t in texts if len(t.encode()) != len(t)
+    )
+    assert row.byte_surplus == sum(len(t.encode()) - len(t) for t in texts)
+    assert row.n_upper_ascii == sum(
+        sum(1 for ch in t if "A" <= ch <= "Z") for t in texts
+    )
+    assert row.n_lower_ascii == sum(
+        sum(1 for ch in t if "a" <= ch <= "z") for t in texts
+    )
+    assert row.n_case_danger_docs == sum(
+        1 for t in texts if any(c in t for c in "İıẞßΣ")
+    )
+    # prefix fold distance == uppercase count in prefix (ASCII corpus);
+    # if the corpus ever gains multibyte chars this equality can break
+    # legitimately — then compare against a python-side levenshtein.
+    if row.n_multibyte_docs == 0:
+        assert row.lev_fold_prefix == sum(
+            sum(1 for ch in t[:256] if "A" <= ch <= "Z") for t in texts
+        )

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Latent cross-engine divergence probe (VERDICT r13 #5).
+
+Three divergence classes have already been found and contractually
+retired (libm rounding r12; whitespace tokenization r13; unicode case
+mapping r13; levenshtein byte-vs-codepoint r13). This tool probes the
+REMAINING multibyte/ordering surfaces the oracles touch, on a case-bomb
+corpus, and prints MATCH/DIVERGE per surface so any new class gets a
+shared contract + property test before it reaches a driver row.
+
+Surfaces probed (chosen from actual oracle usage — grep the plans):
+  length, substring, md5, array_to_string/array_join (incl. NULL
+  elements and multibyte separators), strpos, lpad, reverse,
+  ORDER BY NULL/NaN placement (bare and inside window frames),
+  string comparison/collation order for mixed-script strings.
+
+Run from the repo root:  python tools/divergence_probe.py
+Exit 0 always — this is evidence collection; read the DIVERGE lines.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+# The case-bomb corpus: every known-dangerous shape in one table.
+CORPUS = [
+    "plain ascii",
+    "café",                    # precomposed é (2-byte UTF-8)
+    "café",                   # e + combining acute (grapheme != codepoint)
+    "\U0001f600 emoji",             # supplementary plane (4-byte, surrogate pair)
+    "你好世界",     # CJK
+    "İstanbul",                # Turkish dotted capital I
+    "σισύφιος",  # greek w/ final sigma
+    "ä́b",               # stacked combining marks
+    "mixed é\U0001f600你 tail",
+]
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("divergence-probe")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(CORPUS)], "i int, s string")
+    sdf.createOrReplaceTempView("probe")
+    con.execute("CREATE TABLE probe AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, ?)" for i in range(len(CORPUS)))
+                + ") t(i, s)", CORPUS)
+
+    diverged: list[str] = []
+
+    def compare(tag: str, spark_sql: str, duck_sql: str | None = None) -> None:
+        duck_sql = duck_sql or spark_sql
+        s_rows = [tuple(r) for r in spark.sql(spark_sql).collect()]
+        d_rows = [tuple(r) for r in con.execute(duck_sql).fetchall()]
+        ok = s_rows == d_rows
+        print(f"{'MATCH  ' if ok else 'DIVERGE'} {tag}")
+        if not ok:
+            diverged.append(tag)
+            for a, b in zip(s_rows, d_rows):
+                if a != b:
+                    print(f"    spark={a!r}")
+                    print(f"    duck ={b!r}")
+
+    # 1. length over multibyte / combining / supplementary
+    compare("length(s)", "SELECT i, length(s) FROM probe ORDER BY i")
+    # 2. substring indexing
+    compare("substring(s,2,3)", "SELECT i, substring(s, 2, 3) FROM probe ORDER BY i")
+    compare("substring(s,-3)",
+            "SELECT i, substring(s, -3) FROM probe ORDER BY i",
+            "SELECT i, substring(s, -3) FROM probe ORDER BY i")
+    # 3. md5 of UTF-8 bytes
+    compare("md5(s)", "SELECT i, md5(s) FROM probe ORDER BY i")
+    # 4. strpos / position (codepoint vs byte index?)
+    compare("strpos/instr",
+            "SELECT i, instr(s, 'é') FROM probe ORDER BY i",
+            "SELECT i, strpos(s, 'é') FROM probe ORDER BY i")
+    # 5. lpad with multibyte pad char
+    compare("lpad(s,12,'·')",
+            "SELECT i, lpad(s, 12, '·') FROM probe ORDER BY i")
+    # 6. reverse (codepoints vs graphemes)
+    compare("reverse(s)", "SELECT i, reverse(s) FROM probe ORDER BY i")
+    # 7. array_to_string: NULL elements + multibyte separator
+    compare("array_join null elems",
+            "SELECT array_join(array('a', CAST(NULL AS STRING), 'b'), ',')",
+            "SELECT array_to_string(['a', NULL, 'b'], ',')")
+    compare("array_join multibyte sep",
+            "SELECT array_join(array('x','y'), '·')",
+            "SELECT array_to_string(['x','y'], '·')")
+    # 8. string ORDER: mixed-script collation (binary vs ICU?)
+    compare("ORDER BY s",
+            "SELECT s FROM probe ORDER BY s",
+            "SELECT s FROM probe ORDER BY s")
+    # 9. NULL / NaN ordering: bare sort, asc and desc
+    spark.sql(
+        "SELECT * FROM VALUES (1, CAST(1.5 AS DOUBLE)), (2, CAST('NaN' AS DOUBLE)),"
+        " (3, CAST(NULL AS DOUBLE)), (4, CAST(0.5 AS DOUBLE)),"
+        " (5, CAST('Infinity' AS DOUBLE)) t(k, v)"
+    ).createOrReplaceTempView("nums")
+    con.execute("CREATE TABLE nums AS SELECT * FROM (VALUES (1, 1.5), (2, 'NaN'::DOUBLE),"
+                " (3, NULL::DOUBLE), (4, 0.5), (5, 'Infinity'::DOUBLE)) t(k, v)")
+    compare("ORDER BY v ASC (NULL/NaN placement)",
+            "SELECT k FROM nums ORDER BY v ASC")
+    compare("ORDER BY v DESC (NULL/NaN placement)",
+            "SELECT k FROM nums ORDER BY v DESC")
+    # 10. NaN/NULL inside a window ROWS frame ordered by v
+    compare("window rank over ORDER BY v",
+            "SELECT k, rank() OVER (ORDER BY v) FROM nums ORDER BY k")
+    compare("window sum ROWS UNBOUNDED PRECEDING over ORDER BY v",
+            "SELECT k, CAST(sum(CASE WHEN isnan(v) THEN 0 ELSE coalesce(v,0) END)"
+            " OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE)"
+            " FROM nums ORDER BY k",
+            "SELECT k, CAST(sum(CASE WHEN isnan(v) THEN 0 ELSE coalesce(v,0) END)"
+            " OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE)"
+            " FROM nums ORDER BY k")
+    # 11. RANGE frame over double with NaN present
+    compare("window RANGE BETWEEN 1 PRECEDING AND CURRENT ROW",
+            "SELECT k, count(*) OVER (ORDER BY v RANGE BETWEEN 1 PRECEDING"
+            " AND CURRENT ROW) FROM nums ORDER BY k")
+    # 12. = and GROUP BY on NaN (NaN==NaN?) and on -0.0 vs 0.0
+    compare("GROUP BY NaN & signed zero",
+            "SELECT v, count(*) AS c FROM (SELECT CAST('NaN' AS DOUBLE) v UNION ALL"
+            " SELECT CAST('NaN' AS DOUBLE) UNION ALL SELECT CAST(-0.0 AS DOUBLE)"
+            " UNION ALL SELECT CAST(0.0 AS DOUBLE)) GROUP BY v ORDER BY c, v",
+            "SELECT v, count(*) AS c FROM (SELECT 'NaN'::DOUBLE v UNION ALL"
+            " SELECT 'NaN'::DOUBLE UNION ALL SELECT -0.0::DOUBLE"
+            " UNION ALL SELECT 0.0::DOUBLE) GROUP BY v ORDER BY c, v")
+
+    print()
+    print("DIVERGED SURFACES:" if diverged else "ALL SURFACES MATCH",
+          ", ".join(diverged) if diverged else "")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
