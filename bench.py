@@ -304,6 +304,29 @@ BREADTH = [
     "q_tf_df",
     "q_token_stats_bpe",
     "q_textrank",
+    # round-14 window completion: the stale-green refresh names newly
+    # rotated into the driver window, so BENCH_r14 times the full window
+    "q_string_fns",
+    "q_date_parts",
+    "q_date_trunc",
+    "q_join_cross",
+    "q_join_nullsafe",
+    "q_map_fns",
+    "q_math_fns",
+    "q_percentiles",
+    "q_regexp_fns",
+    "q_set_ops_all",
+    "q_shipping_priority",
+    "q_unpivot",
+    "q_window_misc",
+    "q_agg_distinct",
+    "q_cube",
+    "q_dedup_stats",
+    "q_filter_project",
+    "q_grouping_sets",
+    "q_having",
+    "q_case_edit_audit",
+    "q_betweenness_tree",
 ]
 
 
@@ -505,6 +528,31 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Persist the FULL record to a committed file (VERDICT r13 "What's
+    # wrong" #1): the driver's stdout capture keeps only a 2000-char
+    # tail, and BENCH_r13.json truncated mid-``query_segments`` — the
+    # per-query breadth map survived only in the builder's session log.
+    # The repo file is the artifact of record; tools/bench_compare.py
+    # reads files, never captures. Round number = current round =
+    # latest CORRECTNESS_r{N}.json + 1 (override: BENCH_ROUND).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("BENCH_ROUND")
+        if not rnd:
+            import glob as _glob
+
+            done = [
+                int("".join(c for c in os.path.basename(p) if c.isdigit()))
+                for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            ]
+            rnd = str(max(done) + 1 if done else 0)
+        path = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+        print(f"full record written: {path}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001 — stdout line already emitted
+        print(f"full-record write failed: {ex}", file=sys.stderr)
     # The driver captures the LAST lines of output (a tail); as the
     # breadth set grew, the single full JSON line outran the capture and
     # BENCH_r07.json lost the headline numbers (VERDICT r7 "What's

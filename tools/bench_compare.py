@@ -21,9 +21,31 @@ import re
 import sys
 
 
+def resolve(path: str) -> str:
+    """Allow round shorthands: ``r13`` / ``13`` resolve to
+    ``BENCH_LOCAL_r13.json`` when present (the full committed record,
+    VERDICT r13 #2) else ``BENCH_r13.json`` (the driver's tail capture,
+    which may be truncated). Explicit paths pass through untouched."""
+    import glob
+    import os
+
+    m = re.fullmatch(r"r?(\d+)", path)
+    if not m:
+        return path
+    rnd = int(m.group(1))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for pat in (f"BENCH_LOCAL_r{rnd:02d}.json", f"BENCH_LOCAL_r{rnd}.json",
+                f"BENCH_r{rnd:02d}.json", f"BENCH_r{rnd}.json"):
+        hits = glob.glob(os.path.join(root, pat))
+        if hits:
+            return hits[0]
+    raise SystemExit(f"no bench record found for round {rnd}")
+
+
 def load_record(path: str) -> dict:
     """Extract {queries: {...}, calibration_sec: float} from a bench
     file in any of its historical shapes."""
+    path = resolve(path)
     text = open(path).read()
     candidates: list[dict] = []
     try:
