@@ -27,6 +27,18 @@ meaningful rather than flaky):
 5. **No string reverse() on text columns**: Spark reverses codepoints,
    DuckDB reverses grapheme clusters — combining marks detach in one
    engine only. Pinned in tests/test_ordering_contract.py.
+6. **No concat() over nullable args** — Spark concat is
+   NULL-propagating, DuckDB concat SKIPS NULLs; `||` propagates in
+   both, so prefer `||` (or coalesce first). No format_number /
+   thousands-separator rendering (DuckDB printf rejects `%,` on
+   floats).
+7. **No double→string casts in output or keys** — scientific-notation
+   rendering differs ('1.0E21' vs '1e+21'); doubles leave queries as
+   native doubles (the driver canonicalizes via repr). bigint→string
+   is safe (probed).
+8. **No cross-type compares or float-string→int casts** — Spark ANSI
+   errors on `2 = '2.0'` where DuckDB coerces; TRY_CAST('3.7' AS INT)
+   is NULL in Spark but ROUNDS to 4 in DuckDB.
 """
 
 from __future__ import annotations

@@ -149,3 +149,59 @@ def test_multibyte_string_surfaces_match(spark, duck):
         s = [tuple(r) for r in spark.sql(q_s).collect()]
         d = [tuple(r) for r in duck.execute(q_d).fetchall()]
         assert s == d, q_s
+
+
+def test_concat_null_semantics_diverge(spark, duck):
+    """Contract rule #6: Spark concat() propagates NULL, DuckDB concat()
+    skips it — only `||` agrees (NULL-propagating in both)."""
+    s = spark.sql("SELECT concat('a', CAST(NULL AS STRING), 'b')").collect()[0][0]
+    d = duck.execute("SELECT concat('a', NULL::VARCHAR, 'b')").fetchone()[0]
+    assert s is None and d == "ab"
+    s2 = spark.sql("SELECT 'a' || CAST(NULL AS STRING)").collect()[0][0]
+    d2 = duck.execute("SELECT 'a' || NULL::VARCHAR").fetchone()[0]
+    assert s2 is None and d2 is None
+
+
+def test_double_to_string_rendering_diverges(spark, duck):
+    """Contract rule #7: scientific notation renders differently —
+    doubles must leave queries as doubles, never strings."""
+    s = spark.sql("SELECT CAST(CAST(1e21 AS DOUBLE) AS STRING)").collect()[0][0]
+    d = duck.execute("SELECT CAST(1e21::DOUBLE AS VARCHAR)").fetchone()[0]
+    assert s == "1.0E21" and d == "1e+21"
+    # bigint -> string IS safe (q_profile_stats relies on it)
+    s2 = spark.sql("SELECT CAST(-9223372036854775808 AS STRING)").collect()[0][0]
+    d2 = duck.execute("SELECT CAST(-9223372036854775808 AS VARCHAR)").fetchone()[0]
+    assert s2 == d2
+
+
+def test_float_string_int_cast_diverges(spark, duck):
+    """Contract rule #8: TRY_CAST('3.7' AS INT) is NULL under Spark
+    ANSI but ROUNDS to 4 in DuckDB; integral strings agree."""
+    s = spark.sql("SELECT TRY_CAST('3.7' AS INT), CAST('3' AS INT)").collect()[0]
+    d = duck.execute("SELECT TRY_CAST('3.7' AS INT), CAST('3' AS INT)").fetchone()
+    assert (s[0], d[0]) == (None, 4)
+    assert s[1] == d[1] == 3
+
+
+def test_scalar_surfaces_match(spark, duck):
+    """Second negative-probe batch, pinned: greatest/least NULL
+    skipping, array_sort NULL placement (last in both), multichar
+    trim, split_part incl. negative index, truncating negative mod,
+    sequence/generate_series."""
+    checks = [
+        ("SELECT greatest(1, CAST(NULL AS INT), 3), least(1, CAST(NULL AS INT), 3)",
+         "SELECT greatest(1, NULL::INT, 3), least(1, NULL::INT, 3)"),
+        ("SELECT array_sort(array(3, CAST(NULL AS INT), 1))",
+         "SELECT list_sort([3, NULL::INT, 1])"),
+        ("SELECT trim(BOTH 'xy' FROM 'xyhixy')", "SELECT trim('xyhixy', 'xy')"),
+        ("SELECT split_part('a,b,c', ',', 2), split_part('a,b,c', ',', -1)",) * 2,
+        ("SELECT -7 % 3, 7 % -3",) * 2,
+        ("SELECT sequence(1, 5)", "SELECT generate_series(1, 5)"),
+    ]
+    for q_s, q_d in checks:
+        s = [tuple(r) for r in spark.sql(q_s).collect()]
+        d = [list(t) for t in duck.execute(q_d).fetchall()]
+        assert [list(r) for r in s] == [
+            [list(c) if isinstance(c, (list, tuple)) else c for c in row]
+            for row in d
+        ], q_s

@@ -137,6 +137,45 @@ def main() -> None:
             " SELECT 'NaN'::DOUBLE UNION ALL SELECT -0.0::DOUBLE"
             " UNION ALL SELECT 0.0::DOUBLE) GROUP BY v ORDER BY c, v")
 
+    # --- batch 2 (round 14): NULL semantics, casts, scalar functions ----
+    compare("concat with NULL arg",
+            "SELECT concat('a', CAST(NULL AS STRING), 'b')",
+            "SELECT concat('a', NULL::VARCHAR, 'b')")
+    compare("|| with NULL",
+            "SELECT 'a' || CAST(NULL AS STRING)",
+            "SELECT 'a' || NULL::VARCHAR")
+    compare("greatest/least with NULL",
+            "SELECT greatest(1, CAST(NULL AS INT), 3), least(1, CAST(NULL AS INT), 3)",
+            "SELECT greatest(1, NULL::INT, 3), least(1, NULL::INT, 3)")
+    compare("cast double->string (sci notation)",
+            "SELECT CAST(CAST(1e21 AS DOUBLE) AS STRING),"
+            " CAST(CAST(1.5e-7 AS DOUBLE) AS STRING)",
+            "SELECT CAST(1e21::DOUBLE AS VARCHAR), CAST(1.5e-7::DOUBLE AS VARCHAR)")
+    compare("cast bigint->string",
+            "SELECT CAST(-9223372036854775808 AS STRING)",
+            "SELECT CAST(-9223372036854775808 AS VARCHAR)")
+    compare("array_sort with NULLs",
+            "SELECT array_sort(array(3, CAST(NULL AS INT), 1))",
+            "SELECT list_sort([3, NULL::INT, 1])")
+    compare("try_cast float-string -> int",
+            "SELECT TRY_CAST('3.7' AS INT)",
+            "SELECT TRY_CAST('3.7' AS INT)")
+    compare("trim multichar",
+            "SELECT trim(BOTH 'xy' FROM 'xyhixy')",
+            "SELECT trim('xyhixy', 'xy')")
+    compare("split_part incl negative",
+            "SELECT split_part('a,b,c', ',', 2), split_part('a,b,c', ',', -1)")
+    compare("mod negative operands", "SELECT -7 % 3, 7 % -3")
+    compare("sequence/generate_series",
+            "SELECT sequence(1, 5)", "SELECT generate_series(1, 5)")
+    compare("date_format/strftime",
+            "SELECT date_format(DATE'1996-03-13', 'yyyy-MM-dd')",
+            "SELECT strftime(DATE '1996-03-13', '%Y-%m-%d')")
+    compare("round decimal half-away",
+            "SELECT round(CAST(2.5 AS DECIMAL(3,1))), round(CAST(-2.5 AS DECIMAL(3,1)))",
+            "SELECT CAST(round(2.5::DECIMAL(3,1)) AS DECIMAL),"
+            " CAST(round(-2.5::DECIMAL(3,1)) AS DECIMAL)")
+
     print()
     print("DIVERGED SURFACES:" if diverged else "ALL SURFACES MATCH",
           ", ".join(diverged) if diverged else "")
