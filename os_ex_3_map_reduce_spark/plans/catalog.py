@@ -120,13 +120,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_cms_topk",
     "q_stream_semi_join",
     "q_stream_maxsim",
-    # 12-13. NEW this round (never verified, so they must sit inside
-    # the window; their arrival pushes q_join_broadcast and q_join_semi
-    # to positions 51-52 — the r15 spill): the case+levenshtein drift
-    # tripwire, and exact tree betweenness (the sparse-fixture answer
-    # to the r11/r12 betweenness rejection).
+    # 12-14. NEW this round (never verified, so they must sit inside
+    # the window; their arrival pushes q_grouping_sets, q_having and
+    # q_join_broadcast/q_join_semi toward the r15 spill): the
+    # case+levenshtein drift tripwire, exact tree betweenness (the
+    # sparse-fixture answer to the r11/r12 betweenness rejection), and
+    # the l-diversity privacy audit (q_k_anonymity's homogeneity-attack
+    # complement).
     "q_case_edit_audit",
     "q_betweenness_tree",
+    "q_l_diversity",
     "q_date_parts",
     "q_date_trunc",
     "q_drift_ks",

@@ -2602,3 +2602,124 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+@register(
+    "q_l_diversity",
+    oracle="""
+        WITH base AS (
+            SELECT c_nationkey AS nat, c_mktsegment AS sens,
+                   CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_fine,
+                   CAST(floor(c_acctbal / 4000) AS INTEGER) AS bal_coarse
+            FROM customer
+        ),
+        lvl AS (
+            SELECT 'L0_nat_bal1000' AS level, nat, bal_fine AS bal, sens
+            FROM base
+            UNION ALL
+            SELECT 'L1_nat_bal4000', nat, bal_coarse, sens FROM base
+            UNION ALL
+            SELECT 'L2_nat', nat, 0, sens FROM base
+        ),
+        per_sens AS (
+            SELECT level, nat, bal, sens, COUNT(*) AS cnt
+            FROM lvl GROUP BY level, nat, bal, sens
+        ),
+        per_group AS (
+            SELECT level, nat, bal,
+                   COUNT(*) AS l,
+                   SUM(cnt) AS grp_rows,
+                   MAX(cnt) AS top_cnt
+            FROM per_sens GROUP BY level, nat, bal
+        )
+        SELECT level,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(l) AS BIGINT) AS min_l,
+               CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_homogeneous,
+               CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_groups_below_3,
+               CAST(SUM(CASE WHEN l < 3 THEN grp_rows ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk,
+               CAST(MAX(CASE WHEN l = 1 THEN grp_rows ELSE 0 END) AS BIGINT)
+                   AS largest_homogeneous,
+               CAST(SUM(CASE WHEN 2 * top_cnt > grp_rows THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_majority_dominated
+        FROM per_group
+        GROUP BY level
+        ORDER BY level
+    """,
+    doc="L-DIVERSITY risk report (Machanavajjhala et al., the "
+    "homogeneity-attack complement to q_k_anonymity): a k-anonymous "
+    "class is still fully disclosing if every row in it shares the "
+    "SAME sensitive value — k counts rows, l counts DISTINCT sensitive "
+    "values per quasi-identifier class. Quasi = nation x balance band "
+    "(same generalization ladder as the k-report: 1000-binned, "
+    "4000-binned, suppressed); sensitive = market segment. Per level: "
+    "min_l, homogeneous classes (l=1 — the attack), classes below "
+    "l=3, rows they expose, the largest homogeneous class, and "
+    "majority-dominated classes (top sensitive count > half the class "
+    "— the probabilistic-inference variant, computed integer-exactly "
+    "by cross-multiplication, no ratios). Plan: two map-side-combined "
+    "groupBys (quasi x sens -> quasi -> level) over a 3-level union "
+    "staged BEFORE the shuffle — one pass, all integers; at 100 TB "
+    "the quasi-class cardinality, not the row count, bounds state.",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("sens"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_fine"),
+        F.floor(F.col("c_acctbal") / 4000).cast("int").alias("bal_coarse"),
+    )
+    lvl = (
+        base.select(
+            F.lit("L0_nat_bal1000").alias("level"),
+            "nat",
+            F.col("bal_fine").alias("bal"),
+            "sens",
+        )
+        .unionByName(
+            base.select(
+                F.lit("L1_nat_bal4000").alias("level"),
+                "nat",
+                F.col("bal_coarse").alias("bal"),
+                "sens",
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit("L2_nat").alias("level"), "nat", F.lit(0).alias("bal"), "sens"
+            )
+        )
+    )
+    per_sens = lvl.groupBy("level", "nat", "bal", "sens").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_group = per_sens.groupBy("level", "nat", "bal").agg(
+        F.count(F.lit(1)).alias("l"),
+        F.sum("cnt").alias("grp_rows"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    return (
+        per_group.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("l").alias("min_l"),
+            F.sum(F.when(F.col("l") == 1, 1).otherwise(0)).alias("n_homogeneous"),
+            F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).alias(
+                "n_groups_below_3"
+            ),
+            F.sum(F.when(F.col("l") < 3, F.col("grp_rows")).otherwise(0)).alias(
+                "n_rows_at_risk"
+            ),
+            F.max(
+                F.when(F.col("l") == 1, F.col("grp_rows")).otherwise(0)
+            ).alias("largest_homogeneous"),
+            F.sum(
+                F.when(2 * F.col("top_cnt") > F.col("grp_rows"), 1).otherwise(0)
+            ).alias("n_majority_dominated"),
+        )
+        .orderBy("level")
+    )

@@ -97,3 +97,45 @@ def test_case_edit_audit_integers_recompute(spark, duck):
         assert row.lev_fold_prefix == sum(
             sum(1 for ch in t[:256] if "A" <= ch <= "Z") for t in texts
         )
+
+
+def test_l_diversity_integers_recompute(spark, duck):
+    """Recompute the L0 (finest) level's diversity integers in pure
+    python: group customers by (nation, floor(bal/1000)), count
+    distinct segments, and rebuild every output column."""
+    import math
+
+    rows = duck.execute(
+        "SELECT c_nationkey, c_mktsegment, c_acctbal FROM "
+        f"read_parquet('{SF}/customer.parquet')"
+    ).fetchall()
+    groups: dict[tuple, collections.Counter] = collections.defaultdict(
+        collections.Counter
+    )
+    for nat, seg, bal in rows:
+        groups[(nat, math.floor(bal / 1000))][seg] += 1
+    l_by_group = {g: len(c) for g, c in groups.items()}
+    size = {g: sum(c.values()) for g, c in groups.items()}
+    top = {g: max(c.values()) for g, c in groups.items()}
+
+    out = {
+        r.level: r
+        for r in get_query("q_l_diversity").fn(spark, SF).collect()
+    }
+    r0 = out["L0_nat_bal1000"]
+    assert r0.n_groups == len(groups)
+    assert r0.min_l == min(l_by_group.values())
+    assert r0.n_homogeneous == sum(1 for v in l_by_group.values() if v == 1)
+    assert r0.n_groups_below_3 == sum(1 for v in l_by_group.values() if v < 3)
+    assert r0.n_rows_at_risk == sum(
+        size[g] for g, v in l_by_group.items() if v < 3
+    )
+    assert r0.largest_homogeneous == max(
+        (size[g] for g, v in l_by_group.items() if v == 1), default=0
+    )
+    assert r0.n_majority_dominated == sum(
+        1 for g in groups if 2 * top[g] > size[g]
+    )
+    # ladder monotonicity: coarsening can only increase class sizes,
+    # so min_l is non-decreasing up the ladder on this fixture
+    assert out["L2_nat"].min_l >= r0.min_l
