@@ -1134,3 +1134,43 @@ def test_kaplan_meier_windows_after_bounded_aggregate(spark, qs):
     plan = explain_str(qs["q_kaplan_meier"](spark, SF), "simple")
     assert plan.count("HashAggregate") >= 2, plan
     assert "Window" in plan, plan
+
+
+def test_case_edit_audit_single_scan_partial_agg(spark, qs):
+    """The tripwire must stay one column-pruned scan + map-side-combined
+    aggregate: partial+final HashAggregate (or sort-based fallback for
+    the decoded-string columns), exactly one parquet scan of documents,
+    only the text column read, zero joins."""
+    df = qs["q_case_edit_audit"](spark, SF)
+    plan = explain_str(df)
+    # formatted explain prints each node twice (tree + detail): one
+    # scan node therefore appears at most twice in the string
+    assert plan.count("Scan parquet") <= 2
+    rs = read_schema(df)
+    assert rs and "doc_id" not in rs and "lang" not in rs
+    assert "Join" not in plan
+    assert (
+        plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+    )
+
+
+def test_betweenness_tree_broadcasts_totals_no_pair_blowup(spark, qs):
+    """The decomposition never touches pairs: the totals relation joins
+    by broadcast (BroadcastNestedLoopJoin over 1-row sides), no
+    SortMergeJoin and no CartesianProduct over row-scaled relations."""
+    plan = explain_str(qs["q_betweenness_tree"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_l_diversity_one_pass_ladder(spark, qs):
+    """The 3-level ladder unions BEFORE the shuffle and aggregates with
+    map-side combine; customer is scanned (once per union leg at most —
+    Spark does not yet share the scan) with only the 3 needed columns."""
+    df = qs["q_l_diversity"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    rs = read_schema(df)
+    assert rs and "c_name" not in rs and "c_comment" not in rs
