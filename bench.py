@@ -328,6 +328,7 @@ BREADTH = [
     "q_case_edit_audit",
     "q_betweenness_tree",
     "q_l_diversity",
+    "q_t_closeness",
 ]
 
 

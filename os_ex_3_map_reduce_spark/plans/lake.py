@@ -2723,3 +2723,171 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+@register(
+    "q_t_closeness",
+    oracle="""
+        WITH base AS (
+            SELECT c_nationkey AS nat, c_mktsegment AS sens,
+                   CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_fine,
+                   CAST(floor(c_acctbal / 4000) AS INTEGER) AS bal_coarse
+            FROM customer
+        ),
+        gdist AS (
+            SELECT sens, CAST(COUNT(*) AS HUGEINT) AS tot FROM base GROUP BY sens
+        ),
+        n_all AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM base),
+        lvl AS (
+            SELECT 'L0_nat_bal1000' AS level, nat, bal_fine AS bal, sens
+            FROM base
+            UNION ALL
+            SELECT 'L1_nat_bal4000', nat, bal_coarse, sens FROM base
+            UNION ALL
+            SELECT 'L2_nat', nat, 0, sens FROM base
+        ),
+        per_sens AS (
+            SELECT level, nat, bal, sens, CAST(COUNT(*) AS HUGEINT) AS cnt
+            FROM lvl GROUP BY level, nat, bal, sens
+        ),
+        gsize AS (
+            SELECT level, nat, bal, SUM(cnt) AS grp_rows
+            FROM per_sens GROUP BY level, nat, bal
+        ),
+        per_group AS (
+            SELECT p.level, p.nat, p.bal, g.grp_rows,
+                   SUM(abs(p.cnt * n - d.tot * g.grp_rows)) AS obs_num,
+                   SUM(d.tot) AS obs_tot
+            FROM per_sens p
+            JOIN gdist d USING (sens)
+            JOIN gsize g ON g.level = p.level AND g.nat = p.nat
+                        AND g.bal = p.bal
+            CROSS JOIN n_all
+            GROUP BY p.level, p.nat, p.bal, g.grp_rows, n
+        ),
+        tvd AS (
+            SELECT level, grp_rows,
+                   obs_num + ((SELECT n FROM n_all) - obs_tot) * grp_rows
+                       AS tvd_num
+            FROM per_group
+        )
+        SELECT level,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN 2 * tvd_num
+                                  > grp_rows * (SELECT n FROM n_all)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tvd_above_quarter,
+               CAST(SUM(CASE WHEN tvd_num
+                                  > grp_rows * (SELECT n FROM n_all)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tvd_above_half,
+               CAST(SUM(CASE WHEN 2 * tvd_num
+                                  > grp_rows * (SELECT n FROM n_all)
+                             THEN grp_rows ELSE 0 END) AS BIGINT)
+                   AS n_rows_above_quarter
+        FROM tvd
+        GROUP BY level
+        ORDER BY level
+    """,
+    doc="T-CLOSENESS audit (Li, Li & Venkatasubramanian) — the third "
+    "leg of the privacy trio after q_k_anonymity and q_l_diversity: "
+    "l-diversity is fooled by SKEW (a class can hold l distinct "
+    "sensitive values yet be 99% one of them, or its distribution can "
+    "differ so much from the corpus that membership itself discloses). "
+    "t-closeness bounds the distance between each class's sensitive "
+    "distribution and the global one; for the categorical sensitive "
+    "attribute (market segment) the distance is total variation "
+    "TVD = (1/2) sum_i |p_i - q_i|. INTEGER-EXACT via "
+    "cross-multiplication: TVD > t with t = 1/4 or 1/2 compares "
+    "2*num > grp*N resp. num > grp*N where "
+    "num = sum_obs |cnt_i*N - tot_i*grp| + (N - sum_obs tot_i)*grp "
+    "(the closed form for unobserved segments — no group x segment "
+    "cross join needed, so state stays at observed-cell cardinality). "
+    "Products in HUGEINT (DuckDB) / DECIMAL(38,0) (Spark): "
+    "cnt*N ~ 1e20 at extreme scale would wrap bigint. Same quasi "
+    "ladder as the siblings; per level: classes above t=1/4 and "
+    "t=1/2, rows they expose. One pass, two grouped aggregations, "
+    "broadcast global distribution.",
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("sens"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_fine"),
+        F.floor(F.col("c_acctbal") / 4000).cast("int").alias("bal_coarse"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    glob = base.groupBy("sens").agg(F.count(F.lit(1)).alias("tot"))
+    n_all = base.agg(F.count(F.lit(1)).alias("n"))
+    lvl = (
+        base.select(
+            F.lit("L0_nat_bal1000").alias("level"),
+            "nat",
+            F.col("bal_fine").alias("bal"),
+            "sens",
+        )
+        .unionByName(
+            base.select(
+                F.lit("L1_nat_bal4000").alias("level"),
+                "nat",
+                F.col("bal_coarse").alias("bal"),
+                "sens",
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit("L2_nat").alias("level"), "nat", F.lit(0).alias("bal"), "sens"
+            )
+        )
+    )
+    per_sens = lvl.groupBy("level", "nat", "bal", "sens").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # group size first (window avoids a self-join; partition keys are
+    # the group keys so no skew concern beyond the group itself)
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("level", "nat", "bal")
+    cells = (
+        per_sens.join(F.broadcast(glob), "sens")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("grp_rows", F.sum("cnt").over(wg))
+    )
+    per_group = cells.groupBy("level", "nat", "bal").agg(
+        F.first("grp_rows").alias("grp_rows"),
+        F.first("n").alias("n"),
+        F.sum(
+            F.abs(dec(F.col("cnt")) * dec(F.col("n"))
+                  - dec(F.col("tot")) * dec(F.col("grp_rows")))
+        ).alias("obs_num"),
+        F.sum("tot").alias("obs_tot"),
+    )
+    tvd = per_group.select(
+        "level",
+        "grp_rows",
+        "n",
+        (
+            F.col("obs_num")
+            + (dec(F.col("n")) - dec(F.col("obs_tot"))) * dec(F.col("grp_rows"))
+        ).alias("tvd_num"),
+    )
+    half_bound = dec(F.col("grp_rows")) * dec(F.col("n"))
+    return (
+        tvd.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(
+                F.when(2 * F.col("tvd_num") > half_bound, 1).otherwise(0)
+            ).alias("n_tvd_above_quarter"),
+            F.sum(F.when(F.col("tvd_num") > half_bound, 1).otherwise(0)).alias(
+                "n_tvd_above_half"
+            ),
+            F.sum(
+                F.when(
+                    2 * F.col("tvd_num") > half_bound, F.col("grp_rows")
+                ).otherwise(0)
+            ).alias("n_rows_above_quarter"),
+        )
+        .orderBy("level")
+    )

@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = {
     "q_case_edit_audit",
     "q_betweenness_tree",
     "q_l_diversity",
+    "q_t_closeness",
 }
 
 

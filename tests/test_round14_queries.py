@@ -139,3 +139,47 @@ def test_l_diversity_integers_recompute(spark, duck):
     # ladder monotonicity: coarsening can only increase class sizes,
     # so min_l is non-decreasing up the ladder on this fixture
     assert out["L2_nat"].min_l >= r0.min_l
+
+
+def test_t_closeness_integers_recompute(spark, duck):
+    """Recompute the L0 level's t-closeness counters in pure python
+    with exact Fractions: TVD(group) = half the L1 distance between
+    the group's sensitive distribution and the corpus distribution."""
+    from fractions import Fraction
+
+    rows = duck.execute(
+        "SELECT c_nationkey, c_mktsegment, c_acctbal FROM "
+        f"read_parquet('{SF}/customer.parquet')"
+    ).fetchall()
+    import math
+
+    glob: collections.Counter = collections.Counter(seg for _, seg, _ in rows)
+    n = len(rows)
+    groups: dict[tuple, collections.Counter] = collections.defaultdict(
+        collections.Counter
+    )
+    for nat, seg, bal in rows:
+        groups[(nat, math.floor(bal / 1000))][seg] += 1
+    above_q = above_h = rows_q = 0
+    for g, c in groups.items():
+        sz = sum(c.values())
+        tvd = (
+            sum(abs(Fraction(c.get(s, 0), sz) - Fraction(glob[s], n)) for s in glob)
+            / 2
+        )
+        if tvd > Fraction(1, 4):
+            above_q += 1
+            rows_q += sz
+        if tvd > Fraction(1, 2):
+            above_h += 1
+    out = {
+        r.level: r for r in get_query("q_t_closeness").fn(spark, SF).collect()
+    }
+    r0 = out["L0_nat_bal1000"]
+    assert r0.n_groups == len(groups)
+    assert r0.n_tvd_above_quarter == above_q
+    assert r0.n_tvd_above_half == above_h
+    assert r0.n_rows_above_quarter == rows_q
+    # at least one threshold must discriminate on the fixture, else the
+    # audit is vacuous
+    assert 0 < above_q < len(groups)
