@@ -1174,3 +1174,15 @@ def test_l_diversity_one_pass_ladder(spark, qs):
     assert plan.count("HashAggregate") >= 2
     rs = read_schema(df)
     assert rs and "c_name" not in rs and "c_comment" not in rs
+
+
+def test_t_closeness_broadcasts_distribution(spark, qs):
+    """The global sensitive distribution (5 rows) and corpus total
+    (1 row) must broadcast; the only shuffles are the grouped
+    aggregations and the group-size window — never a group x segment
+    cross join over row-scaled relations."""
+    plan = explain_str(qs["q_t_closeness"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+    assert plan.count("HashAggregate") >= 2
