@@ -327,6 +327,7 @@ BREADTH = [
     "q_having",
     "q_case_edit_audit",
     "q_betweenness_tree",
+    "q_closeness_tree",
     "q_l_diversity",
     "q_t_closeness",
 ]

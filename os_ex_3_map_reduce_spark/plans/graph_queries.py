@@ -2059,3 +2059,133 @@ def q_betweenness_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("b").cast("long").alias("betweenness"))
         .orderBy(F.desc("betweenness"), F.asc("node"))
     )
+
+
+@register(
+    "q_closeness_tree",
+    oracle="""
+        WITH cpn AS (
+            SELECT n_nationkey, n_regionkey,
+                   CAST(COUNT(c_custkey) AS BIGINT) AS n_cust
+            FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+            GROUP BY n_nationkey, n_regionkey
+        ),
+        rsub AS (
+            SELECT n_regionkey,
+                   CAST(SUM(1 + n_cust) AS BIGINT) + 1 AS sub_r
+            FROM cpn GROUP BY n_regionkey
+        ),
+        tot AS (
+            SELECT 1 + (SELECT COUNT(*) FROM region)
+                     + (SELECT COUNT(*) FROM nation)
+                     + (SELECT SUM(n_cust) FROM cpn) AS n,
+                   (SELECT COUNT(*) FROM region)
+                     + 2 * (SELECT COUNT(*) FROM nation)
+                     + 3 * (SELECT SUM(n_cust) FROM cpn) AS s
+        ),
+        nation_c AS (
+            SELECT 'n' || n_nationkey AS node,
+                   CAST(2 * n + s - 2 * ((1 + n_cust) + sub_r) AS BIGINT)
+                       AS farness,
+                   CAST(3 * n + s - 2 - 2 * (1 + n_cust) - 2 * sub_r
+                        AS BIGINT) AS leaf_farness
+            FROM cpn JOIN rsub USING (n_regionkey), tot
+        ),
+        region_c AS (
+            SELECT 'r' || n_regionkey AS node,
+                   CAST(n + s - 2 * sub_r AS BIGINT) AS farness,
+                   CAST(NULL AS BIGINT) AS leaf_farness
+            FROM rsub, tot
+        ),
+        root_c AS (
+            SELECT 'root' AS node, CAST(s AS BIGINT) AS farness,
+                   CAST(NULL AS BIGINT) AS leaf_farness
+            FROM tot
+        )
+        SELECT node, farness, leaf_farness
+        FROM (SELECT * FROM nation_c UNION ALL
+              SELECT * FROM region_c UNION ALL
+              SELECT * FROM root_c)
+        ORDER BY farness, node
+    """,
+    doc="EXACT closeness centrality (as integer FARNESS = sum of "
+    "distances to every node; closeness is its reciprocal, kept "
+    "integer per the no-ratio discipline) on the same root -> region "
+    "-> nation -> customer tree as q_betweenness_tree — together the "
+    "pair completes the classic centrality suite exactly where "
+    "exactness is achievable. Closed form via the LCA depth "
+    "decomposition dist(v,u) = depth(v) + depth(u) - 2 depth(lca): "
+    "farness(v) = depth(v)*n + S - 2*sum-of-subtree-masses on v's "
+    "root path, with S = sum of all depths — so one grouped "
+    "aggregation ladder, no BFS, no pairs. Every customer of a nation "
+    "shares one closeness value (leaves are interchangeable under the "
+    "hierarchy), emitted as leaf_farness on the nation row — output "
+    "stays 31 rows at every scale instead of growing with customers. "
+    "Verified against brute-force BFS distance sums at sf0.001 "
+    "(tests/test_round14_queries.py). Scale: same O(1)-shuffle shape "
+    "as the betweenness twin; O(depth) aggregation rounds on a "
+    "general tree.",
+)
+def q_closeness_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey")
+
+    cpn = (
+        nat.join(
+            cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust")),
+            nat.n_nationkey == F.col("c_nationkey"),
+            "left",
+        )
+        .select(
+            "n_nationkey",
+            "n_regionkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        )
+    )
+    rsub = cpn.groupBy("n_regionkey").agg(
+        (F.sum(F.lit(1) + F.col("n_cust")) + F.lit(1)).alias("sub_r")
+    )
+    tot = (
+        reg.agg(F.count(F.lit(1)).alias("n_reg"))
+        .crossJoin(nat.agg(F.count(F.lit(1)).alias("n_nat")))
+        .crossJoin(cust.agg(F.count(F.lit(1)).alias("n_cust_total")))
+        .select(
+            (F.lit(1) + F.col("n_reg") + F.col("n_nat") + F.col("n_cust_total"))
+            .alias("n"),
+            (F.col("n_reg") + 2 * F.col("n_nat") + 3 * F.col("n_cust_total"))
+            .alias("s"),
+        )
+    )
+    n, s = F.col("n"), F.col("s")
+    nation_c = (
+        cpn.join(rsub, "n_regionkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("node"),
+            (2 * n + s - 2 * ((1 + F.col("n_cust")) + F.col("sub_r")))
+            .cast("long")
+            .alias("farness"),
+            (3 * n + s - 2 - 2 * (1 + F.col("n_cust")) - 2 * F.col("sub_r"))
+            .cast("long")
+            .alias("leaf_farness"),
+        )
+    )
+    region_c = (
+        rsub.crossJoin(F.broadcast(tot))
+        .select(
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("node"),
+            (n + s - 2 * F.col("sub_r")).cast("long").alias("farness"),
+            F.lit(None).cast("long").alias("leaf_farness"),
+        )
+    )
+    root_c = tot.select(
+        F.lit("root").alias("node"),
+        s.cast("long").alias("farness"),
+        F.lit(None).cast("long").alias("leaf_farness"),
+    )
+    return (
+        nation_c.unionByName(region_c)
+        .unionByName(root_c)
+        .orderBy("farness", "node")
+    )

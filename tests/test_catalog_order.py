@@ -32,6 +32,7 @@ MUST_BE_IN_WINDOW = {
     # new this round — never verified, must be windowed
     "q_case_edit_audit",
     "q_betweenness_tree",
+    "q_closeness_tree",
     "q_l_diversity",
     "q_t_closeness",
 }

@@ -183,3 +183,53 @@ def test_t_closeness_integers_recompute(spark, duck):
     # at least one threshold must discriminate on the fixture, else the
     # audit is vacuous
     assert 0 < above_q < len(groups)
+
+
+def test_closeness_tree_matches_bruteforce_bfs(spark, duck):
+    """Farness from the LCA depth decomposition == literal BFS distance
+    sums on the explicit tree, including the shared leaf value."""
+    nat = duck.execute("SELECT n_nationkey, n_regionkey FROM "
+                       f"read_parquet('{SF}/nation.parquet')").fetchall()
+    cust = duck.execute("SELECT c_custkey, c_nationkey FROM "
+                        f"read_parquet('{SF}/customer.parquet')").fetchall()
+    reg = duck.execute("SELECT r_regionkey FROM "
+                       f"read_parquet('{SF}/region.parquet')").fetchall()
+    adj: dict[str, set[str]] = collections.defaultdict(set)
+    for (r,) in reg:
+        adj["root"].add(f"r{r}")
+        adj[f"r{r}"].add("root")
+    for nk, r in nat:
+        adj[f"r{r}"].add(f"n{nk}")
+        adj[f"n{nk}"].add(f"r{r}")
+    for c, nk in cust:
+        adj[f"n{nk}"].add(f"c{c}")
+        adj[f"c{c}"].add(f"n{nk}")
+
+    def farness(src: str) -> int:
+        dist = {src: 0}
+        q = collections.deque([src])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return sum(dist.values())
+
+    got = {
+        r.node: (r.farness, r.leaf_farness)
+        for r in get_query("q_closeness_tree").fn(spark, SF).collect()
+    }
+    assert got["root"][0] == farness("root")
+    one_cust_of: dict[int, int] = {}
+    for c, nk in cust:
+        one_cust_of.setdefault(nk, c)
+    for nk, r in nat:
+        node = f"n{nk}"
+        assert got[node][0] == farness(node), node
+        if nk in one_cust_of:
+            assert got[node][1] == farness(f"c{one_cust_of[nk]}"), node
+    for (r,) in reg:
+        assert got[f"r{r}"][0] == farness(f"r{r}")
+    # root is the closeness center of this hierarchy
+    assert got["root"][0] == min(v for v, _ in got.values())
