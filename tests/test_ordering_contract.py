@@ -205,3 +205,48 @@ def test_scalar_surfaces_match(spark, duck):
             [list(c) if isinstance(c, (list, tuple)) else c for c in row]
             for row in d
         ], q_s
+
+
+def test_datetime_surfaces(spark, duck):
+    """Probe batch 3 (datetime): the one value-level class is
+    day-of-week numbering — Spark dayofweek is 1=Sunday, DuckDB's is
+    0=Sunday (q_date_parts pins the -1 offset). Two render-level
+    classes fall under rule #1 (no raw date/timestamp stringification):
+    Spark date_trunc returns TIMESTAMP where DuckDB returns DATE, and
+    DATE + INTERVAL promotes to DATE in Spark but TIMESTAMP in DuckDB.
+    The rest of the surface agrees: ISO week, quarter, day-of-year,
+    epoch, strptime/to_timestamp, month-end interval VALUES,
+    last_day, datediff, months_between on whole months, 30-min
+    window/time_bucket alignment (same epoch origin), sub-second
+    timestamp rendering."""
+    s_dow = spark.sql("SELECT dayofweek(DATE'2026-08-16')").collect()[0][0]
+    d_dow = duck.execute("SELECT dayofweek(DATE '2026-08-16')").fetchone()[0]
+    assert s_dow == 1 and d_dow == 0  # both mean Sunday
+    assert s_dow - 1 == d_dow  # the q_date_parts pin
+
+    pairs = [
+        ("SELECT weekofyear(DATE'2026-01-01'), weekofyear(DATE'2021-01-01')",
+         "SELECT weekofyear(DATE '2026-01-01'), weekofyear(DATE '2021-01-01')"),
+        ("SELECT quarter(DATE'2026-08-16'), dayofyear(DATE'2026-08-16')",) * 2,
+        ("SELECT CAST(unix_timestamp(TIMESTAMP'2026-08-16 12:00:00') AS BIGINT)",
+         "SELECT CAST(extract(EPOCH FROM TIMESTAMP '2026-08-16 12:00:00') AS BIGINT)"),
+        ("SELECT CAST(window(TIMESTAMP'2026-08-16 12:47:00', '30 minutes').start AS STRING)",
+         "SELECT CAST(time_bucket(INTERVAL '30 minutes', "
+         "TIMESTAMP '2026-08-16 12:47:00') AS VARCHAR)"),
+        ("SELECT CAST(last_day(DATE'2026-02-05') AS STRING)",
+         "SELECT CAST(last_day(DATE '2026-02-05') AS VARCHAR)"),
+        ("SELECT datediff(DATE'2026-08-16', DATE'2026-01-31')",
+         "SELECT datediff('day', DATE '2026-01-31', DATE '2026-08-16')"),
+    ]
+    for q_s, q_d in pairs:
+        s = [tuple(r) for r in spark.sql(q_s).collect()]
+        d = [tuple(r) for r in duck.execute(q_d).fetchall()]
+        assert s == d, q_s
+    # the two render-level divergences rule #1 exists for:
+    s_tr = spark.sql(
+        "SELECT CAST(date_trunc('WEEK', TIMESTAMP'2026-08-16 12:00:00') AS STRING)"
+    ).collect()[0][0]
+    d_tr = duck.execute(
+        "SELECT CAST(date_trunc('week', TIMESTAMP '2026-08-16 12:00:00') AS VARCHAR)"
+    ).fetchone()[0]
+    assert s_tr == "2026-08-10 00:00:00" and d_tr == "2026-08-10"

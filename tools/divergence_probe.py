@@ -176,6 +176,48 @@ def main() -> None:
             "SELECT CAST(round(2.5::DECIMAL(3,1)) AS DECIMAL),"
             " CAST(round(-2.5::DECIMAL(3,1)) AS DECIMAL)")
 
+    # --- batch 3 (round 14): datetime surfaces --------------------------
+    compare("dayofweek numbering (KNOWN: Spark Sun=1, DuckDB Sun=0)",
+            "SELECT dayofweek(DATE'2026-08-16')",
+            "SELECT dayofweek(DATE '2026-08-16')")
+    compare("weekofyear ISO",
+            "SELECT weekofyear(DATE'2026-01-01'), weekofyear(DATE'2021-01-01')",
+            "SELECT weekofyear(DATE '2026-01-01'), weekofyear(DATE '2021-01-01')")
+    compare("quarter/dayofyear",
+            "SELECT quarter(DATE'2026-08-16'), dayofyear(DATE'2026-08-16')")
+    compare("epoch extraction",
+            "SELECT CAST(unix_timestamp(TIMESTAMP'2026-08-16 12:00:00') AS BIGINT)",
+            "SELECT CAST(extract(EPOCH FROM TIMESTAMP '2026-08-16 12:00:00')"
+            " AS BIGINT)")
+    compare("to_timestamp/strptime parse",
+            "SELECT CAST(to_timestamp('2026-08-16 12:34:56',"
+            " 'yyyy-MM-dd HH:mm:ss') AS STRING)",
+            "SELECT CAST(strptime('2026-08-16 12:34:56',"
+            " '%Y-%m-%d %H:%M:%S') AS VARCHAR)")
+    compare("date_trunc week render (KNOWN: TIMESTAMP vs DATE)",
+            "SELECT CAST(date_trunc('WEEK', TIMESTAMP'2026-08-16 12:00:00')"
+            " AS STRING)",
+            "SELECT CAST(date_trunc('week', TIMESTAMP '2026-08-16 12:00:00')"
+            " AS VARCHAR)")
+    compare("month-end interval VALUE (render diverges: DATE vs TIMESTAMP)",
+            "SELECT CAST(DATE'2026-01-31' + INTERVAL 1 MONTH AS STRING)",
+            "SELECT CAST(CAST(DATE '2026-01-31' + INTERVAL 1 MONTH AS DATE)"
+            " AS VARCHAR)")
+    compare("datediff days",
+            "SELECT datediff(DATE'2026-08-16', DATE'2026-01-31')",
+            "SELECT datediff('day', DATE '2026-01-31', DATE '2026-08-16')")
+    compare("last_day",
+            "SELECT CAST(last_day(DATE'2026-02-05') AS STRING)",
+            "SELECT CAST(last_day(DATE '2026-02-05') AS VARCHAR)")
+    compare("window/time_bucket 30min alignment",
+            "SELECT CAST(window(TIMESTAMP'2026-08-16 12:47:00',"
+            " '30 minutes').start AS STRING)",
+            "SELECT CAST(time_bucket(INTERVAL '30 minutes',"
+            " TIMESTAMP '2026-08-16 12:47:00') AS VARCHAR)")
+    compare("sub-second timestamp render",
+            "SELECT CAST(TIMESTAMP'2026-08-16 12:00:00.123' AS STRING)",
+            "SELECT CAST(TIMESTAMP '2026-08-16 12:00:00.123' AS VARCHAR)")
+
     print()
     print("DIVERGED SURFACES:" if diverged else "ALL SURFACES MATCH",
           ", ".join(diverged) if diverged else "")
