@@ -537,7 +537,12 @@ def main() -> None:
     # per-query breadth map survived only in the builder's session log.
     # The repo file is the artifact of record; tools/bench_compare.py
     # reads files, never captures. Round number = current round =
-    # latest CORRECTNESS_r{N}.json + 1 (override: BENCH_ROUND).
+    # latest driver BENCH_r{N}.json + 1 (the driver writes BENCH_r{N}
+    # only AFTER capturing this run's output, so the inference is
+    # order-safe regardless of whether correctness ran first; override:
+    # BENCH_ROUND). Never overwrite — multiple draws in one round get
+    # ``-2``, ``-3`` suffixes so an earlier (possibly cleaner) record
+    # is never lost to a later throttled draw.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("BENCH_ROUND")
@@ -546,10 +551,15 @@ def main() -> None:
 
             done = [
                 int("".join(c for c in os.path.basename(p) if c.isdigit()))
-                for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
             ]
             rnd = str(max(done) + 1 if done else 0)
-        path = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json")
+        base = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}")
+        path = base + ".json"
+        k = 2
+        while os.path.exists(path):
+            path = f"{base}-{k}.json"
+            k += 1
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
             f.write("\n")
