@@ -330,6 +330,7 @@ BREADTH = [
     "q_closeness_tree",
     "q_l_diversity",
     "q_t_closeness",
+    "q_stream_late_data",
 ]
 
 

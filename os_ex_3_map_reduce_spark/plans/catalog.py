@@ -120,20 +120,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_cms_topk",
     "q_stream_semi_join",
     "q_stream_maxsim",
-    # 12-16. NEW this round (never verified, so they must sit inside
-    # the window; their arrival pushes q_filter_project,
-    # q_grouping_sets, q_having, q_join_broadcast and q_join_semi to
-    # positions 51-55 — the r15 spill, stale-refresh names only, no
-    # changed code): the case+levenshtein drift tripwire, exact tree
-    # betweenness + closeness (the sparse-fixture answer to the
-    # r11/r12 betweenness rejection), and the l-diversity +
+    # 12-17. NEW this round (never verified, so they must sit inside
+    # the window; their arrival pushes six stale-refresh names —
+    # q_dedup_stats through q_join_semi, no changed code in them — to
+    # positions 51-56, the r15 spill): the case+levenshtein drift
+    # tripwire, exact tree betweenness + closeness (the sparse-fixture
+    # answer to the r11/r12 betweenness rejection), the l-diversity +
     # t-closeness privacy audits completing the anonymization trio
-    # around q_k_anonymity.
+    # around q_k_anonymity, and the watermark late-data-drop proof
+    # (q_stream_late_data).
     "q_case_edit_audit",
     "q_betweenness_tree",
     "q_closeness_tree",
     "q_l_diversity",
     "q_t_closeness",
+    "q_stream_late_data",
     "q_date_parts",
     "q_date_trunc",
     "q_drift_ks",

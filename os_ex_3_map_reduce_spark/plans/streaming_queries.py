@@ -1888,3 +1888,52 @@ def q_stream_txn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(facts)
         .orderBy("item")
     )
+
+
+@register(
+    "q_stream_late_data",
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')
+                   AS hour,
+               event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY hour, event_type
+    """,
+    doc="WATERMARK LATE-DATA DROP, proven end-to-end: the staged replay "
+    "(streaming/events.py late_events_dir) sends every real event, "
+    "then a watermark-advancer row 10 h past max(ts), then RE-SENDS "
+    "the corpus's entire earliest hour with new event_ids and the "
+    "original (now far-below-watermark) timestamps. The 10-minute "
+    "watermarked tumbling aggregation in APPEND mode must drop the "
+    "whole third batch — the oracle is the plain batch aggregation "
+    "over the ORIGINAL events, so a broken watermark doubles the "
+    "earliest hour's counts and hash-fails, and a leaked advancer adds "
+    "a row and count-fails (its own window never crosses the "
+    "watermark, mirrored by the explicit filter). Batch order is "
+    "deterministic (mtime-pinned files, maxFilesPerTrigger=1); "
+    "tests/test_streaming.py additionally pins the MECHANISM via "
+    "numRowsDroppedByWatermark == the late-copy count in the progress "
+    "records. This is the semantics every 100 TB event pipeline "
+    "depends on for state eviction: without the drop, state grows "
+    "with the full history of late arrivals.",
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import late_events_dir
+
+    src = late_events_dir(spark, sf_dir)
+    stream = events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts_utc", "10 minutes")
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = run_stream_to_memory(agg, mode="append")
+    return (
+        spark.table(name)
+        .where(F.col("event_type") != "advancer")
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )

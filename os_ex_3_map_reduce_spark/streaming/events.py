@@ -651,3 +651,72 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def late_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events staging dir that REPLAYS LATE DATA: three files, mtime-
+    ordered so ``maxFilesPerTrigger=1`` yields a deterministic batch
+    sequence —
+
+    - batch 0: every real event;
+    - batch 1: one watermark-advancer row at max(ts) + 10 h (the
+      sentinel pattern), pushing the watermark far past every real
+      event;
+    - batch 2: LATE COPIES — every event of the corpus's earliest
+      1-hour bucket, re-sent with ``event_id + 1_000_000_000`` and the
+      ORIGINAL ts, which is now far below the watermark.
+
+    A watermarked aggregation must drop all of batch 2
+    (``numRowsDroppedByWatermark`` in the progress records equals the
+    copy count); a broken watermark would double the earliest hour's
+    counts and hash-fail against the batch oracle, which never sees
+    the copies.
+    """
+    import os
+
+    key = (sf_dir, -2)
+    if key not in _STAGED_CACHE:
+        ensure_session_confs(spark)
+        d = Path(tempfile.mkdtemp(prefix="osx3_events_late_"))
+        _cleanup_at_exit(str(d))
+        shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+        ev = spark.read.parquet(str(d / "part-0.parquet"))
+        from ..sources.tables import event_time_expr
+
+        ts_utc = event_time_expr(ev)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        if isinstance(max_ts, int):
+            adv_ts = max_ts + 10 * 3600 * 10**9
+        else:
+            import datetime as _dt
+
+            adv_ts = max_ts + _dt.timedelta(hours=10)
+        adv = ev.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(adv_ts).cast(ev.schema["ts"].dataType).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("advancer").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).select(*ev.columns)
+        first_bucket = ev.agg(
+            F.min(F.date_trunc("hour", ts_utc)).alias("b")
+        ).first()[0]
+        late = (
+            ev.where(F.date_trunc("hour", ts_utc) == F.lit(first_bucket))
+            .withColumn(
+                "event_id", (F.col("event_id") + F.lit(1_000_000_000)).cast("long")
+            )
+            .select(*ev.columns)
+        )
+        for name, df in (("part-1-advancer", adv), ("part-2-late", late)):
+            stage = d / f"_{name}_stage"
+            df.coalesce(1).write.parquet(str(stage))
+            part = next(stage.glob("part-*.parquet"))
+            shutil.move(str(part), d / f"{name}.parquet")
+            shutil.rmtree(stage)
+        now = os.stat(d / "part-0.parquet").st_mtime
+        os.utime(d / "part-1-advancer.parquet", (now + 10, now + 10))
+        os.utime(d / "part-2-late.parquet", (now + 20, now + 20))
+        _STAGED_CACHE[key] = str(d)
+    return _STAGED_CACHE[key]

@@ -35,6 +35,7 @@ MUST_BE_IN_WINDOW = {
     "q_closeness_tree",
     "q_l_diversity",
     "q_t_closeness",
+    "q_stream_late_data",
 }
 
 

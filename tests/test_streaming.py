@@ -1006,3 +1006,47 @@ def test_stream_maxsim_equals_batch_kernel(spark):
         if s >= 1.5
     }
     assert {int(r.vec_id): float(r.maxsim) for r in got} == expect
+
+
+def test_late_data_dropped_by_watermark_mechanism(spark):
+    """q_stream_late_data's oracle proves the OUTPUT is unpolluted;
+    this pins the MECHANISM: the progress records must show exactly
+    the late-copy count dropped by the watermark — proving the copies
+    arrived and were rejected, not that they were never sent."""
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.streaming.events import (
+        events_stream,
+        late_events_dir,
+        run_stream_to_memory,
+    )
+    from os_ex_3_map_reduce_spark.sources.tables import event_time_expr
+
+    sf = "/root/testdata/sf0.001"
+    src = late_events_dir(spark, sf)
+    # how many copies were staged: the earliest hour's event count
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ts_utc = event_time_expr(ev)
+    first_bucket = ev.agg(F.min(F.date_trunc("hour", ts_utc))).first()[0]
+    n_copies = ev.where(
+        F.date_trunc("hour", ts_utc) == F.lit(first_bucket)
+    ).count()
+    assert n_copies > 0
+
+    stream = events_stream(spark, sf, path=src, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts_utc", "10 minutes")
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    progress: list = []
+    name = run_stream_to_memory(agg, mode="append", progress_out=progress)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in (p.get("stateOperators") or [])
+    )
+    assert dropped == n_copies, (dropped, n_copies)
+    # and the advancer's own (never-finalized) window stayed unemitted
+    out = spark.table(name)
+    assert out.where(F.col("event_type") == "advancer").count() == 0
