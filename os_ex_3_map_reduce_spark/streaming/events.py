@@ -674,7 +674,10 @@ def late_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """
     import os
 
-    key = (sf_dir, -2)
+    # string key: the integer key space is taken ((sf_dir, copies) for
+    # plain staging, -1 sentinel, -2 CDC changes — reusing -2 here once
+    # aliased this dir to the CDC staging when both ran in one session)
+    key = (sf_dir, "late")
     if key not in _STAGED_CACHE:
         ensure_session_confs(spark)
         d = Path(tempfile.mkdtemp(prefix="osx3_events_late_"))
