@@ -414,6 +414,52 @@ def _time_query_median(fn, spark, sf_dir: str, runs: int) -> tuple[float, float]
     return med, spread
 
 
+def _healthy_calibration_median() -> float | None:
+    """Rolling healthy-host estimate from committed full records
+    (VERDICT r14 "What's wrong" #1): per-round BEST calibration probe
+    across every BENCH_LOCAL_r{N}*.json, median over the last 5 rounds.
+    Per-round min (not plain median over files) because throttled
+    re-draws are committed on purpose as evidence — r14 alone has a
+    0.2411 s clean draw and a 0.4644 s throttled one; the min is the
+    round's actual host capability."""
+    import glob as _glob
+    import re as _re
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    per_round: dict[int, float] = {}
+    for p in _glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
+        m = _re.search(r"BENCH_LOCAL_r(\d+)", os.path.basename(p))
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                sec = json.load(f).get("calibration", {}).get("sec")
+        except Exception:  # noqa: BLE001 — evidence is best-effort
+            continue
+        if isinstance(sec, (int, float)) and sec > 0:
+            rnd = int(m.group(1))
+            per_round[rnd] = min(per_round.get(rnd, sec), sec)
+    if not per_round:
+        return None
+    recent = [per_round[r] for r in sorted(per_round)[-5:]]
+    return round(statistics.median(recent), 4)
+
+
+def _draw_headline(spark, qs, errors: dict[str, str]) -> tuple[dict, list]:
+    """One full headline draw: median-of-HEADLINE_RUNS per metric."""
+    timings: dict[str, float] = {}
+    spreads: list[float] = []
+    for metric, qname in HEADLINE.items():
+        try:
+            med, spread = _time_query_median(qs[qname], spark, SF_DIR, HEADLINE_RUNS)
+            timings[metric] = round(med, 4)
+            spreads.append(spread)
+        except Exception as ex:  # noqa: BLE001
+            errors[metric] = f"{type(ex).__name__}: {ex}"[:300]
+    return timings, spreads
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     qs = all_queries()
@@ -438,15 +484,90 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 — record, keep benching
             errors[f"warmup:{warm}"] = f"{type(ex).__name__}: {ex}"[:300]
 
-    timings: dict[str, float] = {}
-    spreads: list[float] = []
-    for metric, qname in HEADLINE.items():
-        try:
-            med, spread = _time_query_median(qs[qname], spark, SF_DIR, HEADLINE_RUNS)
-            timings[metric] = round(med, 4)
-            spreads.append(spread)
-        except Exception as ex:  # noqa: BLE001
-            errors[metric] = f"{type(ex).__name__}: {ex}"[:300]
+    # Headline draw with throttle self-defense (VERDICT r14 "What's
+    # wrong" #1): the r14 driver draw ran on a ~2.2x-throttled host
+    # (calibration 0.4644 s vs the healthy 0.21-0.24 band) and burned
+    # 6% of the 2x gate's margin on pure ambient noise. If the
+    # calibration probe (taken before AND re-taken after the draw, so a
+    # throttle that starts mid-headline is also caught) exceeds
+    # REDRAW_THRESHOLD x the rolling median of prior committed healthy
+    # probes, re-draw the 4-query headline set (up to
+    # BENCH_HEADLINE_REDRAWS times, default 2, ~10 s each) and keep the
+    # best-calibration attempt. Every attempt is recorded in the full
+    # record — nothing is discarded, the gate just stops being hostage
+    # to a transient host stall.
+    REDRAW_THRESHOLD = float(os.environ.get("BENCH_REDRAW_THRESHOLD", "1.5"))
+    max_redraws = int(os.environ.get("BENCH_HEADLINE_REDRAWS", "2"))
+    healthy = _healthy_calibration_median()
+
+    timings, spreads = _draw_headline(spark, qs, errors)
+    try:
+        post_probe = _canary_probe(spark)
+    except Exception:  # noqa: BLE001
+        post_probe = float("nan")
+    cal0 = calibration.get("sec")
+    sig0 = max(
+        [v for v in (cal0, post_probe) if isinstance(v, (int, float)) and v == v],
+        default=None,
+    )
+    attempts = [
+        {
+            "calibration_sec": cal0,
+            "post_draw_probe_sec": round(post_probe, 4)
+            if post_probe == post_probe
+            else None,
+            "throttle_signal_sec": sig0,
+            "headline": dict(timings),
+        }
+    ]
+    chosen = 0
+    if healthy and sig0 is not None:
+        n = 0
+        sig = sig0
+        while sig > REDRAW_THRESHOLD * healthy and n < max_redraws:
+            n += 1
+            try:
+                re_cal = _calibrate(spark).get("sec")
+            except Exception:  # noqa: BLE001
+                re_cal = None
+            re_timings, re_spreads = _draw_headline(spark, qs, errors)
+            try:
+                re_post = _canary_probe(spark)
+            except Exception:  # noqa: BLE001
+                re_post = float("nan")
+            sig = max(
+                [
+                    v
+                    for v in (re_cal, re_post)
+                    if isinstance(v, (int, float)) and v == v
+                ],
+                default=sig,
+            )
+            attempts.append(
+                {
+                    "calibration_sec": re_cal,
+                    "post_draw_probe_sec": round(re_post, 4)
+                    if re_post == re_post
+                    else None,
+                    "throttle_signal_sec": sig,
+                    "headline": dict(re_timings),
+                }
+            )
+            if re_timings and (
+                attempts[chosen]["throttle_signal_sec"] is None
+                or sig < attempts[chosen]["throttle_signal_sec"]
+            ):
+                chosen = len(attempts) - 1
+                timings, spreads = re_timings, re_spreads
+    headline_redraw = {
+        "policy": f"redraw headline up to {max_redraws}x when "
+        f"max(calibration, post-draw probe) > {REDRAW_THRESHOLD}x rolling "
+        "median of per-round best committed calibrations; keep the "
+        "best-signal attempt; all attempts recorded",
+        "healthy_calibration_median_sec": healthy,
+        "attempts": attempts,
+        "chosen_attempt": chosen,
+    }
     # Session-hygiene between breadth families (VERDICT r9 #4): three
     # rounds running, best-of-2 inside a 100+-query accumulated session
     # produced >=2x phantom readings that never reproduced in a clean
@@ -528,7 +649,14 @@ def main() -> None:
         "query_segments maps each breadth query to its segment",
         "noise_rel_halfspread": round(max(spreads), 4) if spreads else 0.0,
         "calibration": calibration,
+        "headline_redraw": headline_redraw,
     }
+    if chosen != 0 and isinstance(
+        attempts[chosen].get("calibration_sec"), (int, float)
+    ):
+        # The kept headline came from a redraw; expose the probe that
+        # accompanied IT so normalization reads the right host speed.
+        calibration["headline_effective_sec"] = attempts[chosen]["calibration_sec"]
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
@@ -549,10 +677,15 @@ def main() -> None:
         rnd = os.environ.get("BENCH_ROUND")
         if not rnd:
             import glob as _glob
+            import re as _re
 
+            # Regex, not join-all-digits: a suffixed driver record like
+            # BENCH_r14-2.json must parse as round 14, not 142
+            # (ADVICE r14).
             done = [
-                int("".join(c for c in os.path.basename(p) if c.isdigit()))
+                int(m.group(1))
                 for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if (m := _re.search(r"BENCH_r(\d+)", os.path.basename(p)))
             ]
             rnd = str(max(done) + 1 if done else 0)
         base = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}")
@@ -582,6 +715,8 @@ def main() -> None:
                 "headline": {m: timings[m] for m in HEADLINE if m in timings},
                 "noise_rel_halfspread": out["noise_rel_halfspread"],
                 "calibration": calibration,
+                "headline_redraws": len(attempts) - 1,
+                "headline_chosen_attempt": chosen,
                 "segment_canaries": segment_canaries,
                 "n_breadth_queries_timed": len(
                     [q for q in timings if q not in HEADLINE]

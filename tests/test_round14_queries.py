@@ -56,7 +56,16 @@ def test_betweenness_tree_matches_bruteforce_bfs(spark, duck):
         r.node: r.betweenness
         for r in get_query("q_betweenness_tree").fn(spark, SF).collect()
     }
-    want = {k: v for k, v in brute.items() if v > 0}
+    # All interior nodes, defaulting to 0 — the query emits every
+    # root/region/nation row, so a customer-less nation (B=0) must
+    # appear on BOTH sides (ADVICE r14: filtering v > 0 here would
+    # break on a fixture regen containing an empty nation).
+    interior = (
+        ["root"]
+        + [f"r{r}" for (r,) in reg]
+        + [f"n{n}" for n, _ in nat]
+    )
+    want = {k: brute.get(k, 0) for k in interior}
     assert got == want
     # structural invariants: only interior nodes appear, root dominates
     assert len(got) == 1 + len(reg) + len(nat)
