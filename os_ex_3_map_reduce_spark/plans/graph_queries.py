@@ -2189,3 +2189,409 @@ def q_closeness_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(root_c)
         .orderBy("farness", "node")
     )
+
+
+@register(
+    "q_closeness_tree_weighted",
+    oracle="""
+        WITH cw AS (
+            SELECT c_nationkey, 1 + c_custkey % 11 AS wc FROM customer
+        ),
+        cpn AS (
+            SELECT n_nationkey, n_regionkey,
+                   1 + n_nationkey % 7 AS wn,
+                   CAST(COUNT(wc) AS BIGINT) AS n_cust,
+                   CAST(COALESCE(SUM(wc), 0) AS BIGINT) AS sum_wc,
+                   MIN(wc) AS min_wc, MAX(wc) AS max_wc,
+                   1 + CAST(COUNT(wc) AS BIGINT) AS mass_n
+            FROM nation LEFT JOIN cw ON c_nationkey = n_nationkey
+            GROUP BY n_nationkey, n_regionkey
+        ),
+        rws AS (
+            SELECT n_regionkey, 1 + n_regionkey % 5 AS wr,
+                   1 + CAST(SUM(mass_n) AS BIGINT) AS mass_r,
+                   CAST(SUM(wn * mass_n) AS BIGINT) AS wn_mass_r,
+                   CAST(SUM(sum_wc) AS BIGINT) AS sum_wc_r
+            FROM cpn GROUP BY n_regionkey
+        ),
+        tot AS (
+            SELECT 1 + (SELECT COUNT(*) FROM region)
+                     + (SELECT COUNT(*) FROM nation)
+                     + (SELECT COUNT(*) FROM cw) AS n,
+                   CAST((SELECT SUM(wr * mass_r + wn_mass_r + sum_wc_r)
+                         FROM rws) AS BIGINT) AS s
+        ),
+        nation_c AS (
+            SELECT 'n' || n_nationkey AS node,
+                   CAST(n * (wr + wn) + s
+                        - 2 * (wr * mass_r + wn * mass_n) AS BIGINT)
+                       AS farness,
+                   CAST(CASE WHEN n_cust > 0 THEN
+                            n * (wr + wn) + s
+                            - 2 * (wr * mass_r + wn * mass_n)
+                            + (n - 2) * min_wc END AS BIGINT)
+                       AS leaf_farness_min,
+                   CAST(CASE WHEN n_cust > 0 THEN
+                            n * (wr + wn) + s
+                            - 2 * (wr * mass_r + wn * mass_n)
+                            + (n - 2) * max_wc END AS BIGINT)
+                       AS leaf_farness_max
+            FROM cpn JOIN rws USING (n_regionkey), tot
+        ),
+        region_c AS (
+            SELECT 'r' || n_regionkey AS node,
+                   CAST(n * wr + s - 2 * wr * mass_r AS BIGINT) AS farness,
+                   CAST(NULL AS BIGINT) AS leaf_farness_min,
+                   CAST(NULL AS BIGINT) AS leaf_farness_max
+            FROM rws, tot
+        ),
+        root_c AS (
+            SELECT 'root' AS node, CAST(s AS BIGINT) AS farness,
+                   CAST(NULL AS BIGINT) AS leaf_farness_min,
+                   CAST(NULL AS BIGINT) AS leaf_farness_max
+            FROM tot
+        )
+        SELECT node, farness, leaf_farness_min, leaf_farness_max
+        FROM (SELECT * FROM nation_c UNION ALL
+              SELECT * FROM region_c UNION ALL
+              SELECT * FROM root_c)
+        ORDER BY farness, node
+    """,
+    doc="WEIGHTED exact closeness (integer farness under integer edge "
+    "weights) on the root -> region -> nation -> customer tree — the "
+    "weighted extension of q_closeness_tree the r14 verdict suggested. "
+    "Edge weights are key-derived small integers (wr = 1 + "
+    "r_regionkey%5, wn = 1 + n_nationkey%7, wc = 1 + c_custkey%11) so "
+    "both engines derive identical weights with no side table. Same "
+    "LCA decomposition as the unweighted twin, with subtree COUNTS "
+    "replaced by subtree WEIGHT-MASS terms: farness(v) = n*depth_w(v) "
+    "+ S - 2*sum over v's root-path edges of w(edge)*|subtree(edge)|, "
+    "where S = sum of all weighted depths. Leaves no longer share one "
+    "farness (wc varies per customer), so nation rows carry the exact "
+    "min/max leaf farness: farness(nation) + (n-2)*min/max(wc) — "
+    "output stays 31 rows at every scale. All arithmetic is int64 "
+    "(depth <= 23, so terms are <= 23n — exact past n = 4e17 nodes). "
+    "Scale: one map-side-combined groupBy per tree level plus "
+    "broadcast 1-row totals, identical shuffle shape to the unweighted "
+    "twin; never touches pairs.",
+)
+def q_closeness_tree_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", (F.lit(1) + F.col("c_custkey") % 11).alias("wc")
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_regionkey",
+        (F.lit(1) + F.col("n_nationkey") % 7).alias("wn"),
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", (F.lit(1) + F.col("r_regionkey") % 5).alias("wr")
+    )
+
+    cpn = (
+        nat.join(
+            cust.groupBy("c_nationkey").agg(
+                F.count("wc").alias("n_cust"),
+                F.sum("wc").alias("sum_wc"),
+                F.min("wc").alias("min_wc"),
+                F.max("wc").alias("max_wc"),
+            ),
+            nat.n_nationkey == F.col("c_nationkey"),
+            "left",
+        )
+        .select(
+            "n_nationkey",
+            "n_regionkey",
+            "wn",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("sum_wc", F.lit(0)).alias("sum_wc"),
+            "min_wc",
+            "max_wc",
+        )
+        .withColumn("mass_n", F.lit(1) + F.col("n_cust"))
+    )
+    rws = (
+        cpn.groupBy("n_regionkey")
+        .agg(
+            (F.sum("mass_n") + F.lit(1)).alias("mass_r"),
+            F.sum(F.col("wn") * F.col("mass_n")).alias("wn_mass_r"),
+            F.sum("sum_wc").alias("sum_wc_r"),
+        )
+        .join(reg, F.col("n_regionkey") == reg.r_regionkey)
+        .select("n_regionkey", "wr", "mass_r", "wn_mass_r", "sum_wc_r")
+    )
+    tot = (
+        rws.agg(
+            F.sum(
+                F.col("wr") * F.col("mass_r")
+                + F.col("wn_mass_r")
+                + F.col("sum_wc_r")
+            ).alias("s")
+        )
+        .crossJoin(
+            reg.agg(F.count(F.lit(1)).alias("n_reg"))
+            .crossJoin(nat.agg(F.count(F.lit(1)).alias("n_nat")))
+            .crossJoin(cust.agg(F.count(F.lit(1)).alias("n_cust_total")))
+            .select(
+                (
+                    F.lit(1)
+                    + F.col("n_reg")
+                    + F.col("n_nat")
+                    + F.col("n_cust_total")
+                ).alias("n")
+            )
+        )
+        .select("n", "s")
+    )
+    n, s = F.col("n"), F.col("s")
+    nation_far = (
+        n * (F.col("wr") + F.col("wn"))
+        + s
+        - 2 * (F.col("wr") * F.col("mass_r") + F.col("wn") * F.col("mass_n"))
+    )
+    nation_c = (
+        cpn.join(rws, "n_regionkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias(
+                "node"
+            ),
+            nation_far.cast("long").alias("farness"),
+            F.when(
+                F.col("n_cust") > 0,
+                nation_far + (n - 2) * F.col("min_wc"),
+            )
+            .cast("long")
+            .alias("leaf_farness_min"),
+            F.when(
+                F.col("n_cust") > 0,
+                nation_far + (n - 2) * F.col("max_wc"),
+            )
+            .cast("long")
+            .alias("leaf_farness_max"),
+        )
+    )
+    region_c = (
+        rws.crossJoin(F.broadcast(tot))
+        .select(
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias(
+                "node"
+            ),
+            (n * F.col("wr") + s - 2 * F.col("wr") * F.col("mass_r"))
+            .cast("long")
+            .alias("farness"),
+            F.lit(None).cast("long").alias("leaf_farness_min"),
+            F.lit(None).cast("long").alias("leaf_farness_max"),
+        )
+    )
+    root_c = tot.select(
+        F.lit("root").alias("node"),
+        s.cast("long").alias("farness"),
+        F.lit(None).cast("long").alias("leaf_farness_min"),
+        F.lit(None).cast("long").alias("leaf_farness_max"),
+    )
+    return (
+        nation_c.unionByName(region_c)
+        .unionByName(root_c)
+        .orderBy("farness", "node")
+    )
+
+
+@register(
+    "q_tree_diameter_weighted",
+    oracle="""
+        WITH cw AS (
+            SELECT c_custkey, c_nationkey, 1 + c_custkey % 11 AS wc
+            FROM customer
+        ),
+        top_c AS (
+            SELECT c_nationkey, wc,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY wc DESC, c_custkey) AS rn
+            FROM cw
+        ),
+        nat_pair AS (
+            SELECT c_nationkey,
+                   MAX(CASE WHEN rn = 1 THEN wc END) AS w1,
+                   MAX(CASE WHEN rn = 2 THEN wc END) AS w2
+            FROM top_c WHERE rn <= 2 GROUP BY c_nationkey
+        ),
+        down AS (
+            SELECT n_nationkey, n_regionkey,
+                   1 + n_nationkey % 7 + COALESCE(w1, 0) AS down_n
+            FROM nation LEFT JOIN nat_pair ON c_nationkey = n_nationkey
+        ),
+        top_d AS (
+            SELECT n_regionkey, down_n,
+                   ROW_NUMBER() OVER (PARTITION BY n_regionkey
+                                      ORDER BY down_n DESC, n_nationkey)
+                       AS rn
+            FROM down
+        ),
+        reg_pair AS (
+            SELECT n_regionkey,
+                   MAX(CASE WHEN rn = 1 THEN down_n END) AS d1,
+                   MAX(CASE WHEN rn = 2 THEN down_n END) AS d2
+            FROM top_d WHERE rn <= 2 GROUP BY n_regionkey
+        ),
+        down_r AS (
+            SELECT r_regionkey,
+                   1 + r_regionkey % 5 + COALESCE(d1, 0) AS dr
+            FROM region LEFT JOIN reg_pair ON n_regionkey = r_regionkey
+        ),
+        top_r AS (
+            SELECT dr, ROW_NUMBER() OVER (ORDER BY dr DESC, r_regionkey)
+                       AS rn
+            FROM down_r
+        ),
+        cands AS (
+            SELECT
+                (SELECT COALESCE(MAX(w1 + COALESCE(w2, 0)), 0)
+                 FROM nat_pair) AS v1,
+                (SELECT COALESCE(MAX(d1 + COALESCE(d2, 0)), 0)
+                 FROM reg_pair) AS v2,
+                (SELECT MAX(CASE WHEN rn = 1 THEN dr END)
+                        + COALESCE(MAX(CASE WHEN rn = 2 THEN dr END), 0)
+                 FROM top_r WHERE rn <= 2) AS v3
+        )
+        SELECT path_class, CAST(length AS BIGINT) AS length
+        FROM (
+            SELECT '1_within_nation' AS path_class, v1 AS length FROM cands
+            UNION ALL
+            SELECT '2_within_region', v2 FROM cands
+            UNION ALL
+            SELECT '3_cross_region', v3 FROM cands
+            UNION ALL
+            SELECT '4_diameter', GREATEST(v1, v2, v3) FROM cands
+        )
+        ORDER BY path_class
+    """,
+    doc="WEIGHTED tree diameter on the root -> region -> nation -> "
+    "customer hierarchy, same key-derived integer weights as "
+    "q_closeness_tree_weighted. Classic two-best-children DP expressed "
+    "relationally: every path's topmost node is a nation, a region, or "
+    "the root, so the diameter is the max over three candidate classes "
+    "— top-2 leaf weights within one nation, top-2 nation-branch "
+    "depths within one region, top-2 region-branch depths across the "
+    "root — each a 'max of (best + second-best from distinct "
+    "children)'. Missing second branches coalesce to 0: the path then "
+    "ends AT the interior node, which is exactly the right semantics. "
+    "Scale path: the only large-data step is a map-side-combined "
+    "groupBy(nation, wc) count over customers — the weight domain is "
+    "bounded (wc in 1..11) by construction, so the per-nation top-2 "
+    "runs on a <= 11-row-per-nation relation (multiplicity capped at "
+    "2 via array_repeat(least(cnt,2))), never a per-customer window "
+    "sort. Everything after the first agg is broadcast-sized. Output: "
+    "the three class maxima plus the diameter, 4 integer rows at any "
+    "scale.",
+)
+def q_tree_diameter_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", (F.lit(1) + F.col("c_custkey") % 11).alias("wc")
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_regionkey",
+        (F.lit(1) + F.col("n_nationkey") % 7).alias("wn"),
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", (F.lit(1) + F.col("r_regionkey") % 5).alias("wr")
+    )
+
+    # The ONLY big-data aggregation: per-(nation, weight) counts.
+    # Bounded output (|nation| x 11 rows) because the weight domain is
+    # bounded; everything below runs on broadcast-sized relations.
+    counts = cust.groupBy("c_nationkey", "wc").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    expanded = counts.select(
+        "c_nationkey",
+        F.explode(
+            F.array_repeat(
+                F.col("wc"), F.least(F.col("cnt"), F.lit(2)).cast("int")
+            )
+        ).alias("wc"),
+    )
+    w_nat = Window.partitionBy("c_nationkey").orderBy(F.desc("wc"))
+    nat_pair = (
+        expanded.withColumn("rn", F.row_number().over(w_nat))
+        .where(F.col("rn") <= 2)
+        .groupBy("c_nationkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("wc"))).alias("w1"),
+            F.max(F.when(F.col("rn") == 2, F.col("wc"))).alias("w2"),
+        )
+    )
+    down = nat.join(
+        nat_pair, nat.n_nationkey == nat_pair.c_nationkey, "left"
+    ).select(
+        "n_nationkey",
+        "n_regionkey",
+        (F.col("wn") + F.coalesce("w1", F.lit(0))).alias("down_n"),
+    )
+    w_reg = Window.partitionBy("n_regionkey").orderBy(
+        F.desc("down_n"), F.asc("n_nationkey")
+    )
+    reg_pair = (
+        down.withColumn("rn", F.row_number().over(w_reg))
+        .where(F.col("rn") <= 2)
+        .groupBy("n_regionkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("down_n"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("down_n"))).alias("d2"),
+        )
+    )
+    down_r = reg.join(
+        reg_pair, reg.r_regionkey == reg_pair.n_regionkey, "left"
+    ).select(
+        "r_regionkey",
+        (F.col("wr") + F.coalesce("d1", F.lit(0))).alias("dr"),
+    )
+    w_root = Window.orderBy(F.desc("dr"), F.asc("r_regionkey"))
+    root_pair = (
+        down_r.withColumn("rn", F.row_number().over(w_root))
+        .where(F.col("rn") <= 2)
+        .agg(
+            (
+                F.max(F.when(F.col("rn") == 1, F.col("dr")))
+                + F.coalesce(
+                    F.max(F.when(F.col("rn") == 2, F.col("dr"))), F.lit(0)
+                )
+            ).alias("v3")
+        )
+    )
+    cands = (
+        nat_pair.agg(
+            F.coalesce(
+                F.max(F.col("w1") + F.coalesce("w2", F.lit(0))), F.lit(0)
+            ).alias("v1")
+        )
+        .crossJoin(
+            reg_pair.agg(
+                F.coalesce(
+                    F.max(F.col("d1") + F.coalesce("d2", F.lit(0))),
+                    F.lit(0),
+                ).alias("v2")
+            )
+        )
+        .crossJoin(root_pair)
+    )
+    rows = []
+    for cls, col in (
+        ("1_within_nation", F.col("v1")),
+        ("2_within_region", F.col("v2")),
+        ("3_cross_region", F.col("v3")),
+        ("4_diameter", F.greatest("v1", "v2", "v3")),
+    ):
+        rows.append(
+            cands.select(
+                F.lit(cls).alias("path_class"),
+                col.cast("long").alias("length"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("path_class")

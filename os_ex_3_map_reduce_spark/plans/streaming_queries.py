@@ -85,7 +85,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH flagged AS (
             SELECT user_id, ts,
                    CASE WHEN LAG(ts) OVER w IS NULL
-                             OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                             OR ts - LAG(ts) OVER w > INTERVAL 10 MINUTE
                         THEN 1 ELSE 0 END AS new_s
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -103,8 +103,13 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Session windows (10 min inactivity gap) per user via the "
     "streaming session_window operator; oracle is the classic "
-    "gap-and-island SQL. Session boundary uses >= gap (half-open "
-    "session intervals), mirrored in the oracle.",
+    "gap-and-island SQL. Session boundary: events EXACTLY gap apart "
+    "MERGE (Spark merges on inclusive window overlap — measured r15, "
+    "pinned in tests/test_round15_queries.py), so the island rule is "
+    "'new session when delta > gap', mirrored in the oracle. The "
+    "microsecond-resolution fixture never lands on the boundary, so "
+    "the earlier >= rule hash-matched for 14 rounds — the micro-pin, "
+    "not the sweep, is what caught it.",
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = session_counts(events_stream(spark, sf_dir), gap="10 minutes")
@@ -1935,5 +1940,83 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour"),
             "event_type",
             "n",
+        )
+    )
+
+
+@register(
+    "q_stream_late_data_session",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        islands AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts) + INTERVAL 10 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, sid
+    """,
+    doc="SESSION-WINDOW WATERMARK LATE-DATA DROP, proven end-to-end — "
+    "the session twin of q_stream_late_data (r14's tumbling proof, "
+    "suggested by the r14 verdict). Same staged replay "
+    "(streaming/events.py late_events_dir): every real event, then a "
+    "watermark-advancer 10 h past max(ts), then the entire earliest "
+    "hour RE-SENT with new event_ids at the original (now far-below-"
+    "watermark) timestamps. The watermarked per-user session_window "
+    "aggregation in APPEND mode must (a) finalize and emit EVERY real "
+    "session once the advancer pushes the watermark past all session "
+    "ends — append-mode session state is evicted exactly then, the "
+    "property that bounds session state at 100 TB — and (b) drop the "
+    "whole late batch: a broken watermark would instead MERGE the "
+    "re-sent earliest hour into already-emitted sessions (append mode "
+    "would emit duplicate/expanded sessions and hash-fail against the "
+    "batch gaps-and-islands oracle, which never sees the copies). The "
+    "advancer's own session never finalizes (nothing advances the "
+    "watermark past it), so it is structurally absent from append "
+    "output; the user_id >= 0 guard is defense in depth. Session "
+    "semantics pinned across engines: events EXACTLY gap apart MERGE "
+    "(inclusive window overlap, measured r15 — the island rule is "
+    "'new session when delta > gap'), session_end = last event + gap, "
+    "both mirrored in the oracle SQL; the drop MECHANISM and the "
+    "boundary micro-case are pinned in tests/test_round15_queries.py "
+    "via numRowsDroppedByWatermark == staged copy count.",
+)
+def q_stream_late_data_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import late_events_dir
+
+    src = late_events_dir(spark, sf_dir)
+    stream = events_stream(spark, sf_dir, path=src, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts_utc", "10 minutes")
+        .groupBy(
+            F.session_window("ts_utc", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = run_stream_to_memory(agg, mode="append")
+    return (
+        spark.table(name)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
         )
     )
