@@ -331,6 +331,11 @@ BREADTH = [
     "q_l_diversity",
     "q_t_closeness",
     "q_stream_late_data",
+    # round-15 additions: weighted tree centralities + session-window
+    # late-data proof
+    "q_closeness_tree_weighted",
+    "q_tree_diameter_weighted",
+    "q_stream_late_data_session",
 ]
 
 

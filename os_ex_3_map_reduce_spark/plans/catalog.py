@@ -96,84 +96,77 @@ def _load_all() -> None:
 #: first, ~30 swaps per round so the stale tail keeps refreshing.
 DRIVER_WINDOW = 50
 
-#: Round-14 priority prefix. History as of round-14 start:
-#: CORRECTNESS_r13 = 50/50 green — the project's first fully-closed
-#: round (281/281 names rowed, zero ever-red remaining). Window layout
-#: (per the r13 verdict directive #1):
-#: 1-11. The r13 spill — the 11 names whose implementation/oracle
-#:    changed in round 13 but which sat at positions 51-61, so no
-#:    post-change driver row exists (all 11 are judge-sim ALL MATCH on
-#:    the r13 tree; this is pure external confirmation): the 6
-#:    tokenizer-sweep names then the 5 output-invariant changed names.
-#: 12-50. Stale-green refresh per tools/rotation.py: the oldest
-#:    external verdicts first — the 30 remaining r7-era greens, then
-#:    9 r8-era greens (alphabetical within round).
+#: Round-15 priority prefix. History as of round-15 start:
+#: CORRECTNESS_r14 = 50/50 green — second consecutive fully-closed
+#: round (287/287 rowed, zero red, zero never-verified; oldest greens
+#: are r8). Window layout (per the r14 verdict directive #1):
+#: 1-3. NEW this round (never verified): the weighted tree
+#:    centrality/diameter pair (q_closeness_tree_weighted,
+#:    q_tree_diameter_weighted) and the session-window late-data-drop
+#:    proof (q_stream_late_data_session).
+#: 4. q_stream_session — ORACLE CHANGED this round (session boundary
+#:    corrected from '>= gap' to '> gap': measured r15, Spark merges
+#:    events exactly gap apart; latent for 14 rounds because the
+#:    microsecond fixture never lands on the boundary), so its last
+#:    green row predates the change and it must re-row.
+#: 5-10. The r15 spill — six names that overflowed the r14 window
+#:    (positions 51-56, no changed code, last green r8): q_dedup_stats
+#:    through q_join_semi.
+#: 11-50. Stale-green refresh per tools/rotation.py: remaining r8
+#:    greens, then the oldest r9 greens (alphabetical within round;
+#:    the last four r9 names — q_python_datasource, q_rollup_time,
+#:    q_salted_agg, q_sample_stratified — wait for r16).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_phrase_search",
-    "q_pmi_collocations",
-    "q_prf_expand",
-    "q_stream_bm25_ingest",
-    "q_textrank",
-    "q_stream_standing_query",
-    "q_string_fns",
-    "q_stream_kmv_distinct",
-    "q_stream_cms_topk",
-    "q_stream_semi_join",
-    "q_stream_maxsim",
-    # 12-17. NEW this round (never verified, so they must sit inside
-    # the window; their arrival pushes six stale-refresh names —
-    # q_dedup_stats through q_join_semi, no changed code in them — to
-    # positions 51-56, the r15 spill): the case+levenshtein drift
-    # tripwire, exact tree betweenness + closeness (the sparse-fixture
-    # answer to the r11/r12 betweenness rejection), the l-diversity +
-    # t-closeness privacy audits completing the anonymization trio
-    # around q_k_anonymity, and the watermark late-data-drop proof
-    # (q_stream_late_data).
-    "q_case_edit_audit",
-    "q_betweenness_tree",
-    "q_closeness_tree",
-    "q_l_diversity",
-    "q_t_closeness",
-    "q_stream_late_data",
-    "q_date_parts",
-    "q_date_trunc",
-    "q_drift_ks",
-    "q_event_transitions",
-    "q_funnel",
-    "q_gini",
-    "q_histogram_equidepth",
-    "q_hof_fns",
-    "q_incremental_agg",
-    "q_join_cross",
-    "q_join_nullsafe",
-    "q_mad_robust",
-    "q_map_fns",
-    "q_math_fns",
-    "q_multimodal_audio_frames",
-    "q_outlier_zscore",
-    "q_percentiles",
-    "q_pii_redact",
-    "q_profile_stats",
-    "q_regexp_fns",
-    "q_sample_budget",
-    "q_sessionize",
-    "q_set_ops_all",
-    "q_shipping_priority",
-    "q_time_interpolate",
-    "q_trend_ols",
-    "q_unpivot",
-    "q_window_misc",
-    "q_window_range_frame",
-    "q_zorder_cluster",
-    "q_agg_distinct",
-    "q_agg_pricing_summary",
-    "q_cube",
+    "q_closeness_tree_weighted",
+    "q_tree_diameter_weighted",
+    "q_stream_late_data_session",
+    "q_stream_session",
     "q_dedup_stats",
     "q_filter_project",
     "q_grouping_sets",
     "q_having",
     "q_join_broadcast",
     "q_join_semi",
+    "q_join_sortmerge",
+    "q_kmeans_assign",
+    "q_mapreduce_join",
+    "q_merge_upsert",
+    "q_multimodal_bmp",
+    "q_multimodal_metadata",
+    "q_multimodal_wav",
+    "q_pivot",
+    "q_recursive_cte",
+    "q_rollup",
+    "q_salted_join",
+    "q_sample_hash",
+    "q_sample_weighted",
+    "q_stream_cdc_apply",
+    "q_stream_outer_join",
+    "q_stream_partitioned_source",
+    "q_stream_python_source",
+    "q_udaf_sumsq",
+    "q_approx_distinct",
+    "q_approx_percentiles",
+    "q_binaryfile_ingest",
+    "q_events_hourly",
+    "q_except",
+    "q_histogram",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_bucketed",
+    "q_join_multiway",
+    "q_join_outer",
+    "q_join_range",
+    "q_json_extract",
+    "q_lateral",
+    "q_multimodal_fake_image",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
+    "q_null_handling",
+    "q_observe_metrics",
+    "q_pagerank",
+    "q_percentiles_grouped",
 )
 
 

@@ -12,30 +12,25 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
 )
 
 # Queries that MUST be inside the verification window this round
-# (round 14: the 11 r13-changed names that spilled past position 50
-# and therefore have no post-change driver row — external confirmation
-# of the tokenizer sweep + output-invariant changes. The remaining 39
-# slots are the oldest-stale greens, r7 era first — policy via
-# tools/rotation.py, not pinned here.)
+# (round 15: the three new round-15 queries, q_stream_session whose
+# oracle changed this round (session boundary >= -> >), and the six
+# r14 spill names (positions 51-56 last round, no post-r8 driver row).
+# The remaining slots are the oldest-stale greens, r8 era first —
+# policy via tools/rotation.py, not pinned here.)
 MUST_BE_IN_WINDOW = {
-    "q_phrase_search",
-    "q_pmi_collocations",
-    "q_prf_expand",
-    "q_stream_bm25_ingest",
-    "q_textrank",
-    "q_stream_standing_query",
-    "q_string_fns",
-    "q_stream_kmv_distinct",
-    "q_stream_cms_topk",
-    "q_stream_semi_join",
-    "q_stream_maxsim",
     # new this round — never verified, must be windowed
-    "q_case_edit_audit",
-    "q_betweenness_tree",
-    "q_closeness_tree",
-    "q_l_diversity",
-    "q_t_closeness",
-    "q_stream_late_data",
+    "q_closeness_tree_weighted",
+    "q_tree_diameter_weighted",
+    "q_stream_late_data_session",
+    # oracle changed this round — must re-row
+    "q_stream_session",
+    # r14 spill — stale since r8
+    "q_dedup_stats",
+    "q_filter_project",
+    "q_grouping_sets",
+    "q_having",
+    "q_join_broadcast",
+    "q_join_semi",
 }
 
 

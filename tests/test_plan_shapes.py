@@ -1186,3 +1186,33 @@ def test_t_closeness_broadcasts_distribution(spark, qs):
     assert "SortMergeJoin" not in plan
     assert "Broadcast" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_closeness_tree_weighted_broadcasts_totals_no_pair_blowup(spark, qs):
+    """Weighted twin keeps the unweighted contract: never touches
+    pairs — totals join by broadcast, no SortMergeJoin, no
+    CartesianProduct over row-scaled relations, and the customer scan
+    reads only the two needed columns."""
+    df = qs["q_closeness_tree_weighted"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+    rs = read_schema(df)
+    assert rs and "c_name" not in rs and "c_acctbal" not in rs
+
+
+def test_tree_diameter_weighted_bounded_domain_agg(spark, qs):
+    """The only large-data step must be the map-side-combined
+    groupBy(nation, weight) count (partial+final HashAggregate); the
+    per-customer relation never feeds a Window directly — windows run
+    on the bounded expanded relation — and nothing plans a
+    SortMergeJoin or CartesianProduct."""
+    df = qs["q_tree_diameter_weighted"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+    rs = read_schema(df)
+    assert rs and "c_name" not in rs and "c_mktsegment" not in rs

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Latent cross-engine divergence probe (VERDICT r13 #5).
 
-Three divergence classes have already been found and contractually
-retired (libm rounding r12; whitespace tokenization r13; unicode case
-mapping r13; levenshtein byte-vs-codepoint r13). This tool probes the
+Six divergence classes have been found and contractually retired (libm
+rounding r12; whitespace tokenization r13; unicode case mapping r13;
+levenshtein byte-vs-codepoint r13; ASC NULL placement + string reverse
+r14; session_window gap boundary r15). This tool probes the
 REMAINING multibyte/ordering surfaces the oracles touch, on a case-bomb
 corpus, and prints MATCH/DIVERGE per surface so any new class gets a
 shared contract + property test before it reaches a driver row.
@@ -217,6 +218,41 @@ def main() -> None:
     compare("sub-second timestamp render",
             "SELECT CAST(TIMESTAMP'2026-08-16 12:00:00.123' AS STRING)",
             "SELECT CAST(TIMESTAMP '2026-08-16 12:00:00.123' AS VARCHAR)")
+
+    # --- batch 4 (round 15): session gap boundary -----------------------
+    # FOUND + RETIRED r15: Spark session_window MERGES events exactly
+    # gap apart (inclusive window overlap), so the matching island rule
+    # is 'new session when delta > gap' — NOT >=, which the session
+    # oracles used latently for 14 rounds (microsecond fixtures never
+    # land on the boundary). This probe replays the literal micro-case:
+    # user 1 exactly-at-gap (must merge: 1 session), user 2 inside the
+    # gap (1 session), user 3 past the gap (2 sessions).
+    compare("session_window gap boundary (KNOWN: merge AT gap; islands rule >)",
+            "SELECT user_id, count(*) AS n FROM VALUES"
+            " (1, TIMESTAMP'2024-01-01 00:00:00'),"
+            " (1, TIMESTAMP'2024-01-01 00:10:00'),"
+            " (2, TIMESTAMP'2024-01-01 00:00:00'),"
+            " (2, TIMESTAMP'2024-01-01 00:09:59.999999'),"
+            " (3, TIMESTAMP'2024-01-01 00:00:00'),"
+            " (3, TIMESTAMP'2024-01-01 00:10:00.000001')"
+            " t(user_id, ts)"
+            " GROUP BY session_window(ts, '10 minutes'), user_id"
+            " ORDER BY user_id, n",
+            "WITH e(user_id, ts) AS (VALUES"
+            " (1, TIMESTAMP '2024-01-01 00:00:00'),"
+            " (1, TIMESTAMP '2024-01-01 00:10:00'),"
+            " (2, TIMESTAMP '2024-01-01 00:00:00'),"
+            " (2, TIMESTAMP '2024-01-01 00:09:59.999999'),"
+            " (3, TIMESTAMP '2024-01-01 00:00:00'),"
+            " (3, TIMESTAMP '2024-01-01 00:10:00.000001')),"
+            " flagged AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL"
+            " OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE THEN 1 ELSE 0 END"
+            " AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),"
+            " islands AS (SELECT user_id, SUM(new_s) OVER"
+            " (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
+            " AS sid FROM flagged)"
+            " SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM islands"
+            " GROUP BY user_id, sid ORDER BY user_id, n")
 
     print()
     print("DIVERGED SURFACES:" if diverged else "ALL SURFACES MATCH",
