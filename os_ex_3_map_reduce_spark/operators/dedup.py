@@ -481,19 +481,29 @@ def connected_components(
         neigh = und.join(labels, und.b == labels.id).select(
             und.a.alias("id"), "label"
         )
+        # The convergence check rides the label aggregation instead of
+        # a separate new-vs-old join (r15 optimization, guide §2.4):
+        # every vertex's OLD label enters the union exactly once
+        # (flagged), so max(label WHERE is_old) recovers it in the same
+        # groupBy that takes the min — `changed` is then a scan of the
+        # checkpointed result, no second shuffle. One exchange per
+        # round instead of two; labels emitted are identical.
         new_labels = (
-            neigh.union(labels)
+            neigh.withColumn("is_old", F.lit(0))
+            .union(labels.withColumn("is_old", F.lit(1)))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(
+                    F.when(F.col("is_old") == 1, F.col("label"))
+                ).alias("_old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(
+            F.col("label") != F.col("_old")
+        ).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     und.unpersist()

@@ -87,6 +87,19 @@ def _write_segment(
         ).collect()[0]
         w = docs2.select("doc_id", F.explode("t").alias("term"))
         tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        # df stays countDistinct over the exploded tokens — examined
+        # and deliberately KEPT in the r15 optimization round: this
+        # plans as partial (term, doc_id) dedup map-side + ONE
+        # term-keyed exchange of ~tf-sized deduped rows. The two
+        # "obvious" rewrites both lose: df = tf.groupBy(term).count()
+        # re-runs the explode AND adds a second exchange (no
+        # ReusedExchange — the optimizer strips the tf branch's
+        # count(1) into a bare dedup agg, so the subtrees differ);
+        # df = count().over(Window.partitionBy(term)) is one pass but
+        # funnels every tf row of a hot term (any stopword at corpus
+        # scale) through a single window task — skew-unsafe at 100 TB.
+        # Interleaved A/B at sf0.1: join-from-tf 1.30x SLOWER, window
+        # 1.05x (parity); plan evidence in plans/r15/.
         df = w.groupBy("term").agg(
             F.countDistinct("doc_id").alias("df")
         )

@@ -49,6 +49,22 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Cheaper AQE plan-update events (r15 optimization, guide §7.3):
+    # every AQE stage materialization posts a
+    # SparkListenerSQLAdaptiveExecutionUpdate whose payload embeds
+    # qe.explainString(conf.uiExplainMode) over the WHOLE plan — built
+    # synchronously on the query thread even with the UI disabled. The
+    # default mode ("formatted") additionally runs ExplainUtils'
+    # whole-tree operator numbering, and tree-rendering re-walks shared
+    # subtrees once per reference, so union/self-join-heavy plans pay
+    # superlinearly. A jstack of the r15 test-suite JVM showed 24% of
+    # session CPU inside this rendering (TreeNode.generateTreeString →
+    # nodeName → Pattern.compile). "simple" renders the physical plan
+    # only: measured 2.0× on a 24-way self-union A/B
+    # (tools/plan_string_ab.py; 2.4× combined with the static
+    # maxPlanStringLength cap set in get_spark). Affects only the UI
+    # event payload — df.explain() takes its own mode argument.
+    "spark.sql.ui.explainMode": "simple",
 }
 
 
@@ -114,6 +130,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Static conf (must be set before the JVM session exists, so it
+        # lives here and not in RUNTIME_CONFS): cap plan-string
+        # rendering. Rendering short-circuits once the cap is reached,
+        # which bounds the per-AQE-update explainString cost on
+        # pathologically large / subtree-reused plans (measured 2×
+        # alone, 2.4× with ui.explainMode=simple on a 24-way self-union
+        # A/B — tools/plan_string_ab.py). 1 MiB comfortably covers the
+        # engine's largest REAL plan string (q_hits' 309-operator
+        # formatted explain — a 64 KiB first cut truncated it and broke
+        # its plan-shape pin); only runaway renders are cut. Override:
+        # SPARK_GRAFT_MAX_PLAN_STR.
+        .config(
+            "spark.sql.maxPlanStringLength",
+            os.environ.get("SPARK_GRAFT_MAX_PLAN_STR", "1048576"),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
