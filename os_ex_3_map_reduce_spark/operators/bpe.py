@@ -93,10 +93,23 @@ def bpe_train(
             )
             .persist()
         )
-        words.count()
 
         merges: list[tuple[int, str, str, int, str]] = []
         current = words
+        # ONE action per merge round (r15 optimization): the argmax
+        # collect below is what materializes `current` into its own
+        # cache, so the former eager `nxt.count()` barrier was a
+        # second, redundant job per round (plus one for words) whose
+        # only purpose was to let the parent unpersist immediately.
+        # Deferring the parent's unpersist until after the argmax
+        # keeps the same determinism (the child is fully cached before
+        # its parent's blocks drop) at the same high-water memory (two
+        # generations live at once — exactly what the count-then-
+        # unpersist sequence also held). Interleaved A/B at sf0.1:
+        # q_bpe_merges 46 -> 27 jobs, 4.99 -> 4.39 s median (0.88x);
+        # q_bpe_encode 50 -> 31 jobs, 6.28 -> 5.28 s (0.84x); merge
+        # trajectories byte-identical.
+        pending: DataFrame | None = None
         for step in range(1, num_merges + 1):
             best = (
                 _bigram_counts(current)
@@ -104,6 +117,10 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # `current` is materialized now; its parent can release
+            if pending is not None:
+                pending.unpersist()
+                pending = None
             if not best:
                 break
             left, right, cnt = (
@@ -143,10 +160,11 @@ def bpe_train(
             nxt = current.mapInPandas(
                 kernel, "freq long, syms array<string>"
             ).persist()
-            nxt.count()
-            current.unpersist()
+            pending = current
             current = nxt
         current.unpersist()
+        if pending is not None:
+            pending.unpersist()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
 

@@ -67,6 +67,38 @@ from pyspark.sql import functions as F
 from ..functions.text import bm25_term_score, tokens
 
 
+def _write_meta(
+    seg_path: str, n_docs: int, total_tokens: int, n_buckets: int
+) -> None:
+    """The 1-row per-segment meta parquet, written DRIVER-SIDE via
+    pyarrow (r15 optimization batch 2): the row is three driver-held
+    ints, so a Spark ``repartition(1).write`` job is pure scheduling
+    overhead (~1 job per segment write and per merge — 8 jobs inside
+    one q_stream_bm25_ingest run). Schema pinned to the legacy Spark
+    layout (long, long, int — the ``_seg_meta`` fallback contract,
+    asserted in tests), and the dir is replaced wholesale to keep
+    overwrite semantics."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = f"{seg_path}/meta"
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([int(n_docs)], pa.int64()),
+                "total_tokens": pa.array([int(total_tokens)], pa.int64()),
+                "n_buckets": pa.array([int(n_buckets)], pa.int32()),
+            }
+        ),
+        f"{d}/part-00000.parquet",
+    )
+
+
 def _write_segment(
     docs: DataFrame,
     seg_path: str,
@@ -81,10 +113,6 @@ def _write_segment(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
     ).persist()
     try:
-        stats = docs2.agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.size("t")).alias("total_tokens"),
-        ).collect()[0]
         w = docs2.select("doc_id", F.explode("t").alias("term"))
         tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
         # df stays countDistinct over the exploded tokens — examined
@@ -117,25 +145,33 @@ def _write_segment(
         post.write.mode("overwrite").partitionBy("tb").parquet(
             f"{seg_path}/postings"
         )
-        docs2.select("doc_id", F.size("t").alias("dl")).write.mode(
-            "overwrite"
-        ).parquet(f"{seg_path}/lengths")
+        # segment stats RIDE the lengths write via an Observation
+        # (r15 optimization batch 2) instead of a separate agg job:
+        # n_docs/total_tokens are exactly count/sum(dl) of the rows
+        # the write materializes, so the former stats-collect job
+        # (one per segment — 5 per q_stream_bm25_ingest run) is free.
+        # The postings write above is now what materializes the
+        # persist; the lengths job reads the cache.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            docs2.select("doc_id", F.size("t").alias("dl"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("total_tokens"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{seg_path}/lengths")
+        )
+        got = obs.get
+        n_docs = int(got["n_docs"])
+        total_tokens = int(got["total_tokens"] or 0)
     finally:
         docs2.unpersist()
-    spark = docs.sparkSession
-    spark.createDataFrame(
-        [
-            (
-                int(stats.n_docs),
-                int(stats.total_tokens or 0),
-                int(n_buckets),
-            )
-        ],
-        "n_docs long, total_tokens long, n_buckets int",
-    ).repartition(1).write.mode(  # not coalesce: serial-split tax
-        "overwrite"
-    ).parquet(f"{seg_path}/meta")
-    return int(stats.n_docs), int(stats.total_tokens or 0)
+    _write_meta(seg_path, n_docs, total_tokens, n_buckets)
+    return n_docs, total_tokens
 
 
 def _publish(
@@ -435,11 +471,11 @@ def postings_merge(spark, path: str, max_segments: int = 1) -> int:
         sum(stats[i][0] for i in victims),
         sum(stats[i][1] for i in victims),
     )
-    spark.createDataFrame(
-        [(merged_stats[0], merged_stats[1], n_buckets)],
-        "n_docs long, total_tokens long, n_buckets int",
-    ).repartition(1).write.mode("overwrite").parquet(
-        f"{path}/segments/{new_id}/meta"
+    _write_meta(
+        f"{path}/segments/{new_id}",
+        merged_stats[0],
+        merged_stats[1],
+        n_buckets,
     )
     # the commit point: victims -> merged view, survivors untouched
     _publish(

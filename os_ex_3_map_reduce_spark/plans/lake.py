@@ -2301,12 +2301,41 @@ def q_txn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct_init(cat, {"orders": (op, 0), "lineitem": (lp, 0)})
 
     def snap_vals(o, l) -> tuple[int, int, int]:
-        orphans = l.join(
-            o.select("o_orderkey"),
-            l.l_orderkey == F.col("o_orderkey"),
-            "left_anti",
-        ).count()
-        return (o.count(), l.count(), orphans)
+        # FUSED snapshot audit (r15 optimization): the former
+        # (o.count, l.count, anti-join count) triple was three actions
+        # — three jobs, two of them re-scanning l — per snapshot, nine
+        # per query. o_orderkey is unique in every snapshot audited
+        # here (orders' PK; each committed batch is a disjoint
+        # orderkey slice), so a LEFT join preserves l's cardinality
+        # exactly and a null hit marks an orphan: count(l) and the
+        # orphan count ride ONE aggregation, and o's count rides the
+        # same action via a keyed 2-row union. Interleaved A/B at
+        # sf0.1: 6.67 -> 5.80 s median (0.87x), 47 -> 38 jobs; rows
+        # byte-identical (orphans > 0 exercised by snapshot 4).
+        hit = o.select(F.col("o_orderkey").alias("_ok"))
+        lj = l.join(hit, l.l_orderkey == F.col("_ok"), "left")
+        fused = (
+            o.agg(F.count(F.lit(1)).alias("a"))
+            .select(
+                F.lit(0).alias("k"),
+                "a",
+                F.lit(None).cast("long").alias("b"),
+            )
+            .unionByName(
+                lj.agg(
+                    F.count(F.lit(1)).alias("a"),
+                    F.count(F.when(F.col("_ok").isNull(), 1))
+                    .cast("long")
+                    .alias("b"),
+                ).select(F.lit(1).alias("k"), "a", "b")
+            )
+        )
+        rows = {r["k"]: r for r in fused.collect()}
+        return (
+            int(rows[0]["a"]),
+            int(rows[1]["a"]),
+            int(rows[1]["b"] or 0),
+        )
 
     def row(label: str, vals: tuple[int, int, int]) -> DataFrame:
         return spark.createDataFrame(

@@ -3353,6 +3353,69 @@ def test_postings_index_prunes_and_matches_live(spark, tmp_path):
     assert got == live
 
 
+def test_postings_segment_meta_contract_and_observed_stats(spark, tmp_path):
+    """r15 optimization pin: segment stats now ride the lengths write
+    (Observation) and the 1-row meta parquet is written driver-side
+    via pyarrow. The meta must stay Spark-readable with the exact
+    legacy schema (the ``_seg_meta`` manifest-less fallback contract)
+    and carry exactly the stats the old separate agg job computed —
+    and the manifest's denormalized copy must agree."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from os_ex_3_map_reduce_spark.functions.text import tokens
+    from os_ex_3_map_reduce_spark.operators.postings import postings_write
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "idx")
+    postings_write(docs, path)
+
+    meta = spark.read.parquet(f"{path}/segments/0/meta")
+    assert [(f.name, f.dataType.simpleString()) for f in meta.schema.fields] == [
+        ("n_docs", "bigint"),
+        ("total_tokens", "bigint"),
+        ("n_buckets", "int"),
+    ]
+    row = meta.collect()[0]
+    exp = (
+        docs.select(F.size(tokens("text")).alias("n"))
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("n").alias("s"))
+        .first()
+    )
+    assert (row.n_docs, row.total_tokens, row.n_buckets) == (exp.c, exp.s, 16)
+    with open(f"{path}/MANIFEST") as f:
+        man = json.load(f)
+    assert man["stats"]["0"] == [row.n_docs, row.total_tokens]
+    assert man["n_buckets"] == 16
+
+    # empty-batch edge: zero docs must publish (0, 0) stats, not crash
+    from os_ex_3_map_reduce_spark.operators.postings import postings_append
+
+    new_id = postings_append(docs.where(F.col("doc_id") < 0), path)
+    m2 = spark.read.parquet(f"{path}/segments/{new_id}/meta").collect()[0]
+    assert (m2.n_docs, m2.total_tokens) == (0, 0)
+
+
+def test_bpe_train_releases_all_cached_generations(spark):
+    """r15 optimization pin: bpe_train now defers each generation's
+    unpersist by one round (the argmax is the materializing action) —
+    the loop must still release every cached block it created."""
+    from os_ex_3_map_reduce_spark.operators.bpe import bpe_train
+
+    def cached_ids() -> set:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = cached_ids()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bpe_train(docs, num_merges=3).collect()
+    # early-stop path holds fewer generations but must release too
+    tiny = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    bpe_train(tiny, num_merges=5).collect()
+    assert cached_ids() == before
+
+
 def test_postings_segment_append_equals_rebuild(spark, tmp_path):
     """The Lucene-segment theorem: append(odd) after write(even) must
     return byte-identical BM25 results to write(all) — df/n_docs/
