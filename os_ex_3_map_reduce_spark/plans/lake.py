@@ -1709,21 +1709,32 @@ def q_vt_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from ..sources.versioned import vt_delete, vt_read, vt_vacuum, vt_write
+    from ..sources.versioned import (
+        vt_count,
+        vt_delete,
+        vt_read,
+        vt_vacuum,
+        vt_write,
+    )
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     path = tempfile.mkdtemp(prefix="osx3_gdpr_") + "/orders"
     vt_write(orders, path, "o_custkey", nbuckets=8)
-    n_before = vt_read(spark, path).count()
+    # full-table audit counts come from parquet footers (vt_count —
+    # delete-free snapshots before AND after: vt_delete is CoW, it
+    # rewrites files rather than logging delete rows); the per-user
+    # counts below stay real scans (predicate counts can't be served
+    # from metadata).
+    n_before = vt_count(spark, path)
     user_before = (
         vt_read(spark, path).where(F.col("o_custkey") == 1).count()
     )
     vt_delete(spark, path, "o_custkey = 1")
     vt_vacuum(path, keep_last=1)
     after = vt_read(spark, path)
-    n_after = after.count()
+    n_after = vt_count(spark, path)
     user_after = after.where(F.col("o_custkey") == 1).count()
     # physical proof: scan the remaining files DIRECTLY, no manifests
     on_disk = (
@@ -1792,12 +1803,19 @@ def q_vt_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="osx3_vtres_") + "/orders"
     vt_write(orders, path, "o_custkey", nbuckets=8)
-    n0 = vt_read(spark, path, 0).count()
+    # all four version counts served from parquet footers (vt_count —
+    # every snapshot in this history is delete-free: vt_delete is CoW,
+    # vt_restore re-pins v0's files): 4 scan-count jobs -> 0. The
+    # n1_again probe still proves the audit trail is intact — the
+    # count opens version 1's manifest and every data file it names.
+    from ..sources.versioned import vt_count
+
+    n0 = vt_count(spark, path, 0)
     vt_delete(spark, path, "o_orderstatus = 'F'")  # the "bad" commit
-    n1 = vt_read(spark, path, 1).count()
+    n1 = vt_count(spark, path, 1)
     v2 = vt_restore(path, 0)
-    n2 = vt_read(spark, path, v2).count()
-    n1_again = vt_read(spark, path, 1).count()  # audit trail intact
+    n2 = vt_count(spark, path, v2)
+    n1_again = vt_count(spark, path, 1)  # audit trail intact
     same_files = int(
         [e["path"] for e in _read_manifest(path, v2)["files"]]
         == [e["path"] for e in _read_manifest(path, 0)["files"]]
@@ -2300,42 +2318,30 @@ def q_txn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = f"{base}/cat"
     ct_init(cat, {"orders": (op, 0), "lineitem": (lp, 0)})
 
-    def snap_vals(o, l) -> tuple[int, int, int]:
-        # FUSED snapshot audit (r15 optimization): the former
-        # (o.count, l.count, anti-join count) triple was three actions
-        # — three jobs, two of them re-scanning l — per snapshot, nine
-        # per query. o_orderkey is unique in every snapshot audited
-        # here (orders' PK; each committed batch is a disjoint
-        # orderkey slice), so a LEFT join preserves l's cardinality
-        # exactly and a null hit marks an orphan: count(l) and the
-        # orphan count ride ONE aggregation, and o's count rides the
-        # same action via a keyed 2-row union. Interleaved A/B at
-        # sf0.1: 6.67 -> 5.80 s median (0.87x), 47 -> 38 jobs; rows
-        # byte-identical (orphans > 0 exercised by snapshot 4).
+    def snap_vals(o, l, o_rows: int) -> tuple[int, int, int]:
+        # FUSED snapshot audit (r15 optimization, two steps): the
+        # original (o.count, l.count, anti-join count) triple was
+        # three actions per snapshot, nine per query. Step 1 fused
+        # them into one action (6.67 -> 5.80 s, 47 -> 38 jobs).
+        # Step 2: o's count now arrives as ``o_rows`` served from
+        # parquet footer metadata (vt_count via ct_count — every
+        # audited snapshot is a delete-free append chain), so the
+        # action is a SINGLE aggregation over the FK left join: l's
+        # cardinality and the orphan count in one pass, o scanned
+        # once (join side only, was twice). o_orderkey is unique in
+        # every snapshot audited here (orders' PK; committed batches
+        # are disjoint orderkey slices), so the LEFT join preserves
+        # l's cardinality exactly and a null hit marks an orphan;
+        # orphans > 0 exercised by snapshot 4_torn_table_head.
         hit = o.select(F.col("o_orderkey").alias("_ok"))
         lj = l.join(hit, l.l_orderkey == F.col("_ok"), "left")
-        fused = (
-            o.agg(F.count(F.lit(1)).alias("a"))
-            .select(
-                F.lit(0).alias("k"),
-                "a",
-                F.lit(None).cast("long").alias("b"),
-            )
-            .unionByName(
-                lj.agg(
-                    F.count(F.lit(1)).alias("a"),
-                    F.count(F.when(F.col("_ok").isNull(), 1))
-                    .cast("long")
-                    .alias("b"),
-                ).select(F.lit(1).alias("k"), "a", "b")
-            )
-        )
-        rows = {r["k"]: r for r in fused.collect()}
-        return (
-            int(rows[0]["a"]),
-            int(rows[1]["a"]),
-            int(rows[1]["b"] or 0),
-        )
+        r = lj.agg(
+            F.count(F.lit(1)).alias("a"),
+            F.count(F.when(F.col("_ok").isNull(), 1))
+            .cast("long")
+            .alias("b"),
+        ).collect()[0]
+        return (o_rows, int(r["a"]), int(r["b"] or 0))
 
     def row(label: str, vals: tuple[int, int, int]) -> DataFrame:
         return spark.createDataFrame(
@@ -2344,12 +2350,15 @@ def q_txn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
             " orphan_lineitems long",
         )
 
+    from ..sources.catalog_txn import ct_count
+
     rows = [
         row(
             "1_initial",
             snap_vals(
                 ct_read(spark, cat, "orders"),
                 ct_read(spark, cat, "lineitem"),
+                ct_count(spark, cat, "orders"),
             ),
         )
     ]
@@ -2364,7 +2373,9 @@ def q_txn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         n: ct_table_version(cat, n) for n in ("orders", "lineitem")
     }
     after_txn = snap_vals(
-        ct_read(spark, cat, "orders"), ct_read(spark, cat, "lineitem")
+        ct_read(spark, cat, "orders"),
+        ct_read(spark, cat, "lineitem"),
+        ct_count(spark, cat, "orders"),
     )
     rows.append(row("2_after_txn", after_txn))
     # torn write: a lineitem-only batch whose orders don't exist,
@@ -2392,13 +2403,18 @@ def q_txn_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
             else snap_vals(
                 ct_read(spark, cat, "orders"),
                 ct_read(spark, cat, "lineitem"),
+                ct_count(spark, cat, "orders"),
             ),
         )
     )
     rows.append(
         row(
             "4_torn_table_head",
-            snap_vals(ct_read(spark, cat, "orders"), vt_read(spark, lp)),
+            snap_vals(
+                ct_read(spark, cat, "orders"),
+                vt_read(spark, lp),
+                ct_count(spark, cat, "orders"),
+            ),
         )
     )
     out = rows[0]

@@ -787,7 +787,13 @@ def q_stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_skipped = int(vt_current_version(table) == before_replay)
 
     n_versions = vt_current_version(table) + 1
-    counts = [vt_read(spark, table, v).count() for v in range(n_versions)]
+    # metadata-served per-version counts (r15 optimization): the chain
+    # is append-only (delete-free manifests), so vt_count answers all
+    # 5 versions from parquet footers — 0 cluster jobs where this loop
+    # ran n_versions scan-counts.
+    from ..sources.versioned import vt_count
+
+    counts = [vt_count(spark, table, v) for v in range(n_versions)]
     monotonic = int(all(a < b for a, b in zip(counts, counts[1:])))
 
     def agg(df: DataFrame, item: str) -> DataFrame:
@@ -1868,10 +1874,21 @@ def q_stream_txn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def snap(item: str, v: int | None) -> DataFrame:
-        o = ct_read(spark, cat, "orders", version=v)
-        l = ct_read(spark, cat, "lineitem", version=v)
+        # metadata-served snapshot counts (r15 optimization): every
+        # audited snapshot here is delete-free, so ct_count answers
+        # from parquet footers — 0 cluster jobs where o.count() +
+        # l.count() ran 2 scans per snapshot (4 per query run).
+        from ..sources.catalog_txn import ct_count
+
         return spark.createDataFrame(
-            [(item, o.count(), l.count(), 0)],
+            [
+                (
+                    item,
+                    ct_count(spark, cat, "orders", version=v),
+                    ct_count(spark, cat, "lineitem", version=v),
+                    0,
+                )
+            ],
             "item string, orders_rows long, lineitem_rows long,"
             " orphan_lineitems long",
         )

@@ -125,10 +125,34 @@ def ct_txn(
         raise FileNotFoundError(f"no catalog at {cat_path}")
     man = _ct_manifest(cat_path, cur)
     tables = {n: dict(t) for n, t in man["tables"].items()}
-    for name, df in appends.items():
+    for name in appends:
         if name not in tables:
             raise KeyError(f"table {name!r} not in catalog")
-        tables[name]["version"] = vt_append(df, tables[name]["path"])
+    # Per-table appends are INDEPENDENT jobs on disjoint table roots
+    # (each publishes its own table manifest; nothing is visible until
+    # the single catalog commit below), so overlap them from a small
+    # thread pool (guide §2.6: actions are only sequential because the
+    # driver calls them sequentially) — the second table's scan/stage
+    # back-fills executors freed by the first's write tail. Atomicity
+    # is untouched: a failure in ANY append aborts before the catalog
+    # flip, leaving orphan table versions exactly as the sequential
+    # crash story documents. SPARK_GRAFT_TXN_SERIAL=1 restores the
+    # sequential loop (A/B switch).
+    import os as _os
+
+    if len(appends) > 1 and not _os.environ.get("SPARK_GRAFT_TXN_SERIAL"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(appends), 4)) as pool:
+            futs = {
+                name: pool.submit(vt_append, df, tables[name]["path"])
+                for name, df in appends.items()
+            }
+            for name, fut in futs.items():
+                tables[name]["version"] = fut.result()
+    else:
+        for name, df in appends.items():
+            tables[name]["version"] = vt_append(df, tables[name]["path"])
     new_v = cur + 1
     manifest = {"version": new_v, "parent": cur, "tables": tables}
     if tag is not None:
@@ -163,6 +187,22 @@ def ct_read(
     v = ct_current(cat_path) if version is None else version
     t = _ct_manifest(cat_path, v)["tables"][name]
     return vt_read(spark, t["path"], version=t["version"])
+
+
+def ct_count(
+    spark: SparkSession,
+    cat_path: str,
+    name: str,
+    version: int | None = None,
+) -> int:
+    """Exact row count of ``name`` at the catalog-pinned version,
+    served from parquet footer metadata when the snapshot is
+    delete-free (see :func:`..versioned.vt_count`) — a catalog audit
+    that counts its tables stops paying a cluster scan per count."""
+    from .versioned import vt_count
+
+    path, tv = ct_table_version(cat_path, name, version)
+    return vt_count(spark, path, version=tv)
 
 
 def ct_fk_uncovered(

@@ -495,3 +495,118 @@ def test_catalog_commit_race_exactly_one_winner(tmp_path):
     assert results.count("won") == 1, results
     with open(_cat_file(str(tmp_path), 1)) as fh:
         assert json.load(fh)["writer"] == results.index("won")
+
+
+def test_vt_count_metadata_equals_scan_and_mor_fallback(spark, tmp_path):
+    """vt_count (r15 optimization: footer-served snapshot counts) must
+    equal the scan count on every snapshot kind it can meet: create,
+    append chain, CoW delete, restore — the delete-free fast path —
+    and merge-on-read snapshots (pending delete_files), where it must
+    FALL BACK to the scan (only the anti-join knows how many delete
+    rows land). The env kill-switch must force the fallback too."""
+    import os
+
+    from os_ex_3_map_reduce_spark.sources.versioned import (
+        _read_manifest,
+        vt_append,
+        vt_count,
+        vt_delete,
+        vt_delete_mor,
+        vt_read,
+        vt_restore,
+        vt_write,
+    )
+
+    p = str(tmp_path / "t")
+    vt_write(spark.range(100).selectExpr("id AS k", "id * 2 AS v"), p, "k")
+    vt_append(spark.range(100, 130).selectExpr("id AS k", "id * 2 AS v"), p)
+    v_cow = vt_delete(spark, p, "k % 10 = 0")  # CoW: rewrites, no del files
+    v_res = vt_restore(p, 0)
+    for v in (0, 1, v_cow, v_res):
+        assert not _read_manifest(p, v).get("delete_files")
+        assert vt_count(spark, p, v) == vt_read(spark, p, v).count(), v
+    assert vt_count(spark, p, 0) == 100
+    assert vt_count(spark, p, 1) == 130
+
+    # merge-on-read: delete_files present -> fallback path, still exact
+    v_mor = vt_delete_mor(spark, p, "k % 7 = 0")
+    assert _read_manifest(p, v_mor).get("delete_files")
+    assert vt_count(spark, p, v_mor) == vt_read(spark, p, v_mor).count()
+    # a second overlapping MoR delete keeps the equality (the case a
+    # naive footer-minus-deleterows count would get wrong)
+    v_mor2 = vt_delete_mor(spark, p, "k % 14 = 0")
+    assert vt_count(spark, p, v_mor2) == vt_read(spark, p, v_mor2).count()
+
+    # kill-switch forces the scan path on a delete-free snapshot
+    os.environ["SPARK_GRAFT_NO_META_COUNT"] = "1"
+    try:
+        assert vt_count(spark, p, 1) == 130
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_META_COUNT", None)
+
+
+def test_ct_count_and_threaded_txn_parity(spark, tmp_path):
+    """ct_count resolves through the catalog pin (not the table head),
+    and the thread-pooled ct_txn (r15 optimization: independent
+    per-table appends overlap) commits bit-identical state to the
+    serial path on a 3-table transaction."""
+    import os
+
+    from os_ex_3_map_reduce_spark.sources.catalog_txn import (
+        ct_count,
+        ct_init,
+        ct_read,
+        ct_table_version,
+        ct_txn,
+    )
+    from os_ex_3_map_reduce_spark.sources.versioned import vt_append, vt_write
+
+    def build(root: str, serial: bool) -> dict:
+        if serial:
+            os.environ["SPARK_GRAFT_TXN_SERIAL"] = "1"
+        else:
+            os.environ.pop("SPARK_GRAFT_TXN_SERIAL", None)
+        try:
+            paths = {}
+            for n, width in (("a", 10), ("b", 20), ("c", 30)):
+                paths[n] = f"{root}/{n}"
+                vt_write(
+                    spark.range(width).selectExpr("id AS k", "id AS v"),
+                    paths[n],
+                    "k",
+                )
+            cat = f"{root}/cat"
+            ct_init(cat, {n: (paths[n], 0) for n in paths})
+            ct_txn(
+                cat,
+                {
+                    n: spark.range(100, 100 + w).selectExpr(
+                        "id AS k", "id AS v"
+                    )
+                    for n, w in (("a", 3), ("b", 5), ("c", 7))
+                },
+                tag="batch-0",
+            )
+            return {
+                n: (
+                    ct_table_version(cat, n)[1],
+                    ct_count(spark, cat, n),
+                    sorted(
+                        r.k for r in ct_read(spark, cat, n).collect()
+                    ),
+                )
+                for n in paths
+            }
+        finally:
+            os.environ.pop("SPARK_GRAFT_TXN_SERIAL", None)
+
+    threaded = build(str(tmp_path / "thr"), serial=False)
+    serial = build(str(tmp_path / "ser"), serial=True)
+    assert threaded == serial
+    assert threaded["a"][1] == 13 and threaded["c"][1] == 37
+    # ct_count ignores an uncommitted table-head append (catalog pin)
+    root = str(tmp_path / "thr")
+    vt_append(
+        spark.range(500, 600).selectExpr("id AS k", "id AS v"), f"{root}/a"
+    )
+    assert ct_count(spark, f"{root}/cat", "a") == 13
