@@ -49,22 +49,21 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Cheaper AQE plan-update events (r15 optimization, guide §7.3):
-    # every AQE stage materialization posts a
-    # SparkListenerSQLAdaptiveExecutionUpdate whose payload embeds
-    # qe.explainString(conf.uiExplainMode) over the WHOLE plan — built
-    # synchronously on the query thread even with the UI disabled. The
-    # default mode ("formatted") additionally runs ExplainUtils'
-    # whole-tree operator numbering, and tree-rendering re-walks shared
-    # subtrees once per reference, so union/self-join-heavy plans pay
-    # superlinearly. A jstack of the r15 test-suite JVM showed 24% of
-    # session CPU inside this rendering (TreeNode.generateTreeString →
-    # nodeName → Pattern.compile). "simple" renders the physical plan
-    # only: measured 2.0× on a 24-way self-union A/B
-    # (tools/plan_string_ab.py; 2.4× combined with the static
-    # maxPlanStringLength cap set in get_spark). Affects only the UI
-    # event payload — df.explain() takes its own mode argument.
-    "spark.sql.ui.explainMode": "simple",
+    # spark.sql.ui.explainMode is left at its DEFAULT ("formatted") —
+    # deliberately, after measuring both directions (r15):
+    # "simple" looked attractive for the AQE plan-update payload
+    # (every stage materialization posts an event embedding
+    # qe.explainString(conf.uiExplainMode), built synchronously on the
+    # query thread even with the UI disabled), and on a 24-way
+    # self-union A/B it added ~1.2x on top of the maxPlanStringLength
+    # cap below. But on the ITERATIVE graph family it measured ~2x
+    # SLOWER than formatted (q_labelprop 100 -> 47 iterations/min,
+    # fresh-JVM x3 alternations + in-session order-controlled toggles
+    # — many small per-round executions pay whatever simple-mode
+    # rendering costs them far more often than any union-shaped plan
+    # is ever built). The maxPlanStringLength cap in get_spark keeps
+    # ~2x of the pathological union win on its own, so formatted +
+    # cap dominates: keep the default here.
 }
 
 
