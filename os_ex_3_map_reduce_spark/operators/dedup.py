@@ -471,13 +471,31 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if max_iter < 1:  # degenerate budget: identity labels, no rounds
+        labels = (
+            und.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .localCheckpoint()
+        )
+        und.unpersist()
+        return labels
+    # Init fused with round 1 (r15 optimization, guide §1.2/§2.4): the
+    # identity-label init and the first propagation round group on the
+    # same key, so min(least(a, b)) over the vertex's edge rows IS the
+    # round-1 state (least includes the vertex's own id — the identity
+    # label — because every und row carries it as `a`). One exchange
+    # builds what used to take two (vertex distinct + round-1 agg);
+    # `changed` after this round is simply label != id.
     labels = (
-        und.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        und.groupBy(F.col("a").alias("id"))
+        .agg(F.min(F.least("a", "b")).alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    changed = labels.where(F.col("label") != F.col("id")).count()
+    for _ in range(max_iter - 1):
+        if changed == 0:
+            break
         neigh = und.join(labels, und.b == labels.id).select(
             und.a.alias("id"), "label"
         )
@@ -504,8 +522,6 @@ def connected_components(
             F.col("label") != F.col("_old")
         ).count()
         labels = new_labels.select("id", "label")
-        if changed == 0:
-            break
     und.unpersist()
     return labels
 

@@ -4729,22 +4729,31 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             fold_of(F.col("doc_id")).alias("naive_fold"),
         )
     )
-    aa = assign.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("fold").alias("fold_a"),
-        F.col("naive_fold").alias("nf_a"),
+    # Leak counts never need the corpus (r15 optimization, guide §1.2):
+    # both endpoints of every verified pair appear in `cc` by
+    # construction (every pair doc is a vertex of the component graph),
+    # so their assigned fold is fold_of(rep) — recoverable from the
+    # TINY relations alone. The earlier shape streamed the corpus-sized
+    # `assign` through two joins just to look up folds for pair
+    # endpoints; pairs ⋈ cc ⋈ cc does the same lookup on broadcast-
+    # sized inputs, leaving the final groupBy as the query's ONLY pass
+    # over the corpus. (Left joins + coalesce keep the semantics
+    # identical to assign's `grp` for any conceivable unpaired doc.)
+    cc_a = cc.select(
+        F.col("doc_id").alias("doc_a"), F.col("rep").alias("rep_a")
     )
-    ab = assign.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("fold").alias("fold_b"),
-        F.col("naive_fold").alias("nf_b"),
+    cc_b = cc.select(
+        F.col("doc_id").alias("doc_b"), F.col("rep").alias("rep_b")
     )
-    # broadcast the PAIR relation (tiny: verified near-dup pairs), not
-    # the corpus-sized assignment — at 100 TB `assign` is billions of
-    # rows and must stream through the join
     leaks = (
-        F.broadcast(F.broadcast(pairs).join(aa, "doc_a"))
-        .join(ab, "doc_b")
+        pairs.join(F.broadcast(cc_a), "doc_a", "left")
+        .join(F.broadcast(cc_b), "doc_b", "left")
+        .select(
+            fold_of(F.coalesce("rep_a", "doc_a")).alias("fold_a"),
+            fold_of(F.coalesce("rep_b", "doc_b")).alias("fold_b"),
+            fold_of(F.col("doc_a")).alias("nf_a"),
+            fold_of(F.col("doc_b")).alias("nf_b"),
+        )
         .groupBy(F.col("fold_a").alias("fold"))
         .agg(
             F.count(F.when(F.col("fold_a") != F.col("fold_b"), 1)).alias(

@@ -4282,14 +4282,22 @@ def q_apriori_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     op1 = op.join(l1.select("p"), "p")
     a = op1.select("o", F.col("p").alias("p1"))
     b = op1.select("o", F.col("p").alias("p2"))
+    # Persist the CANDIDATE pair relation, not its frequent filter
+    # (r15 optimization, guide §1.2): the level-2 summary needs
+    # count(p2) as n_candidates, which under an l2-only cache re-ran
+    # the entire basket self-join + agg a second time (the 482-Exchange
+    # / 150-scan plan of plans/r15/q_apriori_itemsets_before3.txt).
+    # l2 is a cheap filter over the cached candidates, so every l2
+    # reference (3 in the c3 prune) still reads cache.
     p2 = (
         a.join(b, ["o"])
         .where(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
-    l2 = p2.where(F.col("n") >= 2).persist()
-    l2.count()
+    p2.count()
+    l2 = p2.where(F.col("n") >= 2)
     c3 = (
         l2.select("p1", "p2")
         .join(
@@ -4318,28 +4326,44 @@ def q_apriori_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p1", "p2", "p3")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    l3 = t3.where(F.col("n") >= 2)
 
-    def lvl(level, freq_df, cand_df, sup_df) -> DataFrame:
-        return (
-            freq_df.agg(F.count(F.lit(1)).alias("n_frequent"))
-            .crossJoin(cand_df.agg(F.count(F.lit(1)).alias("n_candidates")))
-            .crossJoin(sup_df.agg(F.max("n").alias("max_support")))
-            .select(
-                F.lit(level).alias("level"),
-                "n_frequent",
-                "n_candidates",
-                "max_support",
+    # One aggregate pass per level (r15 optimization, guide §1.2): the
+    # old shape cross-joined three SEPARATE 1-row aggregates whose
+    # freq/sup inputs were the SAME filtered relation, so the level's
+    # candidate subtree was evaluated once per aggregate — for level 3
+    # that re-ran the whole t3 counting join for max_support after
+    # n_frequent had just walked it. n_frequent and max_support are
+    # conditional aggregates over the CANDIDATE relation (frequent =
+    # n >= minsup), so one agg computes all the summary columns the
+    # level owns; level 3 keeps a separate count over the CACHED c3
+    # because the candidate triples carry no support column.
+    def lvl(level, cand_with_n, n_candidates_df=None) -> DataFrame:
+        freq = F.col("n") >= 2
+        summary = cand_with_n.agg(
+            F.count(F.when(freq, 1)).alias("n_frequent"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max(F.when(freq, F.col("n"))).alias("max_support"),
+        )
+        if n_candidates_df is not None:
+            summary = summary.drop("n_candidates").crossJoin(
+                n_candidates_df.agg(
+                    F.count(F.lit(1)).alias("n_candidates")
+                )
             )
+        return summary.select(
+            F.lit(level).alias("level"),
+            "n_frequent",
+            "n_candidates",
+            "max_support",
         )
 
     out = (
-        lvl(1, l1, i, l1)
-        .unionByName(lvl(2, l2, p2, l2))
-        .unionByName(lvl(3, l3, c3, l3))
+        lvl(1, i)
+        .unionByName(lvl(2, p2))
+        .unionByName(lvl(3, t3, n_candidates_df=c3))
         .orderBy("level")
     )
-    out._osx3_persists = [l2, c3]  # type: ignore[attr-defined]
+    out._osx3_persists = [p2, c3]  # type: ignore[attr-defined]
     return out
 
 

@@ -866,11 +866,12 @@ def q_stream_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch order cannot matter — see registration comment).",
 )
 def q_stream_cdc_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    import os
     import tempfile
     from pathlib import Path
 
     from ..sources.tables import load_table
+    from ..streaming.events import _stage_split_one_pass
     from ..sources.versioned import (
         vt_current_version,
         vt_has_tag,
@@ -900,12 +901,22 @@ def q_stream_cdc_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = Path(root) / "changes"
     src.mkdir()
-    for i, part_df in enumerate((updates, inserts)):
-        stage = Path(root) / f"_stage{i}"
-        part_df.coalesce(1).write.parquet(str(stage))
-        part = next(stage.glob("part-*.parquet"))
-        shutil.move(str(part), src / f"part-{i}.parquet")
-        shutil.rmtree(stage)
+    # One-pass staging (r15 optimization, guide §1.2 — the change-2
+    # shape): the old 2-iteration loop scanned orders twice with a
+    # serial coalesce(1) write each. The union carries its own split
+    # key — inserts are offset past maxkey by construction — so one
+    # tagged write emits both change files. Batch order is immaterial
+    # by registration (disjoint keys; see doc), but part mtimes are
+    # still spaced so the file source's replay order stays the
+    # deterministic part-0-then-part-1 the old loop produced.
+    _stage_split_one_pass(
+        updates.unionByName(inserts),
+        src,
+        (F.col("o_orderkey") > maxkey).cast("int"),
+        2,
+    )
+    t0 = os.stat(src / "part-0.parquet").st_mtime
+    os.utime(src / "part-1.parquet", (t0 + 10, t0 + 10))
 
     stream = (
         spark.readStream.schema(updates.schema)

@@ -463,6 +463,29 @@ def test_connected_components_known_graph(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)}
 
 
+def test_connected_components_round_budget_semantics(spark):
+    """``max_iter`` counts PROPAGATION ROUNDS exactly — the r15 fused
+    init (identity labels + round 1 in one exchange) must not shift the
+    budget: one round moves labels exactly one hop on a path graph, and
+    a zero budget degenerates to identity labels (the pre-fusion init
+    state)."""
+    from os_ex_3_map_reduce_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got1 = {
+        (r.id, r.label)
+        for r in connected_components(edges, max_iter=1).collect()
+    }
+    assert got1 == {(1, 1), (2, 1), (3, 2), (4, 3)}
+    got0 = {
+        (r.id, r.label)
+        for r in connected_components(edges, max_iter=0).collect()
+    }
+    assert got0 == {(1, 1), (2, 2), (3, 3), (4, 4)}
+
+
 def test_rolling_fingerprint_matches_python_reference(spark):
     from os_ex_3_map_reduce_spark.functions.text import rolling_hashes, winnow
     from os_ex_3_map_reduce_spark.plans import all_queries
