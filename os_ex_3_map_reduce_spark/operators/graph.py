@@ -688,6 +688,27 @@ def _cc_star_body(
         ).first()
         return (row["n"], row["h"])
 
+    def observed(e: DataFrame):
+        # Per-round checksum rides the checkpoint materialization
+        # (r15 optimization, guide §1.2 — the change-5 Observation
+        # shape): observed metrics fire on localCheckpoint(eager=True)
+        # (probed), so the convergence pair costs zero extra passes
+        # over the edge relation instead of one full scan per round.
+        # Same aggregates as checksum(); the INITIAL prev stays an
+        # explicit checksum because it doubles as E's clean cache fill
+        # before round 1 references the persisted relation twice.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        return (
+            e.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+            ),
+            obs,
+        )
+
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -729,9 +750,11 @@ def _cc_star_body(
     prev = checksum(E)
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        E = small_star(large_star(E)).localCheckpoint(eager=True)
+        nxt, obs = observed(small_star(large_star(E)))
+        E = nxt.localCheckpoint(eager=True)
         held.append(E)
-        cur = checksum(E)
+        got = obs.get
+        cur = (got["n"], got["h"])
         if cur == prev:
             break
         prev = cur

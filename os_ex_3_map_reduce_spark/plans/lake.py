@@ -2208,6 +2208,7 @@ def _bloom_oracle() -> str:
     "regardless of table size.",
 )
 def q_bloom_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
 
     from ..operators.bloomindex import (
@@ -2221,8 +2222,16 @@ def q_bloom_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="osx3_bloom_") + "/orders"
     bloom_table_write(orders, path, "o_custkey", "o_orderkey", nbuckets=32)
-    files_total = (
-        spark.read.parquet(f"{path}/data").select("fb").distinct().count()
+    # files_total is a LAYOUT fact, not a data fact (r15 optimization,
+    # guide §6 — the change-9 metadata-served-count shape): the table
+    # is written as one fb=<i> partition dir per non-empty bucket, so
+    # the dir listing IS the distinct-fb count the old full scan
+    # computed — the planFiles step a 100 TB reader runs before
+    # touching storage, O(#dirs) driver-side, zero cluster jobs.
+    files_total = sum(
+        1
+        for p in os.scandir(f"{path}/data")
+        if p.is_dir() and p.name.startswith("fb=")
     )
     cands = bloom_candidates(spark, path, list(_BLOOM_KEYS))
     out = None
