@@ -327,7 +327,7 @@ def _part_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = op.alias("a"), op.alias("b")
-    return (
+    und = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -338,6 +338,16 @@ def _part_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Materialize once (r16): every consumer references the edge
+    # relation 2-4x (degree counts, symmetrized arcs, m, label joins),
+    # and each reference re-ran the op self-join — measured 11 parquet
+    # scans in q_modularity's plan, 22 in q_louvain_sweep's, zero
+    # ReusedExchange. The co-occurrence join is the dominant cost, so
+    # one eager materialization (the iterative-graph idiom used
+    # throughout operators/graph.py) turns N derivations into 1; the
+    # relation is edges-sized (1.2M rows x 2 longs at sf0.1), the same
+    # thing q_triangles/q_ktruss already persist downstream.
+    return und.localCheckpoint()
 
 
 @register(

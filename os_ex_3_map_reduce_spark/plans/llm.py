@@ -1053,32 +1053,31 @@ def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 p_sq = (pts * pts).sum(axis=1)
                 dists = p_sq[:, None] + s_sq[None, :] - 2 * (pts @ S.T)
+                # carry each point's fixpoint vector alongside its
+                # distance (r16): the argmax row then already holds the
+                # next selected center, so the old per-round re-fetch
+                # scan (emb.where(vec_id == pick).first()) disappears —
+                # one corpus pass per round instead of two. TakeOrdered
+                # keeps one row per task, so the extra column never
+                # shuffles more than k-1 vectors.
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"].to_numpy(),
                         "mind": dists.min(axis=1),
+                        "vec": list(pts),
                     }
                 )
 
         pick = (
             emb.where(~F.col("vec_id").isin(ids))
-            .mapInPandas(kernel, "vec_id long, mind long")
+            .mapInPandas(kernel, "vec_id long, mind long, vec array<long>")
             .orderBy(F.desc("mind"), F.asc("vec_id"))
             .limit(1)
             .collect()[0]
         )
         out_rows.append((r, int(pick.vec_id), int(pick.mind)))
         selected_ids.append(int(pick.vec_id))
-        selected_vecs.append(
-            _fixpoint(
-                np.array(
-                    emb.where(F.col("vec_id") == int(pick.vec_id)).first()[
-                        "embedding"
-                    ],
-                    dtype=np.float64,
-                )
-            )
-        )
+        selected_vecs.append(np.array(pick.vec, dtype=np.int64))
     return spark.createDataFrame(
         out_rows, "rank int, vec_id long, min_dist long"
     )
@@ -3325,25 +3324,33 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = docs.select(
         "doc_id", "lang", F.explode(feats_arr).alias("f")
     ).select("doc_id", "lang", bucket)
-    sc_ = feats.groupBy("b").agg(F.count(F.lit(1)).alias("s"))
-    tc_ = (
-        feats.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tt"))
+    # One corpus pass for BOTH distributions (r16): the source and
+    # target bucket counts are conditional aggregates over the same
+    # exploded feature relation (tt = occurrences where lang='en', a
+    # subset of s by definition), and the totals are exact column sums
+    # of the 64-row result — the old shape re-exploded the corpus four
+    # times (sc_, tc_, totals, scored). The 64-row localCheckpoint
+    # pins the remaining derivations to one materialization.
+    bucket_counts = (
+        feats.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+        )
+        .localCheckpoint()
     )
-    model = sc_.join(tc_, "b", "left").select(
+    model = bucket_counts.select(
         "b",
         F.round(
-            F.log(F.coalesce(F.col("tt"), F.lit(0)) + F.lit(1))
-            - F.log(F.col("s") + F.lit(1)),
+            F.log(F.col("tt") + F.lit(1)) - F.log(F.col("s") + F.lit(1)),
             6,
         )
         .cast("decimal(18,6)")
         .alias("term"),
     )
-    totals = feats.agg(
-        F.count(F.lit(1)).alias("src_n"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("tgt_n"),
+    totals = bucket_counts.agg(
+        F.sum("s").alias("src_n"),
+        F.sum("tt").alias("tgt_n"),
     )
     konst = totals.select(
         F.round(
@@ -7475,6 +7482,14 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("frame_idx") - F.col("q_frame")).alias("offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_aligned"))
+        # Materialize once (r16): both consumers below (the per-query
+        # argmax and the candidate/hit stats) re-derived votes from
+        # scratch, which re-ran the per-doc WAV encode/decode + rfft
+        # kernel over the whole corpus — the query's dominant cost —
+        # twice (2 MapInPandas nodes in the before plan, zero reuse).
+        # votes is histogram-sized (candidate docs x offsets), so the
+        # checkpoint is bounded evidence, not data.
+        .localCheckpoint()
     )
     best = votes.withColumn(
         "rn",
