@@ -1620,9 +1620,9 @@ def q_vt_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         vt_append,
         vt_branch,
         vt_branch_append,
+        vt_count,
+        vt_count_branch,
         vt_merge_branch,
-        vt_read,
-        vt_read_branch,
         vt_write,
     )
 
@@ -1635,39 +1635,40 @@ def q_vt_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="osx3_vtbr_") + "/orders"
     vt_write(orders, path, "o_custkey", nbuckets=8)
 
-    def snap(name: str, df: DataFrame, blocked: int = 0) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
-            F.lit(name).alias("snapshot"),
-            "n_rows",
-            F.lit(blocked).cast("int").alias("merge_blocked"),
-        )
-
-    parts = []
+    # Snapshot audits are COUNTS only, and every audited snapshot here
+    # is delete-free (creates/appends/branches), so each one is served
+    # from the manifest + parquet footers (vt_count / vt_count_branch —
+    # the r15 metadata-count shape, extended to branch heads in r16):
+    # 7 full scan-count jobs become zero cluster jobs. Each count still
+    # opens exactly the manifest of the audited (version | branch head)
+    # at its point in the mutation sequence, so the isolation proofs
+    # (main-v0 unchanged after fork/merge, branch invisible to main)
+    # are unchanged.
+    parts: list[tuple[str, int, int]] = []
     vt_branch(path, "exp")  # fork at v0
     vt_branch_append(o_rows, path, "exp")
-    parts.append(snap("1_main_v0", vt_read(spark, path)))
-    parts.append(snap("2_branch_head", vt_read_branch(spark, path, "exp")))
-    parts.append(snap("3_main_v0_after_fork", vt_read(spark, path, 0)))
+    parts.append(("1_main_v0", vt_count(spark, path), 0))
+    parts.append(("2_branch_head", vt_count_branch(spark, path, "exp"), 0))
+    parts.append(("3_main_v0_after_fork", vt_count(spark, path, 0), 0))
     v1 = vt_merge_branch(spark, path, "exp")  # fast-forward: main at fork
-    parts.append(snap("4_main_after_ff", vt_read(spark, path, v1)))
-    parts.append(snap("5_main_v0_travel", vt_read(spark, path, 0)))
+    parts.append(("4_main_after_ff", vt_count(spark, path, v1), 0))
+    parts.append(("5_main_v0_travel", vt_count(spark, path, 0), 0))
     # divergence path: fork, then advance MAIN past the fork point
     vt_branch(path, "exp2", version=v1)
     vt_append(f_rows, path)  # main v2
     vt_branch_append(p_rows, path, "exp2")
-    parts.append(snap("6_main_v2", vt_read(spark, path)))
+    parts.append(("6_main_v2", vt_count(spark, path), 0))
     blocked = 0
     try:
         vt_merge_branch(spark, path, "exp2")
     except ValueError:
         blocked = 1
     parts.append(
-        snap("7_branch2_head", vt_read_branch(spark, path, "exp2"), blocked)
+        ("7_branch2_head", vt_count_branch(spark, path, "exp2"), blocked)
     )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return spark.createDataFrame(
+        parts, "snapshot string, n_rows long, merge_blocked int"
+    )
 
 
 @register(
@@ -2513,8 +2514,14 @@ def q_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tier")
         )
 
-    v0 = tiers(orders).withColumn(
-        "ck", F.col("c") * 10000 + F.col("y")
+    # Materialized once (r16): v0 feeds both the vt_write below and the
+    # correction join's left side; without it the per-(customer, year)
+    # orders aggregate ran twice. The relation is cust x year sized —
+    # the same thing the table itself stores.
+    v0 = (
+        tiers(orders)
+        .withColumn("ck", F.col("c") * 10000 + F.col("y"))
+        .localCheckpoint()
     )
     path = tempfile.mkdtemp(prefix="osx3_bitemporal_") + "/tiers"
     vt_write(v0, path, "ck")

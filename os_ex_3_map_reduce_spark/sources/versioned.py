@@ -357,7 +357,12 @@ def vt_count(
     v = vt_current_version(path) if version is None else version
     if v is None or not os.path.exists(_manifest_file(path, v)):
         raise FileNotFoundError(f"no version {version} at {path}")
-    man = _read_manifest(path, v)
+    return _manifest_count(spark, path, _read_manifest(path, v))
+
+
+def _manifest_count(spark: SparkSession, path: str, man: dict) -> int:
+    """The :func:`vt_count` fast/fallback logic against an explicit
+    manifest — shared by main-chain and branch counts."""
     if man.get("delete_files") or os.environ.get(
         "SPARK_GRAFT_NO_META_COUNT"
     ):
@@ -368,6 +373,23 @@ def vt_count(
         _pq.ParquetFile(f"{path}/{e['path']}").metadata.num_rows
         for e in man["files"]
     )
+
+
+def vt_count_branch(
+    spark: SparkSession, path: str, name: str, bversion: int | None = None
+) -> int:
+    """Exact BRANCH-snapshot row count served from metadata when safe
+    (r16; the branch twin of :func:`vt_count` — same delete-free
+    footer fast path, same MoR scan fallback, same
+    ``SPARK_GRAFT_NO_META_COUNT`` kill switch)."""
+    bv = vt_branch_current(path, name) if bversion is None else bversion
+    if bv is None or not os.path.exists(
+        _branch_manifest_file(path, name, bv)
+    ):
+        raise FileNotFoundError(f"no branch {name} v{bversion} at {path}")
+    with open(_branch_manifest_file(path, name, bv)) as fh:
+        man = json.load(fh)
+    return _manifest_count(spark, path, man)
 
 
 def vt_has_tag(path: str, tag: str) -> bool:

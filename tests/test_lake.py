@@ -545,6 +545,44 @@ def test_vt_count_metadata_equals_scan_and_mor_fallback(spark, tmp_path):
         os.environ.pop("SPARK_GRAFT_NO_META_COUNT", None)
 
 
+def test_vt_count_branch_metadata_equals_scan(spark, tmp_path):
+    """vt_count_branch (r16: the branch twin of vt_count, serving
+    q_vt_branch's 7 snapshot audits job-free) must equal the branch
+    scan count at the fork point and after branch appends, track the
+    requested bversion, and leave main counts untouched."""
+    import os
+
+    from os_ex_3_map_reduce_spark.sources.versioned import (
+        vt_branch,
+        vt_branch_append,
+        vt_count,
+        vt_count_branch,
+        vt_read_branch,
+        vt_write,
+    )
+
+    p = str(tmp_path / "t")
+    vt_write(spark.range(50).selectExpr("id AS k", "id * 2 AS v"), p, "k")
+    vt_branch(p, "exp")
+    assert vt_count_branch(spark, p, "exp") == 50  # fork = main v0
+    vt_branch_append(
+        spark.range(50, 80).selectExpr("id AS k", "id * 2 AS v"), p, "exp"
+    )
+    for bv in (0, 1, None):
+        assert (
+            vt_count_branch(spark, p, "exp", bv)
+            == vt_read_branch(spark, p, "exp", bv).count()
+        ), bv
+    assert vt_count_branch(spark, p, "exp") == 80
+    assert vt_count(spark, p) == 50  # main untouched by branch commits
+    # kill-switch forces the scan path here too
+    os.environ["SPARK_GRAFT_NO_META_COUNT"] = "1"
+    try:
+        assert vt_count_branch(spark, p, "exp") == 80
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_META_COUNT", None)
+
+
 def test_ct_count_and_threaded_txn_parity(spark, tmp_path):
     """ct_count resolves through the catalog pin (not the table head),
     and the thread-pooled ct_txn (r15 optimization: independent
