@@ -626,12 +626,22 @@ def vt_delete_mor(spark: SparkSession, path: str, predicate: str) -> int:
     hits = keyed.where(predicate).select("_dfile", "_dpos")
     new_version = cur + 1
     out = f"{path}/deletes/d{new_version}"
-    hits.coalesce(1).write.parquet(out)
+    # rows_deleted RIDES the delete-file write via an Observation (r16;
+    # the r15 postings-stats shape): it is exactly the count of the
+    # rows the write materializes, so the former re-read-and-count job
+    # (one per MoR delete — q_vt_changes, q_mor_delete, and the
+    # streaming CDC paths each pay it) disappears.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    hits.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(1).write.parquet(
+        out
+    )
     new_dels = [
         {"path": os.path.relpath(f, path), "commit": f"d{new_version}"}
         for f in sorted(glob.glob(f"{out}/*.parquet"))
     ]
-    rows_deleted = spark.read.parquet(out).count()
+    rows_deleted = int(obs.get["n"])
     _commit(
         path,
         new_version,
