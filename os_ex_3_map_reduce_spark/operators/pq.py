@@ -266,18 +266,42 @@ def save_codebooks(spark, codebooks: "np.ndarray", path: str) -> None:
     :func:`~.similarity.save_centroids`). One row per (subspace,
     codeword); float64 exact round-trip through parquet DOUBLE."""
     m, ksub, _ = codebooks.shape
-    rows = [
-        (int(j), int(c), [float(x) for x in codebooks[j, c]])
-        for j in range(m)
-        for c in range(ksub)
-    ]
-    # repartition(1), NOT coalesce(1): coalescing a Python-local
-    # relation chains its leafNodeDefaultParallelism pickled splits
-    # through ONE serial task (~5 s of Python-worker round-trips);
-    # repartition evaluates them in parallel first.
-    spark.createDataFrame(
-        rows, "subspace int, codeword int, centroid array<double>"
-    ).repartition(1).write.mode("overwrite").parquet(path)
+    # Driver-side pyarrow write (r16; the save_centroids /_write_meta
+    # precedent): the codebooks are a driver-held (m, ksub, dsub)
+    # numpy array — m*ksub rows — so the Spark createDataFrame +
+    # repartition(1) write job was pure scheduling overhead. Same
+    # schema, same float64-exact round trip; the loader reads the
+    # parquet dataset so legacy Spark-written dirs stay readable.
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    pq.write_table(
+        pa.table(
+            {
+                "subspace": pa.array(
+                    [j for j in range(m) for _ in range(ksub)], pa.int32()
+                ),
+                "codeword": pa.array(
+                    [c for _ in range(m) for c in range(ksub)], pa.int32()
+                ),
+                "centroid": pa.array(
+                    [
+                        [float(x) for x in codebooks[j, c]]
+                        for j in range(m)
+                        for c in range(ksub)
+                    ],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        f"{path}/part-00000.parquet",
+    )
 
 
 def load_codebooks(spark, path: str) -> "np.ndarray":
@@ -285,11 +309,18 @@ def load_codebooks(spark, path: str) -> "np.ndarray":
     float64 array, in (subspace, codeword) order — bit-identical to
     what was saved (asserted in tests), so encoding and ADC search are
     reproducible across sessions."""
-    rows = spark.read.parquet(path).orderBy("subspace", "codeword").collect()
-    m = max(r["subspace"] for r in rows) + 1
-    ksub = max(r["codeword"] for r in rows) + 1
-    flat = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
-    return flat.reshape(m, ksub, flat.shape[1])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)  # dir (legacy Spark parts) or single file
+    sub = t["subspace"].to_numpy()
+    cw = t["codeword"].to_numpy()
+    flat = np.stack(
+        [np.asarray(c, dtype=np.float64) for c in t["centroid"].to_pylist()]
+    )
+    order = np.lexsort((cw, sub))
+    m = int(sub.max()) + 1
+    ksub = int(cw.max()) + 1
+    return flat[order].reshape(m, ksub, flat.shape[1])
 
 
 def pq_write(codes_df: DataFrame, path: str) -> None:

@@ -670,13 +670,36 @@ def save_centroids(spark, centroids: "np.ndarray", path: str) -> None:
     SAME list boundaries — the other half of incremental index
     maintenance (VERDICT r9 #2). One row per centroid, ordered by
     ``list_id``; float64 exact round-trip through parquet DOUBLE."""
-    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
-    # repartition(1), NOT coalesce(1): coalescing a Python-local
-    # relation chains its pickled splits through one serial task
-    # (~5 s of Python-worker round-trips per write).
-    spark.createDataFrame(
-        rows, "list_id int, centroid array<double>"
-    ).repartition(1).write.mode("overwrite").parquet(path)
+    # Driver-side pyarrow write (r16; the _write_meta precedent from
+    # the r15 postings optimization): the quantizer is a driver-held
+    # (nlist, dim) numpy array — nlist rows — so a Spark
+    # createDataFrame + repartition(1) write job is pure scheduling
+    # overhead (one job per save, two more for the loads; 4-6 jobs per
+    # ANN append/rebuild query). Same schema and same float64-exact
+    # parquet DOUBLE round trip; Spark-written legacy dirs stay
+    # readable because the loader reads the parquet dataset, and
+    # pyarrow dataset discovery ignores _SUCCESS markers.
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    pq.write_table(
+        pa.table(
+            {
+                "list_id": pa.array(range(len(centroids)), pa.int32()),
+                "centroid": pa.array(
+                    [[float(x) for x in c] for c in centroids],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        f"{path}/part-00000.parquet",
+    )
 
 
 def load_centroids(spark, path: str) -> "np.ndarray":
@@ -684,8 +707,14 @@ def load_centroids(spark, path: str) -> "np.ndarray":
     float64 matrix, in ``list_id`` order — bit-identical to what was
     saved (asserted in tests), so probe selection and assignment are
     reproducible across sessions."""
-    rows = spark.read.parquet(path).orderBy("list_id").collect()
-    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)  # dir (legacy Spark parts) or single file
+    lid = t["list_id"].to_numpy()
+    cents = np.stack(
+        [np.asarray(c, dtype=np.float64) for c in t["centroid"].to_pylist()]
+    )
+    return cents[np.argsort(lid, kind="stable")]
 
 
 def ivf_append(
