@@ -178,13 +178,31 @@ def diskann_write(
     pq_encode(rel, codebooks, id_col="vec_id", emb_col="e").write.mode(
         "overwrite"
     ).parquet(f"{path}/codes")
-    spark = emb_df.sparkSession
     medoid = corpus_medoid(rel, id_col="vec_id", emb_col="e")
-    spark.createDataFrame(
-        [(medoid, int(n_blocks))], "medoid long, n_blocks int"
-    ).repartition(1).write.mode(  # not coalesce: serial-split tax
-        "overwrite"
-    ).parquet(f"{path}/meta")
+    # Driver-side pyarrow write (r16; the save_centroids /_write_meta
+    # precedent): the meta row is two driver-held ints — a Spark
+    # repartition(1) write job was pure scheduling overhead. Same
+    # schema (long, int); the reader below uses a dataset read, so
+    # legacy Spark-written meta dirs stay readable.
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = f"{path}/meta"
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "medoid": pa.array([int(medoid)], pa.int64()),
+                "n_blocks": pa.array([int(n_blocks)], pa.int32()),
+            }
+        ),
+        f"{d}/part-00000.parquet",
+    )
 
 
 def read_node_blocks(
@@ -250,8 +268,11 @@ def diskann_search_batch(
         )
         for qi in range(nq)
     ]
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    medoid, n_blocks = int(meta.medoid), int(meta.n_blocks)
+    import pyarrow.parquet as _pq
+
+    meta = _pq.read_table(f"{path}/meta")  # dir read: legacy parts OK
+    medoid = int(meta["medoid"][0].as_py())
+    n_blocks = int(meta["n_blocks"][0].as_py())
     nodes_rel = spark.read.parquet(f"{path}/nodes")
     codes_rel = (
         codes_df
