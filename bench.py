@@ -666,15 +666,24 @@ def main() -> None:
             t = _time_query(qs[qname], spark, SF_DIR, RUNS)
             prior = priors.get(qname)
             if prior and t > redraw_factor * prior and t > prior + 0.5:
-                attempts = [round(t, 4)]
+                # q_attempts, NOT attempts: the r15 first cut rebound
+                # the HEADLINE attempts list here, so any draw with a
+                # chosen headline redraw (chosen != 0) plus >= 1 query
+                # redraw crashed at the record-assembly isinstance
+                # check (AttributeError on a float) AFTER the full
+                # sweep ran — rc=1, zero output, the whole draw lost
+                # (hit live in this round's mid-draw; every committed
+                # r15 record survived only because its chosen attempt
+                # happened to be 0, which short-circuits that check).
+                q_attempts = [round(t, 4)]
                 for _ in range(max_query_redraws):
                     time.sleep(0.5)
                     t2 = _time_query(qs[qname], spark, SF_DIR, 1)
-                    attempts.append(round(t2, 4))
+                    q_attempts.append(round(t2, 4))
                     t = min(t, t2)
                     if t <= redraw_factor * prior:
                         break
-                query_redraws[qname] = attempts
+                query_redraws[qname] = q_attempts
             timings[qname] = round(t, 4)
         except Exception as ex:  # noqa: BLE001
             errors[qname] = f"{type(ex).__name__}: {ex}"[:300]
