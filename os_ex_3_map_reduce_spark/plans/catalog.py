@@ -96,77 +96,79 @@ def _load_all() -> None:
 #: first, ~30 swaps per round so the stale tail keeps refreshing.
 DRIVER_WINDOW = 50
 
-#: Round-15 priority prefix. History as of round-15 start:
-#: CORRECTNESS_r14 = 50/50 green — second consecutive fully-closed
-#: round (287/287 rowed, zero red, zero never-verified; oldest greens
-#: are r8). Window layout (per the r14 verdict directive #1):
-#: 1-3. NEW this round (never verified): the weighted tree
-#:    centrality/diameter pair (q_closeness_tree_weighted,
-#:    q_tree_diameter_weighted) and the session-window late-data-drop
-#:    proof (q_stream_late_data_session).
-#: 4. q_stream_session — ORACLE CHANGED this round (session boundary
-#:    corrected from '>= gap' to '> gap': measured r15, Spark merges
-#:    events exactly gap apart; latent for 14 rounds because the
-#:    microsecond fixture never lands on the boundary), so its last
-#:    green row predates the change and it must re-row.
-#: 5-10. The r15 spill — six names that overflowed the r14 window
-#:    (positions 51-56, no changed code, last green r8): q_dedup_stats
-#:    through q_join_semi.
-#: 11-50. Stale-green refresh per tools/rotation.py: remaining r8
-#:    greens, then the oldest r9 greens (alphabetical within round;
-#:    the last four r9 names — q_python_datasource, q_rollup_time,
-#:    q_salted_agg, q_sample_stratified — wait for r16).
+#: Round-16 priority prefix (optimization round 2). History as of
+#: round-16 start: CORRECTNESS_r15 = 50/50 green (cumulative: 290/290
+#: rowed, zero red, zero never-verified; oldest greens are r9).
+#: Window layout (the changed-names rule first, then stale refresh):
+#: 1-19. CHANGED THIS ROUND by the r16 optimizations — queries whose
+#:    implementation or a shared operator underneath them changed:
+#:    q_vt_branch (manifest-served audits + vt_count_branch),
+#:    q_bitemporal (v0 materialized once), q_dsir_select (fused bucket
+#:    counts), q_audio_fingerprint (vote histogram materialized),
+#:    q_kendall_tau (cell grid materialized), q_kcenter_sample (kernel
+#:    carries the winner vector), the five _part_cooccur_edges
+#:    consumers (louvain/modularity/assortativity/triangles/ktruss —
+#:    edges materialized once), the two vt_delete_mor consumers
+#:    (q_vt_changes/q_mor_delete — rows_deleted rides the write), and
+#:    the six quantizer-I/O consumers (ivf/ivfpq appends + batch +
+#:    residual + nsw_append + diskann — pyarrow driver-side
+#:    save/load). All 19 verified ALL MATCH by driver-sim at change
+#:    time; the window re-proves them driver-side.
+#: 20-50. Stale-green refresh per tools/rotation.py: the four r9
+#:    leftovers (q_python_datasource, q_rollup_time, q_salted_agg,
+#:    q_sample_stratified), the remaining r9 tail, then the oldest r10
+#:    greens (alphabetical within round).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_closeness_tree_weighted",
-    "q_tree_diameter_weighted",
-    "q_stream_late_data_session",
-    "q_stream_session",
-    "q_dedup_stats",
-    "q_filter_project",
-    "q_grouping_sets",
-    "q_having",
-    "q_join_broadcast",
-    "q_join_semi",
-    "q_join_sortmerge",
-    "q_kmeans_assign",
-    "q_mapreduce_join",
-    "q_merge_upsert",
-    "q_multimodal_bmp",
-    "q_multimodal_metadata",
-    "q_multimodal_wav",
-    "q_pivot",
-    "q_recursive_cte",
-    "q_rollup",
-    "q_salted_join",
-    "q_sample_hash",
-    "q_sample_weighted",
-    "q_stream_cdc_apply",
-    "q_stream_outer_join",
-    "q_stream_partitioned_source",
-    "q_stream_python_source",
-    "q_udaf_sumsq",
-    "q_approx_distinct",
-    "q_approx_percentiles",
-    "q_binaryfile_ingest",
-    "q_events_hourly",
-    "q_except",
-    "q_histogram",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_bucketed",
-    "q_join_multiway",
-    "q_join_outer",
-    "q_join_range",
-    "q_json_extract",
-    "q_lateral",
-    "q_multimodal_fake_image",
-    "q_multimodal_frames",
-    "q_multimodal_resize",
-    "q_null_handling",
-    "q_observe_metrics",
-    "q_pagerank",
-    "q_percentiles_grouped",
+    "q_vt_branch",
+    "q_bitemporal",
+    "q_dsir_select",
+    "q_audio_fingerprint",
+    "q_kendall_tau",
+    "q_kcenter_sample",
+    "q_louvain_sweep",
+    "q_modularity",
+    "q_assortativity",
+    "q_triangles",
+    "q_ktruss",
+    "q_vt_changes",
+    "q_mor_delete",
+    "q_ann_ivf_append",
+    "q_ann_ivfpq_append",
+    "q_ann_ivf_batch",
+    "q_ann_ivfpq_residual",
+    "q_ann_nsw_append",
+    "q_ann_diskann",
+    "q_python_datasource",
+    "q_rollup_time",
+    "q_salted_agg",
+    "q_sample_stratified",
+    "q_sketch_heavyhitters",
+    "q_sssp",
+    "q_stream_dedup",
+    "q_stream_foreach_sink",
+    "q_stream_join",
+    "q_stream_sliding",
+    "q_stream_stateful",
+    "q_stream_static_join",
+    "q_stream_tumbling",
+    "q_time_gapfill",
+    "q_topk",
+    "q_union",
+    "q_variant_json",
+    "q_window_lag",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_above_nation_avg",
+    "q_agg_filtered",
+    "q_ann_ivf_range",
+    "q_ann_ivf_topk",
+    "q_ann_ivfpq_topk",
+    "q_ann_lsh_batch",
+    "q_ann_pq_recall",
+    "q_ann_pq_topk",
+    "q_ann_sq_topk",
+    "q_array_fns",
+    "q_bloom_semijoin",
 )
 
 

@@ -12,25 +12,32 @@ from os_ex_3_map_reduce_spark.plans.catalog import (
 )
 
 # Queries that MUST be inside the verification window this round
-# (round 15: the three new round-15 queries, q_stream_session whose
-# oracle changed this round (session boundary >= -> >), and the six
-# r14 spill names (positions 51-56 last round, no post-r8 driver row).
-# The remaining slots are the oldest-stale greens, r8 era first —
-# policy via tools/rotation.py, not pinned here.)
+# (round 16, optimization round 2: every query whose implementation —
+# or a shared operator underneath it — changed in the r16
+# optimizations must re-row driver-side; every r15 must-window name
+# went green in CORRECTNESS_r15, so the remaining slots are the
+# oldest-stale greens per tools/rotation.py, not pinned here.)
 MUST_BE_IN_WINDOW = {
-    # new this round — never verified, must be windowed
-    "q_closeness_tree_weighted",
-    "q_tree_diameter_weighted",
-    "q_stream_late_data_session",
-    # oracle changed this round — must re-row
-    "q_stream_session",
-    # r14 spill — stale since r8
-    "q_dedup_stats",
-    "q_filter_project",
-    "q_grouping_sets",
-    "q_having",
-    "q_join_broadcast",
-    "q_join_semi",
+    # changed this round (r16 optimizations) — must re-row
+    "q_vt_branch",
+    "q_bitemporal",
+    "q_dsir_select",
+    "q_audio_fingerprint",
+    "q_kendall_tau",
+    "q_kcenter_sample",
+    "q_louvain_sweep",
+    "q_modularity",
+    "q_assortativity",
+    "q_triangles",
+    "q_ktruss",
+    "q_vt_changes",
+    "q_mor_delete",
+    "q_ann_ivf_append",
+    "q_ann_ivfpq_append",
+    "q_ann_ivf_batch",
+    "q_ann_ivfpq_residual",
+    "q_ann_nsw_append",
+    "q_ann_diskann",
 }
 
 
